@@ -1,0 +1,104 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A catalog of "message tables" — the dp3 data model re-expressed on
+  * Spark (reference: server/treemgr/treemgr.go:29-33 — a table is a
+  * (producer, topic) pair).
+  *
+  * A scan returns a DataFrame with at least the canonical columns
+  *   producer: string, topic: string, time: long (epoch ns),
+  *   seq: long (ingest sequence)
+  * plus any decoded payload columns. The dp3 time-partitioned COW tree
+  * becomes a columnar layout whose pruning Catalyst performs from
+  * parquet min/max + partition values; at 100 TB the ingest path
+  * (graft.streaming.Ingest) lays data out bucketed by (topic, day) so
+  * scans of one (producer, topic, time range) touch only matching
+  * files.
+  */
+trait MessageCatalog {
+
+  /** Scan one (producer, topic) table, all time. Time-range and field
+    * predicates are applied by the planner on top — Catalyst pushes them
+    * into the scan (reference walks its tree instead:
+    * server/tree/iterator.go:148-199). */
+  def scan(spark: SparkSession, producer: String, topic: String): DataFrame
+
+  /** Producers that own any of the given topics — backs `from *`
+    * (reference: server/plan/plan.go:366-400). */
+  def producers(spark: SparkSession, topics: Seq[String]): Seq[String]
+
+  /** Minimum retained version per (producer, topic) — data at or below
+    * is invisible (reference truncation: server/tree/iterator.go:175).
+    * Default: nothing truncated. */
+  def truncationVersion(producer: String, topic: String): Long = -1L
+}
+
+/** Catalog over the driver testdata `events` table, interpreted as a
+  * message log: topic = event_type, producer = "p" + user_id,
+  * time = ts (epoch ns), seq = event_id. The JSON `props` payload is
+  * decoded to a typed column `k` — the analogue of dp3's lazy field
+  * decoding of nested message payloads
+  * (reference: server/util/schema/parser.go:551-589).
+  */
+final class EventsCatalog(sfDir: String) extends MessageCatalog
+    with Serializable {
+
+  def messages(spark: SparkSession): DataFrame = {
+    // events.ts is parquet TIMESTAMP(NANOS): read as raw long ns —
+    // dp3 is nanosecond-native and Spark TimestampType is only µs.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read
+      .parquet(s"$sfDir/events.parquet")
+      .select(
+        concat(lit("p"), col("user_id").cast("string")).as("producer"),
+        col("event_type").as("topic"),
+        col("ts").cast("long").as("time"),
+        // µs view for oracle-parity outputs (DuckDB truncates ns → µs)
+        expr("ts div 1000").as("time_us"),
+        col("event_id").as("seq"),
+        col("value"),
+        col("props"),
+        // decoded payload field (props = {"k": <int>})
+        regexp_extract(col("props"), "\"k\": ([0-9]+)", 1)
+          .cast("long").as("k")
+      )
+  }
+
+  override def scan(spark: SparkSession, producer: String,
+      topic: String): DataFrame =
+    messages(spark).where(col("producer") === producer
+      && col("topic") === topic)
+
+  override def producers(spark: SparkSession,
+      topics: Seq[String]): Seq[String] = {
+    // catalog lookup; small + cachable. In a production layout this is a
+    // control table, not a scan (reference: server/rootmap/sqlrootmap.go:427).
+    messages(spark)
+      .where(col("topic").isin(topics: _*))
+      .select("producer").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+  }
+}
+
+/** Catalog over an arbitrary pre-shaped DataFrame holding the canonical
+  * columns — used by tests to replay the reference's synthetic fixtures.
+  */
+final class DataFrameCatalog(df: DataFrame) extends MessageCatalog {
+  override def scan(spark: SparkSession, producer: String,
+      topic: String): DataFrame =
+    df.where(col("producer") === producer && col("topic") === topic)
+
+  override def producers(spark: SparkSession,
+      topics: Seq[String]): Seq[String] =
+    df.where(col("topic").isin(topics: _*))
+      .select("producer").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+}
+
+/** Plain loaders for the TPC-H-ish driver tables. */
+object Tables {
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+}

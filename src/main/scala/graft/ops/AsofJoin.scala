@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** dp3-semantics as-of join, composed from Spark built-ins.
+  *
+  * Semantics (reference: server/executor/asof_node.go:13-21,64-111):
+  * inputs are merged in time order (ties: left before right); each RIGHT
+  * row matches the most recent LEFT row at-or-before it; the match
+  * stands iff `right.time < left.time + thresholdNs` (threshold 0 =
+  * unbounded). A matched left is emitted once, immediately before its
+  * first matching right; every matching right is emitted unless
+  * `immediate`, which keeps only the first. Unmatched rows on either
+  * side are dropped. A newer left "steals" subsequent rights from an
+  * older one, even when the older left is still in range.
+  *
+  * Implementation: tag both sides, single window pass over
+  * (keys, time, side) computing a running left-counter and
+  * last-seen-left struct — one shuffle on `keys`, no self-join, no
+  * driver materialization. With `keys` (e.g. producer) the sort is
+  * per-key and fully parallel; with no keys this is a global total
+  * order, which is what the semantics demand (dp3 executes that case
+  * single-streamed too — reference: server/executor/executor.go:37-96).
+  * At 100 TB, always pass keys: the window becomes a per-key
+  * sort-within-partitions after one hash exchange.
+  *
+  * Output = matched lefts ∪ matched rights with three extra columns:
+  * `_emit_time` (ns position in the dp3 output stream), `_side`
+  * (0=left, 1=right), and the data columns union-by-name (missing
+  * columns null-filled when the two sides' schemas differ).
+  */
+object AsofJoin {
+
+  def join(
+      left: DataFrame,
+      right: DataFrame,
+      timeCol: String,
+      keys: Seq[String],
+      thresholdNs: Long,
+      immediate: Boolean,
+      /** deterministic intra-time tiebreak column, e.g. "seq" */
+      tieCol: Option[String] = None
+  ): DataFrame = {
+    val lStruct = struct(left.columns.map(left(_)): _*)
+    val rStruct = struct(right.columns.map(right(_)): _*)
+    val lType = left.select(lStruct.as("s")).schema("s").dataType
+    val rType = right.select(rStruct.as("s")).schema("s").dataType
+
+    val l2 = left.select((keys.map(left(_)) :+ left(timeCol).as("_t")
+      :+ lit(0).as("_side")
+      :+ tieCol.map(left(_)).getOrElse(lit(0L)).as("_tie")
+      :+ lStruct.as("_lrow")
+      :+ lit(null).cast(rType).as("_rrow")): _*)
+    val r2 = right.select((keys.map(right(_)) :+ right(timeCol).as("_t")
+      :+ lit(1).as("_side")
+      :+ tieCol.map(right(_)).getOrElse(lit(0L)).as("_tie")
+      :+ lit(null).cast(lType).as("_lrow")
+      :+ rStruct.as("_rrow")): _*)
+    val u = l2.unionByName(r2)
+
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("_t"), col("_side"), col("_tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val annotated = u
+      .withColumn("_leftSeq",
+        sum(when(col("_side") === 0, 1L).otherwise(0L)).over(w))
+      .withColumn("_lastLeft", last(col("_lrow"), ignoreNulls = true).over(w))
+
+    val inRange =
+      if (thresholdNs == 0L) lit(true)
+      else col("_t") < col("_lastLeft").getField(timeCol) + lit(thresholdNs)
+
+    val matchedRights = annotated
+      .where(col("_side") === 1 && col("_leftSeq") > 0
+        && col("_lastLeft").isNotNull && inRange)
+
+    // one row per matched left, positioned at its first matching right
+    val lefts = matchedRights
+      .groupBy((keys.map(col) :+ col("_leftSeq")): _*)
+      .agg(min(col("_t")).as("_emit_time"),
+        min_by(col("_lastLeft"), struct(col("_t"), col("_tie")))
+          .as("_row"))
+      .select((keys.map(col) :+ col("_emit_time") :+ lit(0).as("_side")
+        :+ col("_row")): _*)
+
+    val rightsKept =
+      if (immediate) {
+        val wr = Window
+          .partitionBy((keys.map(col) :+ col("_leftSeq")): _*)
+          .orderBy(col("_t"), col("_tie"))
+        matchedRights
+          .withColumn("_rn", row_number().over(wr))
+          .where(col("_rn") === 1)
+      } else matchedRights
+
+    val rights = rightsKept
+      .select((keys.map(col) :+ col("_t").as("_emit_time")
+        :+ lit(1).as("_side") :+ col("_rrow").as("_row")): _*)
+
+    // expand the two row shapes and union by name (null-fill mismatches)
+    def expand(df: DataFrame, fields: Seq[String]): DataFrame = {
+      val dataCols = fields.filterNot(keys.contains)
+        .map(f => col("_row").getField(f).as(f))
+      df.select((keys.map(col) ++ Seq(col("_emit_time"), col("_side"))
+        ++ dataCols): _*)
+    }
+    val lOut = expand(lefts, left.columns.toSeq)
+    val rOut = expand(rights, right.columns.toSeq)
+    lOut.unionByName(rOut, allowMissingColumns = true)
+      .withColumnRenamed("_emit_time", "emit_time")
+      .withColumnRenamed("_side", "emit_side")
+  }
+}

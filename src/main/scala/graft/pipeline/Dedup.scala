@@ -1,0 +1,134 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, from exact to
+  * approximate. All hashing is md5-based and salt-deterministic so
+  * results are engine-portable (oracle-checkable) AND stable across
+  * re-runs at 100 TB — no RNG, no JVM hash seeds.
+  *
+  * Scale shapes:
+  *  - exact: one hash-shuffle on the fingerprint (map-side combine).
+  *  - shingle-Jaccard: inverted-index self-join — explode shingles,
+  *    join on shingle, count per pair. Exact, and the standard scalable
+  *    formulation (pairs only materialize when they share a shingle).
+  *  - MinHash/LSH: per-row signature (no shuffle), then one groupBy per
+  *    band — candidate pairs are limited to same-bucket rows; at 100 TB
+  *    this is the only formulation that avoids the quadratic join.
+  *  - SimHash: per-row 32-bit signature via explode over bit positions
+  *    (map-side combine), near-dups = equal signatures (or banded
+  *    prefixes).
+  */
+object Dedup {
+
+  /** Exact dedup: keep the smallest id per content fingerprint. */
+  def exact(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    df.select(TextOps.fingerprint(col(textCol)).as("fp"), col(idCol))
+      .groupBy("fp")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Word k-shingles of the lowercased text, distinct, as an array. */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = TextOps.tokens(lower(text))
+    val grams = transform(sequence(lit(0), size(toks) - k),
+      i => concat_ws(" ", slice(toks, i + lit(1), lit(k))))
+    when(size(toks) >= k, array_distinct(grams))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  private def withShingles(df: DataFrame, k: Int, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol).as("_id"),
+        TextOps.tokens(lower(col(textCol))).as("_stoks"))
+      .where(size(col("_stoks")) >= k)
+      .select(col("_id"), explode(array_distinct(expr(
+        s"""transform(sequence(0, size(_stoks) - $k),
+            i -> concat_ws(' ', slice(_stoks, i + 1, $k)))"""))).as("sh"))
+
+  /** Exact n-gram-Jaccard near-duplicate pairs via inverted index:
+    * returns (id_a, id_b, jaccard) for pairs ≥ threshold. */
+  def jaccardPairs(df: DataFrame, k: Int, threshold: Double,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = withShingles(df, k, idCol, textCol)
+    val sizes = sh.groupBy(col("_id")).agg(count(lit(1)).as("n"))
+    val a = sh.as("a"); val b = sh.as("b")
+    val inter = a.join(b, col("a.sh") === col("b.sh")
+        && col("a._id") < col("b._id"))
+      .groupBy(col("a._id").as("id_a"), col("b._id").as("id_b"))
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.withColumnRenamed("_id", "id_a")
+        .withColumnRenamed("n", "na"), "id_a")
+      .join(sizes.withColumnRenamed("_id", "id_b")
+        .withColumnRenamed("n", "nb"), "id_b")
+      .withColumn("jaccard", round(col("c").cast("double")
+        / (col("na") + col("nb") - col("c")), 6))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** MinHash signature component i: min over shingles of
+    * md5(i || ':' || shingle) — a string min, portable to any engine. */
+  def minhashComponent(i: Int): Column =
+    array_min(transform(col("_shingles"),
+      s => md5(concat(lit(i.toString), lit(":"), s))))
+
+  /** MinHash + LSH candidate pairs: `numHashes` signature components in
+    * `bands` bands; rows sharing any band bucket are candidates.
+    * Deterministic (salted md5), so checkable against any engine. */
+  def minhashLshCandidates(df: DataFrame, k: Int, numHashes: Int,
+      bands: Int, idCol: String = "doc_id", textCol: String = "text")
+      : DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val base = df.select(col(idCol).as("_id"),
+        shingles(col(textCol), k).as("_shingles"))
+      .where(size(col("_shingles")) > 0)
+    val withSig = (0 until numHashes).foldLeft(base) { (acc, i) =>
+      acc.withColumn(s"_h$i", minhashComponent(i))
+    }
+    val banded = (0 until bands).foldLeft(withSig) { (acc, b) =>
+      val parts = (0 until rowsPerBand)
+        .map(r => col(s"_h${b * rowsPerBand + r}"))
+      acc.withColumn(s"_band$b", md5(concat_ws("|", parts: _*)))
+    }
+    // one row per (band, bucket, id); same-bucket rows pair up
+    val buckets = banded.select(col("_id"),
+      explode(array((0 until bands).map(b =>
+        concat_ws("#", lit(b.toString), col(s"_band$b"))): _*)).as("bkt"))
+    val a = buckets.as("a"); val b2 = buckets.as("b")
+    a.join(b2, col("a.bkt") === col("b.bkt") && col("a._id") < col("b._id"))
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
+      .distinct()
+  }
+
+  /** 32-bit SimHash over word tokens, returned as a '0'/'1' string (bit
+    * 0 first) — string form keeps it portable and bandable by substring.
+    * Bit b of token t = bit (3 - b%4) of hex digit b/4 of md5(t). */
+  def simhash(df: DataFrame, bits: Int = 32, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = df.select(col(idCol).as("_id"),
+        explode(array_distinct(TextOps.tokens(lower(col(textCol)))))
+          .as("tok"))
+      .withColumn("_md5", md5(col("tok")))
+    val pos = (0 until bits).map(lit(_))
+    val exploded = toks.select(col("_id"), col("_md5"),
+      explode(array(pos: _*)).as("b"))
+    val digitVal = expr(
+      "instr('0123456789abcdef', substr(_md5, CAST(b div 4 AS INT) + 1, 1)) - 1")
+    val bitVal = expr("(digit >> (3 - b % 4)) & 1")
+    exploded
+      .withColumn("digit", digitVal)
+      .withColumn("bit", bitVal)
+      .groupBy(col("_id"), col("b"))
+      .agg(sum(col("bit") * 2 - 1).as("s"))
+      .withColumn("bitchar", when(col("s") > 0, lit("1")).otherwise(lit("0")))
+      .groupBy(col("_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("b"), col("bitchar")))),
+        s => s.getField("bitchar")), "").as("simhash"))
+      .select(col("_id").as("doc_id"), col("simhash"))
+  }
+}

@@ -1,0 +1,97 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines.
+  * All are single-pass, shuffle-free per-row column expressions
+  * (whole-stage-codegen'd) except the corpus-level n-gram counts, which
+  * is one explode + one aggregation.
+  *
+  * Everything is deterministic and engine-portable (plain string
+  * arithmetic + md5), so results are oracle-checkable bit-for-bit.
+  */
+object TextOps {
+
+  /** whitespace tokens, empty strings dropped */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= "")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Occurrences of `needle` in `hay` via replace-length arithmetic —
+    * exact, no regex engine variance. */
+  def occurrences(hay: Column, needle: String): Column =
+    ((length(hay) - length(regexp_replace(hay, java.util.regex.Pattern
+      .quote(needle), ""))) / needle.length).cast("long")
+
+  private val stopwords =
+    Seq("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
+
+  /** Quality-scoring features: length, token count, average token
+    * length, stopword ratio, uppercase ratio, digit ratio. */
+  def qualityFeatures(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val stops = filter(toks, x => x.isin(stopwords: _*))
+    df.withColumn("n_chars_m", length(t).cast("long"))
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_stopwords", size(stops).cast("long"))
+      .withColumn("stopword_ratio",
+        round(col("n_stopwords").cast("double") / col("n_tokens"), 6))
+      .withColumn("avg_token_len",
+        round((col("n_chars_m") - (col("n_tokens") - 1)).cast("double")
+          / col("n_tokens"), 6))
+  }
+
+  /** Marker-word language ID — the classic n-gram/stopword heuristic,
+    * deterministic argmax with fixed language order for ties. */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " of "),
+    "fr" -> Seq(" le ", " la ", " et "),
+    "es" -> Seq(" el ", " los ", " y "),
+    "de" -> Seq(" der ", " und ", " die "),
+    "zh" -> Seq(" de ", " shi ", " bu ")
+  )
+
+  def langId(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val padded = concat(lit(" "), lower(col(textCol)), lit(" "))
+    val scored = langMarkers.foldLeft(df.withColumn("_pad", padded)) {
+      case (acc, (lang, markers)) =>
+        acc.withColumn(s"score_$lang",
+          markers.map(m => occurrences(col("_pad"), m))
+            .reduce(_ + _))
+    }
+    // deterministic argmax: first language (in langMarkers order) whose
+    // score equals the max
+    val maxScore = greatest(langMarkers.map { case (l, _) =>
+      col(s"score_$l") }: _*)
+    // left-priority argmax: first language in langMarkers order wins ties
+    val pickLeft = langMarkers.reverse.foldLeft(lit("und"): Column) {
+      case (elseCol, (lang, _)) =>
+        when(col(s"score_$lang") === maxScore && maxScore > 0, lit(lang))
+          .otherwise(elseCol)
+    }
+    scored.withColumn("lang_pred", pickLeft).drop("_pad")
+  }
+
+  /** Content fingerprint: md5 of the lowercased, space-normalized text —
+    * the exact-dedup key. */
+  def fingerprint(text: Column): Column = md5(lower(trim(text)))
+
+  /** Corpus-wide top-k n-gram counts (word n-grams). One explode + one
+    * agg; at 100 TB this is the canonical map-side-combine shape. */
+  def topNgrams(df: DataFrame, n: Int, k: Int, textCol: String = "text")
+      : DataFrame = {
+    val toks = tokens(lower(col(textCol)))
+    val grams = expr(
+      s"""transform(sequence(0, size(_toks) - $n),
+          i -> concat_ws(' ', slice(_toks, i + 1, $n)))""")
+    df.select(toks.as("_toks"))
+      .where(size(col("_toks")) >= n)
+      .select(explode(grams).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("gram").asc)
+      .limit(k)
+  }
+}

@@ -1,0 +1,239 @@
+package graft.plan
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.model.MessageCatalog
+import graft.ops.{AsofJoin, MergeOrdered}
+import graft.ql._
+
+/** Compiles a parsed dp3 query to a DataFrame (reference:
+  * server/plan/plan.go:347-459 compiles to a Volcano node tree; here the
+  * "physical plan" is Catalyst's problem).
+  *
+  * Pushdowns the reference implements by hand — where-clause splitting
+  * per alias onto scans (plan.go:327-344), time-range pruning
+  * (tree/iterator.go:148-199), descending scans (plan.go:503-510) — are
+  * expressed declaratively: the per-alias filter becomes a `.where` on
+  * the scan (Catalyst pushes it into the parquet reader), the time range
+  * a range predicate (row-group pruning), and `desc` a sort direction.
+  *
+  * The planned frame carries three bookkeeping columns so dp3's exact
+  * output stream order is reproducible at any scale:
+  *   emit_time — stream position (= log time except for as-of lefts,
+  *               which sit at their first matching right);
+  *   _mj       — merge tie-break: producer-major, child-minor index
+  *               (reference: merge_node.go:47-49);
+  *   emit_side — 0 = left/scan, 1 = as-of right.
+  */
+final class Planner(catalog: MessageCatalog) extends Serializable {
+
+  def plan(spark: SparkSession, input: String): DataFrame =
+    Parser.parse(input) match {
+      case q: Query => plan(spark, q)
+      case _: TruncateStmt =>
+        throw new IllegalArgumentException(
+          "truncate is a lifecycle statement; use graft.streaming.Lifecycle")
+    }
+
+  def plan(spark: SparkSession, q: Query): DataFrame = {
+    val topics = collectTopics(q.select)
+    val producers: Seq[String] = q.from match {
+      case AllProducers      => catalog.producers(spark, topics.map(_._1))
+      case ProducerList(ns)  => ns
+    }
+    // split the where clause into one predicate per alias; each
+    // top-level disjunct must reference exactly one alias
+    // (reference: plan.go:280-345)
+    val byAlias: Map[String, Seq[Expr]] = q.where match {
+      case None => Map.empty
+      case Some(e) =>
+        val disjuncts = e match {
+          case OrExpr(ds) => ds
+          case other      => Seq(other)
+        }
+        disjuncts.groupBy { d =>
+          val aliases = collectAliases(d)
+          if (aliases.size != 1) throw new IllegalArgumentException(
+            s"expression subtree references more than one alias: " +
+              aliases.mkString(", "))
+          aliases.head
+        }
+    }
+    val knownAliases = topics.map { case (t, a) => a.getOrElse(t) }.toSet
+    val unknown = byAlias.keySet.diff(knownAliases)
+    if (unknown.nonEmpty) throw new IllegalArgumentException(
+      s"where clause references unknown alias(es): ${unknown.mkString(", ")}")
+
+    val perProducer: Seq[DataFrame] = producers.map { p =>
+      buildSelect(spark, q, p, q.select)
+    }
+    val merged = perProducer.zipWithIndex.map { case (df, i) =>
+      // producer-major tie order across the per-producer subtrees
+      df.withColumn("_mj", lit(i.toLong * 1000000L) + col("_mj"))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+
+    val ord =
+      if (q.descending)
+        Seq(col("emit_time").desc, col("_mj").asc, col("emit_side").asc)
+      else
+        Seq(col("emit_time").asc, col("_mj").asc, col("emit_side").asc)
+    var out = merged.orderBy(ord: _*)
+    q.offset.foreach(o => out = out.offset(o.toInt))
+    q.limit.foreach(n => out = out.limit(n.toInt))
+    out
+
+    // NB: the where-clause predicates were attached inside buildSelect;
+    // reaching here means every alias resolved.
+  }
+
+  /** Renders Spark's formatted physical plan — the analogue of dp3's
+    * `explain` (reference: server/executor/nodestats.go). */
+  def explain(spark: SparkSession, input: String): String = {
+    val df = plan(spark, input)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+  }
+
+  // --- select-tree compilation -------------------------------------------
+
+  private def buildSelect(spark: SparkSession, q: Query, producer: String,
+      sel: Select): DataFrame = sel match {
+    case e: Entity =>
+      scanFrame(spark, q, producer, e)
+        .withColumn("emit_time", col("time"))
+        .withColumn("_mj", lit(0L))
+        .withColumn("emit_side", lit(0))
+
+    case m: MergeSel =>
+      val children = flattenMerge(m)
+      val frames = children.zipWithIndex.map {
+        case (e: Entity, i) =>
+          scanFrame(spark, q, producer, e)
+            .withColumn("emit_time", col("time"))
+            .withColumn("_mj", lit(i.toLong))
+            .withColumn("emit_side", lit(0))
+        case (a: AsofSel, i) =>
+          buildSelect(spark, q, producer, a)
+            .withColumn("_mj", lit(i.toLong))
+        case (other, _) =>
+          throw new IllegalStateException(s"unexpected merge child: $other")
+      }
+      frames.reduce(_.unionByName(_, allowMissingColumns = true))
+
+    case a: AsofSel =>
+      // `x succeeds y` ≡ as-of join with operands swapped
+      // (reference: server/executor/executor.go:155-211)
+      val (lSel, rSel) = a.dir match {
+        case Precedes => (a.left, a.right)
+        case Succeeds => (a.right, a.left)
+      }
+      val lFrame = stripOrder(buildSelect(spark, q, producer, lSel))
+      val rFrame = stripOrder(buildSelect(spark, q, producer, rSel))
+      AsofJoin.join(lFrame, rFrame, timeCol = "time", keys = Nil,
+        thresholdNs = a.thresholdNs, immediate = a.immediate,
+        tieCol = Some("seq"))
+        .withColumn("_mj", lit(0L))
+  }
+
+  private def stripOrder(df: DataFrame): DataFrame =
+    df.drop("emit_time", "_mj", "emit_side")
+
+  private def scanFrame(spark: SparkSession, q: Query, producer: String,
+      e: Entity): DataFrame = {
+    var df = catalog.scan(spark, producer, e.topic)
+    q.between.foreach { case (s, t) =>
+      df = df.where(col("time") >= s && col("time") < t)
+    }
+    val alias = e.alias.getOrElse(e.topic)
+    whereFor(q, alias).foreach { pred => df = df.where(compile(df, pred)) }
+    val trunc = catalog.truncationVersion(producer, e.topic)
+    if (trunc >= 0) df = df.where(col("seq") > trunc)
+    df
+  }
+
+  private def whereFor(q: Query, alias: String): Option[Expr] =
+    q.where.flatMap { e =>
+      val disjuncts = e match {
+        case OrExpr(ds) => ds
+        case other      => Seq(other)
+      }
+      val mine = disjuncts.filter(d => collectAliases(d) == Set(alias))
+      if (mine.isEmpty) None
+      else if (mine.size == 1) Some(mine.head)
+      else Some(OrExpr(mine))
+    }
+
+  private def flattenMerge(sel: Select): Seq[Select] = sel match {
+    case MergeSel(l, r) => flattenMerge(l) ++ flattenMerge(r)
+    case other          => Seq(other)
+  }
+
+  private def collectTopics(sel: Select): Seq[(String, Option[String])] =
+    sel match {
+      case Entity(t, a)   => Seq((t, a))
+      case MergeSel(l, r) => collectTopics(l) ++ collectTopics(r)
+      case AsofSel(l, r, _, _, _) => collectTopics(l) ++ collectTopics(r)
+    }
+
+  private def collectAliases(e: Expr): Set[String] = e match {
+    case Cmp(a, _, _, _) => Set(a)
+    case AndExpr(cs)     => cs.flatMap(collectAliases).toSet
+    case OrExpr(ds)      => ds.flatMap(collectAliases).toSet
+  }
+
+  // --- where-clause compilation ------------------------------------------
+
+  /** Compile a predicate against a scan frame, with the reference's
+    * type-checking behavior: literal/field type mismatches are plan-time
+    * errors (reference: server/executor/expression.go:253), integer
+    * literals are accepted for float fields (expression.go:428-448), and
+    * both regex operators are case-insensitive because the reference
+    * lowercases pattern AND value (expression.go:1786,1795). */
+  def compile(df: DataFrame, e: Expr): Column = e match {
+    case AndExpr(cs) => cs.map(compile(df, _)).reduce(_ && _)
+    case OrExpr(ds)  => ds.map(compile(df, _)).reduce(_ || _)
+    case Cmp(_, field, op, value) =>
+      val c = resolveField(df, field)
+      val dt = df.select(c).schema.head.dataType
+      val lit0: Column = (value, dt) match {
+        case (IntLit(v), _: ByteType | _: ShortType | _: IntegerType |
+            _: LongType) => lit(v)
+        case (IntLit(v), _: FloatType | _: DoubleType) => lit(v.toDouble)
+        case (FloatLit(v), _: FloatType | _: DoubleType) => lit(v)
+        case (StrLit(v), _: StringType) => lit(v)
+        case (BoolLit(v), _: BooleanType) => lit(v)
+        case _ => throw new IllegalArgumentException(
+          s"type mismatch: field '$field' is $dt, literal is $value")
+      }
+      op match {
+        case Eq  => c === lit0
+        case Neq =>
+          if (dt.isInstanceOf[BooleanType]) throw new IllegalArgumentException(
+            "!= is not supported for booleans")
+          c =!= lit0
+        case Lt  => c < lit0
+        case Gt  => c > lit0
+        case Lte => c <= lit0
+        case Gte => c >= lit0
+        case Regex | RegexI =>
+          (value, dt) match {
+            case (StrLit(pat), _: StringType) =>
+              lower(c).rlike(pat.toLowerCase)
+            case _ => throw new IllegalArgumentException(
+              s"regex match requires a string field and pattern, got $dt")
+          }
+      }
+  }
+
+  private def resolveField(df: DataFrame, field: String): Column = {
+    if (df.columns.contains(field)) df(field)
+    else {
+      val head = field.takeWhile(_ != '.')
+      if (df.columns.contains(head)) col(field) // nested struct path
+      else throw new IllegalArgumentException(
+        s"unknown field '$field' (have: ${df.columns.mkString(", ")})")
+    }
+  }
+}

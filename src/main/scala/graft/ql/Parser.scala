@@ -1,0 +1,274 @@
+package graft.ql
+
+import java.time.{Instant, LocalDate, LocalDateTime, ZoneOffset}
+
+/** Hand-rolled recursive-descent parser for the dp3 query language.
+  *
+  * Token classes and productions mirror the reference participle grammar
+  * (reference: server/ql/grammar.go:21-188): words, single-quoted
+  * strings, integers, floats, comparison operators, `, ( ) ; *`.
+  * Keywords (`from`, `where`, `precedes`, ...) are ordinary words given
+  * meaning positionally, exactly as in the reference lexer.
+  */
+object Parser {
+
+  final case class ParseError(msg: String, pos: Int)
+      extends Exception(s"parse error at $pos: $msg")
+
+  // --- lexer -------------------------------------------------------------
+
+  sealed trait Tok { def pos: Int }
+  final case class TWord(s: String, pos: Int) extends Tok
+  final case class TStr(s: String, pos: Int) extends Tok
+  final case class TInt(v: Long, pos: Int) extends Tok
+  final case class TFloat(v: Double, pos: Int) extends Tok
+  final case class TOp(s: String, pos: Int) extends Tok // , ( ) ; * and cmp ops
+
+  private val wordStart = ((c: Char) =>
+    c.isLetter || c == '_' || c == '/' || c == '.')
+  private val wordCont = ((c: Char) =>
+    c.isLetterOrDigit || c == '_' || c == '/' || c == '.' || c == '-')
+
+  def tokenize(s: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s(i)
+      if (c.isWhitespace) i += 1
+      else if (wordStart(c) && !(c == '.' && i + 1 < n && s(i + 1).isDigit)) {
+        val st = i
+        while (i < n && wordCont(s(i))) i += 1
+        out += TWord(s.substring(st, i), st)
+      } else if (c == '\'') {
+        val st = i; i += 1
+        val sb = new StringBuilder
+        while (i < n && s(i) != '\'') {
+          if (s(i) == '\\' && i + 1 < n) { sb.append(s(i + 1)); i += 2 }
+          else { sb.append(s(i)); i += 1 }
+        }
+        if (i >= n) throw ParseError("unterminated string", st)
+        i += 1
+        out += TStr(sb.toString, st)
+      } else if (c.isDigit || ((c == '-' || c == '+' || c == '.') && i + 1 < n
+                 && (s(i + 1).isDigit || s(i + 1) == '.'))) {
+        val st = i
+        if (c == '-' || c == '+') i += 1
+        while (i < n && (s(i).isDigit || s(i) == '.' || s(i) == 'e'
+               || s(i) == 'E' || ((s(i) == '-' || s(i) == '+')
+               && (s(i - 1) == 'e' || s(i - 1) == 'E')))) i += 1
+        val text = s.substring(st, i)
+        if (text.contains('.') || text.toLowerCase.contains('e'))
+          out += TFloat(text.toDouble, st)
+        else out += TInt(text.toLong, st)
+      } else if (c == '~') {
+        if (i + 1 < n && s(i + 1) == '*') { out += TOp("~*", i); i += 2 }
+        else { out += TOp("~", i); i += 1 }
+      } else if (c == '!' || c == '<' || c == '>' || c == '=') {
+        if (c != '=' && i + 1 < n && s(i + 1) == '=') {
+          out += TOp(s.substring(i, i + 2), i); i += 2
+        } else if (c == '!') throw ParseError("unexpected '!'", i)
+        else { out += TOp(c.toString, i); i += 1 }
+      } else if (",();*".contains(c)) { out += TOp(c.toString, i); i += 1 }
+      else throw ParseError(s"unexpected character '$c'", i)
+    }
+    out.result()
+  }
+
+  // --- parser ------------------------------------------------------------
+
+  private final class P(toks: Vector[Tok]) {
+    private var i = 0
+    def peek: Option[Tok] = if (i < toks.length) Some(toks(i)) else None
+    def next(): Tok = {
+      val t = toks.lift(i).getOrElse(throw ParseError("unexpected end", -1))
+      i += 1; t
+    }
+    def peekWord(w: String): Boolean = peek.exists {
+      case TWord(s, _) => s == w; case _ => false
+    }
+    def eatWord(w: String): Boolean =
+      if (peekWord(w)) { i += 1; true } else false
+    def expectWord(): String = next() match {
+      case TWord(s, _) => s
+      case t           => throw ParseError(s"expected word, got $t", t.pos)
+    }
+    def expectOp(op: String): Unit = next() match {
+      case TOp(s, _) if s == op => ()
+      case t => throw ParseError(s"expected '$op', got $t", t.pos)
+    }
+    def peekOp(op: String): Boolean = peek.exists {
+      case TOp(s, _) => s == op; case _ => false
+    }
+    def eatOp(op: String): Boolean =
+      if (peekOp(op)) { i += 1; true } else false
+  }
+
+  def parse(input: String): Statement = {
+    val p = new P(tokenize(input))
+    val stmt =
+      if (p.eatWord("truncate")) parseTruncate(p) else parseQuery(p)
+    p.expectOp(";")
+    stmt
+  }
+
+  private def parseTruncate(p: P): TruncateStmt = {
+    val producer = p.expectWord()
+    val topic = p.expectWord()
+    val asOf = if (p.eatWord("now")) None else Some(parseTimestamp(p))
+    TruncateStmt(producer, topic, asOf)
+  }
+
+  private def parseTimestamp(p: P): Long = p.next() match {
+    case TInt(v, _) => v
+    case TStr(s, _) => parseIso(s)
+    case t => throw ParseError(s"expected timestamp, got $t", t.pos)
+  }
+
+  /** ISO8601 → epoch ns (reference accepts datestrings via iso8601.Parse,
+    * server/ql/grammar.go:118-133). Dates without time → midnight UTC. */
+  def parseIso(s: String): Long = {
+    val inst: Instant =
+      try Instant.parse(s)
+      catch {
+        case _: Exception =>
+          try LocalDateTime.parse(s).toInstant(ZoneOffset.UTC)
+          catch {
+            case _: Exception =>
+              LocalDate.parse(s).atStartOfDay.toInstant(ZoneOffset.UTC)
+          }
+      }
+    Math.addExact(Math.multiplyExact(inst.getEpochSecond, 1000000000L),
+      inst.getNano.toLong)
+  }
+
+  private def parseQuery(p: P): Query = {
+    val explain = p.eatWord("explain")
+    if (!p.eatWord("from"))
+      throw ParseError("expected 'from'", p.peek.map(_.pos).getOrElse(-1))
+    val from =
+      if (p.eatOp("*")) AllProducers
+      else {
+        val names = scala.collection.mutable.ArrayBuffer(p.expectWord())
+        // producer lists are comma-separated; a comma here is ambiguous
+        // with the merge-join comma, so (like the reference) producers
+        // only support the single-name form followed by the select.
+        ProducerList(names.toSeq)
+      }
+    val between =
+      if (p.eatWord("between")) {
+        val a = parseTimestamp(p)
+        if (!p.eatWord("and"))
+          throw ParseError("expected 'and'", p.peek.map(_.pos).getOrElse(-1))
+        val b = parseTimestamp(p)
+        Some((a, b))
+      } else None
+    val select = parseSelect(p)
+    val where = if (p.eatWord("where")) Some(parseExpr(p)) else None
+    val desc = p.eatWord("desc")
+    var limit: Option[Long] = None
+    var offset: Option[Long] = None
+    var more = true
+    while (more) {
+      if (p.eatWord("limit")) limit = Some(parseNonNeg(p))
+      else if (p.eatWord("offset")) offset = Some(parseNonNeg(p))
+      else more = false
+    }
+    Query(explain, from, between, select, where, desc, limit, offset)
+  }
+
+  private def parseNonNeg(p: P): Long = p.next() match {
+    case TInt(v, _) if v >= 0 => v
+    case t => throw ParseError(s"expected non-negative integer", t.pos)
+  }
+
+  private val unitNs = Map(
+    "nanoseconds" -> 1L,
+    "microseconds" -> 1000L,
+    "milliseconds" -> 1000000L,
+    "seconds" -> 1000000000L,
+    "minutes" -> 60L * 1000000000L
+  )
+
+  /** Select := entity [as alias] ( "," Select | asof Select )?   — right
+    * nested, flattened later by the planner. */
+  private def parseSelect(p: P): Select = {
+    val topic = p.expectWord()
+    val alias = if (p.eatWord("as")) Some(p.expectWord()) else None
+    val ent = Entity(topic, alias)
+    if (p.eatOp(",")) MergeSel(ent, parseSelect(p))
+    else if (p.peekWord("precedes") || p.peekWord("succeeds")
+             || p.peekWord("neighbors")) {
+      val kw = p.expectWord()
+      if (kw == "neighbors")
+        // parsed but unimplemented in the reference too
+        // (server/executor/executor.go:206-207)
+        throw ParseError("neighbors joins are not implemented", -1)
+      val immediate = p.eatWord("immediate")
+      val right = parseSelect(p)
+      var thresholdNs = 0L
+      if (p.eatWord("by")) {
+        if (!p.eatWord("less") || !p.eatWord("than"))
+          throw ParseError("expected 'less than'",
+            p.peek.map(_.pos).getOrElse(-1))
+        val qty = parseNonNeg(p)
+        val unit = p.expectWord()
+        val mult = unitNs.getOrElse(unit,
+          throw ParseError(s"unknown unit '$unit'", -1))
+        thresholdNs = Math.multiplyExact(qty, mult)
+      }
+      val dir = if (kw == "precedes") Precedes else Succeeds
+      AsofSel(ent, right, dir, immediate, thresholdNs)
+    } else ent
+  }
+
+  // Expression := OrCondition ("or" OrCondition)*
+  // OrCondition := Condition ("and" Condition)*
+  // Condition := "(" Expression ")" | alias.field [op value]
+  private def parseExpr(p: P): Expr = {
+    val disjuncts = scala.collection.mutable.ArrayBuffer(parseAnd(p))
+    while (p.eatWord("or")) disjuncts += parseAnd(p)
+    if (disjuncts.length == 1) disjuncts.head else OrExpr(disjuncts.toSeq)
+  }
+
+  private def parseAnd(p: P): Expr = {
+    val conjuncts = scala.collection.mutable.ArrayBuffer(parseCond(p))
+    while (p.eatWord("and")) conjuncts += parseCond(p)
+    if (conjuncts.length == 1) conjuncts.head else AndExpr(conjuncts.toSeq)
+  }
+
+  private def parseCond(p: P): Expr = {
+    if (p.eatOp("(")) {
+      val e = parseExpr(p)
+      p.expectOp(")")
+      e
+    } else {
+      val w = p.expectWord()
+      val dot = w.indexOf('.')
+      if (dot < 0)
+        throw ParseError(s"field '$w' must be qualified with a dot", -1)
+      val alias = w.substring(0, dot)
+      val field = w.substring(dot + 1)
+      val op = p.next() match {
+        case TOp("=", _)  => Eq
+        case TOp("!=", _) => Neq
+        case TOp("<", _)  => Lt
+        case TOp(">", _)  => Gt
+        case TOp("<=", _) => Lte
+        case TOp(">=", _) => Gte
+        case TOp("~", _)  => Regex
+        case TOp("~*", _) => RegexI
+        case t => throw ParseError(s"expected comparison operator", t.pos)
+      }
+      val value = p.next() match {
+        case TStr(s, _)            => StrLit(s)
+        case TInt(v, _)            => IntLit(v)
+        case TFloat(v, _)          => FloatLit(v)
+        case TWord("true", _)      => BoolLit(true)
+        case TWord("false", _)     => BoolLit(false)
+        case t => throw ParseError(s"expected literal", t.pos)
+      }
+      Cmp(alias, field, op, value)
+    }
+  }
+}

@@ -1,0 +1,116 @@
+package graft.stats
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Multigranular associative statistics — dp3's inner-node statistics
+  * surface rebuilt as tiered summary tables (reference:
+  * server/nodestore/statistics.go:99-179 for the per-field stats,
+  * server/tree/tree.go:214-258 for the multigranular descent,
+  * server/treemgr/treemgr.go:384-501 for cross-producer bin merge).
+  *
+  * Tier 0 aggregates raw messages into fixed-width time buckets
+  * (reference leaf width: 60 s). Every coarser tier is computed FROM THE
+  * PREVIOUS TIER by merging buckets — never from raw data — which is
+  * the property that lets a 100 TB table serve year-wide stat queries
+  * from kilobytes: each merge is associative (min/min, max/max, sum/sum,
+  * count/count, sketch map-union). Means are derived at serve time from
+  * (sum, count); quantiles from the DDSketch column.
+  *
+  * The granularity contract matches the reference ("at least as fine as
+  * requested", server/tree/tree.go:209-213): serve() picks the coarsest
+  * tier whose width divides into the request no coarser than asked.
+  */
+object StatTiers {
+
+  /** exact decimal sum type used so rollups are bit-identical however
+    * the merge tree is shaped (double summation is not associative) */
+  private val Dec = DecimalType(28, 6)
+
+  val sketchOf = udaf(new DDSketch.SketchAgg)
+  val sketchMerge = udaf(new DDSketch.MergeAgg)
+
+  /** Tier 0: raw canonical messages → per-(producer, topic, bucket)
+    * stats on `valueCol`. NaN/Inf are excluded from numeric stats but
+    * still counted, mirroring statistics.go:108-127. */
+  def base(messages: DataFrame, widthNs: Long, valueCol: String = "value")
+      : DataFrame = {
+    val v = col(valueCol)
+    val finite = !isnan(v) && !v.isin(Double.PositiveInfinity,
+      Double.NegativeInfinity)
+    messages
+      // `div` = exact integer division: time is epoch ns (~1.7e18),
+      // beyond double's 2^53 exact range, so `/` would corrupt buckets
+      .groupBy(col("producer"), col("topic"),
+        expr(s"time div ${widthNs}L").as("bucket"))
+      .agg(
+        count(lit(1)).as("msg_count"),
+        count(when(finite, 1)).as("num_count"),
+        min(when(finite, v)).as("num_min"),
+        max(when(finite, v)).as("num_max"),
+        sum(when(finite, v).cast(Dec)).as("num_sum"),
+        min(col("time")).as("min_time"),
+        max(col("time")).as("max_time"),
+        sketchOf(when(finite, v)).as("sketch")
+      )
+      .withColumn("width_ns", lit(widthNs))
+  }
+
+  /** Merge `factor` adjacent buckets of a tier into the next tier. */
+  def rollup(tier: DataFrame, factor: Long): DataFrame =
+    tier
+      .groupBy(col("producer"), col("topic"),
+        expr(s"bucket div ${factor}L").as("bucket"))
+      .agg(
+        sum(col("msg_count")).as("msg_count"),
+        sum(col("num_count")).as("num_count"),
+        min(col("num_min")).as("num_min"),
+        max(col("num_max")).as("num_max"),
+        sum(col("num_sum")).as("num_sum"),
+        min(col("min_time")).as("min_time"),
+        max(col("max_time")).as("max_time"),
+        sketchMerge(col("sketch")).as("sketch"),
+        first(col("width_ns")).as("_w0")
+      )
+      .withColumn("width_ns", col("_w0") * lit(factor))
+      .drop("_w0")
+
+  /** Serve a stat-range request from a tier: flat records like the
+    * reference's /statrange response (statistics.go:276-339). */
+  def serve(tier: DataFrame, quantiles: Seq[Double] = Seq(0.5, 0.9, 0.99))
+      : DataFrame = {
+    val q = udf((m: Map[Int, Long], p: Double) => DDSketch.quantile(m, p))
+    val start = col("bucket") * col("width_ns")
+    val mean = (col("num_sum").cast("double") / col("num_count"))
+    val base = tier.select(
+      col("producer"), col("topic"),
+      start.as("start_ns"), (start + col("width_ns")).as("end_ns"),
+      col("msg_count"), col("num_count"),
+      col("num_min"), col("num_max"),
+      col("num_sum").cast("double").as("num_sum_d"),
+      mean.as("num_mean"),
+      col("sketch"))
+    quantiles.foldLeft(base) { (df, p) =>
+      df.withColumn(s"p${(p * 100).toInt}", q(col("sketch"), lit(p)))
+    }.drop("sketch")
+  }
+
+  /** Cross-producer bin merge, optionally keeping producers separate —
+    * the /statistics endpoint shape (treemgr.go:384-501). */
+  def mergeBins(tier: DataFrame, groupByProducer: Boolean): DataFrame = {
+    val keys =
+      if (groupByProducer) Seq(col("producer"), col("topic"), col("bucket"))
+      else Seq(col("topic"), col("bucket"))
+    tier.groupBy(keys: _*)
+      .agg(
+        sum(col("msg_count")).as("msg_count"),
+        sum(col("num_count")).as("num_count"),
+        min(col("num_min")).as("num_min"),
+        max(col("num_max")).as("num_max"),
+        sum(col("num_sum")).as("num_sum"),
+        sketchMerge(col("sketch")).as("sketch"),
+        first(col("width_ns")).as("width_ns")
+      )
+  }
+}
