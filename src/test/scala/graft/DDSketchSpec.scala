@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+
+import graft.stats.DDSketch
+
+/** DDSketch accuracy + mergeability (the property the stat tiers rely
+  * on — reference: server/nodestore/statistics.go:129-155).
+  */
+class DDSketchSpec extends AnyFunSuite {
+
+  private def sketchOf(xs: Seq[Double]): Map[Int, Long] =
+    xs.foldLeft(Map.empty[Int, Long])(DDSketch.add)
+
+  test("quantiles within 1% relative error") {
+    val rnd = new Random(42)
+    val xs = Seq.fill(20000)(math.exp(rnd.nextGaussian() * 2)) // heavy tail
+    val sorted = xs.sorted
+    val sk = sketchOf(xs)
+    for (q <- Seq(0.25, 0.5, 0.75, 0.9, 0.95, 0.99)) {
+      val exact = sorted(math.ceil(q * (xs.size - 1)).toInt)
+      val est = DDSketch.quantile(sk, q)
+      assert(math.abs(est - exact) / exact <= 0.0101,
+        s"q=$q exact=$exact est=$est")
+    }
+  }
+
+  test("merge is exactly associative") {
+    val rnd = new Random(7)
+    val a = Seq.fill(5000)(rnd.nextDouble() * 100 - 50)
+    val b = Seq.fill(3000)(rnd.nextGaussian() * 10)
+    assert(DDSketch.mergeMaps(sketchOf(a), sketchOf(b)) == sketchOf(a ++ b))
+  }
+
+  test("negative values and zero route to sign-folded buckets") {
+    val sk = sketchOf(Seq(-5.0, -0.5, 0.0, 0.5, 5.0))
+    assert(DDSketch.quantile(sk, 0.0) < 0)
+    assert(math.abs(DDSketch.quantile(sk, 0.5)) < 1e-9)
+    assert(DDSketch.quantile(sk, 1.0) > 0)
+  }
+
+  test("NaN and Inf are skipped like the reference") {
+    val sk = sketchOf(Seq(1.0, Double.NaN, Double.PositiveInfinity,
+      Double.NegativeInfinity, 2.0))
+    assert(sk.values.sum == 2L)
+  }
+
+  test("tier rollup equals direct aggregation (spark)") {
+    val spark = TestSpark.spark
+    import graft.stats.StatTiers
+    import org.apache.spark.sql.functions._
+    val df = TestSpark.prepFixture()
+      .withColumnRenamed("f64", "value")
+    val t0 = StatTiers.base(df, 2L)   // 2 ns buckets
+    val t1 = StatTiers.rollup(t0, 4L) // 8 ns buckets
+    val direct = StatTiers.base(df, 8L)
+    val got = t1.select("producer", "topic", "bucket", "msg_count",
+      "num_min", "num_max").orderBy("topic", "bucket").collect().toSeq
+    val want = direct.select("producer", "topic", "bucket", "msg_count",
+      "num_min", "num_max").orderBy("topic", "bucket").collect().toSeq
+    assert(got == want)
+    // sketches merge exactly too
+    val gotSk = t1.select("topic", "bucket", "sketch")
+      .orderBy("topic", "bucket")
+      .collect().map(_.getMap[Int, Long](2).toMap).toSeq
+    val wantSk = direct.select("topic", "bucket", "sketch")
+      .orderBy("topic", "bucket")
+      .collect().map(_.getMap[Int, Long](2).toMap).toSeq
+    assert(gotSk == wantSk)
+  }
+}

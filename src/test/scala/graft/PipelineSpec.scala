@@ -1,0 +1,108 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextOps}
+
+/** Training-data pipeline operators on crafted micro-fixtures. */
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy cat"),   // near-dup of 0
+    (2L, "completely different text about spark engines"),
+    (3L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 0
+    (4L, "a b")                                            // shorter than k
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical fingerprints") {
+    val r = Dedup.exact(docs).collect()
+    assert(r.length == 4) // 0&3 collapse
+    val dup = r.find(_.getAs[Long]("n_copies") == 2L).get
+    assert(dup.getAs[Long]("keep_id") == 0L)
+  }
+
+  test("jaccard pairs finds the near-duplicate") {
+    val pairs = Dedup.jaccardPairs(docs, k = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 3L))) // exact dup: jaccard 1.0
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("minhash lsh candidates include exact and near dups") {
+    val pairs = Dedup.minhashLshCandidates(docs, k = 3, numHashes = 8,
+      bands = 4).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 3L))) // identical signatures always collide
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("simhash: identical docs identical hashes; near-dups close") {
+    val hs = Dedup.simhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(hs(0L).length == 32 && hs(0L).forall(c => c == '0' || c == '1'))
+    assert(hs(0L) == hs(3L))
+    def hamming(a: String, b: String) =
+      a.zip(b).count { case (x, y) => x != y }
+    assert(hamming(hs(0L), hs(1L)) < hamming(hs(0L), hs(2L)))
+  }
+
+  test("brute-force and ivf topk agree inside one cell") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 1),
+      (1L, Array(0.9f, 0.1f, 0.0f), 1),
+      (2L, Array(0.0f, 1.0f, 0.0f), 1),
+      (3L, Array(-1.0f, 0.0f, 0.1f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val brute = Similarity.bruteForceTopK(emb, 0L, 2).collect()
+    assert(brute.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(brute.head.getDouble(1) > 0.99)
+    val ivf = Similarity.ivfTopK(emb, 0L, 2).collect()
+    assert(ivf.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+  }
+
+  test("cosine near-dup pairs respects threshold") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 1),
+      (1L, Array(0.999f, 0.01f), 1),
+      (2L, Array(0.0f, 1.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val pairs = Similarity.cosineNearDupPairs(emb, 0.99, Some("label"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
+  test("text quality features") {
+    val r = TextOps.qualityFeatures(docs).where($"doc_id" === 0)
+      .select("n_tokens", "n_stopwords").collect().head
+    assert(r.getLong(0) == 9L)
+    assert(r.getLong(1) == 2L) // "the" twice
+  }
+
+  test("langid picks en for english-markered text") {
+    val r = TextOps.langId(Seq((0L, "the cat and the dog of the house"))
+      .toDF("doc_id", "text")).select("lang_pred").collect().head
+    assert(r.getString(0) == "en")
+  }
+
+  test("top ngrams ordering is (count desc, gram asc)") {
+    val grams = TextOps.topNgrams(docs, n = 2, k = 3).collect()
+    assert(grams.head.getString(0) == "brown fox") // ties broken by name
+    assert(grams.head.getLong(1) == 3L)
+  }
+
+  test("multimodal stub decode is deterministic and partition-local") {
+    val meta = Multimodal.decodeMeta(spark, Multimodal.withPayload(docs))
+      .collect().sortBy(_.doc_id)
+    assert(meta.length == 5)
+    val m0 = meta.head
+    assert(m0.byte_len == 43L)
+    assert(m0.width == 32 + 't'.toInt % 32)
+    assert(m0.checksum.length == 32)
+    // identical payloads → identical metadata
+    assert(m0.checksum == meta(3).checksum)
+  }
+}
