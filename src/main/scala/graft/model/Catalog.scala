@@ -19,11 +19,18 @@ import org.apache.spark.sql.functions._
   */
 trait MessageCatalog {
 
-  /** Scan one (producer, topic) table, all time. Time-range and field
-    * predicates are applied by the planner on top — Catalyst pushes them
+  /** Scan one topic across all producers. The planner adds producer,
+    * time-range, and field predicates on top — Catalyst pushes them
     * into the scan (reference walks its tree instead:
-    * server/tree/iterator.go:148-199). */
-  def scan(spark: SparkSession, producer: String, topic: String): DataFrame
+    * server/tree/iterator.go:148-199). One topic-wide scan keeps the
+    * compiled plan O(1) in the producer count; a per-producer scan API
+    * would force `from *` into thousands of plan branches. */
+  def scanTopic(spark: SparkSession, topic: String): DataFrame
+
+  /** Convenience: one (producer, topic) table. */
+  def scan(spark: SparkSession, producer: String, topic: String): DataFrame =
+    scanTopic(spark, topic).where(
+      org.apache.spark.sql.functions.col("producer") === producer)
 
   /** Producers that own any of the given topics — backs `from *`
     * (reference: server/plan/plan.go:366-400). */
@@ -66,10 +73,8 @@ final class EventsCatalog(sfDir: String) extends MessageCatalog
       )
   }
 
-  override def scan(spark: SparkSession, producer: String,
-      topic: String): DataFrame =
-    messages(spark).where(col("producer") === producer
-      && col("topic") === topic)
+  override def scanTopic(spark: SparkSession, topic: String): DataFrame =
+    messages(spark).where(col("topic") === topic)
 
   override def producers(spark: SparkSession,
       topics: Seq[String]): Seq[String] = {
@@ -86,9 +91,8 @@ final class EventsCatalog(sfDir: String) extends MessageCatalog
   * columns — used by tests to replay the reference's synthetic fixtures.
   */
 final class DataFrameCatalog(df: DataFrame) extends MessageCatalog {
-  override def scan(spark: SparkSession, producer: String,
-      topic: String): DataFrame =
-    df.where(col("producer") === producer && col("topic") === topic)
+  override def scanTopic(spark: SparkSession, topic: String): DataFrame =
+    df.where(col("topic") === topic)
 
   override def producers(spark: SparkSession,
       topics: Seq[String]): Seq[String] =

@@ -69,26 +69,26 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** MinHash signature component i: min over shingles of
-    * md5(i || ':' || shingle) — a string min, portable to any engine. */
-  def minhashComponent(i: Int): Column =
-    array_min(transform(col("_shingles"),
-      s => md5(concat(lit(i.toString), lit(":"), s))))
-
   /** MinHash + LSH candidate pairs: `numHashes` signature components in
     * `bands` bands; rows sharing any band bucket are candidates.
-    * Deterministic (salted md5), so checkable against any engine. */
+    * Deterministic (salted md5), so checkable against any engine.
+    *
+    * Shape: explode shingles once, compute all hash components as
+    * min-aggregates over the exploded rows (map-side combine — one
+    * shuffle of tiny partial mins, never of shingle text). The naive
+    * alternative (array_min over a per-row transform, once per hash
+    * column) re-evaluates the shingle array 8x after Catalyst's
+    * project collapse inlines it — measured 15x slower at sf0.1. */
   def minhashLshCandidates(df: DataFrame, k: Int, numHashes: Int,
       bands: Int, idCol: String = "doc_id", textCol: String = "text")
       : DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val base = df.select(col(idCol).as("_id"),
-        shingles(col(textCol), k).as("_shingles"))
-      .where(size(col("_shingles")) > 0)
-    val withSig = (0 until numHashes).foldLeft(base) { (acc, i) =>
-      acc.withColumn(s"_h$i", minhashComponent(i))
-    }
+    val sh = withShingles(df, k, idCol, textCol)
+    val sigCols = (0 until numHashes).map(i =>
+      min(md5(concat(lit(s"$i:"), col("sh")))).as(s"_h$i"))
+    val withSig = sh.groupBy(col("_id"))
+      .agg(sigCols.head, sigCols.tail: _*)
     val banded = (0 until bands).foldLeft(withSig) { (acc, b) =>
       val parts = (0 until rowsPerBand)
         .map(r => col(s"_h${b * rowsPerBand + r}"))

@@ -66,13 +66,22 @@ final class Planner(catalog: MessageCatalog) extends Serializable {
     if (unknown.nonEmpty) throw new IllegalArgumentException(
       s"where clause references unknown alias(es): ${unknown.mkString(", ")}")
 
-    val perProducer: Seq[DataFrame] = producers.map { p =>
-      buildSelect(spark, q, p, q.select)
-    }
-    val merged = perProducer.zipWithIndex.map { case (df, i) =>
-      // producer-major tie order across the per-producer subtrees
-      df.withColumn("_mj", lit(i.toLong * 1000000L) + col("_mj"))
-    }.reduce(_.unionByName(_, allowMissingColumns = true))
+    // The reference compiles one subtree per producer and merges them
+    // (plan.go:347-459). A literal translation unions N plan branches —
+    // fine for N=2, catastrophic for N=1500 (`from *` at scale): the
+    // driver would analyze thousands of scan branches. Instead compile
+    // ONE producer-pruned plan: scans filter producer IN (...), the
+    // as-of join partitions its window BY producer, and the dp3
+    // producer-major tie order is recovered arithmetically from the
+    // producer's index in the from-list. Identical output order, O(1)
+    // plan size in the number of producers.
+    val idxDf = spark.createDataFrame(
+      producers.zipWithIndex.map { case (p, i) => (p, i.toLong) })
+      .toDF("producer", "_pidx")
+    val merged = buildSelect(spark, q, producers, q.select)
+      .join(broadcast(idxDf), Seq("producer"))
+      .withColumn("_mj", col("_pidx") * lit(1000000L) + col("_mj"))
+      .drop("_pidx")
 
     val ord =
       if (q.descending)
@@ -98,10 +107,10 @@ final class Planner(catalog: MessageCatalog) extends Serializable {
 
   // --- select-tree compilation -------------------------------------------
 
-  private def buildSelect(spark: SparkSession, q: Query, producer: String,
-      sel: Select): DataFrame = sel match {
+  private def buildSelect(spark: SparkSession, q: Query,
+      producers: Seq[String], sel: Select): DataFrame = sel match {
     case e: Entity =>
-      scanFrame(spark, q, producer, e)
+      scanFrame(spark, q, producers, e)
         .withColumn("emit_time", col("time"))
         .withColumn("_mj", lit(0L))
         .withColumn("emit_side", lit(0))
@@ -110,12 +119,12 @@ final class Planner(catalog: MessageCatalog) extends Serializable {
       val children = flattenMerge(m)
       val frames = children.zipWithIndex.map {
         case (e: Entity, i) =>
-          scanFrame(spark, q, producer, e)
+          scanFrame(spark, q, producers, e)
             .withColumn("emit_time", col("time"))
             .withColumn("_mj", lit(i.toLong))
             .withColumn("emit_side", lit(0))
         case (a: AsofSel, i) =>
-          buildSelect(spark, q, producer, a)
+          buildSelect(spark, q, producers, a)
             .withColumn("_mj", lit(i.toLong))
         case (other, _) =>
           throw new IllegalStateException(s"unexpected merge child: $other")
@@ -124,14 +133,18 @@ final class Planner(catalog: MessageCatalog) extends Serializable {
 
     case a: AsofSel =>
       // `x succeeds y` ≡ as-of join with operands swapped
-      // (reference: server/executor/executor.go:155-211)
+      // (reference: server/executor/executor.go:155-211). The join
+      // partitions its window by producer: semantically identical to
+      // the reference's one-plan-per-producer trees, but one parallel
+      // operator instead of N sequential streams.
       val (lSel, rSel) = a.dir match {
         case Precedes => (a.left, a.right)
         case Succeeds => (a.right, a.left)
       }
-      val lFrame = stripOrder(buildSelect(spark, q, producer, lSel))
-      val rFrame = stripOrder(buildSelect(spark, q, producer, rSel))
-      AsofJoin.join(lFrame, rFrame, timeCol = "time", keys = Nil,
+      val lFrame = stripOrder(buildSelect(spark, q, producers, lSel))
+      val rFrame = stripOrder(buildSelect(spark, q, producers, rSel))
+      AsofJoin.join(lFrame, rFrame, timeCol = "time",
+        keys = Seq("producer"),
         thresholdNs = a.thresholdNs, immediate = a.immediate,
         tieCol = Some("seq"))
         .withColumn("_mj", lit(0L))
@@ -140,16 +153,21 @@ final class Planner(catalog: MessageCatalog) extends Serializable {
   private def stripOrder(df: DataFrame): DataFrame =
     df.drop("emit_time", "_mj", "emit_side")
 
-  private def scanFrame(spark: SparkSession, q: Query, producer: String,
-      e: Entity): DataFrame = {
-    var df = catalog.scan(spark, producer, e.topic)
+  private def scanFrame(spark: SparkSession, q: Query,
+      producers: Seq[String], e: Entity): DataFrame = {
+    var df = catalog.scanTopic(spark, e.topic)
+    df =
+      if (producers.size == 1) df.where(col("producer") === producers.head)
+      else df.where(col("producer").isin(producers: _*))
     q.between.foreach { case (s, t) =>
       df = df.where(col("time") >= s && col("time") < t)
     }
     val alias = e.alias.getOrElse(e.topic)
     whereFor(q, alias).foreach { pred => df = df.where(compile(df, pred)) }
-    val trunc = catalog.truncationVersion(producer, e.topic)
-    if (trunc >= 0) df = df.where(col("seq") > trunc)
+    if (producers.size == 1) {
+      val trunc = catalog.truncationVersion(producers.head, e.topic)
+      if (trunc >= 0) df = df.where(col("seq") > trunc)
+    }
     df
   }
 
