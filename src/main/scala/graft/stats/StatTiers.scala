@@ -96,6 +96,45 @@ object StatTiers {
     }.drop("sketch")
   }
 
+  /** Reference tree geometry: 60 s leaves, branching factor 64
+    * (reference: server/treemgr/treemgr.go:59-67) → tier widths
+    * 60s · 64^k. */
+  val BaseWidthNs: Long = 60L * 1000000000L
+  val Branching: Long = 64L
+
+  def tierWidths(levels: Int = 4): Seq[Long] =
+    (0 until levels).map(k => BaseWidthNs * math.pow(Branching, k).toLong)
+
+  /** Granularity contract: serve from the COARSEST tier at least as
+    * fine as requested — "result may be finer than requested, never
+    * coarser" (reference: server/tree/tree.go:209-213). Requests finer
+    * than the base tier fail like the reference's leaf descent
+    * ("sorry, too granular", tree.go:254). */
+  def pickTierWidth(granularityNs: Long,
+      widths: Seq[Long] = tierWidths()): Long = {
+    val fit = widths.filter(_ <= granularityNs)
+    if (fit.isEmpty) throw new IllegalArgumentException(
+      s"sorry, too granular: $granularityNs ns < base tier " +
+        s"${widths.min} ns")
+    fit.max
+  }
+
+  /** /statistics/available — which (producer, topic, field, stat)
+    * combinations exist (reference: server/treemgr/treemgr.go:569-653).
+    */
+  def available(messages: DataFrame, numericFields: Seq[String],
+      textFields: Seq[String]): DataFrame = {
+    val numericStats =
+      Seq("min", "max", "mean", "sum", "count", "P50", "P90", "P99")
+    val textStats = Seq("min", "max")
+    val pairs =
+      numericFields.flatMap(f => numericStats.map(s => (f, s))) ++
+        textFields.flatMap(f => textStats.map(s => (f, s)))
+    val s = messages.sparkSession
+    val fieldStats = s.createDataFrame(pairs).toDF("field", "stat")
+    messages.select("producer", "topic").distinct().crossJoin(fieldStats)
+  }
+
   /** Cross-producer bin merge, optionally keeping producers separate —
     * the /statistics endpoint shape (treemgr.go:384-501). */
   def mergeBins(tier: DataFrame, groupByProducer: Boolean): DataFrame = {

@@ -94,4 +94,19 @@ object Lifecycle {
         && messages("topic") === truncations("topic")
         && messages("seq") <= truncations("min_version"),
       "left_anti")
+
+  /** Execute a parsed `truncate <producer> <topic> [now|ts];`
+    * statement against a message frame (reference semantics: data
+    * ingested at or before the watermark becomes invisible —
+    * server/rootmap/sqlrootmap.go:372-404; with event-time as the
+    * ingest clock this is the delete range [0, ts)). Returns the
+    * masked frame; `now` (asOf = None) empties the table. */
+  def applyTruncateStatement(spark: org.apache.spark.sql.SparkSession,
+      messages: DataFrame, stmt: graft.ql.TruncateStmt): DataFrame = {
+    import spark.implicits._
+    val upper = stmt.asOf.getOrElse(Long.MaxValue)
+    val ranges = Seq((stmt.producer, stmt.topic, 0L, upper))
+      .toDF("producer", "topic", "start_ns", "end_ns")
+    applyDeletes(messages, ranges)
+  }
 }

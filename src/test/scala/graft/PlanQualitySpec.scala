@@ -1,0 +1,109 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.export.Export
+import graft.model.EventsCatalog
+import graft.plan.Planner
+import graft.stats.StatTiers
+import graft.streaming.Lifecycle
+
+/** Physical-plan quality gates: the properties that make these
+  * operators survive a 100 TB scale-up must be visible in the plan —
+  * filters pushed into the parquet scan, columns pruned out of
+  * ReadSchema, small dimensions broadcast. If a refactor breaks one of
+  * these, correctness tests stay green but the engine dies at scale;
+  * this suite fails instead.
+  */
+class PlanQualitySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val planner = new Planner(new EventsCatalog(sfDir))
+
+  private def plan(q: String): String =
+    planner.plan(spark, q).queryExecution.executedPlan.toString
+
+  test("QL scan pushes topic/producer/time filters into parquet") {
+    val p = plan("from p3 between 1704672000000000000 and " +
+      "1705276800000000000 click;")
+    assert(p.contains("PushedFilters"))
+    assert(p.contains("EqualTo(event_type,click)"), p)
+    assert(p.contains("GreaterThanOrEqual(ts,"), p)
+  }
+
+  test("where-clause predicates reach the scan") {
+    val p = plan("from p1 purchase where purchase.value > 150.0;")
+    assert(p.contains("GreaterThan(value,150.0)"), p)
+  }
+
+  test("projection prunes unread columns out of ReadSchema") {
+    val df = planner.plan(spark,
+      "from p1 click;").select("time", "seq")
+    val p = df.queryExecution.executedPlan.toString
+    val readSchema = p.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("props"), readSchema)
+    assert(!readSchema.contains("value"), readSchema)
+  }
+
+  test("analytics joins broadcast the small dimensions") {
+    val p = SparkEntry.queries("q5_region")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("explain renders a formatted plan") {
+    val e = planner.explain(spark, "from p1 click, error limit 5;")
+    assert(e.contains("Physical Plan"))
+  }
+
+  test("ndjson export matches the dp3 row shape") {
+    val m = new EventsCatalog(sfDir).messages(spark)
+      .where(col("topic") === "click").limit(1)
+    val row = Export.ndjson(m, Seq("value", "k")).collect().head
+    assert(row.contains("\"topic\":\"click\""))
+    assert(row.contains("\"sequence\":"))
+    assert(row.contains("\"log_time\":"))
+    assert(row.contains("\"data\":{"))
+  }
+
+  test("granularity contract: coarsest tier at least as fine") {
+    // 1 hour request → 60 s tier (64x tier is 3840 s, too coarse)
+    assert(StatTiers.pickTierWidth(3600L * 1000000000L)
+      == 60L * 1000000000L)
+    // exactly one tier width → that tier
+    assert(StatTiers.pickTierWidth(3840L * 1000000000L)
+      == 3840L * 1000000000L)
+    // finer than base → "too granular", like the reference leaf guard
+    val e = intercept[IllegalArgumentException](
+      StatTiers.pickTierWidth(1000000000L))
+    assert(e.getMessage.contains("too granular"))
+  }
+
+  test("truncate statement empties or time-bounds a table") {
+    import spark.implicits._
+    val msgs = Seq(("p0", "t", 100L, 1L), ("p0", "t", 200L, 2L))
+      .toDF("producer", "topic", "time", "seq")
+    val stmtNow = graft.ql.Parser.parse("truncate p0 t now;")
+      .asInstanceOf[graft.ql.TruncateStmt]
+    assert(Lifecycle.applyTruncateStatement(spark, msgs, stmtNow)
+      .count() == 0)
+    val stmtAt = graft.ql.Parser.parse("truncate p0 t 150;")
+      .asInstanceOf[graft.ql.TruncateStmt]
+    assert(Lifecycle.applyTruncateStatement(spark, msgs, stmtAt)
+      .select("seq").collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("stats available lists field x stat combinations") {
+    val m = new EventsCatalog(sfDir).messages(spark)
+    val av = StatTiers.available(m, numericFields = Seq("value", "k"),
+      textFields = Seq("props"))
+    val stats = av.where(col("field") === "value")
+      .select("stat").distinct().count()
+    assert(stats == 8)
+    assert(av.where(col("field") === "props")
+      .select("stat").distinct().count() == 2)
+  }
+}
