@@ -323,6 +323,13 @@ object SparkEntry {
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
 
+    "t_tokens" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_ws"),
+          TextOps.regexTokenCount(col("text")).cast("long").as("n_re"))
+        .orderBy("doc_id")),
+
     "t_ngrams" -> ((s, dir) =>
       TextOps.topNgrams(Tables.load(s, dir, "documents"), n = 2, k = 20)),
 
@@ -729,6 +736,17 @@ object SparkEntry {
     "t_fingerprint" ->
       """SELECT doc_id, md5(lower(trim(text))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t_tokens" ->
+      """WITH raw AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents)
+        |SELECT d.doc_id,
+        |  (SELECT count(*) FROM raw r
+        |   WHERE r.doc_id = d.doc_id AND r.w <> '') AS n_ws,
+        |  CAST(len(regexp_extract_all(d.text,
+        |    '[a-zA-Z0-9_]+|[^a-zA-Z0-9_\s]')) AS BIGINT) AS n_re
+        |FROM documents d ORDER BY doc_id""".stripMargin,
 
     "t_ngrams" ->
       """WITH raw AS (

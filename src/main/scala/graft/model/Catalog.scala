@@ -101,6 +101,24 @@ final class DataFrameCatalog(df: DataFrame) extends MessageCatalog {
       .collect().map(_.getString(0)).sorted.toSeq
 }
 
+/** Catalog with one (possibly differently-shaped) DataFrame per topic —
+  * models dp3's per-table trees where schemas ride with the data and a
+  * topic's schema is discovered at scan time (reference:
+  * server/executor/expression.go:17-34). */
+final class TopicMapCatalog(topics: Map[String, DataFrame])
+    extends MessageCatalog {
+  override def scanTopic(spark: SparkSession, topic: String): DataFrame =
+    topics.getOrElse(topic, throw new IllegalArgumentException(
+      s"no such topic '$topic'"))
+
+  override def producers(spark: SparkSession,
+      ts: Seq[String]): Seq[String] =
+    ts.flatMap(t => topics.get(t).toSeq)
+      .map(_.select(col("producer")).distinct())
+      .reduce(_.union(_))
+      .distinct().collect().map(_.getString(0)).sorted.toSeq
+}
+
 /** Plain loaders for the TPC-H-ish driver tables. */
 object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =

@@ -19,6 +19,13 @@ object TextOps {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** BPE-ish regex tokenizer: maximal runs of word chars, or single
+    * non-space punctuation — the usual pre-tokenization split. */
+  val TokenRegex = "[a-zA-Z0-9_]+|[^a-zA-Z0-9_\\s]"
+
+  def regexTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(TokenRegex), lit(0)))
+
   /** Occurrences of `needle` in `hay` via replace-length arithmetic —
     * exact, no regex engine variance. */
   def occurrences(hay: Column, needle: String): Column =

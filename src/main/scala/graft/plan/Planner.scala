@@ -105,6 +105,39 @@ final class Planner(catalog: MessageCatalog) extends Serializable {
       org.apache.spark.sql.execution.FormattedMode)
   }
 
+  /** dp3's instrumented explain: run the query and report per-operator
+    * output-row counters (reference NodeStats wraps every node and
+    * emits tuples/bytes out — server/executor/nodestats.go:13-94;
+    * Spark's SQL metrics are the same instrument, for free). */
+  def explainAnalyze(spark: SparkSession, input: String)
+      : Seq[(String, Long)] = {
+    val df = plan(spark, input)
+    // execute THIS queryExecution (df.count() would instrument a new
+    // plan and leave these metrics empty)
+    df.queryExecution.toRdd.count()
+    def walk(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[(String, Long)] = {
+      val own = p.metrics.get("numOutputRows")
+        .map(m => p.nodeName -> m.value).toSeq
+      // AQE wraps materialized stages in QueryStageExec, whose inner
+      // plan is a member, not a child — descend explicitly
+      val below = p match {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walk(q.plan)
+        case _ => p.children.flatMap(walk)
+      }
+      own ++ below
+    }
+    val executed = df.queryExecution.executedPlan
+    // unwrap AQE final plan if present
+    val root = executed match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    walk(root)
+  }
+
   // --- select-tree compilation -------------------------------------------
 
   private def buildSelect(spark: SparkSession, q: Query,

@@ -47,6 +47,15 @@ object Ingest {
       .start()
   }
 
+  /** Tail a table: a genuine streaming read over the ingested layout —
+    * the reference emulates tailing by re-polling /export with
+    * last-seen versions (server/cli/cmd/tail.go:51-82,
+    * server/routes/export.go:56-67); Structured Streaming's file
+    * source IS that loop, with exactly-once progress tracking. */
+  def tail(spark: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+
   /** Batch-mode compaction/merge of an ingested directory — the
     * analogue of the reference's tree merge with duplicate resolution
     * (server/tree/merge.go:199-295): last-writer-wins per identity key,
