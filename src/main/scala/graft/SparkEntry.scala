@@ -203,6 +203,21 @@ object SparkEntry {
         .orderBy("topic", "bucket")
     }),
 
+    "q_statrange" -> ((s, dir) => {
+      // the /statrange serving path: rollup tier → flat bin records
+      val t0 = StatTiers.base(msgs(s, dir), 60L * 1000000000L)
+      val width = StatTiers.pickTierWidth(3600L * 1000000000L,
+        Seq(60L * 1000000000L, 3600L * 1000000000L))
+      val t1 = StatTiers.rollup(t0, width / (60L * 1000000000L))
+      StatTiers.serve(t1, quantiles = Nil)
+        .select(col("producer"), col("topic"),
+          expr("start_ns div 1000").as("start_us"),
+          expr("end_ns div 1000").as("end_us"),
+          col("msg_count"), col("num_min"), col("num_max"),
+          round(col("num_mean"), 6).as("mean_value"))
+        .orderBy("producer", "topic", "start_us")
+    }),
+
     "q_stats_quantiles" -> ((s, dir) =>
       msgs(s, dir).groupBy("topic")
         .agg(
@@ -545,6 +560,17 @@ object SparkEntry {
          |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
          |FROM msgs GROUP BY topic, bucket
          |ORDER BY topic, bucket""".stripMargin,
+
+    "q_statrange" ->
+      s"""$MSGS SELECT producer, topic,
+         |  (time_us // 3600000000) * 3600000000 AS start_us,
+         |  (time_us // 3600000000) * 3600000000 + 3600000000 AS end_us,
+         |  count(*) AS msg_count,
+         |  min(value) AS num_min, max(value) AS num_max,
+         |  round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+         |        / count(value), 6) AS mean_value
+         |FROM msgs GROUP BY producer, topic, start_us, end_us
+         |ORDER BY producer, topic, start_us""".stripMargin,
 
     "q_stats_quantiles" ->
       s"""$MSGS SELECT topic,

@@ -78,7 +78,8 @@ object StatTiers {
 
   /** Serve a stat-range request from a tier: flat records like the
     * reference's /statrange response (statistics.go:276-339). */
-  def serve(tier: DataFrame, quantiles: Seq[Double] = Seq(0.5, 0.9, 0.99))
+  def serve(tier: DataFrame, quantiles: Seq[Double] =
+      Seq(0.25, 0.5, 0.75, 0.9, 0.95, 0.99)) // reference's quantile set
       : DataFrame = {
     val q = udf((m: Map[Int, Long], p: Double) => DDSketch.quantile(m, p))
     val start = col("bucket") * col("width_ns")
