@@ -1,0 +1,134 @@
+package graft
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.mcap.Mcap
+import graft.ros1.Ros1Msg
+
+/** ros1msg schema parsing + payload decoding, including the reference's
+  * all-primitives fixture schema (reference:
+  * server/executor/executor_test.go:327-388) and the standard 2-field
+  * schema (server/mcap/testutils.go:79-130).
+  */
+class Ros1MsgSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val allPrims =
+    """uint8 u8
+      |uint16 u16
+      |uint32 u32
+      |uint64 u64
+      |int8 i8
+      |int16 i16
+      |int32 i32
+      |int64 i64
+      |float32 f32
+      |float64 f64
+      |string s
+      |""".stripMargin
+
+  private def allPrimsPayload(c: Int): Array[Byte] = {
+    val s = "hello".getBytes
+    val buf = ByteBuffer.allocate(64).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put(c.toByte)             // u8
+    buf.putShort(c.toShort)       // u16
+    buf.putInt(c)                 // u32
+    buf.putLong(c.toLong)         // u64
+    buf.put(c.toByte)             // i8
+    buf.putShort(c.toShort)       // i16
+    buf.putInt(c)                 // i32
+    buf.putLong(c.toLong)         // i64
+    buf.putFloat(c.toFloat)       // f32
+    buf.putDouble(c.toDouble)     // f64
+    buf.putInt(s.length); buf.put(s)
+    buf.flip()
+    val out = new Array[Byte](buf.limit()); buf.get(out); out
+  }
+
+  test("parse + decode the all-primitives schema, unsigned widened") {
+    val d = Ros1Msg.parse(allPrims)
+    assert(d.fields.size == 11)
+    val row = Ros1Msg.decode(d, allPrimsPayload(3))
+    assert(row.getShort(0) == 3)   // u8 -> Short
+    assert(row.getInt(1) == 3)     // u16 -> Int
+    assert(row.getLong(2) == 3L)   // u32 -> Long
+    assert(row.getLong(3) == 3L)   // u64 -> Long
+    assert(row.getByte(4) == 3)    // i8
+    assert(row.getFloat(8) == 3.0f)
+    assert(row.getDouble(9) == 3.0)
+    assert(row.getString(10) == "hello")
+  }
+
+  test("unsigned widening at the boundary values") {
+    val d = Ros1Msg.parse("uint8 x\nuint16 y\nuint32 z")
+    val buf = ByteBuffer.allocate(7).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put(0xff.toByte).putShort(0xffff.toShort).putInt(0xffffffff)
+    val row = Ros1Msg.decode(d, buf.array())
+    assert(row.getShort(0) == 255)
+    assert(row.getInt(1) == 65535)
+    assert(row.getLong(2) == 4294967295L)
+  }
+
+  test("time decodes to nanoseconds; arrays fixed and variable") {
+    val d = Ros1Msg.parse(
+      "time stamp\nfloat64[3] accel\nint32[] extras")
+    val buf = ByteBuffer.allocate(4 + 4 + 24 + 4 + 8)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(2).putInt(500)                  // time 2s + 500ns
+    buf.putDouble(1.5).putDouble(2.5).putDouble(3.5)
+    buf.putInt(2).putInt(7).putInt(8)          // var array [7, 8]
+    val row = Ros1Msg.decode(d, buf.array())
+    assert(row.getLong(0) == 2000000500L)
+    assert(row.getSeq[Double](1) == Seq(1.5, 2.5, 3.5))
+    assert(row.getSeq[Int](2) == Seq(7, 8))
+  }
+
+  test("comments and constants are skipped; non-primitive rejected") {
+    val d = Ros1Msg.parse(
+      "# header comment\nint32 OK=1\nfloat32 v # trailing\n")
+    assert(d.fields.map(_.name) == Seq("v"))
+    assertThrows[IllegalArgumentException](
+      Ros1Msg.parse("geometry_msgs/Pose pose"))
+  }
+
+  test("mcap -> decodeDf -> flat view end to end") {
+    val defn = "string data\nint16 count"
+    def payload(s: String, c: Int): Array[Byte] = {
+      val b = ByteBuffer.allocate(4 + s.length + 2)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      b.putInt(s.length).put(s.getBytes).putShort(c.toShort)
+      b.array()
+    }
+    val w = new Mcap.Writer
+    w.writeSchema(Mcap.SchemaRec(1, "package/test", "ros1msg",
+      defn.getBytes))
+    w.writeChannel(Mcap.ChannelRec(0, 1, "topic-0", "ros1"))
+    w.writeMessage(Mcap.MessageRec(0, 1L, 10L, 10L,
+      payload("hello", 2024)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ros1")
+    java.nio.file.Files.write(dir.resolve("dev.mcap"), w.finish())
+
+    val raw = Mcap.load(spark, dir.toString)
+    val decoded = Ros1Msg.decodeDf(raw, defn)
+    val flat = decoded.select(
+      (col("topic") +: col("time") +:
+        Ros1Msg.flatColumns(Ros1Msg.parse(defn))): _*)
+    val row = flat.collect().head
+    assert(row.getString(0) == "topic-0")
+    assert(row.getLong(1) == 10L)
+    assert(row.getString(2) == "hello")
+    assert(row.getShort(3) == 2024)
+  }
+
+  test("fixed arrays under 10 flatten to name[i]; var arrays excluded") {
+    val d = Ros1Msg.parse("float64[3] a\nint32[] v\nfloat64[12] big")
+    val names = Ros1Msg.flatColumns(d).map(_.toString)
+    assert(names.exists(_.contains("a[0]")))
+    assert(names.exists(_.contains("a[2]")))
+    assert(!names.exists(_.contains("v")))
+    assert(!names.exists(_.contains("big")))
+  }
+}
