@@ -142,7 +142,7 @@ object SparkEntry {
     // --- lifecycle (SURVEY §2.7) ----------------------------------------
     "q_dedup_ingest" -> ((s, dir) => {
       val m = msgs(s, dir).select("producer", "topic", "time_us", "seq")
-      m.unionAll(m) // duplicate delivery
+      m.union(m) // duplicate delivery
         .dropDuplicates("producer", "topic", "time_us", "seq")
         .groupBy("topic").agg(count(lit(1)).as("n"))
         .orderBy("topic")
