@@ -138,6 +138,8 @@ object SparkEntry {
       succeeds = false)),
     "q_asof_succeeds" -> ((s, dir) => asofQuery(s, dir, immediate = false,
       succeeds = true)),
+    "q_asof_unbounded" -> ((s, dir) => asofQuery(s, dir,
+      immediate = false, succeeds = false, thresholdUs = 0L)),
 
     // --- lifecycle (SURVEY §2.7) ----------------------------------------
     "q_dedup_ingest" -> ((s, dir) => {
@@ -295,6 +297,15 @@ object SparkEntry {
         threshold = 0.5)
         .orderBy("id_a", "id_b")),
 
+    "d_dedup_clusters" -> ((s, dir) => {
+      // the full near-dup pipeline: pairs -> connected components ->
+      // cluster representative (min id) per document
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = Dedup.jaccardPairs(docs, k = 3, threshold = 0.5)
+      Dedup.clusters(docs.select("doc_id"), pairs)
+        .orderBy("doc_id")
+    }),
+
     "d_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshCandidates(Tables.load(s, dir, "documents"),
         k = 3, numHashes = 8, bands = 4)
@@ -361,14 +372,15 @@ object SparkEntry {
     * Per-producer = the reference's per-producer plan trees, expressed
     * as one partitioned window instead of N sequential streams. */
   private def asofQuery(s: SparkSession, dir: String, immediate: Boolean,
-      succeeds: Boolean): DataFrame = {
+      succeeds: Boolean,
+      thresholdUs: Long = 21600000000L /* 6 h */): DataFrame = {
     val m = msgs(s, dir)
       .select("producer", "topic", "time_us", "seq", "value")
     val click = m.where(col("topic") === "click")
     val error = m.where(col("topic") === "error")
     val (l, r) = if (succeeds) (error, click) else (click, error)
     AsofJoin.join(l, r, timeCol = "time_us", keys = Seq("producer"),
-      thresholdNs = 21600000000L, // 6 h in µs — timeCol is µs here
+      thresholdNs = thresholdUs, // timeCol is µs here
       immediate = immediate, tieCol = Some("seq"))
       .select(col("producer"), col("emit_time").as("emit_us"),
         col("emit_side").as("side"), col("topic"), col("time_us"),
@@ -380,8 +392,11 @@ object SparkEntry {
   // DuckDB oracles
   // ======================================================================
 
-  private def asofOracle(immediate: Boolean, succeeds: Boolean): String = {
+  private def asofOracle(immediate: Boolean, succeeds: Boolean,
+      thresholdUs: Long = 21600000000L): String = {
     val (lt, rt) = if (succeeds) ("error", "click") else ("click", "error")
+    val inRange =
+      if (thresholdUs == 0L) "" else s" AND t < last_lt + $thresholdUs"
     val rightsFilter =
       if (immediate)
         "WHERE rn = 1"
@@ -410,7 +425,7 @@ object SparkEntry {
        |    row_number() OVER (PARTITION BY producer, left_seq
        |      ORDER BY t, seq) AS rn
        |  FROM ann
-       |  WHERE side = 1 AND left_seq > 0 AND t < last_lt + 21600000000),
+       |  WHERE side = 1 AND left_seq > 0$inRange),
        | lefts AS (
        |  SELECT producer, min(t) AS emit_us, 0 AS side, '$lt' AS topic,
        |    min(last_lt) AS time_us, min(last_lseq) AS seq,
@@ -513,6 +528,8 @@ object SparkEntry {
     "q_asof" -> asofOracle(immediate = false, succeeds = false),
     "q_asof_immediate" -> asofOracle(immediate = true, succeeds = false),
     "q_asof_succeeds" -> asofOracle(immediate = false, succeeds = true),
+    "q_asof_unbounded" -> asofOracle(immediate = false, succeeds = false,
+      thresholdUs = 0L),
 
     "q_dedup_ingest" ->
       s"""$MSGS SELECT topic, count(*) AS n FROM (
@@ -639,6 +656,32 @@ object SparkEntry {
          |JOIN sizes sb ON sb.doc_id = id_b
          |WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "d_dedup_clusters" ->
+      s"""$SHINGLES,
+         | sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         | inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         | pairs AS (
+         |  SELECT id_a, id_b FROM inter
+         |  JOIN sizes sa ON sa.doc_id = id_a
+         |  JOIN sizes sb ON sb.doc_id = id_b
+         |  WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= 0.5),
+         | edges AS (
+         |  SELECT id_a AS a, id_b AS b FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         | reach AS (
+         |  WITH RECURSIVE r(src, dst) AS (
+         |    SELECT a, b FROM edges
+         |    UNION
+         |    SELECT r.src, e.b FROM r JOIN edges e ON r.dst = e.a)
+         |  SELECT * FROM r)
+         |SELECT d.doc_id,
+         |  least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS cluster
+         |FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
 
     "d_minhash_lsh" -> {
       val hs = (0 until 8)

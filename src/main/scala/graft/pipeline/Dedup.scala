@@ -104,6 +104,44 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected-component clustering of near-duplicate pairs: every id
+    * is labeled with the smallest id reachable through the pair graph
+    * (the cluster representative to keep). Iterative min-label
+    * propagation — the standard BSP formulation, O(component diameter)
+    * rounds, each one join + one aggregation; near-dup components are
+    * shallow in practice so this converges in a handful of rounds even
+    * at 100 TB (same shape as GraphX connected components).
+    */
+  def clusters(ids: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .cache()
+    var labels = ids.select(col(idCol).as("id"), col(idCol).as("label"))
+      .cache()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      val prop = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
+      val updated = labels
+        .join(prop, labels("id") === prop("src"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label")))
+            .as("label"),
+          (coalesce(col("nlabel"), col("label")) < col("label"))
+            .as("_chg"))
+        .cache()
+      changed = updated.where(col("_chg")).count()
+      labels.unpersist()
+      labels = updated.select("id", "label").cache()
+      iter += 1
+    }
+    edges.unpersist()
+    labels.withColumnRenamed("id", idCol)
+      .withColumnRenamed("label", "cluster")
+  }
+
   /** 32-bit SimHash over word tokens, returned as a '0'/'1' string (bit
     * 0 first) — string form keeps it portable and bandable by substring.
     * Bit b of token t = bit (3 - b%4) of hex digit b/4 of md5(t). */

@@ -97,6 +97,11 @@ object StatTiers {
     }.drop("sketch")
   }
 
+  /** Merge append-only tier partials (e.g. one per streaming
+    * micro-batch) into canonical per-bucket rows — associativity makes
+    * append + merge-on-read equivalent to a rebuild. */
+  def mergePartials(tier: DataFrame): DataFrame = rollup(tier, 1L)
+
   /** Reference tree geometry: 60 s leaves, branching factor 64
     * (reference: server/treemgr/treemgr.go:59-67) → tier widths
     * 60s · 64^k. */

@@ -47,6 +47,33 @@ object Ingest {
       .start()
   }
 
+  /** Ingest with stat-tier maintenance: every micro-batch appends its
+    * data AND its base-tier partial aggregates (the reference computes
+    * per-leaf statistics at write time exactly like this —
+    * server/treemgr/writer.go:184-203). Partials are merged at read
+    * (StatTiers.mergePartials); associativity makes append-only
+    * maintenance exact, no read-modify-write of the stats table. */
+  def startWithStats(spark: SparkSession, stream: DataFrame,
+      outDir: String, statsDir: String, checkpointDir: String)
+      : StreamingQuery = {
+    val deduped = dedupe(stream)
+      .withColumn("day", expr("time div 86400000000000"))
+    deduped.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.persist()
+        batch.write.mode("append").partitionBy("topic", "day")
+          .parquet(outDir)
+        graft.stats.StatTiers.base(batch.drop("day", "ts_watermark"),
+            60L * 1000000000L)
+          .write.mode("append").parquet(statsDir)
+        batch.unpersist()
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Tail a table: a genuine streaming read over the ingested layout —
     * the reference emulates tailing by re-polling /export with
     * last-seen versions (server/cli/cmd/tail.go:51-82,

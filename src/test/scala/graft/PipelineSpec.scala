@@ -40,6 +40,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("near-dup clustering labels components with min id") {
+    val ids = Seq(0L, 1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    // component {0,1,3} via chain 0-1, 1-3; component {4,5}; 2 alone
+    val pairs = Seq((0L, 1L), (1L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val got = Dedup.clusters(ids, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 3L -> 0L, 2L -> 2L,
+      4L -> 4L, 5L -> 4L))
+  }
+
   test("simhash: identical docs identical hashes; near-dups close") {
     val hs = Dedup.simhash(docs).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap

@@ -40,6 +40,31 @@ class StreamingIngestSpec extends AnyFunSuite {
       .exists(_.getName.startsWith("topic=")))
   }
 
+  test("streaming stat-tier maintenance: partials merge to the truth") {
+    val base = Files.createTempDirectory("graft-stats").toString
+    val in = s"$base/in"; val out = s"$base/out"
+    val stats = s"$base/stats"; val cp = s"$base/cp"
+
+    val rows = Seq(
+      ("p0", "click", 10L * 1000000000L, 1L, 1.0),
+      ("p0", "click", 20L * 1000000000L, 2L, 3.0),
+      ("p0", "click", 70L * 1000000000L, 3L, 5.0)
+    ).toDF("producer", "topic", "time", "seq", "value")
+    rows.write.parquet(in)
+
+    val stream = spark.readStream.schema(rows.schema).parquet(in)
+    val q = Ingest.startWithStats(spark, stream, out, stats, cp)
+    q.awaitTermination(120000)
+
+    import graft.stats.StatTiers
+    val served = StatTiers.mergePartials(spark.read.parquet(stats))
+    val direct = StatTiers.base(rows, 60L * 1000000000L)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("producer", "topic", "bucket", "msg_count", "num_min",
+        "num_max").orderBy("bucket").collect().toSeq
+    assert(key(served) == key(direct))
+  }
+
   test("range deletes and truncation masks") {
     val msgs = Seq(
       ("p0", "t", 100L, 1L), ("p0", "t", 200L, 2L), ("p0", "t", 300L, 3L),
