@@ -43,28 +43,9 @@ final class Planner(catalog: MessageCatalog) extends Serializable {
       case AllProducers      => catalog.producers(spark, topics.map(_._1))
       case ProducerList(ns)  => ns
     }
-    // split the where clause into one predicate per alias; each
-    // top-level disjunct must reference exactly one alias
-    // (reference: plan.go:280-345)
-    val byAlias: Map[String, Seq[Expr]] = q.where match {
-      case None => Map.empty
-      case Some(e) =>
-        val disjuncts = e match {
-          case OrExpr(ds) => ds
-          case other      => Seq(other)
-        }
-        disjuncts.groupBy { d =>
-          val aliases = collectAliases(d)
-          if (aliases.size != 1) throw new IllegalArgumentException(
-            s"expression subtree references more than one alias: " +
-              aliases.mkString(", "))
-          aliases.head
-        }
-    }
-    val knownAliases = topics.map { case (t, a) => a.getOrElse(t) }.toSet
-    val unknown = byAlias.keySet.diff(knownAliases)
-    if (unknown.nonEmpty) throw new IllegalArgumentException(
-      s"where clause references unknown alias(es): ${unknown.mkString(", ")}")
+    // split + validate the where clause (reference: plan.go:280-345)
+    Planner.splitWhere(q.where,
+      topics.map { case (t, a) => a.getOrElse(t) }.toSet)
 
     // The reference compiles one subtree per producer and merges them
     // (plan.go:347-459). A literal translation unions N plan branches —
@@ -205,34 +186,13 @@ final class Planner(catalog: MessageCatalog) extends Serializable {
   }
 
   private def whereFor(q: Query, alias: String): Option[Expr] =
-    q.where.flatMap { e =>
-      val disjuncts = e match {
-        case OrExpr(ds) => ds
-        case other      => Seq(other)
-      }
-      val mine = disjuncts.filter(d => collectAliases(d) == Set(alias))
-      if (mine.isEmpty) None
-      else if (mine.size == 1) Some(mine.head)
-      else Some(OrExpr(mine))
-    }
+    Planner.whereFor(q.where, alias)
 
-  private def flattenMerge(sel: Select): Seq[Select] = sel match {
-    case MergeSel(l, r) => flattenMerge(l) ++ flattenMerge(r)
-    case other          => Seq(other)
-  }
+  private def flattenMerge(sel: Select): Seq[Select] =
+    Planner.flattenMerge(sel)
 
   private def collectTopics(sel: Select): Seq[(String, Option[String])] =
-    sel match {
-      case Entity(t, a)   => Seq((t, a))
-      case MergeSel(l, r) => collectTopics(l) ++ collectTopics(r)
-      case AsofSel(l, r, _, _, _) => collectTopics(l) ++ collectTopics(r)
-    }
-
-  private def collectAliases(e: Expr): Set[String] = e match {
-    case Cmp(a, _, _, _) => Set(a)
-    case AndExpr(cs)     => cs.flatMap(collectAliases).toSet
-    case OrExpr(ds)      => ds.flatMap(collectAliases).toSet
-  }
+    Planner.collectTopics(sel)
 
   // --- where-clause compilation ------------------------------------------
 
@@ -243,8 +203,9 @@ final class Planner(catalog: MessageCatalog) extends Serializable {
     * both regex operators are case-insensitive because the reference
     * lowercases pattern AND value (expression.go:1786,1795). */
   def compile(df: DataFrame, e: Expr): Column = e match {
-    case AndExpr(cs) => cs.map(compile(df, _)).reduce(_ && _)
-    case OrExpr(ds)  => ds.map(compile(df, _)).reduce(_ || _)
+    case AndExpr(cs)  => cs.map(compile(df, _)).reduce(_ && _)
+    case OrExpr(ds)   => ds.map(compile(df, _)).reduce(_ || _)
+    case GroupExpr(i) => compile(df, i)
     case Cmp(_, field, op, value) =>
       val c = resolveField(df, field)
       val dt = df.select(c).schema.head.dataType
@@ -285,6 +246,75 @@ final class Planner(catalog: MessageCatalog) extends Serializable {
       if (df.columns.contains(head)) col(field) // nested struct path
       else throw new IllegalArgumentException(
         s"unknown field '$field' (have: ${df.columns.mkString(", ")})")
+    }
+  }
+}
+
+/** AST-level helpers shared by the DataFrame compiler and the plan
+  * renderer (mirroring reference plan.go's pre-compile traversals). */
+object Planner {
+
+  private[plan] def flattenMerge(sel: Select): Seq[Select] = sel match {
+    case MergeSel(l, r) => flattenMerge(l) ++ flattenMerge(r)
+    case other          => Seq(other)
+  }
+
+  private[plan] def collectTopics(sel: Select)
+      : Seq[(String, Option[String])] = sel match {
+    case Entity(t, a)   => Seq((t, a))
+    case MergeSel(l, r) => collectTopics(l) ++ collectTopics(r)
+    case AsofSel(l, r, _, _, _, _) =>
+      collectTopics(l) ++ collectTopics(r)
+  }
+
+  private[plan] def collectAliases(e: Expr): Set[String] = e match {
+    case Cmp(a, _, _, _) => Set(a)
+    case AndExpr(cs)     => cs.flatMap(collectAliases).toSet
+    case OrExpr(ds)      => ds.flatMap(collectAliases).toSet
+    case GroupExpr(i)    => collectAliases(i)
+  }
+
+  /** Per-alias predicate: the disjuncts that reference exactly this
+    * alias, re-joined under Or (reference splitExpression,
+    * plan.go:327-344). */
+  private[plan] def whereFor(where: Option[Expr], alias: String)
+      : Option[Expr] =
+    where.flatMap { e =>
+      val disjuncts = e match {
+        case OrExpr(ds) => ds
+        case other      => Seq(other)
+      }
+      val mine = disjuncts.filter(d => collectAliases(d) == Set(alias))
+      if (mine.isEmpty) None
+      else if (mine.size == 1) Some(mine.head)
+      else Some(OrExpr(mine))
+    }
+
+  /** Validate the whole where clause: every top-level disjunct names
+    * exactly one alias; every alias resolves to a scan. Returns the
+    * per-alias split (reference: plan.go:280-345,524-557). */
+  private[plan] def splitWhere(where: Option[Expr],
+      known: Set[String]): Map[String, Expr] = {
+    val byAlias: Map[String, Seq[Expr]] = where match {
+      case None => Map.empty
+      case Some(e) =>
+        val disjuncts = e match {
+          case OrExpr(ds) => ds
+          case other      => Seq(other)
+        }
+        disjuncts.groupBy { d =>
+          val aliases = collectAliases(d)
+          if (aliases.size != 1) throw new IllegalArgumentException(
+            s"expression subtree references more than one alias: " +
+              aliases.mkString(", "))
+          aliases.head
+        }
+    }
+    byAlias.keySet.diff(known).headOption.foreach { a =>
+      throw new IllegalArgumentException(s"unresolved table alias: $a")
+    }
+    byAlias.map { case (a, ds) =>
+      a -> (if (ds.size == 1) ds.head else OrExpr(ds))
     }
   }
 }

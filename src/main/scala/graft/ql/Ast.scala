@@ -47,13 +47,17 @@ case object Succeeds extends AsofDir
 
 /** `precedes`/`succeeds [immediate] ... [by less than n <unit>]`.
   * thresholdNs == 0 means unbounded (reference:
-  * server/executor/asof_node.go:98). */
+  * server/executor/asof_node.go:98). `constraint` keeps the original
+  * (quantity, unit) for plan rendering — the reference carries the raw
+  * pair through the plan and converts at compile
+  * (server/executor/executor.go:168-184). */
 final case class AsofSel(
     left: Select,
     right: Select,
     dir: AsofDir,
     immediate: Boolean,
-    thresholdNs: Long
+    thresholdNs: Long,
+    constraint: Option[(Long, String)] = None
 ) extends Select
 
 // --- where-clause expressions -------------------------------------------
@@ -63,6 +67,12 @@ sealed trait Expr
   * Or(And(...)) shape (reference: server/ql/grammar.go:77-93). */
 final case class OrExpr(disjuncts: Seq[Expr]) extends Expr
 final case class AndExpr(conjuncts: Seq[Expr]) extends Expr
+/** A parenthesized subexpression. Single-condition groups are pulled
+  * up at parse (reference collapses them, plan.go:560-571); multi-
+  * condition groups stay atomic for where-splitting, so a grouped OR
+  * spanning aliases is an error while a bare one splits
+  * (reference: plan_test.go:30-33 vs splitExpression). */
+final case class GroupExpr(inner: Expr) extends Expr
 
 sealed trait CmpOp { def sym: String }
 case object Eq extends CmpOp { val sym = "=" }

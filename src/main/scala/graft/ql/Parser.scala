@@ -149,10 +149,12 @@ object Parser {
     val from =
       if (p.eatOp("*")) AllProducers
       else {
+        // comma-separated producers; unambiguous vs the merge-join
+        // comma because the select list starts at the first word NOT
+        // preceded by a comma ("from d1, d2 a, b" = producers d1,d2 /
+        // topics a,b — reference: server/plan/plan_test.go:76-79)
         val names = scala.collection.mutable.ArrayBuffer(p.expectWord())
-        // producer lists are comma-separated; a comma here is ambiguous
-        // with the merge-join comma, so (like the reference) producers
-        // only support the single-name form followed by the select.
+        while (p.eatOp(",")) names += p.expectWord()
         ProducerList(names.toSeq)
       }
     val between =
@@ -207,6 +209,7 @@ object Parser {
       val immediate = p.eatWord("immediate")
       val right = parseSelect(p)
       var thresholdNs = 0L
+      var constraint: Option[(Long, String)] = None
       if (p.eatWord("by")) {
         if (!p.eatWord("less") || !p.eatWord("than"))
           throw ParseError("expected 'less than'",
@@ -216,9 +219,10 @@ object Parser {
         val mult = unitNs.getOrElse(unit,
           throw ParseError(s"unknown unit '$unit'", -1))
         thresholdNs = Math.multiplyExact(qty, mult)
+        constraint = Some((qty, unit))
       }
       val dir = if (kw == "precedes") Precedes else Succeeds
-      AsofSel(ent, right, dir, immediate, thresholdNs)
+      AsofSel(ent, right, dir, immediate, thresholdNs, constraint)
     } else ent
   }
 
@@ -241,7 +245,10 @@ object Parser {
     if (p.eatOp("(")) {
       val e = parseExpr(p)
       p.expectOp(")")
-      e
+      e match {
+        case c: Cmp => c // trivial subexpression pulled up
+        case other  => GroupExpr(other)
+      }
     } else {
       val w = p.expectWord()
       val dot = w.indexOf('.')

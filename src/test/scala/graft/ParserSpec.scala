@@ -74,10 +74,13 @@ class ParserSpec extends AnyFunSuite {
     assert(e.disjuncts(1) == Cmp("t0", "c", Regex, StrLit("x")))
   }
 
-  test("parenthesized subexpression") {
+  test("parenthesized subexpression stays grouped") {
     val p = q("from d t0 where (t0.a = 1 or t0.a = 2) and t0.b = 3;")
     val and = p.where.get.asInstanceOf[AndExpr]
-    assert(and.conjuncts.head.isInstanceOf[OrExpr])
+    assert(and.conjuncts.head.asInstanceOf[GroupExpr]
+      .inner.isInstanceOf[OrExpr])
+    // trivial group pulled up like the reference
+    assert(q("from d t0 where (t0.a = 1);").where.get.isInstanceOf[Cmp])
   }
 
   test("string literal escapes") {
