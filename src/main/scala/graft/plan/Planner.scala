@@ -37,6 +37,24 @@ final class Planner(catalog: MessageCatalog) extends Serializable {
           "truncate is a lifecycle statement; use graft.streaming.Lifecycle")
     }
 
+  /** Statement dispatch honoring the `explain` flag: an explain query
+    * returns its formatted physical plan as a one-column frame instead
+    * of data (reference: explain wraps every node with NodeStats and
+    * returns stats as metadata — server/routes/query.go:53-90). */
+  def run(spark: SparkSession, input: String): DataFrame =
+    Parser.parse(input) match {
+      case q: Query if q.explain =>
+        import spark.implicits._
+        plan(spark, q.copy(explain = false))
+          .queryExecution
+          .explainString(org.apache.spark.sql.execution.FormattedMode)
+          .linesIterator.toSeq.toDF("plan")
+      case q: Query => plan(spark, q)
+      case _: TruncateStmt =>
+        throw new IllegalArgumentException(
+          "truncate is a lifecycle statement; use graft.streaming.Lifecycle")
+    }
+
   def plan(spark: SparkSession, q: Query): DataFrame = {
     val topics = collectTopics(q.select)
     val producers: Seq[String] = q.from match {

@@ -59,6 +59,14 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(e.contains("Physical Plan"))
   }
 
+  test("explain flag returns the plan as a frame, not data") {
+    val df = planner.run(spark, "explain from p1 click limit 5;")
+    assert(df.columns.toSeq == Seq("plan"))
+    assert(df.count() > 3)
+    val data = planner.run(spark, "from p1 click limit 5;")
+    assert(data.columns.contains("time"))
+  }
+
   test("ndjson export matches the dp3 row shape") {
     val m = new EventsCatalog(sfDir).messages(spark)
       .where(col("topic") === "click").limit(1)
