@@ -23,13 +23,21 @@ object Bench {
     def time(fn: (org.apache.spark.sql.SparkSession, String)
         => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] query failed: ${e.getMessage}")
+          -1.0 // sentinel: failures must not masquerade as fast runs
+      }
     }
     // two runs per query, report the steady-state (second is warm:
-    // code cached, JIT'd, file listings resolved)
+    // code cached, JIT'd, file listings resolved); any failure -> -1
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
-      case (name, fn) => name -> math.min(time(fn), time(fn))
+      case (name, fn) =>
+        val (a, b) = (time(fn), time(fn))
+        name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")

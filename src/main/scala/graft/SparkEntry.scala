@@ -28,21 +28,11 @@ object SparkEntry {
   private val NS_0108 = 1704672000000000000L // 2024-01-08T00:00:00Z
   private val NS_0115 = 1705276800000000000L // 2024-01-15T00:00:00Z
 
-  /** canonical dp3-style message view over the events table */
-  private def msgs(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
-      .select(
-        concat(lit("p"), col("user_id").cast("string")).as("producer"),
-        col("event_type").as("topic"),
-        col("ts").cast("long").as("time"),
-        expr("ts div 1000").as("time_us"),
-        col("event_id").as("seq"),
-        col("value"),
-        col("props"),
-        regexp_extract(col("props"), "\"k\": ([0-9]+)", 1)
-          .cast("long").as("k"))
-  }
+  /** canonical dp3-style message view over the events table — the
+    * single definition lives in EventsCatalog so the QL path and the
+    * direct queries can never diverge */
+  private def msgs(s: SparkSession, dir: String): DataFrame =
+    new EventsCatalog(dir).messages(s)
 
   /** identical view in DuckDB SQL — prefix of every events oracle */
   private val MSGS =
@@ -844,18 +834,15 @@ object SparkEntry {
   )
 }
 
-/** SQL fragments shared by text oracles. */
+/** SQL fragments shared by text oracles — generated from the same
+  * constants the Spark operators use, so the two sides cannot drift. */
 private object TextOpsOracle {
-  val stopList: String =
-    Seq("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
-      .map(w => s"'$w'").mkString(", ")
+  import graft.pipeline.TextOps
 
-  private val markers: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq(" the ", " and ", " of "),
-    "fr" -> Seq(" le ", " la ", " et "),
-    "es" -> Seq(" el ", " los ", " y "),
-    "de" -> Seq(" der ", " und ", " die "),
-    "zh" -> Seq(" de ", " shi ", " bu "))
+  val stopList: String =
+    TextOps.stopwords.map(w => s"'$w'").mkString(", ")
+
+  private val markers: Seq[(String, Seq[String])] = TextOps.langMarkers
 
   private def score(ms: Seq[String]): String =
     ms.map(m =>

@@ -41,11 +41,7 @@ object Dedup {
   private def withShingles(df: DataFrame, k: Int, idCol: String,
       textCol: String): DataFrame =
     df.select(col(idCol).as("_id"),
-        TextOps.tokens(lower(col(textCol))).as("_stoks"))
-      .where(size(col("_stoks")) >= k)
-      .select(col("_id"), explode(array_distinct(expr(
-        s"""transform(sequence(0, size(_stoks) - $k),
-            i -> concat_ws(' ', slice(_stoks, i + 1, $k)))"""))).as("sh"))
+      explode(shingles(col(textCol), k)).as("sh"))
 
   /** Exact n-gram-Jaccard near-duplicate pairs via inverted index:
     * returns (id_a, id_b, jaccard) for pairs ≥ threshold. */

@@ -32,7 +32,8 @@ object TextOps {
     ((length(hay) - length(regexp_replace(hay, java.util.regex.Pattern
       .quote(needle), ""))) / needle.length).cast("long")
 
-  private val stopwords =
+  /** shared with the DuckDB oracle generator — single source */
+  val stopwords: Seq[String] =
     Seq("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
 
   /** Quality-scoring features: length, token count, average token
@@ -53,7 +54,8 @@ object TextOps {
 
   /** Marker-word language ID — the classic n-gram/stopword heuristic,
     * deterministic argmax with fixed language order for ties. */
-  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+  /** shared with the DuckDB oracle generator — single source */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq(" the ", " and ", " of "),
     "fr" -> Seq(" le ", " la ", " et "),
     "es" -> Seq(" el ", " los ", " y "),

@@ -82,11 +82,16 @@ final class Planner(catalog: MessageCatalog) extends Serializable {
       .withColumn("_mj", col("_pidx") * lit(1000000L) + col("_mj"))
       .drop("_pidx")
 
+    // seq as the final key makes the order total even when two
+    // messages of one topic share a ns timestamp (limit/offset and
+    // oracle comparisons need a deterministic window)
     val ord =
       if (q.descending)
-        Seq(col("emit_time").desc, col("_mj").asc, col("emit_side").asc)
+        Seq(col("emit_time").desc, col("_mj").asc, col("emit_side").asc,
+          col("seq").desc)
       else
-        Seq(col("emit_time").asc, col("_mj").asc, col("emit_side").asc)
+        Seq(col("emit_time").asc, col("_mj").asc, col("emit_side").asc,
+          col("seq").asc)
     var out = merged.orderBy(ord: _*)
     q.offset.foreach(o => out = out.offset(o.toInt))
     q.limit.foreach(n => out = out.limit(n.toInt))
@@ -196,9 +201,13 @@ final class Planner(catalog: MessageCatalog) extends Serializable {
     }
     val alias = e.alias.getOrElse(e.topic)
     whereFor(q, alias).foreach { pred => df = df.where(compile(df, pred)) }
-    if (producers.size == 1) {
-      val trunc = catalog.truncationVersion(producers.head, e.topic)
-      if (trunc >= 0) df = df.where(col("seq") > trunc)
+    // truncation masks apply per (producer, topic) regardless of how
+    // many producers the query names
+    val truncs = producers
+      .map(p => p -> catalog.truncationVersion(p, e.topic))
+      .filter(_._2 >= 0)
+    truncs.foreach { case (p, v) =>
+      df = df.where(!(col("producer") === p && col("seq") <= v))
     }
     df
   }

@@ -52,7 +52,10 @@ object StatTiers {
         sum(when(finite, v).cast(Dec)).as("num_sum"),
         min(col("time")).as("min_time"),
         max(col("time")).as("max_time"),
-        sketchOf(when(finite, v)).as("sketch")
+        // nulls are routed through NaN so the sketch SKIPS them —
+        // a null fed to a primitive-Double aggregator would decode
+        // as a phantom 0.0 sample
+        sketchOf(coalesce(v, lit(Double.NaN))).as("sketch")
       )
       .withColumn("width_ns", lit(widthNs))
   }

@@ -23,14 +23,16 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 object Ingest {
 
   /** In-batch + cross-batch dedup on the dp3 identity key
-    * (producer, topic, time, seq), with a watermark bounding state. */
-  def dedupe(stream: DataFrame, watermarkedTsCol: String = "ts_watermark")
-      : DataFrame =
+    * (producer, topic, time, seq). dropDuplicatesWithinWatermark is
+    * what actually bounds the dedup state: plain dropDuplicates with a
+    * watermark on a column OUTSIDE the key set would retain every key
+    * forever and OOM a long-running ingest. */
+  def dedupe(stream: DataFrame): DataFrame =
     stream
       .withColumn("ts_watermark", timestamp_micros(
         expr("time div 1000")))
       .withWatermark("ts_watermark", "10 minutes")
-      .dropDuplicates("producer", "topic", "time", "seq")
+      .dropDuplicatesWithinWatermark("producer", "topic", "time", "seq")
 
   /** Start the ingest pipeline: canonical message stream → dedup →
     * day-partitioned parquet. */

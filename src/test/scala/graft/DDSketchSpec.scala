@@ -46,6 +46,20 @@ class DDSketchSpec extends AnyFunSuite {
     assert(sk.values.sum == 2L)
   }
 
+  test("NaN values are skipped through the Spark aggregation path too") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.stats.StatTiers
+    // a null or NaN must NOT become a phantom 0.0 sample in the sketch
+    val df = Seq(("p", "t", 1L, 1L, 1.0), ("p", "t", 2L, 2L, Double.NaN),
+      ("p", "t", 3L, 3L, 2.0))
+      .toDF("producer", "topic", "time", "seq", "value")
+    val sk = StatTiers.base(df, 1000L)
+      .select("sketch").collect().head.getMap[Int, Long](0)
+    assert(sk.values.sum == 2L, sk)
+    assert(!sk.contains(0), s"phantom zero bucket: $sk")
+  }
+
   test("tier rollup equals direct aggregation (spark)") {
     val spark = TestSpark.spark
     import graft.stats.StatTiers
