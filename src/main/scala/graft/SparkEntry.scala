@@ -122,6 +122,18 @@ object SparkEntry {
       qlResult(s, dir, "from p0 view limit 20 offset 5;")
         .orderBy(col("time_us"), col("seq"))),
 
+    "q_between_dates" -> ((s, dir) =>
+      // ISO-8601 date strings through the QL timestamp parser
+      qlResult(s, dir,
+        "from p3 between '2024-01-08' and '2024-01-15T00:00:00' click;")
+        .orderBy(col("time_us"), col("seq"))),
+
+    "q_filter_neq" -> ((s, dir) =>
+      qlResult(s, dir,
+        """from p4 signup where signup.k != 7 and signup.k >= 10
+          | and signup.props ~* '"K"';""".stripMargin.replace("\n", ""))
+        .orderBy(col("time_us"), col("seq"))),
+
     "q_asof" -> ((s, dir) => asofQuery(s, dir, immediate = false,
       succeeds = false)),
     "q_asof_immediate" -> ((s, dir) => asofQuery(s, dir, immediate = true,
@@ -514,6 +526,21 @@ object SparkEntry {
          |FROM msgs
          |WHERE producer = 'p0' AND topic = 'view'
          |ORDER BY time_us, seq LIMIT 20 OFFSET 5""".stripMargin,
+
+    "q_between_dates" ->
+      s"""$MSGS SELECT producer, topic, time_us, seq, value, k, 0 AS mj
+         |FROM msgs
+         |WHERE producer = 'p3' AND topic = 'click'
+         |  AND time_us >= $US_0108 AND time_us < $US_0115
+         |ORDER BY time_us, seq""".stripMargin,
+
+    "q_filter_neq" ->
+      s"""$MSGS SELECT producer, topic, time_us, seq, value, k, 0 AS mj
+         |FROM msgs
+         |WHERE producer = 'p4' AND topic = 'signup'
+         |  AND k != 7 AND k >= 10
+         |  AND regexp_matches(lower(props), lower('"K"'))
+         |ORDER BY time_us, seq""".stripMargin,
 
     "q_asof" -> asofOracle(immediate = false, succeeds = false),
     "q_asof_immediate" -> asofOracle(immediate = true, succeeds = false),
