@@ -49,7 +49,10 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val sh = withShingles(df, k, idCol, textCol)
     val sizes = sh.groupBy(col("_id")).agg(count(lit(1)).as("n"))
-    val a = sh.as("a"); val b = sh.as("b")
+    // shuffled-hash beats sort-merge here: both sides are the same
+    // large narrow table and sorting 2x by a long string key is pure
+    // overhead for an equi-join that only feeds an aggregation
+    val a = sh.hint("shuffle_hash").as("a"); val b = sh.as("b")
     val inter = a.join(b, col("a.sh") === col("b.sh")
         && col("a._id") < col("b._id"))
       .groupBy(col("a._id").as("id_a"), col("b._id").as("id_b"))
