@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.api.Dp3Service
+import graft.model.EventsCatalog
+
+/** The facade mirroring the reference's endpoint set — one smoke per
+  * verb over the sf0.001 events table. */
+class Dp3ServiceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val cat = new EventsCatalog(dir)
+  private lazy val svc = new Dp3Service(cat, s => cat.messages(s))
+
+  test("query endpoint") {
+    assert(svc.query(spark, "from p3 click limit 5;").count() == 5)
+  }
+
+  test("explain query returns plan rows") {
+    val df = svc.query(spark, "explain from p3 click;")
+    assert(df.columns.toSeq == Seq("plan"))
+  }
+
+  test("ndjson serialization") {
+    val rows = svc.queryNdjson(spark, "from p3 click limit 2;",
+      Seq("value", "k")).collect()
+    assert(rows.length == 2 && rows.head.startsWith("{\"topic\":"))
+  }
+
+  test("statrange honors granularity and errors below base") {
+    val bins = svc.statRange(spark, 3600L * 1000000000L)
+    assert(bins.count() > 0)
+    // served width is the base tier (60 s ≤ 1 h < 3840 s)
+    val w = bins.select((col("end_ns") - col("start_ns")).as("w"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(w == Set(60L * 1000000000L))
+    assertThrows[IllegalArgumentException](
+      svc.statRange(spark, 1000000000L))
+  }
+
+  test("statistics merges producers") {
+    val merged = svc.statistics(spark, 86400L * 1000000000L,
+      groupByProducer = false)
+    assert(!merged.columns.contains("producer"))
+    assert(merged.count() > 0)
+  }
+
+  test("available lists stats") {
+    assert(svc.statisticsAvailable(spark, Seq("value"), Seq("props"))
+      .count() > 0)
+  }
+
+  test("export merges topics in time order") {
+    val e = svc.export(spark, Seq("click", "error")).limit(100)
+      .select("time").collect().map(_.getLong(0))
+    assert(e.sameElements(e.sorted))
+  }
+
+  test("truncate statement masks data") {
+    val before = cat.messages(spark)
+      .where(col("producer") === "p3" && col("topic") === "click").count()
+    val after = svc.truncate(spark, "truncate p3 click now;")
+      .where(col("producer") === "p3" && col("topic") === "click").count()
+    assert(before > 0 && after == 0)
+  }
+}
