@@ -37,7 +37,9 @@ object Export {
     * streams k-way ordered by (log_time, tie) (reference:
     * server/treemgr/treemgr.go:1066-1116 — tie-break is channel id
     * there; topic name is our deterministic analogue). */
-  def exportMerged(dfs: Seq[DataFrame]): DataFrame =
+  def exportMerged(dfs: Seq[DataFrame]): DataFrame = {
+    require(dfs.nonEmpty, "export of zero topics")
     dfs.reduce(_.unionByName(_, allowMissingColumns = true))
       .orderBy(col("time").asc, col("topic").asc, col("seq").asc)
+  }
 }

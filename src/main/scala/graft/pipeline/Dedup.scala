@@ -44,15 +44,24 @@ object Dedup {
       explode(shingles(col(textCol), k)).as("sh"))
 
   /** Exact n-gram-Jaccard near-duplicate pairs via inverted index:
-    * returns (id_a, id_b, jaccard) for pairs ≥ threshold. */
+    * returns (id_a, id_b, jaccard) for pairs ≥ threshold.
+    *
+    * `hashJoin = true` (default) forces a shuffled-hash self-join —
+    * ~2x over sort-merge because sorting both sides by a long string
+    * key is pure overhead for an equi-join feeding an aggregation.
+    * For heavily skewed corpora (a shingle shared by millions of
+    * docs) the build-side map of a hot partition can exceed executor
+    * memory; pass hashJoin = false there to let sort-merge spill —
+    * though with such skew the O(f²) pair blowup, not the join
+    * strategy, is the real problem and a document-frequency cap on
+    * shingles is the production answer. */
   def jaccardPairs(df: DataFrame, k: Int, threshold: Double,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      hashJoin: Boolean = true): DataFrame = {
     val sh = withShingles(df, k, idCol, textCol)
     val sizes = sh.groupBy(col("_id")).agg(count(lit(1)).as("n"))
-    // shuffled-hash beats sort-merge here: both sides are the same
-    // large narrow table and sorting 2x by a long string key is pure
-    // overhead for an equi-join that only feeds an aggregation
-    val a = sh.hint("shuffle_hash").as("a"); val b = sh.as("b")
+    val left = if (hashJoin) sh.hint("shuffle_hash") else sh
+    val a = left.as("a"); val b = sh.as("b")
     val inter = a.join(b, col("a.sh") === col("b.sh")
         && col("a._id") < col("b._id"))
       .groupBy(col("a._id").as("id_a"), col("b._id").as("id_b"))

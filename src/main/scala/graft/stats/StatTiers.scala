@@ -105,6 +105,17 @@ object StatTiers {
     * append + merge-on-read equivalent to a rebuild. */
   def mergePartials(tier: DataFrame): DataFrame = rollup(tier, 1L)
 
+  /** Build the tier of exactly `widthNs` from raw messages: base tier
+    * then ONE rollup with the exact factor (associativity makes a
+    * single div-by-F merge identical to F₁·F₂·… chained rollups,
+    * without the extra shuffles). */
+  def tierAt(messages: DataFrame, widthNs: Long): DataFrame = {
+    require(widthNs % BaseWidthNs == 0,
+      s"tier width must be a multiple of $BaseWidthNs")
+    val t0 = base(messages, BaseWidthNs)
+    if (widthNs == BaseWidthNs) t0 else rollup(t0, widthNs / BaseWidthNs)
+  }
+
   /** Reference tree geometry: 60 s leaves, branching factor 64
     * (reference: server/treemgr/treemgr.go:59-67) → tier widths
     * 60s · 64^k. */

@@ -40,6 +40,38 @@ class Dp3ServiceSpec extends AnyFunSuite {
       svc.statRange(spark, 1000000000L))
   }
 
+  test("statrange returns partially-overlapping boundary bins") {
+    // a range straddling a bin boundary by half a bin on each side
+    // must include BOTH boundary bins (reference overlap semantics)
+    val full = svc.statRange(spark, 3600L * 1000000000L)
+      .orderBy("start_ns").limit(2)
+      .select("start_ns", "end_ns").collect()
+    val (s0, e0) = (full(0).getLong(0), full(0).getLong(1))
+    val e1 = full(1).getLong(1)
+    val mid = svc.statRange(spark, 3600L * 1000000000L,
+      startNs = (s0 + e0) / 2, endNs = e1 - 1)
+    val starts = mid.select("start_ns").collect()
+      .map(_.getLong(0)).toSet
+    assert(starts.contains(s0), s"boundary bin $s0 missing: $starts")
+  }
+
+  test("statistics supports topic/time restriction") {
+    val day = 86400L * 1000000000L
+    val one = svc.statistics(spark, day, groupByProducer = false,
+      topics = Seq("click"))
+    assert(one.select("topic").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("click"))
+  }
+
+  test("truncation is visible to subsequent queries") {
+    val fresh = new Dp3Service(cat, s => cat.messages(s))
+    assert(fresh.query(spark, "from p5 error;").count() > 0)
+    fresh.truncate(spark, "truncate p5 error now;")
+    assert(fresh.query(spark, "from p5 error;").count() == 0)
+    // other producers unaffected
+    assert(fresh.query(spark, "from p6 error;").count() > 0)
+  }
+
   test("statistics merges producers") {
     val merged = svc.statistics(spark, 86400L * 1000000000L,
       groupByProducer = false)
