@@ -160,4 +160,17 @@ class PlanShapeSpec extends AnyFunSuite {
       Parser.parse("from device a where foo = 10;"))
     assert(e.getMessage.contains("must be qualified with a dot"))
   }
+
+  // plan_test.go:249-276 TestQueryCompilationErrors
+  test("invalid: alias reference against aliased scan") {
+    val e = intercept[Exception](
+      render("from device /fix as f where b.foo = 10;", Seq("device")))
+    assert(e.getMessage.contains("unresolved table alias: b"))
+  }
+
+  test("invalid: alias reference against unaliased scan") {
+    val e = intercept[Exception](
+      render("from device /fix where b.foo = 10;", Seq("device")))
+    assert(e.getMessage.contains("unresolved table alias: b"))
+  }
 }
