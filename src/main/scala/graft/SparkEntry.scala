@@ -809,10 +809,12 @@ object SparkEntry {
          |  FROM tok GROUP BY doc_id)
          |SELECT d.doc_id, length(d.text) AS n_chars_m,
          |  a.n_tokens, a.n_stopwords,
-         |  round(CAST(a.n_stopwords AS DOUBLE) / a.n_tokens, 6)
+         |  CAST((a.n_stopwords * 2000000 + a.n_tokens)
+         |    // (a.n_tokens * 2) AS DOUBLE) / 1000000.0
          |    AS stopword_ratio,
-         |  round(CAST(length(d.text) - (a.n_tokens - 1) AS DOUBLE)
-         |    / a.n_tokens, 6) AS avg_token_len
+         |  CAST(((length(d.text) - (a.n_tokens - 1)) * 2000000
+         |    + a.n_tokens) // (a.n_tokens * 2) AS DOUBLE) / 1000000.0
+         |    AS avg_token_len
          |FROM documents d JOIN agg a ON a.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin
     },

@@ -36,6 +36,15 @@ object TextOps {
   val stopwords: Seq[String] =
     Seq("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
 
+  /** Round num/den to 6 decimals in pure integer math (half-up), then
+    * divide the exact micro-units integer by 1e6 in double. Both engines
+    * perform the same single IEEE division of identical integers, so the
+    * result is bit-identical — `round(double, 6)` is not (last-ULP
+    * disagreements between engines flip the 6th decimal). */
+  private def microRatio(num: String, den: String): Column =
+    expr(s"cast((($num) * 2000000L + $den) div ($den * 2L) as double)") /
+      lit(1000000.0d)
+
   /** Quality-scoring features: length, token count, average token
     * length, stopword ratio, uppercase ratio, digit ratio. */
   def qualityFeatures(df: DataFrame, textCol: String = "text"): DataFrame = {
@@ -46,10 +55,9 @@ object TextOps {
       .withColumn("n_tokens", size(toks).cast("long"))
       .withColumn("n_stopwords", size(stops).cast("long"))
       .withColumn("stopword_ratio",
-        round(col("n_stopwords").cast("double") / col("n_tokens"), 6))
+        microRatio("n_stopwords", "n_tokens"))
       .withColumn("avg_token_len",
-        round((col("n_chars_m") - (col("n_tokens") - 1)).cast("double")
-          / col("n_tokens"), 6))
+        microRatio("n_chars_m - (n_tokens - 1)", "n_tokens"))
   }
 
   /** Marker-word language ID — the classic n-gram/stopword heuristic,
