@@ -222,6 +222,41 @@ object SparkEntry {
         .orderBy("producer", "topic", "start_us")
     }),
 
+    "q_statrange_served" -> ((s, dir) => {
+      // the store-backed serving path: append-only base-tier partials
+      // (two artificial ingest versions, split by day parity) merged
+      // and coarsened in ONE shuffle by tierFromPartials — must equal
+      // DuckDB's direct aggregation of the raw rows (associativity)
+      val m = msgs(s, dir)
+      val even = expr("(time div 86400000000000) % 2 = 0")
+      val partials = StatTiers.base(m.where(even), StatTiers.BaseWidthNs)
+        .unionByName(
+          StatTiers.base(m.where(!even), StatTiers.BaseWidthNs))
+      val tier = StatTiers.tierFromPartials(partials, 3600L * 1000000000L)
+      StatTiers.serve(tier, quantiles = Nil)
+        .select(col("producer"), col("topic"),
+          expr("start_ns div 1000").as("start_us"),
+          expr("end_ns div 1000").as("end_us"),
+          col("msg_count"), col("num_min"), col("num_max"),
+          round(col("num_mean"), 6).as("mean_value"))
+        .orderBy("producer", "topic", "start_us")
+    }),
+
+    "q_truncate_version" -> ((s, dir) => {
+      // version-based truncation (reference rootmap semantics,
+      // server/rootmap/rootmap.go:24-79): pretend each day was one
+      // ingest batch — version = epoch day — and hide whole versions
+      val m = msgs(s, dir).withColumn("ingest_version",
+        expr("time div 86400000000000"))
+      val truncs = s.createDataFrame(Seq(
+        ("p0", "view", 19737L), ("p3", "click", 19730L)
+      )).toDF("producer", "topic", "min_version")
+      Lifecycle.applyTruncations(m, truncs, versionCol = "ingest_version")
+        .groupBy("producer", "topic")
+        .agg(count(lit(1)).as("n"), min(col("time_us")).as("min_us"))
+        .orderBy("producer", "topic")
+    }),
+
     "q_stats_quantiles" -> ((s, dir) =>
       msgs(s, dir).groupBy("topic")
         .agg(
@@ -605,6 +640,28 @@ object SparkEntry {
          |        / count(value), 6) AS mean_value
          |FROM msgs GROUP BY producer, topic, start_us, end_us
          |ORDER BY producer, topic, start_us""".stripMargin,
+
+    // identical to q_statrange — serving from append-only partials must
+    // be indistinguishable from direct aggregation
+    "q_statrange_served" ->
+      s"""$MSGS SELECT producer, topic,
+         |  (time_us // 3600000000) * 3600000000 AS start_us,
+         |  (time_us // 3600000000) * 3600000000 + 3600000000 AS end_us,
+         |  count(*) AS msg_count,
+         |  min(value) AS num_min, max(value) AS num_max,
+         |  round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+         |        / count(value), 6) AS mean_value
+         |FROM msgs GROUP BY producer, topic, start_us, end_us
+         |ORDER BY producer, topic, start_us""".stripMargin,
+
+    "q_truncate_version" ->
+      s"""$MSGS SELECT producer, topic, count(*) AS n,
+         |  min(time_us) AS min_us FROM msgs
+         |WHERE NOT (producer = 'p0' AND topic = 'view'
+         |       AND time_us // 86400000000 <= 19737)
+         |  AND NOT (producer = 'p3' AND topic = 'click'
+         |       AND time_us // 86400000000 <= 19730)
+         |GROUP BY producer, topic ORDER BY producer, topic""".stripMargin,
 
     "q_stats_quantiles" ->
       s"""$MSGS SELECT topic,

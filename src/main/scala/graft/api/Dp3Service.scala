@@ -3,7 +3,7 @@ package graft.api
 import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, max}
 
 import graft.export.Export
 import graft.model.MessageCatalog
@@ -11,6 +11,18 @@ import graft.plan.Planner
 import graft.ql.{Parser, Query, TruncateStmt}
 import graft.stats.StatTiers
 import graft.streaming.Lifecycle
+
+/** The maintained stats + control tables of an ingested layout
+  * (`Ingest.startWithStats`) — dp3's inner-node statistics and rootmap
+  * re-expressed as two small append-only parquet tables. */
+final case class IngestStore(
+    stats: SparkSession => DataFrame,
+    control: SparkSession => DataFrame)
+
+object IngestStore {
+  def apply(cat: graft.model.IngestedCatalog): IngestStore =
+    IngestStore(s => cat.stats(s), s => cat.control(s))
+}
 
 /** The reference's complete user-facing verb set as one typed facade —
   * a dp3 user maps each HTTP endpoint (reference: server/routes/
@@ -28,31 +40,52 @@ import graft.streaming.Lifecycle
   * Everything is lazy DataFrames — callers compose further or write
   * out; nothing materializes on the driver.
   *
-  * Truncation state: dp3 truncates by recording a version watermark in
-  * the rootmap (server/rootmap/sqlrootmap.go:372-404). Here the
-  * service keeps the watermark registry and every scan (queries,
-  * export, stats) goes through it — with event time standing in for
-  * ingest time, `truncate p t <ts>` hides (p, t) rows with
-  * time < ts from all subsequent calls, and `now` hides everything.
+  * With an `IngestStore`, statRange/statistics are served from the
+  * maintained base-tier partials — summary rows, never raw messages
+  * (reference: server/tree/tree.go:214-258, "trillions of points under
+  * a second" from precomputed aggregates, doc/paper/dp3.tex:192-196) —
+  * and truncation follows the reference exactly: the statement's
+  * timestamp resolves via the control table to the latest ingest
+  * version at or before it (server/rootmap/sqlrootmap.go:372-404), and
+  * data, stats and exports hide everything at or below that version.
+  * Without a store, stats fall back to on-the-fly aggregation and
+  * event time stands in for the ingest clock.
   */
 final class Dp3Service(underlying: MessageCatalog,
-    rawMessages: SparkSession => DataFrame) {
+    rawMessages: SparkSession => DataFrame,
+    store: Option[IngestStore] = None) {
 
-  /** (producer, topic) → hide rows with time < asOfNs */
+  /** (producer, topic) → hide rows with ingest_version <= v
+    * (reference truncation watermark: server/rootmap/rootmap.go:24-79) */
+  private val truncatedVersion = TrieMap[(String, String), Long]()
+
+  /** (producer, topic) → hide rows with time < asOfNs — the stand-in
+    * semantics for catalogs with no ingest metadata */
   private val truncatedBelow = TrieMap[(String, String), Long]()
 
+  /** version masks apply to any frame carrying ingest_version —
+    * data rows and stat partials alike (whole-batch masking is what
+    * makes truncated stats exact with no re-aggregation) */
+  private def maskVersions(df: DataFrame): DataFrame =
+    if (!df.columns.contains("ingest_version")) df
+    else truncatedVersion.foldLeft(df) { case (acc, ((p, t), v)) =>
+      acc.where(!(col("producer") === p && col("topic") === t
+        && col("ingest_version") <= v))
+    }
+
   private def maskTopic(df: DataFrame, topic: String): DataFrame =
-    truncatedBelow.foldLeft(df) {
+    maskVersions(truncatedBelow.foldLeft(df) {
       case (acc, ((p, t), ns)) if t == topic =>
         acc.where(!(col("producer") === p && col("time") < ns))
       case (acc, _) => acc
-    }
+    })
 
   private def maskAll(df: DataFrame): DataFrame =
-    truncatedBelow.foldLeft(df) { case (acc, ((p, t), ns)) =>
-      acc.where(!(col("producer") === p && col("topic") === t
-        && col("time") < ns))
-    }
+    maskVersions(truncatedBelow.foldLeft(df) {
+      case (acc, ((p, t), ns)) =>
+        acc.where(!(col("producer") === p && col("topic") === t
+          && col("time") < ns))
+    })
 
   /** catalog view with truncation masks applied at every scan */
   private val catalog: MessageCatalog = new MessageCatalog {
@@ -90,11 +123,38 @@ final class Dp3Service(underlying: MessageCatalog,
     * applies (a narrow stat request must not scan the whole table). */
   private def binAligned(spark: SparkSession, widthNs: Long,
       startNs: Long, endNs: Long): DataFrame = {
+    val (lo, hi) = alignedRange(widthNs, startNs, endNs)
+    messages(spark).where(col("time") >= lo && col("time") < hi)
+  }
+
+  private def alignedRange(widthNs: Long, startNs: Long,
+      endNs: Long): (Long, Long) = {
     val lo = math.floorDiv(startNs, widthNs) * widthNs
     val hi =
       if (endNs >= Long.MaxValue - widthNs) Long.MaxValue
       else math.floorDiv(endNs + widthNs - 1, widthNs) * widthNs
-    messages(spark).where(col("time") >= lo && col("time") < hi)
+    (lo, hi)
+  }
+
+  /** The tier of `widthNs` covering [startNs, endNs): from the
+    * maintained stat partials when a store exists (summary rows only —
+    * the bucket-range predicate prunes the stats scan), else by
+    * aggregating the in-range raw messages. */
+  private def tierFor(spark: SparkSession, widthNs: Long,
+      startNs: Long, endNs: Long,
+      restrict: DataFrame => DataFrame): DataFrame = store match {
+    case Some(st) =>
+      val (lo, hi) = alignedRange(widthNs, startNs, endNs)
+      val b = StatTiers.BaseWidthNs
+      val loBucket = math.floorDiv(lo, b)
+      val hiBucket =
+        if (hi >= Long.MaxValue - b) Long.MaxValue else math.floorDiv(hi + b - 1, b)
+      val partials = maskVersions(restrict(st.stats(spark)))
+        .where(col("bucket") >= loBucket && col("bucket") < hiBucket)
+      StatTiers.tierFromPartials(partials, widthNs)
+    case None =>
+      StatTiers.tierAt(restrict(binAligned(spark, widthNs, startNs, endNs)),
+        widthNs)
   }
 
   /** /statrange: flat per-bin stat records at the requested
@@ -105,8 +165,7 @@ final class Dp3Service(underlying: MessageCatalog,
   def statRange(spark: SparkSession, granularityNs: Long,
       startNs: Long = 0L, endNs: Long = Long.MaxValue): DataFrame = {
     val width = StatTiers.pickTierWidth(granularityNs)
-    val tier = StatTiers.tierAt(
-      binAligned(spark, width, startNs, endNs), width)
+    val tier = tierFor(spark, width, startNs, endNs, identity)
     StatTiers.serve(tier)
       .where(col("start_ns") < endNs && col("end_ns") > startNs)
   }
@@ -119,11 +178,15 @@ final class Dp3Service(underlying: MessageCatalog,
       topics: Seq[String] = Nil, producers: Seq[String] = Nil,
       startNs: Long = 0L, endNs: Long = Long.MaxValue): DataFrame = {
     val width = StatTiers.pickTierWidth(granularityNs)
-    var m = binAligned(spark, width, startNs, endNs)
-    if (topics.nonEmpty) m = m.where(col("topic").isin(topics: _*))
-    if (producers.nonEmpty)
-      m = m.where(col("producer").isin(producers: _*))
-    StatTiers.mergeBins(StatTiers.tierAt(m, width), groupByProducer)
+    val restrict = (df: DataFrame) => {
+      var m = df
+      if (topics.nonEmpty) m = m.where(col("topic").isin(topics: _*))
+      if (producers.nonEmpty)
+        m = m.where(col("producer").isin(producers: _*))
+      m
+    }
+    val tier = tierFor(spark, width, startNs, endNs, restrict)
+    StatTiers.mergeBins(tier, groupByProducer)
       .where(col("bucket") * width < endNs
         && (col("bucket") + 1) * width > startNs)
   }
@@ -131,21 +194,50 @@ final class Dp3Service(underlying: MessageCatalog,
   /** /statistics/available */
   def statisticsAvailable(spark: SparkSession,
       numericFields: Seq[String], textFields: Seq[String]): DataFrame =
-    StatTiers.available(messages(spark), numericFields, textFields)
+    store match {
+      // which (producer, topic) exist is a control-table lookup, not a
+      // data scan (reference: server/treemgr/treemgr.go:569-653)
+      case Some(st) => StatTiers.available(
+        maskVersions(st.control(spark)), numericFields, textFields)
+      case None => StatTiers.available(messages(spark), numericFields,
+        textFields)
+    }
 
   /** /export: ordered multi-topic merge of the named topics. */
   def export(spark: SparkSession, topics: Seq[String]): DataFrame =
     Export.exportMerged(topics.map(t => catalog.scanTopic(spark, t)))
 
-  /** truncate statement: records the watermark (visible to every
-    * subsequent query/export/stat call on this service) and returns
-    * the masked message view. */
+  /** truncate statement. With a store, the statement's timestamp
+    * resolves through the control table to the latest ingest version
+    * whose ingest time is at or before it — exactly the reference's
+    * rootmap resolution (server/rootmap/sqlrootmap.go:372-404) — and
+    * all subsequent queries/stats/exports hide versions at or below
+    * the watermark. Without a store, event time stands in for the
+    * ingest clock. Returns the masked message view. */
   def truncate(spark: SparkSession, stmt: String): DataFrame =
     Parser.parse(stmt) match {
       case t: TruncateStmt =>
-        truncatedBelow((t.producer, t.topic)) =
-          t.asOf.getOrElse(Long.MaxValue)
-        Lifecycle.applyTruncateStatement(spark, rawMessages(spark), t)
+        store match {
+          case Some(st) =>
+            val entries = st.control(spark)
+              .where(col("producer") === t.producer
+                && col("topic") === t.topic)
+            val resolved = t.asOf match {
+              case None => entries // `now`: every version ingested so far
+              case Some(ts) => entries.where(col("ingest_time_ns") <= ts)
+            }
+            // control table is kilobytes (one row per batch × table) —
+            // this collect is a control-plane lookup, like the
+            // reference's SQL query, not a data-plane action
+            val row = resolved.agg(max(col("ingest_version"))).head()
+            if (!row.isNullAt(0))
+              truncatedVersion((t.producer, t.topic)) = row.getLong(0)
+            messages(spark)
+          case None =>
+            truncatedBelow((t.producer, t.topic)) =
+              t.asOf.getOrElse(Long.MaxValue)
+            Lifecycle.applyTruncateStatement(spark, rawMessages(spark), t)
+        }
       case _: Query => throw new IllegalArgumentException(
         "not a truncate statement")
     }

@@ -119,6 +119,34 @@ final class TopicMapCatalog(topics: Map[String, DataFrame])
       .distinct().collect().map(_.getString(0)).sorted.toSeq
 }
 
+/** Catalog over a directory produced by `Ingest.startWithStats`:
+  * day-partitioned data plus the append-only stats and control tables.
+  * Producer discovery reads the kilobyte-scale control table — the
+  * reference's rootmap lookup (server/rootmap/sqlrootmap.go:427-461) —
+  * so `from *` planning touches no event data at any scale. */
+final class IngestedCatalog(dataDir: String, statsDir: String,
+    controlDir: String) extends MessageCatalog with Serializable {
+
+  def messages(spark: SparkSession): DataFrame =
+    spark.read.parquet(dataDir)
+
+  def stats(spark: SparkSession): DataFrame =
+    spark.read.parquet(statsDir)
+
+  def control(spark: SparkSession): DataFrame =
+    spark.read.parquet(controlDir)
+
+  override def scanTopic(spark: SparkSession, topic: String): DataFrame =
+    messages(spark).where(col("topic") === topic)
+
+  override def producers(spark: SparkSession,
+      topics: Seq[String]): Seq[String] =
+    control(spark)
+      .where(col("topic").isin(topics: _*))
+      .select("producer").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+}
+
 /** Plain loaders for the TPC-H-ish driver tables. */
 object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =

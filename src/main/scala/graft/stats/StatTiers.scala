@@ -105,6 +105,19 @@ object StatTiers {
     * append + merge-on-read equivalent to a rebuild. */
   def mergePartials(tier: DataFrame): DataFrame = rollup(tier, 1L)
 
+  /** Serve a tier of `widthNs` straight from append-only base-tier
+    * partials in ONE shuffle: the rollup merge is associative, so
+    * combining per-batch partials and coarsening buckets is a single
+    * groupBy — no mergePartials-then-rollup double shuffle. This is the
+    * 100 TB serving path: the stats table is kilobytes per bucket, so a
+    * year-wide request aggregates summary rows, never raw messages
+    * (reference: server/tree/tree.go:214-258, doc/paper/dp3.tex:192-196). */
+  def tierFromPartials(partials: DataFrame, widthNs: Long): DataFrame = {
+    require(widthNs % BaseWidthNs == 0,
+      s"tier width must be a multiple of $BaseWidthNs")
+    rollup(partials, widthNs / BaseWidthNs)
+  }
+
   /** Build the tier of exactly `widthNs` from raw messages: base tier
     * then ONE rollup with the exact factor (associativity makes a
     * single div-by-F merge identical to F₁·F₂·… chained rollups,

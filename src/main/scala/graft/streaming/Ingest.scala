@@ -53,22 +53,48 @@ object Ingest {
     * data AND its base-tier partial aggregates (the reference computes
     * per-leaf statistics at write time exactly like this —
     * server/treemgr/writer.go:184-203). Partials are merged at read
-    * (StatTiers.mergePartials); associativity makes append-only
-    * maintenance exact, no read-modify-write of the stats table. */
+    * (StatTiers.tierFromPartials); associativity makes append-only
+    * maintenance exact, no read-modify-write of the stats table.
+    *
+    * Every batch is one INGEST VERSION (monotonic, = batchId + 1) —
+    * the analogue of the reference's versionstore counter
+    * (server/versionstore/versionstore.go:22-60). Data rows, stat
+    * partials, and the control table all carry it, so truncation (hide
+    * everything at or below a version) masks data AND statistics
+    * exactly, with no re-aggregation.
+    *
+    * `controlDir`, when set, maintains the (producer, topic) registry
+    * per version — the reference's rootmap table
+    * (server/rootmap/sqlrootmap.go:427-461). Producer discovery
+    * (`from *`) and truncate-timestamp→version resolution then read
+    * this kilobyte-scale table instead of scanning event data. */
   def startWithStats(spark: SparkSession, stream: DataFrame,
-      outDir: String, statsDir: String, checkpointDir: String)
-      : StreamingQuery = {
+      outDir: String, statsDir: String, checkpointDir: String,
+      controlDir: Option[String] = None): StreamingQuery = {
     val deduped = dedupe(stream)
       .withColumn("day", expr("time div 86400000000000"))
     deduped.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.persist()
-        batch.write.mode("append").partitionBy("topic", "day")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val version = batchId + 1
+        val b = batch.withColumn("ingest_version", lit(version))
+        b.persist()
+        b.write.mode("append").partitionBy("topic", "day")
           .parquet(outDir)
-        graft.stats.StatTiers.base(batch.drop("day", "ts_watermark"),
+        graft.stats.StatTiers.base(b.drop("day", "ts_watermark"),
             60L * 1000000000L)
+          .withColumn("ingest_version", lit(version))
           .write.mode("append").parquet(statsDir)
-        batch.unpersist()
+        controlDir.foreach { cd =>
+          b.groupBy("producer", "topic")
+            .agg(count(lit(1)).as("msg_count"),
+              min(col("time")).as("min_time"),
+              max(col("time")).as("max_time"))
+            .withColumn("ingest_version", lit(version))
+            .withColumn("ingest_time_ns",
+              lit(System.currentTimeMillis() * 1000000L))
+            .write.mode("append").parquet(cd)
+        }
+        b.unpersist()
         ()
       }
       .option("checkpointLocation", checkpointDir)
@@ -123,14 +149,18 @@ object Lifecycle {
 
   /** Truncate: hide everything at or below the version watermark for a
     * (producer, topic). `truncations` columns: producer, topic,
-    * min_version. */
-  def applyTruncations(messages: DataFrame, truncations: DataFrame)
-      : DataFrame =
+    * min_version. `versionCol` names the message column holding the
+    * ingest version (reference: server/rootmap/rootmap.go:24-79 —
+    * truncation is by ingest version, not event time); ingested layouts
+    * carry `ingest_version`, while catalogs without ingest metadata use
+    * the `seq` sequence number as the stand-in version. */
+  def applyTruncations(messages: DataFrame, truncations: DataFrame,
+      versionCol: String = "seq"): DataFrame =
     messages.join(
       broadcast(truncations),
       messages("producer") === truncations("producer")
         && messages("topic") === truncations("topic")
-        && messages("seq") <= truncations("min_version"),
+        && messages(versionCol) <= truncations("min_version"),
       "left_anti")
 
   /** Execute a parsed `truncate <producer> <topic> [now|ts];`

@@ -90,6 +90,47 @@ class Dp3ServiceSpec extends AnyFunSuite {
     assert(e.sameElements(e.sorted))
   }
 
+  test("store-backed truncation hides whole ingest versions from " +
+      "data and stats") {
+    import spark.implicits._
+    import graft.stats.StatTiers
+    val base = java.nio.file.Files.createTempDirectory("graft-trunc")
+      .toString
+    val v1 = Seq(("p0", "click", 10L * 1000000000L, 1L, 1.0),
+      ("p0", "click", 20L * 1000000000L, 2L, 2.0))
+      .toDF("producer", "topic", "time", "seq", "value")
+    val v2 = Seq(("p0", "click", 70L * 1000000000L, 3L, 4.0))
+      .toDF("producer", "topic", "time", "seq", "value")
+    def ver(df: org.apache.spark.sql.DataFrame, v: Long) =
+      df.withColumn("ingest_version", lit(v))
+    ver(v1, 1).union(ver(v2, 2)).write.parquet(s"$base/data")
+    StatTiers.base(v1, StatTiers.BaseWidthNs)
+      .withColumn("ingest_version", lit(1L))
+      .unionByName(StatTiers.base(v2, StatTiers.BaseWidthNs)
+        .withColumn("ingest_version", lit(2L)))
+      .write.parquet(s"$base/stats")
+    Seq(("p0", "click", 1L, 1000L), ("p0", "click", 2L, 2000L))
+      .toDF("producer", "topic", "ingest_version", "ingest_time_ns")
+      .write.parquet(s"$base/control")
+
+    val cat = new graft.model.IngestedCatalog(
+      s"$base/data", s"$base/stats", s"$base/control")
+    val svc = new Dp3Service(cat, s => cat.messages(s),
+      Some(graft.api.IngestStore(cat)))
+
+    // timestamp 1500 resolves to ingest version 1 via the control
+    // table (reference: sqlrootmap.go:372-404) — batch 1 disappears
+    // from queries AND statistics, batch 2 survives
+    svc.truncate(spark, "truncate p0 click 1500;")
+    assert(svc.query(spark, "from p0 click;").count() == 1)
+    val bins = svc.statRange(spark, 3600L * 1000000000L)
+    assert(bins.agg(sum("msg_count")).head().getLong(0) == 1L)
+    // `now` empties the table entirely
+    svc.truncate(spark, "truncate p0 click now;")
+    assert(svc.query(spark, "from p0 click;").count() == 0)
+    assert(svc.statRange(spark, 3600L * 1000000000L).count() == 0)
+  }
+
   test("truncate statement masks data") {
     val before = cat.messages(spark)
       .where(col("producer") === "p3" && col("topic") === "click").count()

@@ -104,6 +104,45 @@ class PlanQualitySpec extends AnyFunSuite {
       .select("seq").collect().map(_.getLong(0)).toSeq == Seq(2L))
   }
 
+  test("statrange with a store scans the stats table, never event data") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-store")
+      .toString
+    val msgs = Seq(
+      ("p0", "click", 10L * 1000000000L, 1L, 1.0),
+      ("p0", "click", 70L * 1000000000L, 2L, 3.0)
+    ).toDF("producer", "topic", "time", "seq", "value")
+    msgs.write.parquet(s"$base/data")
+    StatTiers.base(msgs, StatTiers.BaseWidthNs)
+      .withColumn("ingest_version", lit(1L))
+      .write.parquet(s"$base/stats")
+    val cat = new graft.model.IngestedCatalog(
+      s"$base/data", s"$base/stats", s"$base/control")
+    val svc = new graft.api.Dp3Service(cat, s => cat.messages(s),
+      Some(graft.api.IngestStore(cat)))
+    val bins = svc.statRange(spark, 3600L * 1000000000L)
+    // the serving plan reads ONLY summary rows — this is the property
+    // that makes a year-wide request at 100 TB sub-second
+    assert(bins.inputFiles.nonEmpty)
+    assert(bins.inputFiles.forall(_.contains("/stats")),
+      bins.inputFiles.mkString(", "))
+    assert(bins.agg(sum("msg_count")).head().getLong(0) == 2L)
+  }
+
+  test("from * planning reads the control table, never event data") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-ctl")
+      .toString
+    Seq(("p0", "click", 1L, 1L), ("p1", "click", 1L, 1L))
+      .toDF("producer", "topic", "ingest_version", "ingest_time_ns")
+      .write.parquet(s"$base/control")
+    // dataDir deliberately nonexistent: if producer discovery touched
+    // event data, this would throw
+    val cat = new graft.model.IngestedCatalog(
+      s"$base/does-not-exist", s"$base/stats", s"$base/control")
+    assert(cat.producers(spark, Seq("click")) == Seq("p0", "p1"))
+  }
+
   test("stats available lists field x stat combinations") {
     val m = new EventsCatalog(sfDir).messages(spark)
     val av = StatTiers.available(m, numericFields = Seq("value", "k"),

@@ -44,6 +44,7 @@ class StreamingIngestSpec extends AnyFunSuite {
     val base = Files.createTempDirectory("graft-stats").toString
     val in = s"$base/in"; val out = s"$base/out"
     val stats = s"$base/stats"; val cp = s"$base/cp"
+    val control = s"$base/control"
 
     val rows = Seq(
       ("p0", "click", 10L * 1000000000L, 1L, 1.0),
@@ -53,7 +54,8 @@ class StreamingIngestSpec extends AnyFunSuite {
     rows.write.parquet(in)
 
     val stream = spark.readStream.schema(rows.schema).parquet(in)
-    val q = Ingest.startWithStats(spark, stream, out, stats, cp)
+    val q = Ingest.startWithStats(spark, stream, out, stats, cp,
+      controlDir = Some(control))
     q.awaitTermination(120000)
 
     import graft.stats.StatTiers
@@ -63,6 +65,15 @@ class StreamingIngestSpec extends AnyFunSuite {
       df.select("producer", "topic", "bucket", "msg_count", "num_min",
         "num_max").orderBy("bucket").collect().toSeq
     assert(key(served) == key(direct))
+
+    // every row, stat partial, and control entry carries the batch's
+    // ingest version — the reference's versionstore counter
+    val data = spark.read.parquet(out)
+    assert(data.columns.contains("ingest_version"))
+    val ctl = spark.read.parquet(control)
+    assert(ctl.columns.toSet.contains("ingest_version"))
+    assert(ctl.select("producer", "topic").distinct().count() == 1)
+    assert(ctl.agg(sum("msg_count")).head().getLong(0) == 3L)
   }
 
   test("range deletes and truncation masks") {
