@@ -8,13 +8,15 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Minimal MCAP container support — enough of the PUBLIC MCAP spec
-  * (https://mcap.dev/spec) to round-trip the reference's data model:
-  * magic, Header(0x01), Schema(0x03), Channel(0x04), Message(0x05),
-  * DataEnd(0x0F), Footer(0x02). Un-chunked, no CRCs, no index — the
-  * subset the reference itself writes in its test fixtures
-  * (reference: server/mcap/testutils.go:39-130 writes via the official
-  * writer; the record framing here follows the spec, not that code).
+/** MCAP container support — the PUBLIC MCAP spec (https://mcap.dev/spec)
+  * subset the reference reads and writes: magic, Header(0x01),
+  * Schema(0x03), Channel(0x04), Message(0x05), Chunk(0x06),
+  * DataEnd(0x0F), Footer(0x02), with zstd / lz4 / uncompressed chunks.
+  * The reference's default output is chunked zstd (4 MiB chunks,
+  * reference: server/mcap/mcap.go:50-66, zstd at :23-41), so the writer
+  * defaults match; index/summary records (MessageIndex, ChunkIndex,
+  * Statistics, SummaryOffset) are skipped on read — this reader scans
+  * linearly, like the official readers do when unindexed.
   *
   * All integers little-endian; record = opcode u8 + length u64 +
   * payload; string = u32 length + bytes.
@@ -33,19 +35,54 @@ object Mcap {
 
   // --- writer ------------------------------------------------------------
 
-  final class Writer {
+  /** Chunked-by-default writer mirroring the reference's defaults
+    * (Chunked: true, ChunkSize: 4 MiB, Compression: zstd —
+    * server/mcap/mcap.go:50-66). Schema/channel records are written
+    * into the chunk stream, which the spec allows and official writers
+    * do. `compression` ∈ {"zstd", "lz4", ""}. */
+  final class Writer(chunked: Boolean = true,
+      compression: String = "zstd", chunkSize: Int = 4 << 20) {
     private val out = new ByteArrayOutputStream()
     out.write(Magic)
-    record(0x01, { b => str(b, "graft"); str(b, "") }) // Header(profile, library)
+    writeRecord(out, 0x01, { b => str(b, "graft"); str(b, "") })
 
-    private def record(op: Int, fill: ByteArrayOutputStream => Unit)
-        : Unit = {
+    private val chunkBuf = new ByteArrayOutputStream()
+    private var msgStart = Long.MaxValue
+    private var msgEnd = 0L
+
+    private def writeRecord(dst: ByteArrayOutputStream, op: Int,
+        fill: ByteArrayOutputStream => Unit): Unit = {
       val body = new ByteArrayOutputStream()
       fill(body)
       val payload = body.toByteArray
-      out.write(op)
-      out.write(u64(payload.length.toLong))
-      out.write(payload)
+      dst.write(op)
+      dst.write(u64(payload.length.toLong))
+      dst.write(payload)
+    }
+
+    private def record(op: Int, fill: ByteArrayOutputStream => Unit)
+        : Unit =
+      if (chunked) {
+        writeRecord(chunkBuf, op, fill)
+        if (chunkBuf.size() >= chunkSize) flushChunk()
+      } else writeRecord(out, op, fill)
+
+    private def flushChunk(): Unit = {
+      if (chunkBuf.size() == 0) return
+      val raw = chunkBuf.toByteArray
+      chunkBuf.reset()
+      val compressed = Compression.compress(compression, raw)
+      writeRecord(out, 0x06, { b =>
+        b.write(u64(if (msgStart == Long.MaxValue) 0L else msgStart))
+        b.write(u64(msgEnd))
+        b.write(u64(raw.length.toLong))
+        b.write(u32(0L)) // uncompressed_crc = 0: not computed (spec-legal)
+        str(b, compression)
+        b.write(u64(compressed.length.toLong))
+        b.write(compressed)
+      })
+      msgStart = Long.MaxValue
+      msgEnd = 0L
     }
 
     private def u16(v: Int): Array[Byte] =
@@ -73,19 +110,66 @@ object Mcap {
       b.write(u32(0L)) // empty metadata map (byte length 0)
     })
 
-    def writeMessage(m: MessageRec): Unit = record(0x05, { b =>
-      b.write(u16(m.channelId)); b.write(u32(m.sequence))
-      b.write(u64(m.logTime)); b.write(u64(m.publishTime))
-      b.write(m.data)
-    })
+    def writeMessage(m: MessageRec): Unit = {
+      msgStart = math.min(msgStart, m.logTime)
+      msgEnd = math.max(msgEnd, m.logTime)
+      record(0x05, { b =>
+        b.write(u16(m.channelId)); b.write(u32(m.sequence))
+        b.write(u64(m.logTime)); b.write(u64(m.publishTime))
+        b.write(m.data)
+      })
+    }
 
     def finish(): Array[Byte] = {
-      record(0x0F, b => b.write(u32(0L)))        // DataEnd(crc=0)
-      record(0x02, { b =>                         // Footer
+      if (chunked) flushChunk()
+      writeRecord(out, 0x0F, b => b.write(u32(0L))) // DataEnd(crc=0)
+      writeRecord(out, 0x02, { b =>                  // Footer
         b.write(u64(0L)); b.write(u64(0L)); b.write(u32(0L))
       })
       out.write(Magic)
       out.toByteArray
+    }
+  }
+
+  /** zstd via zstd-jni and lz4 frame format via lz4-java — both ship
+    * with Spark (parquet/shuffle codecs), no extra dependency. */
+  private object Compression {
+    def compress(name: String, raw: Array[Byte]): Array[Byte] =
+      name match {
+        case "" => raw
+        case "zstd" => com.github.luben.zstd.Zstd.compress(raw)
+        case "lz4" =>
+          val bos = new ByteArrayOutputStream()
+          val s = new net.jpountz.lz4.LZ4FrameOutputStream(bos)
+          s.write(raw); s.close()
+          bos.toByteArray
+        case other =>
+          throw new IllegalArgumentException(
+            s"unsupported chunk compression '$other'")
+      }
+
+    def decompress(name: String, data: Array[Byte],
+        uncompressedSize: Int): Array[Byte] = name match {
+      case "" => data
+      case "zstd" =>
+        com.github.luben.zstd.Zstd.decompress(data, uncompressedSize)
+      case "lz4" =>
+        val in = new net.jpountz.lz4.LZ4FrameInputStream(
+          new java.io.ByteArrayInputStream(data))
+        val outB = new Array[Byte](uncompressedSize)
+        var off = 0
+        var n = 0
+        while (off < uncompressedSize && n >= 0) {
+          n = in.read(outB, off, uncompressedSize - off)
+          if (n > 0) off += n
+        }
+        in.close()
+        require(off == uncompressedSize,
+          s"lz4 chunk truncated: $off of $uncompressedSize bytes")
+        outB
+      case other =>
+        throw new IllegalArgumentException(
+          s"unsupported chunk compression '$other'")
     }
   }
 
@@ -99,8 +183,18 @@ object Mcap {
       bytes.take(8).sameElements(Magic), "not an MCAP file")
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     buf.position(8)
-    val schemas = scala.collection.mutable.Map[Int, SchemaRec]()
-    val channels = scala.collection.mutable.Map[Int, ChannelRec]()
+    records(buf,
+      scala.collection.mutable.Map[Int, SchemaRec](),
+      scala.collection.mutable.Map[Int, ChannelRec]())
+  }
+
+  /** Linear record scan; chunks decompress and recurse on the inner
+    * record stream (schema/channel state is shared, so definitions in
+    * one chunk resolve messages in later ones). */
+  private def records(buf: ByteBuffer,
+      schemas: scala.collection.mutable.Map[Int, SchemaRec],
+      channels: scala.collection.mutable.Map[Int, ChannelRec])
+      : Iterator[Decoded] = {
     val out = Iterator.unfold(()) { _ =>
       if (buf.remaining() < 9) None
       else {
@@ -109,18 +203,19 @@ object Mcap {
         if (op == 0x02 || buf.remaining() < len) None // footer / truncated
         else {
           val end = buf.position() + len.toInt
-          val res: Option[Decoded] = op match {
+          val res: Iterator[Decoded] = op match {
             case 0x03 =>
               val id = buf.getShort() & 0xffff
               val name = readStr(buf); val enc = readStr(buf)
               val dlen = buf.getInt()
               val d = new Array[Byte](dlen); buf.get(d)
-              schemas(id) = SchemaRec(id, name, enc, d); None
+              schemas(id) = SchemaRec(id, name, enc, d); Iterator.empty
             case 0x04 =>
               val id = buf.getShort() & 0xffff
               val sid = buf.getShort() & 0xffff
               val topic = readStr(buf); val menc = readStr(buf)
-              channels(id) = ChannelRec(id, sid, topic, menc); None
+              channels(id) = ChannelRec(id, sid, topic, menc)
+              Iterator.empty
             case 0x05 =>
               val cid = buf.getShort() & 0xffff
               val seq = buf.getInt().toLong & 0xffffffffL
@@ -130,8 +225,20 @@ object Mcap {
                 throw new IllegalStateException(s"unknown channel $cid"))
               val schemaName =
                 schemas.get(ch.schemaId).map(_.name).getOrElse("")
-              Some(Decoded(ch.topic, schemaName, seq, lt, pt, d))
-            case _ => None // header, data end, anything else: skip
+              Iterator.single(
+                Decoded(ch.topic, schemaName, seq, lt, pt, d))
+            case 0x06 =>
+              buf.getLong(); buf.getLong() // message start/end time
+              val usize = buf.getLong()
+              buf.getInt()                 // uncompressed_crc (unchecked)
+              val comp = readStr(buf)
+              val rlen = buf.getLong()
+              val cdata = new Array[Byte](rlen.toInt); buf.get(cdata)
+              val raw = Compression.decompress(comp, cdata, usize.toInt)
+              records(
+                ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN),
+                schemas, channels)
+            case _ => Iterator.empty // header, indexes, data end: skip
           }
           buf.position(end)
           Some((res, ()))

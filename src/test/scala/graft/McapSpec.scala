@@ -15,8 +15,7 @@ import graft.mcap.Mcap
 class McapSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
-  private def fixture(): Array[Byte] = {
-    val w = new Mcap.Writer
+  private def fixture(w: Mcap.Writer = new Mcap.Writer): Array[Byte] = {
     w.writeSchema(Mcap.SchemaRec(1, "package/test", "ros1msg",
       "string data\nint16 count".getBytes))
     w.writeChannel(Mcap.ChannelRec(0, 1, "topic-0", "ros1"))
@@ -28,13 +27,35 @@ class McapSpec extends AnyFunSuite {
     w.finish()
   }
 
-  test("writer/reader round-trip preserves messages and topics") {
-    val msgs = Mcap.read(fixture()).toSeq
+  private def checkRoundTrip(bytes: Array[Byte]): Unit = {
+    val msgs = Mcap.read(bytes).toSeq
     assert(msgs.map(m => (m.topic, m.logTime)) == Seq(
       ("topic-0", 1L), ("topic-0", 3L), ("topic-0", 5L),
       ("topic-1", 2L), ("topic-1", 4L), ("topic-1", 6L)))
     assert(msgs.forall(_.schemaName == "package/test"))
     assert(new String(msgs.head.data) == "m1")
+  }
+
+  test("writer/reader round-trip preserves messages and topics " +
+      "(default: chunked zstd, the reference's output format)") {
+    val bytes = fixture()
+    // the payload really is inside a Chunk(0x06) record, not in the
+    // clear: first top-level record after the Header must be a chunk
+    val afterHeader = 8 + 9 + ("graft".length + 4) + 4
+    assert((bytes(afterHeader) & 0xff) == 0x06, "expected Chunk record")
+    checkRoundTrip(bytes)
+  }
+
+  test("round-trip: un-chunked, lz4, and uncompressed chunks") {
+    checkRoundTrip(fixture(new Mcap.Writer(chunked = false)))
+    checkRoundTrip(fixture(new Mcap.Writer(compression = "lz4")))
+    checkRoundTrip(fixture(new Mcap.Writer(compression = "")))
+  }
+
+  test("schema/channel in one chunk resolve messages in later chunks") {
+    // chunkSize=1 flushes after every record: 8 single-record chunks,
+    // so every message lands in a chunk AFTER its channel definition
+    checkRoundTrip(fixture(new Mcap.Writer(chunkSize = 1)))
   }
 
   test("reader rejects non-MCAP bytes") {
