@@ -43,6 +43,30 @@ object Dedup {
     df.select(col(idCol).as("_id"),
       explode(shingles(col(textCol), k)).as("sh"))
 
+  /** Drop shingles whose document frequency exceeds `maxDf` — the
+    * production guard against the O(f²) pair blowup on boilerplate: one
+    * shingle shared by f documents produces f² candidate rows in the
+    * inverted-index self-join before any threshold applies, which at
+    * 100 TB is fatal for e.g. a common header line. Near-universal
+    * shingles also carry no dedup signal (same argument as stopword
+    * removal), so both intersections AND set sizes are computed over
+    * the capped shingle universe — jaccard stays a consistent set
+    * similarity over the reduced vocabulary.
+    *
+    * One extra aggregation + semi-join, both keyed on `sh` — the same
+    * key the self-join shuffles on, so the exchange is reused. */
+  private def capDf(sh: DataFrame, maxDf: Int): DataFrame =
+    if (maxDf == Int.MaxValue) sh
+    else {
+      require(maxDf >= 2, s"maxDf must be >= 2 (got $maxDf): " +
+        "a shingle needs at least 2 docs to generate a pair")
+      val keep = sh.groupBy(col("sh"))
+        .agg(count(lit(1)).as("_df"))
+        .where(col("_df") <= maxDf)
+        .select("sh")
+      sh.join(keep.hint("shuffle_hash"), Seq("sh"), "left_semi")
+    }
+
   /** Exact n-gram-Jaccard near-duplicate pairs via inverted index:
     * returns (id_a, id_b, jaccard) for pairs ≥ threshold.
     *
@@ -53,12 +77,12 @@ object Dedup {
     * docs) the build-side map of a hot partition can exceed executor
     * memory; pass hashJoin = false there to let sort-merge spill —
     * though with such skew the O(f²) pair blowup, not the join
-    * strategy, is the real problem and a document-frequency cap on
-    * shingles is the production answer. */
+    * strategy, is the real problem and `maxDf` is the production
+    * answer (see [[capDf]]). */
   def jaccardPairs(df: DataFrame, k: Int, threshold: Double,
       idCol: String = "doc_id", textCol: String = "text",
-      hashJoin: Boolean = true): DataFrame = {
-    val sh = withShingles(df, k, idCol, textCol)
+      hashJoin: Boolean = true, maxDf: Int = Int.MaxValue): DataFrame = {
+    val sh = capDf(withShingles(df, k, idCol, textCol), maxDf)
     val sizes = sh.groupBy(col("_id")).agg(count(lit(1)).as("n"))
     val left = if (hashJoin) sh.hint("shuffle_hash") else sh
     val a = left.as("a"); val b = sh.as("b")
@@ -88,11 +112,11 @@ object Dedup {
     * column) re-evaluates the shingle array 8x after Catalyst's
     * project collapse inlines it — measured 15x slower at sf0.1. */
   def minhashLshCandidates(df: DataFrame, k: Int, numHashes: Int,
-      bands: Int, idCol: String = "doc_id", textCol: String = "text")
-      : DataFrame = {
+      bands: Int, idCol: String = "doc_id", textCol: String = "text",
+      maxDf: Int = Int.MaxValue): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val sh = withShingles(df, k, idCol, textCol)
+    val sh = capDf(withShingles(df, k, idCol, textCol), maxDf)
     val sigCols = (0 until numHashes).map(i =>
       min(md5(concat(lit(s"$i:"), col("sh")))).as(s"_h$i"))
     val withSig = sh.groupBy(col("_id"))
@@ -115,37 +139,53 @@ object Dedup {
   /** Connected-component clustering of near-duplicate pairs: every id
     * is labeled with the smallest id reachable through the pair graph
     * (the cluster representative to keep). Iterative min-label
-    * propagation — the standard BSP formulation, O(component diameter)
-    * rounds, each one join + one aggregation; near-dup components are
-    * shallow in practice so this converges in a handful of rounds even
-    * at 100 TB (same shape as GraphX connected components).
-    */
+    * propagation with pointer-jumping (label <- label(label)) each
+    * round, so convergence takes O(log diameter) rounds, not
+    * O(diameter) — same shape as GraphX connected components / the
+    * two-phase "large/small star" algorithm. Runs to FULL convergence
+    * (changed == 0); `maxIters` is a runaway-graph safety valve that
+    * THROWS rather than silently returning wrong labels (log2 of any
+    * real diameter fits comfortably in the default 50).
+    *
+    * Each round's result is `localCheckpoint`ed so round-N plans stay
+    * O(1) instead of accreting the whole lineage. */
   def clusters(ids: DataFrame, pairs: DataFrame,
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id", maxIters: Int = 50): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .cache()
+      .localCheckpoint()
     var labels = ids.select(col(idCol).as("id"), col(idCol).as("label"))
-      .cache()
+      .localCheckpoint()
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < 20) {
+    while (changed > 0) {
+      if (iter >= maxIters)
+        throw new IllegalStateException(
+          s"Dedup.clusters did not converge in $maxIters rounds " +
+            s"($changed labels still changing) — pathological graph?")
+      // propagate: each node takes the min label among its neighbors
       val prop = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
-      val updated = labels
+      val stepped = labels
         .join(prop, labels("id") === prop("src"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nlabel"), col("label")))
-            .as("label"),
-          (coalesce(col("nlabel"), col("label")) < col("label"))
-            .as("_chg"))
-        .cache()
-      changed = updated.where(col("_chg")).count()
-      labels.unpersist()
-      labels = updated.select("id", "label").cache()
+            .as("label"))
+      // pointer-jump: label <- label(label), halving remaining depth
+      val reps = stepped
+        .select(col("id").as("_rid"), col("label").as("_rlabel"))
+      val jumped = stepped
+        .join(reps, stepped("label") === col("_rid"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("_rlabel"), col("label")))
+            .as("label"))
+        .localCheckpoint()
+      changed = jumped
+        .join(labels.withColumnRenamed("label", "_old"), "id")
+        .where(col("label") =!= col("_old")).count()
+      labels = jumped
       iter += 1
     }
-    edges.unpersist()
     labels.withColumnRenamed("id", idCol)
       .withColumnRenamed("label", "cluster")
   }

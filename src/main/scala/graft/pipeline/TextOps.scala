@@ -41,12 +41,17 @@ object TextOps {
     * perform the same single IEEE division of identical integers, so the
     * result is bit-identical — `round(double, 6)` is not (last-ULP
     * disagreements between engines flip the 6th decimal). */
-  private def microRatio(num: String, den: String): Column =
-    expr(s"cast((($num) * 2000000L + $den) div ($den * 2L) as double)") /
-      lit(1000000.0d)
+  /** The ratio num/den as an exact half-up-rounded integer count of
+    * micro-units (1e-6). Pure 64-bit integer arithmetic — bit-identical
+    * across engines, safe to hash in cross-engine comparisons where a
+    * double's last ULP is not. */
+  private def microUnits(num: String, den: String): Column =
+    expr(s"(($num) * 2000000L + $den) div ($den * 2L)")
 
   /** Quality-scoring features: length, token count, average token
-    * length, stopword ratio, uppercase ratio, digit ratio. */
+    * length, stopword ratio. Ratios come in two forms: `_micro6` exact
+    * integer micro-units (cross-engine hashable) and the derived double
+    * (human-facing; last-ULP may differ between engines). */
   def qualityFeatures(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
     val toks = tokens(t)
@@ -54,10 +59,14 @@ object TextOps {
     df.withColumn("n_chars_m", length(t).cast("long"))
       .withColumn("n_tokens", size(toks).cast("long"))
       .withColumn("n_stopwords", size(stops).cast("long"))
+      .withColumn("stopword_ratio_micro6",
+        microUnits("n_stopwords", "n_tokens").cast("long"))
+      .withColumn("avg_token_len_micro6",
+        microUnits("n_chars_m - (n_tokens - 1)", "n_tokens").cast("long"))
       .withColumn("stopword_ratio",
-        microRatio("n_stopwords", "n_tokens"))
+        col("stopword_ratio_micro6").cast("double") / lit(1000000.0d))
       .withColumn("avg_token_len",
-        microRatio("n_chars_m - (n_tokens - 1)", "n_tokens"))
+        col("avg_token_len_micro6").cast("double") / lit(1000000.0d))
   }
 
   /** Marker-word language ID — the classic n-gram/stopword heuristic,

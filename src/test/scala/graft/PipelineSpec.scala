@@ -40,6 +40,53 @@ class PipelineSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("shingle df-cap bounds the pair blowup from a hot shingle") {
+    // 12 docs all sharing one boilerplate line (one hot shingle each),
+    // plus two genuine near-dups. Uncapped, the boilerplate alone
+    // yields 12*11/2 = 66 joined pairs; capped at df<=4 the hot
+    // shingle is dropped and only the genuine near-dup pair survives.
+    val boiler = (0L until 12L).map(i =>
+      (i, s"common header line x$i y$i z$i"))
+    val dups = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta"),
+      (101L, "alpha beta gamma delta epsilon eta"))
+    val corpus = (boiler ++ dups).toDF("doc_id", "text")
+    val capped = Dedup.jaccardPairs(corpus, k = 3, threshold = 0.1,
+      maxDf = 4).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((100L, 101L)))
+    // uncapped the hot shingle alone materializes all 66 boilerplate
+    // pairs (each at jaccard 1/7) — the cap is what removed them
+    val uncapped = Dedup.jaccardPairs(corpus, k = 3, threshold = 0.1)
+      .collect().length
+    assert(uncapped >= 66)
+    // same cap on the LSH path
+    val lsh = Dedup.minhashLshCandidates(corpus, k = 3, numHashes = 8,
+      bands = 4, maxDf = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == Set((100L, 101L)))
+  }
+
+  test("clustering converges past 20-round diameters (chain of 30)") {
+    // a path graph 0-1-2-...-29: min-label needs to travel diameter 29;
+    // the old fixed 20-round cap silently returned wrong labels here.
+    val n = 30
+    val ids = (0L until n.toLong).toDF("doc_id")
+    val pairs = (0L until (n - 1).toLong).map(i => (i, i + 1))
+      .toDF("id_a", "id_b")
+    val got = Dedup.clusters(ids, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == n && got.values.forall(_ == 0L))
+  }
+
+  test("clustering throws rather than returning unconverged labels") {
+    val ids = (0L until 40L).toDF("doc_id")
+    val pairs = (0L until 39L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.clusters(ids, pairs, maxIters = 2).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("near-dup clustering labels components with min id") {
     val ids = Seq(0L, 1L, 2L, 3L, 4L, 5L).toDF("doc_id")
     // component {0,1,3} via chain 0-1, 1-3; component {4,5}; 2 alone
@@ -87,9 +134,12 @@ class PipelineSpec extends AnyFunSuite {
 
   test("text quality features") {
     val r = TextOps.qualityFeatures(docs).where($"doc_id" === 0)
-      .select("n_tokens", "n_stopwords").collect().head
+      .select("n_tokens", "n_stopwords", "stopword_ratio_micro6",
+        "stopword_ratio").collect().head
     assert(r.getLong(0) == 9L)
     assert(r.getLong(1) == 2L) // "the" twice
+    assert(r.getLong(2) == 222222L) // round(2/9 * 1e6) half-up, exact int
+    assert(r.getDouble(3) == 222222L / 1e6) // derived double
   }
 
   test("langid picks en for english-markered text") {

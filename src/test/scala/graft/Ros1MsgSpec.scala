@@ -131,4 +131,131 @@ class Ros1MsgSpec extends AnyFunSuite {
     assert(!names.exists(_.contains("v")))
     assert(!names.exists(_.contains("big")))
   }
+
+  // --- nested records (reference transform.go:44-165) -------------------
+
+  private val pointStamped =
+    """Header header
+      |geometry_msgs/Point point
+      |===
+      |MSG: std_msgs/Header
+      |uint32 seq
+      |time stamp
+      |string frame_id
+      |===
+      |MSG: geometry_msgs/Point
+      |float64 x
+      |float64 y
+      |float64 z
+      |""".stripMargin
+
+  private def pointStampedPayload(seq: Int, frame: String,
+      x: Double, y: Double, z: Double): Array[Byte] = {
+    val b = ByteBuffer.allocate(4 + 8 + 4 + frame.length + 24)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    b.putInt(seq)
+    b.putInt(7).putInt(500) // stamp: 7s + 500ns
+    b.putInt(frame.length).put(frame.getBytes)
+    b.putDouble(x).putDouble(y).putDouble(z)
+    b.array()
+  }
+
+  test("nested MSG: sub-definitions resolve; Header decodes") {
+    val d = Ros1Msg.parse(pointStamped, pkg = "geometry_msgs")
+    assert(d.fields.map(_.name) == Seq("header", "point"))
+    val row = Ros1Msg.decode(d,
+      pointStampedPayload(42, "base_link", 1.5, 2.5, 3.5))
+    val header = row.getStruct(0)
+    assert(header.getLong(0) == 42L)          // uint32 seq -> Long
+    assert(header.getLong(1) == 7000000500L)  // time -> ns
+    assert(header.getString(2) == "base_link")
+    val point = row.getStruct(1)
+    assert(point.getDouble(0) == 1.5)
+    assert(point.getDouble(2) == 3.5)
+  }
+
+  test("flat view order matches AnalyzeSchema: records to the back") {
+    // reference parser.go:551-589 — the queue is seeded per TOP-LEVEL
+    // field, so top-level {a, b{c}, d} stays in source order a, b.c, d,
+    // but WITHIN one field's subtree record subfields defer to the
+    // back: o{a, b{c}, d} flattens o.a, o.d, o.b.c.
+    val d = Ros1Msg.parse(
+      """int8 a
+        |Sub b
+        |int8 d
+        |===
+        |MSG: pkg/Sub
+        |int8 c
+        |""".stripMargin, pkg = "pkg")
+    assert(Ros1Msg.flatFields(d).map(_._1) == Seq("a", "b.c", "d"))
+    val nested = Ros1Msg.parse(
+      """Outer o
+        |===
+        |MSG: pkg/Outer
+        |int8 a
+        |Sub b
+        |int8 d
+        |===
+        |MSG: pkg/Sub
+        |int8 c
+        |""".stripMargin, pkg = "pkg")
+    assert(Ros1Msg.flatFields(nested).map(_._1) ==
+      Seq("o.a", "o.d", "o.b.c"))
+    // complex fixed-length array: parser_test.go "complex fixed-length array"
+    val d2 = Ros1Msg.parse(
+      """int8 field1
+        |Sub[2] field2
+        |===
+        |MSG: pkg/Sub
+        |int16 subfield1
+        |""".stripMargin, pkg = "pkg")
+    assert(Ros1Msg.flatFields(d2).map(_._1) ==
+      Seq("field1", "field2[0].subfield1", "field2[1].subfield1"))
+  }
+
+  test("nested decode end to end through a DataFrame flat projection") {
+    import spark.implicits._
+    val raw = Seq(
+      ("t", 10L, pointStampedPayload(1, "map", 0.1, 0.2, 0.3)),
+      ("t", 20L, pointStampedPayload(2, "odom", 4.0, 5.0, 6.0))
+    ).toDF("topic", "time", "data")
+    val d = Ros1Msg.parse(pointStamped, pkg = "geometry_msgs")
+    val flat = Ros1Msg.decodeDf(raw, pointStamped, pkg = "geometry_msgs")
+      .select((col("time") +: Ros1Msg.flatColumns(d)): _*)
+    assert(flat.columns.toSeq == Seq("time", "header.seq",
+      "header.stamp", "header.frame_id", "point.x", "point.y", "point.z"))
+    val rows = flat.orderBy("time").collect()
+    assert(rows(0).getLong(1) == 1L)
+    assert(rows(0).getString(3) == "map")
+    assert(rows(1).getDouble(6) == 6.0)
+  }
+
+  test("parses the reference's full real-world schema corpus") {
+    val dir = new java.io.File(
+      "/root/reference/server/util/ros1msg/testdata/schemas")
+    val files = dir.listFiles().filter(_.getName.endsWith(".msg")).sorted
+    assert(files.length > 30) // the real corpus, not a stub dir
+    files.foreach { f =>
+      val pkg = f.getName.split("-")(0)
+      val defn = new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      val d = Ros1Msg.parse(defn, pkg = pkg)
+      assert(d.fields.nonEmpty || defn.linesIterator.forall(l =>
+        l.trim.isEmpty || l.trim.startsWith("#")), f.getName)
+      // the flat view must also be constructible for every schema
+      Ros1Msg.flatColumns(d)
+    }
+  }
+
+  test("recursive type references error instead of looping") {
+    val defn =
+      """Loop a
+        |===
+        |MSG: pkg/Loop
+        |Loop next
+        |""".stripMargin
+    val e = intercept[IllegalArgumentException](
+      Ros1Msg.parse(defn, pkg = "pkg"))
+    assert(e.getMessage.contains("recursive"))
+  }
 }
