@@ -20,12 +20,27 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // warm the JVM + file-listing caches on the smallest table once
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    // Iterative operators (Dedup.clusters) hand back cache-backed
+    // results whose lifetime the consumer owns: free them once the
+    // action completes, then FAIL LOUDLY if anything is still pinned —
+    // a leak here silently taxes every later query's time (the r4
+    // bench doubled exactly this way).
+    def releaseCaches(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      spark.sharedState.cacheManager.clearCache()
+      val leaked = spark.sparkContext.getPersistentRDDs
+      require(leaked.isEmpty,
+        s"persistent RDDs leaked past cleanup: ${leaked.keys.mkString(",")}")
+    }
     def time(fn: (org.apache.spark.sql.SparkSession, String)
         => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        releaseCaches()
+        dt
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] query failed: ${e.getMessage}")

@@ -873,8 +873,8 @@ object SparkEntry {
          | tok AS (SELECT doc_id, w FROM raw WHERE w <> ''),
          | agg AS (
          |  SELECT doc_id, count(*) AS n_tokens,
-         |    sum(CASE WHEN w IN ($stops) THEN 1 ELSE 0 END)
-         |      AS n_stopwords
+         |    CAST(sum(CASE WHEN w IN ($stops) THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_stopwords
          |  FROM tok GROUP BY doc_id)
          |SELECT d.doc_id, length(d.text) AS n_chars_m,
          |  a.n_tokens, a.n_stopwords,

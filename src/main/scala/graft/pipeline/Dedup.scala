@@ -1,7 +1,9 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for training-data pipelines, from exact to
   * approximate. All hashing is md5-based and salt-deterministic so
@@ -53,18 +55,23 @@ object Dedup {
     * the capped shingle universe — jaccard stays a consistent set
     * similarity over the reduced vocabulary.
     *
-    * One extra aggregation + semi-join, both keyed on `sh` — the same
-    * key the self-join shuffles on, so the exchange is reused. */
+    * The HOT set (`df > maxDf`) is tiny by construction — that is the
+    * whole point of the cap — so it is the side we aggregate and
+    * broadcast: one map-side-combined count over distinct shingles,
+    * then a broadcast ANTI-join against the exploded shingles. The
+    * anti-join adds zero shuffles (the r4 shape semi-joined the full
+    * exploded set against the kept majority — two extra full shuffles
+    * of shingle text that removed nothing when the corpus was cold). */
   private def capDf(sh: DataFrame, maxDf: Int): DataFrame =
     if (maxDf == Int.MaxValue) sh
     else {
       require(maxDf >= 2, s"maxDf must be >= 2 (got $maxDf): " +
         "a shingle needs at least 2 docs to generate a pair")
-      val keep = sh.groupBy(col("sh"))
+      val hot = sh.groupBy(col("sh"))
         .agg(count(lit(1)).as("_df"))
-        .where(col("_df") <= maxDf)
+        .where(col("_df") > maxDf)
         .select("sh")
-      sh.join(keep.hint("shuffle_hash"), Seq("sh"), "left_semi")
+      sh.join(broadcast(hot), Seq("sh"), "left_anti")
     }
 
   /** Exact n-gram-Jaccard near-duplicate pairs via inverted index:
@@ -111,9 +118,17 @@ object Dedup {
     * alternative (array_min over a per-row transform, once per hash
     * column) re-evaluates the shingle array 8x after Catalyst's
     * project collapse inlines it — measured 15x slower at sf0.1. */
+  /** `maxDf` caps the shingle universe the signatures are computed
+    * over (a semantics choice, matched by the oracle); `maxBucket`
+    * guards the pair blowup at the level it actually happens — a
+    * band bucket of n rows emits n² candidate pairs regardless of why
+    * the signatures collided, so buckets larger than `maxBucket` are
+    * dropped wholesale (the same broadcast-anti-join shape as
+    * [[capDf]], but over (band, bucket) keys — docs × bands rows, far
+    * cheaper than exploded shingle text). */
   def minhashLshCandidates(df: DataFrame, k: Int, numHashes: Int,
       bands: Int, idCol: String = "doc_id", textCol: String = "text",
-      maxDf: Int = Int.MaxValue): DataFrame = {
+      maxDf: Int = Int.MaxValue, maxBucket: Int = Int.MaxValue): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     val sh = capDf(withShingles(df, k, idCol, textCol), maxDf)
@@ -127,13 +142,36 @@ object Dedup {
       acc.withColumn(s"_band$b", md5(concat_ws("|", parts: _*)))
     }
     // one row per (band, bucket, id); same-bucket rows pair up
-    val buckets = banded.select(col("_id"),
+    val buckets0 = banded.select(col("_id"),
       explode(array((0 until bands).map(b =>
         concat_ws("#", lit(b.toString), col(s"_band$b"))): _*)).as("bkt"))
+    val buckets =
+      if (maxBucket == Int.MaxValue) buckets0
+      else {
+        require(maxBucket >= 2,
+          s"maxBucket must be >= 2 (got $maxBucket)")
+        val hot = buckets0.groupBy(col("bkt"))
+          .agg(count(lit(1)).as("_n"))
+          .where(col("_n") > maxBucket)
+          .select("bkt")
+        buckets0.join(broadcast(hot), Seq("bkt"), "left_anti")
+      }
     val a = buckets.as("a"); val b2 = buckets.as("b")
     a.join(b2, col("a.bkt") === col("b.bkt") && col("a._id") < col("b._id"))
       .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
       .distinct()
+  }
+
+  /** Pin a DataFrame: cache its rows as an RDD and rebuild an O(1)-plan
+    * frame on top, returning the RDD handle so the caller can free the
+    * blocks the moment the round is superseded. Unlike
+    * `localCheckpoint` this keeps lineage (an executor loss recomputes
+    * instead of failing the job) and gives us an explicit `unpersist`
+    * — the r4 loop leaked every round's checkpoint blocks until the
+    * ContextCleaner got around to them, degrading the whole session. */
+  private def pin(df: DataFrame): (DataFrame, RDD[Row]) = {
+    val rdd = df.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    (df.sparkSession.createDataFrame(rdd, df.schema), rdd)
   }
 
   /** Connected-component clustering of near-duplicate pairs: every id
@@ -147,15 +185,21 @@ object Dedup {
     * THROWS rather than silently returning wrong labels (log2 of any
     * real diameter fits comfortably in the default 50).
     *
-    * Each round's result is `localCheckpoint`ed so round-N plans stay
-    * O(1) instead of accreting the whole lineage. */
+    * Exactly ONE Spark job per round: the previous label rides along
+    * as `_old`, so the convergence count is a predicate on the same
+    * scan that materializes the round's pinned cache — no extra join,
+    * no separate count job. Superseded rounds are unpersisted
+    * immediately. The returned frame reads the final round's cached
+    * blocks; the caller owns their lifetime (consume, then
+    * `spark.sharedState.cacheManager` / `getPersistentRDDs` cleanup —
+    * Verify and Bench do this between queries). */
   def clusters(ids: DataFrame, pairs: DataFrame,
       idCol: String = "doc_id", maxIters: Int = 50): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint()
-    var labels = ids.select(col(idCol).as("id"), col(idCol).as("label"))
-      .localCheckpoint()
+    val (edges, edgesRdd) = pin(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
+    var (labels, labelsRdd) = pin(
+      ids.select(col(idCol).as("id"), col(idCol).as("label")))
     var changed = 1L
     var iter = 0
     while (changed > 0) {
@@ -168,7 +212,7 @@ object Dedup {
         .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
       val stepped = labels
         .join(prop, labels("id") === prop("src"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("_old"),
           least(col("label"), coalesce(col("nlabel"), col("label")))
             .as("label"))
       // pointer-jump: label <- label(label), halving remaining depth
@@ -176,16 +220,18 @@ object Dedup {
         .select(col("id").as("_rid"), col("label").as("_rlabel"))
       val jumped = stepped
         .join(reps, stepped("label") === col("_rid"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("_rlabel"), col("label")))
-            .as("label"))
-        .localCheckpoint()
-      changed = jumped
-        .join(labels.withColumnRenamed("label", "_old"), "id")
-        .where(col("label") =!= col("_old")).count()
-      labels = jumped
+        .select(col("id"), col("_old"),
+          least(stepped("label"), coalesce(col("_rlabel"),
+            stepped("label"))).as("label"))
+      val (pinned, rdd) = pin(jumped)
+      // materializes the cache AND counts convergence in one job
+      changed = pinned.where(col("label") =!= col("_old")).count()
+      labelsRdd.unpersist(blocking = false)
+      labels = pinned.select(col("id"), col("label"))
+      labelsRdd = rdd
       iter += 1
     }
+    edgesRdd.unpersist(blocking = false)
     labels.withColumnRenamed("id", idCol)
       .withColumnRenamed("label", "cluster")
   }

@@ -66,6 +66,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(lsh == Set((100L, 101L)))
   }
 
+  test("lsh bucket cap bounds pair blowup without touching signatures") {
+    // 12 identical docs share every band bucket (12*11/2 = 66 pairs
+    // per band before distinct); 2 near-dups collide in at least one
+    // band on their own. Capping bucket size drops the hot buckets
+    // wholesale while the small bucket survives.
+    val herd = (0L until 12L).map(i =>
+      (i, "identical boilerplate document body here"))
+    val dups = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta"),
+      (101L, "alpha beta gamma delta epsilon zeta"))
+    val corpus = (herd ++ dups).toDF("doc_id", "text")
+    val uncapped = Dedup.minhashLshCandidates(corpus, k = 3,
+      numHashes = 8, bands = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.size == 66 + 1) // full herd clique + the dup pair
+    val capped = Dedup.minhashLshCandidates(corpus, k = 3,
+      numHashes = 8, bands = 4, maxBucket = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((100L, 101L)))
+  }
+
   test("clustering converges past 20-round diameters (chain of 30)") {
     // a path graph 0-1-2-...-29: min-label needs to travel diameter 29;
     // the old fixed 20-round cap silently returned wrong labels here.

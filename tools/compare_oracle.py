@@ -67,6 +67,15 @@ def compare(got, want):
         return False, f"columns differ: {list(got.columns)} vs {list(want.columns)}"
     if len(got) != len(want):
         return False, f"row counts differ: {len(got)} vs {len(want)}"
+    # Strict dtype-kind check: the driver's hash compares raw values, so
+    # Spark int64 vs oracle float64 (e.g. DuckDB HUGEINT sum() -> pandas
+    # float64) is a hash mismatch even when values are numerically equal.
+    for c in got.columns:
+        ka, kb = got[c].dtype.kind, want[c].dtype.kind
+        if ka != kb and {ka, kb} <= {"i", "u", "f"}:
+            return False, (f"col {c}: dtype kind mismatch {got[c].dtype} vs "
+                           f"{want[c].dtype} (driver hash would differ; "
+                           f"CAST the oracle column)")
     for c in got.columns:
         a, b = got[c].tolist(), want[c].tolist()
         for i, (x, y) in enumerate(zip(a, b)):
