@@ -18,8 +18,21 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm the JVM + file-listing caches on the smallest table once
-    spark.read.parquet(s"$sfDir/region.parquet").count()
+    // Warm the JVM before timing anything: file-listing caches, parquet
+    // reader, whole-stage codegen compiler, shuffle + window machinery.
+    // Without this the alphabetically-first heavy query absorbs several
+    // seconds of one-time JIT/codegen cost that no other query pays.
+    locally {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val r = spark.read.parquet(s"$sfDir/region.parquet")
+      val n = spark.read.parquet(s"$sfDir/nation.parquet")
+      n.join(r.hint("shuffle_hash"), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(n("n_regionkey")).agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("n_regionkey")).orderBy(col("c"))))
+        .count()
+    }
     // Iterative operators (Dedup.clusters) hand back cache-backed
     // results whose lifetime the consumer owns: free them once the
     // action completes, then FAIL LOUDLY if anything is still pinned —

@@ -242,6 +242,41 @@ object SparkEntry {
         .orderBy("producer", "topic", "start_us")
     }),
 
+    "q_stats_fields" -> ((s, dir) => {
+      // per-field statistics (reference: statistics.go:305-313 computes
+      // stats for EVERY flattened schema field): one groupBy aggregates
+      // value + k numerics and props text min/max, rolled 60s -> 1h by
+      // suffix-driven merge, then unpivoted to flat per-field records
+      val t0 = StatTiers.baseFields(msgs(s, dir), 60L * 1000000000L,
+        Seq("value", "k"), Seq("props"))
+      val t1 = StatTiers.rollupFields(t0, 60L)
+      StatTiers.serveFields(t1, Seq("value", "k"), Seq("props"),
+          quantiles = Nil)
+        .select(col("producer"), col("topic"),
+          expr("start_ns div 1000").as("start_us"),
+          expr("end_ns div 1000").as("end_us"),
+          col("msg_count"), col("field"), col("field_type"),
+          col("num_count"), col("num_min"), col("num_max"),
+          round(col("num_mean"), 6).as("num_mean"),
+          col("text_min"), col("text_max"))
+        .orderBy("producer", "topic", "start_us", "field")
+    }),
+
+    "q_stats_quantiles_served" -> ((s, dir) => {
+      // DDSketch SERVING path under oracle: 60 s sketches merged 60x
+      // into hour bins (map-union — the mergeability the tiers rely
+      // on), quantiles read from the merged sketch. The oracle
+      // replicates the bucket arithmetic exactly (see oracleSql).
+      val t0 = StatTiers.base(msgs(s, dir), 60L * 1000000000L)
+      val t1 = StatTiers.rollup(t0, 60L)
+      StatTiers.serve(t1, quantiles = Seq(0.5, 0.95))
+        .select(col("producer"), col("topic"),
+          expr("start_ns div 3600000000000").as("bucket"),
+          round(col("p50"), 6).as("p50"),
+          round(col("p95"), 6).as("p95"))
+        .orderBy("producer", "topic", "bucket")
+    }),
+
     "q_truncate_version" -> ((s, dir) => {
       // version-based truncation (reference rootmap semantics,
       // server/rootmap/rootmap.go:24-79): pretend each day was one
@@ -467,7 +502,10 @@ object SparkEntry {
        |  FROM ann
        |  WHERE side = 1 AND left_seq > 0$inRange),
        | lefts AS (
-       |  SELECT producer, min(t) AS emit_us, 0 AS side, '$lt' AS topic,
+       |  -- emit_us = the left's OWN time (constant over the group):
+       |  -- the reference merge orders tuples by their own log time
+       |  SELECT producer, min(last_lt) AS emit_us, 0 AS side,
+       |    '$lt' AS topic,
        |    min(last_lt) AS time_us, min(last_lseq) AS seq,
        |    min(last_lval) AS value
        |  FROM mr GROUP BY producer, left_seq),
@@ -665,6 +703,79 @@ object SparkEntry {
          |        / count(value), 6) AS mean_value
          |FROM msgs GROUP BY producer, topic, start_us, end_us
          |ORDER BY producer, topic, start_us""".stripMargin,
+
+    "q_stats_fields" ->
+      s"""$MSGS,
+         | bins AS (
+         |  SELECT producer, topic, time_us // 3600000000 AS b,
+         |    count(*) AS msg_count,
+         |    count(value) AS v_count, min(value) AS v_min,
+         |    max(value) AS v_max,
+         |    round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+         |          / count(value), 6) AS v_mean,
+         |    count(k) AS k_count,
+         |    CAST(min(k) AS DOUBLE) AS k_min,
+         |    CAST(max(k) AS DOUBLE) AS k_max,
+         |    round(CAST(sum(CAST(k AS DECIMAL(28,6))) AS DOUBLE)
+         |          / count(k), 6) AS k_mean,
+         |    min(props) AS p_min, max(props) AS p_max
+         |  FROM msgs GROUP BY producer, topic, b)
+         |SELECT producer, topic, b*3600000000 AS start_us,
+         |  (b+1)*3600000000 AS end_us, msg_count,
+         |  'value' AS field, 'numeric' AS field_type,
+         |  v_count AS num_count, v_min AS num_min, v_max AS num_max,
+         |  v_mean AS num_mean, CAST(NULL AS VARCHAR) AS text_min,
+         |  CAST(NULL AS VARCHAR) AS text_max
+         |FROM bins
+         |UNION ALL
+         |SELECT producer, topic, b*3600000000, (b+1)*3600000000,
+         |  msg_count, 'k', 'numeric', k_count, k_min, k_max, k_mean,
+         |  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+         |FROM bins
+         |UNION ALL
+         |SELECT producer, topic, b*3600000000, (b+1)*3600000000,
+         |  msg_count, 'props', 'text', CAST(NULL AS BIGINT),
+         |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+         |  CAST(NULL AS DOUBLE), p_min, p_max
+         |FROM bins
+         |ORDER BY producer, topic, start_us, field""".stripMargin,
+
+    // DDSketch bucket arithmetic replicated verbatim (VLDB'19 paper,
+    // alpha 0.01): bucket = ceil(ln(v)/ln(gamma)), rank =
+    // max(0, ceil(q*(n-1))), first bucket with cumulative > rank,
+    // representative = 2*gamma^k/(gamma+1); gamma spelled as the same
+    // double expression so both engines bucket identically
+    "q_stats_quantiles_served" ->
+      s"""$MSGS,
+         | b AS (
+         |  SELECT producer, topic, time_us // 3600000000 AS bk,
+         |    CAST(ceil(ln(value)/ln((1+0.01)/(1-0.01))) AS BIGINT)
+         |      AS kb
+         |  FROM msgs WHERE value IS NOT NULL),
+         | counts AS (
+         |  SELECT producer, topic, bk, kb, count(*) AS c
+         |  FROM b GROUP BY producer, topic, bk, kb),
+         | cum AS (
+         |  SELECT producer, topic, bk, kb, c,
+         |    sum(c) OVER (PARTITION BY producer, topic, bk
+         |      ORDER BY kb) AS cum,
+         |    sum(c) OVER (PARTITION BY producer, topic, bk) AS total
+         |  FROM counts),
+         | q50 AS (
+         |  SELECT producer, topic, bk, min(kb) AS kq FROM cum
+         |  WHERE cum > greatest(0, CAST(ceil(0.5*(total-1)) AS BIGINT))
+         |  GROUP BY producer, topic, bk),
+         | q95 AS (
+         |  SELECT producer, topic, bk, min(kb) AS kq FROM cum
+         |  WHERE cum > greatest(0, CAST(ceil(0.95*(total-1)) AS BIGINT))
+         |  GROUP BY producer, topic, bk)
+         |SELECT producer, topic, bk AS bucket,
+         |  round(2*power((1+0.01)/(1-0.01), q50.kq)
+         |        / ((1+0.01)/(1-0.01)+1), 6) AS p50,
+         |  round(2*power((1+0.01)/(1-0.01), q95.kq)
+         |        / ((1+0.01)/(1-0.01)+1), 6) AS p95
+         |FROM q50 JOIN q95 USING (producer, topic, bk)
+         |ORDER BY producer, topic, bucket""".stripMargin,
 
     "q_truncate_version" ->
       s"""$MSGS SELECT producer, topic, count(*) AS n,

@@ -3,7 +3,7 @@ package graft.api
 import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.functions.{col, max}
+import org.apache.spark.sql.functions.{col, count, lit, max}
 
 import graft.export.Export
 import graft.model.MessageCatalog
@@ -53,11 +53,18 @@ object IngestStore {
   */
 final class Dp3Service(underlying: MessageCatalog,
     rawMessages: SparkSession => DataFrame,
-    store: Option[IngestStore] = None) {
+    store: Option[IngestStore] = None,
+    schemaRegistry: Option[SparkSession => DataFrame] = None) {
 
   /** (producer, topic) → hide rows with ingest_version <= v
     * (reference truncation watermark: server/rootmap/rootmap.go:24-79) */
   private val truncatedVersion = TrieMap[(String, String), Long]()
+
+  /** (producer, topic) → deleted [start_ns, end_ns) ranges
+    * (reference: deletes are masked ranges resolved at read,
+    * server/tree/tree.go:147-207) */
+  private val deletedRanges =
+    TrieMap[(String, String), Vector[(Long, Long)]]()
 
   /** (producer, topic) → hide rows with time < asOfNs — the stand-in
     * semantics for catalogs with no ingest metadata */
@@ -73,19 +80,30 @@ final class Dp3Service(underlying: MessageCatalog,
         && col("ingest_version") <= v))
     }
 
+  private def maskDeletes(df: DataFrame,
+      topic: Option[String]): DataFrame =
+    deletedRanges.foldLeft(df) {
+      case (acc, ((p, t), ranges)) if topic.forall(_ == t) =>
+        ranges.foldLeft(acc) { case (a, (s, e)) =>
+          a.where(!(col("producer") === p && col("topic") === t
+            && col("time") >= s && col("time") < e))
+        }
+      case (acc, _) => acc
+    }
+
   private def maskTopic(df: DataFrame, topic: String): DataFrame =
-    maskVersions(truncatedBelow.foldLeft(df) {
+    maskDeletes(maskVersions(truncatedBelow.foldLeft(df) {
       case (acc, ((p, t), ns)) if t == topic =>
         acc.where(!(col("producer") === p && col("time") < ns))
       case (acc, _) => acc
-    })
+    }), Some(topic))
 
   private def maskAll(df: DataFrame): DataFrame =
-    maskVersions(truncatedBelow.foldLeft(df) {
+    maskDeletes(maskVersions(truncatedBelow.foldLeft(df) {
       case (acc, ((p, t), ns)) =>
         acc.where(!(col("producer") === p && col("topic") === t
           && col("time") < ns))
-    })
+    }), None)
 
   /** catalog view with truncation masks applied at every scan */
   private val catalog: MessageCatalog = new MessageCatalog {
@@ -241,4 +259,103 @@ final class Dp3Service(underlying: MessageCatalog,
       case _: Query => throw new IllegalArgumentException(
         "not a truncate statement")
     }
+
+  // --- catalog listings (reference: server/routes/routes.go:55-60) ------
+
+  /** GET /databases/{db}/topics — the distinct topic list
+    * (reference: server/routes/topics.go, treemgr.Topics). With a
+    * store this is a control-table lookup; never a data scan. */
+  def topics(spark: SparkSession): DataFrame = (store match {
+    case Some(st) => maskVersions(st.control(spark))
+    case None => messages(spark)
+  }).select("topic").distinct().orderBy("topic")
+
+  /** GET /databases/{db}/producers (reference:
+    * server/routes/producers.go, treemgr.Producers). */
+  def producersList(spark: SparkSession): DataFrame = (store match {
+    case Some(st) => maskVersions(st.control(spark))
+    case None => messages(spark)
+  }).select("producer").distinct().orderBy("producer")
+
+  /** GET /databases/{db}/tables — per-(producer, topic) table state:
+    * latest ingest version, message count and time bounds;
+    * `historical = true` returns every version like the reference's
+    * historical rootmap listing (reference: server/routes/tables.go,
+    * treemgr.GetTables). */
+  def tables(spark: SparkSession, producer: Option[String] = None,
+      topic: Option[String] = None,
+      historical: Boolean = false): DataFrame = {
+    val base = store match {
+      case Some(st) => maskVersions(st.control(spark))
+      case None =>
+        // no ingest metadata: synthesize one "version" per table from
+        // the data itself (max seq stands in for the ingest clock)
+        messages(spark).groupBy(col("producer"), col("topic"))
+          .agg(count(lit(1)).as("msg_count"),
+            org.apache.spark.sql.functions.min(col("time"))
+              .as("min_time"),
+            max(col("time")).as("max_time"),
+            max(col("seq")).as("ingest_version"))
+    }
+    var t = base
+    producer.foreach(p => t = t.where(col("producer") === p))
+    topic.foreach(tp => t = t.where(col("topic") === tp))
+    val out =
+      if (historical) t
+      else {
+        // latest version per table — a window over the kilobyte-scale
+        // control table, not over data
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("producer"), col("topic"))
+          .orderBy(col("ingest_version").desc)
+        t.withColumn("_rn",
+            org.apache.spark.sql.functions.row_number().over(w))
+          .where(col("_rn") === 1).drop("_rn")
+      }
+    out.orderBy("producer", "topic")
+  }
+
+  /** GET /databases/{db}/schemas/{hash} — schema-registry lookup;
+    * throws like the reference's 404 when the hash is unknown
+    * (reference: server/routes/schemas.go, schemastore
+    * ErrSchemaNotFound). Back the registry with
+    * [[graft.mcap.Mcap.loadSchemas]] over the import directory. */
+  def schemaFor(spark: SparkSession, hash: String)
+      : org.apache.spark.sql.Row = {
+    val reg = schemaRegistry.getOrElse(throw new IllegalStateException(
+      "no schema registry configured"))
+    val rows = reg(spark).where(col("schema_hash") === hash).take(1)
+    if (rows.isEmpty)
+      throw new NoSuchElementException(s"schema not found: $hash")
+    rows.head
+  }
+
+  /** POST /delete — range delete on (producer, topic, [start, end));
+    * validates like the reference (server/routes/delete.go) and masks
+    * the range from every subsequent query, stat, and export. */
+  def delete(producer: String, topic: String, startNs: Long,
+      endNs: Long): Unit = {
+    require(producer.nonEmpty, "missing producer")
+    require(topic.nonEmpty, "missing topic")
+    require(endNs > startNs,
+      s"end ($endNs) must be greater than start ($startNs)")
+    val key = (producer, topic)
+    deletedRanges(key) =
+      deletedRanges.getOrElse(key, Vector.empty) :+ ((startNs, endNs))
+  }
+
+  // --- MCAP output (reference: server/routes/export.go:32-81) -----------
+
+  /** Query with MCAP serialization — the reference's primary output
+    * surface: one multiplexed stream, schema/channel ids remapped in
+    * first-appearance order (server/mcap/merge_coordinator.go). */
+  def queryMcap(spark: SparkSession, ql: String,
+      dataCols: Seq[String]): Array[Byte] =
+    Export.mcap(query(spark, ql), dataCols)
+
+  /** /export with MCAP serialization: ordered multi-topic merge →
+    * multiplexed MCAP. */
+  def exportMcap(spark: SparkSession, topics: Seq[String],
+      dataCols: Seq[String]): Array[Byte] =
+    Export.mcap(export(spark, topics), dataCols)
 }

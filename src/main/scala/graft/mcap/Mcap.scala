@@ -254,6 +254,81 @@ object Mcap {
     new String(b, UTF_8)
   }
 
+  /** Schema records of one MCAP stream, in definition order (chunks
+    * recursed) — the input side of a schema registry keyed by content
+    * hash (reference: server/schemastore/schemastore.go keyed by the
+    * schema hash the /schemas/{hash} route serves). */
+  def readSchemaRecs(bytes: Array[Byte]): Seq[SchemaRec] = {
+    require(bytes.length > 16 &&
+      bytes.take(8).sameElements(Magic), "not an MCAP file")
+    val out = scala.collection.mutable.LinkedHashMap[Int, SchemaRec]()
+    def scan(buf: ByteBuffer): Unit = {
+      var stop = false
+      while (!stop && buf.remaining() >= 9) {
+        val op = buf.get() & 0xff
+        val len = buf.getLong()
+        if (op == 0x02 || buf.remaining() < len) stop = true
+        else {
+          val end = buf.position() + len.toInt
+          op match {
+            case 0x03 =>
+              val id = buf.getShort() & 0xffff
+              val name = readStr(buf); val enc = readStr(buf)
+              val dlen = buf.getInt()
+              val d = new Array[Byte](dlen); buf.get(d)
+              out(id) = SchemaRec(id, name, enc, d)
+            case 0x06 =>
+              buf.getLong(); buf.getLong()
+              val usize = buf.getLong()
+              buf.getInt()
+              val comp = readStr(buf)
+              val rlen = buf.getLong()
+              val cdata = new Array[Byte](rlen.toInt); buf.get(cdata)
+              scan(ByteBuffer.wrap(
+                  Compression.decompress(comp, cdata, usize.toInt))
+                .order(ByteOrder.LITTLE_ENDIAN))
+            case _ => ()
+          }
+          buf.position(end)
+        }
+      }
+    }
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    buf.position(8)
+    scan(buf)
+    out.values.toSeq
+  }
+
+  /** Distributed schema-registry source: every schema record in a
+    * directory of MCAP files as (schema_hash, schema_name,
+    * schema_encoding, schema_data), distinct by content. The hash is
+    * md5 over (name, encoding, bytes) — deterministic and
+    * engine-portable, serving the reference's /schemas/{hash} lookup. */
+  def loadSchemas(spark: SparkSession, dir: String): DataFrame = {
+    val files = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.mcap").load(dir)
+      .select(col("content"))
+    val schema = StructType(Seq(
+      StructField("schema_name", StringType),
+      StructField("schema_encoding", StringType),
+      StructField("schema_data", BinaryType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    files.mapPartitions { it =>
+      it.flatMap { row =>
+        readSchemaRecs(row.getAs[Array[Byte]](0))
+          .map(s => Row(s.name, s.encoding, s.data))
+      }
+    }(enc)
+      .withColumn("schema_hash", md5(concat(
+        col("schema_name").cast("binary"), lit(Array[Byte](0)),
+        col("schema_encoding").cast("binary"), lit(Array[Byte](0)),
+        col("schema_data"))))
+      .dropDuplicates("schema_hash")
+      .select("schema_hash", "schema_name", "schema_encoding",
+        "schema_data")
+  }
+
   // --- Spark source ------------------------------------------------------
 
   val messageSchema: StructType = StructType(Seq(

@@ -27,9 +27,12 @@ import org.apache.spark.sql.functions._
   * sort-within-partitions after one hash exchange.
   *
   * Output = matched lefts ∪ matched rights with three extra columns:
-  * `_emit_time` (ns position in the dp3 output stream), `_side`
-  * (0=left, 1=right), and the data columns union-by-name (missing
-  * columns null-filled when the two sides' schemas differ).
+  * `emit_time` (the row's OWN log time — the key the reference's
+  * MergeNode orders by, merge_node.go:46-54; sorting by
+  * (emit_time, emit_side) reproduces dp3's exact stream both
+  * standalone and as a merge child), `emit_side` (0=left, 1=right),
+  * and the data columns union-by-name (missing columns null-filled
+  * when the two sides' schemas differ).
   */
 object AsofJoin {
 
@@ -78,14 +81,24 @@ object AsofJoin {
       .where(col("_side") === 1 && col("_leftSeq") > 0
         && col("_lastLeft").isNotNull && inRange)
 
-    // one row per matched left, positioned at its first matching right
+    // One row per matched left, emitted at the LEFT'S OWN time. The
+    // reference's asof node hands the left to its parent immediately
+    // before its first matching right (asof_node.go:86-90), and the
+    // parent MergeNode orders every tuple by its own log time
+    // (merge_node.go:46-54). The two agree inside a single asof stream
+    // — a right matched to left L1 is always strictly before the next
+    // matched left L2, else L2 would have stolen it — so own-time
+    // emission reproduces the standalone order AND interleaves
+    // correctly with sibling topics when the asof is a merge child
+    // (first-right-time emission returned different rows under
+    // limit/offset there).
     val lefts = matchedRights
       .groupBy((keys.map(col) :+ col("_leftSeq")): _*)
-      .agg(min(col("_t")).as("_emit_time"),
-        min_by(col("_lastLeft"), struct(col("_t"), col("_tie")))
-          .as("_row"))
-      .select((keys.map(col) :+ col("_emit_time") :+ lit(0).as("_side")
-        :+ col("_row")): _*)
+      .agg(min_by(col("_lastLeft"), struct(col("_t"), col("_tie")))
+        .as("_row"))
+      .select((keys.map(col)
+        :+ col("_row").getField(timeCol).as("_emit_time")
+        :+ lit(0).as("_side") :+ col("_row")): _*)
 
     val rightsKept =
       if (immediate) {

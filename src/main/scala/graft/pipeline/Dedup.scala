@@ -31,19 +31,32 @@ object Dedup {
       .groupBy("fp")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Word k-shingles of the lowercased text, distinct, as an array. */
-  def shingles(text: Column, k: Int): Column = {
-    val toks = TextOps.tokens(lower(text))
+  /** Word k-shingles of an already-materialized token array, distinct.
+    * Takes the TOKEN COLUMN, not the text: inlining the tokenizer here
+    * would re-evaluate the split+filter subtree in `size(toks)` AND
+    * once per lambda element (Catalyst cannot CSE across a lambda
+    * boundary) — measured 20x slower on the documents table. Callers
+    * project the token array in a prior select; CollapseProject keeps
+    * the two projections apart because the column is expensive and
+    * multiply-referenced. */
+  def shinglesOfTokens(toks: Column, k: Int): Column = {
     val grams = transform(sequence(lit(0), size(toks) - k),
       i => concat_ws(" ", slice(toks, i + lit(1), lit(k))))
     when(size(toks) >= k, array_distinct(grams))
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Word k-shingles of the lowercased text, distinct, as an array.
+    * Single-column convenience — for hot paths use [[shinglesOfTokens]]
+    * over a pre-projected token array (see the CSE note there). */
+  def shingles(text: Column, k: Int): Column =
+    shinglesOfTokens(TextOps.tokens(lower(text)), k)
+
   private def withShingles(df: DataFrame, k: Int, idCol: String,
       textCol: String): DataFrame =
     df.select(col(idCol).as("_id"),
-      explode(shingles(col(textCol), k)).as("sh"))
+      TextOps.tokens(lower(col(textCol))).as("_toks"))
+      .select(col("_id"), explode(shinglesOfTokens(col("_toks"), k)).as("sh"))
 
   /** Drop shingles whose document frequency exceeds `maxDf` — the
     * production guard against the O(f²) pair blowup on boilerplate: one

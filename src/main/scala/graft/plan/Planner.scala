@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.model.MessageCatalog
-import graft.ops.{AsofJoin, MergeOrdered}
+import graft.ops.AsofJoin
 import graft.ql._
 
 /** Compiles a parsed dp3 query to a DataFrame (reference:

@@ -79,8 +79,9 @@ object Ros1Msg {
     *            sub-definitions (transform.go:127-136)
     */
   def parse(definition: String, pkg: String = ""): MsgDef = {
-    // split on separator lines (3+ '='s, the grammar's `Equals+`)
-    val sections = definition.split("(?m)^\\s*===*\\s*$").toSeq
+    // split on separator lines — the grammar accepts ANY run of '='
+    // (reference grammar.go `Equals+`), so a single '=' line separates
+    val sections = definition.split("(?m)^\\s*=+\\s*$").toSeq
     val main = sections.head
     // subdep registry: full name always; Header additionally bare
     // (transform.go:140-147)
@@ -117,8 +118,14 @@ object Ros1Msg {
           if (seen.contains(key))
             throw new IllegalArgumentException(
               s"recursive ros1 type: $key")
+          // the bare `Header` alias is ALWAYS std_msgs/Header
+          // (reference derives pkg from the stored full type name,
+          // transform.go:104); falling back to parentPkg would
+          // mis-resolve any non-primitive field Header ever grew
           val childPkg =
-            if (key.contains("/")) key.takeWhile(_ != '/') else parentPkg
+            if (key == "Header") "std_msgs"
+            else if (key.contains("/")) key.takeWhile(_ != '/')
+            else parentPkg
           Rec(fieldLines(body).map { case (t, n) =>
             MsgField(n, resolve(childPkg, t, seen + key))
           })

@@ -60,6 +60,119 @@ object StatTiers {
       .withColumn("width_ns", lit(widthNs))
   }
 
+  // --- per-field statistics ---------------------------------------------
+
+  /** Tier 0 over EVERY field of the schema at once — the reference
+    * computes statistics for each flattened field of each message
+    * schema (reference: server/nodestore/statistics.go:99-179,305-313;
+    * field flattening server/util/schema/parser.go:551-589 — feed
+    * [[graft.ros1.Ros1Msg]] flat columns here for decoded robotics
+    * data). ONE groupBy computes all fields' aggregates in a single
+    * shuffle of partial states (map-side combined) — never one pass
+    * per field. Numeric fields get count/min/max/exact-sum/sketch,
+    * string fields min/max, like the reference's numerical/text
+    * summaries. Wide layout (columns per field) keeps the tier table
+    * mergeable by the same suffix rules at every granularity;
+    * [[serveFields]] unpivots to the reference's flat per-field
+    * records without another shuffle. */
+  def baseFields(messages: DataFrame, widthNs: Long,
+      numericFields: Seq[String], textFields: Seq[String]): DataFrame = {
+    require(numericFields.nonEmpty || textFields.nonEmpty,
+      "no fields to aggregate")
+    val aggs = numericFields.flatMap { f =>
+      val v = col(f).cast("double")
+      val finite = !isnan(v) && !v.isin(Double.PositiveInfinity,
+        Double.NegativeInfinity)
+      Seq(
+        count(when(finite, 1)).as(s"${f}__count"),
+        min(when(finite, v)).as(s"${f}__min"),
+        max(when(finite, v)).as(s"${f}__max"),
+        sum(when(finite, v).cast(Dec)).as(s"${f}__sum"),
+        sketchOf(coalesce(v, lit(Double.NaN))).as(s"${f}__sketch"))
+    } ++ textFields.flatMap { f =>
+      Seq(min(col(f)).as(s"${f}__tmin"), max(col(f)).as(s"${f}__tmax"))
+    } ++ Seq(
+      count(lit(1)).as("msg_count"),
+      min(col("time")).as("min_time"),
+      max(col("time")).as("max_time"))
+    messages
+      .groupBy(col("producer"), col("topic"),
+        expr(s"time div ${widthNs}L").as("bucket"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("width_ns", lit(widthNs))
+  }
+
+  /** Merge `factor` adjacent buckets of a per-field tier: every column
+    * merges by its suffix (count/sum → sum, min → min, max → max,
+    * sketch → map-union) — associative, so any rollup tree shape gives
+    * bit-identical tiers. */
+  def rollupFields(tier: DataFrame, factor: Long): DataFrame = {
+    val aggs = tier.columns.filterNot(Set("producer", "topic", "bucket",
+      "width_ns")).map { c =>
+      if (c.endsWith("__count") || c.endsWith("__sum")
+        || c == "msg_count") sum(col(c)).as(c)
+      else if (c.endsWith("__min") || c.endsWith("__tmin")
+        || c == "min_time") min(col(c)).as(c)
+      else if (c.endsWith("__max") || c.endsWith("__tmax")
+        || c == "max_time") max(col(c)).as(c)
+      else if (c.endsWith("__sketch")) sketchMerge(col(c)).as(c)
+      else first(col(c)).as(c)
+    }.toSeq :+ first(col("width_ns")).as("_w0")
+    tier
+      .groupBy(col("producer"), col("topic"),
+        expr(s"bucket div ${factor}L").as("bucket"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("width_ns", col("_w0") * lit(factor))
+      .drop("_w0")
+  }
+
+  /** Unpivot a per-field tier to the reference's flat per-field range
+    * records (statistics.go:276-339): one row per (producer, topic,
+    * bin, field) with type = numeric|text. Pure projection + explode —
+    * no shuffle; quantiles come from each field's own sketch. */
+  def serveFields(tier: DataFrame, numericFields: Seq[String],
+      textFields: Seq[String],
+      quantiles: Seq[Double] = Seq(0.5, 0.95)): DataFrame = {
+    val q = udf((m: Map[Int, Long], p: Double) => DDSketch.quantile(m, p))
+    val start = col("bucket") * col("width_ns")
+    val numRows = numericFields.map { f =>
+      val base = struct(
+        lit(f).as("field"), lit("numeric").as("field_type"),
+        col(s"${f}__count").as("num_count"),
+        col(s"${f}__min").as("num_min"),
+        col(s"${f}__max").as("num_max"),
+        col(s"${f}__sum").cast("double").as("num_sum_d"),
+        (col(s"${f}__sum").cast("double") / col(s"${f}__count"))
+          .as("num_mean"),
+        lit(null).cast("string").as("text_min"),
+        lit(null).cast("string").as("text_max"))
+      quantiles.foldLeft(base) { (s, p) =>
+        s.withField(s"p${(p * 100).toInt}",
+          q(col(s"${f}__sketch"), lit(p)))
+      }
+    }
+    val textRows = textFields.map { f =>
+      val base = struct(
+        lit(f).as("field"), lit("text").as("field_type"),
+        lit(null).cast("long").as("num_count"),
+        lit(null).cast("double").as("num_min"),
+        lit(null).cast("double").as("num_max"),
+        lit(null).cast("double").as("num_sum_d"),
+        lit(null).cast("double").as("num_mean"),
+        col(s"${f}__tmin").as("text_min"),
+        col(s"${f}__tmax").as("text_max"))
+      quantiles.foldLeft(base) { (s, p) =>
+        s.withField(s"p${(p * 100).toInt}", lit(null).cast("double"))
+      }
+    }
+    tier.select(col("producer"), col("topic"),
+        start.as("start_ns"), (start + col("width_ns")).as("end_ns"),
+        col("msg_count"),
+        explode(array((numRows ++ textRows): _*)).as("_f"))
+      .select(col("producer"), col("topic"), col("start_ns"),
+        col("end_ns"), col("msg_count"), col("_f.*"))
+  }
+
   /** Merge `factor` adjacent buckets of a tier into the next tier. */
   def rollup(tier: DataFrame, factor: Long): DataFrame =
     tier

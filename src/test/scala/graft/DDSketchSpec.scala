@@ -83,4 +83,25 @@ class DDSketchSpec extends AnyFunSuite {
       .collect().map(_.getMap[Int, Long](2).toMap).toSeq
     assert(gotSk == wantSk)
   }
+
+  test("per-field tier rollup equals direct aggregation") {
+    val spark = TestSpark.spark
+    import graft.stats.StatTiers
+    val df = TestSpark.prepFixture()
+    val numeric = Seq("f64", "i32")
+    val text = Seq("s")
+    val t0 = StatTiers.baseFields(df, 2L, numeric, text)
+    val t1 = StatTiers.rollupFields(t0, 4L)
+    val direct = StatTiers.baseFields(df, 8L, numeric, text)
+    def flat(t: org.apache.spark.sql.DataFrame) =
+      StatTiers.serveFields(t, numeric, text, quantiles = Seq(0.5))
+        .orderBy("producer", "topic", "start_ns", "field")
+        .collect().toSeq
+    assert(flat(t1) == flat(direct))
+    // flat records carry both field types with the right population
+    val fields = flat(t1).map(r => (r.getAs[String]("field"),
+      r.getAs[String]("field_type"))).distinct.toSet
+    assert(fields == Set(("f64", "numeric"), ("i32", "numeric"),
+      ("s", "text")))
+  }
 }

@@ -131,6 +131,44 @@ class Dp3ServiceSpec extends AnyFunSuite {
     assert(svc.statRange(spark, 3600L * 1000000000L).count() == 0)
   }
 
+  test("catalog listings: topics, producers, tables") {
+    val ts = svc.topics(spark).collect().map(_.getString(0)).toSeq
+    assert(ts.contains("click") && ts.contains("error"))
+    assert(ts == ts.sorted)
+    val ps = svc.producersList(spark).collect().map(_.getString(0))
+    assert(ps.contains("p3") && ps.length >= 10)
+    val tbl = svc.tables(spark, producer = Some("p3"),
+      topic = Some("click")).collect()
+    assert(tbl.length == 1)
+    assert(tbl.head.getAs[Long]("msg_count") > 0)
+    assert(tbl.head.getAs[Long]("max_time")
+      >= tbl.head.getAs[Long]("min_time"))
+  }
+
+  test("delete verb masks a time range from queries and stats") {
+    val fresh = new Dp3Service(cat, s => cat.messages(s))
+    val all = fresh.query(spark, "from p3 click;")
+    val n0 = all.count()
+    val bounds = all.agg(org.apache.spark.sql.functions.min("time"),
+      org.apache.spark.sql.functions.max("time")).head()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val mid = lo + (hi - lo) / 2
+    fresh.delete("p3", "click", lo, mid)
+    val n1 = fresh.query(spark, "from p3 click;").count()
+    assert(n1 < n0 && n1 > 0)
+    // deleted range is gone from the data actually returned
+    val minLeft = fresh.query(spark, "from p3 click;")
+      .agg(org.apache.spark.sql.functions.min("time")).head().getLong(0)
+    assert(minLeft >= mid)
+    // other producers untouched
+    assert(fresh.query(spark, "from p5 click;").count() > 0)
+    // reference-style validation
+    assertThrows[IllegalArgumentException](
+      fresh.delete("", "click", 0L, 1L))
+    assertThrows[IllegalArgumentException](
+      fresh.delete("p3", "click", 5L, 5L))
+  }
+
   test("truncate statement masks data") {
     val before = cat.messages(spark)
       .where(col("producer") === "p3" && col("topic") === "click").count()

@@ -108,6 +108,26 @@ class ExecutorSpec extends AnyFunSuite {
       == Seq("t1" -> 0L))
   }
 
+  test("asof join as a merge child interleaves lefts at their own time") {
+    // The merge orders every tuple by its OWN log time (reference:
+    // server/executor/merge_node.go:46-54): the matched left t0@4 sits
+    // at t=4 among the sibling t1 rows, NOT at its first matching
+    // right's time (t8@9). t0 precedes t8: rights t8@{0,9,18,27,36}
+    // match lefts t0@0 and t0@4; sibling t1 at {0,2,4,6,8}.
+    assert(run("from device t1, t0 precedes t8 by less than " +
+      "100 nanoseconds;") == Seq(
+      "t1" -> 0L, "t0" -> 0L, "t8" -> 0L, "t1" -> 2L, "t1" -> 4L,
+      "t0" -> 4L, "t1" -> 6L, "t1" -> 8L, "t8" -> 9L, "t8" -> 18L,
+      "t8" -> 27L, "t8" -> 36L))
+    // limit returns different ROWS, not just a different order: row 6
+    // must be the left t0@4 (own time), not t1@6 (the result under
+    // first-right-time emission)
+    assert(run("from device t1, t0 precedes t8 by less than " +
+      "100 nanoseconds limit 6;") == Seq(
+      "t1" -> 0L, "t0" -> 0L, "t8" -> 0L, "t1" -> 2L, "t1" -> 4L,
+      "t0" -> 4L))
+  }
+
   test("asof threshold zero is unbounded") {
     // t1 precedes t8 with no constraint: every t8 matches the latest t1
     assert(run("from device t1 precedes t8;") ==

@@ -1,0 +1,103 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.api.Dp3Service
+import graft.export.Export
+import graft.mcap.Mcap
+import graft.model.EventsCatalog
+
+/** MCAP export sink — the reference's primary query output
+  * (multiplexed stream, schema/channel dedup + id remap:
+  * server/mcap/merge_coordinator.go:17-99, server/routes/export.go).
+  */
+class ExportSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val cat = new EventsCatalog(dir)
+  private lazy val svc = new Dp3Service(cat, s => cat.messages(s))
+
+  test("mcap query output round-trips and matches the ndjson rows") {
+    val ql = "from p3 click limit 5;"
+    val cols = Seq("value", "k")
+    val decoded = Mcap.read(svc.queryMcap(spark, ql, cols)).toSeq
+    val nd = svc.queryNdjson(spark, ql, cols).collect()
+    assert(decoded.length == 5 && nd.length == 5)
+    decoded.zip(nd).foreach { case (d, j) =>
+      assert(d.topic == "click")
+      assert(j.contains(s""""sequence":${d.sequence}"""))
+      assert(j.contains(s""""log_time":${d.logTime}"""))
+      // the MCAP payload IS the ndjson "data" object, byte for byte
+      assert(j.endsWith(s""""data":${new String(d.data, UTF_8)}}"""))
+    }
+  }
+
+  test("multiplexed export remaps channels and keeps time order") {
+    val bytes = svc.exportMcap(spark, Seq("click", "error"),
+      Seq("value"))
+    val msgs = Mcap.read(bytes).toSeq
+    assert(msgs.map(_.topic).distinct.toSet == Set("click", "error"))
+    val times = msgs.map(_.logTime)
+    assert(times == times.sorted)
+    // schema/channel records written once per distinct content
+    val schemas = Mcap.readSchemaRecs(bytes)
+    assert(schemas.map(_.name).toSet == Set("click", "error"))
+    assert(schemas.map(_.id).distinct.length == schemas.length)
+  }
+
+  test("schema dedup: identical schemas share one record") {
+    import spark.implicits._
+    val df = Seq(("a", 1L, 10L, 1.5), ("b", 2L, 20L, 2.5))
+      .toDF("topic", "seq", "time", "value")
+    val bytes = Export.mcap(df.withColumn("topic", lit("same")),
+      Seq("value"))
+    assert(Mcap.readSchemaRecs(bytes).length == 1)
+  }
+
+  test("distributed part files cover the full set and stay ordered") {
+    val q = svc.query(spark, "from p3 click;")
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-mcap-parts").toString
+    val parts = Export.writeMcapParts(q, Seq("value"), out, 3)
+    assert(parts.nonEmpty)
+    val all = parts.flatMap { p =>
+      val local = if (p.startsWith("file:")) p.stripPrefix("file:") else p
+      val bytes = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(local))
+      val msgs = Mcap.read(bytes).toSeq
+      // each part is a valid, internally time-ordered MCAP
+      assert(msgs.map(_.logTime) == msgs.map(_.logTime).sorted)
+      msgs
+    }
+    assert(all.length == q.count())
+    // parts are range-partitioned by time: concatenation stays sorted
+    assert(all.map(_.logTime) == all.map(_.logTime).sorted)
+  }
+
+  test("schema registry serves /schemas/{hash} lookups") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-schemas").toString
+    val w = new Mcap.Writer()
+    w.writeSchema(Mcap.SchemaRec(1, "pkg/Msg", "ros1msg",
+      "float64 x\n".getBytes(UTF_8)))
+    w.writeChannel(Mcap.ChannelRec(0, 1, "/t", "ros1"))
+    w.writeMessage(Mcap.MessageRec(0, 1L, 5L, 5L, Array[Byte](1)))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(tmp, "prod.mcap"), w.finish())
+
+    val reg = (s: org.apache.spark.sql.SparkSession) =>
+      Mcap.loadSchemas(s, tmp)
+    val hash = reg(spark).select("schema_hash").head().getString(0)
+    val withReg = new Dp3Service(cat, s => cat.messages(s),
+      schemaRegistry = Some(reg))
+    val row = withReg.schemaFor(spark, hash)
+    assert(row.getAs[String]("schema_name") == "pkg/Msg")
+    assert(new String(row.getAs[Array[Byte]]("schema_data"), UTF_8)
+      == "float64 x\n")
+    assertThrows[NoSuchElementException](
+      withReg.schemaFor(spark, "nope"))
+  }
+}
