@@ -188,6 +188,26 @@ final class Dp3Service(underlying: MessageCatalog,
       .where(col("start_ns") < endNs && col("end_ns") > startNs)
   }
 
+  /** /statrange with the reference's per-field surface (the reference
+    * serves statistics for every flattened schema field —
+    * server/nodestore/statistics.go:305-313): flat (bin × field)
+    * records for the requested fields, optionally topic-restricted.
+    * One groupBy computes every field; the bin-aligned time predicate
+    * prunes the scan to the requested range. */
+  def statRangeFields(spark: SparkSession, granularityNs: Long,
+      numericFields: Seq[String], textFields: Seq[String] = Nil,
+      topic: Option[String] = None,
+      startNs: Long = 0L, endNs: Long = Long.MaxValue): DataFrame = {
+    val width = StatTiers.pickTierWidth(granularityNs)
+    var m = binAligned(spark, width, startNs, endNs)
+    topic.foreach(t => m = m.where(col("topic") === t))
+    val base = StatTiers.baseFields(m, StatTiers.BaseWidthNs,
+      numericFields, textFields)
+    val tier = StatTiers.rollupFields(base, width / StatTiers.BaseWidthNs)
+    StatTiers.serveFields(tier, numericFields, textFields)
+      .where(col("start_ns") < endNs && col("end_ns") > startNs)
+  }
+
   /** /statistics: merged bins with the reference's parameter surface —
     * topic/producer restriction, time range, granularity,
     * groupByProducer (reference: server/treemgr/treemgr.go:384-501). */

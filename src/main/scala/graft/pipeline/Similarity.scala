@@ -76,6 +76,73 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col(idCol).asc).limit(k)
   }
 
+  /** Train an IVF coarse quantizer: Lloyd's k-means over the embedding
+    * column, fully deterministic — init = the k lowest-id vectors, no
+    * RNG — so the index is bit-reproducible run to run (the repo-wide
+    * determinism rule). Centroids are unit-normalized, so nearest
+    * centroid by dot product = nearest by cosine.
+    *
+    * Scale shape: the ASSIGNMENT step is shuffle-free — the centroid
+    * set is a broadcast literal (k·d doubles, kilobytes) and the
+    * argmax runs per row inside codegen via the native DotProduct.
+    * The UPDATE step is one posexplode + groupBy of (cell, dim) per
+    * iteration — n·d tiny rows, map-side combined. At 100 TB you train
+    * on a sample (centroids are a driver-side Seq precisely so they
+    * can be persisted and reused), then [[assignCells]] stamps the
+    * full table once at ingest and the cell becomes a partition key
+    * Catalyst prunes on (the production IVF layout the reference-free
+    * design calls for). */
+  def trainIvfCentroids(emb: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : Seq[Seq[Double]] = {
+    require(k >= 1 && iters >= 0, "k >= 1, iters >= 0")
+    val asDouble = transform(col(vecCol), x => x.cast("double"))
+    var cents: Seq[Seq[Double]] = emb.orderBy(col(idCol)).limit(k)
+      .select(asDouble.as("v")).collect().map(_.getSeq[Double](0)).toSeq
+    for (_ <- 0 until iters) {
+      val assigned = emb.withColumn("_cell", cellOf(cents, vecCol))
+      val updated = assigned
+        .select(col("_cell"), posexplode(asDouble).as(Seq("_pos", "_x")))
+        .groupBy(col("_cell"), col("_pos"))
+        // exact decimal mean: double summation is not associative, and
+        // partitioning-dependent centroids would break the repo's
+        // bit-reproducibility rule
+        .agg((sum(col("_x").cast(
+            org.apache.spark.sql.types.DecimalType(30, 12)))
+          / count(lit(1))).cast("double").as("_m"))
+        .groupBy(col("_cell"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("_pos"), col("_m")))),
+          s => s.getField("_m")).as("_c"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
+      // empty cells keep their previous centroid (standard Lloyd's)
+      cents = cents.indices.map(i => updated.getOrElse(i, cents(i)))
+    }
+    cents
+  }
+
+  /** Argmax-cosine cell id for each row against a centroid literal —
+    * pure codegen'd column expression, zero shuffle. Ties take the
+    * lowest cell id (array_position returns the first match). */
+  private def cellOf(cents: Seq[Seq[Double]], vecCol: String): Column = {
+    val unit = cents.map { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      if (n == 0.0) c else c.map(_ / n)
+    }
+    val centArr = array(unit.map(c => lit(c.toArray)): _*)
+    val scores = transform(centArr, c => dot(col(vecCol), c))
+    (array_position(scores, array_max(scores)) - 1).cast("int")
+  }
+
+  /** Stamp every row with its IVF cell (the ingest-time assignment
+    * pass). The output's `cell` column plugs straight into [[ivfTopK]]
+    * / [[cosineNearDupPairs]] as `cellCol`, and into
+    * `write.partitionBy("cell")` for a pruned physical layout. */
+  def assignCells(emb: DataFrame, cents: Seq[Seq[Double]],
+      vecCol: String = "embedding"): DataFrame =
+    emb.withColumn("cell", cellOf(cents, vecCol))
+
   /** All near-duplicate pairs by embedding cosine ≥ threshold.
     * Exact O(n²/cells) via coarse-cell pruning; pass cellCol = None
     * for the unconstrained exact variant. */

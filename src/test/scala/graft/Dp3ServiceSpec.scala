@@ -131,6 +131,23 @@ class Dp3ServiceSpec extends AnyFunSuite {
     assert(svc.statRange(spark, 3600L * 1000000000L).count() == 0)
   }
 
+  test("statrange serves per-field records") {
+    val bins = svc.statRangeFields(spark, 3600L * 1000000000L,
+      numericFields = Seq("value", "k"), textFields = Seq("props"),
+      topic = Some("click"))
+    val fields = bins.select("field", "field_type").distinct()
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(fields == Set(("value", "numeric"), ("k", "numeric"),
+      ("props", "text")))
+    // numeric rows carry stats + sketch quantiles, text rows min/max
+    val v = bins.where(col("field") === "value").limit(1).head()
+    assert(!v.isNullAt(v.fieldIndex("num_mean"))
+      && !v.isNullAt(v.fieldIndex("p50")))
+    val p = bins.where(col("field") === "props").limit(1).head()
+    assert(!p.isNullAt(p.fieldIndex("text_min"))
+      && p.isNullAt(p.fieldIndex("num_count")))
+  }
+
   test("catalog listings: topics, producers, tables") {
     val ts = svc.topics(spark).collect().map(_.getString(0)).toSeq
     assert(ts.contains("click") && ts.contains("error"))

@@ -142,6 +142,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(ivf.map(_.getLong(0)).toSeq == Seq(1L, 2L))
   }
 
+  test("kmeans ivf quantizer: deterministic training, exact " +
+      "nearest-centroid assignment") {
+    val emb = spark.read.parquet(
+      "/root/testdata/sf0.001/embeddings.parquet")
+    val c1 = Similarity.trainIvfCentroids(emb, k = 4, iters = 3)
+    val c2 = Similarity.trainIvfCentroids(emb, k = 4, iters = 3)
+    assert(c1 == c2) // no RNG, exact decimal means: bit-reproducible
+    assert(c1.length == 4 && c1.forall(_.length == 64))
+    val assigned = Similarity.assignCells(emb, c1)
+    // every row lands in its true argmax-cosine cell (replicated on
+    // the driver with the same left-fold dot product)
+    val unit = c1.map { c =>
+      val n = math.sqrt(c.map(x => x * x).sum); c.map(_ / n)
+    }
+    assigned.select(col("vec_id"), col("embedding"), col("cell"))
+      .collect().foreach { r =>
+        val v = r.getSeq[Float](1).map(_.toDouble)
+        val scores = unit.map(c =>
+          v.zip(c).foldLeft(0.0) { case (a, (x, y)) => a + x * y })
+        assert(r.getInt(2) == scores.indexOf(scores.max),
+          s"vec ${r.getLong(0)}")
+      }
+    // all 4 cells populated on this data, and the trained cells plug
+    // straight into ivfTopK
+    assert(assigned.select("cell").distinct().count() == 4)
+    val top = Similarity.ivfTopK(assigned, queryId = 0L, k = 5,
+      cellCol = "cell")
+    assert(top.count() == 5)
+  }
+
   test("cosine near-dup pairs respects threshold") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f), 1),
