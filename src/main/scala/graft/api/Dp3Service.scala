@@ -54,7 +54,8 @@ object IngestStore {
 final class Dp3Service(underlying: MessageCatalog,
     rawMessages: SparkSession => DataFrame,
     store: Option[IngestStore] = None,
-    schemaRegistry: Option[SparkSession => DataFrame] = None) {
+    schemaRegistry: Option[SparkSession => DataFrame] = None,
+    databaseName: String = "default") {
 
   /** (producer, topic) → hide rows with ingest_version <= v
     * (reference truncation watermark: server/rootmap/rootmap.go:24-79) */
@@ -280,7 +281,16 @@ final class Dp3Service(underlying: MessageCatalog,
         "not a truncate statement")
     }
 
-  // --- catalog listings (reference: server/routes/routes.go:55-60) ------
+  // --- catalog listings (reference: server/routes/routes.go:51-60) ------
+
+  /** GET /databases (reference: server/routes/databases.go) — this
+    * facade fronts one database (multi-database deployments run one
+    * catalog per database directory), so the listing is the
+    * configured name. */
+  def databases(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(databaseName).toDF("database")
+  }
 
   /** GET /databases/{db}/topics — the distinct topic list
     * (reference: server/routes/topics.go, treemgr.Topics). With a
