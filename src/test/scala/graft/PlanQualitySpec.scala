@@ -90,6 +90,40 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(e.getMessage.contains("too granular"))
   }
 
+  test("per-field tier is ONE aggregation, not one pass per field") {
+    val cat = new EventsCatalog(sfDir)
+    val tier = StatTiers.baseFields(cat.messages(spark),
+      StatTiers.BaseWidthNs, Seq("value", "k"), Seq("props"))
+    val p = tier.queryExecution.executedPlan.toString
+    // a single hash-partition exchange on the grouping keys — adding
+    // fields must never add shuffles (the 100 TB property)
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 exchange, plan:\n$p")
+    // one scan of the events table, not one per field
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected 1 scan, plan:\n$p")
+    // serveFields on top adds NO further exchange (pure unpivot)
+    val served = StatTiers.serveFields(tier, Seq("value", "k"),
+      Seq("props"))
+    val sp = served.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(sp).length == 1,
+      s"serveFields added a shuffle:\n$sp")
+  }
+
+  test("mcap export plan streams the query frame without extra sorts") {
+    // jsonRows is a pure projection: no exchange, no sort beyond what
+    // the input frame carries
+    import spark.implicits._
+    val df = Seq(("t", 1L, 10L, 1.0)).toDF("topic", "seq", "time",
+      "value")
+    val bytes = Export.mcap(df, Seq("value"))
+    assert(graft.mcap.Mcap.read(bytes).toSeq.length == 1)
+    // empty frame → valid MCAP with zero messages
+    val empty = Export.mcap(df.where(lit(false)), Seq("value"))
+    assert(graft.mcap.Mcap.read(empty).isEmpty)
+  }
+
   test("truncate statement empties or time-bounds a table") {
     import spark.implicits._
     val msgs = Seq(("p0", "t", 100L, 1L), ("p0", "t", 200L, 2L))
