@@ -424,6 +424,22 @@ object SparkEntry {
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
 
+    "t_rolling_fp" -> ((s, dir) =>
+      // rolling (Rabin-style) window fingerprints: token hashes are
+      // projected into a named column FIRST (md5 per token; inlining
+      // would re-evaluate per window — the lambda-CSE trap), then the
+      // per-window fold reads the bound array attribute, codegen-cheap
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.tokens(lower(col("text"))).as("_toks"))
+        .select(col("doc_id"),
+          TextOps.tokenHashes(col("_toks")).as("_th"))
+        .select(col("doc_id"), posexplode(
+          TextOps.rollingFromHashes(col("_th"), 3)).as(Seq("pos", "fp")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("fp"))
+        .orderBy("doc_id", "pos")),
+
     "t_tokens" -> ((s, dir) =>
       Tables.load(s, dir, "documents")
         .select(col("doc_id"),
@@ -1003,6 +1019,27 @@ object SparkEntry {
     "t_fingerprint" ->
       """SELECT doc_id, md5(lower(trim(text))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // identical polynomial fold: Spark aggregate(zero=0) ≡ DuckDB
+    // list_reduce (first step (0·B + h1) mod M = h1, hashes pre-reduced)
+    "t_rolling_fp" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '')
+        |      AS toks
+        |  FROM documents),
+        | h AS (SELECT doc_id,
+        |   list_transform(toks, x ->
+        |     CAST(('0x' || substring(md5(x),1,15)) AS BIGINT)
+        |       % 1000000007) AS th
+        |  FROM t),
+        | wn AS (SELECT doc_id, i,
+        |   list_reduce(th[i:i+2], (a,x) -> (a*1000003 + x) % 1000000007)
+        |     AS fp
+        |  FROM h, UNNEST(range(1, len(th) - 1)) AS u(i)
+        |  WHERE len(th) >= 3)
+        |SELECT doc_id, i - 1 AS pos, fp FROM wn
+        |ORDER BY doc_id, pos""".stripMargin,
 
     "t_tokens" ->
       """WITH raw AS (

@@ -105,6 +105,40 @@ object TextOps {
     * the exact-dedup key. */
   def fingerprint(text: Column): Column = md5(lower(trim(text)))
 
+  // --- rolling (Rabin-style polynomial) fingerprints --------------------
+
+  /** Polynomial-hash base/modulus — both under 2^30/2^31 so the
+    * rolling step `acc*B + x` stays far inside Long on every engine. */
+  val RollB = 1000003L
+  val RollM = 1000000007L
+
+  /** Per-token 60-bit hashes reduced mod [[RollM]] — PROJECT THIS into
+    * a named column before windowing (md5 per token is expensive; an
+    * inlined subtree would re-evaluate per window — the lambda-CSE
+    * trap, see Dedup.shinglesOfTokens). */
+  def tokenHashes(toks: Column): Column =
+    transform(toks, t =>
+      pmod(conv(substring(md5(t), 1, 15), 16, 10).cast("long"),
+        lit(RollM)))
+
+  /** Rolling fingerprints over every `w`-token window: window i holds
+    * the left-fold `((0·B + h_i)·B + h_{i+1}…) mod M` — the
+    * shift-resistant chunk identity used for partial-overlap document
+    * dedup (a shared passage yields identical window fingerprints at
+    * ANY offset, which shingle-set Jaccard also gives but with
+    * per-window O(1) updates in a streaming implementation; here the
+    * per-window fold over a bound array attribute is codegen-cheap).
+    * Engine-portable: the identical fold runs in DuckDB list_reduce
+    * (oracle `t_rolling_fp`). */
+  def rollingFromHashes(th: Column, w: Int): Column = {
+    require(w >= 1, "window >= 1")
+    when(size(th) >= w,
+      transform(sequence(lit(0), size(th) - w),
+        i => aggregate(slice(th, i + lit(1), lit(w)), lit(0L),
+          (acc, x) => pmod(acc * lit(RollB) + x, lit(RollM)))))
+      .otherwise(array().cast("array<long>"))
+  }
+
   /** Corpus-wide top-k n-gram counts (word n-grams). One explode + one
     * agg; at 100 TB this is the canonical map-side-combine shape. */
   def topNgrams(df: DataFrame, n: Int, k: Int, textCol: String = "text")

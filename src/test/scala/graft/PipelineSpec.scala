@@ -205,6 +205,55 @@ class PipelineSpec extends AnyFunSuite {
     assert(grams.head.getLong(1) == 3L)
   }
 
+  test("rolling fingerprints are shift-invariant for shared passages") {
+    val docs = Seq(
+      (1L, "shared passage of tokens here plus suffix one"),
+      (2L, "prefix words then shared passage of tokens here"))
+      .toDF("doc_id", "text")
+    val fps = docs
+      .select(col("doc_id"), TextOps.tokens(lower(col("text"))).as("_t"))
+      .select(col("doc_id"), TextOps.tokenHashes(col("_t")).as("_h"))
+      .select(col("doc_id"),
+        explode(TextOps.rollingFromHashes(col("_h"), 3)).as("fp"))
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    // the 5-token shared passage yields 3 identical window
+    // fingerprints REGARDLESS of its offset in each document — the
+    // property shingle-position hashes don't have
+    assert((fps(1L) intersect fps(2L)).size == 3)
+    // short docs produce no windows instead of erroring
+    val short = Seq((3L, "one two")).toDF("doc_id", "text")
+      .select(TextOps.rollingFromHashes(
+        TextOps.tokenHashes(TextOps.tokens(col("text"))), 3).as("w"))
+      .head().getSeq[Long](0)
+    assert(short.isEmpty)
+  }
+
+  test("multimodal feature-extract, resize, frame-sample shapes") {
+    val df = Multimodal.withPayload(Seq(
+      (1L, "abcdefghijklmnopqrstuvwxyz"),
+      (2L, "0123")).toDF("doc_id", "text"))
+    val feats = Multimodal.extractFeatures(spark, df, dim = 8).collect()
+    assert(feats.length == 2
+      && feats.forall(_.features.length == 8)
+      && feats.forall(_.features.forall(f => f >= 0f && f <= 1f)))
+    // deterministic across runs
+    assert(Multimodal.extractFeatures(spark, df, dim = 8).collect()
+      .map(_.features.toSeq).toSeq
+      == feats.map(_.features.toSeq).toSeq)
+    val rs = Multimodal.resize(spark, df, width = 4, height = 3)
+      .collect()
+    assert(rs.forall(r => r.payload.length == 12
+      && r.width == 4 && r.height == 3))
+    // frame sampling: 26 bytes / frameSize 5 -> frames 0..5; every 2nd
+    // kept -> original indices 0, 2, 4
+    val frames = Multimodal.sampleFrames(spark, df.where(col("doc_id")
+      === 1L), frameSize = 5, every = 2).collect().sortBy(_.frame_idx)
+    assert(frames.map(_.frame_idx).toSeq == Seq(0, 2, 4))
+    assert(frames.head.frame_payload.toSeq
+      == "abcde".getBytes("UTF-8").toSeq)
+  }
+
   test("multimodal stub decode is deterministic and partition-local") {
     val meta = Multimodal.decodeMeta(spark, Multimodal.withPayload(docs))
       .collect().sortBy(_.doc_id)
