@@ -1,0 +1,89 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.functions._
+
+import graft.ops.AsofJoin
+
+/** Property check: the windowed distributed AsofJoin equals an
+  * independent sequential automaton implementing the reference
+  * semantics verbatim (server/executor/asof_node.go:64-111) on random
+  * dense streams — collisions in time, interleaved sides, both
+  * immediate modes, bounded and unbounded thresholds. The window
+  * formulation is the operator's scale mechanism; this pins it to the
+  * executable spec it must never drift from. Seeded generation keeps
+  * every run reproducible.
+  */
+class AsofPropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** one stream row: (time, side 0|1, unique seq) */
+  private case class R(time: Long, side: Int, seq: Long)
+
+  /** The reference automaton, written directly from the prose rules:
+    * process rows in (time, side, seq) order; a left becomes the
+    * current left (unemitted); a right matching the current left
+    * within threshold emits the left once (at the LEFT'S own time)
+    * then the right, unless immediate has already consumed the left.
+    * Output: (seq, emit_time, emit_side). */
+  private def sequential(rows: Seq[R], thresholdNs: Long,
+      immediate: Boolean): Seq[(Long, Long, Int)] = {
+    var lastLeft: Option[R] = None
+    var emitted = false
+    val out = Seq.newBuilder[(Long, Long, Int)]
+    rows.sortBy(r => (r.time, r.side, r.seq)).foreach { r =>
+      if (r.side == 0) { lastLeft = Some(r); emitted = false }
+      else lastLeft.foreach { l =>
+        val inRange = thresholdNs == 0L || r.time < l.time + thresholdNs
+        if (inRange && !(immediate && emitted)) {
+          if (!emitted) { out += ((l.seq, l.time, 0)); emitted = true }
+          out += ((r.seq, r.time, 1))
+        }
+      }
+    }
+    out.result()
+  }
+
+  private val genRows: Gen[List[R]] = for {
+    n <- Gen.choose(2, 14)
+    rows <- Gen.listOfN(n, for {
+      t <- Gen.choose(0L, 9L) // dense: time collisions guaranteed
+      s <- Gen.oneOf(0, 1)
+    } yield (t, s))
+  } yield rows.zipWithIndex.map { case ((t, s), i) => R(t, s, i.toLong) }
+
+  test("windowed as-of equals the sequential reference automaton") {
+    import spark.implicits._
+    val params = Gen.Parameters.default
+    var seed = Seed(20260812L)
+    var checked = 0
+    while (checked < 40) {
+      val rows = genRows.pureApply(params, seed)
+      seed = seed.next
+      val hasBoth = rows.exists(_.side == 0) && rows.exists(_.side == 1)
+      if (hasBoth) {
+        checked += 1
+        val threshold = if (checked % 2 == 0) 0L else 3L
+        val immediate = checked % 4 < 2
+        val df = rows.map(r => ("p", r.time, r.seq, r.side))
+          .toDF("producer", "time", "seq", "side")
+        val got = AsofJoin.join(
+          df.where(col("side") === 0).drop("side"),
+          df.where(col("side") === 1).drop("side"),
+          timeCol = "time", keys = Seq("producer"),
+          thresholdNs = threshold, immediate = immediate,
+          tieCol = Some("seq"))
+          .select("seq", "emit_time", "emit_side")
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+          .sortBy(t => (t._2, t._3, t._1)).toSeq
+        val want = sequential(rows, threshold, immediate)
+          .sortBy(t => (t._2, t._3, t._1))
+        assert(got == want,
+          s"case $checked: rows=$rows thr=$threshold imm=$immediate")
+      }
+    }
+  }
+}
