@@ -60,9 +60,14 @@ object Bench {
           -1.0 // sentinel: failures must not masquerade as fast runs
       }
     }
+    // SPARK_GRAFT_ONLY=q_a,q_b restricts the run for local iteration
+    // (the driver never sets it; mirrors Verify's filter)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     // two runs per query, report the steady-state (second is warm:
     // code cached, JIT'd, file listings resolved); any failure -> -1
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map {
       case (name, fn) =>
         val (a, b) = (time(fn), time(fn))
         name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))

@@ -52,10 +52,25 @@ object Dedup {
   def shingles(text: Column, k: Int): Column =
     shinglesOfTokens(TextOps.tokens(lower(text)), k)
 
+  /** Spread a narrow frame across the cluster before expensive per-row
+    * work. Scan parallelism is bounded by parquet ROW GROUPS, not file
+    * count: a small single-row-group file arrives as ONE task, and
+    * everything up to the first exchange (tokenize, shingle, md5) runs
+    * on one core while the rest of the cluster idles — measured 3-4x
+    * on the documents table. The hash repartition is deterministic and
+    * costs one tiny shuffle of the projected columns; at real scale
+    * the input already has >= cluster parallelism splits and this is
+    * the identity. */
+  private[pipeline] def spread(df: DataFrame, byCol: String): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < want) df.repartition(want, col(byCol))
+    else df
+  }
+
   private def withShingles(df: DataFrame, k: Int, idCol: String,
       textCol: String): DataFrame =
-    df.select(col(idCol).as("_id"),
-      TextOps.tokens(lower(col(textCol))).as("_toks"))
+    spread(df.select(col(idCol).as("_id"), col(textCol)), "_id")
+      .select(col("_id"), TextOps.tokens(lower(col(textCol))).as("_toks"))
       .select(col("_id"), explode(shinglesOfTokens(col("_toks"), k)).as("sh"))
 
   /** Drop shingles whose document frequency exceeds `maxDf` — the
@@ -98,11 +113,21 @@ object Dedup {
     * memory; pass hashJoin = false there to let sort-merge spill —
     * though with such skew the O(f²) pair blowup, not the join
     * strategy, is the real problem and `maxDf` is the production
-    * answer (see [[capDf]]). */
+    * answer (see [[capDf]]).
+    *
+    * The exploded shingle frame is referenced by FOUR downstream
+    * subtrees (hot-set agg, both self-join sides, per-doc sizes), and
+    * only bit-identical exchanges get reused — everything else would
+    * re-run the tokenize+shingle pipeline per reference. It is pinned
+    * once instead (MEMORY_AND_DISK, spills rather than OOMs at scale);
+    * the returned frame is therefore CACHE-BACKED and the caller owns
+    * the blocks' lifetime — consume, then release (Verify and Bench
+    * unpersist between queries), the same contract as [[clusters]]. */
   def jaccardPairs(df: DataFrame, k: Int, threshold: Double,
       idCol: String = "doc_id", textCol: String = "text",
       hashJoin: Boolean = true, maxDf: Int = Int.MaxValue): DataFrame = {
-    val sh = capDf(withShingles(df, k, idCol, textCol), maxDf)
+    val (sh0, _) = pinNow(withShingles(df, k, idCol, textCol))
+    val sh = capDf(sh0, maxDf)
     val sizes = sh.groupBy(col("_id")).agg(count(lit(1)).as("n"))
     val left = if (hashJoin) sh.hint("shuffle_hash") else sh
     val a = left.as("a"); val b = sh.as("b")
@@ -144,7 +169,10 @@ object Dedup {
       maxDf: Int = Int.MaxValue, maxBucket: Int = Int.MaxValue): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val sh = capDf(withShingles(df, k, idCol, textCol), maxDf)
+    // pinned for the same reason as in jaccardPairs (hot-set agg +
+    // signature agg both consume it); result is cache-backed.
+    val (sh0, _) = pinNow(withShingles(df, k, idCol, textCol))
+    val sh = capDf(sh0, maxDf)
     val sigCols = (0 until numHashes).map(i =>
       min(md5(concat(lit(s"$i:"), col("sh")))).as(s"_h$i"))
     val withSig = sh.groupBy(col("_id"))
@@ -187,6 +215,19 @@ object Dedup {
     (df.sparkSession.createDataFrame(rdd, df.schema), rdd)
   }
 
+  /** pin + materialize NOW. A lazily-pinned RDD that is a leaf of
+    * several concurrent stages of the same query (broadcast job + both
+    * self-join sides) gets computed by every stage at once — redundant
+    * work plus block-manager lock contention (measured multi-second
+    * outliers). One cheap eager job up front makes every downstream
+    * read a cache hit. Only for frames consumed by parallel stages;
+    * sequential consumers ([[clusters]] rounds) materialize lazily. */
+  private def pinNow(df: DataFrame): (DataFrame, RDD[Row]) = {
+    val p = pin(df)
+    p._2.count()
+    p
+  }
+
   /** Connected-component clustering of near-duplicate pairs: every id
     * is labeled with the smallest id reachable through the pair graph
     * (the cluster representative to keep). Iterative min-label
@@ -218,9 +259,15 @@ object Dedup {
     * jump is the identity, so no earlier exit exists. */
   def clusters(ids: DataFrame, pairs: DataFrame,
       idCol: String = "doc_id", maxIters: Int = 50): DataFrame = {
+    // both edge directions from ONE evaluation of the pairs DAG: a
+    // union of two selects re-runs the (expensive) upstream pair
+    // pipeline per branch; exploding a 2-struct array doubles the rows
+    // in a single pass instead.
     val (edges, edgesRdd) = pin(
-      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
+      pairs.select(explode(array(
+          struct(col("id_a").as("src"), col("id_b").as("dst")),
+          struct(col("id_b").as("src"), col("id_a").as("dst")))).as("_e"))
+        .select(col("_e.src").as("src"), col("_e.dst").as("dst")))
     var (labels, labelsRdd) = pin(
       ids.select(col(idCol).as("id"), col(idCol).as("label")))
     var changed = 1L
@@ -264,7 +311,8 @@ object Dedup {
     * Bit b of token t = bit (3 - b%4) of hex digit b/4 of md5(t). */
   def simhash(df: DataFrame, bits: Int = 32, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val toks = df.select(col(idCol).as("_id"),
+    val toks = spread(df.select(col(idCol).as("_id"), col(textCol)), "_id")
+      .select(col("_id"),
         explode(array_distinct(TextOps.tokens(lower(col(textCol)))))
           .as("tok"))
       .withColumn("_md5", md5(col("tok")))
