@@ -51,31 +51,52 @@ object Bench {
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).count()
-        val dt = (System.nanoTime() - t0) / 1e9
-        releaseCaches()
-        dt
+        (System.nanoTime() - t0) / 1e9
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] query failed: ${e.getMessage}")
           -1.0 // sentinel: failures must not masquerade as fast runs
-      }
+      } finally releaseCaches() // ALSO on failure: a query that pinned
+      // the shingle frame and then threw must not leave blocks taxing
+      // the next query's timed runs (untimed — dt is taken before this)
     }
+    // 1-minute load average — the machine-contention tell. The r6
+    // driver bench ran concurrently with a builder session and recorded
+    // 54.9 s where an idle replication measures 19 s; emitting load
+    // with the numbers makes a poisoned run self-identifying.
+    def loadavg(): Double =
+      try {
+        val src = scala.io.Source.fromFile("/proc/loadavg")
+        try src.mkString.split(" ")(0).toDouble finally src.close()
+      } catch { case _: Throwable => -1.0 }
+    val loadStart = loadavg()
     // SPARK_GRAFT_ONLY=q_a,q_b restricts the run for local iteration
     // (the driver never sets it; mirrors Verify's filter)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     // two runs per query, report the steady-state (second is warm:
-    // code cached, JIT'd, file listings resolved); any failure -> -1
+    // code cached, JIT'd, file listings resolved); any failure -> -1.
+    // Variance guard: if the two runs disagree >2.5x, something stole
+    // the CPU mid-query — take a third run and report the min of all
+    // three rather than letting a contention spike enter the scoreboard.
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map {
       case (name, fn) =>
         val (a, b) = (time(fn), time(fn))
-        name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+        val v =
+          if (a < 0 || b < 0) -1.0
+          else if (math.max(a, b) > 2.5 * math.min(a, b)) {
+            System.gc() // settle heap before the tie-break run
+            val c = time(fn)
+            if (c < 0) -1.0 else math.min(math.min(a, b), c)
+          } else math.min(a, b)
+        name -> v
     }
+    val loadEnd = loadavg()
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"load":{"start":$loadStart%.2f,"end":$loadEnd%.2f},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -60,11 +60,31 @@ object Dedup {
     * on the documents table. The hash repartition is deterministic and
     * costs one tiny shuffle of the projected columns; at real scale
     * the input already has >= cluster parallelism splits and this is
-    * the identity. */
+    * the identity.
+    *
+    * The partition-count probe (`df.rdd.getNumPartitions`) is only free
+    * on an exchange-free plan: under AQE, materializing `.rdd` on a
+    * plan containing shuffles eagerly EXECUTES every upstream stage
+    * just to read a count. So the probe is gated on the optimized plan
+    * being project/filter over a leaf; any other shape skips it and
+    * repartitions unconditionally (the frames passed here are narrow
+    * id+text projections — one cheap shuffle, never a double compute). */
+  private def scanRooted(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+    plan match {
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+        scanRooted(p.child)
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        scanRooted(f.child)
+      case _: org.apache.spark.sql.catalyst.plans.logical.LeafNode => true
+      case _ => false
+    }
+
   private[pipeline] def spread(df: DataFrame, byCol: String): DataFrame = {
     val want = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < want) df.repartition(want, col(byCol))
-    else df
+    val probeSafe = scanRooted(df.queryExecution.optimizedPlan)
+    if (probeSafe && df.rdd.getNumPartitions >= want) df
+    else df.repartition(want, col(byCol))
   }
 
   private def withShingles(df: DataFrame, k: Int, idCol: String,
@@ -122,11 +142,21 @@ object Dedup {
     * once instead (MEMORY_AND_DISK, spills rather than OOMs at scale);
     * the returned frame is therefore CACHE-BACKED and the caller owns
     * the blocks' lifetime — consume, then release (Verify and Bench
-    * unpersist between queries), the same contract as [[clusters]]. */
+    * unpersist between queries), the same contract as [[clusters]].
+    * Library callers that don't sweep globally should use
+    * [[jaccardPairsOwned]] and `release()` the handle after consuming. */
   def jaccardPairs(df: DataFrame, k: Int, threshold: Double,
       idCol: String = "doc_id", textCol: String = "text",
-      hashJoin: Boolean = true, maxDf: Int = Int.MaxValue): DataFrame = {
-    val (sh0, _) = pinNow(withShingles(df, k, idCol, textCol))
+      hashJoin: Boolean = true, maxDf: Int = Int.MaxValue): DataFrame =
+    jaccardPairsOwned(df, k, threshold, idCol, textCol, hashJoin, maxDf)._1
+
+  /** [[jaccardPairs]] plus the [[PinHandle]] owning the pinned
+    * exploded-shingle blocks: consume the frame, then `release()`. */
+  def jaccardPairsOwned(df: DataFrame, k: Int, threshold: Double,
+      idCol: String = "doc_id", textCol: String = "text",
+      hashJoin: Boolean = true, maxDf: Int = Int.MaxValue)
+      : (DataFrame, PinHandle) = {
+    val (sh0, handle) = pinNow(withShingles(df, k, idCol, textCol))
     val sh = capDf(sh0, maxDf)
     val sizes = sh.groupBy(col("_id")).agg(count(lit(1)).as("n"))
     val left = if (hashJoin) sh.hint("shuffle_hash") else sh
@@ -135,7 +165,7 @@ object Dedup {
         && col("a._id") < col("b._id"))
       .groupBy(col("a._id").as("id_a"), col("b._id").as("id_b"))
       .agg(count(lit(1)).as("c"))
-    inter
+    val pairs = inter
       .join(sizes.withColumnRenamed("_id", "id_a")
         .withColumnRenamed("n", "na"), "id_a")
       .join(sizes.withColumnRenamed("_id", "id_b")
@@ -144,6 +174,7 @@ object Dedup {
         / (col("na") + col("nb") - col("c")), 6))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+    (pairs, handle)
   }
 
   /** MinHash + LSH candidate pairs: `numHashes` signature components in
@@ -166,12 +197,21 @@ object Dedup {
     * cheaper than exploded shingle text). */
   def minhashLshCandidates(df: DataFrame, k: Int, numHashes: Int,
       bands: Int, idCol: String = "doc_id", textCol: String = "text",
-      maxDf: Int = Int.MaxValue, maxBucket: Int = Int.MaxValue): DataFrame = {
+      maxDf: Int = Int.MaxValue, maxBucket: Int = Int.MaxValue): DataFrame =
+    minhashLshCandidatesOwned(df, k, numHashes, bands, idCol, textCol,
+      maxDf, maxBucket)._1
+
+  /** [[minhashLshCandidates]] plus the [[PinHandle]] owning the pinned
+    * exploded-shingle blocks: consume the frame, then `release()`. */
+  def minhashLshCandidatesOwned(df: DataFrame, k: Int, numHashes: Int,
+      bands: Int, idCol: String = "doc_id", textCol: String = "text",
+      maxDf: Int = Int.MaxValue, maxBucket: Int = Int.MaxValue)
+      : (DataFrame, PinHandle) = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     // pinned for the same reason as in jaccardPairs (hot-set agg +
     // signature agg both consume it); result is cache-backed.
-    val (sh0, _) = pinNow(withShingles(df, k, idCol, textCol))
+    val (sh0, handle) = pinNow(withShingles(df, k, idCol, textCol))
     val sh = capDf(sh0, maxDf)
     val sigCols = (0 until numHashes).map(i =>
       min(md5(concat(lit(s"$i:"), col("sh")))).as(s"_h$i"))
@@ -198,9 +238,19 @@ object Dedup {
         buckets0.join(broadcast(hot), Seq("bkt"), "left_anti")
       }
     val a = buckets.as("a"); val b2 = buckets.as("b")
-    a.join(b2, col("a.bkt") === col("b.bkt") && col("a._id") < col("b._id"))
+    val cands = a
+      .join(b2, col("a.bkt") === col("b.bkt") && col("a._id") < col("b._id"))
       .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
       .distinct()
+    (cands, handle)
+  }
+
+  /** Ownership handle for pinned cache blocks. Returned by the
+    * `*Owned` variants so a library caller can free the blocks the
+    * moment the result is consumed, instead of relying on a global
+    * `getPersistentRDDs` sweep (which only Verify/Bench perform). */
+  final class PinHandle private[pipeline] (release0: () => Unit) {
+    def release(): Unit = release0()
   }
 
   /** Pin a DataFrame: cache its rows as an RDD and rebuild an O(1)-plan
@@ -209,24 +259,46 @@ object Dedup {
     * `localCheckpoint` this keeps lineage (an executor loss recomputes
     * instead of failing the job) and gives us an explicit `unpersist`
     * — the r4 loop leaked every round's checkpoint blocks until the
-    * ContextCleaner got around to them, degrading the whole session. */
+    * ContextCleaner got around to them, degrading the whole session.
+    *
+    * The plan CUT (rebuilding a leaf frame over the RDD) is the point:
+    * [[clusters]]' round-N plan would otherwise contain round-N-1's
+    * full lineage, growing analysis time linearly and making Catalyst's
+    * cache-plan matching load-bearing. For single-query multi-consumer
+    * frames (no plan growth) the columnar [[pinNow]] is used instead. */
   private def pin(df: DataFrame): (DataFrame, RDD[Row]) = {
     val rdd = df.rdd.persist(StorageLevel.MEMORY_AND_DISK)
     (df.sparkSession.createDataFrame(rdd, df.schema), rdd)
   }
 
-  /** pin + materialize NOW. A lazily-pinned RDD that is a leaf of
-    * several concurrent stages of the same query (broadcast job + both
-    * self-join sides) gets computed by every stage at once — redundant
-    * work plus block-manager lock contention (measured multi-second
-    * outliers). One cheap eager job up front makes every downstream
-    * read a cache hit. Only for frames consumed by parallel stages;
-    * sequential consumers ([[clusters]] rounds) materialize lazily. */
-  private def pinNow(df: DataFrame): (DataFrame, RDD[Row]) = {
-    val p = pin(df)
-    p._2.count()
-    p
-  }
+  /** pin + materialize NOW, columnar. A lazily-pinned frame that is a
+    * leaf of several concurrent stages of the same query (broadcast job
+    * + both self-join sides) gets computed by every stage at once —
+    * redundant work plus block-manager lock contention (measured
+    * multi-second outliers). One cheap eager job up front makes every
+    * downstream read a cache hit.
+    *
+    * Uses Tungsten columnar `df.persist` rather than `RDD[Row]`
+    * pinning: the consumers are all in ONE query over the same frame
+    * reference, so cache-plan matching is exact (no cross-query
+    * fragility), and columnar blocks are both smaller and cheaper to
+    * read (no InternalRow↔Row conversion per pass). Only for frames
+    * consumed by parallel stages of one query; iterative consumers
+    * ([[clusters]] rounds) keep RDD pinning for the plan cut (see
+    * [[pin]]). */
+  private def pinNow(df: DataFrame): (DataFrame, PinHandle) =
+    if (columnarPin) {
+      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+      p.count()
+      (p, new PinHandle(() => { p.unpersist(blocking = false); () }))
+    } else {
+      val (f, rdd) = pin(df)
+      rdd.count()
+      (f, new PinHandle(() => { rdd.unpersist(blocking = false); () }))
+    }
+
+  private def columnarPin: Boolean =
+    !sys.env.get("GRAFT_PIN_ROWS").contains("1")
 
   /** Connected-component clustering of near-duplicate pairs: every id
     * is labeled with the smallest id reachable through the pair graph
@@ -246,19 +318,46 @@ object Dedup {
     * immediately. The returned frame reads the final round's cached
     * blocks; the caller owns their lifetime (consume, then
     * `spark.sharedState.cacheManager` / `getPersistentRDDs` cleanup —
-    * Verify and Bench do this between queries).
+    * Verify and Bench do this between queries; library callers use
+    * [[clustersOwned]]).
+    *
+    * The round is FUSED into two parallel joins feeding one
+    * aggregation (r6 hardening): neighbor-min, identity, and
+    * pointer-jump (label <- label(label)) candidates are unioned and
+    * reduced by a single min-per-node — ~3 sequential stage waves per
+    * round instead of the previous 5 (propagate-join, groupBy,
+    * left-join, jump-join chain). The BSP loop is many SMALL jobs, so
+    * scheduler/block-manager latency — not data — dominates each
+    * round; on a loaded machine the r6 driver bench amplified that
+    * fixed overhead ~6x, which is exactly the tax a busy 1000-executor
+    * cluster pays. Both remaining joins share the labels-by-id
+    * exchange, and AQE (enabled in Bench/Verify) turns them into
+    * broadcasts while labels are small. Convergence is unchanged:
+    * stability of the fused min implies every neighbor's label equals
+    * the node's across each (symmetric) edge, i.e. component-uniform
+    * labels, so no earlier exit exists. The jump uses the PREVIOUS
+    * round's labels (vs post-propagate in the unfused shape) — same
+    * fixpoint, still O(log diameter) rounds.
+    *
+    * Contract: every id appearing in `pairs` must appear in `ids`
+    * (pairs are produced from the same corpus frame).
     *
     * Measured cost shape at sf0.1 (5k docs): the dominant term is
     * MATERIALIZING THE PAIRS INPUT into the pinned edge cache (~2.5 s
     * of jaccard pipeline), then 2 BSP rounds (one reaches the
-    * fixpoint, one confirms changed == 0) at ~0.5–1 s of fixed
-    * small-job overhead each — overhead that amortizes away at real
-    * data sizes, where per-round work is data-bound. Counting jumped
-    * labels vs `_old` is exactly the right termination test: step-
-    * stability implies component-uniform labels, which implies the
-    * jump is the identity, so no earlier exit exists. */
+    * fixpoint, one confirms changed == 0) of fixed small-job overhead
+    * each — overhead that amortizes away at real data sizes, where
+    * per-round work is data-bound. Counting fused labels vs `_old` is
+    * exactly the right termination test (see above). */
   def clusters(ids: DataFrame, pairs: DataFrame,
-      idCol: String = "doc_id", maxIters: Int = 50): DataFrame = {
+      idCol: String = "doc_id", maxIters: Int = 50): DataFrame =
+    clustersOwned(ids, pairs, idCol, maxIters)._1
+
+  /** [[clusters]] plus the [[PinHandle]] owning the final round's
+    * pinned label blocks: consume the frame, then `release()`. */
+  def clustersOwned(ids: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id", maxIters: Int = 50)
+      : (DataFrame, PinHandle) = {
     // both edge directions from ONE evaluation of the pairs DAG: a
     // union of two selects re-runs the (expensive) upstream pair
     // pipeline per branch; exploding a 2-struct array doubles the rows
@@ -270,6 +369,7 @@ object Dedup {
         .select(col("_e.src").as("src"), col("_e.dst").as("dst")))
     var (labels, labelsRdd) = pin(
       ids.select(col(idCol).as("id"), col(idCol).as("label")))
+    val idT = labels.schema("label").dataType
     var changed = 1L
     var iter = 0
     while (changed > 0) {
@@ -277,33 +377,35 @@ object Dedup {
         throw new IllegalStateException(
           s"Dedup.clusters did not converge in $maxIters rounds " +
             s"($changed labels still changing) — pathological graph?")
-      // propagate: each node takes the min label among its neighbors
-      val prop = edges.join(labels, edges("dst") === labels("id"))
-        .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
-      val stepped = labels
-        .join(prop, labels("id") === prop("src"), "left")
-        .select(col("id"), col("label").as("_old"),
-          least(col("label"), coalesce(col("nlabel"), col("label")))
-            .as("label"))
-      // pointer-jump: label <- label(label), halving remaining depth
-      val reps = stepped
-        .select(col("id").as("_rid"), col("label").as("_rlabel"))
-      val jumped = stepped
-        .join(reps, stepped("label") === col("_rid"), "left")
-        .select(col("id"), col("_old"),
-          least(stepped("label"), coalesce(col("_rlabel"),
-            stepped("label"))).as("label"))
-      val (pinned, rdd) = pin(jumped)
+      val nullOld = lit(null).cast(idT).as("old")
+      // candidate labels from three sources, reduced by ONE min-agg:
+      //  - neighbor: min label among adjacent nodes
+      //  - identity: the node's own label (also carries _old for the
+      //    convergence count — every node has exactly one such row, so
+      //    max(old) recovers it through the agg)
+      //  - jump: label(label(n)), halving remaining depth per round
+      val neigh = edges.join(labels, edges("dst") === labels("id"))
+        .select(edges("src").as("node"), labels("label").as("cand"), nullOld)
+      val self = labels.select(col("id").as("node"),
+        col("label").as("cand"), col("label").as("old"))
+      val jump = labels.as("x").join(labels.as("y"),
+          col("x.label") === col("y.id"))
+        .select(col("x.id").as("node"), col("y.label").as("cand"), nullOld)
+      val round = neigh.union(self).union(jump)
+        .groupBy(col("node"))
+        .agg(min(col("cand")).as("label"), max(col("old")).as("_old"))
+      val (pinned, rdd) = pin(round)
       // materializes the cache AND counts convergence in one job
       changed = pinned.where(col("label") =!= col("_old")).count()
       labelsRdd.unpersist(blocking = false)
-      labels = pinned.select(col("id"), col("label"))
+      labels = pinned.select(col("node").as("id"), col("label"))
       labelsRdd = rdd
       iter += 1
     }
     edgesRdd.unpersist(blocking = false)
-    labels.withColumnRenamed("id", idCol)
-      .withColumnRenamed("label", "cluster")
+    val rddHandle = labelsRdd
+    (labels.select(col("id").as(idCol), col("label").as("cluster")),
+      new PinHandle(() => { rddHandle.unpersist(blocking = false); () }))
   }
 
   /** 32-bit SimHash over word tokens, returned as a '0'/'1' string (bit
