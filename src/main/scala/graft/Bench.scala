@@ -69,6 +69,18 @@ object Bench {
         val src = scala.io.Source.fromFile("/proc/loadavg")
         try src.mkString.split(" ")(0).toDouble finally src.close()
       } catch { case _: Throwable => -1.0 }
+    // Sustained contention defeats the min-of-N guard below (uniform
+    // slowdown inflates every run equally), so don't start hot: wait
+    // for the 1-min load to drop under cpus/4 before timing, up to a
+    // bounded budget (another session's Spark job drains in well under
+    // that). If the machine never settles, proceed anyway — the load
+    // numbers + per-query spread flag the run as poisoned.
+    val idleCap = sys.env.getOrElse("GRAFT_BENCH_IDLE_WAIT", "300").toInt
+    val idleBar = cpus.toDouble / 4
+    var waited = 0
+    while (loadavg() > idleBar && waited < idleCap) {
+      Thread.sleep(5000); waited += 5
+    }
     val loadStart = loadavg()
     // SPARK_GRAFT_ONLY=q_a,q_b restricts the run for local iteration
     // (the driver never sets it; mirrors Verify's filter)
@@ -78,25 +90,35 @@ object Bench {
     // Variance guard: if the two runs disagree >2.5x, something stole
     // the CPU mid-query — take a third run and report the min of all
     // three rather than letting a contention spike enter the scoreboard.
+    // Each query also reports spread = max/min over its timed runs: a
+    // TRANSIENT spike shows as a high spread on a clean min, while
+    // sustained contention (which inflates all runs uniformly and
+    // sails through the min) is flagged by the load fields + the
+    // wait-for-idle gate above.
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map {
       case (name, fn) =>
         val (a, b) = (time(fn), time(fn))
-        val v =
-          if (a < 0 || b < 0) -1.0
+        val (v, runs) =
+          if (a < 0 || b < 0) (-1.0, Seq(a, b).filter(_ >= 0))
           else if (math.max(a, b) > 2.5 * math.min(a, b)) {
             System.gc() // settle heap before the tie-break run
             val c = time(fn)
-            if (c < 0) -1.0 else math.min(math.min(a, b), c)
-          } else math.min(a, b)
-        name -> v
+            if (c < 0) (-1.0, Seq(a, b))
+            else (math.min(math.min(a, b), c), Seq(a, b, c))
+          } else (math.min(a, b), Seq(a, b))
+        val spread =
+          if (runs.size < 2 || runs.min <= 0) -1.0 else runs.max / runs.min
+        (name, v, spread)
     }
     val loadEnd = loadavg()
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    val qs = results.map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }
+      .mkString("{", ",", "}")
+    val sp = results.map { case (k, _, s) => "\"" + k + f"\":$s%.2f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"load":{"start":$loadStart%.2f,"end":$loadEnd%.2f},"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$sp,"load":{"start":$loadStart%.2f,"end":$loadEnd%.2f,"idle_wait_sec":$waited},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -271,21 +271,26 @@ object Dedup {
     (df.sparkSession.createDataFrame(rdd, df.schema), rdd)
   }
 
-  /** pin + materialize NOW, columnar. A lazily-pinned frame that is a
-    * leaf of several concurrent stages of the same query (broadcast job
-    * + both self-join sides) gets computed by every stage at once —
-    * redundant work plus block-manager lock contention (measured
-    * multi-second outliers). One cheap eager job up front makes every
-    * downstream read a cache hit.
+  /** pin + materialize NOW. A lazily-pinned frame that is a leaf of
+    * several concurrent stages of the same query (broadcast job + both
+    * self-join sides) gets computed by every stage at once — redundant
+    * work plus block-manager lock contention (measured multi-second
+    * outliers). One cheap eager job up front makes every downstream
+    * read a cache hit.
     *
-    * Uses Tungsten columnar `df.persist` rather than `RDD[Row]`
-    * pinning: the consumers are all in ONE query over the same frame
-    * reference, so cache-plan matching is exact (no cross-query
-    * fragility), and columnar blocks are both smaller and cheaper to
-    * read (no InternalRow↔Row conversion per pass). Only for frames
-    * consumed by parallel stages of one query; iterative consumers
-    * ([[clusters]] rounds) keep RDD pinning for the plan cut (see
-    * [[pin]]). */
+    * Default storage is `RDD[Row]` pinning ([[pin]]), NOT Tungsten
+    * columnar `df.persist` — this was A/B-measured at sf0.1 on a
+    * quiesced 32-core box (SPARK_GRAFT_ONLY=d_dedup_clusters,
+    * d_jaccard_pairs,d_minhash_lsh): rows 7.0 s total (clusters 3.2,
+    * jaccard 2.5, minhash 1.3) vs columnar 12.1 s (6.5 / 3.8 / 1.8).
+    * Columnar loses despite smaller blocks because every downstream
+    * read pays ColumnarToRow decompression + batch iteration per pass,
+    * and the exploded shingle frame is consumed FOUR times per query
+    * by row-oriented operators (hash-join build/probe, aggregation) —
+    * the repeated decode costs more than the InternalRow↔Row
+    * conversion the RDD path pays once at cache-write time. Columnar
+    * remains available behind GRAFT_PIN_COLUMNAR=1 for re-measurement
+    * on engines where the consumers stay columnar end-to-end. */
   private def pinNow(df: DataFrame): (DataFrame, PinHandle) =
     if (columnarPin) {
       val p = df.persist(StorageLevel.MEMORY_AND_DISK)
@@ -298,7 +303,7 @@ object Dedup {
     }
 
   private def columnarPin: Boolean =
-    !sys.env.get("GRAFT_PIN_ROWS").contains("1")
+    sys.env.get("GRAFT_PIN_COLUMNAR").contains("1")
 
   /** Connected-component clustering of near-duplicate pairs: every id
     * is labeled with the smallest id reachable through the pair graph
