@@ -340,6 +340,30 @@ object Mcap {
     StructField("publish_time", LongType),
     StructField("data", BinaryType)))
 
+  /** Decode the `data` payload column of a loaded message frame into a
+    * `decoded` struct, dispatching on the MCAP schema encoding:
+    * `ros1msg` payloads are packed little-endian ros1 serialization
+    * ([[graft.ros1.Ros1Msg]]), `ros2msg` payloads are CDR/XCDR1 as
+    * rosbag2 writes them ([[graft.ros2.Ros2Msg]]). The package (and for
+    * ros2 the message name) come from the schema record's name —
+    * `pkg/Name` for ros1, `pkg/msg/Name` for ros2 (rosbag2 also emits
+    * the 2-segment form; both resolve). */
+  def decodeDf(df: DataFrame, schema: SchemaRec,
+      dataCol: String = "data"): DataFrame = {
+    val definition = new String(schema.data, UTF_8)
+    val segs = schema.name.split('/')
+    schema.encoding match {
+      case "ros1msg" =>
+        graft.ros1.Ros1Msg.decodeDf(df, definition,
+          dataCol = dataCol, pkg = segs.head)
+      case "ros2msg" =>
+        graft.ros2.Ros2Msg.decodeDf(df, definition,
+          pkg = segs.head, name = segs.last, dataCol = dataCol)
+      case other => throw new IllegalArgumentException(
+        s"unsupported schema encoding '$other' for ${schema.name}")
+    }
+  }
+
   /** Distributed MCAP ingest: Spark's binaryFile source lists + ships
     * whole files (one per task — MCAP files are the reference's ingest
     * unit too), mapPartitions parses them into canonical message rows.

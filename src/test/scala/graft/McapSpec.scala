@@ -81,4 +81,124 @@ class McapSpec extends AnyFunSuite {
     assert(ordered.toSeq == Seq("topic-0", "topic-1", "topic-0",
       "topic-1", "topic-0", "topic-1"))
   }
+
+  // --- ros2 / CDR decode e2e --------------------------------------------
+
+  /** Test-side XCDR1 little-endian encoder: tracks position relative to
+    * the first byte after the 4-byte encapsulation header, pads each
+    * primitive to its own size — the rules rmw_fastrtps writes by. */
+  private final class CdrEnc {
+    private val bos = new java.io.ByteArrayOutputStream()
+    bos.write(Array[Byte](0x00, 0x01, 0x00, 0x00)) // CDR_LE
+    private def pos = bos.size() - 4
+    private def align(n: Int): Unit =
+      while (pos % n != 0) bos.write(0)
+    private def le(n: Int)(fill: java.nio.ByteBuffer => Unit): Unit = {
+      val b = java.nio.ByteBuffer.allocate(n)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      fill(b); bos.write(b.array())
+    }
+    def u8(v: Int): this.type = { bos.write(v & 0xff); this }
+    def i32(v: Int): this.type = { align(4); le(4)(_.putInt(v)); this }
+    def u32(v: Long): this.type = { align(4); le(4)(_.putInt(v.toInt)); this }
+    def f64(v: Double): this.type = { align(8); le(8)(_.putDouble(v)); this }
+    def str(s: String): this.type = {
+      val b = s.getBytes("UTF-8")
+      u32(b.length + 1L); bos.write(b); bos.write(0); this
+    }
+    def wstr(s: String): this.type = {
+      u32(s.length.toLong)
+      s.foreach(c => le(2)(_.putShort(c.toShort))); this
+    }
+    def bytes: Array[Byte] = bos.toByteArray
+  }
+
+  private val ros2Def =
+    """std_msgs/Header header
+      |uint8 mode
+      |int32 count
+      |float64[3] pose
+      |int32[] samples
+      |string<=10 tag
+      |wstring note
+      |================================================================================
+      |MSG: std_msgs/Header
+      |time stamp
+      |string frame_id
+      |""".stripMargin
+
+  private def ros2Payload(mode: Int, count: Int): Array[Byte] =
+    new CdrEnc()
+      .i32(1).u32(500000000L)      // header.stamp: 1.5s -> 1500000000 ns
+      .str("base")                 // header.frame_id
+      .u8(mode)                    // uint8 (value > 127 tests widening)
+      .i32(count)                  // forces 2-byte alignment pad
+      .f64(1.5).f64(-2.5).f64(3.0) // pose[3]
+      .u32(2L).i32(7).i32(9)       // samples: seq of 2
+      .str("hi")                   // bounded string, same wire shape
+      .wstr("ok")                  // wstring: u16 code units
+      .bytes
+
+  test("ros2msg/CDR e2e: schema + payload through MCAP -> typed columns") {
+    val w = new Mcap.Writer
+    val schema = Mcap.SchemaRec(1, "sensor_msgs/msg/Scan", "ros2msg",
+      ros2Def.getBytes)
+    w.writeSchema(schema)
+    w.writeChannel(Mcap.ChannelRec(0, 1, "/scan", "cdr"))
+    w.writeMessage(Mcap.MessageRec(0, 0, 10L, 10L, ros2Payload(200, -7)))
+    w.writeMessage(Mcap.MessageRec(0, 1, 20L, 20L, ros2Payload(3, 42)))
+    val dir = Files.createTempDirectory("graft-mcap-ros2").toString
+    Files.write(Paths.get(s"$dir/bot.mcap"), w.finish())
+
+    val loaded = Mcap.load(spark, dir)
+    val decoded = Mcap.decodeDf(loaded, schema)
+    // resolved Spark shape matches Ros2MsgSpec's transform expectations:
+    // widened unsigneds, ns-Long time, nested Header struct
+    val dt = decoded.schema("decoded").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(dt.fieldNames.toSeq == Seq("header", "mode", "count", "pose",
+      "samples", "tag", "note"))
+    assert(dt("mode").dataType.typeName == "short")
+    assert(dt("header").dataType.asInstanceOf[
+      org.apache.spark.sql.types.StructType]("stamp")
+      .dataType.typeName == "long")
+
+    val rows = decoded.orderBy("time").select(
+      col("decoded.header.stamp"), col("decoded.header.frame_id"),
+      col("decoded.mode"), col("decoded.count"), col("decoded.pose"),
+      col("decoded.samples"), col("decoded.tag"), col("decoded.note"))
+      .collect()
+    assert(rows.length == 2)
+    assert(rows(0).getLong(0) == 1500000000L)
+    assert(rows(0).getString(1) == "base")
+    assert(rows(0).getShort(2) == 200 && rows(1).getShort(2) == 3)
+    assert(rows(0).getInt(3) == -7 && rows(1).getInt(3) == 42)
+    assert(rows(0).getSeq[Double](4) == Seq(1.5, -2.5, 3.0))
+    assert(rows(0).getSeq[Int](5) == Seq(7, 9))
+    assert(rows(0).getString(6) == "hi")
+    assert(rows(0).getString(7) == "ok")
+
+    // flat view: AnalyzeSchema queue discipline — record subfields to
+    // the back, fixed-array elements to the front, var/bounded excluded
+    val s = graft.ros2.Ros2Msg.parse(ros2Def, "sensor_msgs", "Scan")
+    assert(graft.ros2.Ros2Msg.flatFields(s).map(_._1) == Seq(
+      "header.stamp", "header.frame_id", "mode", "count",
+      "pose[0]", "pose[1]", "pose[2]", "tag", "note"))
+    val flat = decoded.orderBy("time")
+      .select(graft.ros2.Ros2Msg.flatColumns(s): _*)
+    assert(flat.columns.toSeq == Seq("header.stamp", "header.frame_id",
+      "mode", "count", "pose[0]", "pose[1]", "pose[2]", "tag", "note"))
+    assert(flat.collect()(1).getDouble(5) == -2.5)
+  }
+
+  test("ros2 CDR big-endian payload decodes via the header flag") {
+    val s = graft.ros2.Ros2Msg.parse("int32 a\nuint16 b\n", "pkg", "M")
+    val be = java.nio.ByteBuffer.allocate(4 + 4 + 2)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    be.put(Array[Byte](0x00, 0x00, 0x00, 0x00)) // CDR_BE
+    be.putInt(-12345).putShort(0xBEEF.toShort)
+    val row = graft.ros2.Ros2Msg.decode(s, be.array())
+    assert(row.getInt(0) == -12345)
+    assert(row.getInt(1) == 0xBEEF)
+  }
 }
