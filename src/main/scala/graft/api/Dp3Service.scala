@@ -120,10 +120,39 @@ final class Dp3Service(underlying: MessageCatalog,
   private def messages(spark: SparkSession): DataFrame =
     maskAll(rawMessages(spark))
 
+  /** Envelope columns a skeleton query keeps — everything else is
+    * payload. Matches the reference's skeleton ("stamps only") mode:
+    * message records keep topic/sequence/timestamps, payload bytes are
+    * emptied (server/routes/query.go:43 StampsOnly,
+    * server/mcap/merge_coordinator.go:89-92 `msg.Data = []byte{}`,
+    * schema data likewise emptied at :30-31). */
+  private val skeletonEnvelope = Set("topic", "producer", "seq",
+    "time", "time_us", "publish_time", "schema_name", "ingest_version")
+
   /** Run a QL statement; explain queries return the plan as rows
-    * (reference: server/routes/query.go:138-161). */
-  def query(spark: SparkSession, ql: String): DataFrame =
-    new Planner(catalog).run(spark, ql)
+    * (reference: server/routes/query.go:138-161). With
+    * `skeleton = true` the result keeps its row sequence and envelope
+    * columns but carries no payload: a binary `data` column is emptied
+    * in place (the reference's exact behavior), typed payload columns
+    * are dropped (their decoded analogue). A pure projection over the
+    * ordered plan — the sort order and row count are untouched, and
+    * Catalyst prunes the payload columns out of the scan entirely, so
+    * skeleton queries read strictly less data. */
+  def query(spark: SparkSession, ql: String,
+      skeleton: Boolean = false): DataFrame = {
+    val df = new Planner(catalog).run(spark, ql)
+    if (!skeleton || df.columns.sameElements(Array("plan"))) df
+    else {
+      val cols = df.schema.fields.toSeq.flatMap { f =>
+        if (skeletonEnvelope.contains(f.name)) Some(col(f.name))
+        else if (f.name == "data"
+          && f.dataType == org.apache.spark.sql.types.BinaryType)
+          Some(lit(Array.emptyByteArray).as("data"))
+        else None
+      }
+      df.select(cols: _*)
+    }
+  }
 
   /** Query with NDJSON serialization — the Accept: application/json
     * path (reference: server/mcap/mcap_to_json.go:42-142). */
@@ -131,9 +160,10 @@ final class Dp3Service(underlying: MessageCatalog,
       dataCols: Seq[String]): Dataset[String] =
     Export.ndjson(query(spark, ql), dataCols)
 
-  /** Per-operator instrumented explain (reference NodeStats). */
+  /** Per-operator instrumented explain — the reference NodeStats
+    * tuples/bytes/time triple per plan node. */
   def explainAnalyze(spark: SparkSession, ql: String)
-      : Seq[(String, Long)] =
+      : Seq[Planner.NodeMetrics] =
     new Planner(catalog).explainAnalyze(spark, ql)
 
   /** Messages pre-filtered to the bins overlapping [startNs, endNs) —

@@ -110,19 +110,47 @@ final class Planner(catalog: MessageCatalog) extends Serializable {
   }
 
   /** dp3's instrumented explain: run the query and report per-operator
-    * output-row counters (reference NodeStats wraps every node and
-    * emits tuples/bytes out — server/executor/nodestats.go:13-94;
-    * Spark's SQL metrics are the same instrument, for free). */
+    * counters matching the reference NodeStats triple — tuples out,
+    * bytes out, elapsed time (server/executor/nodestats.go:13-94 records
+    * tuples/bytes/time-to-first/last per node; Spark's SQL metrics are
+    * the same instrument, for free). Per node:
+    *
+    *  - `rows`   — numOutputRows (-1 where Spark doesn't count, e.g.
+    *               inside a fused codegen pipeline stage)
+    *  - `bytes`  — dataSize where the plan materializes rows (shuffle /
+    *               broadcast exchanges), else the scan's file bytes —
+    *               the places bytes actually move, which is what the
+    *               reference's bytesOut measures at every node because
+    *               its Volcano tuples always carry payload bytes
+    *  - `timeMs` — the node's largest timing metric (scanTime,
+    *               pipelineTime, aggTime, sortTime, shuffle write…),
+    *               normalized to milliseconds; -1 when untimed
+    *
+    * Spark only times MATERIALIZATION POINTS (codegen pipelines,
+    * exchanges, sorts, scans), not every narrow operator — the -1 rows
+    * are operators fused into a surrounding pipeline whose time shows
+    * on the WholeStageCodegen node above them. */
   def explainAnalyze(spark: SparkSession, input: String)
-      : Seq[(String, Long)] = {
+      : Seq[Planner.NodeMetrics] = {
     val df = plan(spark, input)
     // execute THIS queryExecution (df.count() would instrument a new
     // plan and leave these metrics empty)
     df.queryExecution.toRdd.count()
     def walk(p: org.apache.spark.sql.execution.SparkPlan)
-        : Seq[(String, Long)] = {
-      val own = p.metrics.get("numOutputRows")
-        .map(m => p.nodeName -> m.value).toSeq
+        : Seq[Planner.NodeMetrics] = {
+      val rows = p.metrics.get("numOutputRows").map(_.value).getOrElse(-1L)
+      val bytes = p.metrics.get("dataSize")
+        .orElse(p.metrics.get("filesSize")).map(_.value).getOrElse(-1L)
+      // largest timing metric on the node; timing metrics are ms,
+      // nsTiming ns (SQLMetrics.TIMING_METRIC / NS_TIMING_METRIC)
+      val times = p.metrics.values.collect {
+        case m if m.metricType == "timing"   => m.value
+        case m if m.metricType == "nsTiming" => m.value / 1000000L
+      }
+      val timeMs = if (times.isEmpty) -1L else times.max
+      val own =
+        if (rows < 0 && bytes < 0 && timeMs < 0) Seq.empty
+        else Seq(Planner.NodeMetrics(p.nodeName, rows, bytes, timeMs))
       // AQE wraps materialized stages in QueryStageExec, whose inner
       // plan is a member, not a child — descend explicitly
       val below = p match {
@@ -280,6 +308,13 @@ final class Planner(catalog: MessageCatalog) extends Serializable {
 /** AST-level helpers shared by the DataFrame compiler and the plan
   * renderer (mirroring reference plan.go's pre-compile traversals). */
 object Planner {
+
+  /** Per-operator counters from an instrumented run — the reference
+    * NodeStats triple (tuples out / bytes out / elapsed,
+    * server/executor/nodestats.go:13-94). -1 = not measured at this
+    * node (see [[Planner.explainAnalyze]]). */
+  final case class NodeMetrics(node: String, rows: Long, bytes: Long,
+      timeMs: Long)
 
   private[plan] def flattenMerge(sel: Select): Seq[Select] = sel match {
     case MergeSel(l, r) => flattenMerge(l) ++ flattenMerge(r)

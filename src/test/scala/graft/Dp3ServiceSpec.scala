@@ -23,6 +23,36 @@ class Dp3ServiceSpec extends AnyFunSuite {
     assert(df.columns.toSeq == Seq("plan"))
   }
 
+  test("skeleton query strips payload, keeps envelope and row sequence") {
+    val full = svc.query(spark, "from p3 click limit 5;")
+    val sk = svc.query(spark, "from p3 click limit 5;", skeleton = true)
+    // payload columns gone, envelope intact
+    assert(sk.columns.toSet == Set("producer", "topic", "time",
+      "time_us", "seq"))
+    assert(!sk.columns.exists(Set("value", "props", "k")))
+    // identical row sequence to the full query's envelope
+    val want = full.select("topic", "time", "seq").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val got = sk.select("topic", "time", "seq").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want && got.length == 5)
+  }
+
+  test("skeleton empties a binary data column in place") {
+    import spark.implicits._
+    val df = Seq(
+      ("pX", "scan", 1L, 1L, Array[Byte](1, 2, 3)),
+      ("pX", "scan", 2L, 2L, Array[Byte](4, 5)))
+      .toDF("producer", "topic", "time", "seq", "data")
+    val s2 = new Dp3Service(new graft.model.DataFrameCatalog(df),
+      _ => df)
+    val sk = s2.query(spark, "from pX scan;", skeleton = true)
+    assert(sk.columns.contains("data"))
+    val rows = sk.collect()
+    assert(rows.length == 2)
+    assert(rows.forall(_.getAs[Array[Byte]]("data").isEmpty))
+  }
+
   test("ndjson serialization") {
     val rows = svc.queryNdjson(spark, "from p3 click limit 2;",
       Seq("value", "k")).collect()

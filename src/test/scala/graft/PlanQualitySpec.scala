@@ -54,6 +54,23 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("explainAnalyze reports the NodeStats triple: rows, bytes, time") {
+    // scan + merge + as-of: shuffles (window by producer), scans, sorts
+    val m = planner.explainAnalyze(spark,
+      "from p1 click precedes error by less than 864000 seconds;")
+    assert(m.nonEmpty)
+    // tuples out: counted at aggregation/join/exchange nodes
+    assert(m.exists(_.rows > 0), m.mkString("\n"))
+    // bytes out: dataSize at the exchanges, filesSize at the scans
+    assert(m.exists(_.bytes > 0), m.mkString("\n"))
+    // elapsed: at least one materialization point records a timing
+    // metric (>= 0 — a sub-ms stage legitimately reports 0 ms)
+    assert(m.exists(_.timeMs >= 0), m.mkString("\n"))
+    // the scan node itself carries bytes (file read volume)
+    assert(m.exists(n => n.node.toLowerCase.contains("scan")
+      && n.bytes > 0), m.mkString("\n"))
+  }
+
   test("explain renders a formatted plan") {
     val e = planner.explain(spark, "from p1 click, error limit 5;")
     assert(e.contains("Physical Plan"))
