@@ -1,0 +1,277 @@
+package graft.api
+
+import java.net.InetSocketAddress
+import java.net.URLDecoder
+import java.nio.charset.StandardCharsets.UTF_8
+
+import scala.util.matching.Regex
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Thin HTTP shim over [[Dp3Service]] — the reference's route table
+  * (reference: server/routes/routes.go:49-72) on the JDK's built-in
+  * `com.sun.net.httpserver`, zero added dependencies:
+  *
+  *   GET  /                                   → "dp3"
+  *   POST /export                             → MCAP bytes
+  *   GET|POST /statrange                      → NDJSON stat records
+  *   GET  /databases                          → NDJSON
+  *   POST /databases/{db}/query               → NDJSON rows (QL body)
+  *   GET  /databases/{db}/topics              → NDJSON
+  *   GET  /databases/{db}/tables              → NDJSON
+  *   GET  /databases/{db}/producers           → NDJSON
+  *   GET  /databases/{db}/schemas/{hash}      → one JSON record / 404
+  *   GET  /databases/{db}/statistics          → NDJSON
+  *   GET  /databases/{db}/statistics/available→ NDJSON
+  *   GET|POST /delete                         → range delete
+  *
+  * The reference's own routes are explicitly "loose and uncommitted"
+  * demo APIs (routes.go:14-17), so this shim keeps the same posture:
+  * request fields use the reference's JSON names (query.go QueryRequest,
+  * statrange.go StatRangeRequest, delete.go), responses are one JSON
+  * document per row (what mcap.ToJSON streams per message).
+  *
+  * Frames serialize through `df.toJSON.toLocalIterator` — one
+  * partition resident driver-side at a time, streamed chunked to the
+  * socket; the executors do all the query work, exactly the
+  * reference's one-response-one-writer shape. `/import` is the one
+  * route intentionally not mapped: ingest is a streaming pipeline
+  * (graft.streaming.Ingest over Mcap.load), not a request/response.
+  *
+  * Request bodies are the reference's flat JSON objects; the field
+  * extractors below parse exactly that shape (string/bool/long/
+  * string-array members) rather than pulling in a JSON library.
+  */
+final class Dp3Http(svc: Dp3Service, spark: SparkSession,
+    host: String = "127.0.0.1", port: Int = 0) {
+
+  private val server = HttpServer.create(new InetSocketAddress(host, port), 0)
+  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+
+  /** Bound port (after construction; useful with port = 0). */
+  def boundPort: Int = server.getAddress.getPort
+
+  def start(): Dp3Http = { server.start(); this }
+  def stop(): Unit = server.stop(0)
+
+  // --- request parsing ---------------------------------------------------
+
+  private def unescape(s: String): String = {
+    val b = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '"'  => b += '"'; i += 2
+          case '\\' => b += '\\'; i += 2
+          case '/'  => b += '/'; i += 2
+          case 'n'  => b += '\n'; i += 2
+          case 't'  => b += '\t'; i += 2
+          case 'r'  => b += '\r'; i += 2
+          case 'u' if i + 5 < s.length =>
+            b += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar
+            i += 6
+          case other => b += other; i += 2
+        }
+      } else { b += c; i += 1 }
+    }
+    b.result()
+  }
+
+  private def escape(s: String): String =
+    s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\t' => "\\t"
+      case '\r' => "\\r"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  private def strField(body: String, key: String): Option[String] =
+    ("\"" + Regex.quote(key) + "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"").r
+      .findFirstMatchIn(body).map(m => unescape(m.group(1)))
+
+  private def boolField(body: String, key: String): Option[Boolean] =
+    ("\"" + Regex.quote(key) + "\"\\s*:\\s*(true|false)").r
+      .findFirstMatchIn(body).map(_.group(1) == "true")
+
+  private def longField(body: String, key: String): Option[Long] =
+    ("\"" + Regex.quote(key) + "\"\\s*:\\s*(-?\\d+)").r
+      .findFirstMatchIn(body).map(_.group(1).toLong)
+
+  private def strArrayField(body: String, key: String)
+      : Option[Seq[String]] =
+    ("\"" + Regex.quote(key) + "\"\\s*:\\s*\\[([^\\]]*)\\]").r
+      .findFirstMatchIn(body).map { m =>
+        "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(m.group(1))
+          .map(g => unescape(g.group(1))).toSeq
+      }
+
+  private def queryParams(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getQuery).map {
+      _.split("&").toSeq.flatMap { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => Some(k -> URLDecoder.decode(v, "UTF-8"))
+          case Array(k)    => Some(k -> "")
+          case _           => None
+        }
+      }.toMap
+    }.getOrElse(Map.empty)
+
+  // --- response writing --------------------------------------------------
+
+  private def respond(ex: HttpExchange, status: Int, contentType: String,
+      body: Array[Byte]): Unit = {
+    ex.getResponseHeaders.set("Content-Type", contentType)
+    ex.sendResponseHeaders(status, if (body.isEmpty) -1 else body.length.toLong)
+    if (body.nonEmpty) ex.getResponseBody.write(body)
+    ex.close()
+  }
+
+  private def respondText(ex: HttpExchange, status: Int, s: String): Unit =
+    respond(ex, status, "text/plain; charset=utf-8", s.getBytes(UTF_8))
+
+  private def respondError(ex: HttpExchange, status: Int,
+      msg: String): Unit =
+    respond(ex, status, "application/json",
+      s"""{"error":"${escape(msg)}"}""".getBytes(UTF_8))
+
+  /** Stream a frame as NDJSON — one partition driver-resident at a
+    * time, chunked transfer (length 0 = unknown). */
+  private def respondNdjson(ex: HttpExchange, df: DataFrame): Unit = {
+    ex.getResponseHeaders.set("Content-Type", "application/x-ndjson")
+    ex.sendResponseHeaders(200, 0)
+    val out = ex.getResponseBody
+    import scala.jdk.CollectionConverters._
+    df.toJSON.toLocalIterator().asScala.foreach { line =>
+      out.write(line.getBytes(UTF_8)); out.write('\n')
+    }
+    ex.close()
+  }
+
+  private def readBody(ex: HttpExchange): String =
+    new String(ex.getRequestBody.readAllBytes(), UTF_8)
+
+  // --- routing -----------------------------------------------------------
+
+  private def handle(ex: HttpExchange): Unit = {
+    val path = ex.getRequestURI.getPath.stripSuffix("/")
+    val segs = path.split("/").filter(_.nonEmpty).toSeq
+    try {
+      (ex.getRequestMethod, segs) match {
+        case (_, Seq()) => respondText(ex, 200, "dp3")
+
+        case ("GET", Seq("databases")) =>
+          respondNdjson(ex, svc.databases(spark))
+
+        case ("POST", Seq("databases", _, "query")) =>
+          val body = readBody(ex)
+          val ql = strField(body, "query").getOrElse(
+            throw new IllegalArgumentException("missing query"))
+          // the reference requires the terminator before parsing
+          // (server/routes/query.go:152-155)
+          if (!ql.trim.endsWith(";"))
+            throw new IllegalArgumentException(
+              "queries must be terminated with a semicolon")
+          val skeleton = boolField(body, "skeleton").getOrElse(false)
+          respondNdjson(ex, svc.query(spark, ql, skeleton))
+
+        case ("GET", Seq("databases", _, "topics")) =>
+          respondNdjson(ex, svc.topics(spark))
+
+        case ("GET", Seq("databases", _, "producers")) =>
+          respondNdjson(ex, svc.producersList(spark))
+
+        case ("GET", Seq("databases", _, "tables")) =>
+          val p = queryParams(ex)
+          respondNdjson(ex, svc.tables(spark, p.get("producer"),
+            p.get("topic"), p.get("historical").contains("true")))
+
+        case ("GET", Seq("databases", _, "schemas", hash)) =>
+          val row = svc.schemaFor(spark, hash)
+          val json = s"""{"hash":"${escape(hash)}","name":"${
+            escape(row.getAs[String]("schema_name"))}","encoding":"${
+            escape(row.getAs[String]("schema_encoding"))}"}"""
+          respond(ex, 200, "application/json", json.getBytes(UTF_8))
+
+        case ("GET", Seq("databases", _, "statistics", "available")) =>
+          val p = queryParams(ex)
+          val numeric = p.get("numeric").toSeq
+            .flatMap(_.split(",")).filter(_.nonEmpty)
+          val text = p.get("text").toSeq
+            .flatMap(_.split(",")).filter(_.nonEmpty)
+          respondNdjson(ex, svc.statisticsAvailable(spark, numeric, text))
+
+        case ("GET", Seq("databases", _, "statistics")) =>
+          val p = queryParams(ex)
+          val gran = p.get("granularity").map(_.toLong).getOrElse(
+            throw new IllegalArgumentException("missing granularity"))
+          respondNdjson(ex, svc.statistics(spark, gran,
+            groupByProducer = p.get("groupByProducer").contains("true"),
+            topics = p.get("topic").toSeq,
+            producers = p.get("producer").toSeq,
+            startNs = p.get("start").map(_.toLong).getOrElse(0L),
+            endNs = p.get("end").map(_.toLong).getOrElse(Long.MaxValue)))
+
+        case (_, Seq("statrange")) =>
+          // GET with query params or POST with the reference's JSON
+          // body (statrange.go:15-22)
+          val p = queryParams(ex)
+          val body = if (ex.getRequestMethod == "POST") readBody(ex) else ""
+          def field(k: String): Option[String] =
+            p.get(k).orElse(strField(body, k))
+          def num(k: String): Option[Long] =
+            p.get(k).map(_.toLong).orElse(longField(body, k))
+          val gran = num("granularity").getOrElse(
+            throw new IllegalArgumentException("missing granularity"))
+          var df = svc.statRange(spark, gran,
+            num("start").getOrElse(0L),
+            num("end").getOrElse(Long.MaxValue))
+          field("topic").foreach(t =>
+            df = df.where(org.apache.spark.sql.functions.col("topic") === t))
+          field("producer").foreach(pr => df =
+            df.where(org.apache.spark.sql.functions.col("producer") === pr))
+          respondNdjson(ex, df)
+
+        case ("POST", Seq("export")) =>
+          val body = readBody(ex)
+          val topics = strArrayField(body, "topics").getOrElse(
+            throw new IllegalArgumentException("missing topics"))
+          val dataCols = strArrayField(body, "dataCols").getOrElse(Nil)
+          val bytes = svc.exportMcap(spark, topics, dataCols)
+          respond(ex, 200, "application/octet-stream", bytes)
+
+        case (_, Seq("delete")) =>
+          val p = queryParams(ex)
+          val body = if (ex.getRequestMethod == "POST") readBody(ex) else ""
+          def field(k: String): Option[String] =
+            p.get(k).orElse(strField(body, k))
+          def num(k: String): Option[Long] =
+            p.get(k).map(_.toLong).orElse(longField(body, k))
+          svc.delete(
+            field("producer").getOrElse(""),
+            field("topic").getOrElse(""),
+            num("start").getOrElse(0L),
+            num("end").getOrElse(0L))
+          respond(ex, 200, "application/json", "{}".getBytes(UTF_8))
+
+        case _ => respondError(ex, 404, s"no route for $path")
+      }
+    } catch {
+      case e @ (_: IllegalArgumentException
+          | _: graft.ql.Parser.ParseError) =>
+        respondError(ex, 400, Option(e.getMessage).getOrElse("bad request"))
+      case e: NoSuchElementException =>
+        respondError(ex, 404, Option(e.getMessage).getOrElse("not found"))
+      case e: Throwable =>
+        respondError(ex, 500, Option(e.getMessage).getOrElse(
+          e.getClass.getSimpleName))
+    }
+  }
+
+  server.createContext("/", (ex: HttpExchange) => handle(ex))
+}
