@@ -25,6 +25,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   GET  /databases/{db}/statistics          → NDJSON
   *   GET  /databases/{db}/statistics/available→ NDJSON
   *   GET|POST /delete                         → range delete
+  *   POST /databases/{db}/import              → batch MCAP import
   *
   * The reference's own routes are explicitly "loose and uncommitted"
   * demo APIs (routes.go:14-17), so this shim keeps the same posture:
@@ -35,16 +36,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Frames serialize through `df.toJSON.toLocalIterator` — one
   * partition resident driver-side at a time, streamed chunked to the
   * socket; the executors do all the query work, exactly the
-  * reference's one-response-one-writer shape. `/import` is the one
-  * route intentionally not mapped: ingest is a streaming pipeline
-  * (graft.streaming.Ingest over Mcap.load), not a request/response.
+  * reference's one-response-one-writer shape. `/import` requires an
+  * [[Dp3Http.ImportTarget]] (the ingest directory triple) and appends
+  * one ingest version per request via `Ingest.importMcap`; continuous
+  * ingest keeps using the streaming pipeline directly.
   *
   * Request bodies are the reference's flat JSON objects; the field
   * extractors below parse exactly that shape (string/bool/long/
   * string-array members) rather than pulling in a JSON library.
   */
+object Dp3Http {
+  /** Ingest layout the /import route appends to (data + stat partials
+    * + control table — the startWithStats directory triple). */
+  final case class ImportTarget(dataDir: String, statsDir: String,
+      controlDir: String)
+}
+
 final class Dp3Http(svc: Dp3Service, spark: SparkSession,
-    host: String = "127.0.0.1", port: Int = 0) {
+    host: String = "127.0.0.1", port: Int = 0,
+    importTarget: Option[Dp3Http.ImportTarget] = None) {
 
   private val server = HttpServer.create(new InetSocketAddress(host, port), 0)
   server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
@@ -237,6 +247,20 @@ final class Dp3Http(svc: Dp3Service, spark: SparkSession,
             df.where(org.apache.spark.sql.functions.col("producer") === pr))
           respondNdjson(ex, df)
 
+        case ("POST", Seq("databases", _, "import")) =>
+          // reference: server/routes/import.go:31-59 — JSON
+          // {producer, path}, 400 on missing fields/unreadable file
+          val target = importTarget.getOrElse(
+            throw new IllegalArgumentException(
+              "import is not configured on this server"))
+          val body = readBody(ex)
+          val v = graft.streaming.Ingest.importMcap(spark,
+            strField(body, "producer").getOrElse(""),
+            strField(body, "path").getOrElse(""),
+            target.dataDir, target.statsDir, target.controlDir)
+          respond(ex, 200, "application/json",
+            s"""{"version":$v}""".getBytes(UTF_8))
+
         case ("POST", Seq("export")) =>
           val body = readBody(ex)
           val topics = strArrayField(body, "topics").getOrElse(
@@ -263,7 +287,9 @@ final class Dp3Http(svc: Dp3Service, spark: SparkSession,
       }
     } catch {
       case e @ (_: IllegalArgumentException
-          | _: graft.ql.Parser.ParseError) =>
+          | _: graft.ql.Parser.ParseError
+          // unreadable import path etc. — the reference's BadRequest
+          | _: org.apache.spark.sql.AnalysisException) =>
         respondError(ex, 400, Option(e.getMessage).getOrElse("bad request"))
       case e: NoSuchElementException =>
         respondError(ex, 404, Option(e.getMessage).getOrElse("not found"))

@@ -75,31 +75,75 @@ object Ingest {
       .withColumn("day", expr("time div 86400000000000"))
     deduped.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val version = batchId + 1
-        val b = batch.withColumn("ingest_version", lit(version))
-        b.persist()
-        b.write.mode("append").partitionBy("topic", "day")
-          .parquet(outDir)
-        graft.stats.StatTiers.base(b.drop("day", "ts_watermark"),
-            60L * 1000000000L)
-          .withColumn("ingest_version", lit(version))
-          .write.mode("append").parquet(statsDir)
-        controlDir.foreach { cd =>
-          b.groupBy("producer", "topic")
-            .agg(count(lit(1)).as("msg_count"),
-              min(col("time")).as("min_time"),
-              max(col("time")).as("max_time"))
-            .withColumn("ingest_version", lit(version))
-            .withColumn("ingest_time_ns",
-              lit(System.currentTimeMillis() * 1000000L))
-            .write.mode("append").parquet(cd)
-        }
-        b.unpersist()
-        ()
+        appendVersion(batch, batchId + 1, outDir, statsDir, controlDir)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
+  }
+
+  /** Append one ingest version: data rows, base-tier stat partials,
+    * and the control-table row all stamped with `version` — the shared
+    * body of the streaming micro-batch path and the batch /import
+    * verb. `batch` must carry the canonical columns + `day`. */
+  private def appendVersion(batch: DataFrame, version: Long,
+      outDir: String, statsDir: String,
+      controlDir: Option[String]): Unit = {
+    val b = batch.withColumn("ingest_version", lit(version))
+    b.persist()
+    b.write.mode("append").partitionBy("topic", "day")
+      .parquet(outDir)
+    graft.stats.StatTiers.base(b.drop("day", "ts_watermark"),
+        60L * 1000000000L)
+      .withColumn("ingest_version", lit(version))
+      .write.mode("append").parquet(statsDir)
+    controlDir.foreach { cd =>
+      b.groupBy("producer", "topic")
+        .agg(count(lit(1)).as("msg_count"),
+          min(col("time")).as("min_time"),
+          max(col("time")).as("max_time"))
+        .withColumn("ingest_version", lit(version))
+        .withColumn("ingest_time_ns",
+          lit(System.currentTimeMillis() * 1000000L))
+        .write.mode("append").parquet(cd)
+    }
+    b.unpersist()
+    ()
+  }
+
+  /** Batch MCAP import — the reference's `POST /databases/{db}/import`
+    * verb (reference: server/routes/import.go:31-59 opens the named
+    * file and hands it to treemgr.Receive under the request's
+    * producer): parse the MCAP at `path`, override the producer,
+    * dedup within the file on the dp3 identity key, and append ONE new
+    * ingest version (data + stat partials + control row). The version
+    * is the control table's max + 1 — the same monotonic counter the
+    * streaming path keeps via batchId, resolved from the kilobyte-scale
+    * control table, not a data scan. Returns the version written. */
+  def importMcap(spark: SparkSession, producer: String, path: String,
+      outDir: String, statsDir: String, controlDir: String): Long = {
+    require(producer.nonEmpty, "missing producer")
+    require(path.nonEmpty, "missing path")
+    val version = 1L + (try {
+      spark.read.parquet(controlDir)
+        .agg(max(col("ingest_version"))).head() match {
+          case r if r.isNullAt(0) => 0L
+          case r => r.getLong(0)
+        }
+    } catch { case _: org.apache.spark.sql.AnalysisException => 0L })
+    val loaded = graft.mcap.Mcap.load(spark, path)
+      .withColumn("producer", lit(producer))
+      .dropDuplicates("producer", "topic", "time", "seq")
+      .withColumn("day", expr("time div 86400000000000"))
+    // stat partials aggregate `value`; raw MCAP rows carry only the
+    // binary payload, so record NaN-skipped nulls (counts and time
+    // bounds stay exact; numeric stats appear once a decode step
+    // projects a value column)
+    val batch =
+      if (loaded.columns.contains("value")) loaded
+      else loaded.withColumn("value", lit(null).cast("double"))
+    appendVersion(batch, version, outDir, statsDir, Some(controlDir))
+    version
   }
 
   /** Tail a table: a genuine streaming read over the ingested layout —

@@ -97,4 +97,50 @@ class Dp3HttpSpec extends AnyFunSuite {
     val r = get("/nope")
     assert(r.statusCode() == 404 && r.body().contains("error"))
   }
+
+  test("import appends monotonic ingest versions to the layout") {
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("graft-http-import").toString
+    val w = new graft.mcap.Mcap.Writer()
+    w.writeSchema(graft.mcap.Mcap.SchemaRec(1, "pkg/test", "ros1msg",
+      "int16 count".getBytes))
+    w.writeChannel(graft.mcap.Mcap.ChannelRec(0, 1, "imported", "ros1"))
+    for (t <- 1L to 6L)
+      w.writeMessage(graft.mcap.Mcap.MessageRec(0, t, t, t,
+        Array[Byte](t.toByte, 0)))
+    Files.write(java.nio.file.Paths.get(s"$tmp/dev.mcap"), w.finish())
+
+    val target = graft.api.Dp3Http.ImportTarget(
+      s"$tmp/data", s"$tmp/stats", s"$tmp/control")
+    val h2 = new Dp3Http(svc, spark, importTarget = Some(target)).start()
+    val b2 = s"http://127.0.0.1:${h2.boundPort}"
+    def postTo(path: String, body: String): HttpResponse[String] =
+      client.send(HttpRequest.newBuilder(URI.create(s"$b2$path"))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+    try {
+      val req = s"""{"producer": "dev", "path": "$tmp/dev.mcap"}"""
+      val r1 = postTo("/databases/default/import", req)
+      assert(r1.statusCode() == 200 && r1.body() == """{"version":1}""",
+        r1.body())
+      val r2 = postTo("/databases/default/import", req)
+      assert(r2.body() == """{"version":2}""")
+
+      val data = spark.read.parquet(s"$tmp/data")
+      assert(data.count() == 12) // 6 messages x 2 versions
+      assert(data.select("producer").distinct().collect()
+        .map(_.getString(0)).toSeq == Seq("dev"))
+      val control = spark.read.parquet(s"$tmp/control")
+      assert(control.select("ingest_version").collect()
+        .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+
+      assert(postTo("/databases/default/import",
+        """{"producer": "dev"}""").statusCode() == 400)
+      assert(postTo("/databases/default/import",
+        s"""{"producer": "dev", "path": "$tmp/nope.mcap"}""")
+        .statusCode() == 400)
+      // import not configured on the main server -> 400
+      assert(post("/databases/default/import", req).statusCode() == 400)
+    } finally h2.stop()
+  }
 }
