@@ -1,0 +1,183 @@
+package graft.cli
+
+import java.io.PrintStream
+import java.net.URI
+import java.net.URLEncoder
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths}
+
+/** dp3-style command line — the reference's CLI verbs as a thin HTTP
+  * client over [[graft.api.Dp3Http]] (reference: cli/cmd/query.go,
+  * import.go, export.go, statrange.go, client.go; default server URL
+  * `http://localhost:8089`, cli/cmd/root.go:84). Zero dependencies:
+  * hand-rolled flag parsing over a fixed verb set, `java.net.http`
+  * for transport.
+  *
+  *   dp3 query '<ql;>' [--skeleton]         one NDJSON line per row
+  *   dp3 topics | producers | tables | databases
+  *   dp3 statrange --granularity N [--start N --end N --topic T --producer P]
+  *   dp3 statistics --granularity N [--group-by-producer]
+  *   dp3 import --producer P <file.mcap>
+  *   dp3 export --topics a,b [--output out.mcap]
+  *   dp3 delete --producer P --topic T --start N --end N
+  *
+  * Global flags: `--server-url URL` (default http://localhost:8089),
+  * `--database DB` (default "default").
+  *
+  * The reference's `server` verb lives Spark-side (construct a
+  * SparkSession + `Dp3Service` + `Dp3Http` and block) and its
+  * `tail` verb is the streaming read `graft.streaming.Ingest.tail` —
+  * both need a JVM with Spark on the classpath, not an HTTP client,
+  * so they are deliberately not routed through this binary's verbs.
+  */
+object Dp3Cli {
+
+  def main(args: Array[String]): Unit =
+    sys.exit(run(args, Console.out, Console.err))
+
+  /** Testable entry: returns the exit code instead of exiting. */
+  def run(args: Array[String], out: PrintStream,
+      err: PrintStream): Int = {
+    // split "--flag value" pairs from positionals; boolean flags have
+    // no value (fixed set, like the reference's cobra definitions)
+    val boolFlags = Set("--skeleton", "--group-by-producer",
+      "--historical")
+    val flags = scala.collection.mutable.Map[String, String]()
+    val positional = scala.collection.mutable.Buffer[String]()
+    var i = 0
+    while (i < args.length) {
+      val a = args(i)
+      if (a.startsWith("--")) {
+        if (boolFlags.contains(a)) { flags(a) = "true"; i += 1 }
+        else if (i + 1 < args.length) { flags(a) = args(i + 1); i += 2 }
+        else { err.println(s"missing value for $a"); return 2 }
+      } else { positional += a; i += 1 }
+    }
+    val base = flags.getOrElse("--server-url", "http://localhost:8089")
+      .stripSuffix("/")
+    val db = flags.getOrElse("--database", "default")
+    val client = HttpClient.newHttpClient()
+
+    def get(path: String): HttpResponse[Array[Byte]] =
+      client.send(HttpRequest.newBuilder(URI.create(s"$base$path"))
+        .GET().build(), HttpResponse.BodyHandlers.ofByteArray())
+
+    def post(path: String, body: String): HttpResponse[Array[Byte]] =
+      client.send(HttpRequest.newBuilder(URI.create(s"$base$path"))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+
+    def printOrFail(r: HttpResponse[Array[Byte]]): Int =
+      if (r.statusCode() == 200) {
+        val s = new String(r.body(), UTF_8)
+        if (s.nonEmpty) out.println(s.stripSuffix("\n"))
+        0
+      } else {
+        err.println(s"HTTP ${r.statusCode()}: ${new String(r.body(), UTF_8)}")
+        1
+      }
+
+    def esc(s: String): String =
+      s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c => c.toString
+      }
+
+    def qp(pairs: (String, Option[String])*): String = {
+      val kv = pairs.collect { case (k, Some(v)) =>
+        s"$k=${URLEncoder.encode(v, "UTF-8")}" }
+      if (kv.isEmpty) "" else kv.mkString("?", "&", "")
+    }
+
+    try positional.toList match {
+      case "query" :: ql :: Nil =>
+        val skeleton = flags.contains("--skeleton")
+        printOrFail(post(s"/databases/$db/query",
+          s"""{"query": "${esc(ql)}", "skeleton": $skeleton}"""))
+
+      case "databases" :: Nil => printOrFail(get("/databases"))
+      case "topics" :: Nil => printOrFail(get(s"/databases/$db/topics"))
+      case "producers" :: Nil =>
+        printOrFail(get(s"/databases/$db/producers"))
+      case "tables" :: Nil =>
+        printOrFail(get(s"/databases/$db/tables" + qp(
+          "producer" -> flags.get("--producer"),
+          "topic" -> flags.get("--topic"),
+          "historical" -> flags.get("--historical"))))
+
+      case "statrange" :: Nil =>
+        printOrFail(get("/statrange" + qp(
+          "granularity" -> flags.get("--granularity"),
+          "start" -> flags.get("--start"),
+          "end" -> flags.get("--end"),
+          "topic" -> flags.get("--topic"),
+          "producer" -> flags.get("--producer"))))
+
+      case "statistics" :: Nil =>
+        printOrFail(get(s"/databases/$db/statistics" + qp(
+          "granularity" -> flags.get("--granularity"),
+          "groupByProducer" -> flags.get("--group-by-producer"),
+          "topic" -> flags.get("--topic"),
+          "producer" -> flags.get("--producer"),
+          "start" -> flags.get("--start"),
+          "end" -> flags.get("--end"))))
+
+      case "import" :: path :: Nil =>
+        flags.get("--producer") match {
+          case None => err.println("import requires --producer"); 2
+          case Some(producer) =>
+            // resolve like the reference: the server opens the path, so
+            // hand it an absolute one (cli/cmd/import.go reads the file
+            // client-side; our server and CLI share a filesystem)
+            val abs = Paths.get(path).toAbsolutePath.toString
+            printOrFail(post(s"/databases/$db/import",
+              s"""{"producer": "${esc(producer)}", "path": "${esc(abs)}"}"""))
+        }
+
+      case "export" :: Nil =>
+        flags.get("--topics") match {
+          case None => err.println("export requires --topics"); 2
+          case Some(ts) =>
+            val topics = ts.split(",").filter(_.nonEmpty)
+            val body = topics.map(t => s""""${esc(t)}"""")
+              .mkString("""{"topics": [""", ", ", "]}")
+            val r = post("/export", body)
+            if (r.statusCode() != 200) {
+              err.println(s"HTTP ${r.statusCode()}: ${
+                new String(r.body(), UTF_8)}")
+              1
+            } else flags.get("--output") match {
+              case Some(f) =>
+                Files.write(Paths.get(f), r.body()); 0
+              case None => out.write(r.body()); out.flush(); 0
+            }
+        }
+
+      case "delete" :: Nil =>
+        printOrFail(get("/delete" + qp(
+          "producer" -> flags.get("--producer"),
+          "topic" -> flags.get("--topic"),
+          "start" -> flags.get("--start"),
+          "end" -> flags.get("--end"))))
+
+      case other =>
+        err.println(
+          s"""unknown command: ${other.mkString(" ")}
+             |usage: dp3 [--server-url URL] [--database DB] <verb>
+             |  query '<ql;>' [--skeleton]
+             |  databases | topics | producers | tables
+             |  statrange --granularity N [--start N --end N --topic T --producer P]
+             |  statistics --granularity N [--group-by-producer]
+             |  import --producer P <file.mcap>
+             |  export --topics a,b [--output out.mcap]
+             |  delete --producer P --topic T --start N --end N""".stripMargin)
+        2
+    } catch {
+      case e: java.net.ConnectException =>
+        err.println(s"cannot reach $base: ${e.getMessage}")
+        1
+    }
+  }
+}

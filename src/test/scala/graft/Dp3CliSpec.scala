@@ -1,0 +1,105 @@
+package graft
+
+import java.io.{ByteArrayOutputStream, PrintStream}
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.{Dp3Http, Dp3Service}
+import graft.cli.Dp3Cli
+import graft.model.EventsCatalog
+
+/** CLI verbs end-to-end: Dp3Cli → HTTP → Dp3Service over the sf0.001
+  * catalog (reference verb surface: cli/cmd/). */
+class Dp3CliSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val cat = new EventsCatalog(dir)
+  private lazy val svc = new Dp3Service(cat, s => cat.messages(s))
+
+  private lazy val tmp =
+    Files.createTempDirectory("graft-cli").toString
+  private lazy val http = {
+    val h = new Dp3Http(svc, spark, importTarget = Some(
+      Dp3Http.ImportTarget(s"$tmp/data", s"$tmp/stats",
+        s"$tmp/control"))).start()
+    sys.addShutdownHook(h.stop())
+    h
+  }
+
+  /** run the CLI with the test server's URL prepended; returns
+    * (exit code, stdout, stderr) */
+  private def cli(args: String*): (Int, String, String) = {
+    val outB = new ByteArrayOutputStream()
+    val errB = new ByteArrayOutputStream()
+    val code = Dp3Cli.run(
+      (Seq("--server-url", s"http://127.0.0.1:${http.boundPort}")
+        ++ args).toArray,
+      new PrintStream(outB, true, "UTF-8"),
+      new PrintStream(errB, true, "UTF-8"))
+    (code, outB.toString("UTF-8"), errB.toString("UTF-8"))
+  }
+
+  test("query prints one NDJSON line per row; skeleton strips payload") {
+    val (code, out, _) = cli("query", "from p3 click limit 3;")
+    assert(code == 0)
+    val lines = out.linesIterator.toSeq
+    assert(lines.length == 3 && lines.forall(_.contains("\"topic\"")))
+    val (c2, out2, _) =
+      cli("query", "from p3 click limit 3;", "--skeleton")
+    assert(c2 == 0)
+    assert(out2.linesIterator.forall(l => !l.contains("\"k\"")))
+  }
+
+  test("bad query exits non-zero with the server's message") {
+    val (code, _, err) = cli("query", "from p3 click")
+    assert(code == 1 && err.contains("semicolon"))
+  }
+
+  test("listings and statistics verbs") {
+    val (c1, topics, _) = cli("topics")
+    assert(c1 == 0 && topics.contains("click"))
+    val (c2, producers, _) = cli("producers")
+    assert(c2 == 0 && producers.contains("p3"))
+    val (c3, stats, _) =
+      cli("statistics", "--granularity", "3600000000000")
+    assert(c3 == 0 && stats.linesIterator.nonEmpty)
+    val (c4, sr, _) = cli("statrange", "--granularity", "60000000000",
+      "--producer", "p3")
+    assert(c4 == 0 && sr.linesIterator.nonEmpty)
+  }
+
+  test("import + export round-trip through the CLI") {
+    val w = new graft.mcap.Mcap.Writer()
+    w.writeSchema(graft.mcap.Mcap.SchemaRec(1, "pkg/t", "ros1msg",
+      "int16 c".getBytes))
+    w.writeChannel(graft.mcap.Mcap.ChannelRec(0, 1, "cli-topic", "ros1"))
+    for (t <- 1L to 3L)
+      w.writeMessage(graft.mcap.Mcap.MessageRec(0, t, t, t,
+        Array[Byte](t.toByte, 0)))
+    Files.write(Paths.get(s"$tmp/in.mcap"), w.finish())
+
+    val (ci, outI, errI) =
+      cli("import", s"$tmp/in.mcap", "--producer", "cli-dev")
+    assert(ci == 0, errI)
+    assert(outI.trim == """{"version":1}""")
+    assert(spark.read.parquet(s"$tmp/data").count() == 3)
+
+    // export a topic from the main catalog to a file; bytes parse as MCAP
+    val outFile = s"$tmp/out.mcap"
+    val (ce, _, errE) =
+      cli("export", "--topics", "click", "--output", outFile)
+    assert(ce == 0, errE)
+    val msgs = graft.mcap.Mcap.read(
+      Files.readAllBytes(Paths.get(outFile))).toSeq
+    assert(msgs.nonEmpty && msgs.forall(_.topic == "click"))
+
+    val (cm, _, errM) = cli("import", s"$tmp/in.mcap")
+    assert(cm == 2 && errM.contains("--producer"))
+  }
+
+  test("unknown verb prints usage and exits 2") {
+    val (code, _, err) = cli("frobnicate")
+    assert(code == 2 && err.contains("usage:"))
+  }
+}
