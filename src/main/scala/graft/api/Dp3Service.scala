@@ -140,7 +140,12 @@ final class Dp3Service(underlying: MessageCatalog,
     * skeleton queries read strictly less data. */
   def query(spark: SparkSession, ql: String,
       skeleton: Boolean = false): DataFrame = {
+    // the planner's order keys (emit_time/_mj/emit_side) stay available
+    // to library callers that re-sort (SparkEntry's oracle queries);
+    // the service surface emits message fields only, like the
+    // reference's responses — a post-sort projection, order untouched
     val df = new Planner(catalog).run(spark, ql)
+      .drop("emit_time", "_mj", "emit_side")
     if (!skeleton || df.columns.sameElements(Array("plan"))) df
     else {
       val cols = df.schema.fields.toSeq.flatMap { f =>

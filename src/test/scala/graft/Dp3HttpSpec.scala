@@ -47,6 +47,8 @@ class Dp3HttpSpec extends AnyFunSuite {
     assert(lines.length == 3)
     assert(lines.forall(l => l.startsWith("{") && l.contains("\"topic\"")))
     assert(lines.head.contains("\"k\"")) // payload present on full query
+    // planner order keys never leak onto the wire
+    assert(lines.forall(l => !l.contains("_mj") && !l.contains("emit_")))
 
     val sk = post("/databases/default/query",
       """{"query": "from p3 click limit 3;", "skeleton": true}""")
