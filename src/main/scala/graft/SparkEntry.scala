@@ -404,6 +404,12 @@ object SparkEntry {
         queryId = 1L, k = 10)
         .orderBy(col("cos_sim").desc, col("vec_id").asc)),
 
+    "s_topk_batch" -> ((s, dir) =>
+      Similarity.bruteForceTopKBatch(Tables.load(s, dir, "embeddings"),
+        queryIds = Seq(0L, 1L, 2L), k = 5)
+        .orderBy(col("query_id").asc, col("cos_sim").desc,
+          col("vec_id").asc)),
+
     // --- text analysis ---------------------------------------------------
     // all-integer result: the ratio columns are exact micro-unit longs,
     // so the cross-engine hash never touches a double (VERDICT r3 #2)
@@ -991,6 +997,30 @@ object SparkEntry {
         |JOIN norms na ON na.vec_id = d.vec_id
         |JOIN norms nq ON nq.vec_id = 1
         |ORDER BY cos_sim DESC, d.vec_id LIMIT 10""".stripMargin,
+
+    "s_topk_batch" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        | norms AS (SELECT vec_id, sum(x * x) AS nn FROM e GROUP BY vec_id),
+        | dots AS (
+        |  SELECT q.vec_id AS query_id, a.vec_id, sum(a.x * q.x) AS dot
+        |  FROM e a JOIN e q ON a.i = q.i AND q.vec_id IN (0, 1, 2)
+        |  WHERE a.vec_id <> q.vec_id GROUP BY 1, 2),
+        | scored AS (
+        |  SELECT query_id, d.vec_id,
+        |    round(dot / (sqrt(na.nn) * sqrt(nq.nn)), 6) AS cos_sim
+        |  FROM dots d
+        |  JOIN norms na ON na.vec_id = d.vec_id
+        |  JOIN norms nq ON nq.vec_id = d.query_id),
+        | ranked AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rn
+        |  FROM scored)
+        |SELECT query_id, vec_id, cos_sim FROM ranked WHERE rn <= 5
+        |ORDER BY query_id, cos_sim DESC, vec_id""".stripMargin,
 
     "t_quality" -> {
       val stops = TextOpsOracle.stopList

@@ -58,6 +58,36 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col(idCol).asc).limit(k)
   }
 
+  /** Batch top-k: nearest k rows for EVERY query id in one pass — the
+    * pipeline shape (dedup against a reference set, retrieval eval)
+    * where per-query jobs would pay the scan once per query instead of
+    * once total. The query set (ids + vectors + norms) broadcasts like
+    * the single-query path; scoring stays codegen'd; the only shuffle
+    * moves (query_id, id, score) triples — never embeddings — and the
+    * per-query rank is a window over that narrow frame. Brute force
+    * scores n·|Q| candidates by design; for large query sets prune
+    * candidates first (IVF cells / LSH buckets), then rank the same
+    * way. */
+  def bruteForceTopKBatch(emb: DataFrame, queryIds: Seq[Long], k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    require(queryIds.nonEmpty, "queryIds must be non-empty")
+    val n = withNorm(emb, vecCol)
+    val q = n.where(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col(vecCol).as("_qvec"),
+        col("_nrm").as("_qnrm"))
+    val scored = n.crossJoin(broadcast(q))
+      .where(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol),
+        round(dot(col(vecCol), col("_qvec"))
+          / (col("_nrm") * col("_qnrm")), 6).as("cos_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col(idCol).asc)
+    scored.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= k).drop("_rn")
+  }
+
   /** IVF-shaped top-k: only rows sharing the query row's coarse cell
     * (`cellCol`) are scored. */
   def ivfTopK(emb: DataFrame, queryId: Long, k: Int,

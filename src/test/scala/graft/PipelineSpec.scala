@@ -142,6 +142,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(ivf.map(_.getLong(0)).toSeq == Seq(1L, 2L))
   }
 
+  test("batch topk equals per-query topk for every query") {
+    val emb = spark.read.parquet(
+      "/root/testdata/sf0.001/embeddings.parquet")
+    val ids = Seq(0L, 1L, 2L)
+    val batch = Similarity.bruteForceTopKBatch(emb, ids, k = 4)
+      .collect().groupBy(_.getLong(0))
+    ids.foreach { q =>
+      val single = Similarity.bruteForceTopK(emb, q, 4).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val fromBatch = batch(q)
+        .sortBy(r => (-r.getDouble(2), r.getLong(1)))
+        .map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      assert(fromBatch == single, s"query $q")
+    }
+  }
+
   test("kmeans ivf quantizer: deterministic training, exact " +
       "nearest-centroid assignment") {
     val emb = spark.read.parquet(
