@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.model.{EventsCatalog, Tables}
 import graft.ops.AsofJoin
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextOps}
+import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, TextOps}
 import graft.plan.Planner
 import graft.stats.StatTiers
 import graft.streaming.Lifecycle
@@ -429,6 +429,16 @@ object SparkEntry {
       Tables.load(s, dir, "documents")
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
+
+    "t_sample" -> ((s, dir) =>
+      Sampling.sample(Tables.load(s, dir, "documents"), 0.25)
+        .select(col("doc_id")).orderBy("doc_id")),
+
+    "t_split" -> ((s, dir) =>
+      Sampling.split(Tables.load(s, dir, "documents"),
+        Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+        .groupBy(col("split")).agg(count(lit(1)).as("n"))
+        .orderBy("split")),
 
     "t_rolling_fp" -> ((s, dir) =>
       // rolling (Rabin-style) window fingerprints: token hashes are
@@ -1049,6 +1059,24 @@ object SparkEntry {
     "t_fingerprint" ->
       """SELECT doc_id, md5(lower(trim(text))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // deterministic membership: identical md5-prefix cutoff literal on
+    // both engines (Sampling.hexCutoff), string-compared
+    "t_sample" ->
+      s"""SELECT doc_id FROM documents
+         |WHERE substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 8)
+         |  < '${Sampling.hexCutoff(0.25)}'
+         |ORDER BY doc_id""".stripMargin,
+
+    "t_split" ->
+      s"""SELECT CASE
+         |  WHEN substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 8)
+         |    < '${Sampling.hexCutoff(0.8)}' THEN 'train'
+         |  WHEN substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 8)
+         |    < '${Sampling.hexCutoff(0.9)}' THEN 'valid'
+         |  ELSE 'test' END AS split,
+         |  CAST(count(*) AS BIGINT) AS n
+         |FROM documents GROUP BY 1 ORDER BY split""".stripMargin,
 
     // identical polynomial fold: Spark aggregate(zero=0) ≡ DuckDB
     // list_reduce (first step (0·B + h1) mod M = h1, hashes pre-reduced)

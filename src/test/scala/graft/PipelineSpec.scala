@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextOps}
+import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, TextOps}
 
 /** Training-data pipeline operators on crafted micro-fixtures. */
 class PipelineSpec extends AnyFunSuite {
@@ -140,6 +140,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(brute.head.getDouble(1) > 0.99)
     val ivf = Similarity.ivfTopK(emb, 0L, 2).collect()
     assert(ivf.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+  }
+
+  test("hash sampling and splits are partitioning-invariant and " +
+      "exhaustive") {
+    val corpus = spark.read.parquet(
+      "/root/testdata/sf0.001/documents.parquet")
+    val total = corpus.count()
+    val s1 = Sampling.sample(corpus, 0.25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.sample(corpus.repartition(7), 0.25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1 == s2, "sample must not depend on partitioning")
+    assert(s1.nonEmpty && s1.size < total)
+    // a different salt draws an independent subset
+    val other = Sampling.sample(corpus, 0.25, salt = "other")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(other != s1)
+
+    val sp = Sampling.split(corpus,
+      Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+    val counts = sp.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == total) // every row in exactly one split
+    assert(counts.keySet == Set("train", "valid", "test"))
+    assert(counts("train") > counts("valid")
+      && counts("train") > counts("test"))
+    assertThrows[IllegalArgumentException](
+      Sampling.split(corpus, Seq("a" -> 0.5, "b" -> 0.4)))
   }
 
   test("batch topk equals per-query topk for every query") {
