@@ -466,6 +466,10 @@ object SparkEntry {
     "t_ngrams" -> ((s, dir) =>
       TextOps.topNgrams(Tables.load(s, dir, "documents"), n = 2, k = 20)),
 
+    "t_corpus" -> ((s, dir) =>
+      TextOps.corpusStats(Tables.load(s, dir, "documents"))
+        .orderBy("source", "lang")),
+
     // --- multimodal plumbing --------------------------------------------
     "m_meta" -> ((s, dir) =>
       Multimodal.decodeMeta(s,
@@ -1059,6 +1063,22 @@ object SparkEntry {
     "t_fingerprint" ->
       """SELECT doc_id, md5(lower(trim(text))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t_corpus" ->
+      """WITH raw AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        | tc AS (
+        |  SELECT doc_id, count(*) FILTER (WHERE w <> '') AS nt
+        |  FROM raw GROUP BY doc_id)
+        |SELECT d.source, d.lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(d.n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(coalesce(tc.nt, 0)) AS BIGINT) AS total_tokens,
+        |  min(d.n_chars) AS min_chars,
+        |  max(d.n_chars) AS max_chars
+        |FROM documents d LEFT JOIN tc ON tc.doc_id = d.doc_id
+        |GROUP BY 1, 2 ORDER BY source, lang""".stripMargin,
 
     // deterministic membership: identical md5-prefix cutoff literal on
     // both engines (Sampling.hexCutoff), string-compared

@@ -154,4 +154,20 @@ object TextOps {
       .orderBy(col("cnt").desc, col("gram").asc)
       .limit(k)
   }
+
+  /** Corpus composition: per (source, language) document counts plus
+    * char and token totals — the first report any training-data
+    * pipeline produces, and the denominator for mixture weighting.
+    * One map-side-combined aggregation; all-integer outputs, so the
+    * result is oracle-exact across engines. */
+  def corpusStats(df: DataFrame, sourceCol: String = "source",
+      langCol: String = "lang", textCol: String = "text",
+      charsCol: String = "n_chars"): DataFrame =
+    df.groupBy(col(sourceCol), col(langCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col(charsCol)).as("total_chars"),
+        sum(tokenCount(col(textCol)).cast("long")).as("total_tokens"),
+        min(col(charsCol)).as("min_chars"),
+        max(col(charsCol)).as("max_chars"))
 }
