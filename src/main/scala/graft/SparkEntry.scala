@@ -388,6 +388,14 @@ object SparkEntry {
       Dedup.simhash(Tables.load(s, dir, "documents"))
         .orderBy("doc_id")),
 
+    // maxHamming 1, not the library-default 3: 32-bit signatures over
+    // this corpus's tiny vocabulary saturate (hamming<=3 matches 12% of
+    // ALL pairs at sf0.01) — near-dup semantics need the tight radius
+    "d_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(Tables.load(s, dir, "documents"),
+        bands = 4, maxHamming = 1)
+        .orderBy("id_a", "id_b")),
+
     "d_embed_neardup" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(Tables.load(s, dir, "embeddings"),
         threshold = 0.3, cellCol = Some("label"))
@@ -579,6 +587,30 @@ object SparkEntry {
       |  SELECT s.doc_id, s.sh FROM sh0 s
       |  JOIN shdf USING (sh) WHERE shdf.df <= """.stripMargin +
       s"$ShingleMaxDf)\n"
+
+  /** 32-bit SimHash signature per document — mirrors
+    * [[graft.pipeline.Dedup.simhash]] bit for bit (bit b of token t =
+    * bit (3 - b%4) of hex digit b/4 of md5(t); majority vote over
+    * distinct tokens). Shared by `d_simhash` and `d_simhash_pairs`. */
+  private val SIMHASH_SIGS =
+    """WITH raw AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+      |  FROM documents),
+      | tok AS (SELECT DISTINCT doc_id, w FROM raw WHERE w <> ''),
+      | hashed AS (SELECT doc_id, md5(w) AS h FROM tok),
+      | bits AS (
+      |  SELECT doc_id, p,
+      |    CASE WHEN (((strpos('0123456789abcdef',
+      |        substr(h, CAST(p // 4 AS INT) + 1, 1)) - 1)
+      |        >> (3 - p % 4)) & 1) = 1 THEN 1 ELSE -1 END AS v
+      |  FROM hashed
+      |  CROSS JOIN (SELECT unnest(range(0, 32)) AS p)),
+      | agg AS (SELECT doc_id, p, sum(v) AS s FROM bits GROUP BY 1, 2),
+      | sigs AS (
+      |  SELECT doc_id,
+      |    string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, ''
+      |      ORDER BY p) AS simhash
+      |  FROM agg GROUP BY doc_id)""".stripMargin
 
   private val US_0108 = NS_0108 / 1000
   private val US_0115 = NS_0115 / 1000
@@ -933,23 +965,32 @@ object SparkEntry {
     },
 
     "d_simhash" ->
-      """WITH raw AS (
-        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
-        |  FROM documents),
-        | tok AS (SELECT DISTINCT doc_id, w FROM raw WHERE w <> ''),
-        | hashed AS (SELECT doc_id, md5(w) AS h FROM tok),
-        | bits AS (
-        |  SELECT doc_id, p,
-        |    CASE WHEN (((strpos('0123456789abcdef',
-        |        substr(h, CAST(p // 4 AS INT) + 1, 1)) - 1)
-        |        >> (3 - p % 4)) & 1) = 1 THEN 1 ELSE -1 END AS v
-        |  FROM hashed
-        |  CROSS JOIN (SELECT unnest(range(0, 32)) AS p)),
-        | agg AS (SELECT doc_id, p, sum(v) AS s FROM bits GROUP BY 1, 2)
-        |SELECT doc_id,
-        |  string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, ''
-        |    ORDER BY p) AS simhash
-        |FROM agg GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""$SIMHASH_SIGS
+        |SELECT doc_id, simhash FROM sigs ORDER BY doc_id""".stripMargin,
+
+    // banded candidates (4 bands of 8 bits) + exact Hamming filter:
+    // pigeonhole makes recall exact for hamming <= 3, so the oracle can
+    // band identically rather than scanning all pairs
+    "d_simhash_pairs" ->
+      s"""$SIMHASH_SIGS,
+        | bands AS (
+        |  SELECT doc_id, simhash,
+        |    CAST(b AS VARCHAR) || '#' || substr(simhash, b * 8 + 1, 8)
+        |      AS bkt
+        |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
+        | cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    a.simhash AS sa, b.simhash AS sb
+        |  FROM bands a
+        |  JOIN bands b ON a.bkt = b.bkt AND a.doc_id < b.doc_id),
+        | ham AS (
+        |  SELECT id_a, id_b,
+        |    CAST(len(list_filter(range(1, 33),
+        |      i -> substr(sa, i, 1) <> substr(sb, i, 1))) AS BIGINT)
+        |      AS hamming
+        |  FROM cand)
+        |SELECT id_a, id_b, hamming FROM ham
+        |WHERE hamming <= 1 ORDER BY id_a, id_b""".stripMargin,
 
     "d_embed_neardup" ->
       """WITH e AS (

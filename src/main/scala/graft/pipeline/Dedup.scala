@@ -116,16 +116,27 @@ object Dedup {
     * anti-join adds zero shuffles (the r4 shape semi-joined the full
     * exploded set against the kept majority — two extra full shuffles
     * of shingle text that removed nothing when the corpus was cold). */
-  private def capDf(sh: DataFrame, maxDf: Int): DataFrame =
-    if (maxDf == Int.MaxValue) sh
-    else {
+  private def capDf(sh: DataFrame, maxDf: Int): DataFrame = {
+    if (maxDf != Int.MaxValue)
       require(maxDf >= 2, s"maxDf must be >= 2 (got $maxDf): " +
         "a shingle needs at least 2 docs to generate a pair")
-      val hot = sh.groupBy(col("sh"))
+    capHot(sh, "sh", maxDf)
+  }
+
+  /** Drop rows whose `keyCol` value occurs more than `cap` times — the
+    * shared all-pairs-blowup guard: the HOT key set is tiny by
+    * construction, so it is the side aggregated (map-side combine) and
+    * broadcast into an ANTI-join (zero extra shuffles of the big side).
+    * Used for shingle document frequency, LSH band buckets, and rolling
+    * window fingerprints alike. */
+  private def capHot(df: DataFrame, keyCol: String, cap: Int): DataFrame =
+    if (cap == Int.MaxValue) df
+    else {
+      val hot = df.groupBy(col(keyCol))
         .agg(count(lit(1)).as("_df"))
-        .where(col("_df") > maxDf)
-        .select("sh")
-      sh.join(broadcast(hot), Seq("sh"), "left_anti")
+        .where(col("_df") > cap)
+        .select(keyCol)
+      df.join(broadcast(hot), Seq(keyCol), "left_anti")
     }
 
   /** Exact n-gram-Jaccard near-duplicate pairs via inverted index:
@@ -237,11 +248,7 @@ object Dedup {
       else {
         require(maxBucket >= 2,
           s"maxBucket must be >= 2 (got $maxBucket)")
-        val hot = buckets0.groupBy(col("bkt"))
-          .agg(count(lit(1)).as("_n"))
-          .where(col("_n") > maxBucket)
-          .select("bkt")
-        buckets0.join(broadcast(hot), Seq("bkt"), "left_anti")
+        capHot(buckets0, "bkt", maxBucket)
       }
     val a = buckets.as("a"); val b2 = buckets.as("b")
     val cands = a
@@ -446,5 +453,62 @@ object Dedup {
         array_sort(collect_list(struct(col("b"), col("bitchar")))),
         s => s.getField("bitchar")), "").as("simhash"))
       .select(col("_id").as("doc_id"), col("simhash"))
+  }
+
+  /** SimHash near-duplicate pairs: banded candidate generation over
+    * [[simhash]] signatures + an EXACT Hamming-distance filter.
+    *
+    * Recall is exact, not approximate: with `bands` equal-width bands, a
+    * pair within Hamming distance `bands - 1` has fewer differing bits
+    * than bands, so by pigeonhole at least one band is identical and
+    * the pair surfaces as a candidate. `maxHamming` is therefore capped
+    * at `bands - 1`; raising it requires more bands (narrower band
+    * keys), the standard recall/candidate-volume dial.
+    *
+    * 100 TB shape: one row per (doc, band) — docs × bands, never docs² —
+    * shuffled by band bucket; `maxBucket` drops degenerate buckets
+    * wholesale (an n-row bucket emits n² candidates no matter why the
+    * signatures collided) via the same broadcast-anti-join as [[capDf]].
+    * The signature frame is tiny (one 32-char row per doc) but feeds
+    * BOTH self-join sides, so it is pinned eagerly; the result is
+    * cache-backed — library callers should use [[simhashPairsOwned]]
+    * and `release()` after consuming (same contract as
+    * [[jaccardPairs]]). */
+  def simhashPairs(df: DataFrame, bits: Int = 32, bands: Int = 4,
+      maxHamming: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text", maxBucket: Int = Int.MaxValue): DataFrame =
+    simhashPairsOwned(df, bits, bands, maxHamming, idCol, textCol,
+      maxBucket)._1
+
+  /** [[simhashPairs]] plus the [[PinHandle]] owning the pinned
+    * signature blocks: consume the frame, then `release()`. */
+  def simhashPairsOwned(df: DataFrame, bits: Int = 32, bands: Int = 4,
+      maxHamming: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text", maxBucket: Int = Int.MaxValue)
+      : (DataFrame, PinHandle) = {
+    require(bits % bands == 0, "bands must divide bits")
+    require(maxHamming <= bands - 1,
+      s"maxHamming=$maxHamming needs > $bands bands for exact recall " +
+        s"(pigeonhole: at most bands-1=${bands - 1} differing bits " +
+        "guarantee an identical band)")
+    val w = bits / bands
+    val (sig, handle) = pinNow(simhash(df, bits, idCol, textCol))
+    val buckets0 = sig.select(col("doc_id"), col("simhash"),
+      explode(array((0 until bands).map(b => concat_ws("#",
+        lit(b.toString),
+        expr(s"substr(simhash, ${b * w + 1}, $w)"))): _*)).as("bkt"))
+    val buckets = capHot(buckets0, "bkt", maxBucket)
+    val a = buckets.as("a"); val b = buckets.as("b")
+    val pairs = a
+      .join(b, col("a.bkt") === col("b.bkt")
+        && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.simhash").as("_sa"), col("b.simhash").as("_sb"))
+      .distinct()
+      .withColumn("hamming", expr(s"size(filter(sequence(1, $bits), " +
+        "i -> substr(_sa, i, 1) != substr(_sb, i, 1)))").cast("long"))
+      .where(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+    (pairs, handle)
   }
 }

@@ -128,6 +128,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(hamming(hs(0L), hs(1L)) < hamming(hs(0L), hs(2L)))
   }
 
+  test("simhash pairs: exact dup at hamming 0, disjoint doc excluded") {
+    val got = Dedup.simhashPairs(docs).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got((0L, 3L)) == 0L) // identical text, identical signature
+    assert(!got.keys.exists(p => p._1 == 2L || p._2 == 2L))
+    // recall is exact for hamming <= bands-1: every reported pair's
+    // distance recomputed from the signatures matches
+    val sigs = Dedup.simhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def hamming(a: String, b: String) =
+      a.zip(b).count { case (x, y) => x != y }
+    got.foreach { case ((a, b), h) =>
+      assert(hamming(sigs(a), sigs(b)).toLong == h && h <= 3L)
+    }
+    // exhaustive check: NO pair within the hamming budget is missed
+    val all = for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      if hamming(sigs(a), sigs(b)) <= 3
+    } yield (a, b)
+    assert(all.toSet == got.keySet)
+  }
+
+  test("simhash pairs bucket cap drops a degenerate herd wholesale") {
+    val herd = (0L until 10L).map(i =>
+      (i, "identical boilerplate document body here"))
+    val dups = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta"),
+      (101L, "alpha beta gamma delta epsilon zeta"))
+    val corpus = (herd ++ dups).toDF("doc_id", "text")
+    val capped = Dedup.simhashPairs(corpus, maxBucket = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((100L, 101L)))
+  }
+
   test("brute-force and ivf topk agree inside one cell") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f), 1),
