@@ -478,6 +478,16 @@ object SparkEntry {
       TextOps.corpusStats(Tables.load(s, dir, "documents"))
         .orderBy("source", "lang")),
 
+    // eval set = every 20th doc (the stand-in benchmark); 4-grams give
+    // varied contamination on this corpus (49/475 docs at sf0.01)
+    "t_decontam" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      TextOps.decontaminate(
+        d.where(col("doc_id") % 20 =!= 0),
+        d.where(col("doc_id") % 20 === 0), n = 4)
+        .orderBy("doc_id")
+    }),
+
     // --- multimodal plumbing --------------------------------------------
     "m_meta" -> ((s, dir) =>
       Multimodal.decodeMeta(s,
@@ -1120,6 +1130,32 @@ object SparkEntry {
         |  max(d.n_chars) AS max_chars
         |FROM documents d LEFT JOIN tc ON tc.doc_id = d.doc_id
         |GROUP BY 1, 2 ORDER BY source, lang""".stripMargin,
+
+    "t_decontam" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '')
+        |      AS toks
+        |  FROM documents),
+        | g0 AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(toks) - 4 + 2),
+        |      i -> array_to_string(toks[i:i+3], ' '))) AS gram
+        |  FROM t WHERE len(toks) >= 4),
+        | g AS (SELECT DISTINCT doc_id, gram FROM g0),
+        | ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0),
+        | ag AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |    CAST(sum(CASE WHEN gram IN (SELECT gram FROM ev)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap
+        |  FROM g WHERE doc_id % 20 <> 0 GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(ag.n_grams, 0) AS n_grams,
+        |  coalesce(ag.n_overlap, 0) AS n_overlap,
+        |  CAST(CASE WHEN coalesce(ag.n_overlap, 0) > 0
+        |    THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+        |FROM documents d LEFT JOIN ag ON ag.doc_id = d.doc_id
+        |WHERE d.doc_id % 20 <> 0 ORDER BY d.doc_id""".stripMargin,
 
     // deterministic membership: identical md5-prefix cutoff literal on
     // both engines (Sampling.hexCutoff), string-compared

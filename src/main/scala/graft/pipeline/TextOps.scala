@@ -139,20 +139,63 @@ object TextOps {
       .otherwise(array().cast("array<long>"))
   }
 
+  /** Word n-grams over a BOUND token-array attribute (project the
+    * tokens into a named column first — the lambda-CSE trap, see
+    * [[tokenHashes]]). */
+  def wordNgrams(toksCol: String, n: Int): Column = expr(
+    s"""transform(sequence(0, size($toksCol) - $n),
+        i -> concat_ws(' ', slice($toksCol, i + 1, $n)))""")
+
   /** Corpus-wide top-k n-gram counts (word n-grams). One explode + one
     * agg; at 100 TB this is the canonical map-side-combine shape. */
   def topNgrams(df: DataFrame, n: Int, k: Int, textCol: String = "text")
-      : DataFrame = {
-    val toks = tokens(lower(col(textCol)))
-    val grams = expr(
-      s"""transform(sequence(0, size(_toks) - $n),
-          i -> concat_ws(' ', slice(_toks, i + 1, $n)))""")
-    df.select(toks.as("_toks"))
+      : DataFrame =
+    df.select(tokens(lower(col(textCol))).as("_toks"))
       .where(size(col("_toks")) >= n)
-      .select(explode(grams).as("gram"))
+      .select(explode(wordNgrams("_toks", n)).as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("gram").asc)
       .limit(k)
+
+  /** Benchmark decontamination: per training document, how many of its
+    * DISTINCT word n-grams also occur anywhere in the eval set — the
+    * standard overlap check run before training on scraped data (the
+    * GPT-3/PaLM-style "n-gram collision with a benchmark" filter).
+    *
+    * Output per training doc: `n_grams` (distinct n-grams), `n_overlap`
+    * (of them, how many hit the eval universe), `contaminated`
+    * (0/1 long — all-integer so the result is oracle-exact). Documents
+    * shorter than n tokens carry zeros.
+    *
+    * 100 TB shape: the eval side is a benchmark suite — thousands of
+    * documents, millions of distinct n-grams at most — so its distinct
+    * gram universe is aggregated (map-side combine) and BROADCAST; the
+    * training side streams through one explode + one broadcast join +
+    * one per-doc aggregation, never shuffling gram text. If the eval
+    * set outgrows broadcast, drop the hint and the same plan runs as a
+    * shuffled join. */
+  def decontaminate(train: DataFrame, eval: DataFrame, n: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    def grams(df: DataFrame): DataFrame =
+      df.select(col(idCol).as("_id"),
+          tokens(lower(col(textCol))).as("_toks"))
+        .where(size(col("_toks")) >= n)
+        .select(col("_id"),
+          explode(array_distinct(wordNgrams("_toks", n))).as("gram"))
+    val evalGrams = grams(eval).select("gram").distinct()
+      .withColumn("_hit", lit(1L))
+    val perDoc = grams(train)
+      .join(broadcast(evalGrams), Seq("gram"), "left")
+      .groupBy(col("_id"))
+      .agg(count(lit(1)).as("_n_grams"),
+        sum(coalesce(col("_hit"), lit(0L))).as("_n_overlap"))
+    train.select(col(idCol))
+      .join(perDoc, train(idCol) === perDoc("_id"), "left")
+      .select(col(idCol),
+        coalesce(col("_n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("_n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("contaminated",
+        (col("n_overlap") > 0).cast("long"))
   }
 
   /** Corpus composition: per (source, language) document counts plus

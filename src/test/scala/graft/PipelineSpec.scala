@@ -162,6 +162,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(capped == Set((100L, 101L)))
   }
 
+  test("decontamination counts eval-overlapping n-grams per doc") {
+    val train = Seq(
+      (0L, "alpha beta gamma delta epsilon"), // grams: a b g, b g d, g d e
+      (1L, "zeta eta theta iota"),            // no overlap
+      (2L, "alpha beta gamma zeta eta"),      // 1 overlapping gram
+      (3L, "a b")                             // shorter than n -> zeros
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, "alpha beta gamma delta kappa")  // grams: a b g, b g d, ...
+    ).toDF("doc_id", "text")
+    val got = TextOps.decontaminate(train, eval, n = 3).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(0L) == ((3L, 2L, 1L))) // "alpha beta gamma","beta gamma delta"
+    assert(got(1L) == ((2L, 0L, 0L)))
+    assert(got(2L) == ((3L, 1L, 1L)))
+    assert(got(3L) == ((0L, 0L, 0L)))
+  }
+
   test("brute-force and ivf topk agree inside one cell") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f), 1),
