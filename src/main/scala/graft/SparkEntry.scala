@@ -396,6 +396,13 @@ object SparkEntry {
         bands = 4, maxHamming = 1)
         .orderBy("id_a", "id_b")),
 
+    // substring-level dedup: docs sharing >= 2 distinct 8-token window
+    // fingerprints (the planted near-dups at sf0.01; no window is hot)
+    "d_overlap_pairs" -> ((s, dir) =>
+      Dedup.overlapPairs(Tables.load(s, dir, "documents"),
+        w = 8, minShared = 2L)
+        .orderBy("id_a", "id_b")),
+
     "d_embed_neardup" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(Tables.load(s, dir, "embeddings"),
         threshold = 0.3, cellCol = Some("label"))
@@ -1001,6 +1008,30 @@ object SparkEntry {
         |  FROM cand)
         |SELECT id_a, id_b, hamming FROM ham
         |WHERE hamming <= 1 ORDER BY id_a, id_b""".stripMargin,
+
+    // same polynomial fold as t_rolling_fp at w=8, distinct per doc,
+    // inverted-index self-join on the fingerprint
+    "d_overlap_pairs" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '')
+        |      AS toks
+        |  FROM documents),
+        | h AS (SELECT doc_id,
+        |   list_transform(toks, x ->
+        |     CAST(('0x' || substring(md5(x),1,15)) AS BIGINT)
+        |       % 1000000007) AS th
+        |  FROM t),
+        | wn AS (SELECT DISTINCT doc_id,
+        |   list_reduce(th[i:i+7], (a,x) -> (a*1000003 + x) % 1000000007)
+        |     AS fp
+        |  FROM h, UNNEST(range(1, len(th) - 6)) AS u(i)
+        |  WHERE len(th) >= 8)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(count(*) AS BIGINT) AS n_shared
+        |FROM wn a JOIN wn b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "d_embed_neardup" ->
       """WITH e AS (

@@ -258,6 +258,54 @@ object Dedup {
     (cands, handle)
   }
 
+  /** Shared-passage near-duplicate pairs via rolling window
+    * fingerprints: documents sharing >= `minShared` DISTINCT w-token
+    * window fingerprints ([[TextOps.rollingFromHashes]]) are paired
+    * with the shared-window count. This is SUBSTRING-level dedup — a
+    * passage copied between otherwise-different documents yields
+    * identical window fingerprints at ANY offset, which whole-document
+    * fingerprints miss and shingle-set Jaccard only surfaces when the
+    * shared fraction is large.
+    *
+    * 100 TB shape: same inverted-index discipline as [[jaccardPairs]] —
+    * one row per distinct (doc, window-fp), `maxDf` drops
+    * boilerplate windows shared by more than maxDf docs (the O(f²)
+    * guard, broadcast anti-join), shuffled-hash self-join on the
+    * 8-byte fp key (cheaper still than Jaccard's string shingles), one
+    * pair aggregation. The exploded fp frame feeds the hot-set agg and
+    * both join sides, so it is pinned eagerly; the result is
+    * cache-backed — library callers use [[overlapPairsOwned]] and
+    * `release()` after consuming. */
+  def overlapPairs(df: DataFrame, w: Int, minShared: Long = 1L,
+      idCol: String = "doc_id", textCol: String = "text",
+      hashJoin: Boolean = true, maxDf: Int = Int.MaxValue): DataFrame =
+    overlapPairsOwned(df, w, minShared, idCol, textCol, hashJoin,
+      maxDf)._1
+
+  /** [[overlapPairs]] plus the [[PinHandle]] owning the pinned
+    * window-fingerprint blocks: consume the frame, then `release()`. */
+  def overlapPairsOwned(df: DataFrame, w: Int, minShared: Long = 1L,
+      idCol: String = "doc_id", textCol: String = "text",
+      hashJoin: Boolean = true, maxDf: Int = Int.MaxValue)
+      : (DataFrame, PinHandle) = {
+    require(w >= 1, "window >= 1")
+    val fps0 = spread(df.select(col(idCol).as("_id"), col(textCol)), "_id")
+      .select(col("_id"), TextOps.tokens(lower(col(textCol))).as("_toks"))
+      .select(col("_id"), TextOps.tokenHashes(col("_toks")).as("_th"))
+      .select(col("_id"), explode(array_distinct(
+        TextOps.rollingFromHashes(col("_th"), w))).as("fp"))
+    val (fps, handle) = pinNow(fps0)
+    val capped = capHot(fps, "fp", maxDf)
+    val left = if (hashJoin) capped.hint("shuffle_hash") else capped
+    val a = left.as("a"); val b = capped.as("b")
+    val pairs = a
+      .join(b, col("a.fp") === col("b.fp") && col("a._id") < col("b._id"))
+      .groupBy(col("a._id").as("id_a"), col("b._id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+    (pairs, handle)
+  }
+
   /** Ownership handle for pinned cache blocks. Returned by the
     * `*Owned` variants so a library caller can free the blocks the
     * moment the result is consumed, instead of relying on a global

@@ -162,6 +162,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(capped == Set((100L, 101L)))
   }
 
+  test("overlap pairs find a shared passage at different offsets") {
+    val passage = "one two three four five six"
+    val corpus = Seq(
+      (0L, s"intro words here $passage"),          // passage at offset 3
+      (1L, s"$passage and a different tail part"), // passage at offset 0
+      (2L, "nothing in common with the others at all whatsoever today")
+    ).toDF("doc_id", "text")
+    // w=5: the 6-token passage holds 2 distinct 5-token windows, both
+    // shared between docs 0 and 1 despite different offsets
+    val got = Dedup.overlapPairs(corpus, w = 5, minShared = 2L).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got == Map((0L, 1L) -> 2L))
+  }
+
+  test("overlap pairs maxDf drops boilerplate windows wholesale") {
+    // 12 docs all embedding the same boilerplate window -> 66 pairs
+    // uncapped; with maxDf=4 the hot window is dropped and only the
+    // genuine two-window pair survives
+    val boiler = (0L until 12L).map(i =>
+      (i, s"alpha beta gamma delta epsilon unique$i"))
+    val dups = Seq(
+      (100L, "p q r s t u tail"),
+      (101L, "p q r s t u other"))
+    val corpus = (boiler ++ dups).toDF("doc_id", "text")
+    val uncapped = Dedup.overlapPairs(corpus, w = 5, minShared = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.size >= 66)
+    val capped = Dedup.overlapPairs(corpus, w = 5, minShared = 1L,
+      maxDf = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((100L, 101L)))
+  }
+
   test("decontamination counts eval-overlapping n-grams per doc") {
     val train = Seq(
       (0L, "alpha beta gamma delta epsilon"), // grams: a b g, b g d, g d e
