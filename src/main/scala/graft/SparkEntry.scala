@@ -485,6 +485,28 @@ object SparkEntry {
       TextOps.corpusStats(Tables.load(s, dir, "documents"))
         .orderBy("source", "lang")),
 
+    // the corpus text carries no PII, so the query plants it
+    // deterministically (identical expression in the oracle) — doc_id
+    // residues vary which categories appear; md5(redacted) checks the
+    // replacement text exactly without hashing a free-form string
+    "t_pii" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val aug = concat(col("text"),
+        when(col("doc_id") % 3 === 0, concat(lit(" contact user"),
+          col("doc_id").cast("string"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 4 === 0, concat(lit(" from 10."),
+          (col("doc_id") % 250).cast("string"), lit(".0."),
+          (col("doc_id") % 200).cast("string"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, concat(lit(" call +1555"),
+          lpad((col("doc_id") % 10000).cast("string"), 7, "0")))
+          .otherwise(lit("")))
+      TextOps.piiFeatures(d.select(col("doc_id"), aug.as("text")))
+        .select(col("doc_id"), col("n_emails"), col("n_ipv4"),
+          col("n_phones"), md5(col("redacted")).as("red_md5"))
+        .orderBy("doc_id")
+    }),
+
     // eval set = every 20th doc (the stand-in benchmark); 4-grams give
     // varied contamination on this corpus (49/475 docs at sf0.01)
     "t_decontam" -> ((s, dir) => {
@@ -1161,6 +1183,36 @@ object SparkEntry {
         |  max(d.n_chars) AS max_chars
         |FROM documents d LEFT JOIN tc ON tc.doc_id = d.doc_id
         |GROUP BY 1, 2 ORDER BY source, lang""".stripMargin,
+
+    "t_pii" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 3 = 0 THEN ' contact user'
+        |         || CAST(doc_id AS VARCHAR) || '@example.com'
+        |       ELSE '' END
+        |    || CASE WHEN doc_id % 4 = 0 THEN ' from 10.'
+        |         || CAST(doc_id % 250 AS VARCHAR) || '.0.'
+        |         || CAST(doc_id % 200 AS VARCHAR)
+        |       ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0 THEN ' call +1555'
+        |         || lpad(CAST(doc_id % 10000 AS VARCHAR), 7, '0')
+        |       ELSE '' END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |    AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+        |    AS BIGINT) AS n_ipv4,
+        |  CAST(len(regexp_extract_all(t, '\+\d{9,14}'))
+        |    AS BIGINT) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |    '[EMAIL]', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+        |    '\+\d{9,14}', '[PHONE]', 'g')) AS red_md5
+        |FROM aug ORDER BY doc_id""".stripMargin,
 
     "t_decontam" ->
       """WITH t AS (

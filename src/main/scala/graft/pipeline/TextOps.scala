@@ -198,6 +198,38 @@ object TextOps {
         (col("n_overlap") > 0).cast("long"))
   }
 
+  // --- PII detection / redaction ---------------------------------------
+
+  /** PII patterns, shared with the DuckDB oracle — deliberately the
+    * RE2-compatible subset (character classes + greedy quantifiers, no
+    * backreferences or lookaround) so Java regex (Spark) and RE2
+    * (DuckDB, and most scale-out scrubbers) match identically. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\+\\d{9,14}"
+
+  /** Per-document PII surface: match counts per category plus the
+    * redacted text (emails -> [EMAIL], then IPv4 -> [IP], then
+    * E.164-ish phones -> [PHONE]; counts are taken on the ORIGINAL
+    * text, and the replacement order prevents one category's
+    * placeholder from feeding another's pattern). Shuffle-free,
+    * whole-stage-codegen'd — the shape of every at-scale scrubbing
+    * pass. */
+  def piiFeatures(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    def n(re: String) =
+      size(regexp_extract_all(t, lit(re), lit(0))).cast("long")
+    df.withColumn("n_emails", n(EmailRe))
+      .withColumn("n_ipv4", n(Ipv4Re))
+      .withColumn("n_phones", n(PhoneRe))
+      .withColumn("redacted",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(t, EmailRe, "[EMAIL]"),
+            Ipv4Re, "[IP]"),
+          PhoneRe, "[PHONE]"))
+  }
+
   /** Corpus composition: per (source, language) document counts plus
     * char and token totals — the first report any training-data
     * pipeline produces, and the denominator for mixture weighting.

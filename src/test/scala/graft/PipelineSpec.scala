@@ -195,6 +195,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(capped == Set((100L, 101L)))
   }
 
+  test("pii features count and redact emails, ips, phones") {
+    val rows = Seq(
+      (0L, "mail a.b+c@sub.example.org and x@y.io twice"),
+      (1L, "server at 192.168.0.1 port 80, not 1.2.3"),
+      (2L, "call +12025550123 now"),
+      (3L, "clean text, no pii at all"),
+      (4L, "mixed: u@v.com from 10.0.0.7 dial +4915123456789")
+    ).toDF("doc_id", "text")
+    val got = TextOps.piiFeatures(rows).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_emails"), r.getAs[Long]("n_ipv4"),
+          r.getAs[Long]("n_phones"), r.getAs[String]("redacted")))).toMap
+    assert(got(0L)._1 == 2L
+      && got(0L)._4 == "mail [EMAIL] and [EMAIL] twice")
+    assert(got(1L)._2 == 1L // "1.2.3" is not an ipv4
+      && got(1L)._4 == "server at [IP] port 80, not 1.2.3")
+    assert(got(2L)._3 == 1L && got(2L)._4 == "call [PHONE] now")
+    assert(got(3L) == ((0L, 0L, 0L, "clean text, no pii at all")))
+    assert(got(4L) == ((1L, 1L, 1L, "mixed: [EMAIL] from [IP] dial [PHONE]")))
+  }
+
   test("decontamination counts eval-overlapping n-grams per doc") {
     val train = Seq(
       (0L, "alpha beta gamma delta epsilon"), // grams: a b g, b g d, g d e
