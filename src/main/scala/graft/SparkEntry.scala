@@ -449,6 +449,14 @@ object SparkEntry {
       Sampling.sample(Tables.load(s, dir, "documents"), 0.25)
         .select(col("doc_id")).orderBy("doc_id")),
 
+    // mixture re-weighting: keep 50% of src0, 25% of src1, drop src2
+    // entirely (rate-0 edge), 75% of everything else
+    "t_stratified" -> ((s, dir) =>
+      Sampling.stratified(Tables.load(s, dir, "documents"), "source",
+        Seq("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.0),
+        default = 0.75)
+        .select("doc_id", "source").orderBy("doc_id")),
+
     "t_split" -> ((s, dir) =>
       Sampling.split(Tables.load(s, dir, "documents"),
         Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
@@ -1246,6 +1254,16 @@ object SparkEntry {
       s"""SELECT doc_id FROM documents
          |WHERE substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 8)
          |  < '${Sampling.hexCutoff(0.25)}'
+         |ORDER BY doc_id""".stripMargin,
+
+    "t_stratified" ->
+      s"""SELECT doc_id, source FROM documents
+         |WHERE substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 8)
+         |  < CASE source
+         |      WHEN 'src0' THEN '${Sampling.hexCutoff(0.5)}'
+         |      WHEN 'src1' THEN '${Sampling.hexCutoff(0.25)}'
+         |      WHEN 'src2' THEN '${Sampling.hexCutoff(0.0)}'
+         |      ELSE '${Sampling.hexCutoff(0.75)}' END
          |ORDER BY doc_id""".stripMargin,
 
     "t_split" ->

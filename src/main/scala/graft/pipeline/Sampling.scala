@@ -44,6 +44,25 @@ object Sampling {
     if (fraction >= 1.0) df
     else df.where(hashBucket(col(idCol), salt) < lit(hexCutoff(fraction)))
 
+  /** Per-stratum deterministic sampling: each stratum value keeps its
+    * own fraction of rows, strata not listed keep `default`. This is
+    * the mixture-weighting primitive — downsample over-represented
+    * sources/languages to a target corpus composition (the
+    * [[graft.pipeline.TextOps.corpusStats]] report supplies the
+    * denominators). Same membership guarantees as [[sample]]: pure
+    * function of (salt, id), engine- and partitioning-independent.
+    * Still a single row-local filter — the per-stratum cutoff is a
+    * CASE over the stratum column, no shuffle, no per-stratum jobs. */
+  def stratified(df: DataFrame, strataCol: String,
+      rates: Seq[(String, Double)], default: Double = 1.0,
+      idCol: String = "doc_id", salt: String = "graft"): DataFrame = {
+    val cutoff = rates.foldLeft(lit(hexCutoff(default)): Column) {
+      case (e, (k, r)) =>
+        when(col(strataCol) === k, lit(hexCutoff(r))).otherwise(e)
+    }
+    df.where(hashBucket(col(idCol), salt) < cutoff)
+  }
+
   /** Stamp every row with a named split ("train"/"valid"/"test"…) by
     * cumulative weight cutoffs over the hash bucket. Weights must sum
     * to 1 (±1e-9); every row lands in exactly one split. */

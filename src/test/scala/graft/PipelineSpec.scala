@@ -195,6 +195,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(capped == Set((100L, 101L)))
   }
 
+  test("stratified sampling applies per-stratum rates deterministically") {
+    val rows = (0L until 400L).map(i =>
+      (i, if (i % 2 == 0) "big" else "rare")).toDF("doc_id", "source")
+    val kept = Sampling.stratified(rows, "source",
+      Seq("big" -> 0.25, "rare" -> 1.0)).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // every rare-stratum row survives; the big stratum thins to ~25%
+    assert(kept.count(_._2 == "rare") == 200)
+    val big = kept.count(_._2 == "big")
+    assert(big > 20 && big < 80)
+    // per-stratum membership == plain sample at the same rate (same
+    // salt, same id hash -> identical decision)
+    val plain = Sampling.sample(rows.where(col("source") === "big"), 0.25)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.filter(_._2 == "big").map(_._1).toSet == plain)
+    // rate 0 drops a stratum wholesale
+    val none = Sampling.stratified(rows, "source",
+      Seq("big" -> 0.0, "rare" -> 0.0)).collect()
+    assert(none.isEmpty)
+    // re-run is bit-identical (determinism)
+    val again = Sampling.stratified(rows, "source",
+      Seq("big" -> 0.25, "rare" -> 1.0)).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(again.sorted.sameElements(kept.sorted))
+  }
+
   test("pii features count and redact emails, ips, phones") {
     val rows = Seq(
       (0L, "mail a.b+c@sub.example.org and x@y.io twice"),
