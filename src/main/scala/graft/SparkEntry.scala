@@ -390,10 +390,15 @@ object SparkEntry {
 
     // maxHamming 1, not the library-default 3: 32-bit signatures over
     // this corpus's tiny vocabulary saturate (hamming<=3 matches 12% of
-    // ALL pairs at sf0.01) — near-dup semantics need the tight radius
+    // ALL pairs at sf0.01) — near-dup semantics need the tight radius.
+    // maxBucket 100 is LOAD-BEARING: saturation also concentrates docs
+    // into mega-buckets (3058-doc bucket at sf0.1 -> 9.5M candidate
+    // pairs, measured 187 s uncapped vs ~1 s capped); docs with
+    // near-identical token SETS belong to exact/Jaccard dedup, not a
+    // quadratic signature bucket
     "d_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.load(s, dir, "documents"),
-        bands = 4, maxHamming = 1)
+        bands = 4, maxHamming = 1, maxBucket = 100)
         .orderBy("id_a", "id_b")),
 
     // substring-level dedup: docs sharing >= 2 distinct 8-token window
@@ -1015,16 +1020,21 @@ object SparkEntry {
       s"""$SIMHASH_SIGS
         |SELECT doc_id, simhash FROM sigs ORDER BY doc_id""".stripMargin,
 
-    // banded candidates (4 bands of 8 bits) + exact Hamming filter:
-    // pigeonhole makes recall exact for hamming <= 3, so the oracle can
-    // band identically rather than scanning all pairs
+    // banded candidates (4 bands of 8 bits, buckets over 100 docs
+    // dropped wholesale = maxBucket) + exact Hamming filter: pigeonhole
+    // makes recall exact for hamming <= 3 among surviving buckets, so
+    // the oracle bands identically rather than scanning all pairs
     "d_simhash_pairs" ->
       s"""$SIMHASH_SIGS,
-        | bands AS (
+        | bands0 AS (
         |  SELECT doc_id, simhash,
         |    CAST(b AS VARCHAR) || '#' || substr(simhash, b * 8 + 1, 8)
         |      AS bkt
         |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
+        | bcnt AS (SELECT bkt, count(*) AS c FROM bands0 GROUP BY bkt),
+        | bands AS (
+        |  SELECT b.* FROM bands0 b JOIN bcnt USING (bkt)
+        |  WHERE bcnt.c <= 100),
         | cand AS (
         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
         |    a.simhash AS sa, b.simhash AS sb

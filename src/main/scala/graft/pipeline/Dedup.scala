@@ -553,8 +553,13 @@ object Dedup {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         col("a.simhash").as("_sa"), col("b.simhash").as("_sb"))
       .distinct()
-      .withColumn("hamming", expr(s"size(filter(sequence(1, $bits), " +
-        "i -> substr(_sa, i, 1) != substr(_sb, i, 1)))").cast("long"))
+      // Hamming via popcount(xor) on the numeric signature, not a
+      // 32-iteration per-pair array comparison: the candidate set is
+      // quadratic in bucket size, so the per-pair cost is the knob that
+      // matters (conv + xor + bit_count stay in whole-stage codegen)
+      .withColumn("hamming", expr(
+        s"bit_count(cast(conv(_sa, 2, 10) as bigint) " +
+          s"^ cast(conv(_sb, 2, 10) as bigint))").cast("long"))
       .where(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
     (pairs, handle)
