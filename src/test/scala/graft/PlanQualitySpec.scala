@@ -54,6 +54,37 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("stratified sampling filter reaches the scan's data filters") {
+    // membership is a pure row-local string compare — at 100 TB the
+    // rejected rows must die scan-adjacent (DataFilters in the scan's
+    // codegen stage; md5 can never reach parquet row-group stats, so
+    // PushedFilters staying empty is expected), with no shuffle other
+    // than the presentation sort
+    val p = SparkEntry.queries("t_stratified")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    val scan = p.linesIterator
+      .find(_.contains("DataFilters")).getOrElse("")
+    assert(scan.contains("substring(md5"), p)
+  }
+
+  test("decontamination broadcasts the eval gram universe") {
+    // the eval side is benchmark-sized; the training side must stream
+    // through a broadcast join, never shuffling gram text
+    val p = SparkEntry.queries("t_decontam")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("pii scrub is a shuffle-free projection over the scan") {
+    val p = SparkEntry.queries("t_pii")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("HashAggregate"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("explainAnalyze reports the NodeStats triple: rows, bytes, time") {
     // scan + merge + as-of: shuffles (window by producer), scans, sorts
     val m = planner.explainAnalyze(spark,
