@@ -424,6 +424,13 @@ object SparkEntry {
         queryId = 1L, k = 10)
         .orderBy(col("cos_sim").desc, col("vec_id").asc)),
 
+    // all-integer surface (the derived double mean stays off the
+    // oracle: round(sum/n, 6) hit a HALF_UP/HALF_EVEN tie on this data)
+    "s_centroids" -> ((s, dir) =>
+      Similarity.cellCentroids(Tables.load(s, dir, "embeddings"))
+        .select("cell", "pos", "n", "sum_mu", "mean_mu")
+        .orderBy("cell", "pos")),
+
     "s_topk_batch" -> ((s, dir) =>
       Similarity.bruteForceTopKBatch(Tables.load(s, dir, "embeddings"),
         queryIds = Seq(0L, 1L, 2L), k = 5)
@@ -1133,6 +1140,22 @@ object SparkEntry {
         |JOIN norms na ON na.vec_id = d.vec_id
         |JOIN norms nq ON nq.vec_id = 1
         |ORDER BY cos_sim DESC, d.vec_id LIMIT 10""".stripMargin,
+
+    // micro-unit quantization (floor of the identical IEEE product)
+    // keeps the cross-row sum an exact BIGINT on both engines; the
+    // mean is one double division of identical operands
+    "s_centroids" ->
+      """WITH e AS (
+        |  SELECT label AS cell,
+        |    CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
+        |      AS BIGINT) AS mu
+        |  FROM embeddings)
+        |SELECT cell, pos, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(mu) AS BIGINT) AS sum_mu,
+        |  CAST(floor(CAST(sum(mu) AS DOUBLE) / count(*)) AS BIGINT)
+        |    AS mean_mu
+        |FROM e GROUP BY 1, 2 ORDER BY cell, pos""".stripMargin,
 
     "s_topk_batch" ->
       """WITH e AS (

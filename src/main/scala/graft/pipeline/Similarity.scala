@@ -173,6 +173,42 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame =
     emb.withColumn("cell", cellOf(cents, vecCol))
 
+  /** Per-cell centroid report: for every (cell, dimension), the member
+    * count, exact micro-unit component sum, and the mean component —
+    * the distributed companion to [[trainIvfCentroids]] (which is
+    * driver-side because quantizer centroids must broadcast): cluster
+    * drift monitoring, IVF cell audits, per-class mean embeddings.
+    *
+    * Cross-engine exactness: doubles are quantized to integer
+    * micro-units via `floor(x · 1e6)` BEFORE the cross-row sum.
+    * Both engines compute the identical IEEE product and floor it —
+    * no decimal-cast rounding-mode ambiguity (HALF_UP vs HALF_EVEN at
+    * the cut digit), and the accumulated value is a plain BIGINT, so
+    * the result hashes identically regardless of partitioning or
+    * engine. The reported mean stays in integer micro-units via a
+    * floor division — `round(sum/n, 6)` is NOT cross-engine-stable
+    * (a measured tie at the 6th decimal split HALF_UP vs HALF_EVEN on
+    * this very dataset); the human-facing double is derived FROM the
+    * integer, so it carries no engine-dependent rounding.
+    *
+    * 100 TB shape: one posexplode to (cell, dim, mu) rows — n·d small
+    * integers — and one map-side-combined aggregation; embeddings
+    * never cross the shuffle. */
+  def cellCentroids(emb: DataFrame, cellCol: String = "label",
+      vecCol: String = "embedding"): DataFrame =
+    emb.select(col(cellCol).as("cell"),
+        posexplode(transform(col(vecCol), x =>
+          floor(x.cast("double") * lit(1000000.0)))).as(Seq("pos", "mu")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("mu")).as("sum_mu"))
+      .select(col("cell"), col("pos").cast("long").as("pos"), col("n"),
+        col("sum_mu"),
+        // floor of an identical IEEE quotient — exact on both engines
+        // (sum_mu and n are exactly representable doubles)
+        floor(col("sum_mu").cast("double") / col("n"))
+          .cast("long").as("mean_mu"))
+      .withColumn("mean", col("mean_mu").cast("double") / lit(1000000.0))
+
   /** All near-duplicate pairs by embedding cosine ≥ threshold.
     * Exact O(n²/cells) via coarse-cell pruning; pass cellCol = None
     * for the unconstrained exact variant. */

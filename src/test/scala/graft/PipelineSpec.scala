@@ -195,6 +195,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(capped == Set((100L, 101L)))
   }
 
+  test("cell centroids: exact micro-unit sums and means per dimension") {
+    val emb = Seq(
+      (0L, Array(1.0f, -0.5f), 1),
+      (1L, Array(0.5f, 0.5f), 1),
+      (2L, Array(-1.0f, 0.25f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.cellCentroids(emb).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got((1, 0L)) == ((2L, 1500000L, 750000L, 0.75)))
+    assert(got((1, 1L)) == ((2L, 0L, 0L, 0.0)))
+    // floor division: -1000000 / 1 stays exact; negative means floor
+    assert(got((2, 0L)) == ((1L, -1000000L, -1000000L, -1.0)))
+    assert(got((2, 1L)) == ((1L, 250000L, 250000L, 0.25)))
+  }
+
   test("stratified sampling applies per-stratum rates deterministically") {
     val rows = (0L until 400L).map(i =>
       (i, if (i % 2 == 0) "big" else "rare")).toDF("doc_id", "source")
