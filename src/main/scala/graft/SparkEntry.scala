@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.model.{EventsCatalog, Tables}
 import graft.ops.AsofJoin
-import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, TextOps}
+import graft.pipeline.{Curate, Dedup, Multimodal, Sampling, Similarity, TextOps}
 import graft.plan.Planner
 import graft.stats.StatTiers
 import graft.streaming.Lifecycle
@@ -460,6 +460,18 @@ object SparkEntry {
     "t_sample" -> ((s, dir) =>
       Sampling.sample(Tables.load(s, dir, "documents"), 0.25)
         .select(col("doc_id")).orderBy("doc_id")),
+
+    // the end-to-end curation pass: quality gate (>= 25 tokens,
+    // stopword ratio <= 30%) -> canonical-copy exact dedup ->
+    // per-source mixture rates
+    "t_curate" -> ((s, dir) =>
+      Curate.curate(Tables.load(s, dir, "documents"),
+        minTokens = 25L, maxStopwordRatioMicro6 = 300000L,
+        strataCol = "source",
+        rates = Seq("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.0),
+        default = 0.75)
+        .select("doc_id", "source", "n_tokens")
+        .orderBy("doc_id")),
 
     // mixture re-weighting: keep 50% of src0, 25% of src1, drop src2
     // entirely (rate-0 edge), 75% of everything else
@@ -1288,6 +1300,39 @@ object SparkEntry {
          |WHERE substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 8)
          |  < '${Sampling.hexCutoff(0.25)}'
          |ORDER BY doc_id""".stripMargin,
+
+    "t_curate" -> {
+      val stops = TextOpsOracle.stopList
+      s"""WITH raw AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |  FROM documents),
+         | tok AS (SELECT doc_id, w FROM raw WHERE w <> ''),
+         | agg AS (
+         |  SELECT doc_id, count(*) AS n_tokens,
+         |    CAST(sum(CASE WHEN w IN ($stops) THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_stopwords
+         |  FROM tok GROUP BY doc_id),
+         | q AS (
+         |  SELECT d.doc_id, d.source, d.text,
+         |    CAST(a.n_tokens AS BIGINT) AS n_tokens
+         |  FROM documents d JOIN agg a USING (doc_id)
+         |  WHERE a.n_tokens >= 25
+         |    AND CAST((a.n_stopwords * 2000000 + a.n_tokens)
+         |      // (a.n_tokens * 2) AS BIGINT) <= 300000),
+         | dd AS (
+         |  SELECT *, min(doc_id) OVER (
+         |    PARTITION BY md5(lower(trim(text)))) AS keep
+         |  FROM q)
+         |SELECT doc_id, source, n_tokens FROM dd
+         |WHERE doc_id = keep
+         |  AND substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 8)
+         |    < CASE source
+         |        WHEN 'src0' THEN '${Sampling.hexCutoff(0.5)}'
+         |        WHEN 'src1' THEN '${Sampling.hexCutoff(0.25)}'
+         |        WHEN 'src2' THEN '${Sampling.hexCutoff(0.0)}'
+         |        ELSE '${Sampling.hexCutoff(0.75)}' END
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "t_stratified" ->
       s"""SELECT doc_id, source FROM documents

@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, TextOps}
+import graft.pipeline.{Curate, Dedup, Multimodal, Sampling, Similarity, TextOps}
 
 /** Training-data pipeline operators on crafted micro-fixtures. */
 class PipelineSpec extends AnyFunSuite {
@@ -193,6 +193,22 @@ class PipelineSpec extends AnyFunSuite {
       maxDf = 4).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(capped == Set((100L, 101L)))
+  }
+
+  test("curate: quality gate, canonical-copy dedup, stratified rates") {
+    val body = (1 to 30).map(i => s"w$i").mkString(" ") // 30 tokens, 0 stops
+    val corpus = Seq(
+      (0L, body, "a"),                       // kept: canonical copy
+      (1L, body, "a"),                       // dropped: dup of 0
+      (2L, "too short", "a"),                // dropped: < 25 tokens
+      (3L, ("the " * 30).trim, "a"),         // dropped: stopword ratio 1.0
+      (4L, (1 to 30).map(i => s"x$i").mkString(" "), "gone") // stratum rate 0
+    ).toDF("doc_id", "text", "source")
+    val got = Curate.curate(corpus, minTokens = 25L,
+      maxStopwordRatioMicro6 = 300000L, strataCol = "source",
+      rates = Seq("gone" -> 0.0), default = 1.0).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(got == Set(0L))
   }
 
   test("cell centroids: exact micro-unit sums and means per dimension") {
