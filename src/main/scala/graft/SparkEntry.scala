@@ -437,6 +437,13 @@ object SparkEntry {
         .orderBy(col("query_id").asc, col("cos_sim").desc,
           col("vec_id").asc)),
 
+    "s_topk_ivf_batch" -> ((s, dir) =>
+      Similarity.ivfTopKBatch(Tables.load(s, dir, "embeddings"),
+        queryIds = Seq(0L, 1L, 2L), k = 5)
+        .select("query_id", "vec_id", "label", "cos_sim")
+        .orderBy(col("query_id").asc, col("cos_sim").desc,
+          col("vec_id").asc)),
+
     // --- text analysis ---------------------------------------------------
     // all-integer result: the ratio columns are exact micro-unit longs,
     // so the cross-engine hash never touches a double (VERDICT r3 #2)
@@ -1191,6 +1198,38 @@ object SparkEntry {
         |    PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rn
         |  FROM scored)
         |SELECT query_id, vec_id, cos_sim FROM ranked WHERE rn <= 5
+        |ORDER BY query_id, cos_sim DESC, vec_id""".stripMargin,
+
+    "s_topk_ivf_batch" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, label AS qcell FROM embeddings
+        |  WHERE vec_id IN (0, 1, 2)),
+        | e AS (
+        |  SELECT vec_id,
+        |    generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        | norms AS (SELECT vec_id, sum(x * x) AS nn FROM e GROUP BY vec_id),
+        | cand AS (
+        |  SELECT q.query_id, em.vec_id, em.label FROM embeddings em
+        |  JOIN q ON em.label = q.qcell AND em.vec_id <> q.query_id),
+        | dots AS (
+        |  SELECT c.query_id, c.vec_id, c.label, sum(a.x * qe.x) AS dot
+        |  FROM cand c
+        |  JOIN e a ON a.vec_id = c.vec_id
+        |  JOIN e qe ON qe.vec_id = c.query_id AND qe.i = a.i
+        |  GROUP BY 1, 2, 3),
+        | scored AS (
+        |  SELECT query_id, d.vec_id, d.label,
+        |    round(dot / (sqrt(na.nn) * sqrt(nq.nn)), 6) AS cos_sim
+        |  FROM dots d
+        |  JOIN norms na ON na.vec_id = d.vec_id
+        |  JOIN norms nq ON nq.vec_id = d.query_id),
+        | ranked AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rn
+        |  FROM scored)
+        |SELECT query_id, vec_id, label, cos_sim FROM ranked WHERE rn <= 5
         |ORDER BY query_id, cos_sim DESC, vec_id""".stripMargin,
 
     "t_quality" -> {

@@ -88,6 +88,35 @@ object Similarity {
       .where(col("_rn") <= k).drop("_rn")
   }
 
+  /** Batch IVF top-k: nearest k per query, scoring ONLY rows sharing
+    * each query's coarse cell — the production retrieval shape (batch
+    * amortizes the scan, cell pruning bounds the candidates). The
+    * query set broadcasts; the cell equality is an equi-join key, so
+    * the plan is a BroadcastHashJoin (not a nested-loop filter) and
+    * each data row is probed against the per-cell query bucket only.
+    * Ranking is a window over (query_id, id, score) triples —
+    * embeddings never shuffle. */
+  def ivfTopKBatch(emb: DataFrame, queryIds: Seq[Long], k: Int,
+      cellCol: String = "label", idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(queryIds.nonEmpty, "queryIds must be non-empty")
+    val n = withNorm(emb, vecCol)
+    val q = n.where(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col(vecCol).as("_qvec"),
+        col("_nrm").as("_qnrm"), col(cellCol).as("_qcell"))
+    val scored = n
+      .join(broadcast(q), col(cellCol) === col("_qcell")
+        && col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol), col(cellCol),
+        round(dot(col(vecCol), col("_qvec"))
+          / (col("_nrm") * col("_qnrm")), 6).as("cos_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col(idCol).asc)
+    scored.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= k).drop("_rn")
+  }
+
   /** IVF-shaped top-k: only rows sharing the query row's coarse cell
     * (`cellCol`) are scored. */
   def ivfTopK(emb: DataFrame, queryId: Long, k: Int,

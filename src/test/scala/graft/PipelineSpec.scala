@@ -195,6 +195,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(capped == Set((100L, 101L)))
   }
 
+  test("batch ivf topk equals per-query ivf topk") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 1),
+      (1L, Array(0.9f, 0.1f, 0.0f), 1),
+      (2L, Array(0.0f, 1.0f, 0.0f), 1),
+      (3L, Array(0.0f, 0.9f, 0.1f), 2),
+      (4L, Array(0.1f, 0.0f, 0.9f), 2),
+      (5L, Array(0.0f, 0.1f, 1.0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val batch = Similarity.ivfTopKBatch(emb, Seq(0L, 3L), k = 2).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("cos_sim"))).toSet
+    val singles = Seq(0L, 3L).flatMap { qid =>
+      Similarity.ivfTopK(emb, qid, k = 2).collect()
+        .map(r => (qid, r.getAs[Long]("vec_id"),
+          r.getAs[Double]("cos_sim")))
+    }.toSet
+    assert(batch == singles && batch.nonEmpty)
+    // cell pruning: query 0 (cell 1) never scores cell-2 rows
+    assert(!batch.exists { case (q, v, _) => q == 0L && v >= 3L })
+  }
+
   test("curate: quality gate, canonical-copy dedup, stratified rates") {
     val body = (1 to 30).map(i => s"w$i").mkString(" ") // 30 tokens, 0 stops
     val corpus = Seq(
