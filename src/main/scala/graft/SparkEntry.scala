@@ -891,12 +891,16 @@ object SparkEntry {
     // max(0, ceil(q*(n-1))), first bucket with cumulative > rank,
     // representative = 2*gamma^k/(gamma+1); gamma spelled as the same
     // double expression so both engines bucket identically
+    // zero bucket: |v| < 1e-9 takes a sentinel key below every real
+    // log-bucket (DDSketch.bucketOf reserves key 0; ln(0) would error)
+    // and serves as exactly 0.0 — first seen at sf0.1, which has zeros
     "q_stats_quantiles_served" ->
       s"""$MSGS,
          | b AS (
          |  SELECT producer, topic, time_us // 3600000000 AS bk,
-         |    CAST(ceil(ln(value)/ln((1+0.01)/(1-0.01))) AS BIGINT)
-         |      AS kb
+         |    CASE WHEN abs(value) < 1e-9 THEN -2000000
+         |      ELSE CAST(ceil(ln(value)/ln((1+0.01)/(1-0.01))) AS BIGINT)
+         |      END AS kb
          |  FROM msgs WHERE value IS NOT NULL),
          | counts AS (
          |  SELECT producer, topic, bk, kb, count(*) AS c
@@ -916,10 +920,12 @@ object SparkEntry {
          |  WHERE cum > greatest(0, CAST(ceil(0.95*(total-1)) AS BIGINT))
          |  GROUP BY producer, topic, bk)
          |SELECT producer, topic, bk AS bucket,
-         |  round(2*power((1+0.01)/(1-0.01), q50.kq)
-         |        / ((1+0.01)/(1-0.01)+1), 6) AS p50,
-         |  round(2*power((1+0.01)/(1-0.01), q95.kq)
-         |        / ((1+0.01)/(1-0.01)+1), 6) AS p95
+         |  CASE WHEN q50.kq = -2000000 THEN 0.0
+         |    ELSE round(2*power((1+0.01)/(1-0.01), q50.kq)
+         |         / ((1+0.01)/(1-0.01)+1), 6) END AS p50,
+         |  CASE WHEN q95.kq = -2000000 THEN 0.0
+         |    ELSE round(2*power((1+0.01)/(1-0.01), q95.kq)
+         |         / ((1+0.01)/(1-0.01)+1), 6) END AS p95
          |FROM q50 JOIN q95 USING (producer, topic, bk)
          |ORDER BY producer, topic, bucket""".stripMargin,
 
