@@ -118,6 +118,26 @@ class PipelineSpec extends AnyFunSuite {
       4L -> 4L, 5L -> 4L))
   }
 
+  test("owned variants free their pinned blocks on release()") {
+    // the library-caller contract: consume the frame, release the
+    // handle, nothing stays pinned (no global sweep needed)
+    def assertReleases(run: => (org.apache.spark.sql.DataFrame,
+        Dedup.PinHandle)): Unit = {
+      val (frame, handle) = run
+      frame.count()
+      assert(spark.sparkContext.getPersistentRDDs.nonEmpty)
+      handle.release()
+      // blocking=false: the unpersist unregisters synchronously even
+      // though block deletion is async
+      assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    }
+    assertReleases(Dedup.jaccardPairsOwned(docs, k = 3, threshold = 0.5))
+    assertReleases(Dedup.minhashLshCandidatesOwned(docs, k = 3,
+      numHashes = 8, bands = 4))
+    assertReleases(Dedup.simhashPairsOwned(docs))
+    assertReleases(Dedup.overlapPairsOwned(docs, w = 3))
+  }
+
   test("simhash: identical docs identical hashes; near-dups close") {
     val hs = Dedup.simhash(docs).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
