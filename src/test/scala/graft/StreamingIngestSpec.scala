@@ -40,6 +40,36 @@ class StreamingIngestSpec extends AnyFunSuite {
       .exists(_.getName.startsWith("topic=")))
   }
 
+  test("pipeline ops run streaming-native: quality gate, scrub, dedup") {
+    // the curation stages are row-local projections + a keyed
+    // dropDuplicates, so the SAME operators run unmodified over a
+    // stream — curation-at-ingest rather than as a batch afterthought
+    val base = Files.createTempDirectory("graft-scur").toString
+    val in = s"$base/in"; val out = s"$base/out"; val cp = s"$base/cp"
+    val body = (1 to 30).map(i => s"w$i").mkString(" ")
+    val rows = Seq(
+      (0L, s"$body mail a@b.io"),
+      (1L, s"$body mail a@b.io"), // exact dup
+      (2L, "too short")           // fails the quality gate
+    ).toDF("doc_id", "text")
+    rows.write.parquet(in)
+    val stream = spark.readStream.schema(rows.schema).parquet(in)
+    val curated = graft.pipeline.TextOps.piiFeatures(
+        graft.pipeline.TextOps.qualityFeatures(stream)
+          .where(col("n_tokens") >= 25))
+      .withColumn("fp", graft.pipeline.TextOps.fingerprint(col("text")))
+      .dropDuplicates("fp")
+    val q = curated.writeStream.format("parquet")
+      .option("checkpointLocation", cp).option("path", out)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.read.parquet(out).collect()
+    assert(got.length == 1) // dup collapsed, short doc gated
+    assert(got.head.getAs[Long]("n_emails") == 1L)
+    assert(got.head.getAs[String]("redacted").endsWith("[EMAIL]"))
+  }
+
   test("streaming stat-tier maintenance: partials merge to the truth") {
     val base = Files.createTempDirectory("graft-stats").toString
     val in = s"$base/in"; val out = s"$base/out"
