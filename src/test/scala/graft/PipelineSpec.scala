@@ -120,7 +120,12 @@ class PipelineSpec extends AnyFunSuite {
 
   test("owned variants free their pinned blocks on release()") {
     // the library-caller contract: consume the frame, release the
-    // handle, nothing stays pinned (no global sweep needed)
+    // handle, nothing stays pinned (no global sweep needed).
+    // Earlier tests in this suite use the NON-owned variants, whose
+    // contract is caller-sweeps — clear their leftovers first so the
+    // emptiness assertions below measure only this test's pins.
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
     def assertReleases(run: => (org.apache.spark.sql.DataFrame,
         Dedup.PinHandle)): Unit = {
       val (frame, handle) = run

@@ -77,6 +77,29 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("batch ivf retrieval probes a broadcast hash join, not a loop") {
+    // the cell equality must surface as an equi-join key: a
+    // BroadcastNestedLoopJoin here means every row scores against
+    // every query — quadratic at scale
+    val p = SparkEntry.queries("s_topk_ivf_batch")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("cell centroids aggregate without any join") {
+    val p = SparkEntry.queries("s_centroids")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), p)
+  }
+
+  test("overlap pairs self-join is shuffled-hash on the fp key") {
+    val p = SparkEntry.queries("d_overlap_pairs")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("pii scrub is a shuffle-free projection over the scan") {
     val p = SparkEntry.queries("t_pii")(spark, sfDir)
       .queryExecution.executedPlan.toString
