@@ -9,7 +9,8 @@ import graft.model.{EventsCatalog, Tables}
 import graft.ops.AsofJoin
 import graft.pipeline.{Curate, Dedup, Multimodal, Sampling, Similarity, TextOps}
 import graft.plan.Planner
-import graft.stats.StatTiers
+import graft.ql.{Cmp, Eq, StrLit}
+import graft.stats.{StatFilter, StatTiers}
 import graft.streaming.Lifecycle
 
 /** Driver contract: one `queries` entry + one `oracleSql` entry per
@@ -260,6 +261,23 @@ object SparkEntry {
           round(col("num_mean"), 6).as("num_mean"),
           col("text_min"), col("text_max"))
         .orderBy("producer", "topic", "start_us", "field")
+    }),
+
+    "q_stats_trgm" -> ((s, dir) => {
+      // trigram-signature statfilter (reference: statfilter.go:112-131
+      // uses containment + min/max on string equality; trigram.go:34-77
+      // builds the signature; statistics.go:237,359 store it per text
+      // field): the buckets that SURVIVE a string-equality probe on
+      // props. n_bits checks the signature content itself, not just
+      // the survivor set — DuckDB rebuilds the same md5-derived bits.
+      val t0 = StatTiers.baseFields(msgs(s, dir), 3600L * 1000000000L,
+        Seq("value"), Seq("props"))
+      val where = Cmp("/t", "props", Eq, StrLit("{\"k\": 42}"))
+      t0.where(StatFilter.compile(t0, where))
+        .select(col("producer"), col("topic"),
+          (col("bucket") * lit(3600000000L)).as("start_us"),
+          size(col("props__trgm")).cast("long").as("n_bits"))
+        .orderBy("producer", "topic", "start_us")
     }),
 
     "q_stats_quantiles_served" -> ((s, dir) => {
@@ -885,6 +903,38 @@ object SparkEntry {
          |  CAST(NULL AS DOUBLE), p_min, p_max
          |FROM bins
          |ORDER BY producer, topic, start_us, field""".stripMargin,
+
+    // trigram statfilter: DuckDB rebuilds the 96-bit signature from the
+    // same padded char trigrams and md5-prefix bits, then applies the
+    // same containment + min/max survival rule
+    "q_stats_trgm" ->
+      s"""$MSGS,
+         | tg AS (
+         |  SELECT producer, topic, time_us // 3600000000 AS b, props,
+         |    unnest(list_transform(
+         |      generate_series(1, len('  ' || props || ' ') - 2),
+         |      i -> substring('  ' || props || ' ', i, 3))) AS trg
+         |  FROM msgs),
+         | sig AS (
+         |  SELECT producer, topic, b,
+         |    list_sort(list_distinct(list(
+         |      CAST(('0x' || substring(md5(trg),1,8)) AS BIGINT) % 96)))
+         |      AS bits,
+         |    min(props) AS tmin, max(props) AS tmax
+         |  FROM tg GROUP BY producer, topic, b),
+         | probe AS (
+         |  SELECT list_distinct(list(
+         |      CAST(('0x' || substring(md5(t),1,8)) AS BIGINT) % 96))
+         |      AS pbits
+         |  FROM (SELECT unnest(list_transform(
+         |      generate_series(1, len('  {"k": 42} ') - 2),
+         |      i -> substring('  {"k": 42} ', i, 3))) AS t))
+         |SELECT producer, topic, b * 3600000000 AS start_us,
+         |  CAST(len(bits) AS BIGINT) AS n_bits
+         |FROM sig, probe
+         |WHERE list_has_all(bits, pbits)
+         |  AND '{"k": 42}' >= tmin AND '{"k": 42}' <= tmax
+         |ORDER BY producer, topic, start_us""".stripMargin,
 
     // DDSketch bucket arithmetic replicated verbatim (VLDB'19 paper,
     // alpha 0.01): bucket = ceil(ln(v)/ln(gamma)), rank =

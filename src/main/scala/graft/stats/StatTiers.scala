@@ -90,7 +90,11 @@ object StatTiers {
         sum(when(finite, v).cast(Dec)).as(s"${f}__sum"),
         sketchOf(coalesce(v, lit(Double.NaN))).as(s"${f}__sketch"))
     } ++ textFields.flatMap { f =>
-      Seq(min(col(f)).as(s"${f}__tmin"), max(col(f)).as(s"${f}__tmax"))
+      // trigram signature rides with every text summary, like the
+      // reference's TextSummary (statistics.go:237,359) — [[StatFilter]]
+      // uses it to prune string-equality scans
+      Seq(min(col(f)).as(s"${f}__tmin"), max(col(f)).as(s"${f}__tmax"),
+        Trigram.sigAgg(Trigram.bitsOf(col(f))).as(s"${f}__trgm"))
     } ++ Seq(
       count(lit(1)).as("msg_count"),
       min(col("time")).as("min_time"),
@@ -116,6 +120,7 @@ object StatTiers {
       else if (c.endsWith("__max") || c.endsWith("__tmax")
         || c == "max_time") max(col(c)).as(c)
       else if (c.endsWith("__sketch")) sketchMerge(col(c)).as(c)
+      else if (c.endsWith("__trgm")) Trigram.sigAgg(col(c)).as(c)
       else first(col(c)).as(c)
     }.toSeq :+ first(col("width_ns")).as("_w0")
     tier
