@@ -270,13 +270,16 @@ object SparkEntry {
       // field): the buckets that SURVIVE a string-equality probe on
       // props. n_bits checks the signature content itself, not just
       // the survivor set — DuckDB rebuilds the same md5-derived bits.
+      // text-only tier: the probe never reads the value sketch, and
+      // Catalyst can't prune UDAF state it was asked to compute
       val t0 = StatTiers.baseFields(msgs(s, dir), 3600L * 1000000000L,
-        Seq("value"), Seq("props"))
+        Seq.empty, Seq("props"))
       val where = Cmp("/t", "props", Eq, StrLit("{\"k\": 42}"))
       t0.where(StatFilter.compile(t0, where))
         .select(col("producer"), col("topic"),
           (col("bucket") * lit(3600000000L)).as("start_us"),
-          size(col("props__trgm")).cast("long").as("n_bits"))
+          expr("bit_count(props__trgm0) + bit_count(props__trgm1)")
+            .cast("long").as("n_bits"))
         .orderBy("producer", "topic", "start_us")
     }),
 
@@ -911,28 +914,40 @@ object SparkEntry {
       s"""$MSGS,
          | tg AS (
          |  SELECT producer, topic, time_us // 3600000000 AS b, props,
+         |    CAST(('0x' || substring(md5(trg),1,8)) AS BIGINT) % 96
+         |      AS bit
+         |  FROM (SELECT producer, topic, time_us, props,
          |    unnest(list_transform(
          |      generate_series(1, len('  ' || props || ' ') - 2),
          |      i -> substring('  ' || props || ' ', i, 3))) AS trg
-         |  FROM msgs),
+         |   FROM msgs)),
          | sig AS (
          |  SELECT producer, topic, b,
-         |    list_sort(list_distinct(list(
-         |      CAST(('0x' || substring(md5(trg),1,8)) AS BIGINT) % 96)))
-         |      AS bits,
+         |    bit_or(CASE WHEN bit < 48
+         |      THEN 1::BIGINT << CAST(bit AS INT) ELSE 0::BIGINT END)
+         |      AS w0,
+         |    bit_or(CASE WHEN bit >= 48
+         |      THEN 1::BIGINT << CAST(bit - 48 AS INT) ELSE 0::BIGINT
+         |      END) AS w1,
          |    min(props) AS tmin, max(props) AS tmax
          |  FROM tg GROUP BY producer, topic, b),
          | probe AS (
-         |  SELECT list_distinct(list(
-         |      CAST(('0x' || substring(md5(t),1,8)) AS BIGINT) % 96))
-         |      AS pbits
-         |  FROM (SELECT unnest(list_transform(
+         |  SELECT
+         |    bit_or(CASE WHEN pb < 48
+         |      THEN 1::BIGINT << CAST(pb AS INT) ELSE 0::BIGINT END)
+         |      AS p0,
+         |    bit_or(CASE WHEN pb >= 48
+         |      THEN 1::BIGINT << CAST(pb - 48 AS INT) ELSE 0::BIGINT
+         |      END) AS p1
+         |  FROM (SELECT CAST(('0x' || substring(md5(t),1,8)) AS BIGINT)
+         |      % 96 AS pb
+         |    FROM (SELECT unnest(list_transform(
          |      generate_series(1, len('  {"k": 42} ') - 2),
-         |      i -> substring('  {"k": 42} ', i, 3))) AS t))
+         |      i -> substring('  {"k": 42} ', i, 3))) AS t)))
          |SELECT producer, topic, b * 3600000000 AS start_us,
-         |  CAST(len(bits) AS BIGINT) AS n_bits
+         |  CAST(bit_count(w0) + bit_count(w1) AS BIGINT) AS n_bits
          |FROM sig, probe
-         |WHERE list_has_all(bits, pbits)
+         |WHERE (w0 & p0) = p0 AND (w1 & p1) = p1
          |  AND '{"k": 42}' >= tmin AND '{"k": 42}' <= tmax
          |ORDER BY producer, topic, start_us""".stripMargin,
 

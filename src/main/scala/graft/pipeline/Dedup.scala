@@ -52,46 +52,19 @@ object Dedup {
   def shingles(text: Column, k: Int): Column =
     shinglesOfTokens(TextOps.tokens(lower(text)), k)
 
-  /** Spread a narrow frame across the cluster before expensive per-row
-    * work. Scan parallelism is bounded by parquet ROW GROUPS, not file
-    * count: a small single-row-group file arrives as ONE task, and
-    * everything up to the first exchange (tokenize, shingle, md5) runs
-    * on one core while the rest of the cluster idles — measured 3-4x
-    * on the documents table. The hash repartition is deterministic and
-    * costs one tiny shuffle of the projected columns; at real scale
-    * the input already has >= cluster parallelism splits and this is
-    * the identity.
+  /** Spread a narrow frame before expensive per-row work — see
+    * [[graft.util.Spread]] for the full rationale (row-group-bounded
+    * scan parallelism; AQE-safe probe).
     *
-    * The partition-count probe (`df.rdd.getNumPartitions`) is only free
-    * on an exchange-free plan: under AQE, materializing `.rdd` on a
-    * plan containing shuffles eagerly EXECUTES every upstream stage
-    * just to read a count. So the probe is gated on the optimized plan
-    * being project/filter over a leaf; any other shape skips it and
-    * repartitions unconditionally (the frames passed here are narrow
-    * id+text projections — one cheap shuffle, never a double compute). */
-  private def scanRooted(
-      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
-    plan match {
-      case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
-        scanRooted(p.child)
-      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
-        scanRooted(f.child)
-      case _: org.apache.spark.sql.catalyst.plans.logical.LeafNode => true
-      case _ => false
-    }
-
-  /** Measured: forcing the repartition branch unconditionally on the
+    * Measured: forcing the repartition branch unconditionally on the
     * sf0.1 dedup trio gives 6.9 s vs 7.5 s with the probe enabled —
     * i.e. the always-exchange path is within run-to-run noise of the
     * probed path (the shuffled columns are a narrow id+text
     * projection), so skipping the probe on non-scan-rooted plans costs
-    * nothing measurable while avoiding AQE's eager-execution trap. */
-  private[pipeline] def spread(df: DataFrame, byCol: String): DataFrame = {
-    val want = df.sparkSession.sparkContext.defaultParallelism
-    val probeSafe = scanRooted(df.queryExecution.optimizedPlan)
-    if (probeSafe && df.rdd.getNumPartitions >= want) df
-    else df.repartition(want, col(byCol))
-  }
+    * nothing measurable while avoiding AQE's eager-execution trap.
+    * (Probe + repartition now shared as [[graft.util.Spread]].) */
+  private[pipeline] def spread(df: DataFrame, byCol: String): DataFrame =
+    graft.util.Spread.ensure(df, Seq(col(byCol)))
 
   private def withShingles(df: DataFrame, k: Int, idCol: String,
       textCol: String): DataFrame =

@@ -63,14 +63,16 @@ object StatFilter {
         val tmax = col(s"${field}__tmax")
         op match {
           case Eq =>
+            // signature containment = two codegen'd bitwise ANDs over
+            // the stored words (q & sig == q per word) — no arrays, no
+            // higher-order functions in the filter path
             val sigOk =
-              if (!has("trgm")) lit(true)
-              else {
-                val bits = Trigram.bitsOfString(s)
-                if (bits.isEmpty) lit(true)
-                else keepNull(forall(typedLit(bits),
-                  b => array_contains(col(s"${field}__trgm"), b)))
-              }
+              if (!has("trgm0")) lit(true)
+              else Trigram.masksOfString(s).zipWithIndex.map {
+                case (0L, _) => lit(true)
+                case (m, w) => keepNull(
+                  col(s"${field}__trgm$w").bitwiseAND(lit(m)) === lit(m))
+              }.reduce(_ && _)
             sigOk && keepNull(lit(s) >= tmin && lit(s) <= tmax)
           case Lt  => keepNull(lit(s) > tmin)
           case Gt  => keepNull(lit(s) < tmax)

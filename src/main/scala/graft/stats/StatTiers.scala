@@ -92,14 +92,34 @@ object StatTiers {
     } ++ textFields.flatMap { f =>
       // trigram signature rides with every text summary, like the
       // reference's TextSummary (statistics.go:237,359) — [[StatFilter]]
-      // uses it to prune string-equality scans
-      Seq(min(col(f)).as(s"${f}__tmin"), max(col(f)).as(s"${f}__tmax"),
-        Trigram.sigAgg(Trigram.bitsOf(col(f))).as(s"${f}__trgm"))
+      // uses it to prune string-equality scans. bit_or over per-row
+      // mask words: primitive agg buffers, whole-stage codegen.
+      Seq(min(col(f)).as(s"${f}__tmin"), max(col(f)).as(s"${f}__tmax")) ++
+        (0 until Trigram.Words).map(w =>
+          expr(s"bit_or(_trgm_mask${w}_$f)").as(s"${f}__trgm$w"))
     } ++ Seq(
       count(lit(1)).as("msg_count"),
       min(col("time")).as("min_time"),
       max(col("time")).as("max_time"))
-    messages
+    // the per-row projection (trigram md5s + mask folds, k-extraction
+    // regexes) is the expensive part, and a small parquet file arrives
+    // as ONE task — spread first so it runs at cluster parallelism.
+    // Partitioning by the agg keys lets Catalyst elide the groupBy's
+    // own exchange, so this is a REPLACED shuffle, not an added one.
+    val input = graft.util.Spread.ensure(messages,
+      Seq(col("producer"), col("topic"), expr(s"time div ${widthNs}L")))
+    // bits projected into a NAMED column so the two word masks share
+    // one md5 pass (a lambda-bound attribute; inlining the md5 subtree
+    // would re-evaluate it per mask — the lambda-CSE trap)
+    val withMasks = textFields.foldLeft(input) { (df, f) =>
+      val withBits = df.withColumn(s"_trgm_bits_$f",
+        Trigram.bitsOf(col(f)))
+      (0 until Trigram.Words).foldLeft(withBits) { (d, w) =>
+        d.withColumn(s"_trgm_mask${w}_$f",
+          Trigram.maskOf(col(s"_trgm_bits_$f"), w))
+      }
+    }
+    withMasks
       .groupBy(col("producer"), col("topic"),
         expr(s"time div ${widthNs}L").as("bucket"))
       .agg(aggs.head, aggs.tail: _*)
@@ -120,7 +140,7 @@ object StatTiers {
       else if (c.endsWith("__max") || c.endsWith("__tmax")
         || c == "max_time") max(col(c)).as(c)
       else if (c.endsWith("__sketch")) sketchMerge(col(c)).as(c)
-      else if (c.endsWith("__trgm")) Trigram.sigAgg(col(c)).as(c)
+      else if (c.matches(".*__trgm\\d+")) expr(s"bit_or(`$c`)").as(c)
       else first(col(c)).as(c)
     }.toSeq :+ first(col("width_ns")).as("_w0")
     tier

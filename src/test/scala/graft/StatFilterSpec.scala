@@ -78,10 +78,11 @@ class StatFilterSpec extends AnyFunSuite {
   private lazy val strChildren: DataFrame =
     Seq(("a", "e"), ("e", "i"), ("i", "o"))
       .map { case (lo, hi) =>
-        (lo, hi, (Trigram.bitsOfString(lo) ++ Trigram.bitsOfString(hi))
-          .distinct.sorted)
+        val m = Trigram.masksOfString(lo).zip(Trigram.masksOfString(hi))
+          .map { case (a, b) => a | b }
+        (lo, hi, m(0), m(1))
       }
-      .toDF("s__tmin", "s__tmax", "s__trgm")
+      .toDF("s__tmin", "s__tmax", "s__trgm0", "s__trgm1")
 
   private val strCases = Seq(
     ("<", "e", Seq(true, false, false)),
@@ -159,10 +160,23 @@ class StatFilterSpec extends AnyFunSuite {
   test("signature containment: superset strings contain, disjoint don't") {
     // trigram_test.go:27-55 contract: sig(a+b) contains sig(a); a
     // signature does not contain trigrams never added
-    val ab = (Trigram.bitsOfString("hello") ++ Trigram.bitsOfString("world"))
-      .distinct.sorted
-    assert(Trigram.bitsOfString("hello").forall(ab.contains))
-    assert(!Trigram.bitsOfString("sphinx").forall(ab.contains))
+    val ab = Trigram.masksOfString("hello")
+      .zip(Trigram.masksOfString("world")).map { case (a, b) => a | b }
+    def contains(sig: Seq[Long], q: Seq[Long]): Boolean =
+      sig.zip(q).forall { case (s, m) => (s & m) == m }
+    assert(contains(ab, Trigram.masksOfString("hello")))
+    assert(!contains(ab, Trigram.masksOfString("sphinx")))
+  }
+
+  test("Spark maskOf equals driver-side masksOfString") {
+    val samples = Seq("{\"k\": 42}", "a", "", "hello world")
+    val got = samples.toDF("t")
+      .select(Trigram.maskOf(Trigram.bitsOf(col("t")), 0).as("w0"),
+        Trigram.maskOf(Trigram.bitsOf(col("t")), 1).as("w1"))
+      .collect().map(r => Seq(r.getLong(0), r.getLong(1)))
+    samples.zip(got).foreach { case (s, sparkMasks) =>
+      assert(Trigram.masksOfString(s) == sparkMasks, s"for '$s'")
+    }
   }
 
   test("empty text contributes no trigrams") {
@@ -211,12 +225,12 @@ class StatFilterSpec extends AnyFunSuite {
     val fine = StatTiers.baseFields(msgs, W / 60, Seq("value"), Seq("props"))
     val rolled = StatTiers.rollupFields(fine, 60L)
       .select(col("producer"), col("topic"), col("bucket"),
-        col("props__trgm").as("r"))
+        col("props__trgm0").as("r0"), col("props__trgm1").as("r1"))
     val direct = StatTiers.baseFields(msgs, W, Seq("value"), Seq("props"))
       .select(col("producer"), col("topic"), col("bucket"),
-        col("props__trgm").as("d"))
+        col("props__trgm0").as("d0"), col("props__trgm1").as("d1"))
     val diff = rolled.join(direct, Seq("producer", "topic", "bucket"))
-      .where(col("r") =!= col("d")).count()
+      .where(col("r0") =!= col("d0") || col("r1") =!= col("d1")).count()
     assert(diff == 0)
   }
 }
