@@ -120,6 +120,22 @@ final class Dp3Service(underlying: MessageCatalog,
   private def messages(spark: SparkSession): DataFrame =
     maskAll(rawMessages(spark))
 
+  /** The maintained base-tier partials adapted to the statfilter's
+    * per-field naming: the stored tier aggregates the canonical `value`
+    * column (num_min/num_max), so QL predicates on `value` prune scans
+    * to qualifying buckets — write-time statistics powering plan-time
+    * chunk skips, exactly the reference's statfilter-during-descent
+    * (server/tree/iterator.go:173-199). Version masks apply so
+    * truncated batches stop vouching for their buckets. */
+  private def statSource: Option[Planner.StatSource] = store.map { st =>
+    Planner.StatSource(
+      s => maskVersions(st.stats(s)).select(
+        col("producer"), col("topic"), col("bucket"),
+        col("num_min").as("value__min"),
+        col("num_max").as("value__max")),
+      StatTiers.BaseWidthNs)
+  }
+
   /** Envelope columns a skeleton query keeps — everything else is
     * payload. Matches the reference's skeleton ("stamps only") mode:
     * message records keep topic/sequence/timestamps, payload bytes are
@@ -144,7 +160,7 @@ final class Dp3Service(underlying: MessageCatalog,
     // to library callers that re-sort (SparkEntry's oracle queries);
     // the service surface emits message fields only, like the
     // reference's responses — a post-sort projection, order untouched
-    val df = new Planner(catalog).run(spark, ql)
+    val df = new Planner(catalog, statSource).run(spark, ql)
       .drop("emit_time", "_mj", "emit_side")
     if (!skeleton || df.columns.sameElements(Array("plan"))) df
     else {
@@ -169,7 +185,7 @@ final class Dp3Service(underlying: MessageCatalog,
     * tuples/bytes/time triple per plan node. */
   def explainAnalyze(spark: SparkSession, ql: String)
       : Seq[Planner.NodeMetrics] =
-    new Planner(catalog).explainAnalyze(spark, ql)
+    new Planner(catalog, statSource).explainAnalyze(spark, ql)
 
   /** Messages pre-filtered to the bins overlapping [startNs, endNs) —
     * bin-aligned so the contained aggregates are exact, and expressed

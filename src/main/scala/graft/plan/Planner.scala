@@ -27,7 +27,8 @@ import graft.ql._
   *               (reference: merge_node.go:47-49);
   *   emit_side — 0 = left/scan, 1 = as-of right.
   */
-final class Planner(catalog: MessageCatalog) extends Serializable {
+final class Planner(catalog: MessageCatalog,
+    stats: Option[Planner.StatSource] = None) extends Serializable {
 
   def plan(spark: SparkSession, input: String): DataFrame =
     Parser.parse(input) match {
@@ -228,7 +229,25 @@ final class Planner(catalog: MessageCatalog) extends Serializable {
       df = df.where(col("time") >= s && col("time") < t)
     }
     val alias = e.alias.getOrElse(e.topic)
-    whereFor(q, alias).foreach { pred => df = df.where(compile(df, pred)) }
+    whereFor(q, alias).foreach { pred =>
+      df = df.where(compile(df, pred))
+      // statistics-based chunk skip (reference: the iterator applies
+      // the compiled statfilter while descending the tree,
+      // server/tree/iterator.go:173-199): when a maintained stat tier
+      // backs a field this predicate checks, prune the scan to the
+      // buckets that may contain matches. Deriving the qualifying
+      // ranges reads the summary table at plan time — the same
+      // kilobyte-scale stats walk the reference performs. The row
+      // filter above still applies; the statfilter only proves
+      // absences, so an over-approximation (e.g. stale stats for
+      // truncated versions) costs nothing but unpruned reads.
+      stats.foreach { src =>
+        val tier = src.tier(spark)
+        if (graft.stats.StatFilter.prunable(tier.columns.toSet, pred))
+          df = graft.stats.StatFilter.pruneScan(df, tier, pred,
+            src.widthNs)
+      }
+    }
     // truncation masks apply per (producer, topic) regardless of how
     // many producers the query names
     val truncs = producers
@@ -315,6 +334,15 @@ object Planner {
     * node (see [[Planner.explainAnalyze]]). */
   final case class NodeMetrics(node: String, rows: Long, bytes: Long,
       timeMs: Long)
+
+  /** A maintained per-field stat tier backing statfilter scan pruning:
+    * `tier` yields rows keyed (producer, topic, bucket) carrying
+    * `field__min/max` (numeric) / `field__tmin/tmax/trgm*` (text)
+    * columns at bucket width `widthNs` — append-only partials are fine
+    * (a bucket qualifies if ANY of its partials might match, which is
+    * exactly how the row-level OR evaluates). */
+  final case class StatSource(tier: org.apache.spark.sql.SparkSession
+      => org.apache.spark.sql.DataFrame, widthNs: Long)
 
   private[plan] def flattenMerge(sel: Select): Seq[Select] = sel match {
     case MergeSel(l, r) => flattenMerge(l) ++ flattenMerge(r)

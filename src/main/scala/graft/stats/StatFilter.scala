@@ -109,6 +109,30 @@ object StatFilter {
     }
   }
 
+  /** Whether a where clause can prune anything against this tier's
+    * columns — i.e. some comparison targets a stats-backed field with
+    * a stats-checkable op. When false, [[pruneScan]] would keep every
+    * bucket and only add plan noise; callers skip it. */
+  def prunable(tierCols: Set[String], e: Expr): Boolean = e match {
+    // AND drops a bucket when ANY conjunct proves it empty; OR only
+    // when EVERY disjunct can (an unbacked disjunct compiles to
+    // always-true and keeps all buckets)
+    case AndExpr(cs)  => cs.exists(prunable(tierCols, _))
+    case OrExpr(ds)   => ds.forall(prunable(tierCols, _))
+    case GroupExpr(i) => prunable(tierCols, i)
+    case Cmp(_, field, op, value) =>
+      val checkableOp = op match {
+        case Eq | Lt | Gt | Lte | Gte => true
+        case _                        => false
+      }
+      val backed = value match {
+        case StrLit(_)              => tierCols.contains(s"${field}__tmin")
+        case IntLit(_) | FloatLit(_) => tierCols.contains(s"${field}__min")
+        case BoolLit(_)             => false
+      }
+      checkableOp && backed
+  }
+
   /** Qualifying (producer, topic, bucket) rows of a tier under a where
     * clause — the buckets a scan must still visit. */
   def qualifyingBuckets(tier: DataFrame, where: Expr): DataFrame =

@@ -161,6 +161,56 @@ class Dp3ServiceSpec extends AnyFunSuite {
     assert(svc.statRange(spark, 3600L * 1000000000L).count() == 0)
   }
 
+  test("store-backed statfilter prunes QL scans to qualifying buckets") {
+    import spark.implicits._
+    import graft.stats.StatTiers
+    val base = java.nio.file.Files.createTempDirectory("graft-statf")
+      .toString
+    // bucket 0 (<=2.0) and bucket 1 (4.0): a value > 3 query must skip
+    // bucket 0 via the stored min/max and still return bucket 1's row
+    val v1 = Seq(("p0", "click", 10L * 1000000000L, 1L, 1.0),
+      ("p0", "click", 20L * 1000000000L, 2L, 2.0))
+      .toDF("producer", "topic", "time", "seq", "value")
+    val v2 = Seq(("p0", "click", 70L * 1000000000L, 3L, 4.0))
+      .toDF("producer", "topic", "time", "seq", "value")
+    def ver(df: org.apache.spark.sql.DataFrame, v: Long) =
+      df.withColumn("ingest_version", lit(v))
+    ver(v1, 1).union(ver(v2, 2)).write.parquet(s"$base/data")
+    StatTiers.base(v1, StatTiers.BaseWidthNs)
+      .withColumn("ingest_version", lit(1L))
+      .unionByName(StatTiers.base(v2, StatTiers.BaseWidthNs)
+        .withColumn("ingest_version", lit(2L)))
+      .write.parquet(s"$base/stats")
+    Seq(("p0", "click", 1L, 1000L), ("p0", "click", 2L, 2000L))
+      .toDF("producer", "topic", "ingest_version", "ingest_time_ns")
+      .write.parquet(s"$base/control")
+
+    val cat = new graft.model.IngestedCatalog(
+      s"$base/data", s"$base/stats", s"$base/control")
+    val stored = new Dp3Service(cat, s => cat.messages(s),
+      Some(graft.api.IngestStore(cat)))
+    val bare = new Dp3Service(cat, s => cat.messages(s))
+
+    val ql = "from p0 click where click.value > 3;"
+    val pruned = stored.query(spark, ql)
+    // results identical to the unpruned service — the statfilter only
+    // proves absences (reference: statfilter skips chunks, the row
+    // filter still runs, server/tree/iterator.go:173-199)
+    assert(pruned.select("time", "seq").collect().toSeq
+      == bare.query(spark, ql).select("time", "seq").collect().toSeq)
+    assert(pruned.count() == 1)
+    // and the plan really carries the bucket skip: the broadcast
+    // semi-join against qualifying stat rows
+    assert(pruned.queryExecution.executedPlan.toString
+      .contains("LeftSemi"))
+    // a query no stored stats can check is planned without the skip
+    val untouched = stored.query(spark,
+      "from p0 click where click.value != 3;")
+    assert(!untouched.queryExecution.executedPlan.toString
+      .contains("LeftSemi"))
+    assert(untouched.count() == 3)
+  }
+
   test("statrange serves per-field records") {
     val bins = svc.statRangeFields(spark, 3600L * 1000000000L,
       numericFields = Seq("value", "k"), textFields = Seq("props"),
