@@ -465,6 +465,15 @@ object SparkEntry {
         .orderBy(col("query_id").asc, col("cos_sim").desc,
           col("vec_id").asc)),
 
+    "s_topk_ivf_probed" -> ((s, dir) =>
+      // nprobe=2 of 10 cells: each query also scores its second-best
+      // cell — the recall knob own-cell IVF lacks
+      Similarity.ivfTopKProbedBatch(Tables.load(s, dir, "embeddings"),
+        queryIds = Seq(0L, 1L, 2L), k = 5, nprobe = 2)
+        .select("query_id", "vec_id", "label", "cos_sim")
+        .orderBy(col("query_id").asc, col("cos_sim").desc,
+          col("vec_id").asc)),
+
     // --- text analysis ---------------------------------------------------
     // all-integer result: the ratio columns are exact micro-unit longs,
     // so the cross-engine hash never touches a double (VERDICT r3 #2)
@@ -1284,6 +1293,56 @@ object SparkEntry {
         | cand AS (
         |  SELECT q.query_id, em.vec_id, em.label FROM embeddings em
         |  JOIN q ON em.label = q.qcell AND em.vec_id <> q.query_id),
+        | dots AS (
+        |  SELECT c.query_id, c.vec_id, c.label, sum(a.x * qe.x) AS dot
+        |  FROM cand c
+        |  JOIN e a ON a.vec_id = c.vec_id
+        |  JOIN e qe ON qe.vec_id = c.query_id AND qe.i = a.i
+        |  GROUP BY 1, 2, 3),
+        | scored AS (
+        |  SELECT query_id, d.vec_id, d.label,
+        |    round(dot / (sqrt(na.nn) * sqrt(nq.nn)), 6) AS cos_sim
+        |  FROM dots d
+        |  JOIN norms na ON na.vec_id = d.vec_id
+        |  JOIN norms nq ON nq.vec_id = d.query_id),
+        | ranked AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rn
+        |  FROM scored)
+        |SELECT query_id, vec_id, label, cos_sim FROM ranked WHERE rn <= 5
+        |ORDER BY query_id, cos_sim DESC, vec_id""".stripMargin,
+
+    // multi-probe IVF: centroids from integer micro-unit means (the
+    // s_centroids derivation), probe = top-2 cells per query by
+    // round-6 centroid dot (ties to lower cell), then the
+    // s_topk_ivf_batch pipeline over the probed cells
+    "s_topk_ivf_probed" ->
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |    generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        | norms AS (SELECT vec_id, sum(x * x) AS nn FROM e GROUP BY 1),
+        | cent AS (
+        |  SELECT label AS cell, i,
+        |    CAST(floor(CAST(sum(CAST(floor(x * 1000000.0) AS BIGINT))
+        |      AS DOUBLE) / count(*)) AS BIGINT) AS mean_mu
+        |  FROM e GROUP BY 1, 2),
+        | pscore AS (
+        |  SELECT q.vec_id AS query_id, c.cell,
+        |    round(sum(q.x * (CAST(c.mean_mu AS DOUBLE) / 1000000.0)), 6)
+        |      AS ps
+        |  FROM e q JOIN cent c ON c.i = q.i
+        |  WHERE q.vec_id IN (0, 1, 2) GROUP BY 1, 2),
+        | probed AS (
+        |  SELECT query_id, cell FROM (
+        |    SELECT query_id, cell, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY ps DESC, cell ASC) AS rn
+        |    FROM pscore) WHERE rn <= 2),
+        | cand AS (
+        |  SELECT p.query_id, em.vec_id, em.label FROM embeddings em
+        |  JOIN probed p ON em.label = p.cell
+        |    AND em.vec_id <> p.query_id),
         | dots AS (
         |  SELECT c.query_id, c.vec_id, c.label, sum(a.x * qe.x) AS dot
         |  FROM cand c

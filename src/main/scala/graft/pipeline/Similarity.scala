@@ -117,6 +117,62 @@ object Similarity {
       .where(col("_rn") <= k).drop("_rn")
   }
 
+  /** Multi-probe batch IVF: rank rows from each query's `nprobe`
+    * NEAREST cells by centroid score, not only its own cell — the
+    * standard IVF recall knob (own-cell probing misses true neighbors
+    * across cell boundaries; nprobe = #cells degrades gracefully to
+    * brute force). Centroids derive from the stamped assignments via
+    * integer micro-unit means ([[cellCentroids]]) so probe choice is
+    * engine-reproducible; probe scores round to 6 dp BEFORE ranking
+    * (the cross-engine float rule), ties to the lower cell id.
+    *
+    * 100 TB shape: centroids (cells x d) and the probe set
+    * (|Q| x nprobe, queries riding along) are kilobytes — both
+    * broadcast. The data side stays ONE BroadcastHashJoin on the cell
+    * key; a row probes only the queries whose probe set includes its
+    * cell; embeddings never shuffle; ranking is a window over narrow
+    * (query_id, id, score) triples. A row meets each query at most
+    * once (one cell per row, distinct probe cells per query), so no
+    * dedup stage is needed. */
+  def ivfTopKProbedBatch(emb: DataFrame, queryIds: Seq[Long], k: Int,
+      nprobe: Int, cellCol: String = "label", idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(queryIds.nonEmpty, "queryIds must be non-empty")
+    require(nprobe >= 1, "nprobe >= 1")
+    val n = withNorm(emb, vecCol)
+    // per-cell centroid vectors from exact micro-unit means — the same
+    // derivation the oracle replicates in s_centroids
+    val cvecs = cellCentroids(emb, cellCol, vecCol)
+      .groupBy(col("cell"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("mean_mu")))),
+        s => s.getField("mean_mu").cast("double") / lit(1000000.0))
+        .as("_cvec"))
+    val q = n.where(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col(vecCol).as("_qvec"),
+        col("_nrm").as("_qnrm"))
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("_ps").desc, col("cell").asc)
+    val probeSet = q.crossJoin(broadcast(cvecs))
+      .withColumn("_ps", round(dot(col("_qvec"), col("_cvec")), 6))
+      .withColumn("_rn", row_number().over(wp))
+      .where(col("_rn") <= nprobe)
+      .select(col("query_id"), col("_qvec"), col("_qnrm"),
+        col("cell").as("_qcell"))
+    val scored = n
+      .join(broadcast(probeSet), col(cellCol) === col("_qcell")
+        && col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol), col(cellCol),
+        round(dot(col(vecCol), col("_qvec"))
+          / (col("_nrm") * col("_qnrm")), 6).as("cos_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col(idCol).asc)
+    scored.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= k).drop("_rn")
+  }
+
   /** IVF-shaped top-k: only rows sharing the query row's coarse cell
     * (`cellCol`) are scored. */
   def ivfTopK(emb: DataFrame, queryId: Long, k: Int,

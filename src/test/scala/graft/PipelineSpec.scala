@@ -242,6 +242,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(!batch.exists { case (q, v, _) => q == 0L && v >= 3L })
   }
 
+  test("probed ivf: all-cells probe equals brute force, recall " +
+      "grows with nprobe") {
+    val emb = spark.read.parquet(
+      "/root/testdata/sf0.001/embeddings.parquet")
+    val nCells = emb.select("label").distinct().count().toInt
+    val ids = Seq(0L, 1L, 2L)
+    def keys(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id")))
+      .toSet
+    val brute = keys(Similarity.bruteForceTopKBatch(emb, ids, k = 5))
+    // probing every cell IS brute force (graceful degradation)
+    val all = keys(Similarity.ivfTopKProbedBatch(emb, ids, k = 5,
+      nprobe = nCells))
+    assert(all == brute)
+    // recall vs brute is monotone in nprobe on this fixture
+    val r1 = keys(Similarity.ivfTopKProbedBatch(emb, ids, k = 5,
+      nprobe = 1)).intersect(brute).size
+    val r3 = keys(Similarity.ivfTopKProbedBatch(emb, ids, k = 5,
+      nprobe = 3)).intersect(brute).size
+    assert(r1 <= r3 && r3 <= brute.size)
+    // the data-side join stays a broadcast hash join on the cell key
+    // (the queries x centroids probe cross-join is control-plane —
+    // kilobytes — and allowed to nested-loop)
+    val plan = Similarity.ivfTopKProbedBatch(emb, ids, k = 5, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin [label"))
+  }
+
   test("curate: quality gate, canonical-copy dedup, stratified rates") {
     val body = (1 to 30).map(i => s"w$i").mkString(" ") // 30 tokens, 0 stops
     val corpus = Seq(
