@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.model.{EventsCatalog, Tables}
-import graft.ops.AsofJoin
+import graft.ops.{AsofJoin, Sessionize}
 import graft.pipeline.{Curate, Dedup, Multimodal, Sampling, Similarity, TextOps}
 import graft.plan.Planner
 import graft.ql.{Cmp, Eq, StrLit}
@@ -362,6 +362,17 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("l_orderkey").asc)
         .limit(10)
     }),
+
+    "q_sessions" -> ((s, dir) =>
+      // gap-based sessionization: one shuffle on (producer, topic),
+      // stacked lag + running-sum windows share the sort; 1-day gap
+      // over the µs time view (oracle-facing time rule)
+      Sessionize.summarize(msgs(s, dir), Seq("producer", "topic"),
+          "time_us", 86400L * 1000000L, tieCols = Seq("seq"))
+        .select(col("producer"), col("topic"), col("session_id"),
+          col("n_events"), col("start_time").as("start_us"),
+          col("end_time").as("end_us"))
+        .orderBy("producer", "topic", "session_id")),
 
     "q5_region" -> ((s, dir) => {
       val r = Tables.load(s, dir, "region")
@@ -1049,6 +1060,30 @@ object SparkEntry {
         |  AND l_shipdate > TIMESTAMP '1995-03-15'
         |GROUP BY l_orderkey
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q_sessions" ->
+      s"""$MSGS,
+         | l AS (
+         |  SELECT producer, topic, seq, time_us,
+         |    lag(time_us) OVER (PARTITION BY producer, topic
+         |      ORDER BY time_us, seq) AS prev
+         |  FROM msgs),
+         | f AS (
+         |  SELECT *, CASE WHEN prev IS NULL
+         |      OR time_us - prev > 86400000000 THEN 1 ELSE 0 END AS is_new
+         |  FROM l),
+         | sid AS (
+         |  SELECT *, sum(is_new) OVER (PARTITION BY producer, topic
+         |    ORDER BY time_us, seq
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS session_id
+         |  FROM f)
+         |SELECT producer, topic,
+         |  CAST(session_id AS BIGINT) AS session_id,
+         |  CAST(count(*) AS BIGINT) AS n_events,
+         |  min(time_us) AS start_us, max(time_us) AS end_us
+         |FROM sid GROUP BY 1, 2, 3
+         |ORDER BY producer, topic, session_id""".stripMargin,
 
     "q5_region" ->
       """SELECT r_name, count(*) AS n_items,
