@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.model.{EventsCatalog, Tables}
-import graft.ops.{AsofJoin, Sessionize}
+import graft.ops.{AsofJoin, IntervalJoin, Sessionize}
 import graft.pipeline.{Curate, Dedup, Multimodal, Sampling, Similarity, TextOps}
 import graft.plan.Planner
 import graft.ql.{Cmp, Eq, StrLit}
@@ -373,6 +373,28 @@ object SparkEntry {
           col("n_events"), col("start_time").as("start_us"),
           col("end_time").as("end_us"))
         .orderBy("producer", "topic", "session_id")),
+
+    "q_interval" -> ((s, dir) => {
+      // bucketized point-in-interval join (events → their sessions):
+      // Spark runs the equi-join-on-(key, bucket) path, the oracle a
+      // plain inequality join — structurally different routes to the
+      // same rows. Counts must recover sessionize's n_events exactly.
+      val m = msgs(s, dir)
+      val day = 86400L * 1000000L
+      val sess = Sessionize.summarize(m, Seq("producer", "topic"),
+        "time_us", day, tieCols = Seq("seq"))
+      IntervalJoin.pointInInterval(
+          m.select("producer", "topic", "time_us", "seq"),
+          sess.select(col("producer"), col("topic"), col("session_id"),
+            col("start_time"), col("end_time")),
+          Seq("producer", "topic"), "time_us", "start_time", "end_time",
+          bucketWidth = day)
+        .groupBy("producer", "topic", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("time_us")).as("start_us"),
+          max(col("time_us")).as("end_us"))
+        .orderBy("producer", "topic", "session_id")
+    }),
 
     "q5_region" -> ((s, dir) => {
       val r = Tables.load(s, dir, "region")
@@ -1084,6 +1106,40 @@ object SparkEntry {
          |  min(time_us) AS start_us, max(time_us) AS end_us
          |FROM sid GROUP BY 1, 2, 3
          |ORDER BY producer, topic, session_id""".stripMargin,
+
+    // the oracle side of q_interval is a PLAIN inequality join —
+    // deliberately not the bucketized formulation, so the two engines
+    // reach the same rows by structurally different plans
+    "q_interval" ->
+      s"""$MSGS,
+         | l AS (
+         |  SELECT producer, topic, seq, time_us,
+         |    lag(time_us) OVER (PARTITION BY producer, topic
+         |      ORDER BY time_us, seq) AS prev
+         |  FROM msgs),
+         | f AS (
+         |  SELECT *, CASE WHEN prev IS NULL
+         |      OR time_us - prev > 86400000000 THEN 1 ELSE 0 END AS is_new
+         |  FROM l),
+         | sid AS (
+         |  SELECT *, sum(is_new) OVER (PARTITION BY producer, topic
+         |    ORDER BY time_us, seq
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS session_id
+         |  FROM f),
+         | sess AS (
+         |  SELECT producer, topic,
+         |    CAST(session_id AS BIGINT) AS session_id,
+         |    min(time_us) AS s_start, max(time_us) AS s_end
+         |  FROM sid GROUP BY 1, 2, 3)
+         |SELECT e.producer, e.topic, s.session_id,
+         |  CAST(count(*) AS BIGINT) AS n_events,
+         |  min(e.time_us) AS start_us, max(e.time_us) AS end_us
+         |FROM msgs e
+         |JOIN sess s ON e.producer = s.producer AND e.topic = s.topic
+         |  AND e.time_us BETWEEN s.s_start AND s.s_end
+         |GROUP BY 1, 2, 3
+         |ORDER BY e.producer, e.topic, s.session_id""".stripMargin,
 
     "q5_region" ->
       """SELECT r_name, count(*) AS n_items,
