@@ -17,11 +17,13 @@ import graft.streaming.Lifecycle
   * re-expressed as two small append-only parquet tables. */
 final case class IngestStore(
     stats: SparkSession => DataFrame,
-    control: SparkSession => DataFrame)
+    control: SparkSession => DataFrame,
+    fieldStats: Option[SparkSession => DataFrame] = None)
 
 object IngestStore {
   def apply(cat: graft.model.IngestedCatalog): IngestStore =
-    IngestStore(s => cat.stats(s), s => cat.control(s))
+    IngestStore(s => cat.stats(s), s => cat.control(s),
+      fieldStats = cat.fieldStats)
 }
 
 /** The reference's complete user-facing verb set as one typed facade —
@@ -120,19 +122,24 @@ final class Dp3Service(underlying: MessageCatalog,
   private def messages(spark: SparkSession): DataFrame =
     maskAll(rawMessages(spark))
 
-  /** The maintained base-tier partials adapted to the statfilter's
-    * per-field naming: the stored tier aggregates the canonical `value`
-    * column (num_min/num_max), so QL predicates on `value` prune scans
-    * to qualifying buckets — write-time statistics powering plan-time
-    * chunk skips, exactly the reference's statfilter-during-descent
-    * (server/tree/iterator.go:173-199). Version masks apply so
-    * truncated batches stop vouching for their buckets. */
+  /** The maintained stat partials adapted to the statfilter's
+    * per-field naming — write-time statistics powering plan-time chunk
+    * skips, exactly the reference's statfilter-during-descent
+    * (server/tree/iterator.go:173-199). A per-FIELD partials table
+    * (`Ingest.startWithStats(fieldStats = ...)`) already carries the
+    * statfilter column shapes, including text min/max and trigram
+    * words, so every stats-backed field prunes; without one, the base
+    * tier's `value` min/max is adapted. Version masks apply either way
+    * so truncated batches stop vouching for their buckets. */
   private def statSource: Option[Planner.StatSource] = store.map { st =>
     Planner.StatSource(
-      s => maskVersions(st.stats(s)).select(
-        col("producer"), col("topic"), col("bucket"),
-        col("num_min").as("value__min"),
-        col("num_max").as("value__max")),
+      st.fieldStats match {
+        case Some(fs) => s => maskVersions(fs(s))
+        case None => s => maskVersions(st.stats(s)).select(
+          col("producer"), col("topic"), col("bucket"),
+          col("num_min").as("value__min"),
+          col("num_max").as("value__max"))
+      },
       StatTiers.BaseWidthNs)
   }
 

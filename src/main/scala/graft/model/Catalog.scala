@@ -125,13 +125,19 @@ final class TopicMapCatalog(topics: Map[String, DataFrame])
   * reference's rootmap lookup (server/rootmap/sqlrootmap.go:427-461) —
   * so `from *` planning touches no event data at any scale. */
 final class IngestedCatalog(dataDir: String, statsDir: String,
-    controlDir: String) extends MessageCatalog with Serializable {
+    controlDir: String, fieldStatsDir: Option[String] = None)
+    extends MessageCatalog with Serializable {
 
   def messages(spark: SparkSession): DataFrame =
     spark.read.parquet(dataDir)
 
   def stats(spark: SparkSession): DataFrame =
     spark.read.parquet(statsDir)
+
+  /** Per-field stat partials (`Ingest.startWithStats` with
+    * `fieldStats`) — the statfilter's pruning source. */
+  def fieldStats: Option[SparkSession => DataFrame] =
+    fieldStatsDir.map(d => (s: SparkSession) => s.read.parquet(d))
 
   def control(spark: SparkSession): DataFrame =
     spark.read.parquet(controlDir)

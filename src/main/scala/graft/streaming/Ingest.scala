@@ -68,14 +68,26 @@ object Ingest {
     * (server/rootmap/sqlrootmap.go:427-461). Producer discovery
     * (`from *`) and truncate-timestamp→version resolution then read
     * this kilobyte-scale table instead of scanning event data. */
+  /** `fieldStats`, when set to (dir, numericFields, textFields), also
+    * maintains PER-FIELD base-tier partials there — min/max/sum/sketch
+    * per numeric field, min/max + trigram signature words per text
+    * field ([[graft.stats.StatTiers.baseFields]]). These are the
+    * write-time statistics the statfilter prunes scans with
+    * ([[graft.stats.StatFilter]]; `Dp3Service` picks them up through
+    * its store) — the reference computes exactly this per leaf at
+    * write time (server/treemgr/writer.go:184-203,
+    * server/nodestore/statistics.go:305-313,359). */
   def startWithStats(spark: SparkSession, stream: DataFrame,
       outDir: String, statsDir: String, checkpointDir: String,
-      controlDir: Option[String] = None): StreamingQuery = {
+      controlDir: Option[String] = None,
+      fieldStats: Option[(String, Seq[String], Seq[String])] = None)
+      : StreamingQuery = {
     val deduped = dedupe(stream)
       .withColumn("day", expr("time div 86400000000000"))
     deduped.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        appendVersion(batch, batchId + 1, outDir, statsDir, controlDir)
+        appendVersion(batch, batchId + 1, outDir, statsDir, controlDir,
+          fieldStats)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -88,7 +100,9 @@ object Ingest {
     * verb. `batch` must carry the canonical columns + `day`. */
   private def appendVersion(batch: DataFrame, version: Long,
       outDir: String, statsDir: String,
-      controlDir: Option[String]): Unit = {
+      controlDir: Option[String],
+      fieldStats: Option[(String, Seq[String], Seq[String])] = None)
+      : Unit = {
     val b = batch.withColumn("ingest_version", lit(version))
     b.persist()
     b.write.mode("append").partitionBy("topic", "day")
@@ -97,6 +111,12 @@ object Ingest {
         60L * 1000000000L)
       .withColumn("ingest_version", lit(version))
       .write.mode("append").parquet(statsDir)
+    fieldStats.foreach { case (dir, numFields, textFields) =>
+      graft.stats.StatTiers.baseFields(b.drop("day", "ts_watermark"),
+          60L * 1000000000L, numFields, textFields)
+        .withColumn("ingest_version", lit(version))
+        .write.mode("append").parquet(dir)
+    }
     controlDir.foreach { cd =>
       b.groupBy("producer", "topic")
         .agg(count(lit(1)).as("msg_count"),

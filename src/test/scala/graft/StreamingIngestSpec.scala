@@ -106,6 +106,48 @@ class StreamingIngestSpec extends AnyFunSuite {
     assert(ctl.agg(sum("msg_count")).head().getLong(0) == 3L)
   }
 
+  test("ingested per-field stats drive trigram statfilter pruning " +
+      "end to end") {
+    val base = Files.createTempDirectory("graft-fstats").toString
+    val in = s"$base/in"; val out = s"$base/out"
+    val stats = s"$base/stats"; val fstats = s"$base/fstats"
+    val cp = s"$base/cp"; val control = s"$base/control"
+
+    // two hour-buckets: only the first contains props 'alpha'
+    val H = 3600L * 1000000000L
+    val rows = Seq(
+      ("p0", "click", 1L * H + 5L, 1L, 1.0, "alpha"),
+      ("p0", "click", 1L * H + 9L, 2L, 2.0, "beta"),
+      ("p0", "click", 9L * H + 5L, 3L, 3.0, "beta"),
+      ("p0", "click", 9L * H + 9L, 4L, 4.0, "gamma")
+    ).toDF("producer", "topic", "time", "seq", "value", "props")
+    rows.write.parquet(in)
+    val stream = spark.readStream.schema(rows.schema).parquet(in)
+    Ingest.startWithStats(spark, stream, out, stats, cp,
+      controlDir = Some(control),
+      fieldStats = Some((fstats, Seq("value"), Seq("props"))))
+      .awaitTermination(120000)
+
+    // the stored per-field partials carry text min/max + trigram words
+    val fcols = spark.read.parquet(fstats).columns.toSet
+    assert(Set("props__tmin", "props__tmax", "props__trgm0",
+      "props__trgm1", "value__min", "value__max").subsetOf(fcols))
+
+    val cat = new graft.model.IngestedCatalog(out, stats, control,
+      fieldStatsDir = Some(fstats))
+    val svc = new graft.api.Dp3Service(cat, s => cat.messages(s),
+      Some(graft.api.IngestStore(cat)))
+    // trigram-backed string equality: only the alpha bucket survives
+    val q = svc.query(spark,
+      "from p0 click where click.props = 'alpha';")
+    assert(q.queryExecution.executedPlan.toString.contains("LeftSemi"))
+    assert(q.select("seq").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // numeric pruning from the same table
+    val qn = svc.query(spark, "from p0 click where click.value > 3.5;")
+    assert(qn.queryExecution.executedPlan.toString.contains("LeftSemi"))
+    assert(qn.select("seq").collect().map(_.getLong(0)).toSeq == Seq(4L))
+  }
+
   test("range deletes and truncation masks") {
     val msgs = Seq(
       ("p0", "t", 100L, 1L), ("p0", "t", 200L, 2L), ("p0", "t", 300L, 3L),
