@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{IntervalJoin, Sessionize}
+import graft.pipeline.{Dedup, Sampling, Similarity, TextOps}
+
+/** Degenerate inputs: empty corpora and single rows must flow through
+  * every operator family as empty/identity results — never a throw,
+  * never a hang. At 100 TB these paths are real (an empty partition
+  * after a filter, a producer with one message), and a driver-side
+  * head() or reduce() on an empty frame is the classic way they die.
+  */
+class DegenerateInputSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def emptyDocs: DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+
+  private def oneDoc: DataFrame =
+    Seq((1L, "a single short document")).toDF("doc_id", "text")
+
+  test("dedup family: empty and singleton corpora") {
+    assert(Dedup.exact(emptyDocs).count() == 0)
+    assert(Dedup.exact(oneDoc).count() == 1)
+    assert(Dedup.jaccardPairs(emptyDocs, k = 3, threshold = 0.5)
+      .count() == 0)
+    assert(Dedup.jaccardPairs(oneDoc, k = 3, threshold = 0.5)
+      .count() == 0) // no pair from one doc
+    assert(Dedup.minhashLshCandidates(emptyDocs, k = 3, numHashes = 8,
+      bands = 4).count() == 0)
+    assert(Dedup.simhash(oneDoc).count() == 1)
+    assert(Dedup.simhashPairs(oneDoc).count() == 0)
+    assert(Dedup.overlapPairs(emptyDocs, w = 3).count() == 0)
+  }
+
+  test("clusters: empty pair set labels every id with itself") {
+    val ids = Seq(1L, 2L).toDF("doc_id")
+    val noPairs = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("id_a", LongType),
+        StructField("id_b", LongType))))
+    val got = Dedup.clusters(ids, noPairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 1L), (2L, 2L)))
+    // release what the iterative operator pinned
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+  }
+
+  test("text ops: empty strings and empty corpora") {
+    val empt = Seq((1L, ""), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val q = empt.select(col("doc_id"),
+      TextOps.tokenCount(col("text")).as("n"))
+    assert(q.where(col("n") > 0).count() == 0)
+    assert(TextOps.topNgrams(emptyDocs, n = 2, k = 5).count() == 0)
+    assert(TextOps.decontaminate(oneDoc, emptyDocs, n = 3)
+      .where(col("contaminated") > 0).count() == 0)
+  }
+
+  test("sessionize and interval join: empty frames") {
+    val noEvents = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("k", StringType),
+        StructField("t", LongType), StructField("seq", LongType))))
+    assert(Sessionize.assign(noEvents, Seq("k"), "t", gap = 10L)
+      .count() == 0)
+    assert(Sessionize.summarize(noEvents, Seq("k"), "t", gap = 10L)
+      .count() == 0)
+    val noIntervals = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("k", StringType),
+        StructField("s", LongType), StructField("e", LongType))))
+    val pts = Seq(("a", 5L)).toDF("k", "t")
+    assert(IntervalJoin.pointInInterval(pts, noIntervals, Seq("k"),
+      "t", "s", "e", bucketWidth = 8L).count() == 0)
+    assert(IntervalJoin.pointInInterval(noEvents.select(col("k"),
+      col("t")), noIntervals, Seq("k"), "t", "s", "e",
+      bucketWidth = 8L).count() == 0)
+  }
+
+  test("sampling and similarity: empty frames") {
+    assert(Sampling.sample(emptyDocs, fraction = 0.5).count() == 0)
+    val noVecs = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)),
+        StructField("label", IntegerType))))
+    // a query id that matches nothing: empty result, no throw
+    assert(Similarity.bruteForceTopK(noVecs, queryId = 1L, k = 3)
+      .count() == 0)
+    assert(Similarity.cosineNearDupPairs(noVecs, 0.9, Some("label"))
+      .count() == 0)
+  }
+}
