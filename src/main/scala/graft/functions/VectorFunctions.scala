@@ -115,5 +115,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getName,
         VectorFunctions.name),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier(TextFunctions.trgmName),
+      new ExpressionInfo(classOf[TrigramMasks].getName,
+        TextFunctions.trgmName),
+      (exprs: Seq[Expression]) => TrigramMasks(exprs.head)))
   }
 }

@@ -96,7 +96,8 @@ object StatTiers {
       // mask words: primitive agg buffers, whole-stage codegen.
       Seq(min(col(f)).as(s"${f}__tmin"), max(col(f)).as(s"${f}__tmax")) ++
         (0 until Trigram.Words).map(w =>
-          expr(s"bit_or(_trgm_mask${w}_$f)").as(s"${f}__trgm$w"))
+          expr(s"bit_or(element_at(_trgm_masks_$f, ${w + 1}))")
+            .as(s"${f}__trgm$w"))
     } ++ Seq(
       count(lit(1)).as("msg_count"),
       min(col("time")).as("min_time"),
@@ -108,16 +109,12 @@ object StatTiers {
     // own exchange, so this is a REPLACED shuffle, not an added one.
     val input = graft.util.Spread.ensure(messages,
       Seq(col("producer"), col("topic"), expr(s"time div ${widthNs}L")))
-    // bits projected into a NAMED column so the two word masks share
-    // one md5 pass (a lambda-bound attribute; inlining the md5 subtree
-    // would re-evaluate it per mask — the lambda-CSE trap)
+    // both mask words come from ONE native codegen'd expression
+    // (TrigramMasks — one md5 pass per row, no interpreted lambdas),
+    // projected into a NAMED column so the two element_at references
+    // share the evaluation rather than re-hashing per word
     val withMasks = textFields.foldLeft(input) { (df, f) =>
-      val withBits = df.withColumn(s"_trgm_bits_$f",
-        Trigram.bitsOf(col(f)))
-      (0 until Trigram.Words).foldLeft(withBits) { (d, w) =>
-        d.withColumn(s"_trgm_mask${w}_$f",
-          Trigram.maskOf(col(s"_trgm_bits_$f"), w))
-      }
+      df.withColumn(s"_trgm_masks_$f", Trigram.masksOf(col(f)))
     }
     withMasks
       .groupBy(col("producer"), col("topic"),

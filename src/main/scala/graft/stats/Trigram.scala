@@ -85,12 +85,20 @@ object Trigram {
   val Words = 2
   val WordBits = 48
 
+  /** BOTH signature words of a text value as array<long>, via the
+    * native codegen'd expression ([[graft.functions.TrigramMasks]]) —
+    * one md5 pass, no interpreted lambdas. This is the hot path the
+    * stat tiers aggregate with `bit_or`. */
+  def masksOf(text: Column): Column =
+    graft.functions.TextFunctions.trgmMasks(text)
+
   /** Per-row signature word `w` from a bit array ([[bitsOf]] output):
-    * OR of 2^(b - 48w) over this word's bits. The power-of-two comes
-    * from `pow` (exact in doubles up to 2^52, and 47 is the largest
-    * exponent here); the fold is a higher-order function, interpreted,
-    * but runs over ~n+1 elements per row IN THE SCAN STAGE — full scan
-    * parallelism, unlike anything placed after the aggregate. */
+    * OR of 2^(b - 48w) over this word's bits. The builtin reference
+    * formulation of [[masksOf]] — interpreted (higher-order functions
+    * have no codegen), kept as the executable spec the native
+    * expression is pinned against. The power-of-two comes from `pow`
+    * (exact in doubles up to 2^52, and 47 is the largest exponent
+    * here). */
   def maskOf(bits: Column, w: Int): Column = {
     val lo = w * WordBits
     aggregate(

@@ -168,15 +168,26 @@ class StatFilterSpec extends AnyFunSuite {
     assert(!contains(ab, Trigram.masksOfString("sphinx")))
   }
 
-  test("Spark maskOf equals driver-side masksOfString") {
-    val samples = Seq("{\"k\": 42}", "a", "", "hello world")
-    val got = samples.toDF("t")
+  test("native masksOf == builtin maskOf fold == driver-side " +
+      "masksOfString") {
+    val samples = Seq("{\"k\": 42}", "a", "", "hello world",
+      "punctu-ation! & unicode: déjà vu")
+    val builtin = samples.toDF("t")
       .select(Trigram.maskOf(Trigram.bitsOf(col("t")), 0).as("w0"),
         Trigram.maskOf(Trigram.bitsOf(col("t")), 1).as("w1"))
       .collect().map(r => Seq(r.getLong(0), r.getLong(1)))
-    samples.zip(got).foreach { case (s, sparkMasks) =>
-      assert(Trigram.masksOfString(s) == sparkMasks, s"for '$s'")
+    val native = samples.toDF("t")
+      .select(Trigram.masksOf(col("t")).as("m"))
+      .collect().map(_.getSeq[Long](0).toSeq)
+    samples.indices.foreach { i =>
+      assert(Trigram.masksOfString(samples(i)) == builtin(i),
+        s"builtin for '${samples(i)}'")
+      assert(builtin(i) == native(i), s"native for '${samples(i)}'")
     }
+    // null propagates as null through the native expression
+    val n = Seq(Option.empty[String]).toDF("t")
+      .select(Trigram.masksOf(col("t"))).collect().head
+    assert(n.isNullAt(0))
   }
 
   test("empty text contributes no trigrams") {
