@@ -557,6 +557,26 @@ object SparkEntry {
         .groupBy(col("split")).agg(count(lit(1)).as("n"))
         .orderBy("split")),
 
+    "t_repetition" -> ((s, dir) =>
+      // duplicated-3-gram ratio — the degenerate-text curation signal;
+      // shuffle-free, integer micro-unit ratio (cross-engine rule)
+      TextOps.repetitionFeatures(Tables.load(s, dir, "documents"), n = 3)
+        .orderBy("doc_id")),
+
+    "t_pack" -> ((s, dir) => {
+      // token-budget shard packing: per-hash-bucket running sums, docs
+      // never split; deterministic order = (hash, id) so the shards
+      // are reproducible on any engine or partitioning
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("toks"))
+      Sampling.packBudget(docs, budget = 2000L, nBuckets = 8,
+          tokensCol = "toks")
+        .select(col("doc_id"), col("pack_bucket"), col("pack_shard"),
+          col("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     "t_rolling_fp" -> ((s, dir) =>
       // rolling (Rabin-style) window fingerprints: token hashes are
       // projected into a named column FIRST (md5 per token; inlining
@@ -1613,6 +1633,50 @@ object SparkEntry {
          |  ELSE 'test' END AS split,
          |  CAST(count(*) AS BIGINT) AS n
          |FROM documents GROUP BY 1 ORDER BY split""".stripMargin,
+
+    // duplicated-3-gram ratio in exact half-up micro-units (pure
+    // integer arithmetic on both engines)
+    "t_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '')
+        |      AS toks
+        |  FROM documents),
+        | g AS (
+        |  SELECT doc_id, CASE WHEN len(toks) >= 3 THEN
+        |    list_transform(generate_series(1, len(toks) - 2),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |    ELSE [] END AS grams
+        |  FROM t)
+        |SELECT doc_id,
+        |  CAST(len(grams) AS BIGINT) AS n_grams,
+        |  CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+        |  CASE WHEN len(grams) = 0 THEN 0 ELSE
+        |    ((len(grams) - len(list_distinct(grams))) * 2000000
+        |      + len(grams)) // (len(grams) * 2) END AS dup_ratio_micro6
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    // per-bucket running sums over the identical (hash, id) order;
+    // shard = the budget window the doc's cumulative count STARTS in
+    "t_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+        |      AS BIGINT) AS n_tokens,
+        |    substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 8) AS pk
+        |  FROM documents),
+        | b AS (
+        |  SELECT *, CAST(('0x' || pk) AS BIGINT) % 8 AS pack_bucket
+        |  FROM t),
+        | c AS (
+        |  SELECT *, sum(n_tokens) OVER (PARTITION BY pack_bucket
+        |    ORDER BY pk, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM b)
+        |SELECT doc_id, pack_bucket,
+        |  CAST((cum - n_tokens) // 2000 AS BIGINT) AS pack_shard,
+        |  n_tokens
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     // identical polynomial fold: Spark aggregate(zero=0) ≡ DuckDB
     // list_reduce (first step (0·B + h1) mod M = h1, hashes pre-reduced)

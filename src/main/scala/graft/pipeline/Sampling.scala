@@ -88,4 +88,42 @@ object Sampling {
       }
     df.withColumn("split", labeled)
   }
+
+  /** Pack documents into ~`budget`-token shards — training-batch /
+    * shard construction (documents are never split; a shard holds the
+    * docs whose cumulative token count starts inside its budget
+    * window). Deterministic: docs are ordered by (hash bucket, id)
+    * inside `nBuckets` hash partitions, so the packing is a pure
+    * function of (salt, ids, token counts) — same shards on any
+    * engine, any run.
+    *
+    * 100 TB shape: a GLOBAL running sum would serialize the corpus
+    * through one partition; instead each of the `nBuckets` hash
+    * buckets packs independently (one window over its own rows), and
+    * the shard key is (bucket, shard_in_bucket). Buckets are
+    * hash-uniform, so shard fill is uniform too; nBuckets scales with
+    * the cluster, and the hash order doubles as the corpus shuffle
+    * every training pipeline wants anyway. Output adds `pack_bucket`,
+    * `pack_shard` (0-based within bucket), and `n_tokens`. */
+  def packBudget(df: DataFrame, budget: Long, nBuckets: Int,
+      tokensCol: String, idCol: String = "doc_id",
+      salt: String = "graft"): DataFrame = {
+    require(budget >= 1, "budget >= 1 token")
+    require(nBuckets >= 1, "nBuckets >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pack_bucket"))
+      .orderBy(col("_pk"), col(idCol))
+    df.withColumn("_pk", hashBucket(col(idCol), salt))
+      .withColumn("pack_bucket",
+        pmod(conv(substring(col("_pk"), 1, 8), 16, 10).cast("long"),
+          lit(nBuckets.toLong)))
+      .withColumn("_cum", sum(col(tokensCol)).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .currentRow)))
+      .withColumn("pack_shard",
+        expr(s"(_cum - $tokensCol) div ${budget}L"))
+      .withColumn("n_tokens", col(tokensCol).cast("long"))
+      .drop("_pk", "_cum")
+  }
 }

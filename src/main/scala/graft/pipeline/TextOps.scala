@@ -146,6 +146,30 @@ object TextOps {
     s"""transform(sequence(0, size($toksCol) - $n),
         i -> concat_ws(' ', slice($toksCol, i + 1, $n)))""")
 
+  /** Repetition features per document — the standard degenerate-text
+    * signal (template spam, decoding loops, boilerplate stuffing):
+    * the fraction of n-gram OCCURRENCES that are repeats of an
+    * earlier n-gram in the same document, `1 - distinct/total`, in
+    * exact half-up micro-units (the cross-engine integer-ratio rule).
+    * Shuffle-free: two sizes over one bound n-gram projection per row.
+    * Documents shorter than n tokens score 0 (nothing repeats). */
+  def repetitionFeatures(df: DataFrame, n: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(n >= 1, "n >= 1")
+    df.select(col(idCol), tokens(lower(col(textCol))).as("_toks"))
+      .withColumn("_grams",
+        when(size(col("_toks")) >= n, wordNgrams("_toks", n))
+          .otherwise(array().cast("array<string>")))
+      .select(col(idCol),
+        size(col("_grams")).cast("long").as("n_grams"),
+        size(array_distinct(col("_grams"))).cast("long")
+          .as("n_distinct"))
+      .withColumn("dup_ratio_micro6",
+        when(col("n_grams") === 0L, lit(0L)).otherwise(expr(
+          "((n_grams - n_distinct) * 2000000L + n_grams) " +
+            "div (n_grams * 2L)")))
+  }
+
   /** Corpus-wide top-k n-gram counts (word n-grams). One explode + one
     * agg; at 100 TB this is the canonical map-side-combine shape. */
   def topNgrams(df: DataFrame, n: Int, k: Int, textCol: String = "text")

@@ -270,6 +270,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin [label"))
   }
 
+  test("repetition features: loops score high, unique text zero") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam"),      // one distinct 3-gram
+      (2L, "all these words appear only once"),   // no repeats
+      (3L, "ab")                                   // shorter than n
+    ).toDF("doc_id", "text")
+    val got = TextOps.repetitionFeatures(docs, n = 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    assert(got(1L) == ((4L, 1L, 750000L))) // 3/4 duplicated
+    assert(got(2L)._3 == 0L)
+    assert(got(3L) == ((0L, 0L, 0L)))
+  }
+
+  test("packBudget: docs never split, shards respect the start-window " +
+      "rule, packing is deterministic") {
+    val docs = (1L to 40L).map(i => (i, 100L + (i % 7) * 50L))
+      .toDF("doc_id", "toks")
+    val packed = Sampling.packBudget(docs, budget = 500L, nBuckets = 4,
+      tokensCol = "toks")
+    val rows = packed.select("doc_id", "pack_bucket", "pack_shard",
+      "n_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 40) // every doc packed exactly once
+    // within a bucket, shard ids are contiguous from 0 and the docs
+    // assigned to a shard START inside its budget window
+    rows.groupBy(_._2).foreach { case (_, bucketRows) =>
+      val shards = bucketRows.map(_._3).distinct.sorted.toSeq
+      assert(shards == Seq.tabulate(shards.length)(_.toLong))
+    }
+    // re-running yields the identical assignment (pure function)
+    val again = Sampling.packBudget(docs, budget = 500L, nBuckets = 4,
+      tokensCol = "toks").select("doc_id", "pack_shard").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == rows.map(r => (r._1, r._3)).toSet)
+  }
+
   test("curate: quality gate, canonical-copy dedup, stratified rates") {
     val body = (1 to 30).map(i => s"w$i").mkString(" ") // 30 tokens, 0 stops
     val corpus = Seq(
