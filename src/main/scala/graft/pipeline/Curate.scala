@@ -22,14 +22,38 @@ object Curate {
 
   /** Returns the curated corpus: original columns plus the quality
     * features, only canonical (lowest-id) copies, thinned per stratum.
+    * `maxDupRatioMicro6` additionally gates on the duplicated-n-gram
+    * ratio ([[TextOps.repetitionFeatures]] at n = 3) — the degenerate-
+    * text filter; the default (1 000 000 = every ratio) disables it
+    * without costing the n-gram projection a thing when Catalyst
+    * prunes the constant-true predicate.
     */
   def curate(docs: DataFrame, minTokens: Long,
       maxStopwordRatioMicro6: Long, strataCol: String,
       rates: Seq[(String, Double)], default: Double = 1.0,
+      maxDupRatioMicro6: Long = 1000000L,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val quality = TextOps.qualityFeatures(docs, textCol)
+    val gated0 = TextOps.qualityFeatures(docs, textCol)
       .where(col("n_tokens") >= minTokens &&
         col("stopword_ratio_micro6") <= maxStopwordRatioMicro6)
+    // the repetition gate stays INLINE column math (same integer
+    // micro-unit ratio as TextOps.repetitionFeatures) — a join against
+    // the feature frame would add a shuffle and break this pipeline's
+    // one-shuffle contract. Grams project into named columns first
+    // (the lambda-CSE trap).
+    val quality =
+      if (maxDupRatioMicro6 >= 1000000L) gated0
+      else gated0
+        .withColumn("_rtoks", TextOps.tokens(lower(col(textCol))))
+        .withColumn("_rgrams",
+          when(size(col("_rtoks")) >= 3, TextOps.wordNgrams("_rtoks", 3))
+            .otherwise(array().cast("array<string>")))
+        .withColumn("_rdup", when(size(col("_rgrams")) === 0, lit(0L))
+          .otherwise(expr(
+            "((size(_rgrams) - size(array_distinct(_rgrams))) " +
+              "* 2000000L + size(_rgrams)) div (size(_rgrams) * 2L)")))
+        .where(col("_rdup") <= maxDupRatioMicro6)
+        .drop("_rtoks", "_rgrams", "_rdup")
     val deduped = quality
       .withColumn("_fp", TextOps.fingerprint(col(textCol)))
       .withColumn("_keep",

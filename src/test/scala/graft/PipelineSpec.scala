@@ -323,6 +323,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == Set(0L))
   }
 
+  test("curate: repetition gate drops degenerate loops") {
+    val body = (1 to 30).map(i => s"w$i").mkString(" ")
+    val loop = (("x y z ") * 12).trim // 36 tokens, 1 distinct 3-gram run
+    val corpus = Seq((0L, body, "a"), (1L, loop, "a"))
+      .toDF("doc_id", "text", "source")
+    def run(maxDup: Long) = Curate.curate(corpus, minTokens = 25L,
+      maxStopwordRatioMicro6 = 300000L, strataCol = "source",
+      rates = Nil, default = 1.0, maxDupRatioMicro6 = maxDup)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(run(1000000L) == Set(0L, 1L)) // default: gate off
+    assert(run(500000L) == Set(0L))      // loop exceeds 50% dup ratio
+  }
+
   test("cell centroids: exact micro-unit sums and means per dimension") {
     val emb = Seq(
       (0L, Array(1.0f, -0.5f), 1),
