@@ -251,18 +251,43 @@ final class Dp3Service(underlying: MessageCatalog,
     * serves statistics for every flattened schema field —
     * server/nodestore/statistics.go:305-313): flat (bin × field)
     * records for the requested fields, optionally topic-restricted.
-    * One groupBy computes every field; the bin-aligned time predicate
-    * prunes the scan to the requested range. */
+    *
+    * With a store maintaining PER-FIELD partials that cover every
+    * requested field, the request is served from summary rows alone
+    * (bucket-pruned, associatively rolled to the requested width) —
+    * the same stored table that backs statfilter pruning, serving both
+    * roles like the reference's nodestore statistics. Otherwise one
+    * groupBy aggregates the bin-aligned raw messages. */
   def statRangeFields(spark: SparkSession, granularityNs: Long,
       numericFields: Seq[String], textFields: Seq[String] = Nil,
       topic: Option[String] = None,
       startNs: Long = 0L, endNs: Long = Long.MaxValue): DataFrame = {
     val width = StatTiers.pickTierWidth(granularityNs)
-    var m = binAligned(spark, width, startNs, endNs)
-    topic.foreach(t => m = m.where(col("topic") === t))
-    val base = StatTiers.baseFields(m, StatTiers.BaseWidthNs,
-      numericFields, textFields)
-    val tier = StatTiers.rollupFields(base, width / StatTiers.BaseWidthNs)
+    val stored = store.flatMap(_.fieldStats).map(fs =>
+        maskVersions(fs(spark))).filter { p =>
+      val cols = p.columns.toSet
+      numericFields.forall(f => cols.contains(s"${f}__min")) &&
+        textFields.forall(f => cols.contains(s"${f}__tmin"))
+    }
+    val tier = stored match {
+      case Some(partials0) =>
+        val (lo, hi) = alignedRange(width, startNs, endNs)
+        val b = StatTiers.BaseWidthNs
+        val hiBucket = if (hi >= Long.MaxValue - b) Long.MaxValue
+          else math.floorDiv(hi + b - 1, b)
+        var partials = partials0
+          .where(col("bucket") >= math.floorDiv(lo, b)
+            && col("bucket") < hiBucket)
+        topic.foreach(t => partials = partials
+          .where(col("topic") === t))
+        StatTiers.rollupFields(partials, width / StatTiers.BaseWidthNs)
+      case None =>
+        var m = binAligned(spark, width, startNs, endNs)
+        topic.foreach(t => m = m.where(col("topic") === t))
+        val base = StatTiers.baseFields(m, StatTiers.BaseWidthNs,
+          numericFields, textFields)
+        StatTiers.rollupFields(base, width / StatTiers.BaseWidthNs)
+    }
     StatTiers.serveFields(tier, numericFields, textFields)
       .where(col("start_ns") < endNs && col("end_ns") > startNs)
   }

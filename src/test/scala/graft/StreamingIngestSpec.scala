@@ -146,6 +146,19 @@ class StreamingIngestSpec extends AnyFunSuite {
     val qn = svc.query(spark, "from p0 click where click.value > 3.5;")
     assert(qn.queryExecution.executedPlan.toString.contains("LeftSemi"))
     assert(qn.select("seq").collect().map(_.getLong(0)).toSeq == Seq(4L))
+
+    // the same stored table serves per-field /statrange: summary rows
+    // only, and the answer equals the raw-aggregation fallback
+    val served = svc.statRangeFields(spark, H,
+      numericFields = Seq("value"), textFields = Seq("props"))
+    val bare = new graft.api.Dp3Service(cat, s => cat.messages(s))
+      .statRangeFields(spark, H,
+        numericFields = Seq("value"), textFields = Seq("props"))
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("producer", "topic", "start_ns", "field", "num_min",
+        "num_max", "text_min", "text_max")
+      .collect().map(_.toSeq).toSet
+    assert(key(served) == key(bare) && served.count() > 0)
   }
 
   test("range deletes and truncation masks") {
