@@ -230,6 +230,25 @@ class StatFilterSpec extends AnyFunSuite {
     } finally { tier.unpersist(); () }
   }
 
+  test("pruned scan pushes qualifying time ranges into the parquet " +
+      "reader") {
+    // the statfilter's chunk-skip analogue is a PUSHED row-group
+    // filter, not just a post-scan predicate — pin it at plan level
+    val dir = java.nio.file.Files.createTempDirectory("graft-sfpush")
+      .toString + "/msgs"
+    msgs.write.parquet(dir)
+    val scan = spark.read.parquet(dir)
+    val tier = StatTiers.baseFields(scan, W, Seq("value"), Seq("props"))
+    val where = Cmp("/t", "props", Eq, StrLit("{\"k\": 42}"))
+    val pruned = StatFilter.pruneScan(scan, tier, where, W)
+    val plan = pruned.queryExecution.executedPlan.toString
+    val pushed = plan.linesIterator
+      .filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("GreaterThanOrEqual(time")
+      || pushed.contains("Or(And(GreaterThanOrEqual(time"), plan)
+    assert(plan.contains("LeftSemi"), plan)
+  }
+
   test("rollup signature equals direct coarse signature") {
     // associativity: OR-merging 60 s signatures into 1 h equals
     // computing the 1 h signature from raw text
