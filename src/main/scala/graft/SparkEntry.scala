@@ -396,6 +396,28 @@ object SparkEntry {
         .orderBy("producer", "topic", "session_id")
     }),
 
+    "q_overlap_sessions" -> ((s, dir) => {
+      // interval-OVERLAP join: concurrent click/view sessions of the
+      // same producer. Spark takes the bucketized equi-join with the
+      // arithmetic first-shared-bucket dedup; the oracle a plain
+      // inequality join — structurally different plans, same rows.
+      val m = msgs(s, dir)
+      val day = 86400L * 1000000L
+      def sess(topic: String, p: String) =
+        Sessionize.summarize(m.where(col("topic") === topic),
+            Seq("producer"), "time_us", day, tieCols = Seq("seq"))
+          .select(col("producer"), col("session_id").as(s"${p}_sid"),
+            col("start_time").as(s"${p}_start"),
+            col("end_time").as(s"${p}_end"))
+      IntervalJoin.overlaps(sess("click", "a"), sess("view", "b"),
+          Seq("producer"), "a_start", "a_end", "b_start", "b_end",
+          bucketWidth = day)
+        .select(col("producer"), col("a_sid"), col("b_sid"),
+          greatest(col("a_start"), col("b_start")).as("ov_start_us"),
+          least(col("a_end"), col("b_end")).as("ov_end_us"))
+        .orderBy("producer", "a_sid", "b_sid")
+    }),
+
     "q5_region" -> ((s, dir) => {
       val r = Tables.load(s, dir, "region")
       val n = Tables.load(s, dir, "nation")
@@ -1160,6 +1182,38 @@ object SparkEntry {
          |  AND e.time_us BETWEEN s.s_start AND s.s_end
          |GROUP BY 1, 2, 3
          |ORDER BY e.producer, e.topic, s.session_id""".stripMargin,
+
+    "q_overlap_sessions" ->
+      s"""$MSGS,
+         | l AS (
+         |  SELECT producer, topic, seq, time_us,
+         |    lag(time_us) OVER (PARTITION BY producer, topic
+         |      ORDER BY time_us, seq) AS prev
+         |  FROM msgs WHERE topic IN ('click', 'view')),
+         | f AS (
+         |  SELECT *, CASE WHEN prev IS NULL
+         |      OR time_us - prev > 86400000000 THEN 1 ELSE 0 END AS is_new
+         |  FROM l),
+         | sid AS (
+         |  SELECT *, sum(is_new) OVER (PARTITION BY producer, topic
+         |    ORDER BY time_us, seq
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS session_id
+         |  FROM f),
+         | sess AS (
+         |  SELECT producer, topic,
+         |    CAST(session_id AS BIGINT) AS sid,
+         |    min(time_us) AS s_start, max(time_us) AS s_end
+         |  FROM sid GROUP BY 1, 2, 3)
+         |SELECT a.producer,
+         |  a.sid AS a_sid, b.sid AS b_sid,
+         |  greatest(a.s_start, b.s_start) AS ov_start_us,
+         |  least(a.s_end, b.s_end) AS ov_end_us
+         |FROM sess a JOIN sess b
+         |  ON a.producer = b.producer
+         |  AND a.topic = 'click' AND b.topic = 'view'
+         |  AND a.s_start <= b.s_end AND b.s_start <= a.s_end
+         |ORDER BY a.producer, a_sid, b_sid""".stripMargin,
 
     "q5_region" ->
       """SELECT r_name, count(*) AS n_items,
