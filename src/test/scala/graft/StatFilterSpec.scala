@@ -249,6 +249,21 @@ class StatFilterSpec extends AnyFunSuite {
     assert(plan.contains("LeftSemi"), plan)
   }
 
+  test("scattered matches skip pruning entirely (selectivity gate)") {
+    // a predicate whose qualifying buckets spread across the timeline
+    // cannot reduce scan I/O: pruneScan must hand the scan back
+    // UNCHANGED (no semi-join, no range predicate) instead of adding
+    // plan weight — measured 0.10 s raw vs 0.58 s unconditionally
+    // pruned at sf0.1
+    val tier = StatTiers.baseFields(msgs, W, Seq("value"), Seq("props"))
+    // value > -1 qualifies every bucket -> ranges ≈ whole timeline
+    val everything = Cmp("/t", "value", Gt, FloatLit(-1.0))
+    val pruned = StatFilter.pruneScan(msgs, tier, everything, W,
+      maxRanges = 4)
+    assert(pruned.queryExecution.analyzed.sameResult(
+      msgs.queryExecution.analyzed))
+  }
+
   test("rollup signature equals direct coarse signature") {
     // associativity: OR-merging 60 s signatures into 1 h equals
     // computing the 1 h signature from raw text
