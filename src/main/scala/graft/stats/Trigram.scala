@@ -56,7 +56,8 @@ object Trigram {
       lit(Bits.toLong)).cast("int")
 
   /** Distinct signature bit positions of a text value, sorted — the
-    * per-row input to [[sigAgg]] and a valid signature on its own. */
+    * builtin reference formulation [[maskOf]] folds into words; the
+    * hot path uses [[masksOf]] instead. */
   def bitsOf(text: Column): Column =
     array_sort(array_distinct(transform(trigramsOf(text), t => bitOf(t))))
 
