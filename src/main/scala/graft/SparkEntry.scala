@@ -579,6 +579,15 @@ object SparkEntry {
         .groupBy(col("split")).agg(count(lit(1)).as("n"))
         .orderBy("split")),
 
+    "t_weighted" -> ((s, dir) =>
+      // quality-proportional sampling: keep probability = clamped
+      // length/1000 — the per-row-weight generalization of t_sample
+      Sampling.weighted(
+        Tables.load(s, dir, "documents")
+          .withColumn("w", length(col("text")).cast("double") / 1000.0),
+        "w")
+        .select("doc_id").orderBy("doc_id")),
+
     "t_repetition" -> ((s, dir) =>
       // duplicated-3-gram ratio — the degenerate-text curation signal;
       // shuffle-free, integer micro-unit ratio (cross-engine rule)
@@ -1687,6 +1696,17 @@ object SparkEntry {
          |  ELSE 'test' END AS split,
          |  CAST(count(*) AS BIGINT) AS n
          |FROM documents GROUP BY 1 ORDER BY split""".stripMargin,
+
+    // same integer-space comparison: hash bucket as BIGINT vs
+    // floor(weight * 2^32) of the identical IEEE product
+    "t_weighted" ->
+      """SELECT doc_id FROM documents
+        |WHERE CAST(('0x' || substr(md5('graft:' ||
+        |    CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |  < CAST(floor(least(greatest(
+        |      CAST(len(text) AS DOUBLE) / 1000.0, 0.0), 1.0)
+        |      * 4294967296.0) AS BIGINT)
+        |ORDER BY doc_id""".stripMargin,
 
     // duplicated-3-gram ratio in exact half-up micro-units (pure
     // integer arithmetic on both engines)

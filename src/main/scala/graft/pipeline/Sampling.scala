@@ -89,6 +89,22 @@ object Sampling {
     df.withColumn("split", labeled)
   }
 
+  /** Keep each row with probability equal to its own `weight` column
+    * (clamped to [0, 1]) — quality-proportional downsampling: good
+    * documents survive at their score, bad ones thin out, and the
+    * decision stays a pure function of (salt, id) like [[sample]].
+    * The comparison runs in integer space (hash bucket as a long vs
+    * `floor(weight * 2^32)`) so both engines evaluate the identical
+    * IEEE product and floor — no hex-literal rounding per row. Still
+    * one shuffle-free pushable filter. */
+  def weighted(df: DataFrame, weightCol: String,
+      idCol: String = "doc_id", salt: String = "graft"): DataFrame = {
+    val w = least(greatest(col(weightCol).cast("double"), lit(0.0)),
+      lit(1.0))
+    val bucket = conv(hashBucket(col(idCol), salt), 16, 10).cast("long")
+    df.where(bucket < floor(w * lit(4294967296.0)).cast("long"))
+  }
+
   /** Pack documents into ~`budget`-token shards — training-batch /
     * shard construction (documents are never split; a shard holds the
     * docs whose cumulative token count starts inside its budget

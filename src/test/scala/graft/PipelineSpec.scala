@@ -270,6 +270,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin [label"))
   }
 
+  test("weighted sampling: 0 keeps none, 1 keeps all, monotone per id") {
+    val docs = (1L to 200L).map(i => (i, "d")).toDF("doc_id", "text")
+    def kept(w: Double) = Sampling.weighted(
+      docs.withColumn("w", lit(w)), "w").collect()
+      .map(_.getLong(0)).toSet
+    assert(kept(0.0).isEmpty && kept(1.0).size == 200)
+    val half = kept(0.5)
+    assert(half.size > 60 && half.size < 140) // uniform-ish
+    // raising the weight can only ADD ids (same hash, higher cutoff)
+    assert(half.subsetOf(kept(0.8)))
+    // clamping: out-of-range weights behave as 0/1
+    assert(kept(-3.0).isEmpty && kept(7.0).size == 200)
+  }
+
   test("repetition features: loops score high, unique text zero") {
     val docs = Seq(
       (1L, "spam spam spam spam spam spam"),      // one distinct 3-gram
