@@ -161,6 +161,54 @@ class StreamingIngestSpec extends AnyFunSuite {
     assert(key(served) == key(bare) && served.count() > 0)
   }
 
+  test("watermarked windowed aggregation equals the batch base tier") {
+    // the canonical Structured-Streaming shape (event-time window +
+    // watermark, append mode): 60 s windows over the message stream
+    // must finalize to exactly the batch tier's buckets — the
+    // streaming counterpart of StatTiers.base for engines that want
+    // push-based tiers instead of the foreachBatch partials
+    val base = Files.createTempDirectory("graft-winagg").toString
+    val in = s"$base/in"; val out = s"$base/out"; val cp = s"$base/cp"
+    val rows = Seq(
+      ("p0", "click", 10L * 1000000000L, 1L, 1.0),
+      ("p0", "click", 20L * 1000000000L, 2L, 3.0),
+      ("p0", "click", 70L * 1000000000L, 3L, 5.0),
+      ("p1", "view", 75L * 1000000000L, 4L, 7.0),
+      // watermark pusher so the windows above finalize
+      ("p9", "noise", 4000L * 1000000000L, 9L, 0.0)
+    ).toDF("producer", "topic", "time", "seq", "value")
+    rows.write.parquet(in)
+    val stream = spark.readStream.schema(rows.schema).parquet(in)
+      .withColumn("ts", timestamp_micros(expr("time div 1000")))
+      .withWatermark("ts", "10 seconds")
+    val agg = stream
+      .groupBy(col("producer"), col("topic"),
+        window(col("ts"), "60 seconds").as("w"))
+      .agg(count(lit(1)).as("msg_count"), min("value").as("num_min"),
+        max("value").as("num_max"))
+      .select(col("producer"), col("topic"),
+        (unix_timestamp(col("w.start")) * 1000000000L).as("bucket_ns"),
+        col("msg_count"), col("num_min"), col("num_max"))
+    agg.writeStream.format("parquet")
+      .option("checkpointLocation", cp).option("path", out)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination(120000)
+
+    val got = spark.read.parquet(out)
+      .where(col("producer") =!= "p9")
+      .select("producer", "topic", "bucket_ns", "msg_count",
+        "num_min", "num_max")
+      .collect().map(_.toSeq).toSet
+    val want = graft.stats.StatTiers.base(
+        rows.where(col("producer") =!= "p9"), 60L * 1000000000L)
+      .select(col("producer"), col("topic"),
+        (col("bucket") * col("width_ns")).as("bucket_ns"),
+        col("msg_count"), col("num_min"), col("num_max"))
+      .collect().map(_.toSeq).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("range deletes and truncation masks") {
     val msgs = Seq(
       ("p0", "t", 100L, 1L), ("p0", "t", 200L, 2L), ("p0", "t", 300L, 3L),
