@@ -489,6 +489,16 @@ object SparkEntry {
         threshold = 0.3, cellCol = Some("label"))
         .orderBy("id_a", "id_b")),
 
+    "d_srp_neardup" -> ((s, dir) =>
+      // quantizer-free embedding LSH: 32 sign-random-projection bits
+      // (deterministic md5-parity Rademacher planes) in 4 bands of 8,
+      // bucket cap wired at entry (the quadratic guard), exact-cosine
+      // filter on survivors
+      Similarity.srpCandidatePairs(Tables.load(s, dir, "embeddings"),
+        dims = 64, nBits = 32, bands = 4, threshold = 0.3,
+        maxBucket = 600)
+        .orderBy("id_a", "id_b")),
+
     // --- similarity search ----------------------------------------------
     "s_topk_brute" -> ((s, dir) =>
       Similarity.bruteForceTopK(Tables.load(s, dir, "embeddings"),
@@ -1370,6 +1380,54 @@ object SparkEntry {
         |FROM dots
         |JOIN norms na ON na.vec_id = id_a
         |JOIN norms nb ON nb.vec_id = id_b
+        |WHERE round(dot / (sqrt(na.nn) * sqrt(nb.nn)), 6) >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // SRP planes derived identically: Rademacher weight = parity of
+    // the LAST md5 hex digit of 'graft:<plane>:<dim>' (the low bit of
+    // byte 15 — exactly Similarity.srpPlanes)
+    "d_srp_neardup" ->
+      """WITH planes AS (
+        |  SELECT p, d,
+        |    CASE WHEN CAST(('0x' || substr(md5('graft:' ||
+        |        CAST(p AS VARCHAR) || ':' || CAST(d AS VARCHAR)),
+        |        32, 1)) AS INT) % 2 = 0
+        |      THEN 1.0 ELSE -1.0 END AS w
+        |  FROM (SELECT unnest(generate_series(0, 31)) AS p),
+        |       (SELECT unnest(generate_series(0, 63)) AS d)),
+        | e AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        | bits AS (
+        |  SELECT e.vec_id, pl.p,
+        |    CASE WHEN sum(e.x * pl.w) >= 0 THEN '1' ELSE '0' END AS bit
+        |  FROM e JOIN planes pl ON pl.d = e.d GROUP BY 1, 2),
+        | sig AS (
+        |  SELECT vec_id, string_agg(bit, '' ORDER BY p) AS srp
+        |  FROM bits GROUP BY vec_id),
+        | bk0 AS (
+        |  SELECT vec_id, CAST(b AS VARCHAR) || '#' ||
+        |    substr(srp, b * 8 + 1, 8) AS bkt
+        |  FROM sig, (SELECT unnest(generate_series(0, 3)) AS b)),
+        | bk AS (SELECT * FROM bk0 WHERE bkt IN (
+        |  SELECT bkt FROM bk0 GROUP BY bkt HAVING count(*) <= 600)),
+        | cand AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+        |  FROM bk a JOIN bk b2 ON a.bkt = b2.bkt
+        |    AND a.vec_id < b2.vec_id),
+        | norms AS (SELECT vec_id, sum(x * x) AS nn FROM e GROUP BY 1),
+        | dots AS (
+        |  SELECT c.id_a, c.id_b, sum(ea.x * eb.x) AS dot
+        |  FROM cand c
+        |  JOIN e ea ON ea.vec_id = c.id_a
+        |  JOIN e eb ON eb.vec_id = c.id_b AND eb.d = ea.d
+        |  GROUP BY 1, 2)
+        |SELECT d.id_a, d.id_b,
+        |  round(dot / (sqrt(na.nn) * sqrt(nb.nn)), 6) AS cos_sim
+        |FROM dots d
+        |JOIN norms na ON na.vec_id = d.id_a
+        |JOIN norms nb ON nb.vec_id = d.id_b
         |WHERE round(dot / (sqrt(na.nn) * sqrt(nb.nn)), 6) >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
 

@@ -294,6 +294,89 @@ object Similarity {
           .cast("long").as("mean_mu"))
       .withColumn("mean", col("mean_mu").cast("double") / lit(1000000.0))
 
+  /** Deterministic Rademacher (±1) hyperplane components for
+    * sign-random-projection LSH: component (plane, dim) is the low bit
+    * of md5("salt:plane:dim") — reproducible on any engine/run, and
+    * exposed so SQL oracles can embed the IDENTICAL literals (the
+    * hexCutoff discipline). */
+  def srpPlanes(nBits: Int, dims: Int, salt: String = "graft")
+      : Seq[Seq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until nBits).map { p =>
+      (0 until dims).map { d =>
+        val h = md.digest(s"$salt:$p:$d".getBytes("UTF-8"))
+        if ((h(15) & 1) == 0) 1.0 else -1.0
+      }
+    }
+  }
+
+  /** Sign-random-projection signature: bit i = (dot(v, plane_i) >= 0),
+    * as a '0'/'1' string (bit 0 first — the simhash convention, so the
+    * same banding machinery applies). Planes ride as broadcast
+    * literals; each bit is one codegen'd [[dot]] — shuffle-free. */
+  def srpSignature(emb: DataFrame, planes: Seq[Seq[Double]],
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    require(planes.nonEmpty, "need at least one plane")
+    val bits = planes.map { pl =>
+      when(dot(col(vecCol), lit(pl.toArray)) >= 0, lit("1"))
+        .otherwise(lit("0"))
+    }
+    emb.select(col(idCol), concat(bits: _*).as("srp"))
+  }
+
+  /** SRP-LSH near-duplicate candidate pairs over embeddings — the
+    * quantizer-free alternative to IVF cells: band the signature,
+    * bucket-join, exact-cosine filter at `threshold`. Candidate recall
+    * follows the SRP property (P[bit collision] = 1 - angle/pi), so
+    * BAND WIDTH must be calibrated to the threshold: at cos 0.3
+    * (p ~ 0.6/bit) 8-bit bands recall ~6% while 2-bit bands recall
+    * ~99.9% at correspondingly larger candidate volume (both measured,
+    * PipelineSpec); banding trades recall for candidates exactly as in
+    * [[graft.pipeline.Dedup.simhashPairs]], and `maxBucket` guards the
+    * quadratic blowup the same way. 100 TB shape: one row per
+    * (vec, band) — never vecs² — and embeddings are only touched again
+    * for the exact filter on surviving candidates. */
+  def srpCandidatePairs(emb: DataFrame, dims: Int, nBits: Int,
+      bands: Int, threshold: Double, maxBucket: Int = Int.MaxValue,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      salt: String = "graft"): DataFrame = {
+    require(nBits % bands == 0, "bands must divide nBits")
+    require(dims >= 1, "dims >= 1") // explicit: probing the frame for
+    // the dimension would be a driver-side action in an operator path
+    val w = nBits / bands
+    val sig = srpSignature(emb, srpPlanes(nBits, dims, salt), idCol,
+      vecCol)
+    val buckets0 = sig.select(col(idCol).as("_id"),
+      explode(array((0 until bands).map(b => concat_ws("#",
+        lit(b.toString),
+        expr(s"substr(srp, ${b * w + 1}, $w)"))): _*)).as("bkt"))
+    val buckets =
+      if (maxBucket == Int.MaxValue) buckets0
+      else {
+        require(maxBucket >= 2, s"maxBucket must be >= 2 (got $maxBucket)")
+        val hot = buckets0.groupBy(col("bkt"))
+          .agg(count(lit(1)).as("_n")).where(col("_n") > maxBucket)
+          .select("bkt")
+        buckets0.join(broadcast(hot), Seq("bkt"), "left_anti")
+      }
+    val cand = buckets.as("a")
+      .join(buckets.as("b"), col("a.bkt") === col("b.bkt")
+        && col("a._id") < col("b._id"))
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
+      .distinct()
+    val n = withNorm(emb, vecCol)
+    cand
+      .join(n.select(col(idCol).as("id_a"), col(vecCol).as("_va"),
+        col("_nrm").as("_na")), "id_a")
+      .join(n.select(col(idCol).as("id_b"), col(vecCol).as("_vb"),
+        col("_nrm").as("_nb")), "id_b")
+      .withColumn("cos_sim",
+        round(dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")), 6))
+      .where(col("cos_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos_sim"))
+  }
+
   /** All near-duplicate pairs by embedding cosine ≥ threshold.
     * Exact O(n²/cells) via coarse-cell pruning; pass cellCol = None
     * for the unconstrained exact variant. */

@@ -242,6 +242,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(!batch.exists { case (q, v, _) => q == 0L && v >= 3L })
   }
 
+  test("srp-lsh: deterministic planes, candidates subset of exact, " +
+      "useful recall") {
+    val emb = spark.read.parquet(
+      "/root/testdata/sf0.001/embeddings.parquet")
+    assert(Similarity.srpPlanes(4, 8) == Similarity.srpPlanes(4, 8))
+    assert(Similarity.srpPlanes(4, 8).flatten.toSet == Set(1.0, -1.0))
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.cosineNearDupPairs(emb, 0.3, None)
+      .select("id_a", "id_b"))
+    val srp4 = pairs(Similarity.srpCandidatePairs(emb, dims = 64,
+      nBits = 32, bands = 4, threshold = 0.3).select("id_a", "id_b"))
+    assert(srp4.subsetOf(exact)) // exact filter: no false positives
+    // recall follows SRP theory, p = 1 - angle/pi per bit: at cos 0.3
+    // (p ~ 0.6) 8-bit bands recall ~6% while 2-bit bands recall
+    // ~99.9% — band width is the knob, which the widths must show
+    val srp16 = pairs(Similarity.srpCandidatePairs(emb, dims = 64,
+      nBits = 32, bands = 16, threshold = 0.3).select("id_a", "id_b"))
+    assert(srp16.subsetOf(exact))
+    assert(srp4.subsetOf(srp16)) // narrower bands never lose pairs
+    assert(srp16.size >= (exact.size * 9) / 10,
+      s"srp16 ${srp16.size} vs exact ${exact.size}")
+  }
+
   test("probed ivf: all-cells probe equals brute force, recall " +
       "grows with nprobe") {
     val emb = spark.read.parquet(
