@@ -264,6 +264,48 @@ class StatFilterSpec extends AnyFunSuite {
       msgs.queryExecution.analyzed))
   }
 
+  test("property: no false negatives on random corpora and probes") {
+    // the contract everything rests on: a bucket containing a row that
+    // satisfies the predicate must survive the filter — for random
+    // words, random bucket layouts, and every checkable operator
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val params = Gen.Parameters.default
+    var seed = Seed(20260818L)
+    val word = Gen.oneOf("ab", "cd", "ef", "gh", "ij", "kl")
+    val genCase = for {
+      n <- Gen.choose(4, 24)
+      rows <- Gen.listOfN(n, for {
+        b <- Gen.choose(0L, 3L) // bucket
+        w <- word
+        v <- Gen.choose(-5.0, 5.0)
+      } yield (b, w, v))
+      probe <- word
+      op <- Gen.oneOf(Eq, Lt, Gt, Lte, Gte)
+    } yield (rows, probe, op)
+    for (c <- 1 to 30) {
+      val (rows, probe, op) = genCase.pureApply(params, seed)
+      seed = seed.next
+      val df = rows.zipWithIndex.map { case ((b, w, v), i) =>
+        ("p", "t", b * W + i, i.toLong, v, w)
+      }.toDF("producer", "topic", "time", "seq", "value", "props")
+      val tier = StatTiers.baseFields(df, W, Seq("value"), Seq("props"))
+      val pred = Cmp("/t", "props", op, StrLit(probe))
+      val surviving = StatFilter.qualifyingBuckets(tier, pred)
+        .select("bucket").collect().map(_.getLong(0)).toSet
+      val matching = rows.filter { case (_, w, _) =>
+        op match {
+          case Eq => w == probe; case Lt => w < probe
+          case Gt => w > probe; case Lte => w <= probe
+          case Gte => w >= probe; case _ => false
+        }
+      }.map(_._1).toSet
+      assert(matching.subsetOf(surviving),
+        s"case $c: op=$op probe=$probe rows=$rows " +
+          s"missing=${matching.diff(surviving)}")
+    }
+  }
+
   test("rollup signature equals direct coarse signature") {
     // associativity: OR-merging 60 s signatures into 1 h equals
     // computing the 1 h signature from raw text
