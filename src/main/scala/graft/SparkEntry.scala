@@ -455,6 +455,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "d_dedup_corpus" -> ((s, dir) => {
+      // the composed near-dup dedup verb: pairs -> components -> keep
+      // canonical copies only (cluster == own id)
+      val (kept, _) = Curate.dedupNearDup(
+        Tables.load(s, dir, "documents"), k = 3, threshold = 0.5,
+        maxDf = ShingleMaxDf)
+      kept.select("doc_id").orderBy("doc_id")
+    }),
+
     "d_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshCandidates(Tables.load(s, dir, "documents"),
         k = 3, numHashes = 8, bands = 4, maxDf = ShingleMaxDf)
@@ -1289,6 +1298,37 @@ object SparkEntry {
          |  least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS cluster
          |FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
          |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+
+    // same reachability CTE as d_dedup_clusters, filtered to the docs
+    // whose min-reachable id is themselves (the canonical copies)
+    "d_dedup_corpus" ->
+      s"""$SHINGLES,
+         | sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         | inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         | pairs AS (
+         |  SELECT id_a, id_b FROM inter
+         |  JOIN sizes sa ON sa.doc_id = id_a
+         |  JOIN sizes sb ON sb.doc_id = id_b
+         |  WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= 0.5),
+         | edges AS (
+         |  SELECT id_a AS a, id_b AS b FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         | reach AS (
+         |  WITH RECURSIVE r(src, dst) AS (
+         |    SELECT a, b FROM edges
+         |    UNION
+         |    SELECT r.src, e.b FROM r JOIN edges e ON r.dst = e.a)
+         |  SELECT * FROM r),
+         | lab AS (
+         |  SELECT d.doc_id,
+         |    least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS cluster
+         |  FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+         |  GROUP BY d.doc_id)
+         |SELECT doc_id FROM lab WHERE cluster = doc_id
+         |ORDER BY doc_id""".stripMargin,
 
     "d_minhash_lsh" -> {
       val hs = (0 until 8)

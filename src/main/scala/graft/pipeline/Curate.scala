@@ -62,4 +62,28 @@ object Curate {
       .drop("_fp", "_keep")
     Sampling.stratified(deduped, strataCol, rates, default, idCol)
   }
+
+  /** One-call NEAR-duplicate corpus dedup: exact shingle-Jaccard pairs
+    * at `threshold` → connected components → keep only each cluster's
+    * canonical (minimum-id) copy. The fuzzy companion to [[curate]]'s
+    * exact fingerprint dedup — paraphrased boilerplate and
+    * near-identical scrapes collapse to one representative.
+    *
+    * Pin lifetimes: the pair pipeline's shingle blocks are released
+    * HERE (the BSP loop inside clusters runs eagerly, so the pairs are
+    * fully consumed by the time it returns); the returned frame reads
+    * the final label cache, whose handle the caller owns — consume,
+    * then `release()` (the [[Dedup.clustersOwned]] contract). */
+  def dedupNearDup(docs: DataFrame, k: Int, threshold: Double,
+      maxDf: Int = Int.MaxValue, idCol: String = "doc_id",
+      textCol: String = "text"): (DataFrame, Dedup.PinHandle) = {
+    val (pairs, pairsPin) = Dedup.jaccardPairsOwned(docs, k, threshold,
+      idCol, textCol, maxDf = maxDf)
+    val (labels, labelsPin) = Dedup.clustersOwned(
+      docs.select(col(idCol)), pairs, idCol)
+    pairsPin.release() // consumed by the eager BSP loop above
+    val canonical = labels.where(col(idCol) === col("cluster"))
+      .select(col(idCol))
+    (docs.join(canonical, Seq(idCol), "left_semi"), labelsPin)
+  }
 }

@@ -361,6 +361,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == Set(0L))
   }
 
+  test("dedupNearDup keeps one canonical copy per near-dup cluster " +
+      "and releases every pin through its handle") {
+    // sweep first: earlier tests may leave pins legitimately (the
+    // non-Owned variants' contract is caller-sweeps)
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpus = Seq(
+      (1L, base), (2L, base + " iota"),     // near-dups: keep 1
+      (5L, "completely different words entirely unrelated content"),
+      (7L, base + " kappa")                 // also joins cluster 1
+    ).toDF("doc_id", "text")
+    val (kept, handle) = Curate.dedupNearDup(corpus, k = 3,
+      threshold = 0.4)
+    val ids = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 5L))
+    handle.release()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "dedupNearDup must not leak pinned blocks past its handle")
+  }
+
   test("curate: repetition gate drops degenerate loops") {
     val body = (1 to 30).map(i => s"w$i").mkString(" ")
     val loop = (("x y z ") * 12).trim // 36 tokens, 1 distinct 3-gram run
