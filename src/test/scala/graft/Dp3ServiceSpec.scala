@@ -161,6 +161,47 @@ class Dp3ServiceSpec extends AnyFunSuite {
     assert(svc.statRange(spark, 3600L * 1000000000L).count() == 0)
   }
 
+  test("statfilter-pruned scans compose as merge children with the " +
+      "stream order intact") {
+    import spark.implicits._
+    import graft.stats.StatTiers
+    val base = java.nio.file.Files.createTempDirectory("graft-statm")
+      .toString
+    val rows = Seq(
+      ("p0", "click", 10L * 1000000000L, 1L, 1.0),
+      ("p0", "view", 15L * 1000000000L, 2L, 9.0),
+      ("p0", "click", 70L * 1000000000L, 3L, 4.0),
+      ("p0", "view", 75L * 1000000000L, 4L, 9.0))
+      .toDF("producer", "topic", "time", "seq", "value")
+      .withColumn("ingest_version", lit(1L))
+    rows.write.parquet(s"$base/data")
+    StatTiers.base(rows, StatTiers.BaseWidthNs)
+      .withColumn("ingest_version", lit(1L))
+      .write.parquet(s"$base/stats")
+    Seq(("p0", "click", 1L, 1000L), ("p0", "view", 1L, 1000L))
+      .toDF("producer", "topic", "ingest_version", "ingest_time_ns")
+      .write.parquet(s"$base/control")
+    val cat = new graft.model.IngestedCatalog(
+      s"$base/data", s"$base/stats", s"$base/control")
+    val stored = new Dp3Service(cat, s => cat.messages(s),
+      Some(graft.api.IngestStore(cat)))
+    val bare = new Dp3Service(cat, s => cat.messages(s))
+    // where binds to click only: the click scan prunes to its one
+    // qualifying bucket; the view scan is untouched; the merged stream
+    // keeps global time order
+    val ql = "from p0 click, view where click.value > 3;"
+    val got = stored.query(spark, ql)
+      .select("topic", "time").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == bare.query(spark, ql)
+      .select("topic", "time").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq)
+    assert(got == Seq(("view", 15L * 1000000000L),
+      ("click", 70L * 1000000000L), ("view", 75L * 1000000000L)))
+    assert(stored.query(spark, ql).queryExecution.executedPlan
+      .toString.contains("LeftSemi"))
+  }
+
   test("store-backed statfilter prunes QL scans to qualifying buckets") {
     import spark.implicits._
     import graft.stats.StatTiers
