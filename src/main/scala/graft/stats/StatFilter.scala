@@ -36,7 +36,8 @@ object StatFilter {
 
   /** Compile a per-alias where Expr to a bucket keep/drop predicate
     * against a per-field tier's columns ([[StatTiers.baseFields]]
-    * naming: `field__min/max` numeric, `field__tmin/tmax/trgm` text). */
+    * naming: `field__min/max` numeric, `field__tmin/tmax` +
+    * `field__trgm0/1` signature words for text). */
   def compile(tier: DataFrame, e: Expr): Column = {
     val cols = tier.columns.toSet
     def go(e: Expr): Column = e match {
