@@ -47,9 +47,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Dp3Http {
   /** Ingest layout the /import route appends to (data + stat partials
-    * + control table — the startWithStats directory triple). */
+    * + control table — the startWithStats directory triple).
+    * `fieldStats` mirrors `Ingest.startWithStats`: a store maintaining
+    * per-field partials must configure it here too, or imported
+    * versions break the stats tier's coverage and scan pruning turns
+    * off (exact but unpruned). */
   final case class ImportTarget(dataDir: String, statsDir: String,
-      controlDir: String)
+      controlDir: String,
+      fieldStats: Option[(String, Seq[String], Seq[String])] = None)
 }
 
 final class Dp3Http(svc: Dp3Service, spark: SparkSession,
@@ -257,7 +262,8 @@ final class Dp3Http(svc: Dp3Service, spark: SparkSession,
           val v = graft.streaming.Ingest.importMcap(spark,
             strField(body, "producer").getOrElse(""),
             strField(body, "path").getOrElse(""),
-            target.dataDir, target.statsDir, target.controlDir)
+            target.dataDir, target.statsDir, target.controlDir,
+            target.fieldStats)
           respond(ex, 200, "application/json",
             s"""{"version":$v}""".getBytes(UTF_8))
 

@@ -132,6 +132,8 @@ final class Dp3Service(underlying: MessageCatalog,
     * tier's `value` min/max is adapted. Version masks apply either way
     * so truncated batches stop vouching for their buckets. */
   private def statSource: Option[Planner.StatSource] = store.map { st =>
+    val partialsOf: SparkSession => DataFrame =
+      st.fieldStats.getOrElse(st.stats)
     Planner.StatSource(
       st.fieldStats match {
         case Some(fs) => s => maskVersions(fs(s))
@@ -140,7 +142,33 @@ final class Dp3Service(underlying: MessageCatalog,
           col("num_min").as("value__min"),
           col("num_max").as("value__max"))
       },
-      StatTiers.BaseWidthNs)
+      StatTiers.BaseWidthNs,
+      // StatSource's coverage contract, verified rather than assumed:
+      // the tier vouches for a scan only if EVERY unmasked ingest
+      // version that wrote data also wrote partials into THIS stats
+      // table. That breaks in reachable ways — fieldStats enabled on a
+      // store with pre-existing versions, or an /import that appends a
+      // version without per-field partials — and a tier missing a
+      // version would prune buckets containing that version's rows
+      // (the reference keeps chunks with missing stats; so must we).
+      // The check compares (producer, topic, ingest_version) triples
+      // of the control table against the stats table — two
+      // kilobyte-scale reads, once per statement (the Planner samples
+      // the witness once per instance). Unprovable (no version column,
+      // unreadable table) => false => pruning off, results exact.
+      coverage = s => {
+        val ctl = maskVersions(st.control(s))
+        val parts = maskVersions(partialsOf(s))
+        val key = Seq("producer", "topic", "ingest_version")
+        key.forall(ctl.columns.contains) &&
+          key.forall(parts.columns.contains) && {
+            import org.apache.spark.sql.functions.broadcast
+            ctl.select(key.map(col): _*)
+              .join(broadcast(parts.select(key.map(col): _*).distinct()),
+                key, "left_anti")
+              .isEmpty
+          }
+      })
   }
 
   /** Envelope columns a skeleton query keeps — everything else is

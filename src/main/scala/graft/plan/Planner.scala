@@ -30,6 +30,24 @@ import graft.ql._
 final class Planner(catalog: MessageCatalog,
     stats: Option[Planner.StatSource] = None) extends Serializable {
 
+  /** The stat source's coverage witness, sampled once per Planner (the
+    * service builds a fresh Planner per statement, so this is once per
+    * query; a long-lived Planner samples at its first pruned scan —
+    * sound for append-only stores, where proven coverage only grows as
+    * long as every later version writes its partials too). Pruning
+    * with an unproven tier silently drops rows (see
+    * [[Planner.StatSource]]'s coverage contract), so an exception from
+    * the witness reads as "cannot prove" — pruning stays off. */
+  @transient private var statCoverage: Option[Boolean] = None
+  private def coverageOk(spark: SparkSession,
+      src: Planner.StatSource): Boolean = synchronized {
+    statCoverage.getOrElse {
+      val ok = try src.coverage(spark) catch { case _: Exception => false }
+      statCoverage = Some(ok)
+      ok
+    }
+  }
+
   def plan(spark: SparkSession, input: String): DataFrame =
     Parser.parse(input) match {
       case q: Query => plan(spark, q)
@@ -241,9 +259,16 @@ final class Planner(catalog: MessageCatalog,
       // filter above still applies; the statfilter only proves
       // absences, so an over-approximation (e.g. stale stats for
       // truncated versions) costs nothing but unpruned reads.
+      // ... and only when the tier provably covers every unmasked row
+      // (StatSource's coverage contract): a tier missing any ingest
+      // version's partials would prune buckets it never accounted for,
+      // silently dropping rows — the reference keeps chunks with
+      // missing stats (ErrNoStatsFound => keep), and so do we, by
+      // turning pruning off entirely when coverage can't be proven.
       stats.foreach { src =>
         val tier = src.tier(spark)
-        if (graft.stats.StatFilter.prunable(tier.columns.toSet, pred))
+        if (graft.stats.StatFilter.prunable(tier.columns.toSet, pred)
+            && coverageOk(spark, src))
           df = graft.stats.StatFilter.pruneScan(df, tier, pred,
             src.widthNs)
       }
@@ -340,9 +365,25 @@ object Planner {
     * `field__min/max` (numeric) / `field__tmin/tmax/trgm*` (text)
     * columns at bucket width `widthNs` — append-only partials are fine
     * (a bucket qualifies if ANY of its partials might match, which is
-    * exactly how the row-level OR evaluates). */
+    * exactly how the row-level OR evaluates).
+    *
+    * COVERAGE CONTRACT: pruning is only sound when the tier vouches for
+    * EVERY row the scan can see — a bucket with data but no tier row
+    * (or a tier row merged from only SOME of the bucket's ingest
+    * versions) would be pruned as provably empty when it is merely
+    * unaccounted for, silently dropping rows. The reference never does
+    * this: missing statistics keep the chunk (ErrNoStatsFound => keep,
+    * server/executor/statfilter.go). `coverage` is the witness the
+    * planner consults before pruning — return true only when every
+    * unmasked data version has stat partials in this tier (Dp3Service
+    * verifies this against its control table; see its statSource). The
+    * default asserts coverage, which is correct for tiers derived from
+    * the very frame being scanned, but a PARTIAL tier supplied here
+    * with the default witness corrupts results — callers who cannot
+    * prove coverage must pass `_ => false` (pruning off). */
   final case class StatSource(tier: org.apache.spark.sql.SparkSession
-      => org.apache.spark.sql.DataFrame, widthNs: Long)
+      => org.apache.spark.sql.DataFrame, widthNs: Long,
+      coverage: org.apache.spark.sql.SparkSession => Boolean = _ => true)
 
   private[plan] def flattenMerge(sel: Select): Seq[Select] = sel match {
     case MergeSel(l, r) => flattenMerge(l) ++ flattenMerge(r)

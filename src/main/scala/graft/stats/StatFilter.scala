@@ -177,6 +177,18 @@ object StatFilter {
     * returns UNCHANGED; clustered (few ranges) → both prunes apply;
     * nothing qualifies → provably empty.
     *
+    * COVERAGE CONTRACT: the tier must vouch for EVERY row in `scan` —
+    * both layers treat "no qualifying tier row" as "provably empty",
+    * so a bucket with data but no tier row (or a tier row merged from
+    * only some of the bucket's ingest versions) is silently dropped: a
+    * false negative the reference never produces (missing stats keep
+    * the chunk, ErrNoStatsFound => keep). Callers who cannot prove the
+    * tier covers every unmasked version must not call this at all —
+    * the planner consults [[graft.plan.Planner.StatSource]]'s
+    * `coverage` witness and skips pruning when coverage is unproven
+    * (Dp3Service verifies control-table versions against the stats
+    * table before letting a scan prune).
+    *
     * The tier plan executes twice here (range collect + broadcast
     * build). In a real deployment the tier is a STORED summary table
     * written at ingest (the reference's nodestore statistics), so both

@@ -139,9 +139,16 @@ object Ingest {
     * ingest version (data + stat partials + control row). The version
     * is the control table's max + 1 — the same monotonic counter the
     * streaming path keeps via batchId, resolved from the kilobyte-scale
-    * control table, not a data scan. Returns the version written. */
+    * control table, not a data scan. Returns the version written.
+    * `fieldStats` mirrors `startWithStats`: a store maintaining
+    * per-field partials must pass the same triple here, or the imported
+    * version lacks field partials and the statfilter's coverage check
+    * (Dp3Service.statSource) turns scan pruning off store-wide — still
+    * exact, just unpruned — until stats catch up. */
   def importMcap(spark: SparkSession, producer: String, path: String,
-      outDir: String, statsDir: String, controlDir: String): Long = {
+      outDir: String, statsDir: String, controlDir: String,
+      fieldStats: Option[(String, Seq[String], Seq[String])] = None)
+      : Long = {
     require(producer.nonEmpty, "missing producer")
     require(path.nonEmpty, "missing path")
     val version = 1L + (try {
@@ -162,7 +169,8 @@ object Ingest {
     val batch =
       if (loaded.columns.contains("value")) loaded
       else loaded.withColumn("value", lit(null).cast("double"))
-    appendVersion(batch, version, outDir, statsDir, Some(controlDir))
+    appendVersion(batch, version, outDir, statsDir, Some(controlDir),
+      fieldStats)
     version
   }
 

@@ -252,6 +252,54 @@ class Dp3ServiceSpec extends AnyFunSuite {
     assert(untouched.count() == 3)
   }
 
+  test("statfilter pruning turns off when the tier does not cover " +
+      "every ingest version") {
+    import spark.implicits._
+    import graft.stats.StatTiers
+    val base = java.nio.file.Files.createTempDirectory("graft-statc")
+      .toString
+    // version 2 wrote data but NO stat partials (stats enabled late, or
+    // an import that skipped them): its bucket is absent from the tier,
+    // and pruning against an under-covering tier would drop v2's rows
+    // as "provably empty" — a false negative the reference never
+    // produces (missing stats keep the chunk). The coverage witness
+    // must detect the gap and keep the scan unpruned.
+    val v1 = Seq(("p0", "click", 10L * 1000000000L, 1L, 1.0),
+      ("p0", "click", 20L * 1000000000L, 2L, 2.0))
+      .toDF("producer", "topic", "time", "seq", "value")
+    val v2 = Seq(("p0", "click", 70L * 1000000000L, 3L, 4.0))
+      .toDF("producer", "topic", "time", "seq", "value")
+    def ver(df: org.apache.spark.sql.DataFrame, v: Long) =
+      df.withColumn("ingest_version", lit(v))
+    ver(v1, 1).union(ver(v2, 2)).write.parquet(s"$base/data")
+    StatTiers.base(v1, StatTiers.BaseWidthNs)
+      .withColumn("ingest_version", lit(1L))
+      .write.parquet(s"$base/stats") // v2's partials missing on purpose
+    Seq(("p0", "click", 1L, 1000L), ("p0", "click", 2L, 2000L))
+      .toDF("producer", "topic", "ingest_version", "ingest_time_ns")
+      .write.parquet(s"$base/control")
+
+    val cat = new graft.model.IngestedCatalog(
+      s"$base/data", s"$base/stats", s"$base/control")
+    val stored = new Dp3Service(cat, s => cat.messages(s),
+      Some(graft.api.IngestStore(cat)))
+
+    // the only matching row (value 4.0) lives in the uncovered version:
+    // it must surface, and the plan must NOT carry the bucket semi-join
+    val got = stored.query(spark, "from p0 click where click.value > 3;")
+    assert(got.count() == 1)
+    assert(!got.queryExecution.executedPlan.toString.contains("LeftSemi"))
+
+    // truncating the uncovered version restores coverage (masks apply
+    // to control and stats alike) — pruning re-engages on a fresh
+    // service and stays exact
+    val after = new Dp3Service(cat, s => cat.messages(s),
+      Some(graft.api.IngestStore(cat)))
+    after.truncate(spark, "truncate p0 click now;")
+    assert(after.query(spark, "from p0 click where click.value > 3;")
+      .count() == 0)
+  }
+
   test("statrange serves per-field records") {
     val bins = svc.statRangeFields(spark, 3600L * 1000000000L,
       numericFields = Seq("value", "k"), textFields = Seq("props"),
