@@ -62,17 +62,22 @@ object StreamingSessionize {
         st = SessState(st.sessionId + 1, 1L, e.time, e.time,
           open = true, Nil)
       } else
-        st = st.copy(nEvents = st.nEvents + 1, endTime = e.time)
+        // max(): late-row dropping keeps finalized rows monotone across
+        // batches, but clamping makes bound regression impossible by
+        // construction
+        st = st.copy(nEvents = st.nEvents + 1,
+          endTime = math.max(st.endTime, e.time))
     }
     (out.result(), st)
   }
 
   /** `lateness` is the out-of-orderness horizon; it bounds state and
     * emission delay. `gapNs` is the session gap in event-time ns.
-    * Returns the append-mode stream of closed sessions — the final
-    * open session of a bounded run stays in state (a live tail never
-    * ends; for drain-and-close semantics stop the stream and read the
-    * batch operator over the stored table). */
+    * Returns the append-mode stream of closed sessions. Keys that go
+    * silent still finalize: an event-time timeout re-invokes the key
+    * once the watermark can close its open session or ripen a buffered
+    * row, so the last session of a dying key emits without requiring
+    * more traffic on that key. */
   def sessions(spark: SparkSession, stream: Dataset[SEvent],
       gapNs: Long, lateness: String = "10 seconds"): Dataset[Session] = {
     import spark.implicits._
@@ -85,13 +90,20 @@ object StreamingSessionize {
       .as[WEvent]
     watermarked.groupByKey(_.e.key)
       .flatMapGroupsWithState[SessState, Session](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (key: String, it: Iterator[WEvent], state: GroupState[SessState]) =>
           val st = state.getOption.getOrElse(
             SessState(0L, 0L, 0L, 0L, open = false, Nil))
           val wmNs = state.getCurrentWatermarkMs() * 1000000L
-          val all = (st.pending ++ it.map(_.e))
-            .sortBy(e => (e.time, e.seq))
+          // Spark does NOT auto-drop late rows for this operator
+          // (unlike windowed aggregations): an incoming row at or below
+          // the watermark is beyond the lateness horizon — its region
+          // already finalized — and must be dropped here, per watermark
+          // semantics, or it would re-enter `ripe` and corrupt the open
+          // session's bounds. Buffered rows are exempt: they were above
+          // the watermark when they arrived.
+          val incoming = it.map(_.e).filter(_.time > wmNs).toList
+          val all = (st.pending ++ incoming).sortBy(e => (e.time, e.seq))
           // finalize rows the watermark guarantees complete; ALSO
           // close the open session once the watermark has passed its
           // end by more than the gap — no in-range event can follow
@@ -106,6 +118,15 @@ object StreamingSessionize {
                 st1.startTime, st1.endTime)), st1.copy(open = false))
             else (Nil, st1)
           state.update(st2.copy(pending = still))
+          // re-arm the wake-up while anything is unfinished: the open
+          // session closes when the watermark passes end + gap, and
+          // `still` (sorted) ripens head-first. Clamp above the current
+          // watermark — Spark requires a future timeout timestamp.
+          val due = (if (st2.open) List(st2.endTime + gapNs) else Nil) ++
+            still.headOption.map(_.time)
+          if (due.nonEmpty)
+            state.setTimeoutTimestamp(math.max(
+              due.min / 1000000L + 1, state.getCurrentWatermarkMs() + 1))
           (closed ++ flushed).iterator
       }
   }

@@ -93,4 +93,68 @@ class StreamingSessionizeSpec extends AnyFunSuite {
         (2L, 1L, 60 * S, 60 * S)))
     } finally q.stop()
   }
+
+  test("rows beyond the lateness horizon are dropped, not allowed to " +
+      "corrupt finalized session bounds") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val mem = MemoryStream[SEvent]
+    val out = StreamingSessionize.sessions(spark, mem.toDS(),
+      gapNs = 30 * S, lateness = "5 seconds")
+    val q = out.writeStream.format("memory")
+      .queryName("sess_drop").outputMode("append").start()
+    try {
+      mem.addData(SEvent("a", 10 * S, 1L), SEvent("a", 20 * S, 2L),
+        SEvent("a", 35 * S, 3L))
+      q.processAllAvailable()
+      mem.addData(SEvent("a", 500 * S, 4L)) // watermark moves to 495s
+      q.processAllAvailable()
+      // 15s is 480s beyond the 5s horizon: watermark semantics say
+      // drop. Without the drop it would re-enter the ripe set, join
+      // session 1, inflate its count, and (pre-clamp) regress its
+      // end_time to 15 — corrupting the later gap decision too.
+      mem.addData(SEvent("a", 15 * S, 5L))
+      q.processAllAvailable()
+      mem.addData(SEvent("a", 900 * S, 6L))
+      q.processAllAvailable()
+
+      // session 1 must close with its true bounds — 3 events ending at
+      // 35s; the dropped row must neither inflate the count (4) nor
+      // regress the end (15)
+      val got = spark.table("sess_drop").as[Session].collect()
+        .filter(_.start_time < 400 * S)
+        .map(s => (s.session_id, s.n_events, s.start_time, s.end_time))
+        .toSet
+      assert(got == Set((1L, 3L, 10 * S, 35 * S)))
+    } finally q.stop()
+  }
+
+  test("a key that goes silent still flushes its last session via the " +
+      "event-time timeout") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val mem = MemoryStream[SEvent]
+    val out = StreamingSessionize.sessions(spark, mem.toDS(),
+      gapNs = 30 * S, lateness = "5 seconds")
+    val q = out.writeStream.format("memory")
+      .queryName("sess_idle").outputMode("append").start()
+    try {
+      mem.addData(SEvent("a", 10 * S, 1L), SEvent("a", 20 * S, 2L))
+      q.processAllAvailable()
+      // only OTHER keys advance the watermark from here on: key a must
+      // still emit its session (NoTimeout never re-invoked silent keys)
+      mem.addData(SEvent("b", 500 * S, 3L))
+      q.processAllAvailable()
+      mem.addData(SEvent("b", 900 * S, 4L))
+      q.processAllAvailable()
+
+      val aSessions = spark.table("sess_idle").as[Session].collect()
+        .filter(_.key == "a")
+        .map(s => (s.session_id, s.n_events, s.start_time, s.end_time))
+        .toSet
+      assert(aSessions == Set((1L, 2L, 10 * S, 20 * S)))
+    } finally q.stop()
+  }
 }
