@@ -1021,28 +1021,42 @@ object SparkEntry {
 
     // trigram statfilter: DuckDB rebuilds the 96-bit signature from the
     // same padded char trigrams and md5-prefix bits, then applies the
-    // same containment + min/max survival rule
+    // same containment + min/max survival rule. The len(props) > 0
+    // guard mirrors Trigram.trigramsOf exactly: empty text yields NO
+    // trigrams on the Spark side, while DuckDB's generate_series over
+    // the 3-char pad would emit one all-space trigram for it. tmin/tmax
+    // stay aggregated over ALL rows (min/max skip nothing but nulls on
+    // both engines), so buckets mixing empty and non-empty props keep
+    // their true text bounds.
     "q_stats_trgm" ->
       s"""$MSGS,
          | tg AS (
-         |  SELECT producer, topic, time_us // 3600000000 AS b, props,
+         |  SELECT producer, topic, time_us // 3600000000 AS b,
          |    CAST(('0x' || substring(md5(trg),1,8)) AS BIGINT) % 96
          |      AS bit
-         |  FROM (SELECT producer, topic, time_us, props,
+         |  FROM (SELECT producer, topic, time_us,
          |    unnest(list_transform(
          |      generate_series(1, len('  ' || props || ' ') - 2),
          |      i -> substring('  ' || props || ' ', i, 3))) AS trg
-         |   FROM msgs)),
-         | sig AS (
+         |   FROM msgs WHERE len(props) > 0)),
+         | tb AS (
          |  SELECT producer, topic, b,
          |    bit_or(CASE WHEN bit < 48
          |      THEN 1::BIGINT << CAST(bit AS INT) ELSE 0::BIGINT END)
          |      AS w0,
          |    bit_or(CASE WHEN bit >= 48
          |      THEN 1::BIGINT << CAST(bit - 48 AS INT) ELSE 0::BIGINT
-         |      END) AS w1,
-         |    min(props) AS tmin, max(props) AS tmax
+         |      END) AS w1
          |  FROM tg GROUP BY producer, topic, b),
+         | sig AS (
+         |  SELECT m.producer, m.topic, m.b,
+         |    coalesce(tb.w0, 0::BIGINT) AS w0,
+         |    coalesce(tb.w1, 0::BIGINT) AS w1, m.tmin, m.tmax
+         |  FROM (SELECT producer, topic, time_us // 3600000000 AS b,
+         |      min(props) AS tmin, max(props) AS tmax
+         |    FROM msgs GROUP BY producer, topic, b) m
+         |  LEFT JOIN tb ON m.producer = tb.producer
+         |    AND m.topic = tb.topic AND m.b = tb.b),
          | probe AS (
          |  SELECT
          |    bit_or(CASE WHEN pb < 48

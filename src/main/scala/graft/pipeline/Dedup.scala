@@ -508,6 +508,16 @@ object Dedup {
       textCol: String = "text", maxBucket: Int = Int.MaxValue)
       : (DataFrame, PinHandle) = {
     require(bits % bands == 0, "bands must divide bits")
+    // the exact-Hamming filter below rides conv(sig, 2, 10) cast to
+    // BIGINT: a 64-bit signature can exceed Long.MaxValue, which nulls
+    // out (non-ANSI) or errors (ANSI) — either way wrong. 63 bits is
+    // the honest ceiling for the single-word popcount.
+    require(bits < 64,
+      s"bits=$bits: signatures above 63 bits overflow the 64-bit " +
+        "Hamming popcount; use <= 63 bits (or band-wise Hamming)")
+    if (maxBucket != Int.MaxValue)
+      require(maxBucket >= 2,
+        s"maxBucket must be >= 2 (got $maxBucket)")
     require(maxHamming <= bands - 1,
       s"maxHamming=$maxHamming needs > $bands bands for exact recall " +
         s"(pigeonhole: at most bands-1=${bands - 1} differing bits " +
