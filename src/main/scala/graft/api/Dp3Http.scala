@@ -14,7 +14,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `com.sun.net.httpserver`, zero added dependencies:
   *
   *   GET  /                                   → "dp3"
-  *   POST /export                             → MCAP bytes
+  *   POST /export                             → MCAP bytes; with the
+  *     reference's topics-as-version-map body (export.go:17), the
+  *     follow/tail contract: delta since those versions + X-Topics
+  *     header with the new ones, 202 when nothing advanced, and
+  *     "format": "ndjson" for line output
   *   GET|POST /statrange                      → NDJSON stat records
   *   GET  /databases                          → NDJSON
   *   POST /databases/{db}/query               → NDJSON rows (QL body)
@@ -117,6 +121,17 @@ final class Dp3Http(svc: Dp3Service, spark: SparkSession,
   private def longField(body: String, key: String): Option[Long] =
     ("\"" + Regex.quote(key) + "\"\\s*:\\s*(-?\\d+)").r
       .findFirstMatchIn(body).map(_.group(1).toLong)
+
+  /** `"key": {"a": 1, "b": 2}` — the reference ExportRequest's Topics
+    * map (topic → last-seen version, export.go:17). */
+  private def verMapField(body: String, key: String)
+      : Option[Map[String, Long]] =
+    ("\"" + Regex.quote(key) + "\"\\s*:\\s*\\{([^}]*)\\}").r
+      .findFirstMatchIn(body).map { m =>
+        "\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*(\\d+)".r
+          .findAllMatchIn(m.group(1))
+          .map(g => unescape(g.group(1)) -> g.group(2).toLong).toMap
+      }
 
   private def strArrayField(body: String, key: String)
       : Option[Seq[String]] =
@@ -269,11 +284,49 @@ final class Dp3Http(svc: Dp3Service, spark: SparkSession,
 
         case ("POST", Seq("export")) =>
           val body = readBody(ex)
-          val topics = strArrayField(body, "topics").getOrElse(
-            throw new IllegalArgumentException("missing topics"))
           val dataCols = strArrayField(body, "dataCols").getOrElse(Nil)
-          val bytes = svc.exportMcap(spark, topics, dataCols)
-          respond(ex, 200, "application/octet-stream", bytes)
+          verMapField(body, "topics") match {
+            // the reference's follow/tail shape: topics is a map of
+            // last-seen versions (export.go:17); answer with the delta
+            // and an X-Topics header carrying the new versions to poll
+            // with (export.go:57-67). 202 = nothing new (export.go:69-71
+            // signals "poll again" the same way) — decided from the
+            // control table alone, no data scan.
+            case Some(since) =>
+              val topics = since.keys.toSeq.sorted
+              if (topics.isEmpty)
+                throw new IllegalArgumentException("missing topics")
+              val (delta, latest) = svc.exportSince(spark, topics, since,
+                producer = strField(body, "producer"),
+                startNs = longField(body, "start").getOrElse(0L),
+                endNs = longField(body, "end").getOrElse(Long.MaxValue))
+              val header = latest.toSeq.sortBy(_._1).map { case (t, v) =>
+                s""""${escape(t)}":$v""" }.mkString("{", ",", "}")
+              ex.getResponseHeaders.set("X-Topics", header)
+              val advanced = latest.exists { case (t, v) =>
+                v > since.getOrElse(t, 0L) }
+              if (!advanced)
+                respond(ex, 202, "application/json", Array.emptyByteArray)
+              else if (strField(body, "format").contains("ndjson")) {
+                ex.getResponseHeaders.set("Content-Type",
+                  "application/x-ndjson")
+                ex.sendResponseHeaders(200, 0)
+                val out = ex.getResponseBody
+                import scala.jdk.CollectionConverters._
+                graft.export.Export.ndjson(delta, dataCols)
+                  .toLocalIterator().asScala.foreach { line =>
+                    out.write(line.getBytes(UTF_8)); out.write('\n')
+                  }
+                ex.close()
+              } else
+                respond(ex, 200, "application/octet-stream",
+                  graft.export.Export.mcap(delta, dataCols))
+            case None =>
+              val topics = strArrayField(body, "topics").getOrElse(
+                throw new IllegalArgumentException("missing topics"))
+              val bytes = svc.exportMcap(spark, topics, dataCols)
+              respond(ex, 200, "application/octet-stream", bytes)
+          }
 
         case (_, Seq("delete")) =>
           val p = queryParams(ex)

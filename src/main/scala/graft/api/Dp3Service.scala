@@ -357,6 +357,53 @@ final class Dp3Service(underlying: MessageCatalog,
   def export(spark: SparkSession, topics: Seq[String]): DataFrame =
     Export.exportMerged(topics.map(t => catalog.scanTopic(spark, t)))
 
+  /** /export with the reference's follow/tail contract (reference:
+    * server/routes/export.go:50-67 resolves the latest versioned roots
+    * and hands the client a topic → version header to poll with;
+    * cli/cmd/tail.go:51-82 loops exactly that): rows of each topic
+    * STRICTLY NEWER than `sinceVersions(topic)` and at or below the
+    * latest version the control table records right now, merged in
+    * stream order. Returns (delta frame, topic → latest version) — the
+    * caller sends the map back on its next poll, making each poll an
+    * exactly-once version-interval read: the upper bound pins the
+    * snapshot, so an import landing mid-scan is not half-read now and
+    * re-read later.
+    *
+    * Version resolution is a control-table lookup (kilobytes); without
+    * a store, max(seq) stands in for the ingest clock per the repo-wide
+    * convention (Lifecycle.applyTruncations). */
+  def exportSince(spark: SparkSession, topics: Seq[String],
+      sinceVersions: Map[String, Long] = Map.empty,
+      producer: Option[String] = None,
+      startNs: Long = 0L, endNs: Long = Long.MaxValue)
+      : (DataFrame, Map[String, Long]) = {
+    require(topics.nonEmpty, "export of zero topics")
+    val verCol = if (store.isDefined) "ingest_version" else "seq"
+    val latest: Map[String, Long] = {
+      var src = store match {
+        case Some(st) => maskVersions(st.control(spark))
+        case None     => messages(spark)
+      }
+      src = src.where(col("topic").isin(topics: _*))
+      producer.foreach(p => src = src.where(col("producer") === p))
+      src.groupBy(col("topic")).agg(max(col(verCol)).as("v"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    val frames = topics.map { t =>
+      var df = catalog.scanTopic(spark, t)
+      producer.foreach(p => df = df.where(col("producer") === p))
+      if (startNs > 0L || endNs < Long.MaxValue)
+        df = df.where(col("time") >= startNs && col("time") < endNs)
+      latest.get(t) match {
+        case None => df.where(lit(false)) // no versions: provably empty
+        case Some(hi) =>
+          val lo = sinceVersions.getOrElse(t, 0L)
+          df.where(col(verCol) > lo && col(verCol) <= hi)
+      }
+    }
+    (Export.exportMerged(frames), latest)
+  }
+
   /** truncate statement. With a store, the statement's timestamp
     * resolves through the control table to the latest ingest version
     * whose ingest time is at or before it — exactly the reference's

@@ -20,16 +20,20 @@ import java.nio.file.{Files, Paths}
   *   dp3 statistics --granularity N [--group-by-producer]
   *   dp3 import --producer P <file.mcap>
   *   dp3 export --topics a,b [--output out.mcap]
+  *   dp3 tail --topics a,b [--producer P] [--polls N] [--interval-ms M]
   *   dp3 delete --producer P --topic T --start N --end N
   *
   * Global flags: `--server-url URL` (default http://localhost:8089),
   * `--database DB` (default "default").
   *
-  * The reference's `server` verb lives Spark-side (construct a
-  * SparkSession + `Dp3Service` + `Dp3Http` and block) and its
-  * `tail` verb is the streaming read `graft.streaming.Ingest.tail` —
-  * both need a JVM with Spark on the classpath, not an HTTP client,
-  * so they are deliberately not routed through this binary's verbs.
+  * `tail` is the reference's follow mode (cli/cmd/tail.go:51-82): poll
+  * /export with a topic → last-seen-version map, print each NDJSON
+  * delta, adopt the X-Topics versions, repeat. The reference's
+  * `server` verb lives Spark-side (construct a SparkSession +
+  * `Dp3Service` + `Dp3Http` and block) — it needs a JVM with Spark on
+  * the classpath, not an HTTP client, so it is deliberately not routed
+  * through this binary's verbs. (The library-level streaming tail is
+  * `graft.streaming.Ingest.tail`.)
   */
 object Dp3Cli {
 
@@ -155,6 +159,59 @@ object Dp3Cli {
             }
         }
 
+      case "tail" :: Nil =>
+        // the reference's follow mode (cli/cmd/tail.go:51-82): keep a
+        // topic → last-seen-version map, POST it to /export, print the
+        // NDJSON delta, adopt the X-Topics versions, repeat. --polls
+        // bounds the loop (default: forever, like the reference);
+        // --interval-ms is the 202 backoff (reference: 500 ms).
+        flags.get("--topics") match {
+          case None => err.println("tail requires --topics"); 2
+          case Some(ts) =>
+            val topics = ts.split(",").filter(_.nonEmpty).toSeq
+            val polls = flags.get("--polls").map(_.toInt)
+              .getOrElse(Int.MaxValue)
+            val interval = flags.get("--interval-ms").map(_.toLong)
+              .getOrElse(500L)
+            var seen = topics.map(_ -> 0L).toMap
+            var n = 0
+            var rc = 0
+            // an interrupt (embedding caller shutting the loop down)
+            // is a clean stop, not an error — a follow loop has no
+            // natural end otherwise
+            while (n < polls && rc == 0
+                && !Thread.currentThread().isInterrupted) try {
+              val tmap = seen.toSeq.sortBy(_._1).map { case (t, v) =>
+                s""""${esc(t)}": $v""" }.mkString("{", ", ", "}")
+              val producer = flags.get("--producer")
+                .map(p => s""", "producer": "${esc(p)}"""").getOrElse("")
+              val r = post("/export",
+                s"""{"format": "ndjson", "topics": $tmap$producer}""")
+              r.statusCode() match {
+                case 200 | 202 =>
+                  val s = new String(r.body(), UTF_8)
+                  if (s.nonEmpty) { out.print(s); out.flush() }
+                  // adopt the server's versions AFTER printing: the
+                  // body is exactly the (last-seen, latest] interval
+                  r.headers().firstValue("X-Topics").ifPresent { h =>
+                    seen = seen ++
+                      "\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*(\\d+)".r
+                        .findAllMatchIn(h)
+                        .map(g => g.group(1).replace("\\\"", "\"")
+                          .replace("\\\\", "\\") -> g.group(2).toLong)
+                  }
+                  if (r.statusCode() == 202 && n + 1 < polls)
+                    Thread.sleep(interval)
+                case other =>
+                  err.println(s"HTTP $other: ${
+                    new String(r.body(), UTF_8)}")
+                  rc = 1
+              }
+              n += 1
+            } catch { case _: InterruptedException => n = polls }
+            rc
+        }
+
       case "delete" :: Nil =>
         printOrFail(get("/delete" + qp(
           "producer" -> flags.get("--producer"),
@@ -172,6 +229,7 @@ object Dp3Cli {
              |  statistics --granularity N [--group-by-producer]
              |  import --producer P <file.mcap>
              |  export --topics a,b [--output out.mcap]
+             |  tail --topics a,b [--producer P] [--polls N] [--interval-ms M]
              |  delete --producer P --topic T --start N --end N""".stripMargin)
         2
     } catch {

@@ -102,4 +102,84 @@ class Dp3CliSpec extends AnyFunSuite {
     val (code, _, err) = cli("frobnicate")
     assert(code == 2 && err.contains("usage:"))
   }
+
+  test("tail follows imports: v1 rows first, then exactly the v2 " +
+      "delta, in stream order") {
+    // a store-backed server whose data arrives exclusively via /import
+    val base = Files.createTempDirectory("graft-cli-tail").toString
+    def mcapBytes(times: Seq[Long]): Array[Byte] = {
+      val w = new graft.mcap.Mcap.Writer()
+      w.writeSchema(graft.mcap.Mcap.SchemaRec(1, "pkg/t", "ros1msg",
+        "int16 c".getBytes))
+      w.writeChannel(graft.mcap.Mcap.ChannelRec(0, 1, "tail-topic",
+        "ros1"))
+      times.foreach(t => w.writeMessage(
+        graft.mcap.Mcap.MessageRec(0, t, t, t, Array[Byte](1, 0))))
+      w.finish()
+    }
+    val icat = new graft.model.IngestedCatalog(
+      s"$base/data", s"$base/stats", s"$base/control")
+    val tailSvc = new Dp3Service(icat, s => icat.messages(s),
+      Some(graft.api.IngestStore(icat)))
+    val h = new Dp3Http(tailSvc, spark, importTarget = Some(
+      Dp3Http.ImportTarget(s"$base/data", s"$base/stats",
+        s"$base/control"))).start()
+    try {
+      def cliAt(args: String*): (Int, String, String) = {
+        val outB = new ByteArrayOutputStream()
+        val errB = new ByteArrayOutputStream()
+        val code = Dp3Cli.run(
+          (Seq("--server-url", s"http://127.0.0.1:${h.boundPort}")
+            ++ args).toArray,
+          new PrintStream(outB, true, "UTF-8"),
+          new PrintStream(errB, true, "UTF-8"))
+        (code, outB.toString("UTF-8"), errB.toString("UTF-8"))
+      }
+      Files.write(Paths.get(s"$base/v1.mcap"), mcapBytes(Seq(1L, 2L, 3L)))
+      Files.write(Paths.get(s"$base/v2.mcap"), mcapBytes(Seq(10L, 11L)))
+      val (c1, o1, e1) = cliAt("import", s"$base/v1.mcap",
+        "--producer", "dev1")
+      assert(c1 == 0, e1)
+      assert(o1.trim == """{"version":1}""")
+
+      // the tail loop runs concurrently, like the reference's follow
+      // mode; the test thread imports v2 mid-follow and then stops the
+      // loop (interrupt = clean stop)
+      val outB = new ByteArrayOutputStream()
+      val errB = new ByteArrayOutputStream()
+      @volatile var rc = -1
+      val t = new Thread(() => {
+        rc = Dp3Cli.run(Array(
+          "--server-url", s"http://127.0.0.1:${h.boundPort}",
+          "tail", "--topics", "tail-topic", "--interval-ms", "100"),
+          new PrintStream(outB, true, "UTF-8"),
+          new PrintStream(errB, true, "UTF-8"))
+      })
+      t.start()
+      def linesNow = outB.toString("UTF-8").linesIterator.toSeq
+      def waitFor(n: Int): Unit = {
+        val deadline = System.nanoTime() + 60L * 1000000000L
+        while (linesNow.size < n && System.nanoTime() < deadline)
+          Thread.sleep(100)
+        assert(linesNow.size >= n,
+          s"timed out at ${linesNow.size}/$n lines; stderr: $errB")
+      }
+      waitFor(3)
+      val (c2, o2, e2) = cliAt("import", s"$base/v2.mcap",
+        "--producer", "dev1")
+      assert(c2 == 0, e2)
+      assert(o2.trim == """{"version":2}""")
+      waitFor(5)
+      t.interrupt()
+      t.join(30000)
+      assert(!t.isAlive && rc == 0, s"tail rc=$rc stderr: $errB")
+
+      // exactly once: v1's three rows, then only the v2 delta — no
+      // re-emission of v1 on later polls — each batch in stream order
+      val times = linesNow.map { l =>
+        "\"log_time\":(\\d+)".r.findFirstMatchIn(l).get.group(1).toLong
+      }
+      assert(times == Seq(1L, 2L, 3L, 10L, 11L))
+    } finally h.stop()
+  }
 }
