@@ -30,6 +30,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   GET  /databases/{db}/statistics/available→ NDJSON
   *   GET|POST /delete                         → range delete
   *   POST /databases/{db}/import              → batch MCAP import
+  *   POST /databases/{db}/producers/{p}/import→ MCAP bytes as the body
+  *     (reference: import_stream.go — for clients with no shared
+  *     filesystem); 400 on corrupt magic
   *
   * The reference's own routes are explicitly "loose and uncommitted"
   * demo APIs (routes.go:14-17), so this shim keeps the same posture:
@@ -48,6 +51,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Request bodies are the reference's flat JSON objects; the field
   * extractors below parse exactly that shape (string/bool/long/
   * string-array members) rather than pulling in a JSON library.
+  *
+  * MULTI-DATABASE: the `/databases/{db}/...` segment resolves against
+  * the `databases` map (name → service + import layout) like the
+  * reference's per-database routing (routes.go:51-60); with no map the
+  * primary service binds its own name. Unknown names 404. The
+  * un-namespaced routes (/export, /statrange, /delete) accept the
+  * reference's optional "database" body field and default to the
+  * primary.
   */
 object Dp3Http {
   /** Ingest layout the /import route appends to (data + stat partials
@@ -59,11 +70,36 @@ object Dp3Http {
   final case class ImportTarget(dataDir: String, statsDir: String,
       controlDir: String,
       fieldStats: Option[(String, Seq[String], Seq[String])] = None)
+
+  /** One logical database: a service plus its optional import layout.
+    * The reference serves several per deployment, namespaced by the
+    * `/databases/{db}/...` path segment (routes.go:51-60,
+    * doc/paper/dp3.tex:397-400). */
+  final case class Database(svc: Dp3Service,
+      importTarget: Option[ImportTarget] = None)
 }
 
 final class Dp3Http(svc: Dp3Service, spark: SparkSession,
     host: String = "127.0.0.1", port: Int = 0,
-    importTarget: Option[Dp3Http.ImportTarget] = None) {
+    importTarget: Option[Dp3Http.ImportTarget] = None,
+    databases: Map[String, Dp3Http.Database] = Map.empty) {
+
+  /** name → database. With no explicit map, the primary service binds
+    * its own configured name — one logical database, the common case.
+    * Unknown names 404 like the reference's "database not found". */
+  private val dbs: Map[String, Dp3Http.Database] =
+    if (databases.nonEmpty) databases
+    else Map(svc.databaseName -> Dp3Http.Database(svc, importTarget))
+
+  private def dbFor(name: String): Dp3Http.Database =
+    dbs.getOrElse(name, throw new NoSuchElementException(
+      s"no such database: $name"))
+
+  /** Databases named in un-namespaced request bodies (/export,
+    * /statrange, /delete carry an optional "database" field in the
+    * reference's request shapes); absent → the primary service. */
+  private def dbForBody(body: String): Dp3Service =
+    strField(body, "database").map(n => dbFor(n).svc).getOrElse(svc)
 
   private val server = HttpServer.create(new InetSocketAddress(host, port), 0)
   server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
@@ -196,9 +232,13 @@ final class Dp3Http(svc: Dp3Service, spark: SparkSession,
         case (_, Seq()) => respondText(ex, 200, "dp3")
 
         case ("GET", Seq("databases")) =>
-          respondNdjson(ex, svc.databases(spark))
+          // every configured logical database, not just the primary
+          val body = dbs.keys.toSeq.sorted
+            .map(n => s"""{"database":"${escape(n)}"}""")
+            .mkString("", "\n", "\n")
+          respond(ex, 200, "application/x-ndjson", body.getBytes(UTF_8))
 
-        case ("POST", Seq("databases", _, "query")) =>
+        case ("POST", Seq("databases", db, "query")) =>
           val body = readBody(ex)
           val ql = strField(body, "query").getOrElse(
             throw new IllegalArgumentException("missing query"))
@@ -208,39 +248,40 @@ final class Dp3Http(svc: Dp3Service, spark: SparkSession,
             throw new IllegalArgumentException(
               "queries must be terminated with a semicolon")
           val skeleton = boolField(body, "skeleton").getOrElse(false)
-          respondNdjson(ex, svc.query(spark, ql, skeleton))
+          respondNdjson(ex, dbFor(db).svc.query(spark, ql, skeleton))
 
-        case ("GET", Seq("databases", _, "topics")) =>
-          respondNdjson(ex, svc.topics(spark))
+        case ("GET", Seq("databases", db, "topics")) =>
+          respondNdjson(ex, dbFor(db).svc.topics(spark))
 
-        case ("GET", Seq("databases", _, "producers")) =>
-          respondNdjson(ex, svc.producersList(spark))
+        case ("GET", Seq("databases", db, "producers")) =>
+          respondNdjson(ex, dbFor(db).svc.producersList(spark))
 
-        case ("GET", Seq("databases", _, "tables")) =>
+        case ("GET", Seq("databases", db, "tables")) =>
           val p = queryParams(ex)
-          respondNdjson(ex, svc.tables(spark, p.get("producer"),
+          respondNdjson(ex, dbFor(db).svc.tables(spark, p.get("producer"),
             p.get("topic"), p.get("historical").contains("true")))
 
-        case ("GET", Seq("databases", _, "schemas", hash)) =>
-          val row = svc.schemaFor(spark, hash)
+        case ("GET", Seq("databases", db, "schemas", hash)) =>
+          val row = dbFor(db).svc.schemaFor(spark, hash)
           val json = s"""{"hash":"${escape(hash)}","name":"${
             escape(row.getAs[String]("schema_name"))}","encoding":"${
             escape(row.getAs[String]("schema_encoding"))}"}"""
           respond(ex, 200, "application/json", json.getBytes(UTF_8))
 
-        case ("GET", Seq("databases", _, "statistics", "available")) =>
+        case ("GET", Seq("databases", db, "statistics", "available")) =>
           val p = queryParams(ex)
           val numeric = p.get("numeric").toSeq
             .flatMap(_.split(",")).filter(_.nonEmpty)
           val text = p.get("text").toSeq
             .flatMap(_.split(",")).filter(_.nonEmpty)
-          respondNdjson(ex, svc.statisticsAvailable(spark, numeric, text))
+          respondNdjson(ex,
+            dbFor(db).svc.statisticsAvailable(spark, numeric, text))
 
-        case ("GET", Seq("databases", _, "statistics")) =>
+        case ("GET", Seq("databases", db, "statistics")) =>
           val p = queryParams(ex)
           val gran = p.get("granularity").map(_.toLong).getOrElse(
             throw new IllegalArgumentException("missing granularity"))
-          respondNdjson(ex, svc.statistics(spark, gran,
+          respondNdjson(ex, dbFor(db).svc.statistics(spark, gran,
             groupByProducer = p.get("groupByProducer").contains("true"),
             topics = p.get("topic").toSeq,
             producers = p.get("producer").toSeq,
@@ -258,7 +299,9 @@ final class Dp3Http(svc: Dp3Service, spark: SparkSession,
             p.get(k).map(_.toLong).orElse(longField(body, k))
           val gran = num("granularity").getOrElse(
             throw new IllegalArgumentException("missing granularity"))
-          var df = svc.statRange(spark, gran,
+          val statSvc = field("database").map(n => dbFor(n).svc)
+            .getOrElse(svc)
+          var df = statSvc.statRange(spark, gran,
             num("start").getOrElse(0L),
             num("end").getOrElse(Long.MaxValue))
           field("topic").foreach(t =>
@@ -267,12 +310,41 @@ final class Dp3Http(svc: Dp3Service, spark: SparkSession,
             df.where(org.apache.spark.sql.functions.col("producer") === pr))
           respondNdjson(ex, df)
 
-        case ("POST", Seq("databases", _, "import")) =>
+        case ("POST", Seq("databases", db, "producers", producer,
+            "import")) =>
+          // reference: server/routes/import_stream.go — the MCAP byte
+          // stream IS the request body (no shared filesystem needed);
+          // same versioned append path as the {producer, path} form.
+          // The body spools to a server-side file first: ingest is a
+          // distributed parquet write, and executors re-read the input,
+          // so it must live somewhere addressable, not in one socket.
+          val target = dbFor(db).importTarget.getOrElse(
+            throw new IllegalArgumentException(
+              s"import is not configured on database $db"))
+          val bytes = ex.getRequestBody.readAllBytes()
+          if (bytes.length < 8
+              || !bytes.take(8).sameElements(graft.mcap.Mcap.Magic))
+            throw new IllegalArgumentException("not an MCAP file")
+          val spoolDir = java.nio.file.Paths.get(target.dataDir)
+            .toAbsolutePath.getParent.resolve("import-spool")
+          java.nio.file.Files.createDirectories(spoolDir)
+          val spool = java.nio.file.Files.createTempFile(
+            spoolDir, "import-", ".mcap")
+          try {
+            java.nio.file.Files.write(spool, bytes)
+            val v = graft.streaming.Ingest.importMcap(spark, producer,
+              spool.toString, target.dataDir, target.statsDir,
+              target.controlDir, target.fieldStats)
+            respond(ex, 200, "application/json",
+              s"""{"version":$v}""".getBytes(UTF_8))
+          } finally java.nio.file.Files.deleteIfExists(spool)
+
+        case ("POST", Seq("databases", db, "import")) =>
           // reference: server/routes/import.go:31-59 — JSON
           // {producer, path}, 400 on missing fields/unreadable file
-          val target = importTarget.getOrElse(
+          val target = dbFor(db).importTarget.getOrElse(
             throw new IllegalArgumentException(
-              "import is not configured on this server"))
+              s"import is not configured on database $db"))
           val body = readBody(ex)
           val v = graft.streaming.Ingest.importMcap(spark,
             strField(body, "producer").getOrElse(""),
@@ -285,6 +357,9 @@ final class Dp3Http(svc: Dp3Service, spark: SparkSession,
         case ("POST", Seq("export")) =>
           val body = readBody(ex)
           val dataCols = strArrayField(body, "dataCols").getOrElse(Nil)
+          // the reference's ExportRequest names its database in the
+          // body (export.go:15); absent → the primary service
+          val expSvc = dbForBody(body)
           verMapField(body, "topics") match {
             // the reference's follow/tail shape: topics is a map of
             // last-seen versions (export.go:17); answer with the delta
@@ -296,7 +371,8 @@ final class Dp3Http(svc: Dp3Service, spark: SparkSession,
               val topics = since.keys.toSeq.sorted
               if (topics.isEmpty)
                 throw new IllegalArgumentException("missing topics")
-              val (delta, latest) = svc.exportSince(spark, topics, since,
+              val (delta, latest) = expSvc.exportSince(spark, topics,
+                since,
                 producer = strField(body, "producer"),
                 startNs = longField(body, "start").getOrElse(0L),
                 endNs = longField(body, "end").getOrElse(Long.MaxValue))
@@ -324,7 +400,7 @@ final class Dp3Http(svc: Dp3Service, spark: SparkSession,
             case None =>
               val topics = strArrayField(body, "topics").getOrElse(
                 throw new IllegalArgumentException("missing topics"))
-              val bytes = svc.exportMcap(spark, topics, dataCols)
+              val bytes = expSvc.exportMcap(spark, topics, dataCols)
               respond(ex, 200, "application/octet-stream", bytes)
           }
 
@@ -335,7 +411,7 @@ final class Dp3Http(svc: Dp3Service, spark: SparkSession,
             p.get(k).orElse(strField(body, k))
           def num(k: String): Option[Long] =
             p.get(k).map(_.toLong).orElse(longField(body, k))
-          svc.delete(
+          field("database").map(n => dbFor(n).svc).getOrElse(svc).delete(
             field("producer").getOrElse(""),
             field("topic").getOrElse(""),
             num("start").getOrElse(0L),

@@ -57,7 +57,7 @@ final class Dp3Service(underlying: MessageCatalog,
     rawMessages: SparkSession => DataFrame,
     store: Option[IngestStore] = None,
     schemaRegistry: Option[SparkSession => DataFrame] = None,
-    databaseName: String = "default") {
+    val databaseName: String = "default") {
 
   /** (producer, topic) → hide rows with ingest_version <= v
     * (reference truncation watermark: server/rootmap/rootmap.go:24-79) */

@@ -145,4 +145,110 @@ class Dp3HttpSpec extends AnyFunSuite {
       assert(post("/databases/default/import", req).statusCode() == 400)
     } finally h2.stop()
   }
+
+  test("multiple logical databases: the {db} segment routes, unknown " +
+      "names 404, listings show every database") {
+    import spark.implicits._
+    def dbOf(rows: Seq[(String, String, Long, Long, Double)],
+        name: String): graft.api.Dp3Http.Database = {
+      val df = rows.toDF("producer", "topic", "time", "seq", "value")
+      val cat = new graft.model.TopicMapCatalog(Map("shared" -> df))
+      graft.api.Dp3Http.Database(
+        new Dp3Service(cat, _ => df, databaseName = name))
+    }
+    // same topic, same producer, DISJOINT data — the db segment is the
+    // only thing separating the answers
+    val red = dbOf(Seq(("dev", "shared", 10L, 1L, 1.0),
+      ("dev", "shared", 20L, 2L, 2.0)), "red")
+    val blue = dbOf(Seq(("dev", "shared", 30L, 3L, 3.0),
+      ("dev", "shared", 40L, 4L, 4.0),
+      ("dev", "shared", 50L, 5L, 5.0)), "blue")
+    val h2 = new Dp3Http(red.svc, spark,
+      databases = Map("red" -> red, "blue" -> blue)).start()
+    val b2 = s"http://127.0.0.1:${h2.boundPort}"
+    def getAt(path: String): HttpResponse[String] =
+      client.send(HttpRequest.newBuilder(URI.create(s"$b2$path")).GET()
+        .build(), HttpResponse.BodyHandlers.ofString())
+    def postAt(path: String, body: String): HttpResponse[String] =
+      client.send(HttpRequest.newBuilder(URI.create(s"$b2$path"))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+    try {
+      val q = """{"query": "from dev shared;"}"""
+      val rRed = postAt("/databases/red/query", q)
+      val rBlue = postAt("/databases/blue/query", q)
+      assert(rRed.statusCode() == 200 && rBlue.statusCode() == 200)
+      assert(rRed.body().linesIterator.size == 2, rRed.body())
+      assert(rBlue.body().linesIterator.size == 3, rBlue.body())
+      // unknown database -> 404 (reference: database not found)
+      val missing = postAt("/databases/green/query", q)
+      assert(missing.statusCode() == 404, missing.body())
+      assert(getAt("/databases/green/topics").statusCode() == 404)
+      // the listing names every configured database
+      val listing = getAt("/databases").body().linesIterator.toSeq
+      assert(listing == Seq("""{"database":"blue"}""",
+        """{"database":"red"}"""))
+      // un-namespaced export picks its database from the body
+      val exRed = postAt("/export",
+        """{"topics": {"shared": 0}, "format": "ndjson", "database": "red"}""")
+      val exBlue = postAt("/export",
+        """{"topics": {"shared": 0}, "format": "ndjson", "database": "blue"}""")
+      assert(exRed.body().linesIterator.size == 2, exRed.body())
+      assert(exBlue.body().linesIterator.size == 3, exBlue.body())
+    } finally h2.stop()
+  }
+
+  test("streaming import accepts the MCAP byte stream as the request " +
+      "body") {
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("graft-http-stream").toString
+    val w = new graft.mcap.Mcap.Writer()
+    w.writeSchema(graft.mcap.Mcap.SchemaRec(1, "pkg/test", "ros1msg",
+      "int16 count".getBytes))
+    w.writeChannel(graft.mcap.Mcap.ChannelRec(0, 1, "streamed", "ros1"))
+    for (t <- 1L to 4L)
+      w.writeMessage(graft.mcap.Mcap.MessageRec(0, t, t, t,
+        Array[Byte](t.toByte, 0)))
+    val mcap = w.finish()
+
+    val target = graft.api.Dp3Http.ImportTarget(
+      s"$tmp/data", s"$tmp/stats", s"$tmp/control")
+    val icat = new graft.model.IngestedCatalog(
+      s"$tmp/data", s"$tmp/stats", s"$tmp/control")
+    val isvc = new Dp3Service(icat, s => icat.messages(s),
+      Some(graft.api.IngestStore(icat)))
+    val h2 = new Dp3Http(isvc, spark, importTarget = Some(target)).start()
+    val b2 = s"http://127.0.0.1:${h2.boundPort}"
+    def postBytes(path: String, body: Array[Byte])
+        : HttpResponse[String] =
+      client.send(HttpRequest.newBuilder(URI.create(s"$b2$path"))
+        .POST(HttpRequest.BodyPublishers.ofByteArray(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+    try {
+      // reference: POST /databases/{db}/producers/{p}/import with the
+      // raw file as the body (import_stream.go) — no shared filesystem
+      val r1 = postBytes("/databases/default/producers/streamer/import",
+        mcap)
+      assert(r1.statusCode() == 200 && r1.body() == """{"version":1}""",
+        r1.body())
+      // the rows are immediately queryable under the path's producer
+      val q = client.send(HttpRequest.newBuilder(
+        URI.create(s"$b2/databases/default/query"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          """{"query": "from streamer streamed;"}""")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(q.statusCode() == 200, q.body())
+      assert(q.body().linesIterator.size == 4)
+      // corrupt magic -> 400, nothing appended
+      val bad = postBytes(
+        "/databases/default/producers/streamer/import",
+        "not an mcap".getBytes)
+      assert(bad.statusCode() == 400, bad.body())
+      assert(spark.read.parquet(s"$tmp/data").count() == 4)
+      // no spool files left behind
+      val spool = java.nio.file.Paths.get(s"$tmp/import-spool")
+      assert(!Files.exists(spool)
+        || !Files.list(spool).findAny().isPresent)
+    } finally h2.stop()
+  }
 }
