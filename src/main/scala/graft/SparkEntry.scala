@@ -119,6 +119,32 @@ object SparkEntry {
         s"from * between $NS_0108 and $NS_0115 click, purchase;")
         .orderBy(col("time_us"), col("mj"), col("seq"))),
 
+    "q_hetero_merge" -> ((s, dir) => {
+      // §1.2 heterogeneous-schema contract, oracle-checked: dp3 tables
+      // are not schema-consistent (reference:
+      // server/executor/expression.go:17-34), so a merge of two topics
+      // with DISJOINT decoded columns must union by name, null-fill
+      // the other side's fields, and compile each alias's filter
+      // against its own scan schema. Shapes derived from the events
+      // table: click carries only click_value, error only err_k.
+      val m = msgs(s, dir)
+      def shaped(src: String, as: String, payload: Column) =
+        m.where(col("topic") === src)
+          .select(col("producer"), lit(as).as("topic"), col("time"),
+            col("time_us"), col("seq"), payload)
+      val cat = new graft.model.TopicMapCatalog(Map(
+        "click_v" -> shaped("click", "click_v",
+          col("value").as("click_value")),
+        "err_k" -> shaped("error", "err_k", col("k").as("err_k"))))
+      new Planner(cat)
+        .plan(s, "from p1 click_v, err_k where click_v.click_value > 50" +
+          " or err_k.err_k >= 40;")
+        .withColumn("mj", col("_mj"))
+        .select(col("producer"), col("topic"), col("time_us"), col("seq"),
+          col("click_value"), col("err_k"), col("mj"))
+        .orderBy(col("time_us"), col("mj"), col("seq"))
+    }),
+
     "q_limit_offset" -> ((s, dir) =>
       qlResult(s, dir, "from p0 view limit 20 offset 5;")
         .orderBy(col("time_us"), col("seq"))),
@@ -883,6 +909,21 @@ object SparkEntry {
          |FROM msgs m JOIN pidx ON m.producer = pidx.p
          |WHERE m.topic IN ('click', 'purchase')
          |  AND m.time_us >= $US_0108 AND m.time_us < $US_0115
+         |ORDER BY time_us, mj, seq""".stripMargin,
+
+    // two disjoint schema shapes merged into one stream: each side
+    // selects only its own decoded column, the other side's is NULL of
+    // the matching type; per-alias filters; child-index tie order
+    "q_hetero_merge" ->
+      s"""$MSGS SELECT producer, 'click_v' AS topic, time_us, seq,
+         |  value AS click_value, CAST(NULL AS BIGINT) AS err_k, 0 AS mj
+         |FROM msgs
+         |WHERE producer = 'p1' AND topic = 'click' AND value > 50
+         |UNION ALL
+         |SELECT producer, 'err_k', time_us, seq,
+         |  CAST(NULL AS DOUBLE), k, 1
+         |FROM msgs
+         |WHERE producer = 'p1' AND topic = 'error' AND k >= 40
          |ORDER BY time_us, mj, seq""".stripMargin,
 
     "q_limit_offset" ->
