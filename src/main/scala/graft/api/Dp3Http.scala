@@ -77,12 +77,31 @@ object Dp3Http {
     * doc/paper/dp3.tex:397-400). */
   final case class Database(svc: Dp3Service,
       importTarget: Option[ImportTarget] = None)
+
+  /** 401 carrier for the shared-key middleware. */
+  private[api] final class Unauthorized(msg: String)
+      extends RuntimeException(msg)
 }
 
 final class Dp3Http(svc: Dp3Service, spark: SparkSession,
     host: String = "127.0.0.1", port: Int = 0,
     importTarget: Option[Dp3Http.ImportTarget] = None,
-    databases: Map[String, Dp3Http.Database] = Map.empty) {
+    databases: Map[String, Dp3Http.Database] = Map.empty,
+    sharedKey: Option[String] = None) {
+
+  /** The reference's demo auth on MUTATING routes only — delete and
+    * both imports (routes.go:63-69, mw.WithSharedKeyAuth): with a key
+    * configured they require `Authorization: Bearer <key>`, else 401
+    * "invalid token"; reads stay open, and no key = no auth, exactly
+    * the middleware's behavior. */
+  private def requireAuth(ex: HttpExchange): Unit =
+    sharedKey.foreach { key =>
+      val token = Option(ex.getRequestHeaders.getFirst("Authorization"))
+        .map(_.split(" ", 2))
+        .collect { case Array("Bearer", t) => t }
+      if (!token.contains(key))
+        throw new Dp3Http.Unauthorized("invalid token")
+    }
 
   /** name → database. With no explicit map, the primary service binds
     * its own configured name — one logical database, the common case.
@@ -312,6 +331,7 @@ final class Dp3Http(svc: Dp3Service, spark: SparkSession,
 
         case ("POST", Seq("databases", db, "producers", producer,
             "import")) =>
+          requireAuth(ex)
           // reference: server/routes/import_stream.go — the MCAP byte
           // stream IS the request body (no shared filesystem needed);
           // same versioned append path as the {producer, path} form.
@@ -340,6 +360,7 @@ final class Dp3Http(svc: Dp3Service, spark: SparkSession,
           } finally java.nio.file.Files.deleteIfExists(spool)
 
         case ("POST", Seq("databases", db, "import")) =>
+          requireAuth(ex)
           // reference: server/routes/import.go:31-59 — JSON
           // {producer, path}, 400 on missing fields/unreadable file
           val target = dbFor(db).importTarget.getOrElse(
@@ -405,6 +426,7 @@ final class Dp3Http(svc: Dp3Service, spark: SparkSession,
           }
 
         case (_, Seq("delete")) =>
+          requireAuth(ex)
           val p = queryParams(ex)
           val body = if (ex.getRequestMethod == "POST") readBody(ex) else ""
           def field(k: String): Option[String] =
@@ -426,6 +448,8 @@ final class Dp3Http(svc: Dp3Service, spark: SparkSession,
           // unreadable import path etc. — the reference's BadRequest
           | _: org.apache.spark.sql.AnalysisException) =>
         respondError(ex, 400, Option(e.getMessage).getOrElse("bad request"))
+      case e: Dp3Http.Unauthorized =>
+        respondError(ex, 401, e.getMessage)
       case e: NoSuchElementException =>
         respondError(ex, 404, Option(e.getMessage).getOrElse("not found"))
       case e: Throwable =>

@@ -24,7 +24,8 @@ import java.nio.file.{Files, Paths}
   *   dp3 delete --producer P --topic T --start N --end N
   *
   * Global flags: `--server-url URL` (default http://localhost:8089),
-  * `--database DB` (default "default").
+  * `--database DB` (default "default"), `--shared-key K` (bearer token
+  * for servers running the reference's demo auth).
   *
   * `tail` is the reference's follow mode (cli/cmd/tail.go:51-82): poll
   * /export with a topic → last-seen-version map, print each NDJSON
@@ -63,12 +64,18 @@ object Dp3Cli {
     val db = flags.getOrElse("--database", "default")
     val client = HttpClient.newHttpClient()
 
+    // --shared-key sends the reference's demo bearer token; the server
+    // checks it on mutating routes only (mw.WithSharedKeyAuth)
+    def authed(b: HttpRequest.Builder): HttpRequest.Builder =
+      flags.get("--shared-key")
+        .fold(b)(k => b.header("Authorization", s"Bearer $k"))
+
     def get(path: String): HttpResponse[Array[Byte]] =
-      client.send(HttpRequest.newBuilder(URI.create(s"$base$path"))
+      client.send(authed(HttpRequest.newBuilder(URI.create(s"$base$path")))
         .GET().build(), HttpResponse.BodyHandlers.ofByteArray())
 
     def post(path: String, body: String): HttpResponse[Array[Byte]] =
-      client.send(HttpRequest.newBuilder(URI.create(s"$base$path"))
+      client.send(authed(HttpRequest.newBuilder(URI.create(s"$base$path")))
         .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
         HttpResponse.BodyHandlers.ofByteArray())
 

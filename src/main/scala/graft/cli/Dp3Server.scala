@@ -57,8 +57,11 @@ object Dp3Server {
         sys.exit(2)
     }
 
+    // --shared-key enables the reference's demo auth on mutating
+    // routes (cli/cmd/server.go shared-key flag, mw.WithSharedKeyAuth)
     val http = new Dp3Http(svc, spark, host = "0.0.0.0", port = port,
-      importTarget = importTarget).start()
+      importTarget = importTarget,
+      sharedKey = flags.get("--shared-key")).start()
     println(s"dp3 server listening on :${http.boundPort}")
     // serve until the process is killed (the reference blocks in
     // http.ListenAndServe the same way)

@@ -146,6 +146,34 @@ class Dp3HttpSpec extends AnyFunSuite {
     } finally h2.stop()
   }
 
+  test("shared-key auth guards mutating routes only, like the " +
+      "reference middleware") {
+    val h2 = new Dp3Http(svc, spark, sharedKey = Some("sekrit")).start()
+    val b2 = s"http://127.0.0.1:${h2.boundPort}"
+    def req(path: String, auth: Option[String], body: String = "")
+        : HttpResponse[String] = {
+      var b = HttpRequest.newBuilder(URI.create(s"$b2$path"))
+      auth.foreach(t => b = b.header("Authorization", t))
+      val built = if (body.isEmpty) b.GET()
+        else b.POST(HttpRequest.BodyPublishers.ofString(body))
+      client.send(built.build(), HttpResponse.BodyHandlers.ofString())
+    }
+    try {
+      // reads stay open (reference wraps ONLY delete + imports)
+      assert(req("/databases/default/topics", None).statusCode() == 200)
+      // mutating routes: missing/malformed/wrong token -> 401
+      val del = "/delete?producer=p0&topic=click&start=1&end=2"
+      assert(req(del, None).statusCode() == 401)
+      assert(req(del, Some("Bearer wrong")).statusCode() == 401)
+      assert(req(del, Some("sekrit")).statusCode() == 401) // no Bearer
+      assert(req(del, Some("Bearer sekrit")).statusCode() == 200)
+      assert(req("/databases/default/import", None,
+        """{"producer": "x", "path": "/nope"}""").statusCode() == 401)
+      assert(req("/databases/default/producers/x/import", None,
+        "junk").statusCode() == 401)
+    } finally h2.stop()
+  }
+
   test("multiple logical databases: the {db} segment routes, unknown " +
       "names 404, listings show every database") {
     import spark.implicits._
