@@ -267,7 +267,16 @@ final class Dp3Http(svc: Dp3Service, spark: SparkSession,
             throw new IllegalArgumentException(
               "queries must be terminated with a semicolon")
           val skeleton = boolField(body, "skeleton").getOrElse(false)
-          respondNdjson(ex, dbFor(db).svc.query(spark, ql, skeleton))
+          graft.ql.Parser.parse(ql) match {
+            // the reference's query route executes truncate statements
+            // too, answering an empty result (query.go:163-180)
+            case _: graft.ql.TruncateStmt =>
+              dbFor(db).svc.truncate(spark, ql)
+              respond(ex, 200, "application/x-ndjson",
+                Array.emptyByteArray)
+            case _ =>
+              respondNdjson(ex, dbFor(db).svc.query(spark, ql, skeleton))
+          }
 
         case ("GET", Seq("databases", db, "topics")) =>
           respondNdjson(ex, dbFor(db).svc.topics(spark))

@@ -146,6 +146,32 @@ class Dp3HttpSpec extends AnyFunSuite {
     } finally h2.stop()
   }
 
+  test("the query route executes truncate statements like the " +
+      "reference (empty result, data hidden)") {
+    // fresh service: truncation masks are per-service state and must
+    // not leak into the shared fixtures
+    val fcat = new EventsCatalog(dir)
+    val fsvc = new Dp3Service(fcat, s => fcat.messages(s))
+    val h2 = new Dp3Http(fsvc, spark).start()
+    val b2 = s"http://127.0.0.1:${h2.boundPort}"
+    def postAt(body: String): HttpResponse[String] =
+      client.send(HttpRequest.newBuilder(
+        URI.create(s"$b2/databases/default/query"))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+    try {
+      assert(postAt("""{"query": "from p5 error limit 1;"}""")
+        .body().linesIterator.size == 1)
+      val t = postAt("""{"query": "truncate p5 error now;"}""")
+      assert(t.statusCode() == 200 && t.body().isEmpty, t.body())
+      assert(postAt("""{"query": "from p5 error;"}""")
+        .body().linesIterator.isEmpty)
+      // other tables unaffected
+      assert(postAt("""{"query": "from p5 click limit 1;"}""")
+        .body().linesIterator.size == 1)
+    } finally h2.stop()
+  }
+
   test("shared-key auth guards mutating routes only, like the " +
       "reference middleware") {
     val h2 = new Dp3Http(svc, spark, sharedKey = Some("sekrit")).start()
