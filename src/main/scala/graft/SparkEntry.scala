@@ -490,6 +490,26 @@ object SparkEntry {
       kept.select("doc_id").orderBy("doc_id")
     }),
 
+    // incremental dedup: the even-id half plays the existing corpus,
+    // the odd-id half the fresh batch; pairs only cross the boundary
+    "d_cross_pairs" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.crossCorpusPairs(
+        docs.where(col("doc_id") % 2 === 1),
+        docs.where(col("doc_id") % 2 === 0),
+        k = 3, threshold = 0.5, maxDf = ShingleMaxDf)
+        .orderBy("new_id", "ref_id")
+    }),
+
+    "d_cross_dedup" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val (kept, _) = Curate.dedupAgainstCorpus(
+        docs.where(col("doc_id") % 2 === 1),
+        docs.where(col("doc_id") % 2 === 0),
+        k = 3, threshold = 0.5, maxDf = ShingleMaxDf)
+      kept.select("doc_id").orderBy("doc_id")
+    }),
+
     "d_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshCandidates(Tables.load(s, dir, "documents"),
         k = 3, numHashes = 8, bands = 4, maxDf = ShingleMaxDf)
@@ -1383,6 +1403,46 @@ object SparkEntry {
          |  FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
          |  GROUP BY d.doc_id)
          |SELECT doc_id FROM lab WHERE cluster = doc_id
+         |ORDER BY doc_id""".stripMargin,
+
+    // incremental dedup pairs: candidates only cross the even/odd
+    // corpus boundary; the df cap stays over BOTH sides together (the
+    // SHINGLES prefix computes df over the whole table), matching
+    // crossCorpusPairs' union-side capDf
+    "d_cross_pairs" ->
+      s"""$SHINGLES,
+         | sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         | inter AS (
+         |  SELECT a.doc_id AS new_id, b.doc_id AS ref_id, count(*) AS c
+         |  FROM sh a JOIN sh b ON a.sh = b.sh
+         |  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+         |  GROUP BY 1, 2)
+         |SELECT new_id, ref_id,
+         |  round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = new_id
+         |JOIN sizes sb ON sb.doc_id = ref_id
+         |WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= 0.5
+         |ORDER BY new_id, ref_id""".stripMargin,
+
+    // the composed incremental-dedup verb: odd-id (new) docs with no
+    // cross-boundary near-dup survive
+    "d_cross_dedup" ->
+      s"""$SHINGLES,
+         | sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         | inter AS (
+         |  SELECT a.doc_id AS new_id, b.doc_id AS ref_id, count(*) AS c
+         |  FROM sh a JOIN sh b ON a.sh = b.sh
+         |  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+         |  GROUP BY 1, 2),
+         | flagged AS (
+         |  SELECT DISTINCT new_id FROM inter
+         |  JOIN sizes sa ON sa.doc_id = new_id
+         |  JOIN sizes sb ON sb.doc_id = ref_id
+         |  WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= 0.5)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id % 2 = 1
+         |  AND doc_id NOT IN (SELECT new_id FROM flagged)
          |ORDER BY doc_id""".stripMargin,
 
     "d_minhash_lsh" -> {

@@ -86,4 +86,22 @@ object Curate {
       .select(col(idCol))
     (docs.join(canonical, Seq(idCol), "left_semi"), labelsPin)
   }
+
+  /** One-call INCREMENTAL dedup: drop every document of `newDocs`
+    * within shingle-Jaccard `threshold` of the existing `refDocs`
+    * corpus — the fresh-crawl-against-curated-corpus verb
+    * ([[Dedup.crossCorpusPairs]] composed to its common use). The
+    * batch's internal near-dups are [[dedupNearDup]]'s job; this one
+    * only enforces the corpus boundary. Returns the surviving newDocs
+    * rows plus the pin owning the pair pipeline's shingle blocks —
+    * consume the frame, then `release()`. */
+  def dedupAgainstCorpus(newDocs: DataFrame, refDocs: DataFrame, k: Int,
+      threshold: Double, maxDf: Int = Int.MaxValue,
+      idCol: String = "doc_id", textCol: String = "text")
+      : (DataFrame, Dedup.PinHandle) = {
+    val (pairs, pin) = Dedup.crossCorpusPairsOwned(newDocs, refDocs, k,
+      threshold, idCol, textCol, maxDf = maxDf)
+    (newDocs.join(pairs.select(col("new_id").as(idCol)), Seq(idCol),
+      "left_anti"), pin)
+  }
 }

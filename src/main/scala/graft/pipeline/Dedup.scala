@@ -167,6 +167,65 @@ object Dedup {
     (pairs, handle)
   }
 
+  /** Incremental (cross-corpus) near-duplicate pairs: documents of
+    * `newDocs` within shingle-Jaccard `threshold` of any document in
+    * `refDocs` — dedup of a fresh crawl batch against an
+    * already-curated corpus, the standard incremental-ingest shape (the
+    * in-corpus variant is [[jaccardPairs]]).
+    *
+    * 100 TB shape: the same inverted-index discipline, but candidates
+    * only materialize ACROSS the corpus boundary (new × ref, never
+    * within either side), so adding a batch costs |batch|-driven work,
+    * not |corpus|². `maxDf` caps shingle document frequency over BOTH
+    * sides together — boilerplate is hot regardless of which corpus it
+    * sits in. In production the ref side's exploded shingle index is
+    * the thing to persist between batches; here both sides derive from
+    * their frames. Returns (new_id, ref_id, jaccard); cache-backed —
+    * library callers use [[crossCorpusPairsOwned]] and `release()`. */
+  def crossCorpusPairs(newDocs: DataFrame, refDocs: DataFrame, k: Int,
+      threshold: Double, idCol: String = "doc_id",
+      textCol: String = "text", hashJoin: Boolean = true,
+      maxDf: Int = Int.MaxValue): DataFrame =
+    crossCorpusPairsOwned(newDocs, refDocs, k, threshold, idCol, textCol,
+      hashJoin, maxDf)._1
+
+  /** [[crossCorpusPairs]] plus the [[PinHandle]] owning the pinned
+    * two-sided shingle blocks: consume the frame, then `release()`. */
+  def crossCorpusPairsOwned(newDocs: DataFrame, refDocs: DataFrame,
+      k: Int, threshold: Double, idCol: String = "doc_id",
+      textCol: String = "text", hashJoin: Boolean = true,
+      maxDf: Int = Int.MaxValue): (DataFrame, PinHandle) = {
+    // one pinned frame for both sides: the hot-set agg, both join
+    // sides, and both size aggregates all consume it
+    val both = withShingles(newDocs, k, idCol, textCol)
+        .withColumn("_side", lit(1))
+      .unionByName(withShingles(refDocs, k, idCol, textCol)
+        .withColumn("_side", lit(0)))
+    val (sh0, handle) = pinNow(both)
+    val sh = capDf(sh0, maxDf)
+    // ids may collide across corpora (each side numbers its own docs),
+    // so set sizes are keyed per side
+    val sizes = sh.groupBy(col("_side"), col("_id"))
+      .agg(count(lit(1)).as("n"))
+    val newSide = sh.where(col("_side") === 1)
+    val refSide = sh.where(col("_side") === 0)
+    val left = if (hashJoin) newSide.hint("shuffle_hash") else newSide
+    val inter = left.as("a").join(refSide.as("b"),
+        col("a.sh") === col("b.sh"))
+      .groupBy(col("a._id").as("new_id"), col("b._id").as("ref_id"))
+      .agg(count(lit(1)).as("c"))
+    val pairs = inter
+      .join(sizes.where(col("_side") === 1).select(
+        col("_id").as("new_id"), col("n").as("na")), "new_id")
+      .join(sizes.where(col("_side") === 0).select(
+        col("_id").as("ref_id"), col("n").as("nb")), "ref_id")
+      .withColumn("jaccard", round(col("c").cast("double")
+        / (col("na") + col("nb") - col("c")), 6))
+      .where(col("jaccard") >= threshold)
+      .select(col("new_id"), col("ref_id"), col("jaccard"))
+    (pairs, handle)
+  }
+
   /** MinHash + LSH candidate pairs: `numHashes` signature components in
     * `bands` bands; rows sharing any band bucket are candidates.
     * Deterministic (salted md5), so checkable against any engine.

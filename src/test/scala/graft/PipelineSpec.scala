@@ -33,6 +33,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("cross-corpus pairs only cross the boundary; the composed verb " +
+      "drops flagged new docs") {
+    // ref corpus = {0, 2}; fresh batch = {1, 3, 4}: 1 and 3 near-dup
+    // the ref's 0, 4 is clean (and too short to shingle at all)
+    val ref = docs.where(col("doc_id").isin(0L, 2L))
+    val fresh = docs.where(col("doc_id").isin(1L, 3L, 4L))
+    val pairs = Dedup.crossCorpusPairs(fresh, ref, k = 3,
+      threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 0L), (3L, 0L)))
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+
+    val (kept, pin) = Curate.dedupAgainstCorpus(fresh, ref, k = 3,
+      threshold = 0.5)
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).toSet
+      == Set(4L))
+    pin.release()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
   test("minhash lsh candidates include exact and near dups") {
     val pairs = Dedup.minhashLshCandidates(docs, k = 3, numHashes = 8,
       bands = 4).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
