@@ -294,6 +294,88 @@ object Similarity {
           .cast("long").as("mean_mu"))
       .withColumn("mean", col("mean_mu").cast("double") / lit(1000000.0))
 
+  /** Product-quantization ADC top-k — the memory-compression half of
+    * IVF-PQ (Jégou et al., "Product Quantization for Nearest Neighbor
+    * Search", TPAMI 2011): embeddings are stored as `m` small codes
+    * (one per subvector), and a query scores candidates through a
+    * per-query lookup table instead of touching raw vectors. At 100 TB
+    * this is what makes the index FIT — d floats shrink to m codes per
+    * vector, and the scan side of a query reads only (vec_id, codes).
+    *
+    * Codebooks here come from the same deterministic quantizer family
+    * as the rest of this file: per (subspace, cell) sub-centroids are
+    * the integer micro-unit means of the `cellCol` groups (the
+    * training-free analogue of per-subspace k-means — swap in trained
+    * cells by stamping `cellCol` with [[assignCells]] first). Every
+    * stage stays in exact BIGINT micro-units (`floor(x·1e6)` before
+    * any cross-row sum, floor-division means, integer squared
+    * distances and dot products), so encoding, the lookup table, and
+    * the ADC score hash identically on any engine or partitioning —
+    * the [[cellCentroids]] discipline applied end to end.
+    *
+    * Scale shape: the codebook (m · cells · d/m micro-unit ints) and
+    * the per-query lookup tables (|Q| · m · cells) are kilobytes and
+    * BROADCAST; encoding is one N·d-row posexplode joined against the
+    * broadcast codebook with a map-side-combined argmin (the standard
+    * N·d·cells PQ encode cost); scoring joins the N·m code rows
+    * against the broadcast table and aggregates — embeddings never
+    * cross a shuffle, and nothing driver-side grows with N.
+    *
+    * Returns (query_id, vec_id, adc_mu2): the asymmetric-distance
+    * inner-product score in µ² units (descending = most similar),
+    * top-k per query, self excluded, ties to the lower vec_id. */
+  def pqTopKBatch(emb: DataFrame, queryIds: Seq[Long], k: Int,
+      dims: Int, m: Int = 4, cellCol: String = "label",
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    require(queryIds.nonEmpty, "empty query set")
+    require(k >= 1, "k must be >= 1")
+    require(m >= 1 && dims % m == 0, s"m=$m must divide dims=$dims")
+    val subDim = dims / m
+    def muRows(df: DataFrame) =
+      df.select(col(idCol).as("_vid"), col(cellCol).as("_vcell"),
+        posexplode(transform(col(vecCol), x =>
+          floor(x.cast("double") * lit(1000000.0)).cast("long")))
+          .as(Seq("_i", "_mu")))
+    val rows = muRows(emb)
+    // codebook: per (dim, cell) micro-unit mean component — the
+    // sub-centroid of subspace (_i div subDim) restricted to dim _i
+    val codebook = rows
+      .groupBy(col("_i"), col("_vcell").as("_cell"))
+      .agg(count(lit(1)).as("_n"), sum(col("_mu")).as("_s"))
+      .select(col("_i"), col("_cell"), expr(s"_i div $subDim").as("_sub"),
+        // floor of an identical IEEE quotient — exact on both engines
+        floor(col("_s").cast("double") / col("_n")).cast("long")
+          .as("_cmu"))
+    // encode: nearest sub-centroid per (vector, subspace) by integer
+    // squared distance; min(struct) ties to the lower cell id
+    val codes = rows.join(broadcast(codebook), "_i")
+      .groupBy(col("_vid"), col("_sub"), col("_cell"))
+      .agg(sum((col("_mu") - col("_cmu")) * (col("_mu") - col("_cmu")))
+        .as("_d"))
+      .groupBy(col("_vid"), col("_sub"))
+      .agg(min(struct(col("_d"), col("_cell"))).as("_best"))
+      .select(col("_vid"), col("_sub"), col("_best").getField("_cell")
+        .as("_cell"))
+    // per-query lookup table: inner product of the query subvector
+    // with every sub-centroid, in µ² integers
+    val lut = rows.where(col("_vid").isin(queryIds: _*))
+      .join(broadcast(codebook), "_i")
+      .groupBy(col("_vid").as("query_id"), col("_sub"), col("_cell"))
+      .agg(sum(col("_mu") * col("_cmu")).as("_dot"))
+    val scored = codes
+      .join(broadcast(lut), Seq("_sub", "_cell"))
+      .where(col("_vid") =!= col("query_id"))
+      .groupBy(col("query_id"), col("_vid"))
+      .agg(sum(col("_dot")).as("adc_mu2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adc_mu2").desc, col("_vid").asc)
+    scored.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= k)
+      .select(col("query_id"), col("_vid").as("vec_id"), col("adc_mu2"))
+  }
+
   /** Deterministic Rademacher (±1) hyperplane components for
     * sign-random-projection LSH: component (plane, dim) is the low bit
     * of md5("salt:plane:dim") — reproducible on any engine/run, and

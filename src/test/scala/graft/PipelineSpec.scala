@@ -54,6 +54,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 
+  test("pq ADC retrieval ranks same-cluster vectors first, excludes " +
+      "self, and is bit-deterministic") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.9f, 0.0f, 0.1f), 0),
+      (1L, Array(0.9f, 1.0f, 0.1f, 0.0f), 0),
+      (2L, Array(1.0f, 1.0f, 0.0f, 0.0f), 0),
+      (3L, Array(0.0f, 0.1f, 1.0f, 0.9f), 1),
+      (4L, Array(0.1f, 0.0f, 0.9f, 1.0f), 1),
+      (5L, Array(0.0f, 0.0f, 1.0f, 1.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    def run() = Similarity.pqTopKBatch(emb, Seq(0L), k = 5, dims = 4,
+        m = 2)
+      .orderBy(col("adc_mu2").desc, col("vec_id").asc)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    val r = run()
+    assert(r.length == 5 && r.forall(_._1 == 0L))
+    val order = r.map(_._2)
+    assert(!order.contains(0L)) // self excluded
+    // same-codebook-cell vectors share the query's lookup rows: the
+    // cluster-0 members outrank every cluster-1 member
+    assert(order.take(2).toSet == Set(1L, 2L))
+    assert(order.drop(2).toSet == Set(3L, 4L, 5L))
+    // codes are quantized per cell, so equal-coded vectors tie exactly
+    assert(r(0)._3 == r(1)._3)
+    assert(r == run()) // bit-identical re-run (scores included)
+  }
+
   test("minhash lsh candidates include exact and near dups") {
     val pairs = Dedup.minhashLshCandidates(docs, k = 3, numHashes = 8,
       bands = 4).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
