@@ -112,7 +112,19 @@ object Ingest {
       .withColumn("ingest_version", lit(version))
       .write.mode("append").parquet(statsDir)
     fieldStats.foreach { case (dir, numFields, textFields) =>
-      graft.stats.StatTiers.baseFields(b.drop("day", "ts_watermark"),
+      // a batch may lack some declared fields (e.g. a raw MCAP import
+      // with no decoded payload columns): record them as typed nulls so
+      // the partials keep ONE schema across versions and the statfilter
+      // sees "no finite values" for the bucket — null min/max keeps the
+      // bucket (never a wrong prune) while the version still writes
+      // partials, so the coverage witness stays provable
+      val src = b.drop("day", "ts_watermark")
+      val padded = textFields.filterNot(src.columns.contains)
+        .foldLeft(numFields.filterNot(src.columns.contains)
+          .foldLeft(src)((d, f) =>
+            d.withColumn(f, lit(null).cast("double"))))((d, f) =>
+          d.withColumn(f, lit(null).cast("string")))
+      graft.stats.StatTiers.baseFields(padded,
           60L * 1000000000L, numFields, textFields)
         .withColumn("ingest_version", lit(version))
         .write.mode("append").parquet(dir)

@@ -161,6 +161,45 @@ class StreamingIngestSpec extends AnyFunSuite {
     assert(key(served) == key(bare) && served.count() > 0)
   }
 
+  test("import into a fieldStats store pads missing fields with typed " +
+      "nulls: coverage provable, pruning exact") {
+    val base = Files.createTempDirectory("graft-fpad").toString
+    val (out, stats, fstats, control) = (s"$base/out", s"$base/stats",
+      s"$base/fstats", s"$base/control")
+    // the MCAP carries only the raw payload — no decoded props column,
+    // and importMcap synthesizes a null value column
+    val w = new graft.mcap.Mcap.Writer()
+    w.writeSchema(graft.mcap.Mcap.SchemaRec(1, "pkg/t", "ros1msg",
+      "int16 c".getBytes))
+    w.writeChannel(graft.mcap.Mcap.ChannelRec(0, 1, "click", "ros1"))
+    for (t <- 1L to 3L)
+      w.writeMessage(graft.mcap.Mcap.MessageRec(0, t, t, t,
+        Array[Byte](t.toByte, 0)))
+    Files.write(java.nio.file.Paths.get(s"$base/in.mcap"), w.finish())
+
+    val v = Ingest.importMcap(spark, "p0", s"$base/in.mcap", out, stats,
+      control, fieldStats = Some((fstats, Seq("value"), Seq("props"))))
+    assert(v == 1L)
+    // the partials carry the declared field shapes with null stats —
+    // "no finite values", which the statfilter must treat as keep
+    val p = spark.read.parquet(fstats)
+    assert(Set("props__tmin", "props__trgm0", "value__min")
+      .subsetOf(p.columns.toSet))
+    val row = p.where(col("ingest_version") === 1L).collect().head
+    assert(row.isNullAt(row.fieldIndex("props__tmin")))
+
+    // coverage is provable (the version wrote partials), pruning
+    // engages, and a stats-backed filter stays EXACT: null stats keep
+    // the bucket, the row predicate decides
+    val cat = new graft.model.IngestedCatalog(out, stats, control,
+      fieldStatsDir = Some(fstats))
+    val svc = new graft.api.Dp3Service(cat, s => cat.messages(s),
+      Some(graft.api.IngestStore(cat)))
+    assert(svc.query(spark,
+      "from p0 click where click.value > 0.5;").count() == 0)
+    assert(svc.query(spark, "from p0 click;").count() == 3)
+  }
+
   test("watermarked windowed aggregation equals the batch base tier") {
     // the canonical Structured-Streaming shape (event-time window +
     // watermark, append mode): 60 s windows over the message stream
