@@ -209,6 +209,131 @@ object Ingest {
       .mode("overwrite")
       .parquet(outDir)
   }
+
+  /** One rewritten partition in an [[optimize]] pass. */
+  final case class OptimizeReport(topic: String, day: Long,
+      filesBefore: Int, bytesBefore: Long, targetFiles: Int)
+
+  /** INCREMENTAL compaction in place — the 100 TB shape of [[compact]].
+    * Streaming ingest appends one file per micro-batch per partition,
+    * so hot (topic, day) partitions accumulate small files; rewriting
+    * the whole store per maintenance pass (what `compact` does) is a
+    * full-data job. `optimize` instead picks only partitions whose
+    * file count exceeds `maxFilesPerPartition` from the FILE LISTING
+    * (metadata, no data read — the same incremental-merge decision the
+    * reference's WAL manager makes per table, server/treemgr/
+    * treemgr.go:821-961), rewrites just those via dynamic partition
+    * overwrite, and leaves every other partition's files untouched.
+    *
+    * Output files per partition = ceil(bytes / targetBytesPerFile),
+    * split by CONTIGUOUS TIME SLICES of the day (not a hash) so each
+    * rewritten file covers a disjoint time range and parquet row-group
+    * min/max pruning of time predicates stays sharp.
+    *
+    * Like the reference's merges, this assumes the single-maintainer
+    * discipline: no concurrent append to the partitions being
+    * rewritten. Returns the rewritten-partition report (empty = store
+    * already optimal). */
+  def optimize(spark: SparkSession, dir: String,
+      maxFilesPerPartition: Int = 4,
+      targetBytesPerFile: Long = 128L << 20): Seq[OptimizeReport] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(root, true)
+    val parts = scala.collection.mutable.Map[(String, Long),
+      (Int, Long)]().withDefaultValue((0, 0L))
+    while (it.hasNext) {
+      val s = it.next()
+      val p = s.getPath.toString
+      val name = s.getPath.getName
+      if (name.endsWith(".parquet") && !name.startsWith("_")
+          && !name.startsWith(".")) {
+        for {
+          t <- "topic=([^/]+)/".r.findFirstMatchIn(p).map(_.group(1))
+          d <- "day=(-?\\d+)/".r.findFirstMatchIn(p).map(_.group(1).toLong)
+        } {
+          val (n, b) = parts((t, d))
+          parts((t, d)) = (n + 1, b + s.getLen)
+        }
+      }
+    }
+    val targets = parts.collect { case ((t, d), (n, b))
+        if n > maxFilesPerPartition =>
+      OptimizeReport(t, d, n, b,
+        math.max(1, math.ceil(b.toDouble / targetBytesPerFile).toInt))
+    }.toSeq.sortBy(r => (r.topic, r.day))
+    if (targets.nonEmpty) {
+      // deterministic slice → shuffle-partition placement: give each
+      // (partition, slice) a salt int whose Spark hash occupies its own
+      // slot of an EXPLICITLY-sized repartition (explicit numPartitions
+      // keeps AQE from coalescing; injective placement makes the output
+      // file count exact and keeps per-file time spans disjoint)
+      val total = targets.map(_.targetFiles).sum
+      val found = new Array[Int](total)
+      val used = new Array[Boolean](total)
+      var x = 0
+      var filled = 0
+      while (filled < total) {
+        val slot = Math.floorMod(org.apache.spark.unsafe.hash
+          .Murmur3_x86_32.hashInt(x, 42), total)
+        if (!used(slot)) { used(slot) = true; found(filled) = x
+          filled += 1 }
+        x += 1
+      }
+      var gid = 0
+      val sliceRows = targets.flatMap { r =>
+        (0 until r.targetFiles).map { s =>
+          val row = (r.topic, r.day, s.toLong, found(gid)); gid += 1; row
+        }
+      }
+      val slices = spark.createDataFrame(sliceRows)
+        .toDF("topic", "day", "_slice", "_gid")
+      val nSlices = spark.createDataFrame(
+        targets.map(r => (r.topic, r.day, r.targetFiles)))
+        .toDF("topic", "day", "_n_slices")
+      val dayNs = 86400000000000L
+      // rewrite into a temp dir, then swap partition directories via
+      // metadata-only renames — the reference's merge writes new nodes
+      // and flips the root the same way (never overwrite-in-place;
+      // a crash mid-pass leaves every partition either old or new).
+      // NOTE: rename is atomic on HDFS/local FS; on S3 it is a copy.
+      val tmp = new Path(root, ".optimize_tmp")
+      fs.delete(tmp, true)
+      // partition filter prunes the scan to the target partitions;
+      // the slice id is a contiguous time range within the day so each
+      // output file covers a disjoint time interval
+      spark.read.parquet(dir)
+        .where(targets.map(r => col("topic") === r.topic
+          && col("day") === r.day).reduce(_ || _))
+        .dropDuplicates("producer", "topic", "time", "seq")
+        .join(broadcast(nSlices), Seq("topic", "day"))
+        .withColumn("_slice", least(col("_n_slices") - 1,
+          floor((col("time") - col("day") * dayNs)
+            * col("_n_slices") / dayNs)))
+        .join(broadcast(slices), Seq("topic", "day", "_slice"))
+        .repartition(total, col("_gid"))
+        .sortWithinPartitions(col("time"), col("seq"))
+        .drop("_n_slices", "_slice", "_gid")
+        .write
+        .partitionBy("topic", "day")
+        .parquet(tmp.toString)
+      // mirror whatever partition dirs Spark wrote under tmp back into
+      // the store (no hand-built path escaping)
+      for (topicDir <- fs.listStatus(tmp) if topicDir.isDirectory;
+           dayDir <- fs.listStatus(topicDir.getPath)
+             if dayDir.isDirectory) {
+        val dst = new Path(new Path(root, topicDir.getPath.getName),
+          dayDir.getPath.getName)
+        fs.delete(dst, true)
+        if (!fs.rename(dayDir.getPath, dst))
+          throw new java.io.IOException(s"optimize: rename " +
+            s"${dayDir.getPath} -> $dst failed")
+      }
+      fs.delete(tmp, true)
+    }
+    targets
+  }
 }
 
 /** Lifecycle operations: range deletes and truncation, as data-masking
