@@ -234,6 +234,20 @@ object SparkEntry {
         .orderBy("topic", "bucket")
     }),
 
+    "q_stats_distinct" -> ((s, dir) => {
+      // exact per-(topic, day) distinct producers / payload values —
+      // the exact face of the distinct-count statistic (the mergeable
+      // HLL-sketch-served path is DistinctTierSpec: dp3 lacks this
+      // statistic; count_distinct partial-aggregates map-side, one
+      // shuffle on (topic, bucket))
+      msgs(s, dir)
+        .groupBy(col("topic"),
+          expr("time div 86400000000000").as("bucket"))
+        .agg(count_distinct(col("producer")).as("n_producers"),
+          count_distinct(col("k")).as("n_k"))
+        .orderBy("topic", "bucket")
+    }),
+
     "q_statrange" -> ((s, dir) => {
       // the /statrange serving path: rollup tier → flat bin records
       val t0 = StatTiers.base(msgs(s, dir), 60L * 1000000000L)
@@ -1025,6 +1039,13 @@ object SparkEntry {
          |  count(*) AS msg_count,
          |  min(value) AS num_min, max(value) AS num_max,
          |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+         |FROM msgs GROUP BY topic, bucket
+         |ORDER BY topic, bucket""".stripMargin,
+
+    "q_stats_distinct" ->
+      s"""$MSGS SELECT topic, time_us // 86400000000 AS bucket,
+         |  count(DISTINCT producer) AS n_producers,
+         |  count(DISTINCT k) AS n_k
          |FROM msgs GROUP BY topic, bucket
          |ORDER BY topic, bucket""".stripMargin,
 

@@ -303,6 +303,48 @@ object StatTiers {
     messages.select("producer", "topic").distinct().crossJoin(fieldStats)
   }
 
+  // --- distinct-count statistics (HLL sketches) -------------------------
+
+  /** Tier 0 distinct-count partials for `field`: per (producer, topic,
+    * bucket) an Apache DataSketches HLL sketch (Spark's builtin
+    * `hll_sketch_agg` — codegen'd, mergeable) PLUS the exact in-bucket
+    * distinct count. Distinct counts are not associative, so only the
+    * sketch survives rollups/cross-bucket merges — the same
+    * precompute-then-merge discipline as the reference's per-leaf
+    * statistics (server/nodestore/statistics.go:305-313), extended to
+    * a statistic dp3 itself lacks. The exact column serves exact
+    * answers at base granularity and calibrates the sketch in specs. */
+  def baseDistinct(messages: DataFrame, widthNs: Long, field: String,
+      lgK: Int = 12): DataFrame =
+    messages
+      .groupBy(col("producer"), col("topic"),
+        expr(s"time div ${widthNs}L").as("bucket"))
+      .agg(
+        hll_sketch_agg(col(field), lgK).as("hll"),
+        count_distinct(col(field)).as("distinct_exact"))
+      .withColumn("width_ns", lit(widthNs))
+
+  /** Merge `factor` adjacent buckets of a distinct tier — sketch union
+    * only (exact counts do not merge). Associative and exactly
+    * mergeable, so append-only partials serve any granularity. */
+  def rollupDistinct(tier: DataFrame, factor: Long): DataFrame =
+    tier
+      .groupBy(col("producer"), col("topic"),
+        expr(s"bucket div ${factor}L").as("bucket"))
+      .agg(hll_union_agg(col("hll")).as("hll"),
+        first(col("width_ns")).as("_w0"))
+      .withColumn("width_ns", col("_w0") * lit(factor))
+      .drop("_w0")
+
+  /** Serve distinct-count estimates from a (possibly rolled-up)
+    * distinct tier as flat range records. */
+  def serveDistinct(tier: DataFrame): DataFrame = {
+    val start = col("bucket") * col("width_ns")
+    tier.select(col("producer"), col("topic"),
+      start.as("start_ns"), (start + col("width_ns")).as("end_ns"),
+      hll_sketch_estimate(col("hll")).as("distinct_est"))
+  }
+
   /** Cross-producer bin merge, optionally keeping producers separate —
     * the /statistics endpoint shape (treemgr.go:384-501). */
   def mergeBins(tier: DataFrame, groupByProducer: Boolean): DataFrame = {
