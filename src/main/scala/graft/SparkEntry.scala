@@ -248,6 +248,27 @@ object SparkEntry {
         .orderBy("topic", "bucket")
     }),
 
+    "q_stats_topk" -> ((s, dir) => {
+      // grouped top-k heavy hitters: the 3 most frequent payload
+      // values per (topic, day) with a deterministic tie-break —
+      // the classic top-N-per-group shape (partial-agg'd count, ONE
+      // shuffle on (topic, bucket, k), then a window over the already
+      // co-located groups; the rank never sees raw rows)
+      val counts = msgs(s, dir)
+        .where(col("k").isNotNull)
+        .groupBy(col("topic"),
+          expr("time div 86400000000000").as("bucket"), col("k"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("topic"), col("bucket"))
+        .orderBy(col("cnt").desc, col("k").asc)
+      counts.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 3)
+        .select(col("topic"), col("bucket"), col("rank"), col("k"),
+          col("cnt"))
+        .orderBy("topic", "bucket", "rank")
+    }),
+
     "q_statrange" -> ((s, dir) => {
       // the /statrange serving path: rollup tier → flat bin records
       val t0 = StatTiers.base(msgs(s, dir), 60L * 1000000000L)
@@ -1048,6 +1069,20 @@ object SparkEntry {
          |  count(DISTINCT k) AS n_k
          |FROM msgs GROUP BY topic, bucket
          |ORDER BY topic, bucket""".stripMargin,
+
+    "q_stats_topk" ->
+      s"""$MSGS, counts AS (
+         |  SELECT topic, time_us // 86400000000 AS bucket, k,
+         |    count(*) AS cnt
+         |  FROM msgs WHERE k IS NOT NULL
+         |  GROUP BY topic, bucket, k)
+         |SELECT topic, bucket, rank, k, cnt FROM (
+         |  SELECT topic, bucket, k, cnt,
+         |    row_number() OVER (PARTITION BY topic, bucket
+         |      ORDER BY cnt DESC, k ASC) AS rank
+         |  FROM counts)
+         |WHERE rank <= 3
+         |ORDER BY topic, bucket, rank""".stripMargin,
 
     "q_statrange" ->
       s"""$MSGS SELECT producer, topic,
