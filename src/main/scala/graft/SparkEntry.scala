@@ -525,6 +525,17 @@ object SparkEntry {
       kept.select("doc_id").orderBy("doc_id")
     }),
 
+    "d_semantic_dedup" -> ((s, dir) => {
+      // SemDeDup: embedding near-dup pairs within coarse cells ->
+      // connected components -> one representative per semantic
+      // cluster (paraphrase collapse, where d_dedup_corpus is the
+      // lexical-shingle sibling)
+      val (kept, _) = Curate.dedupSemantic(
+        Tables.load(s, dir, "embeddings"), threshold = 0.3,
+        cellCol = Some("label"))
+      kept.select("vec_id").orderBy("vec_id")
+    }),
+
     // incremental dedup: the even-id half plays the existing corpus,
     // the odd-id half the fresh batch; pairs only cross the boundary
     "d_cross_pairs" -> ((s, dir) => {
@@ -1601,6 +1612,41 @@ object SparkEntry {
         |JOIN norms nb ON nb.vec_id = id_b
         |WHERE round(dot / (sqrt(na.nn) * sqrt(nb.nn)), 6) >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // the embedding-pair CTE of d_embed_neardup composed with the
+    // reachability CTE of d_dedup_corpus: keep vectors whose
+    // min-reachable id is themselves (the semantic canonical copies)
+    "d_semantic_dedup" ->
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |    generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        | norms AS (SELECT vec_id, sum(x * x) AS nn FROM e GROUP BY vec_id),
+        | dots AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.x * b.x) AS dot
+        |  FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+        |    AND a.label = b.label
+        |  GROUP BY 1, 2),
+        | pairs AS (
+        |  SELECT id_a, id_b FROM dots
+        |  JOIN norms na ON na.vec_id = id_a
+        |  JOIN norms nb ON nb.vec_id = id_b
+        |  WHERE round(dot / (sqrt(na.nn) * sqrt(nb.nn)), 6) >= 0.3),
+        | edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        | reach AS (
+        |  WITH RECURSIVE r(src, dst) AS (
+        |    SELECT a, b FROM edges
+        |    UNION
+        |    SELECT r.src, e2.b FROM r JOIN edges e2 ON r.dst = e2.a)
+        |  SELECT * FROM r)
+        |SELECT v.vec_id FROM embeddings v
+        |LEFT JOIN reach r ON r.src = v.vec_id
+        |GROUP BY v.vec_id
+        |HAVING least(v.vec_id, coalesce(min(r.dst), v.vec_id)) = v.vec_id
+        |ORDER BY v.vec_id""".stripMargin,
 
     // SRP planes derived identically: Rademacher weight = parity of
     // the LAST md5 hex digit of 'graft:<plane>:<dim>' (the low bit of

@@ -104,4 +104,31 @@ object Curate {
     (newDocs.join(pairs.select(col("new_id").as(idCol)), Seq(idCol),
       "left_anti"), pin)
   }
+
+  /** One-call SEMANTIC dedup — the SemDeDup shape (Abbas et al. 2023,
+    * arXiv:2303.09540): embedding-cosine near-duplicate pairs within
+    * coarse cells → connected components → keep one representative
+    * (min id) per semantic cluster. Where [[dedupNearDup]] collapses
+    * lexical near-copies via shingles, this collapses PARAPHRASES —
+    * documents whose embeddings agree even when their text does not.
+    *
+    * 100 TB shape: the pair stage is
+    * [[Similarity.cosineNearDupPairs]] — pairs only materialize
+    * within a cell (the coarse-quantizer discipline; feed
+    * [[Similarity.assignCells]] output as `cellCol`), so the join is
+    * an equi-join on the cell key, never a full cross product. The
+    * component/canonical stages reuse the pointer-jumping BSP.
+    * Returns surviving rows + the pin owning the final label cache —
+    * consume the frame, then `release()`. */
+  def dedupSemantic(emb: DataFrame, threshold: Double,
+      cellCol: Option[String], idCol: String = "vec_id",
+      vecCol: String = "embedding"): (DataFrame, Dedup.PinHandle) = {
+    val pairs = Similarity.cosineNearDupPairs(emb, threshold, cellCol,
+      idCol, vecCol)
+    val (labels, labelsPin) = Dedup.clustersOwned(
+      emb.select(col(idCol)), pairs, idCol)
+    val canonical = labels.where(col(idCol) === col("cluster"))
+      .select(col(idCol))
+    (emb.join(canonical, Seq(idCol), "left_semi"), labelsPin)
+  }
 }

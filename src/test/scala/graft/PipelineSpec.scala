@@ -167,6 +167,26 @@ class PipelineSpec extends AnyFunSuite {
       4L -> 4L, 5L -> 4L))
   }
 
+  test("semantic dedup keeps one representative per embedding cluster") {
+    // two semantic clusters inside one cell + an outlier; near-dup
+    // vectors are paraphrase stand-ins (same direction, scaled)
+    val emb = Seq(
+      (0L, 0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, 0L, Array(2.0f, 0.02f, 0.0f)),  // ~cluster of 0
+      (2L, 0L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, 0L, Array(0.0f, 3.0f, 0.01f)),  // ~cluster of 2
+      (4L, 0L, Array(0.0f, 0.0f, 1.0f)),   // alone
+      (5L, 1L, Array(1.0f, 0.0f, 0.0f))    // same direction as 0 but
+                                           // another CELL: kept (the
+                                           // cell prune is semantics)
+    ).toDF("vec_id", "label", "embedding")
+    val (kept, pin) = graft.pipeline.Curate.dedupSemantic(
+      emb, threshold = 0.9, cellCol = Some("label"))
+    val ids = kept.select("vec_id").collect().map(_.getLong(0)).toSet
+    pin.release()
+    assert(ids == Set(0L, 2L, 4L, 5L))
+  }
+
   test("owned variants free their pinned blocks on release()") {
     // the library-caller contract: consume the frame, release the
     // handle, nothing stays pinned (no global sweep needed).
