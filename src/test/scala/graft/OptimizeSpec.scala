@@ -77,6 +77,51 @@ class OptimizeSpec extends AnyFunSuite {
     assert(Ingest.optimize(spark, out, maxFilesPerPartition = 4).isEmpty)
   }
 
+  test("property: random append histories optimize to the same data, " +
+      "idempotently, cold partitions untouched") {
+    val rnd = new scala.util.Random(20260813L)
+    for (trial <- 0 until 3) {
+      val out = Files.createTempDirectory(s"graft-optp$trial").toString
+      val topics = Seq("click", "error", "view")
+      // random micro-batch history: 1-row appends scattered over
+      // partitions, with some repeated identity keys
+      val appended = (0 until 12 + rnd.nextInt(10)).map { i =>
+        val t = topics(rnd.nextInt(topics.length))
+        val d = 1L + rnd.nextInt(3)
+        val time = d * day + rnd.nextInt(86400) * 1000000000L
+        val seq = rnd.nextInt(8).toLong // collisions are duplicates
+        ("p" + rnd.nextInt(3), t, time, seq, i * 1.0)
+      }
+      appended.grouped(3).foreach { batch =>
+        batch.toDF("producer", "topic", "time", "seq", "value")
+          .withColumn("day", expr("time div 86400000000000"))
+          .write.mode("append").partitionBy("topic", "day").parquet(out)
+      }
+      val threshold = 1 + rnd.nextInt(4)
+      val before = spark.read.parquet(out)
+        .dropDuplicates("producer", "topic", "time", "seq")
+        .collect().map(_.toString).sorted.toSeq
+      val coldDirs = new java.io.File(out).listFiles()
+        .filter(_.isDirectory).flatMap(_.listFiles())
+        .filter(_.isDirectory)
+        .map(d => d.getPath -> files(d.getPath))
+        .filter(_._2.size <= threshold).toMap
+      val report = Ingest.optimize(spark, out,
+        maxFilesPerPartition = threshold)
+      // rewritten set = exactly the partitions over the threshold
+      report.foreach(r => assert(r.filesBefore > threshold))
+      // hot partitions post-state: dedup'd data identical
+      val after = spark.read.parquet(out)
+        .collect().map(_.toString).sorted.toSeq
+      assert(after == before, s"trial $trial data drift")
+      // cold partitions keep their exact files
+      coldDirs.foreach { case (p, fs) => assert(files(p) == fs) }
+      // a second pass finds nothing (thresholds unchanged)
+      assert(Ingest.optimize(spark, out,
+        maxFilesPerPartition = threshold).isEmpty)
+    }
+  }
+
   test("optimize dedups on the identity key like the reference's merge") {
     val out = Files.createTempDirectory("graft-opt2").toString
     val row = ("p0", "click", 1L * day + 5L, 1L, 1.0)
