@@ -536,6 +536,18 @@ object SparkEntry {
       kept.select("vec_id").orderBy("vec_id")
     }),
 
+    "d_semantic_cross" -> ((s, dir) => {
+      // incremental semantic dedup: even-id vectors play the curated
+      // corpus, odd-id the fresh batch; drop new vectors semantically
+      // near anything existing (the embedding face of d_cross_dedup)
+      val emb = Tables.load(s, dir, "embeddings")
+      Curate.dedupSemanticAgainstCorpus(
+        emb.where(col("vec_id") % 2 === 1),
+        emb.where(col("vec_id") % 2 === 0),
+        threshold = 0.3, cellCol = Some("label"))
+        .select("vec_id").orderBy("vec_id")
+    }),
+
     // incremental dedup: the even-id half plays the existing corpus,
     // the odd-id half the fresh batch; pairs only cross the boundary
     "d_cross_pairs" -> ((s, dir) => {
@@ -1647,6 +1659,29 @@ object SparkEntry {
         |GROUP BY v.vec_id
         |HAVING least(v.vec_id, coalesce(min(r.dst), v.vec_id)) = v.vec_id
         |ORDER BY v.vec_id""".stripMargin,
+
+    // the embedding-pair CTE restricted to the corpus boundary: odd
+    // (new) vectors survive unless within threshold of an even (ref)
+    "d_semantic_cross" ->
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |    generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        | norms AS (SELECT vec_id, sum(x * x) AS nn FROM e GROUP BY vec_id),
+        | dots AS (
+        |  SELECT a.vec_id AS new_id, b.vec_id AS ref_id, sum(a.x * b.x) AS dot
+        |  FROM e a JOIN e b ON a.i = b.i AND a.label = b.label
+        |    AND a.vec_id % 2 = 1 AND b.vec_id % 2 = 0
+        |  GROUP BY 1, 2),
+        | flagged AS (
+        |  SELECT DISTINCT new_id FROM dots
+        |  JOIN norms na ON na.vec_id = new_id
+        |  JOIN norms nb ON nb.vec_id = ref_id
+        |  WHERE round(dot / (sqrt(na.nn) * sqrt(nb.nn)), 6) >= 0.3)
+        |SELECT vec_id FROM embeddings
+        |WHERE vec_id % 2 = 1 AND vec_id NOT IN (SELECT new_id FROM flagged)
+        |ORDER BY vec_id""".stripMargin,
 
     // SRP planes derived identically: Rademacher weight = parity of
     // the LAST md5 hex digit of 'graft:<plane>:<dim>' (the low bit of

@@ -131,4 +131,20 @@ object Curate {
       .select(col(idCol))
     (emb.join(canonical, Seq(idCol), "left_semi"), labelsPin)
   }
+
+  /** One-call INCREMENTAL semantic dedup: drop every vector of
+    * `newEmb` within cosine `threshold` of the existing curated
+    * `refEmb` corpus — [[dedupAgainstCorpus]]'s embedding sibling
+    * ([[Similarity.crossCosinePairs]] composed to its common use; the
+    * batch's internal paraphrases are [[dedupSemantic]]'s job). A
+    * plain anti-join, no pin to manage. */
+  def dedupSemanticAgainstCorpus(newEmb: DataFrame, refEmb: DataFrame,
+      threshold: Double, cellCol: Option[String],
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    val pairs = Similarity.crossCosinePairs(newEmb, refEmb, threshold,
+      cellCol, idCol, vecCol)
+    newEmb.join(pairs.select(col("new_id").as(idCol)), Seq(idCol),
+      "left_anti")
+  }
 }

@@ -475,4 +475,28 @@ object Similarity {
           / (col("a._nrm") * col("b._nrm")), 6).as("cos_sim"))
       .where(col("cos_sim") >= threshold)
   }
+
+  /** Cross-corpus embedding near-duplicate pairs: vectors of `newEmb`
+    * within cosine `threshold` of any vector of `refEmb` — the
+    * semantic face of [[Dedup.crossCorpusPairs]] (fresh-batch-against-
+    * curated-corpus, candidates only cross the boundary so adding a
+    * batch costs |batch|·|cell| work, never |corpus|²). Ids may
+    * collide across corpora — the pair is (new_id, ref_id), not an
+    * ordered in-corpus pair. Cell pruning as in
+    * [[cosineNearDupPairs]]. */
+  def crossCosinePairs(newEmb: DataFrame, refEmb: DataFrame,
+      threshold: Double, cellCol: Option[String],
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    val a = withNorm(newEmb, vecCol).as("a")
+    val b = withNorm(refEmb, vecCol).as("b")
+    val cellEq = cellCol.map(c => col(s"a.$c") === col(s"b.$c"))
+      .getOrElse(lit(true))
+    a.join(b, cellEq)
+      .select(col(s"a.$idCol").as("new_id"),
+        col(s"b.$idCol").as("ref_id"),
+        round(dot(col(s"a.$vecCol"), col(s"b.$vecCol"))
+          / (col("a._nrm") * col("b._nrm")), 6).as("cos_sim"))
+      .where(col("cos_sim") >= threshold)
+  }
 }

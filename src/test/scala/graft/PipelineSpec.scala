@@ -187,6 +187,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(ids == Set(0L, 2L, 4L, 5L))
   }
 
+  test("incremental semantic dedup drops only batch vectors near the " +
+      "corpus") {
+    val ref = Seq(
+      (0L, 0L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, 0L, Array(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "label", "embedding")
+    val batch = Seq(
+      (1L, 0L, Array(2.0f, 0.01f, 0.0f)), // ~ref 0: dropped
+      (3L, 0L, Array(0.0f, 0.0f, 1.0f)),  // novel direction: kept
+      (5L, 1L, Array(1.0f, 0.0f, 0.0f)),  // matches ref 0 but another
+                                          // cell: kept (cell prune)
+      (7L, 0L, Array(0.0f, 0.01f, 2.0f))  // ~batch 3 ONLY: kept — the
+                                          // boundary contract, batch-
+                                          // internal dups are
+                                          // dedupSemantic's job
+    ).toDF("vec_id", "label", "embedding")
+    val kept = graft.pipeline.Curate.dedupSemanticAgainstCorpus(
+      batch, ref, threshold = 0.9, cellCol = Some("label"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 5L, 7L))
+  }
+
   test("owned variants free their pinned blocks on release()") {
     // the library-caller contract: consume the frame, release the
     // handle, nothing stays pinned (no global sweep needed).
