@@ -54,6 +54,45 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("grouped top-k ranks reduced group rows, never raw messages") {
+    val p = SparkEntry.queries("q_stats_topk")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the window sits over the (topic, bucket, k) aggregate: counts
+    // partial-combine map-side (two HashAggregate phases), and the
+    // only rows that reach the rank are reduced group rows
+    assert(p.contains("Window"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    val winIdx = p.indexOf("Window")
+    assert(p.indexOf("HashAggregate", winIdx) >= 0,
+      "window must consume the aggregate, not the scan: " + p)
+  }
+
+  test("distinct-count statistics partial-aggregate map-side") {
+    val p = SparkEntry.queries("q_stats_distinct")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // exact count_distinct plans as expand + two-phase aggregate;
+    // no more than the distinct's own exchanges, nothing collected
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("semantic dedup pair stage joins on the cell key, not a cross " +
+      "product") {
+    val emb = graft.model.Tables.load(spark, sfDir, "embeddings")
+    val p = graft.pipeline.Similarity.cosineNearDupPairs(emb,
+        threshold = 0.3, cellCol = Some("label"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    val pc = graft.pipeline.Similarity.crossCosinePairs(
+        emb.where(col("vec_id") % 2 === 1),
+        emb.where(col("vec_id") % 2 === 0),
+        threshold = 0.3, cellCol = Some("label"))
+      .queryExecution.executedPlan.toString
+    assert(!pc.contains("CartesianProduct"), pc)
+    assert(!pc.contains("BroadcastNestedLoopJoin"), pc)
+  }
+
   test("stratified sampling filter reaches the scan's data filters") {
     // membership is a pure row-local string compare — at 100 TB the
     // rejected rows must die scan-adjacent (DataFilters in the scan's
