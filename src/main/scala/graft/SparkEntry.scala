@@ -801,6 +801,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // per-source cap at 15: every sf0.01 source holds 25 docs, so each
+    // is thinned to its 15 smallest md5(salt:id) members
+    "t_cap_per_key" -> ((s, dir) =>
+      Curate.capPerKey(Tables.load(s, dir, "documents"),
+        keyCol = "source", cap = 15)
+        .select("doc_id", "source")
+        .orderBy("doc_id")),
+
+    // odd vec_ids = training corpus, even = eval/benchmark set (the
+    // d_semantic_cross split); every train vector is scored against
+    // the eval set and flagged when any eval vector is within 0.3
+    "t_semantic_decontam" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      Curate.decontaminateSemantic(
+        emb.where(col("vec_id") % 2 === 1),
+        emb.where(col("vec_id") % 2 === 0),
+        threshold = 0.3, cellCol = Some("label"))
+        .select(col("vec_id"), col("n_eval_hits"),
+          col("max_eval_sim"), col("contaminated"))
+        .orderBy("vec_id")
+    }),
+
     // --- multimodal plumbing --------------------------------------------
     "m_meta" -> ((s, dir) =>
       Multimodal.decodeMeta(s,
@@ -2202,6 +2224,47 @@ object SparkEntry {
         |FROM tok t1
         |JOIN tok t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
         |GROUP BY gram ORDER BY cnt DESC, gram LIMIT 20""".stripMargin,
+
+    // survivors = the 15 smallest md5('graft:'||id) per source; keys
+    // at or under the cap keep all rows through the same rank filter
+    "t_cap_per_key" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY substring(md5('graft:' || CAST(doc_id AS VARCHAR)),
+        |        1, 8), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 15 ORDER BY doc_id""".stripMargin,
+
+    // the d_semantic_cross pair CTE aggregated per train vector:
+    // hit count + max rounded similarity, left-joined back so clean
+    // vectors carry 0 / NULL / false
+    "t_semantic_decontam" ->
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |    generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        | norms AS (SELECT vec_id, sum(x * x) AS nn FROM e GROUP BY vec_id),
+        | dots AS (
+        |  SELECT a.vec_id AS new_id, b.vec_id AS ref_id, sum(a.x * b.x) AS dot
+        |  FROM e a JOIN e b ON a.i = b.i AND a.label = b.label
+        |    AND a.vec_id % 2 = 1 AND b.vec_id % 2 = 0
+        |  GROUP BY 1, 2),
+        | hits AS (
+        |  SELECT new_id, count(*) AS n_eval_hits,
+        |    max(round(dot / (sqrt(na.nn) * sqrt(nb.nn)), 6)) AS max_eval_sim
+        |  FROM dots
+        |  JOIN norms na ON na.vec_id = new_id
+        |  JOIN norms nb ON nb.vec_id = ref_id
+        |  WHERE round(dot / (sqrt(na.nn) * sqrt(nb.nn)), 6) >= 0.3
+        |  GROUP BY new_id)
+        |SELECT v.vec_id, coalesce(h.n_eval_hits, 0) AS n_eval_hits,
+        |  h.max_eval_sim,
+        |  (coalesce(h.n_eval_hits, 0) > 0) AS contaminated
+        |FROM embeddings v LEFT JOIN hits h ON h.new_id = v.vec_id
+        |WHERE v.vec_id % 2 = 1
+        |ORDER BY v.vec_id""".stripMargin,
 
     "m_meta" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS byte_len,

@@ -132,6 +132,65 @@ object Curate {
     (emb.join(canonical, Seq(idCol), "left_semi"), labelsPin)
   }
 
+  /** Keep at most `cap` documents per key — the per-host / per-domain
+    * cap every web-corpus curation runs (one scrape mirror must not
+    * dominate the corpus). Survivors are the `cap` smallest
+    * `md5(salt:id)` values within the key: a deterministic unbiased
+    * per-key sample, engine- and partitioning-independent (same
+    * discipline as [[Sampling.sample]]).
+    *
+    * 100 TB shape: the corpus does NOT all flow through a window.
+    * One map-side-combinable count finds the over-cap keys (few, by
+    * Zipf — they broadcast); under-cap keys pass through an anti-join
+    * untouched; only rows of over-cap keys are ranked. A pathological
+    * single key still sorts in one task — pre-thin such keys with
+    * [[Sampling.sample]] if one key alone exceeds a task's memory. */
+  def capPerKey(docs: DataFrame, keyCol: String, cap: Int,
+      idCol: String = "doc_id", salt: String = "graft"): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1: $cap")
+    val over = docs.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("_kn"))
+      .where(col("_kn") > cap)
+      .select(col(keyCol))
+    val pass = docs.join(over, Seq(keyCol), "left_anti")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(Sampling.hashBucket(col(idCol), salt), col(idCol))
+    val thinned = docs.join(over, Seq(keyCol), "left_semi")
+      .withColumn("_rk", row_number().over(w))
+      .where(col("_rk") <= cap)
+      .drop("_rk")
+    pass.unionByName(thinned).select(docs.columns.map(col): _*)
+  }
+
+  /** Semantic decontamination: score every training vector against the
+    * eval/benchmark embedding set — the embedding face of
+    * [[TextOps.decontaminate]]'s n-gram overlap (catches paraphrased
+    * benchmark leakage that lexical overlap misses; Yang et al. 2023,
+    * arXiv:2311.04850 motivate embedding-level decontamination).
+    * Returns `trainEmb` plus `n_eval_hits` (eval vectors within cosine
+    * `threshold`), `max_eval_sim` (highest such similarity, null when
+    * clean), and the `contaminated` flag — filter on it to drop, keep
+    * it to audit.
+    *
+    * 100 TB shape: pairs only materialize across the train×eval
+    * boundary within coarse cells ([[Similarity.crossCosinePairs]] —
+    * |train|·|evalCell| work, never a cross product), the per-train
+    * aggregate is map-side combinable, and the final join is
+    * broadcastable (flagged ids ≤ eval-set reach, not corpus size). */
+  def decontaminateSemantic(trainEmb: DataFrame, evalEmb: DataFrame,
+      threshold: Double, cellCol: Option[String],
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    val pairs = Similarity.crossCosinePairs(trainEmb, evalEmb,
+      threshold, cellCol, idCol, vecCol)
+    val hits = pairs.groupBy(col("new_id").as(idCol))
+      .agg(count(lit(1)).as("n_eval_hits"),
+        max(col("cos_sim")).as("max_eval_sim"))
+    trainEmb.join(hits, Seq(idCol), "left")
+      .withColumn("n_eval_hits", coalesce(col("n_eval_hits"), lit(0L)))
+      .withColumn("contaminated", col("n_eval_hits") > 0)
+  }
+
   /** One-call INCREMENTAL semantic dedup: drop every vector of
     * `newEmb` within cosine `threshold` of the existing curated
     * `refEmb` corpus — [[dedupAgainstCorpus]]'s embedding sibling

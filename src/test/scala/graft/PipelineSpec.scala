@@ -667,6 +667,60 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("capPerKey thins over-cap keys to the cap, leaves the rest, " +
+      "and is deterministic") {
+    val d = Seq(
+      (0L, "a"), (1L, "a"), (2L, "a"), (3L, "a"),
+      (4L, "b"), (5L, "b")
+    ).toDF("doc_id", "key")
+    val out = Curate.capPerKey(d, "key", cap = 3)
+    assert(out.columns.toSeq == Seq("doc_id", "key")) // order preserved
+    val byKey = out.collect()
+      .groupBy(_.getString(1)).map { case (k, v) =>
+        (k, v.map(_.getLong(0)).toSet)
+      }
+    assert(byKey("b") == Set(4L, 5L)) // under cap: untouched
+    assert(byKey("a").size == 3)
+    // survivors are the 3 smallest md5('graft:'||id) of key a —
+    // recompute the expected set independently
+    val expected = Seq(0L, 1L, 2L, 3L).sortBy { id =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"graft:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+    }.take(3).toSet
+    assert(byKey("a") == expected)
+    // re-run under a different partitioning: identical survivors
+    val out2 = Curate.capPerKey(d.repartition(7), "key", cap = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(out2 == byKey("a") ++ byKey("b"))
+  }
+
+  test("decontaminateSemantic flags train vectors near eval, respects " +
+      "cells, and leaves clean rows 0/null/false") {
+    val train = Seq(
+      (0L, Array(1.0f, 0.0f), 1),   // near both eval vectors in cell 1
+      (1L, Array(0.0f, 1.0f), 1),   // clean (orthogonal)
+      (2L, Array(1.0f, 0.0f), 2)    // identical direction, WRONG cell
+    ).toDF("vec_id", "embedding", "label")
+    val eval = Seq(
+      (10L, Array(0.999f, 0.01f), 1),
+      (11L, Array(0.95f, 0.05f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val r = Curate.decontaminateSemantic(train, eval, threshold = 0.9,
+        cellCol = Some("label"))
+      .orderBy("vec_id")
+      .select("vec_id", "n_eval_hits", "max_eval_sim", "contaminated")
+      .collect()
+    assert(r.length == 3)
+    assert(r(0).getLong(1) == 2L && r(0).getBoolean(3))
+    assert(r(0).getDouble(2) > 0.99)
+    assert(r(1).getLong(1) == 0L && r(1).isNullAt(2)
+      && !r(1).getBoolean(3))
+    // cell pruning: the identical-direction vector in another cell
+    // never meets the eval set
+    assert(r(2).getLong(1) == 0L && !r(2).getBoolean(3))
+  }
+
   test("text quality features") {
     val r = TextOps.qualityFeatures(docs).where($"doc_id" === 0)
       .select("n_tokens", "n_stopwords", "stopword_ratio_micro6",
