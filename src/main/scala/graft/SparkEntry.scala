@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.model.{EventsCatalog, Tables}
 import graft.ops.{AsofJoin, IntervalJoin, Sessionize}
-import graft.pipeline.{Curate, Dedup, Multimodal, Sampling, Similarity, TextOps}
+import graft.pipeline.{Bloom, Curate, Dedup, Multimodal, Sampling, Similarity, TextOps}
 import graft.plan.Planner
 import graft.ql.{Cmp, Eq, StrLit}
 import graft.stats.{StatFilter, StatTiers}
@@ -566,6 +566,33 @@ object SparkEntry {
         docs.where(col("doc_id") % 2 === 0),
         k = 3, threshold = 0.5, maxDf = ShingleMaxDf)
       kept.select("doc_id").orderBy("doc_id")
+    }),
+
+    // the corpus bloom-membership tier itself (even docs = corpus):
+    // 64 buckets x 4 62-bit words, k=4 md5-derived positions — every
+    // word rebuilt bit-for-bit by the oracle
+    "d_bloom_tier" -> ((s, dir) =>
+      Bloom.bloomTier(
+        Tables.load(s, dir, "documents").where(col("doc_id") % 2 === 0),
+        nBuckets = 64, nWords = 4, kHashes = 4)
+        .orderBy("bloom_bucket")),
+
+    // bloom-prefiltered incremental exact dedup: fresh = odd docs plus
+    // PLANTED copies of every 10th doc (ids shifted +10001 so they are
+    // new ids with corpus text); the planted rows must drop, the rest
+    // survive — result ≡ a plain fingerprint anti-join, with the bloom
+    // only shrinking the confirm join's probe side
+    "d_bloom_dedup" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val ref = docs.where(col("doc_id") % 2 === 0)
+      val planted = docs.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 10001L).as("doc_id"), col("text"),
+          col("lang"), col("source"), col("n_chars"))
+      val fresh = docs.where(col("doc_id") % 2 === 1)
+        .unionByName(planted)
+      Bloom.dedupAgainstCorpusBloom(fresh, ref, nBuckets = 64,
+        nWords = 4, kHashes = 4)
+        .select("doc_id").orderBy("doc_id")
     }),
 
     "d_minhash_lsh" -> ((s, dir) =>
@@ -1553,6 +1580,54 @@ object SparkEntry {
          |WHERE doc_id % 2 = 1
          |  AND doc_id NOT IN (SELECT new_id FROM flagged)
          |ORDER BY doc_id""".stripMargin,
+
+    // words rebuilt from the same disjoint md5 substrings: positions
+    // from hex chars 1..28 (7 per hash), bucket from chars 29..32;
+    // 62-bit words because a shift into the sign bit overflows BIGINT
+    "d_bloom_tier" -> {
+      val pos = (0 until 4).map(j =>
+        s"CAST(('0x' || substr(fp, ${1 + 7 * j}, 7)) AS BIGINT) % 248" +
+          s" AS p$j").mkString(",\n        |    ")
+      val words = (0 until 4).map { w =>
+        (0 until 4).map(j =>
+          s"CASE WHEN p$j // 62 = $w THEN 1::BIGINT << " +
+            s"CAST(p$j % 62 AS INT) ELSE 0 END")
+          .mkString("(", " |\n        |     ", s") AS bloom_w$w")
+      }.mkString(",\n        |    ")
+      s"""WITH f AS (
+        |  SELECT md5(lower(trim(text))) AS fp
+        |  FROM documents WHERE doc_id % 2 = 0),
+        | p AS (
+        |  SELECT
+        |    CAST(('0x' || substr(fp, 29, 4)) AS BIGINT) % 64
+        |      AS bloom_bucket,
+        |    $pos
+        |  FROM f),
+        | w AS (
+        |  SELECT bloom_bucket,
+        |    $words
+        |  FROM p)
+        |SELECT bloom_bucket,
+        |  bit_or(bloom_w0) AS bloom_w0, bit_or(bloom_w1) AS bloom_w1,
+        |  bit_or(bloom_w2) AS bloom_w2, bit_or(bloom_w3) AS bloom_w3
+        |FROM w GROUP BY bloom_bucket ORDER BY bloom_bucket""".stripMargin
+    },
+
+    // the bloom is exact-equivalent to a plain fingerprint anti-join
+    // (no false negatives; false positives die in the confirm join) —
+    // the oracle IS that anti-join
+    "d_bloom_dedup" ->
+      """WITH ref AS (
+        |  SELECT DISTINCT md5(lower(trim(text))) AS fp
+        |  FROM documents WHERE doc_id % 2 = 0),
+        | fresh AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 10001, text FROM documents
+        |  WHERE doc_id % 10 = 0)
+        |SELECT doc_id FROM fresh
+        |WHERE md5(lower(trim(text))) NOT IN (SELECT fp FROM ref)
+        |ORDER BY doc_id""".stripMargin,
 
     "d_minhash_lsh" -> {
       val hs = (0 until 8)

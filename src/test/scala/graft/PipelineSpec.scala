@@ -667,6 +667,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("bloom tier merges across corpora; dedup equals the plain " +
+      "anti-join with false positives confirmed away") {
+    import graft.pipeline.Bloom
+    // tier mergeability: tier(a ∪ b) == per-bucket bit_or of tiers
+    val a = docs.where($"doc_id" < 2)
+    val b = docs.where($"doc_id" >= 2)
+    def tierMap(df: org.apache.spark.sql.DataFrame) =
+      Bloom.bloomTier(df, nBuckets = 8, nWords = 2, kHashes = 2)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+    val whole = tierMap(docs)
+    val merged = (tierMap(a).toSeq ++ tierMap(b).toSeq)
+      .groupBy(_._1).map { case (k, v) =>
+        k -> ((v.map(_._2._1).reduce(_ | _), v.map(_._2._2).reduce(_ | _)))
+      }
+    assert(whole == merged)
+
+    // dedup: ref = {0, 2}; fresh = {1, 3, 4}. 3 is an exact copy of 0
+    // (must drop); 1 and 4 are new texts (must survive). nWords = 1
+    // with k = 4 crams 4 bits into 62 — false positives likely, and
+    // the confirm join must still keep every non-identical doc.
+    val ref = docs.where(col("doc_id").isin(0L, 2L))
+    val fresh = docs.where(col("doc_id").isin(1L, 3L, 4L))
+    val kept = Bloom.dedupAgainstCorpusBloom(fresh, ref,
+      nBuckets = 4, nWords = 1, kHashes = 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L))
+    // definite-negative fast path: an empty ref tier keeps everything
+    val keptAll = Bloom.dedupAgainstCorpusBloom(fresh,
+      ref.where(lit(false)), nBuckets = 4, nWords = 1, kHashes = 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptAll == Set(1L, 3L, 4L))
+  }
+
   test("capPerKey thins over-cap keys to the cap, leaves the rest, " +
       "and is deterministic") {
     val d = Seq(
