@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.model.{EventsCatalog, Tables}
 import graft.ops.{AsofJoin, IntervalJoin, Sessionize}
-import graft.pipeline.{Bloom, Curate, Dedup, Multimodal, Sampling, Similarity, TextOps}
+import graft.pipeline.{Bloom, Curate, Dedup, Multimodal, Sampling, Search, Similarity, TextOps}
 import graft.plan.Planner
 import graft.ql.{Cmp, Eq, StrLit}
 import graft.stats.{StatFilter, StatTiers}
@@ -849,6 +849,19 @@ object SparkEntry {
           col("max_eval_sim"), col("contaminated"))
         .orderBy("vec_id")
     }),
+
+    // --- full-text retrieval --------------------------------------------
+    // BM25 top-10 for one query; scores are exact micro-unit integers
+    // (per-term contribution floored BEFORE the per-doc sum)
+    "t_bm25" -> ((s, dir) =>
+      Search.bm25TopK(Tables.load(s, dir, "documents"),
+        query = "spark merge window batch", k = 10)),
+
+    // two queries served by ONE pass over the corpus postings
+    "t_bm25_batch" -> ((s, dir) =>
+      Search.bm25TopKBatch(Tables.load(s, dir, "documents"),
+        Seq((1L, "spark merge window"), (2L, "customer query fast")),
+        k = 5)),
 
     // --- multimodal plumbing --------------------------------------------
     "m_meta" -> ((s, dir) =>
@@ -2340,6 +2353,78 @@ object SparkEntry {
         |FROM embeddings v LEFT JOIN hits h ON h.new_id = v.vec_id
         |WHERE v.vec_id % 2 = 1
         |ORDER BY v.vec_id""".stripMargin,
+
+    // identical IEEE expression per (doc, term) — single ln on
+    // bit-identical integers, floor(x*1e6) BEFORE the per-doc sum
+    "t_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+        |  FROM documents),
+        | dls AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM toks),
+        | st AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sumdl
+        |   FROM dls),
+        | qt AS (SELECT DISTINCT t AS term FROM (
+        |    SELECT unnest(string_split('spark merge window batch', ' '))
+        |      AS t) WHERE t <> ''),
+        | tfs AS (
+        |  SELECT u.doc_id, u.term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(tk) AS term FROM toks) u
+        |  WHERE u.term IN (SELECT term FROM qt)
+        |  GROUP BY 1, 2),
+        | dfs AS (SELECT term, count(*) AS df FROM tfs GROUP BY 1),
+        | sc AS (
+        |  SELECT t.doc_id,
+        |    CAST(floor(
+        |      ln(1.0 + (st.n - f.df + 0.5) / (f.df + 0.5))
+        |      * (t.tf * (1.2 + 1.0))
+        |      / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * (d.dl * st.n / st.sumdl)))
+        |      * 1000000.0) AS BIGINT) AS term_score_mu
+        |  FROM tfs t
+        |  JOIN dfs f ON f.term = t.term
+        |  JOIN dls d ON d.doc_id = t.doc_id
+        |  CROSS JOIN st)
+        |SELECT doc_id, CAST(sum(term_score_mu) AS BIGINT) AS score_mu,
+        |  count(*) AS n_terms
+        |FROM sc GROUP BY doc_id
+        |ORDER BY score_mu DESC, doc_id LIMIT 10""".stripMargin,
+
+    "t_bm25_batch" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+        |  FROM documents),
+        | dls AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM toks),
+        | st AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sumdl
+        |   FROM dls),
+        | qt AS (SELECT CAST(q AS BIGINT) AS query_id, term FROM (VALUES
+        |    (1, 'spark'), (1, 'merge'), (1, 'window'),
+        |    (2, 'customer'), (2, 'query'), (2, 'fast')) v(q, term)),
+        | tfs AS (
+        |  SELECT u.doc_id, u.term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(tk) AS term FROM toks) u
+        |  WHERE u.term IN (SELECT DISTINCT term FROM qt)
+        |  GROUP BY 1, 2),
+        | dfs AS (SELECT term, count(*) AS df FROM tfs GROUP BY 1),
+        | agg AS (
+        |  SELECT qt.query_id, t.doc_id,
+        |    CAST(sum(CAST(floor(
+        |      ln(1.0 + (st.n - f.df + 0.5) / (f.df + 0.5))
+        |      * (t.tf * (1.2 + 1.0))
+        |      / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * (d.dl * st.n / st.sumdl)))
+        |      * 1000000.0) AS BIGINT)) AS BIGINT) AS score_mu,
+        |    count(*) AS n_terms
+        |  FROM tfs t
+        |  JOIN dfs f ON f.term = t.term
+        |  JOIN dls d ON d.doc_id = t.doc_id
+        |  JOIN qt ON qt.term = t.term
+        |  CROSS JOIN st
+        |  GROUP BY 1, 2)
+        |SELECT query_id, doc_id, score_mu, n_terms FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score_mu DESC, doc_id) AS rn FROM agg)
+        |WHERE rn <= 5
+        |ORDER BY query_id, score_mu DESC, doc_id""".stripMargin,
 
     "m_meta" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS byte_len,

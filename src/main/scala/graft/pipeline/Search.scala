@@ -1,0 +1,130 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Full-text retrieval over a document corpus — Okapi BM25 ranking
+  * (Robertson & Walker SIGIR'94; the Lucene-style `ln(1 + ...)`
+  * positive idf) as a Spark-native batch operator. A training-data
+  * pipeline uses this to pull topical subsets out of a web-scale
+  * corpus ("all documents about X"), to build retrieval-augmented
+  * training examples, and to audit what a corpus contains.
+  *
+  * Scale shape (the 100 TB story):
+  *   - The per-document work (tokenize, explode) happens in the scan
+  *     stage at full parallelism, and the query-term filter is applied
+  *     BEFORE the first shuffle — only postings for query terms ever
+  *     leave a task. For a q-term query the shuffled volume is
+  *     O(docs containing a query term), not O(corpus tokens).
+  *   - Everything small broadcasts: the per-term document frequencies
+  *     (≤ q rows), the corpus length stats (1 row), and the
+  *     query-id → term map. The corpus side never re-partitions.
+  *   - The final ranking aggregates (doc, query) score rows — already
+  *     reduced to candidates — and takes top-k per query with one
+  *     window over those candidates (single-query face: TakeOrdered).
+  *
+  * Cross-engine exactness (the oracle discipline of this repo): each
+  * per-(doc, term) BM25 contribution is computed as ONE identical IEEE
+  * double expression on bit-identical integer inputs (tf, df, dl, N,
+  * Σdl) in both engines, then quantized with `floor(x · 1e6)` to a
+  * BIGINT *before* the cross-row sum — floating addition order can
+  * never reorder, and rank ties break on doc id. The only libm call is
+  * a single `ln` on an identical double.
+  */
+object Search {
+
+  /** Postings for the given terms only: one row per (doc, term) with
+    * the term frequency and the document token length. The building
+    * block [[bm25TopKBatch]] runs on; exposed so callers can persist
+    * the full inverted index (pass `terms = None`) and serve many
+    * queries from it. */
+  def postings(docs: DataFrame, terms: Option[Seq[String]],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // tokens projected into a named column FIRST (lambda-CSE rule)
+    val toks = docs
+      .select(col(idCol).as("doc_id"),
+        TextOps.tokens(lower(col(textCol))).as("_toks"))
+      .withColumn("dl", size(col("_toks")).cast("long"))
+    val exploded =
+      toks.select(col("doc_id"), col("dl"), explode(col("_toks")).as("term"))
+    val wanted = terms match {
+      case Some(ts) => exploded.where(col("term").isin(ts: _*))
+      case None => exploded
+    }
+    wanted.groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+  }
+
+  /** Corpus-wide doc count and total token length — the BM25 length
+    * normalizer. One map-side-combined aggregate to a single row. */
+  def corpusLengthStats(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(size(TextOps.tokens(lower(col(textCol)))).cast("long")
+        .as("dl"))
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
+
+  /** Top-k BM25 retrieval for a batch of queries in ONE pass over the
+    * corpus. Returns (query_id, doc_id, score_mu, n_terms): micro-unit
+    * integer score (descending), number of query terms matched; ties
+    * break to the lower doc id. k1/b are the standard Okapi defaults.
+    *
+    * A term shared by several queries is scored once per query via the
+    * broadcast (query_id, term) map — the corpus-side posting rows are
+    * built once for the union of all query terms. */
+  def bm25TopKBatch(docs: DataFrame, queries: Seq[(Long, String)],
+      k: Int, k1: Double = 1.2, b: Double = 0.75,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(queries.nonEmpty, "empty query batch")
+    require(k >= 1, s"k must be >= 1: $k")
+    val qTerms: Seq[(Long, String)] = queries.flatMap { case (qid, q) =>
+      q.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
+        .map(t => (qid, t))
+    }
+    require(qTerms.nonEmpty, "queries tokenize to no terms")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qdf = qTerms.toDF("query_id", "term")
+    val allTerms = qTerms.map(_._2).distinct
+
+    val tf = postings(docs, Some(allTerms), idCol, textCol)
+    // document frequency per term — ≤ |terms| rows, broadcasts
+    val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = corpusLengthStats(docs, idCol, textCol)
+
+    // ONE identical IEEE expression in both engines, floored to µ
+    // BEFORE the per-doc sum (cross-row float addition is not
+    // order-stable; a BIGINT sum is).
+    val termScoreMu = floor(
+      log(lit(1.0) +
+        (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+        (col("tf") * lit(k1 + 1.0)) /
+        (col("tf") + lit(k1) *
+          (lit(1.0) - lit(b) + lit(b) *
+            (col("dl") * col("n") / col("sumdl")))) *
+        lit(1000000.0)).cast("long")
+
+    val scored = tf
+      .join(broadcast(dfq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .join(broadcast(qdf), Seq("term"))
+      .withColumn("term_score_mu", termScoreMu)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("term_score_mu")).as("score_mu"),
+        count(lit(1)).as("n_terms"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_mu").desc, col("doc_id").asc)
+    scored.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= k)
+      .drop("_rn")
+  }
+
+  /** Single-query face of [[bm25TopKBatch]]:
+    * (doc_id, score_mu, n_terms), best first. */
+  def bm25TopK(docs: DataFrame, query: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    bm25TopKBatch(docs, Seq((0L, query)), k, k1, b, idCol, textCol)
+      .drop("query_id")
+      .orderBy(col("score_mu").desc, col("doc_id").asc)
+}
