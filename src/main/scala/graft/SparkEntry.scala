@@ -850,6 +850,16 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // rebalance to a 5:1:2 target mixture — src1 binds the feasible
+    // total (kept whole via the 'g' sentinel), src2/src7 downsample to
+    // derived hash cutoffs; other sources drop
+    "t_rebalance" -> ((s, dir) =>
+      Sampling.rebalance(Tables.load(s, dir, "documents"),
+        strataCol = "source",
+        weights = Seq(("src1", 5L), ("src2", 1L), ("src7", 2L)))
+        .select("doc_id", "source")
+        .orderBy("doc_id")),
+
     // --- full-text retrieval --------------------------------------------
     // BM25 top-10 for one query; scores are exact micro-unit integers
     // (per-term contribution floored BEFORE the per-doc sum)
@@ -2353,6 +2363,31 @@ object SparkEntry {
         |FROM embeddings v LEFT JOIN hits h ON h.new_id = v.vec_id
         |WHERE v.vec_id % 2 = 1
         |ORDER BY v.vec_id""".stripMargin,
+
+    // the feasible-total / keep-target / cutoff chain re-derived from
+    // the data in 128-bit integer division — zero float rounding, so
+    // the kept set is identical to Spark's BigInt-computed cutoffs
+    "t_rebalance" ->
+      """WITH w(source, wt) AS (VALUES ('src1', 5), ('src2', 1), ('src7', 2)),
+        | counts AS (
+        |  SELECT w.source, w.wt, count(*) AS c
+        |  FROM w JOIN documents d ON d.source = w.source
+        |  GROUP BY 1, 2),
+        | tot AS (SELECT CAST(sum(wt) AS HUGEINT) AS tw FROM w),
+        | tt AS (SELECT min(CAST(c AS HUGEINT) * tw // wt) AS t
+        |   FROM counts, tot),
+        | cuts AS (
+        |  SELECT source,
+        |    CASE WHEN CAST(wt AS HUGEINT) * t // tw >= c THEN 'g'
+        |      ELSE lpad(lower(to_hex(CAST((CAST(wt AS HUGEINT) * t // tw)
+        |        * 4294967296 // c AS BIGINT))), 8, '0')
+        |    END AS cutoff
+        |  FROM counts, tot, tt)
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN cuts ON cuts.source = d.source
+        |WHERE substring(md5('graft:' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+        |  < cutoff
+        |ORDER BY d.doc_id""".stripMargin,
 
     // identical IEEE expression per (doc, term) — single ln on
     // bit-identical integers, floor(x*1e6) BEFORE the per-doc sum

@@ -142,4 +142,62 @@ object Sampling {
       .withColumn("n_tokens", col(tokensCol).cast("long"))
       .drop("_pk", "_cum")
   }
+
+  /** Rebalance a corpus to a TARGET mixture (DoReMi-style domain
+    * weighting): keep the largest corpus whose per-stratum composition
+    * matches `weights` (integer proportions, e.g. web 7 : code 2 :
+    * papers 1), downsampling every over-represented stratum and
+    * keeping under-represented ones whole. Strata not listed are
+    * dropped. Unlike [[stratified]] (caller-fixed per-stratum rates),
+    * the rates here are DERIVED from the actual counts:
+    *
+    *   T   = min_s floor(count_s · W / w_s)   (feasible total)
+    *   k_s = floor(w_s · T / W)               (per-stratum keep target)
+    *
+    * computed in exact BigInt arithmetic, then applied as the same
+    * deterministic hash-cutoff membership as [[sample]] with cutoff
+    * floor(k_s · 2^32 / count_s) — a pure function of (salt, id), so
+    * the kept set is engine- and partitioning-independent, and an SQL
+    * oracle re-derives the identical cutoffs from the data with
+    * 128-bit integer division (no float rounding anywhere in the
+    * rate computation).
+    *
+    * 100 TB shape: one map-side-combined groupBy collecting ≤|strata|
+    * count rows to the driver (control-plane, like catalog listings);
+    * membership is a row-local CASE filter that pushes down to the
+    * scan. No shuffle of the corpus, no window, no global sort. */
+  def rebalance(docs: DataFrame, strataCol: String,
+      weights: Seq[(String, Long)], idCol: String = "doc_id",
+      salt: String = "graft"): DataFrame = {
+    require(weights.nonEmpty, "empty target mixture")
+    require(weights.forall(_._2 > 0), s"weights must be positive: $weights")
+    require(weights.map(_._1).distinct.size == weights.size,
+      s"duplicate stratum in target mixture: $weights")
+    val listed = weights.map(_._1)
+    val counts: Map[String, Long] = docs
+      .where(col(strataCol).isin(listed: _*))
+      .groupBy(col(strataCol).cast("string"))
+      .agg(count(lit(1)))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    weights.foreach { case (s, _) =>
+      require(counts.getOrElse(s, 0L) > 0L,
+        s"stratum '$s' has no rows — target mixture infeasible")
+    }
+    val w32 = BigInt(4294967296L)
+    val bigW = BigInt(weights.map(_._2).sum)
+    val t = weights.map { case (s, w) => BigInt(counts(s)) * bigW / w }.min
+    val cutoffs = weights.map { case (s, w) =>
+      val ks = BigInt(w) * t / bigW
+      val c = BigInt(counts(s))
+      // 'g' sorts above every hex digit: the keep-all sentinel
+      val cut =
+        if (ks >= c) "g" else f"${(ks * w32 / c).toLong}%08x"
+      (s, cut)
+    }
+    val cutCol = cutoffs.foldLeft(lit("0"): Column) {
+      case (e, (s, cu)) => when(col(strataCol) === s, lit(cu)).otherwise(e)
+    }
+    docs.where(col(strataCol).isin(listed: _*))
+      .where(hashBucket(col(idCol), salt) < cutCol)
+  }
 }

@@ -528,6 +528,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(again.sorted.sameElements(kept.sorted))
   }
 
+  test("rebalance derives per-stratum rates from counts toward the " +
+      "target mixture; binding stratum keeps all rows") {
+    // 300 "web" vs 60 "code" rows; target web:code = 1:1 — code binds
+    // the feasible total, keeps all 60, web downsamples toward 60
+    val rows = (0L until 360L).map(i =>
+      (i, if (i < 300L) "web" else "code")).toDF("doc_id", "source")
+    val kept = Sampling.rebalance(rows, "source",
+      Seq(("web", 1L), ("code", 1L))).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.count(_._2 == "code") == 60)
+    val web = kept.count(_._2 == "web")
+    // hash-cutoff sampling at rate 60/300: binomial around 60
+    assert(web > 35 && web < 90, s"web kept $web")
+    // unlisted strata drop wholesale
+    val drop = Sampling.rebalance(rows, "source", Seq(("code", 1L)))
+      .collect()
+    assert(drop.length == 60 && drop.forall(_.getString(1) == "code"))
+    // re-run is bit-identical (determinism)
+    val again = Sampling.rebalance(rows, "source",
+      Seq(("web", 1L), ("code", 1L))).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(again.sorted.sameElements(kept.sorted))
+    // infeasible mixture (empty stratum) errors instead of silently
+    // returning an empty corpus
+    intercept[IllegalArgumentException] {
+      Sampling.rebalance(rows, "source",
+        Seq(("web", 1L), ("papers", 1L)))
+    }
+  }
+
   test("pii features count and redact emails, ips, phones") {
     val rows = Seq(
       (0L, "mail a.b+c@sub.example.org and x@y.io twice"),
