@@ -873,6 +873,16 @@ object SparkEntry {
         Seq((1L, "spark merge window"), (2L, "customer query fast")),
         k = 5)),
 
+    // per-doc top-3 keywords by smoothed tf-idf, exact micro-units
+    "t_tfidf" -> ((s, dir) =>
+      Search.tfidfTopTerms(Tables.load(s, dir, "documents"), k = 3)),
+
+    // add-one bigram LM self-trained on the corpus; per-doc total and
+    // average log-prob in exact micro-units (the CCNet-style signal)
+    "t_lm_score" -> ((s, dir) =>
+      TextOps.lmScore(Tables.load(s, dir, "documents"))
+        .orderBy("doc_id")),
+
     // --- multimodal plumbing --------------------------------------------
     "m_meta" -> ((s, dir) =>
       Multimodal.decodeMeta(s,
@@ -2460,6 +2470,65 @@ object SparkEntry {
         |    ORDER BY score_mu DESC, doc_id) AS rn FROM agg)
         |WHERE rn <= 5
         |ORDER BY query_id, score_mu DESC, doc_id""".stripMargin,
+
+    "t_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+        |  FROM documents),
+        | tfs AS (
+        |  SELECT doc_id, term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(tk) AS term FROM toks)
+        |  GROUP BY 1, 2),
+        | dfs AS (SELECT term, count(*) AS df FROM tfs GROUP BY 1),
+        | st AS (SELECT count(*) AS n FROM documents),
+        | sc AS (
+        |  SELECT t.doc_id, t.term, t.tf,
+        |    CAST(floor(t.tf * ln((st.n + 1.0) / (f.df + 1.0))
+        |      * 1000000.0) AS BIGINT) AS tfidf_mu
+        |  FROM tfs t JOIN dfs f ON f.term = t.term CROSS JOIN st)
+        |SELECT doc_id, term, tf, tfidf_mu FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf_mu DESC, term) AS rn FROM sc)
+        |WHERE rn <= 3
+        |ORDER BY doc_id, tfidf_mu DESC, term""".stripMargin,
+
+    // identical ln on identical integer-derived quotients; floor to µ
+    // BEFORE the per-doc sum; average = floor of a BIGINT/BIGINT
+    // quotient (both exactly representable as doubles)
+    "t_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+        |  FROM documents),
+        | bi AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(tk) - 1),
+        |    i -> struct_pack(w1 := tk[i], w2 := tk[i + 1]))) AS p
+        |  FROM toks WHERE len(tk) >= 2),
+        | bi2 AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bi),
+        | bg AS (SELECT w1, w2, count(*) AS cb FROM bi2 GROUP BY 1, 2),
+        | ug AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cu FROM bg
+        |   GROUP BY 1),
+        | vs AS (SELECT count(DISTINCT t) AS v
+        |   FROM (SELECT unnest(tk) AS t FROM toks)),
+        | sc AS (
+        |  SELECT b.doc_id,
+        |    CAST(floor(ln((g.cb + 1.0) / (u.cu + vs.v)) * 1000000.0)
+        |      AS BIGINT) AS mu
+        |  FROM bi2 b
+        |  JOIN bg g ON g.w1 = b.w1 AND g.w2 = b.w2
+        |  JOIN ug u ON u.w1 = b.w1
+        |  CROSS JOIN vs),
+        | agg AS (SELECT doc_id, CAST(sum(mu) AS BIGINT) AS lp,
+        |   count(*) AS nb FROM sc GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(a.nb, 0) AS BIGINT) AS n_bigrams,
+        |  CAST(coalesce(a.lp, 0) AS BIGINT) AS logprob_mu,
+        |  CAST(CASE WHEN coalesce(a.nb, 0) = 0 THEN 0
+        |    ELSE CAST(floor(CAST(a.lp AS DOUBLE) / a.nb) AS BIGINT)
+        |  END AS BIGINT) AS avg_logprob_mu
+        |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "m_meta" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS byte_len,

@@ -119,6 +119,40 @@ object Search {
       .drop("_rn")
   }
 
+  /** Per-document top-k keywords by smoothed TF-IDF — the standard
+    * corpus-metadata tagger (topical labels, routing keys, index
+    * summaries for a 100 TB corpus):
+    *
+    *   tfidf(d, t) = tf(d, t) · ln((N + 1) / (df(t) + 1))
+    *
+    * floored to BIGINT micro-units; top-k per doc, score-descending,
+    * ties to the lexicographically smaller term.
+    *
+    * Scale shape: term frequencies come from the same one-shuffle
+    * postings build as BM25; document frequencies are a vocabulary-
+    * sized aggregate of those postings joined back ON THE TERM KEY
+    * (vocabulary outgrows broadcast at corpus scale — this stays a
+    * shuffle join by design, and AQE absorbs hot-term skew); the
+    * final top-k window partitions by document over already-reduced
+    * posting rows, never raw tokens. */
+  def tfidfTopTerms(docs: DataFrame, k: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val tf = postings(docs, None, idCol, textCol)
+    val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val scored = tf.join(dfq, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf_mu", floor(
+        col("tf") * log((col("n") + lit(1.0)) / (col("df") + lit(1.0))) *
+          lit(1000000.0)).cast("long"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf_mu").desc, col("term").asc)
+    scored.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("tfidf_mu"))
+  }
+
   /** Single-query face of [[bm25TopKBatch]]:
     * (doc_id, score_mu, n_terms), best first. */
   def bm25TopK(docs: DataFrame, query: String, k: Int,

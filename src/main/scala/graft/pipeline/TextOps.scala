@@ -172,6 +172,67 @@ object TextOps {
 
   /** Corpus-wide top-k n-gram counts (word n-grams). One explode + one
     * agg; at 100 TB this is the canonical map-side-combine shape. */
+  /** Bigram language-model fluency scoring — the CCNet/KenLM-style
+    * quality signal: train an add-one-smoothed bigram LM on `train`
+    * (default: the scored corpus itself) and score every document by
+    * its total and per-bigram-average log-probability. Degenerate or
+    * machine-generated text scores far from the corpus mode, which is
+    * exactly what LM-perplexity corpus filters threshold on.
+    *
+    *   P(w2 | w1) = (C(w1 w2) + 1) / (C(w1 ·) + V)
+    *
+    * with C(w1 ·) the bigram-start count and V the train vocabulary.
+    *
+    * Cross-engine exactness: each bigram's log-probability is ONE
+    * `ln` of an identical IEEE quotient of exact integers, floored to
+    * BIGINT micro-units BEFORE the per-doc sum; the per-bigram average
+    * is a floor of the identical IEEE quotient of two BIGINTs. Nothing
+    * float crosses a row boundary.
+    *
+    * 100 TB shape: the LM is two count aggregations (map-side
+    * combined; the unigram table derives from the bigram table, no
+    * second pass over text); scoring is one shuffle join on the gram
+    * key (AQE handles hot-gram skew) + one per-doc aggregation. The
+    * only driver-side value is V (one long). Docs under 2 tokens score
+    * zeros rather than dropping out. */
+  def lmScore(docs: DataFrame, train: Option[DataFrame] = None,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tr = train.getOrElse(docs)
+    def toks(df: DataFrame): DataFrame =
+      df.select(col(idCol).as("_id"), tokens(lower(col(textCol))).as("_toks"))
+    def bigrams(df: DataFrame): DataFrame =
+      toks(df).where(size(col("_toks")) >= 2)
+        .withColumn("_p", explode(expr(
+          """transform(sequence(1, size(_toks) - 1),
+             i -> struct(element_at(_toks, i) AS w1,
+                         element_at(_toks, i + 1) AS w2))""")))
+        .select(col("_id"), col("_p.w1").as("w1"), col("_p.w2").as("w2"))
+    val bg = bigrams(tr).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cb"))
+    val ug = bg.groupBy(col("w1")).agg(sum(col("cb")).as("cu"))
+    val vocab = toks(tr).select(explode(col("_toks")).as("_t"))
+      .agg(countDistinct(col("_t")).as("v"))
+    val scored = bigrams(docs)
+      .join(bg, Seq("w1", "w2"), "left")
+      .join(ug, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("_mu", floor(
+        log((coalesce(col("cb"), lit(0L)) + lit(1.0)) /
+          (coalesce(col("cu"), lit(0L)) + col("v"))) *
+          lit(1000000.0)).cast("long"))
+      .groupBy(col("_id"))
+      .agg(sum(col("_mu")).as("_lp"), count(lit(1)).as("_nb"))
+    docs.select(col(idCol))
+      .join(scored, docs(idCol) === scored("_id"), "left")
+      .select(col(idCol),
+        coalesce(col("_nb"), lit(0L)).as("n_bigrams"),
+        coalesce(col("_lp"), lit(0L)).as("logprob_mu"))
+      .withColumn("avg_logprob_mu",
+        when(col("n_bigrams") === 0L, lit(0L))
+          .otherwise(floor(col("logprob_mu").cast("double") /
+            col("n_bigrams")).cast("long")))
+  }
+
   def topNgrams(df: DataFrame, n: Int, k: Int, textCol: String = "text")
       : DataFrame =
     df.select(tokens(lower(col(textCol))).as("_toks"))

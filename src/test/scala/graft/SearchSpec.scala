@@ -85,6 +85,50 @@ class SearchSpec extends AnyFunSuite {
     assert(plan.contains("spark"))
   }
 
+  test("tfidf keywords rank distinctive terms above ubiquitous ones") {
+    val corpus = Seq(
+      (0L, "common zebra common"),
+      (1L, "common words only"),
+      (2L, "common words again")
+    ).toDF("doc_id", "text")
+    val r = Search.tfidfTopTerms(corpus, k = 2).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    // "common" appears in every doc → idf ln(4/4) = 0 → score 0;
+    // "zebra" (df 1) tops doc 0 despite tf 1 vs common's tf 2
+    assert(r(0L).head.getAs[String]("term") == "zebra")
+    assert(r(0L).head.getAs[Long]("tfidf_mu") > 0L)
+    assert(r(0L).find(_.getAs[String]("term") == "common")
+      .get.getAs[Long]("tfidf_mu") == 0L)
+    // k truncates: 2 keywords per doc max
+    assert(r.values.forall(_.length <= 2))
+  }
+
+  test("lm scoring: repeated fluent bigrams beat unseen ones; short " +
+      "docs score zeros; held-out scoring uses the train LM") {
+    import graft.pipeline.TextOps
+    val corpus = Seq(
+      (0L, "the cat sat"),
+      (1L, "the cat sat"),
+      (2L, "the cat sat"),
+      (3L, "sat zebra the"),  // bigrams never seen elsewhere
+      (4L, "x")               // too short: zero bigrams
+    ).toDF("doc_id", "text")
+    val r = TextOps.lmScore(corpus).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_bigrams"), x.getAs[Long]("logprob_mu"),
+          x.getAs[Long]("avg_logprob_mu"))).toMap
+    assert(r(4L) == ((0L, 0L, 0L)))
+    assert(r(0L) == r(1L) && r(1L) == r(2L))
+    // the common sentence is much more probable than the rare one
+    assert(r(0L)._3 > r(3L)._3)
+    assert(r(3L)._2 < 0L) // log-probs are negative micro-units
+    // held-out doc with an unseen bigram start falls back to 1/V mass
+    val heldOut = Seq((9L, "unseen words here")).toDF("doc_id", "text")
+    val h = TextOps.lmScore(heldOut, train = Some(corpus)).collect()
+    assert(h.head.getAs[Long]("n_bigrams") == 2L)
+    assert(h.head.getAs[Long]("logprob_mu") < 0L)
+  }
+
   test("postings with terms=None build the full inverted index") {
     val idx = Search.postings(docs, None).collect()
     // 13 distinct (doc, term) pairs across the non-empty docs
