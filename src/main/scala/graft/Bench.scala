@@ -143,7 +143,18 @@ object Bench {
       results: Seq[(String, Double, Double)],
       loadStart: Double, loadEnd: Double,
       idleWaitSec: Int, sfDir: String): String = {
-    val qs = results.map { case (k, v, _) => "\"" + k + f"\":$v%.2f" }
+    // Adaptive per-query width: the line's budget is spent on NAMES
+    // (which the driver needs verbatim), so seconds carry only the
+    // precision their magnitude warrants — 10 ms resolution under 10 s,
+    // 100 ms under 100 s, whole seconds above. Worst-case value width
+    // drops 6 -> 4 chars, which at ~90 registry entries is the
+    // difference between fitting the driver's tail window and not.
+    def fmt(v: Double): String =
+      if (v < 0) "-1.00"
+      else if (v >= 100) f"$v%.0f"
+      else if (v >= 10) f"$v%.1f"
+      else f"$v%.2f"
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // spread summarized: the single worst offender (name + ratio);
