@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.model.{EventsCatalog, Tables}
 import graft.ops.{AsofJoin, IntervalJoin, Sessionize}
-import graft.pipeline.{Bloom, Curate, Dedup, Multimodal, Sampling, Search, Similarity, TextOps}
+import graft.pipeline.{Bloom, Curate, Dedup, Multimodal, Sampling, Search, Select, Similarity, TextOps}
 import graft.plan.Planner
 import graft.ql.{Cmp, Eq, StrLit}
 import graft.stats.{StatFilter, StatTiers}
@@ -883,6 +883,43 @@ object SparkEntry {
       TextOps.lmScore(Tables.load(s, dir, "documents"))
         .orderBy("doc_id")),
 
+    // --- data selection -------------------------------------------------
+    // DSIR importance weights of the whole corpus against an in-corpus
+    // target slice (seed domains src1/src3/src5); hashed unigram+bigram
+    // features, per-bucket log-likelihood ratios in exact µ-units
+    "t_dsir" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Select.dsirWeights(docs,
+        docs.where(col("source").isin("src1", "src3", "src5")),
+        buckets = 1024).orderBy("doc_id")
+    }),
+
+    // the resampling face: the 100 docs most like the target slice
+    "t_dsir_select" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Select.dsirSelect(docs,
+        docs.where(col("source").isin("src1", "src3", "src5")),
+        buckets = 1024, k = 100)
+        .select("doc_id", "source", "weight_mu")
+        .orderBy("doc_id")
+    }),
+
+    // keep the best 30% of each source by token count (per-domain rank
+    // cut; ties resolved by id) — exact integer rank arithmetic
+    "t_top_fraction" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Curate.keepTopFraction(
+        docs.withColumn("n_tokens",
+          TextOps.tokenCount(lower(col("text"))).cast("long")),
+        "source", "n_tokens", num = 3, den = 10)
+        .select("doc_id", "source", "n_tokens").orderBy("doc_id")
+    }),
+
+    // fixed-length training-sequence windows (32 tokens, stride 24)
+    "t_chunks" -> ((s, dir) =>
+      Sampling.chunk(Tables.load(s, dir, "documents"), maxLen = 32,
+        stride = 24).orderBy("doc_id", "chunk_idx")),
+
     // --- multimodal plumbing --------------------------------------------
     "m_meta" -> ((s, dir) =>
       Multimodal.decodeMeta(s,
@@ -1019,6 +1056,47 @@ object SparkEntry {
 
   private val US_0108 = NS_0108 / 1000
   private val US_0115 = NS_0115 / 1000
+
+  /** DSIR per-doc weights CTE chain (shared by t_dsir and
+    * t_dsir_select): hashed unigram+bigram buckets, target vs raw
+    * bucket counts, per-bucket log-likelihood ratio floored to µ, and
+    * per-doc BIGINT sums — the identical-IEEE mirror of
+    * `Select.dsirWeights` at buckets = 1024, target = src1/src3/src5. */
+  private val DSIR_PERDOC =
+    """toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+      |  FROM documents),
+      | uni AS (SELECT doc_id, unnest(tk) AS gram FROM toks
+      |   WHERE len(tk) >= 1),
+      | bi AS (SELECT doc_id, unnest(list_transform(
+      |    generate_series(1, len(tk) - 1),
+      |    i -> tk[i] || ' ' || tk[i + 1])) AS gram
+      |   FROM toks WHERE len(tk) >= 2),
+      | g AS (SELECT doc_id,
+      |    CAST(('0x' || substring(md5('dsir:' || gram), 1, 8)) AS BIGINT)
+      |      % 1024 AS b
+      |   FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+      | tgt AS (SELECT g.b, count(*) AS ct FROM g
+      |   JOIN documents d ON d.doc_id = g.doc_id
+      |   WHERE d.source IN ('src1', 'src3', 'src5') GROUP BY 1),
+      | rawc AS (SELECT b, count(*) AS cr FROM g GROUP BY 1),
+      | tot AS (SELECT
+      |   (SELECT CAST(sum(cr) AS BIGINT) FROM rawc) AS nr,
+      |   (SELECT CAST(sum(ct) AS BIGINT) FROM tgt) AS nt),
+      | lam AS (SELECT r.b,
+      |   CAST(floor(ln(((coalesce(t.ct, 0) + 1.0) / (tot.nt + 1024)) /
+      |     ((r.cr + 1.0) / (tot.nr + 1024))) * 1000000.0) AS BIGINT)
+      |     AS lam_mu
+      |   FROM rawc r LEFT JOIN tgt t ON t.b = r.b CROSS JOIN tot),
+      | pd AS (SELECT g.doc_id, count(*) AS nf,
+      |   CAST(sum(l.lam_mu) AS BIGINT) AS w
+      |   FROM g JOIN lam l ON l.b = g.b GROUP BY 1),
+      | wts AS (SELECT d.doc_id, d.source,
+      |   CAST(coalesce(p.nf, 0) AS BIGINT) AS n_feats,
+      |   CAST(coalesce(p.w, 0) AS BIGINT) AS weight_mu
+      |  FROM documents d LEFT JOIN pd p ON p.doc_id = d.doc_id)
+      |""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_scan" ->
@@ -2529,6 +2607,53 @@ object SparkEntry {
         |  END AS BIGINT) AS avg_logprob_mu
         |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // identical ln over identical integer-derived quotients, floored
+    // to µ per bucket BEFORE the per-doc sum (the lmScore discipline)
+    "t_dsir" ->
+      s"""WITH $DSIR_PERDOC
+        |SELECT doc_id, n_feats, weight_mu FROM wts
+        |ORDER BY doc_id""".stripMargin,
+
+    // top-100 by (weight desc, id) — BIGINT weights make the k
+    // boundary tie-break engine-exact
+    "t_dsir_select" ->
+      s"""WITH $DSIR_PERDOC,
+        | top AS (SELECT * FROM wts
+        |   ORDER BY weight_mu DESC, doc_id LIMIT 100)
+        |SELECT doc_id, source, weight_mu FROM top
+        |ORDER BY doc_id""".stripMargin,
+
+    // keep while rank*den <= count*num — pure integer rank cut
+    "t_top_fraction" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split(lower(text), ' '),
+        |      x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        | r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_tokens DESC, doc_id) AS rk,
+        |    count(*) OVER (PARTITION BY source) AS cnt FROM t)
+        |SELECT doc_id, source, n_tokens FROM r
+        |WHERE rk * 10 <= cnt * 3
+        |ORDER BY doc_id""".stripMargin,
+
+    // windows at 0, 24, 48, …; keep the first or any window whose
+    // predecessor did not already reach the end (32 - 24 = 8)
+    "t_chunks" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+        |  FROM documents),
+        | st AS (SELECT doc_id, tk,
+        |    unnest(generate_series(0, len(tk) - 1, 24)) AS s
+        |   FROM toks WHERE len(tk) >= 1)
+        |SELECT doc_id, CAST(s // 24 AS BIGINT) AS chunk_idx,
+        |  CAST(s AS BIGINT) AS chunk_start,
+        |  CAST(least(32, len(tk) - s) AS BIGINT) AS n_tokens,
+        |  md5(array_to_string(tk[s + 1 : least(s + 32, len(tk))], ' '))
+        |    AS chunk_md5
+        |FROM st WHERE s = 0 OR s + 8 < len(tk)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "m_meta" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS byte_len,

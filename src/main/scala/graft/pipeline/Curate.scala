@@ -206,4 +206,33 @@ object Curate {
     newEmb.join(pairs.select(col("new_id").as(idCol)), Seq(idCol),
       "left_anti")
   }
+
+  /** Keep the best `num/den` fraction of EACH stratum by score — the
+    * per-domain quality thresholding step of curation pipelines
+    * (absolute thresholds over-prune clean domains and under-prune
+    * noisy ones; a per-domain rank cut adapts the bar to each domain's
+    * score distribution). Keeps exactly floor(count_s · num / den)
+    * rows per stratum: rank by (score desc, id asc) and keep while
+    * rank · den <= count · num — pure 64-bit integer arithmetic, so
+    * the kept set is engine-exact when `scoreCol` is (the repo's
+    * micro-unit scores are).
+    *
+    * 100 TB shape: one exchange on the stratum column feeds both the
+    * rank and the count window (same partitioning, one sort). A
+    * stratum sorts distributedly and spills, never through the driver;
+    * at extreme per-domain volumes swap in an approximate quantile
+    * cutoff — this operator is the exact face.
+    */
+  def keepTopFraction(docs: DataFrame, strataCol: String,
+      scoreCol: String, num: Long, den: Long,
+      idCol: String = "doc_id"): DataFrame = {
+    require(den > 0 && num >= 0 && num <= den,
+      s"fraction must be 0 <= num/den <= 1: $num/$den")
+    val part = Window.partitionBy(col(strataCol))
+    val ord = part.orderBy(col(scoreCol).desc, col(idCol).asc)
+    docs.withColumn("_rk", row_number().over(ord))
+      .withColumn("_cnt", count(lit(1)).over(part))
+      .where(col("_rk") * lit(den) <= col("_cnt") * lit(num))
+      .drop("_rk", "_cnt")
+  }
 }

@@ -143,6 +143,45 @@ object Sampling {
       .drop("_pk", "_cum")
   }
 
+  /** Chunk documents into fixed-length token windows with stride —
+    * the sequence-shaping step between curation and batching: a
+    * pretraining pipeline cuts long documents into `maxLen`-token
+    * training sequences, overlapping by `maxLen - stride` tokens so
+    * no boundary context is lost. Emits one row per window:
+    * (id, chunk_idx, chunk_start, n_tokens, chunk_md5) where `chunk_md5`
+    * fingerprints the space-joined window (the payload face is the
+    * same slice un-hashed). Windows start at 0, stride, 2·stride, …;
+    * a window is kept iff it is the first or the previous window did
+    * not already reach the document's end — so every token is covered
+    * exactly once by the final ragged window and no fully-redundant
+    * suffix windows are emitted.
+    *
+    * Deterministic and engine-exact (slice + join + md5 of the same
+    * token array). Shuffle-free: one projection + one explode, at
+    * full scan parallelism — at 100 TB this is a map-only stage whose
+    * output feeds [[packBudget]].
+    */
+  def chunk(df: DataFrame, maxLen: Int, stride: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(maxLen >= 1, s"maxLen must be >= 1: $maxLen")
+    require(stride >= 1 && stride <= maxLen,
+      s"stride must be in [1, maxLen]: $stride")
+    df.select(col(idCol), TextOps.tokens(lower(col(textCol)))
+        .as("_toks"))
+      .where(size(col("_toks")) >= 1)
+      .withColumn("_start", explode(
+        sequence(lit(0), size(col("_toks")) - 1, lit(stride))))
+      .where(col("_start") === 0 ||
+        col("_start") + lit(maxLen - stride) < size(col("_toks")))
+      .withColumn("_chunk",
+        slice(col("_toks"), col("_start") + 1, lit(maxLen)))
+      .select(col(idCol),
+        expr(s"CAST(_start div $stride AS BIGINT)").as("chunk_idx"),
+        col("_start").cast("long").as("chunk_start"),
+        size(col("_chunk")).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", col("_chunk"))).as("chunk_md5"))
+  }
+
   /** Rebalance a corpus to a TARGET mixture (DoReMi-style domain
     * weighting): keep the largest corpus whose per-stratum composition
     * matches `weights` (integer proportions, e.g. web 7 : code 2 :

@@ -1,0 +1,118 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data selection via importance resampling (DSIR, Xie et al.,
+  * NeurIPS 2023): score every raw-corpus document by how much it looks
+  * like a small TARGET corpus (the domain you want more of) relative
+  * to the raw distribution, then keep the best-scoring documents.
+  * This is the standard pretraining-data selection recipe when you
+  * have a high-quality seed set and a web-scale raw pool.
+  *
+  * Features are hashed unigram+bigram counts in `buckets` bins (the
+  * paper's hashed n-gram feature space); each bin carries the smoothed
+  * log-likelihood ratio
+  *
+  *   lambda(b) = ln( ((ct(b)+1)/(nt+B)) / ((cr(b)+1)/(nr+B)) )
+  *
+  * between the target and raw gram distributions, and a document's
+  * importance weight is the sum of lambda over its feature
+  * occurrences.
+  *
+  * Cross-engine exactness (the repo rule): the bucket hash is
+  * md5-derived so DuckDB rebuilds it verbatim; each lambda is ONE `ln`
+  * of an identical IEEE quotient of exact integer-derived doubles,
+  * floored to BIGINT micro-units BEFORE any cross-row sum; per-doc
+  * weights are BIGINT sums. Nothing float crosses a row boundary.
+  *
+  * 100 TB shape: both gram-distribution aggregations reduce to at most
+  * `buckets` rows (map-side combined — gram text itself never leaves
+  * the scan stage except as a 4-byte bucket id), the lambda table is
+  * at most `buckets` rows and BROADCASTS, and scoring is one broadcast
+  * join + one per-doc aggregation — ONE shuffle over (id, lambda)
+  * pairs end to end. The target corpus is the small seed set by
+  * construction; the raw pool streams.
+  */
+object Select {
+
+  /** Hashed feature bucket of a gram: first 8 md5 hex digits of
+    * "salt:gram" as a uniform 32-bit value, mod `buckets`. */
+  def featureBucket(gram: Column, buckets: Int, salt: String): Column =
+    conv(substring(md5(concat(lit(salt + ":"), gram)), 1, 8), 16, 10)
+      .cast("long") % buckets
+
+  /** (id, gram) pairs: whitespace unigrams + adjacent bigrams of the
+    * lowercased text. Token array and bigram array are projected as
+    * named columns BEFORE the explode (the lambda-CSE trap). */
+  private def grams(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame =
+    df.select(col(idCol).as("_id"),
+        TextOps.tokens(lower(col(textCol))).as("_toks"))
+      .where(size(col("_toks")) >= 1)
+      .withColumn("_bi",
+        when(size(col("_toks")) >= 2, expr(
+          """transform(sequence(1, size(_toks) - 1),
+             i -> concat(element_at(_toks, i), ' ',
+                         element_at(_toks, i + 1)))"""))
+          .otherwise(array().cast("array<string>")))
+      .select(col("_id"), explode(concat(col("_toks"), col("_bi")))
+        .as("_gram"))
+
+  /** Per-document DSIR importance weights of `raw` against `target`.
+    * Output: (idCol, n_feats, weight_mu) — feature-occurrence count
+    * and the importance weight in exact micro-units (BIGINT). Docs
+    * with no tokens carry zeros rather than dropping out. */
+  def dsirWeights(raw: DataFrame, target: DataFrame, buckets: Int,
+      idCol: String = "doc_id", textCol: String = "text",
+      salt: String = "dsir"): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2: $buckets")
+    val rawG = grams(raw, idCol, textCol)
+      .withColumn("_b", featureBucket(col("_gram"), buckets, salt))
+    val tgtG = grams(target, idCol, textCol)
+      .withColumn("_b", featureBucket(col("_gram"), buckets, salt))
+    val cr = rawG.groupBy(col("_b")).agg(count(lit(1)).as("cr"))
+    val ct = tgtG.groupBy(col("_b")).agg(count(lit(1)).as("ct"))
+    // totals derive from the bucket tables — no second pass over text
+    val totals = cr.agg(sum(col("cr")).as("nr"))
+      .crossJoin(ct.agg(sum(col("ct")).as("nt")))
+    // lambda only needs buckets that occur in raw (weights sum over
+    // raw doc grams, and every such gram's bucket is in `cr`)
+    val lam = cr.join(ct, Seq("_b"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("lam_mu", floor(
+        log(((coalesce(col("ct"), lit(0L)) + lit(1.0)) /
+              (col("nt") + lit(buckets.toLong))) /
+            ((col("cr") + lit(1.0)) /
+              (col("nr") + lit(buckets.toLong)))) * lit(1000000.0))
+        .cast("long"))
+      .select(col("_b"), col("lam_mu"))
+    val perDoc = rawG
+      .join(broadcast(lam), Seq("_b"))
+      .groupBy(col("_id"))
+      .agg(count(lit(1)).as("_nf"), sum(col("lam_mu")).as("_w"))
+    raw.select(col(idCol))
+      .join(perDoc, raw(idCol) === perDoc("_id"), "left")
+      .select(col(idCol),
+        coalesce(col("_nf"), lit(0L)).as("n_feats"),
+        coalesce(col("_w"), lit(0L)).as("weight_mu"))
+  }
+
+  /** Importance SELECTION: the `k` raw documents most like the target
+    * distribution (deterministic resampling face — weight descending,
+    * id ascending tie-break). Returns the selected documents with
+    * their weights appended.
+    *
+    * The global top-k runs as TakeOrdered over the narrow
+    * (id, weight) frame — k is a corpus budget (thousands), never the
+    * corpus; document payloads join back by id AFTER selection. */
+  def dsirSelect(raw: DataFrame, target: DataFrame, buckets: Int,
+      k: Int, idCol: String = "doc_id", textCol: String = "text",
+      salt: String = "dsir"): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val top = dsirWeights(raw, target, buckets, idCol, textCol, salt)
+      .orderBy(col("weight_mu").desc, col(idCol).asc)
+      .limit(k)
+    raw.join(broadcast(top), Seq(idCol))
+  }
+}

@@ -1,0 +1,112 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Curate, Sampling, Select}
+
+/** Data-selection and sequence-shaping operators on crafted
+  * micro-fixtures: DSIR weight direction and determinism, the
+  * per-stratum rank cut's exact floor arithmetic, and chunking's
+  * coverage/no-redundant-tail contract. */
+class SelectSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // target-flavored vocabulary {code compile scala} vs off-target
+  // {duck pond swim}; doc 10 is pure target language, 12 pure off
+  private lazy val docs = Seq(
+    (10L, "code compile scala code compile", "tgt"),
+    (11L, "code compile duck pond swim", "mix"),
+    (12L, "duck pond swim duck pond swim", "off"),
+    (13L, "", "off")
+  ).toDF("doc_id", "text", "source")
+
+  private lazy val target = docs.where($"source" === "tgt")
+
+  test("dsir weights rank target-like docs above off-target docs") {
+    val w = Select.dsirWeights(docs, target, buckets = 64)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_feats"), r.getAs[Long]("weight_mu"))).toMap
+    assert(w(10L)._2 > w(11L)._2 && w(11L)._2 > w(12L)._2,
+      s"expected weight(10) > weight(11) > weight(12): $w")
+    // empty doc: zero features, zero weight — present, not dropped
+    assert(w(13L) == (0L, 0L))
+    // 5 unigrams + 4 bigrams
+    assert(w(10L)._1 == 9L)
+  }
+
+  test("dsir weights are deterministic and salt-sensitive") {
+    val a = Select.dsirWeights(docs, target, buckets = 64)
+      .orderBy("doc_id").collect().toSeq
+    val b = Select.dsirWeights(docs, target, buckets = 64)
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+    val c = Select.dsirWeights(docs, target, buckets = 64, salt = "x")
+      .orderBy("doc_id").collect().toSeq
+    // different hash planes -> different bucket collisions; the
+    // DIRECTION survives even when exact values move
+    val cm = c.map(r => r.getLong(0) -> r.getAs[Long]("weight_mu")).toMap
+    assert(cm(10L) > cm(12L))
+  }
+
+  test("dsirSelect returns exactly k docs, best-first by weight") {
+    val sel = Select.dsirSelect(docs, target, buckets = 64, k = 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(sel.size == 2 && sel.contains(10L),
+      s"pure-target doc must be selected: $sel")
+    assert(!sel.contains(12L), "pure off-target doc must not make k=2")
+  }
+
+  test("keepTopFraction keeps exactly floor(count*num/den) per stratum") {
+    // stratum a: 5 rows scores 5..1; b: 3 rows all tied at 7
+    val df = (Seq((1L, "a", 5L), (2L, "a", 4L), (3L, "a", 3L),
+      (4L, "a", 2L), (5L, "a", 1L),
+      (6L, "b", 7L), (7L, "b", 7L), (8L, "b", 7L)))
+      .toDF("doc_id", "s", "score")
+    val kept = Curate.keepTopFraction(df, "s", "score", 2, 5)
+      .select("doc_id").as[Long].collect().toSet
+    // a: floor(5*2/5)=2 -> top scores 5,4 = ids 1,2
+    // b: floor(3*2/5)=1 -> tie broken by lowest id = 6
+    assert(kept == Set(1L, 2L, 6L), s"got $kept")
+  }
+
+  test("keepTopFraction edges: full fraction keeps all, zero keeps none") {
+    val df = Seq((1L, "a", 1L), (2L, "a", 2L)).toDF("doc_id", "s", "score")
+    assert(Curate.keepTopFraction(df, "s", "score", 1, 1).count() == 2)
+    assert(Curate.keepTopFraction(df, "s", "score", 0, 1).count() == 0)
+  }
+
+  test("chunk covers every token once past the overlap, no redundant tail") {
+    // 10 tokens, maxLen 8, stride 4: windows [0,8) and [4,10) — the
+    // start-8 window would be a pure suffix of [4,10) and must not emit
+    val doc = Seq((1L, (0 until 10).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val ch = Sampling.chunk(doc, maxLen = 8, stride = 4)
+      .orderBy("chunk_idx").collect()
+    assert(ch.map(_.getAs[Long]("chunk_start")).toSeq == Seq(0L, 4L))
+    assert(ch.map(_.getAs[Long]("n_tokens")).toSeq == Seq(8L, 6L))
+    assert(ch.map(_.getAs[Long]("chunk_idx")).toSeq == Seq(0L, 1L))
+  }
+
+  test("chunk: short docs yield one window; stride=maxLen partitions") {
+    val doc = Seq((1L, "a b c"), (2L, "p q r s t u")).toDF("doc_id", "text")
+    val one = Sampling.chunk(doc.where($"doc_id" === 1), 8, 4).collect()
+    assert(one.length == 1 && one.head.getAs[Long]("n_tokens") == 3L)
+    val part = Sampling.chunk(doc.where($"doc_id" === 2), 2, 2)
+      .orderBy("chunk_idx").collect()
+    assert(part.map(_.getAs[Long]("chunk_start")).toSeq == Seq(0L, 2L, 4L))
+    assert(part.forall(_.getAs[Long]("n_tokens") == 2L))
+  }
+
+  test("chunk md5 fingerprints the window content") {
+    val doc = Seq((1L, "x y z")).toDF("doc_id", "text")
+    val md = Sampling.chunk(doc, 2, 2).orderBy("chunk_idx")
+      .select("chunk_md5").as[String].collect()
+    assert(md.toSeq == Seq(
+      java.security.MessageDigest.getInstance("MD5").digest("x y".getBytes)
+        .map("%02x".format(_)).mkString,
+      java.security.MessageDigest.getInstance("MD5").digest("z".getBytes)
+        .map("%02x".format(_)).mkString))
+  }
+}
