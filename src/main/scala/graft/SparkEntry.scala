@@ -877,6 +877,13 @@ object SparkEntry {
     "t_tfidf" -> ((s, dir) =>
       Search.tfidfTopTerms(Tables.load(s, dir, "documents"), k = 3)),
 
+    // hybrid BM25 + cosine retrieval fused by reciprocal rank (all
+    // ranks and RRF terms are exact integers)
+    "t_hybrid" -> ((s, dir) =>
+      Search.hybridTopK(Tables.load(s, dir, "documents"),
+        Tables.load(s, dir, "embeddings"),
+        query = "spark merge window batch", queryVecId = 0L, k = 10)),
+
     // add-one bigram LM self-trained on the corpus; per-doc total and
     // average log-prob in exact micro-units (the CCNet-style signal)
     "t_lm_score" -> ((s, dir) =>
@@ -2607,6 +2614,74 @@ object SparkEntry {
         |  END AS BIGINT) AS avg_logprob_mu
         |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // both arms reuse their verified formulations (t_bm25 CTEs, the
+    // s_topk_brute cosine) limited to 50 candidates; ranks and RRF
+    // terms are pure integer arithmetic
+    "t_hybrid" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+        |  FROM documents),
+        | dls AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM toks),
+        | st AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sumdl
+        |   FROM dls),
+        | qt AS (SELECT DISTINCT t AS term FROM (
+        |    SELECT unnest(string_split('spark merge window batch', ' '))
+        |      AS t) WHERE t <> ''),
+        | tfs AS (
+        |  SELECT u.doc_id, u.term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(tk) AS term FROM toks) u
+        |  WHERE u.term IN (SELECT term FROM qt)
+        |  GROUP BY 1, 2),
+        | dfs AS (SELECT term, count(*) AS df FROM tfs GROUP BY 1),
+        | sc AS (
+        |  SELECT t.doc_id,
+        |    CAST(floor(
+        |      ln(1.0 + (st.n - f.df + 0.5) / (f.df + 0.5))
+        |      * (t.tf * (1.2 + 1.0))
+        |      / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * (d.dl * st.n / st.sumdl)))
+        |      * 1000000.0) AS BIGINT) AS term_score_mu
+        |  FROM tfs t
+        |  JOIN dfs f ON f.term = t.term
+        |  JOIN dls d ON d.doc_id = t.doc_id
+        |  CROSS JOIN st),
+        | bm AS (SELECT doc_id, CAST(sum(term_score_mu) AS BIGINT)
+        |    AS score_mu
+        |  FROM sc GROUP BY doc_id
+        |  ORDER BY score_mu DESC, doc_id LIMIT 50),
+        | lex AS (SELECT doc_id, CAST(row_number() OVER (
+        |    ORDER BY score_mu DESC, doc_id) AS BIGINT) AS lex_rank
+        |  FROM bm),
+        | e AS (
+        |  SELECT vec_id,
+        |    generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        | norms AS (SELECT vec_id, sum(x * x) AS nn FROM e GROUP BY vec_id),
+        | dots AS (
+        |  SELECT a.vec_id, sum(a.x * q.x) AS dot
+        |  FROM e a JOIN e q ON a.i = q.i AND q.vec_id = 0
+        |  WHERE a.vec_id <> 0 GROUP BY 1),
+        | vcand AS (
+        |  SELECT d.vec_id,
+        |    round(dot / (sqrt(na.nn) * sqrt(nq.nn)), 6) AS cos_sim
+        |  FROM dots d
+        |  JOIN norms na ON na.vec_id = d.vec_id
+        |  JOIN norms nq ON nq.vec_id = 0
+        |  ORDER BY cos_sim DESC, d.vec_id LIMIT 50),
+        | vec AS (SELECT vec_id AS doc_id, CAST(row_number() OVER (
+        |    ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS vec_rank
+        |  FROM vcand),
+        | fused AS (
+        |  SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+        |    l.lex_rank, v.vec_rank,
+        |    coalesce(1000000 // (60 + l.lex_rank), 0)
+        |      + coalesce(1000000 // (60 + v.vec_rank), 0) AS rrf_mu
+        |  FROM lex l FULL OUTER JOIN vec v ON v.doc_id = l.doc_id)
+        |SELECT doc_id, lex_rank, vec_rank, CAST(rrf_mu AS BIGINT)
+        |  AS rrf_mu
+        |FROM fused ORDER BY rrf_mu DESC, doc_id LIMIT 10""".stripMargin,
 
     // identical ln over identical integer-derived quotients, floored
     // to µ per bucket BEFORE the per-doc sum (the lmScore discipline)

@@ -161,4 +161,53 @@ object Search {
     bm25TopKBatch(docs, Seq((0L, query)), k, k1, b, idCol, textCol)
       .drop("query_id")
       .orderBy(col("score_mu").desc, col("doc_id").asc)
+
+  /** Hybrid lexical + vector retrieval with reciprocal-rank fusion
+    * (Cormack, Clarke & Büttcher, SIGIR 2009): fuse the BM25 top-kCand
+    * and the cosine top-kCand by rank — rrf(d) = Σ 1/(kRrf + rank_d) —
+    * the standard recipe for combining keyword and embedding search
+    * without comparing their incomparable score scales. `query` is the
+    * lexical face; `queryVecId` names the query's vector in `emb`
+    * (the vector side excludes the query vector itself, as
+    * [[Similarity.bruteForceTopK]] does).
+    *
+    * Cross-engine exactness: both input ranks are over already-exact
+    * orderings (BIGINT BM25 micro-units; cosine rounded to 6 dp before
+    * ranking — each verified by its own oracle), and each RRF term is
+    * the pure integer division 1000000 div (kRrf + rank), so the fused
+    * score is an exact BIGINT sum of exact BIGINTs.
+    *
+    * Scale shape: both arms end at kCand candidate rows, so the rank
+    * windows and the full-outer fusion join run over ≤ 2·kCand narrow
+    * rows (driver-light, broadcast-size) — the heavy work is the two
+    * arms, each already shaped for scale. A missing arm contributes 0,
+    * so lexical-only and vector-only hits still fuse. */
+  def hybridTopK(docs: DataFrame, emb: DataFrame, query: String,
+      queryVecId: Long, k: Int, kCand: Int = 50, kRrf: Int = 60,
+      idCol: String = "doc_id", textCol: String = "text",
+      vecIdCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    // the fused pool holds up to 2*kCand docs, so k may exceed kCand
+    require(kCand >= 1, s"kCand must be >= 1: $kCand")
+    require(kRrf >= 1, s"kRrf must be >= 1: $kRrf")
+    val lex = bm25TopK(docs, query, kCand, idCol = idCol,
+        textCol = textCol)
+      .withColumn("lex_rank", row_number().over(
+        Window.orderBy(col("score_mu").desc, col("doc_id").asc))
+        .cast("long"))
+      .select(col("doc_id"), col("lex_rank"))
+    val vec = Similarity.bruteForceTopK(emb, queryVecId, kCand,
+        vecIdCol, vecCol)
+      .withColumn("vec_rank", row_number().over(
+        Window.orderBy(col("cos_sim").desc, col(vecIdCol).asc))
+        .cast("long"))
+      .select(col(vecIdCol).as("doc_id"), col("vec_rank"))
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_mu",
+        coalesce(expr(s"1000000L div (${kRrf}L + lex_rank)"), lit(0L)) +
+          coalesce(expr(s"1000000L div (${kRrf}L + vec_rank)"), lit(0L)))
+      .orderBy(col("rrf_mu").desc, col("doc_id").asc)
+      .limit(k)
+  }
 }

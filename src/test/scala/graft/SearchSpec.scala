@@ -138,4 +138,29 @@ class SearchSpec extends AnyFunSuite {
       .find(_.getAs[String]("term") == "spark")
       .get.getAs[Long]("tf") == 3L)
   }
+
+  test("hybrid RRF fuses lexical and vector arms with exact integers") {
+    // vec query 9 = (1.0, 0.05): vector top-2 = doc 0, doc 3;
+    // lexical top-2 for "spark" = doc 2 (tf 3), doc 0 (short)
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (3L, Array(0.9f, 0.1f)),
+      (2L, Array(-1.0f, 0.0f)),
+      (9L, Array(1.0f, 0.05f))
+    ).toDF("vec_id", "embedding")
+    val r = Search.hybridTopK(docs, emb, "spark", queryVecId = 9L,
+      k = 10, kCand = 2).collect()
+    assert(r.map(_.getAs[Long]("doc_id")).toSeq == Seq(0L, 2L, 3L))
+    val byId = r.map(x => x.getAs[Long]("doc_id") ->
+      x.getAs[Long]("rrf_mu")).toMap
+    // doc 0 is in BOTH arms: 1e6 div (60+2) + 1e6 div (60+1)
+    assert(byId(0L) == 1000000L / 62 + 1000000L / 61)
+    assert(byId(2L) == 1000000L / 61) // lexical rank 1 only
+    assert(byId(3L) == 1000000L / 62) // vector rank 2 only
+    // the query's own vector never surfaces
+    assert(!byId.contains(9L))
+    // single-arm rows carry a null rank on the missing side
+    assert(r.find(_.getAs[Long]("doc_id") == 2L).get.isNullAt(
+      r.head.fieldIndex("vec_rank")))
+  }
 }
