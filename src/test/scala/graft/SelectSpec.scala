@@ -99,6 +99,23 @@ class SelectSpec extends AnyFunSuite {
     assert(part.forall(_.getAs[Long]("n_tokens") == 2L))
   }
 
+  test("scale shape: the dsir lambda table broadcasts and gram text " +
+      "never sort-merges") {
+    val plan = Select.dsirWeights(docs, target, buckets = 64)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "the <=buckets-row lambda table must broadcast against raw grams")
+    assert(!plan.contains("SortMergeJoin"),
+      "no corpus-sized sort-merge join belongs in the scoring path")
+  }
+
+  test("scale shape: chunk is a map-only stage (no exchange)") {
+    val p = Sampling.chunk(docs, maxLen = 8, stride = 4)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"chunking must not shuffle:\n$p")
+  }
+
   test("chunk md5 fingerprints the window content") {
     val doc = Seq((1L, "x y z")).toDF("doc_id", "text")
     val md = Sampling.chunk(doc, 2, 2).orderBy("chunk_idx")
