@@ -44,11 +44,17 @@ object Select {
 
   /** (id, gram) pairs: whitespace unigrams + adjacent bigrams of the
     * lowercased text. Token array and bigram array are projected as
-    * named columns BEFORE the explode (the lambda-CSE trap). */
+    * named columns BEFORE the explode (the lambda-CSE trap), and the
+    * input spreads to cluster parallelism first — the explode + per-
+    * gram md5 otherwise runs inside the row-group-bounded scan task
+    * ([[graft.util.Spread]]; measured ~4x on the documents table). */
   private def grams(df: DataFrame, idCol: String, textCol: String)
       : DataFrame =
-    df.select(col(idCol).as("_id"),
-        TextOps.tokens(lower(col(textCol))).as("_toks"))
+    graft.util.Spread.ensure(
+        df.select(col(idCol).as("_id"), col(textCol).as("_text")),
+        Seq(col("_id")))
+      .select(col("_id"),
+        TextOps.tokens(lower(col("_text"))).as("_toks"))
       .where(size(col("_toks")) >= 1)
       .withColumn("_bi",
         when(size(col("_toks")) >= 2, expr(
@@ -67,12 +73,21 @@ object Select {
       idCol: String = "doc_id", textCol: String = "text",
       salt: String = "dsir"): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2: $buckets")
-    val rawG = grams(raw, idCol, textCol)
+    // ONE (doc, bucket) aggregation is the root of everything on the
+    // raw side — bucket counts, totals, and scoring all derive from
+    // this identical subtree, so Catalyst's exchange reuse runs the
+    // explode+md5 map stage ONCE per corpus (the naive formulation
+    // recomputed it for cr, for the totals, and for scoring: measured
+    // ~3x the md5 work at sf0.1).
+    val rawDoc = grams(raw, idCol, textCol)
       .withColumn("_b", featureBucket(col("_gram"), buckets, salt))
-    val tgtG = grams(target, idCol, textCol)
+      .groupBy(col("_id"), col("_b"))
+      .agg(count(lit(1)).as("_cnt"))
+    val cr = rawDoc.groupBy(col("_b"))
+      .agg(sum(col("_cnt")).as("cr"))
+    val ct = grams(target, idCol, textCol)
       .withColumn("_b", featureBucket(col("_gram"), buckets, salt))
-    val cr = rawG.groupBy(col("_b")).agg(count(lit(1)).as("cr"))
-    val ct = tgtG.groupBy(col("_b")).agg(count(lit(1)).as("ct"))
+      .groupBy(col("_b")).agg(count(lit(1)).as("ct"))
     // totals derive from the bucket tables — no second pass over text
     val totals = cr.agg(sum(col("cr")).as("nr"))
       .crossJoin(ct.agg(sum(col("ct")).as("nt")))
@@ -87,10 +102,13 @@ object Select {
               (col("nr") + lit(buckets.toLong)))) * lit(1000000.0))
         .cast("long"))
       .select(col("_b"), col("lam_mu"))
-    val perDoc = rawG
+    // each of the _cnt occurrences of a bucket contributes lam_mu, so
+    // the per-occurrence sum is the exact integer product sum
+    val perDoc = rawDoc
       .join(broadcast(lam), Seq("_b"))
       .groupBy(col("_id"))
-      .agg(count(lit(1)).as("_nf"), sum(col("lam_mu")).as("_w"))
+      .agg(sum(col("_cnt")).as("_nf"),
+        sum(col("_cnt") * col("lam_mu")).as("_w"))
     raw.select(col(idCol))
       .join(perDoc, raw(idCol) === perDoc("_id"), "left")
       .select(col(idCol),
