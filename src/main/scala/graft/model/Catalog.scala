@@ -53,24 +53,35 @@ final class EventsCatalog(sfDir: String) extends MessageCatalog
     with Serializable {
 
   def messages(spark: SparkSession): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS): read as raw long ns —
-    // dp3 is nanosecond-native and Spark TimestampType is only µs.
+    // events.ts has shipped as BOTH parquet TIMESTAMP(NANOS) and
+    // TIMESTAMP(MICROS) across testdata generations — adapt to what is
+    // on disk rather than assuming one. dp3 is nanosecond-native
+    // (server/treemgr/treemgr.go time axis), so the canonical `time`
+    // column is epoch ns either way; `time_us` is the µs view every
+    // oracle-facing output uses (DuckDB's epoch_us(ts)).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read
-      .parquet(s"$sfDir/events.parquet")
-      .select(
-        concat(lit("p"), col("user_id").cast("string")).as("producer"),
-        col("event_type").as("topic"),
-        col("ts").cast("long").as("time"),
-        // µs view for oracle-parity outputs (DuckDB truncates ns → µs)
-        expr("ts div 1000").as("time_us"),
-        col("event_id").as("seq"),
-        col("value"),
-        col("props"),
-        // decoded payload field (props = {"k": <int>})
-        regexp_extract(col("props"), "\"k\": ([0-9]+)", 1)
-          .cast("long").as("k")
-      )
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    import org.apache.spark.sql.types.LongType
+    val (timeNs, timeUs) = raw.schema("ts").dataType match {
+      case LongType => // TIMESTAMP(NANOS) surfaced as raw ns long
+        (col("ts").cast("long"), expr("ts div 1000"))
+      case _ => // TIMESTAMP / TIMESTAMP_NTZ (µs); session tz is UTC,
+        // so the NTZ→TZ cast is the identity epoch mapping
+        val us = unix_micros(col("ts").cast("timestamp"))
+        (us * lit(1000L), us)
+    }
+    raw.select(
+      concat(lit("p"), col("user_id").cast("string")).as("producer"),
+      col("event_type").as("topic"),
+      timeNs.as("time"),
+      timeUs.as("time_us"),
+      col("event_id").as("seq"),
+      col("value"),
+      col("props"),
+      // decoded payload field (props = {"k": <int>})
+      regexp_extract(col("props"), "\"k\": ([0-9]+)", 1)
+        .cast("long").as("k")
+    )
   }
 
   override def scanTopic(spark: SparkSession, topic: String): DataFrame =

@@ -87,10 +87,9 @@ class IntervalJoinSpec extends AnyFunSuite {
 
   test("events joined to their own sessions recover the session " +
       "counts exactly") {
-    val m = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .select(concat(lit("p"), col("user_id")).as("producer"),
-        col("event_type").as("topic"),
-        expr("ts div 1000").as("time_us"), col("event_id").as("seq"))
+    val m = new graft.model.EventsCatalog("/root/testdata/sf0.001")
+      .messages(spark)
+      .select("producer", "topic", "time_us", "seq")
     val day = 86400L * 1000000L
     val sess = graft.ops.Sessionize.summarize(m,
       Seq("producer", "topic"), "time_us", day, Seq("seq"))

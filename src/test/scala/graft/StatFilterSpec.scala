@@ -199,14 +199,10 @@ class StatFilterSpec extends AnyFunSuite {
 
   // --- end-to-end: tier from real data, prune scan, no false negatives -
 
-  private lazy val msgs: DataFrame = {
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-    ev.select(
-      concat(lit("p"), col("user_id")).as("producer"),
-      col("event_type").as("topic"),
-      col("ts").as("time"), col("event_id").as("seq"),
-      col("value"), col("props"))
-  }
+  private lazy val msgs: DataFrame =
+    new graft.model.EventsCatalog("/root/testdata/sf0.001")
+      .messages(spark)
+      .select("producer", "topic", "time", "seq", "value", "props")
   private val W = 3600L * 1000000000L
 
   test("pruneScan: exact result, real pruning, no false negatives") {
