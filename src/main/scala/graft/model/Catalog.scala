@@ -1,6 +1,6 @@
 package graft.model
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** A catalog of "message tables" — the dp3 data model re-expressed on
@@ -27,6 +27,22 @@ trait MessageCatalog {
     * would force `from *` into thousands of plan branches. */
   def scanTopic(spark: SparkSession, topic: String): DataFrame
 
+  /** Scan one topic with time bounds `[startNs, endNs)` applied where
+    * the catalog can push them to the SOURCE. The default filters the
+    * canonical `time` column — already pushable when `time` is a
+    * physical column (IngestedCatalog's parquet layout). Catalogs whose
+    * `time` is DERIVED from a raw on-disk column must override and
+    * filter the raw column before projection, or Catalyst cannot turn
+    * the bound into a parquet row-group prune — and at 100 TB the
+    * time-range prune IS the engine (reference tree descent:
+    * server/tree/iterator.go:148-199). */
+  def scanTopic(spark: SparkSession, topic: String,
+      between: Option[(Long, Long)]): DataFrame =
+    between.foldLeft(scanTopic(spark, topic)) { case (df, (s, t)) =>
+      df.where(org.apache.spark.sql.functions.col("time") >= s &&
+        org.apache.spark.sql.functions.col("time") < t)
+    }
+
   /** Convenience: one (producer, topic) table. */
   def scan(spark: SparkSession, producer: String, topic: String): DataFrame =
     scanTopic(spark, topic).where(
@@ -51,22 +67,43 @@ trait MessageCatalog {
   */
 final class EventsCatalog(sfDir: String) extends MessageCatalog
     with Serializable {
+  import EventsCatalog._
 
-  def messages(spark: SparkSession): DataFrame = {
-    // events.ts has shipped as BOTH parquet TIMESTAMP(NANOS) and
-    // TIMESTAMP(MICROS) across testdata generations — adapt to what is
-    // on disk rather than assuming one. dp3 is nanosecond-native
-    // (server/treemgr/treemgr.go time axis), so the canonical `time`
-    // column is epoch ns either way; `time_us` is the µs view every
-    // oracle-facing output uses (DuckDB's epoch_us(ts)).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
-    import org.apache.spark.sql.types.LongType
-    val (timeNs, timeUs) = raw.schema("ts").dataType match {
-      case LongType => // TIMESTAMP(NANOS) surfaced as raw ns long
+  /** How `ts` is encoded ON DISK, from the parquet footer's logical
+    * type annotation. The Spark-surfaced schema cannot distinguish
+    * TIMESTAMP(NANOS) (a LongType only because nanosAsLong is set)
+    * from a plain BIGINT of some other unit, so keying behavior off
+    * the footer is the only non-guessing option. Read once per
+    * catalog instance (a footer, not data). */
+  @transient private lazy val tsEnc: TsEncoding =
+    readTsEncoding(s"$sfDir/events.parquet")
+
+  private def rawEvents(spark: SparkSession): DataFrame = {
+    if (tsEnc == TsNanosLong)
+      // required for the read to SUCCEED on TIMESTAMP(NANOS) files
+      // (Spark otherwise rejects the type); a no-op conf for µs data,
+      // so only set when the footer proves it's needed.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    else
+      // µs path epoch-maps NTZ values through the session zone: the
+      // identity mapping ONLY under UTC. Every entry point sets it;
+      // assert so the invariant travels with the code relying on it.
+      require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+        "EventsCatalog requires spark.sql.session.timeZone=UTC " +
+          s"(got ${spark.conf.get("spark.sql.session.timeZone")})")
+    spark.read.parquet(s"$sfDir/events.parquet")
+  }
+
+  /** Canonical projection. dp3 is nanosecond-native
+    * (server/treemgr/treemgr.go time axis), so `time` is epoch ns
+    * whatever the disk unit; `time_us` is the µs view every
+    * oracle-facing output uses (DuckDB's epoch_us(ts)). */
+  private def project(raw: DataFrame): DataFrame = {
+    val (timeNs, timeUs) = tsEnc match {
+      case TsNanosLong => // surfaced as raw ns long
         (col("ts").cast("long"), expr("ts div 1000"))
-      case _ => // TIMESTAMP / TIMESTAMP_NTZ (µs); session tz is UTC,
-        // so the NTZ→TZ cast is the identity epoch mapping
+      case TsMicrosNtz | TsMicrosUtc =>
+        // session tz asserted UTC, so NTZ→TZ cast is identity epoch map
         val us = unix_micros(col("ts").cast("timestamp"))
         (us * lit(1000L), us)
     }
@@ -84,8 +121,44 @@ final class EventsCatalog(sfDir: String) extends MessageCatalog
     )
   }
 
+  def messages(spark: SparkSession): DataFrame = project(rawEvents(spark))
+
+  /** Time bounds on the RAW `ts` column — a bare-attribute comparison
+    * Catalyst turns into parquet PushedFilters (row-group + page
+    * pruning), unlike a predicate on the derived `time` column, which
+    * it cannot invert through `unix_micros(cast(ts))*1000`. Exact, not
+    * an over-approximation: µs-grain `time` values are multiples of
+    * 1000, so `time >= s` ⇔ `us >= ceil(s/1000)` and `time < t` ⇔
+    * `us < ceil(t/1000)`. */
+  private def tsBetween(startNs: Long, endNs: Long): Column = {
+    def ceilUs(ns: Long) = -Math.floorDiv(-ns, 1000L)
+    tsEnc match {
+      case TsNanosLong =>
+        col("ts") >= startNs && col("ts") < endNs
+      case TsMicrosNtz => // TimestampNTZType: LocalDateTime literal
+        def l(us: Long) = lit(java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(us, 1000000L),
+          (Math.floorMod(us, 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC))
+        col("ts") >= l(ceilUs(startNs)) && col("ts") < l(ceilUs(endNs))
+      case TsMicrosUtc => // TimestampType: Instant literal
+        def l(us: Long) = lit(java.time.Instant.ofEpochSecond(
+          Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
+        col("ts") >= l(ceilUs(startNs)) && col("ts") < l(ceilUs(endNs))
+    }
+  }
+
   override def scanTopic(spark: SparkSession, topic: String): DataFrame =
-    messages(spark).where(col("topic") === topic)
+    scanTopic(spark, topic, None)
+
+  override def scanTopic(spark: SparkSession, topic: String,
+      between: Option[(Long, Long)]): DataFrame = {
+    val raw = rawEvents(spark)
+    val bounded = between.foldLeft(raw) { case (df, (s, t)) =>
+      df.where(tsBetween(s, t))
+    }
+    project(bounded).where(col("topic") === topic)
+  }
 
   override def producers(spark: SparkSession,
       topics: Seq[String]): Seq[String] = {
@@ -95,6 +168,47 @@ final class EventsCatalog(sfDir: String) extends MessageCatalog
       .where(col("topic").isin(topics: _*))
       .select("producer").distinct()
       .collect().map(_.getString(0)).sorted.toSeq
+  }
+}
+
+object EventsCatalog {
+  /** The on-disk encodings `events.ts` has shipped with across testdata
+    * generations. Anything else is a hard error, not a guess (a silent
+    * 1000× time misread is worse than a crash). */
+  private[model] sealed trait TsEncoding
+  private[model] case object TsNanosLong  extends TsEncoding // TIMESTAMP(NANOS)
+  private[model] case object TsMicrosNtz  extends TsEncoding // TIMESTAMP(MICROS), naive
+  private[model] case object TsMicrosUtc  extends TsEncoding // TIMESTAMP(MICROS), UTC-adjusted
+
+  private[model] def readTsEncoding(path: String): TsEncoding = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val file =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet")).minBy(_.getName)
+      else p
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      val ann = reader.getFooter.getFileMetaData.getSchema
+        .getType(Seq("ts"): _*).asPrimitiveType.getLogicalTypeAnnotation
+      ann match {
+        case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+          t.getUnit match {
+            case LogicalTypeAnnotation.TimeUnit.NANOS => TsNanosLong
+            case LogicalTypeAnnotation.TimeUnit.MICROS =>
+              if (t.isAdjustedToUTC) TsMicrosUtc else TsMicrosNtz
+            case u => throw new IllegalStateException(
+              s"events.ts: unsupported parquet timestamp unit $u")
+          }
+        case other => throw new IllegalStateException(
+          s"events.ts is not a parquet TIMESTAMP (annotation: $other)")
+      }
+    } finally reader.close()
   }
 }
 

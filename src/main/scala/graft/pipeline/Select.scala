@@ -131,6 +131,16 @@ object Select {
     val top = dsirWeights(raw, target, buckets, idCol, textCol, salt)
       .orderBy(col("weight_mu").desc, col(idCol).asc)
       .limit(k)
-    raw.join(broadcast(top), Seq(idCol))
+    // MATERIALIZE the winners before the join-back: k is a corpus
+    // budget (thousands) and the rows are three narrow columns —
+    // control-plane by construction. Leaving `top` lazy re-executes
+    // the entire scoring pipeline inside the broadcast build, WITHOUT
+    // the exchange reuse the weights-only plan enjoys (measured 12x
+    // the weights query). Collected, the join-back plan is one scan of
+    // `raw` against a LocalRelation broadcast.
+    val spark = raw.sparkSession
+    val rows = java.util.Arrays.asList(top.collect(): _*)
+    val local = spark.createDataFrame(rows, top.schema)
+    raw.join(broadcast(local), Seq(idCol))
   }
 }

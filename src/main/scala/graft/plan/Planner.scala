@@ -239,13 +239,13 @@ final class Planner(catalog: MessageCatalog,
 
   private def scanFrame(spark: SparkSession, q: Query,
       producers: Seq[String], e: Entity): DataFrame = {
-    var df = catalog.scanTopic(spark, e.topic)
+    // time bounds go through the catalog so it can express them on the
+    // raw source column — the difference between a parquet row-group
+    // prune and a full-file decode (see MessageCatalog.scanTopic)
+    var df = catalog.scanTopic(spark, e.topic, q.between)
     df =
       if (producers.size == 1) df.where(col("producer") === producers.head)
       else df.where(col("producer").isin(producers: _*))
-    q.between.foreach { case (s, t) =>
-      df = df.where(col("time") >= s && col("time") < t)
-    }
     val alias = e.alias.getOrElse(e.topic)
     whereFor(q, alias).foreach { pred =>
       df = df.where(compile(df, pred))

@@ -99,6 +99,21 @@ class SelectSpec extends AnyFunSuite {
     assert(part.forall(_.getAs[Long]("n_tokens") == 2L))
   }
 
+  test("scale shape: dsirSelect joins raw against MATERIALIZED winners " +
+      "(no second scoring pipeline in the broadcast build)") {
+    val plan = Select.dsirSelect(docs, target, buckets = 64, k = 2)
+      .queryExecution.executedPlan.toString
+    // the join-back's build side is the collected <=k-row top list, so
+    // the plan must hold exactly ONE gram pass: one scan of the raw
+    // frame, zero Generate (explode) nodes — the scoring pipeline ran
+    // eagerly and only its winners remain, as a LocalTableScan
+    assert(plan.contains("LocalTableScan"),
+      s"winners must be a local relation, not a live pipeline:\n$plan")
+    assert(!plan.contains("Generate"),
+      s"no gram explode belongs in the selection join-back:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("scale shape: the dsir lambda table broadcasts and gram text " +
       "never sort-merges") {
     val plan = Select.dsirWeights(docs, target, buckets = 64)

@@ -12,6 +12,9 @@ object TestSpark {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // plan-shape gates read PushedFilters/ReadSchema from the plan
+      // string; default 100-char metadata truncation hides the tail
+      .config("spark.sql.maxMetadataStringLength", "2000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
