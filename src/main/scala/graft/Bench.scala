@@ -120,7 +120,12 @@ object Bench {
     // spread map summarized to its worst offender; the full 3-decimal
     // detail goes to a sidecar file instead of stdout. BenchLineSpec
     // asserts the line stays under 2 KB at the full registry.
-    println(formatLine(results, loadStart, loadEnd, waited, sfDir))
+    // idle wait gave up AND the machine was still hot when timing
+    // began: numbers are contention-inflated (~1.5x observed) — flag
+    // the line so a later reader doesn't chase phantom regressions
+    val poisoned = waited >= idleCap && loadStart > idleBar
+    println(formatLine(results, loadStart, loadEnd, waited, sfDir,
+      poisoned))
     val detail = results.map { case (k, v, s) =>
       "\"" + k + f"\":{" + f""""sec":$v%.3f,"spread":$s%.2f}"""
     }.mkString("{", ",", "}")
@@ -142,7 +147,8 @@ object Bench {
   def formatLine(
       results: Seq[(String, Double, Double)],
       loadStart: Double, loadEnd: Double,
-      idleWaitSec: Int, sfDir: String): String = {
+      idleWaitSec: Int, sfDir: String,
+      loadPoisoned: Boolean = false): String = {
     // Adaptive per-query width: the line's budget is spent on NAMES
     // (which the driver needs verbatim), so seconds carry only the
     // precision their magnitude warrants — 10 ms resolution under 10 s,
@@ -162,6 +168,6 @@ object Bench {
     val (spName, spMax) = results
       .map { case (k, _, s) => (k, s) }
       .sortBy(-_._2).headOption.getOrElse(("", -1.0))
-    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread_max":$spMax%.2f,"spread_max_query":"$spName","load":{"start":$loadStart%.2f,"end":$loadEnd%.2f,"idle_wait_sec":$idleWaitSec},"sf":"$sfDir"}"""
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread_max":$spMax%.2f,"spread_max_query":"$spName","load":{"start":$loadStart%.2f,"end":$loadEnd%.2f,"idle_wait_sec":$idleWaitSec,"load_poisoned":$loadPoisoned},"sf":"$sfDir"}"""
   }
 }

@@ -456,6 +456,22 @@ object Dedup {
   def clustersOwned(ids: DataFrame, pairs: DataFrame,
       idCol: String = "doc_id", maxIters: Int = 50)
       : (DataFrame, PinHandle) = {
+    val (df, h, _) = clustersCounted(ids, pairs, idCol, maxIters)
+    (df, h)
+  }
+
+  /** [[clustersOwned]] plus the number of BSP rounds executed (the
+    * final changed==0 confirming round included). Exposed so specs can
+    * PIN the expected round count: the loop's cost at bench scale is
+    * fixed per-round job overhead, so an accidental extra round (e.g.
+    * a regression that breaks the pointer-jump halving) shows up as
+    * quiet wall-clock variance long before it shows up as wrong
+    * labels. Near-clique dedup graphs converge in 2 rounds (one
+    * reaches the fixpoint — every node adjacent to its component min —
+    * one confirms); a diameter-d path needs ~log2(d)+2. */
+  def clustersCounted(ids: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id", maxIters: Int = 50)
+      : (DataFrame, PinHandle, Int) = {
     // both edge directions from ONE evaluation of the pairs DAG: a
     // union of two selects re-runs the (expensive) upstream pair
     // pipeline per branch; exploding a 2-struct array doubles the rows
@@ -503,7 +519,8 @@ object Dedup {
     edgesRdd.unpersist(blocking = false)
     val rddHandle = labelsRdd
     (labels.select(col("id").as(idCol), col("label").as("cluster")),
-      new PinHandle(() => { rddHandle.unpersist(blocking = false); () }))
+      new PinHandle(() => { rddHandle.unpersist(blocking = false); () }),
+      iter)
   }
 
   /** 32-bit SimHash over word tokens, returned as a '0'/'1' string (bit

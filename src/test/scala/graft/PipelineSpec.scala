@@ -148,6 +148,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.size == n && got.values.forall(_ == 0L))
   }
 
+  test("clustering round count: 2 on cliques, ~log2(diameter) on paths") {
+    // the BSP loop's bench cost is fixed per-round job overhead, so a
+    // regression that breaks the pointer-jump halving reads as quiet
+    // wall-clock variance; pin the round count instead. A clique (the
+    // near-dup common case: every node adjacent to the min) reaches the
+    // fixpoint in round 1 and confirms in round 2; a path of 30 needs
+    // the jump's halving — ~log2(29)+2 ≈ 7, far under the naive 29.
+    val cliqueIds = (0L until 8L).toDF("doc_id")
+    val cliquePairs = (for {
+      a <- 0L until 8L; b <- (a + 1) until 8L
+    } yield (a, b)).toDF("id_a", "id_b")
+    val (cdf, ch, cRounds) = Dedup.clustersCounted(cliqueIds, cliquePairs)
+    cdf.count(); ch.release()
+    assert(cRounds == 2, s"clique must converge in 2 rounds: $cRounds")
+    val n = 30
+    val pathIds = (0L until n.toLong).toDF("doc_id")
+    val pathPairs = (0L until (n - 1).toLong).map(i => (i, i + 1))
+      .toDF("id_a", "id_b")
+    val (pdf, ph, pRounds) = Dedup.clustersCounted(pathIds, pathPairs)
+    val labels = pdf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ph.release()
+    assert(labels.values.forall(_ == 0L))
+    assert(pRounds <= 8, s"pointer jumping must halve depth: $pRounds")
+  }
+
   test("clustering throws rather than returning unconverged labels") {
     val ids = (0L until 40L).toDF("doc_id")
     val pairs = (0L until 39L).map(i => (i, i + 1)).toDF("id_a", "id_b")
