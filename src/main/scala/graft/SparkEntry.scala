@@ -945,10 +945,21 @@ object SparkEntry {
         stride = 24).orderBy("doc_id", "chunk_idx")),
 
     // --- multimodal plumbing --------------------------------------------
-    "m_meta" -> ((s, dir) =>
-      Multimodal.decodeMeta(s,
-        Multimodal.withPayload(Tables.load(s, dir, "documents")))
-        .toDF().orderBy("doc_id"))
+    // REAL media decode: synthesize a genuine PNG per document (the
+    // testdata is text-only) with geometry derived from row fields,
+    // then decode it back with the ImageIO codec — the oracle
+    // recomputes the geometry arithmetic directly, so a broken encoder
+    // OR decoder breaks the match. channels comes from the decoded
+    // raster (TYPE_3BYTE_BGR -> 3), not from any stored field.
+    "m_meta" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val media = Multimodal.withImagePayload(s, docs, "doc_id",
+        lit(1) + length(col("text")) % 13,
+        lit(1) + (col("doc_id") % 11))
+      Multimodal.decodeMeta(s, media, new Multimodal.ImageIoDecoder)
+        .toDF().select("doc_id", "kind", "width", "height", "channels")
+        .orderBy("doc_id")
+    })
   )
 
   // --- as-of join query (shared by the three variants) -------------------
@@ -2755,14 +2766,13 @@ object SparkEntry {
         |FROM st WHERE s = 0 OR s + 8 < len(tk)
         |ORDER BY doc_id, chunk_idx""".stripMargin,
 
+    // the geometry the Spark side encoded INTO real PNG bytes and
+    // decoded back out; a defect in either codec direction breaks this
     "m_meta" ->
-      """SELECT doc_id, CAST(length(text) AS BIGINT) AS byte_len,
-        |  CASE ascii(substr(text, 1, 1)) % 3
-        |    WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
-        |  END AS kind,
-        |  32 + ascii(substr(text, 1, 1)) % 32 AS width,
-        |  CAST(32 + length(text) % 32 AS INT) AS height,
-        |  md5(text) AS checksum
+      """SELECT doc_id, 'png' AS kind,
+        |  CAST(1 + length(text) % 13 AS INT) AS width,
+        |  CAST(1 + doc_id % 11 AS INT) AS height,
+        |  CAST(3 AS INT) AS channels
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

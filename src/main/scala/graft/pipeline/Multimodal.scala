@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -8,12 +8,14 @@ import org.apache.spark.sql.types._
   * metadata, with decode/feature-extraction as partition-local
   * operators.
   *
-  * The media codecs themselves are NOT available in this environment,
-  * so the decode step is a pluggable `MediaDecoder`; `StubDecoder` is a
-  * deterministic fake (metadata derived from the bytes) that keeps the
-  * Spark-side contract — schema, batch shape, partition locality —
-  * real and testable. Swap in a real decoder (JNI/ffmpeg/ImageIO)
-  * without touching the pipeline.
+  * Decode is a pluggable `MediaDecoder`. [[ImageIoDecoder]] is a REAL
+  * image codec (javax.imageio ships with the JDK: PNG/JPEG/GIF/BMP) —
+  * geometry and channels come from the decoded raster, and
+  * [[resizeImages]] rescales actual pixels. Formats the JVM lacks
+  * (video containers, compressed audio) stay behind [[StubDecoder]], a
+  * deterministic fake that keeps the Spark-side contract — schema,
+  * batch shape, partition locality — real and testable; swap in a
+  * JNI/ffmpeg decoder without touching the pipeline.
   *
   * Scale notes: decode runs via mapPartitions so codec init happens
   * once per partition, not per row; payloads never pass through a
@@ -23,13 +25,15 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
-  /** media row metadata produced by decode */
+  /** media row metadata produced by decode; `channels` = raster bands
+    * (3 = RGB, 4 = RGBA, 1 = gray), 0 when the payload didn't decode */
   case class MediaMeta(
       doc_id: Long,
       byte_len: Long,
       kind: String,
       width: Int,
       height: Int,
+      channels: Int,
       checksum: String)
 
   trait MediaDecoder extends Serializable {
@@ -53,9 +57,98 @@ object Multimodal {
       MediaMeta(id, len, kind,
         width = 32 + first % 32,
         height = 32 + (len % 32).toInt,
+        channels = 0, // the stub decodes no pixels
         checksum = java.security.MessageDigest.getInstance("MD5")
           .digest(payload).map("%02x".format(_)).mkString)
     }
+  }
+
+  /** Container sniffing by magic bytes — all public formats (PNG/JPEG/
+    * GIF/BMP specs; RIFF/WAVE for audio). Cheap enough to run before a
+    * full decode and safe on arbitrary bytes. */
+  def sniffKind(b: Array[Byte]): String = {
+    def at(i: Int) = if (i < b.length) b(i) & 0xff else -1
+    if (at(0) == 0x89 && at(1) == 'P' && at(2) == 'N' && at(3) == 'G')
+      "png"
+    else if (at(0) == 0xff && at(1) == 0xd8 && at(2) == 0xff) "jpeg"
+    else if (at(0) == 'G' && at(1) == 'I' && at(2) == 'F' && at(3) == '8')
+      "gif"
+    else if (at(0) == 'B' && at(1) == 'M') "bmp"
+    else if (at(0) == 'R' && at(1) == 'I' && at(2) == 'F' && at(3) == 'F'
+        && at(8) == 'W' && at(9) == 'A' && at(10) == 'V' && at(11) == 'E')
+      "wav"
+    else "bin"
+  }
+
+  /** REAL image decode via `javax.imageio` (pure JDK — PNG, JPEG, GIF,
+    * BMP readers ship with the JVM): geometry and channel count come
+    * from the decoded raster, not from the payload's byte arithmetic.
+    * Non-image or undecodable payloads degrade to sniffed kind with
+    * zero geometry rather than erroring — a 100 TB corpus always
+    * carries some truncated files, and one bad row must not kill the
+    * stage. */
+  final class ImageIoDecoder extends MediaDecoder {
+    def open(): Unit = ()
+    def close(): Unit = ()
+    def decode(id: Long, payload: Array[Byte]): MediaMeta = {
+      val kind = sniffKind(payload)
+      val checksum = java.security.MessageDigest.getInstance("MD5")
+        .digest(payload).map("%02x".format(_)).mkString
+      val img =
+        if (kind == "png" || kind == "jpeg" || kind == "gif"
+            || kind == "bmp")
+          try Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(payload)))
+          catch { case _: java.io.IOException => None }
+        else None
+      img match {
+        case Some(i) => MediaMeta(id, payload.length.toLong, kind,
+          i.getWidth, i.getHeight, i.getRaster.getNumBands, checksum)
+        case None => MediaMeta(id, payload.length.toLong, kind,
+          0, 0, 0, checksum)
+      }
+    }
+  }
+
+  /** Deterministic RGB test card: pixel (x, y) = a fixed arithmetic
+    * function of (seed, x, y), PNG-encoded. Geometry round-trips
+    * through a REAL encoder so [[ImageIoDecoder]] / [[resizeImages]]
+    * are exercised against genuine image bytes even where the corpus
+    * has none (the driver testdata is text-only). */
+  def pngPayload(width: Int, height: Int, seed: Long): Array[Byte] = {
+    require(width >= 1 && height >= 1, "positive geometry")
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val v = (seed + x * 31L + y * 131L) & 0xffffffL
+        img.setRGB(x, y, v.toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Attach a REAL PNG payload whose geometry derives from row fields
+    * (the testdata carries no media, so the pipeline synthesizes its
+    * own): width/height/seed are computed per row by the given exprs.
+    * Runs partition-local via mapPartitions — the encode is the "media
+    * arrives" stage of the pipeline shape. */
+  def withImagePayload(spark: SparkSession, df: DataFrame,
+      idCol: String, widthExpr: Column, heightExpr: Column): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id"),
+        widthExpr.cast("int").as("_w"), heightExpr.cast("int").as("_h"))
+      .as[(Long, Int, Int)]
+      .mapPartitions(_.map { case (id, w, h) =>
+        (id, pngPayload(w, h, seed = id))
+      })
+      .toDF("doc_id", "payload")
   }
 
   /** Attach a binary payload column (here: utf-8 of text — the driver
@@ -128,6 +221,44 @@ object Multimodal {
           else Array.tabulate(n)(i =>
             bytes((i.toLong * bytes.length / n).toInt))
         ResizedMedia(id, width, height, out)
+      })
+  }
+
+  /** REAL image resize: decode → nearest-neighbor rescale on the pixel
+    * raster → PNG re-encode, partition-local (codec state per
+    * partition, payloads never shuffled). The byte-plane [[resize]]
+    * remains for opaque non-image payloads; this is the path real
+    * image columns take. Undecodable payloads pass through with
+    * original bytes and zero geometry so the error surface is visible
+    * downstream, not thrown mid-stage. */
+  def resizeImages(spark: SparkSession, df: DataFrame, width: Int,
+      height: Int, idCol: String = "doc_id"): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    require(width >= 1 && height >= 1, "positive geometry")
+    df.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val img =
+          try Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes)))
+          catch { case _: java.io.IOException => None }
+        img match {
+          case Some(src) =>
+            val dst = new java.awt.image.BufferedImage(width, height,
+              java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+            val g = dst.createGraphics()
+            try {
+              g.setRenderingHint(
+                java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints
+                  .VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+              g.drawImage(src, 0, 0, width, height, null)
+            } finally g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(dst, "png", bos)
+            ResizedMedia(id, width, height, bos.toByteArray)
+          case None => ResizedMedia(id, 0, 0, bytes)
+        }
       })
   }
 
