@@ -87,7 +87,8 @@ final class Dp3Http(svc: Dp3Service, spark: SparkSession,
     host: String = "127.0.0.1", port: Int = 0,
     importTarget: Option[Dp3Http.ImportTarget] = None,
     databases: Map[String, Dp3Http.Database] = Map.empty,
-    sharedKey: Option[String] = None) {
+    sharedKey: Option[String] = None,
+    allowedOrigins: Seq[String] = Nil) {
 
   /** The reference's demo auth on MUTATING routes only — delete and
     * both imports (routes.go:63-69, mw.WithSharedKeyAuth): with a key
@@ -246,8 +247,36 @@ final class Dp3Http(svc: Dp3Service, spark: SparkSession,
   private def handle(ex: HttpExchange): Unit = {
     val path = ex.getRequestURI.getPath.stripSuffix("/")
     val segs = path.split("/").filter(_.nonEmpty).toSeq
+    // The reference's router-level middleware chain (routes.go:39-42):
+    // WithRequestID tags every request with a fresh uuid (echoed in a
+    // response header so clients can quote it in bug reports), and
+    // WithCORSAllowedOrigins answers a matching Origin with the allow
+    // headers (mw/middleware.go:31-49). Both run before any handler —
+    // in particular a preflight OPTIONS short-circuits to 200 BEFORE
+    // shared-key auth, exactly the reference's middleware order on the
+    // streamed-import route (the only one registering OPTIONS,
+    // routes.go:68-69; other routes answer OPTIONS 405 like mux's
+    // method matcher).
+    ex.getResponseHeaders.set("X-Request-ID",
+      java.util.UUID.randomUUID().toString)
+    Option(ex.getRequestHeaders.getFirst("Origin"))
+      .filter(allowedOrigins.contains).foreach { o =>
+        ex.getResponseHeaders.set("Access-Control-Allow-Origin", o)
+        ex.getResponseHeaders.set("Access-Control-Allow-Methods",
+          "GET, POST, OPTIONS")
+      }
     try {
       (ex.getRequestMethod, segs) match {
+        case ("OPTIONS", Seq("databases", _, "producers", _, "import")) =>
+          respond(ex, 200, "text/plain", Array.emptyByteArray)
+
+        // the root route registers no method filter in the reference,
+        // so its preflight also reaches the CORS middleware's 200
+        case ("OPTIONS", Seq()) =>
+          respond(ex, 200, "text/plain", Array.emptyByteArray)
+
+        case ("OPTIONS", _) =>
+          respondError(ex, 405, "method not allowed")
         case (_, Seq()) => respondText(ex, 200, "dp3")
 
         case ("GET", Seq("databases")) =>

@@ -200,6 +200,53 @@ class Dp3HttpSpec extends AnyFunSuite {
     } finally h2.stop()
   }
 
+  test("CORS middleware: allowed origins get the allow headers, the " +
+      "import preflight short-circuits 200 before auth") {
+    val h2 = new Dp3Http(svc, spark, sharedKey = Some("sekrit"),
+      allowedOrigins = Seq("http://ok.example")).start()
+    val b2 = s"http://127.0.0.1:${h2.boundPort}"
+    def send(method: String, path: String, origin: Option[String])
+        : HttpResponse[String] = {
+      var b = HttpRequest.newBuilder(URI.create(s"$b2$path"))
+        .method(method, HttpRequest.BodyPublishers.noBody())
+      origin.foreach(o => b = b.header("Origin", o))
+      client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+    }
+    try {
+      // preflight on the streamed-import route: 200 with allow headers,
+      // NO auth required (middleware order: CORS answers before the
+      // shared-key check, mw/middleware.go:42-45 vs routes.go:68-69)
+      val pre = send("OPTIONS", "/databases/default/producers/x/import",
+        Some("http://ok.example"))
+      assert(pre.statusCode() == 200, pre.body())
+      assert(pre.headers().firstValue("Access-Control-Allow-Origin")
+        .orElse("") == "http://ok.example")
+      assert(pre.headers().firstValue("Access-Control-Allow-Methods")
+        .orElse("").contains("OPTIONS"))
+      // unlisted origin: request still served, but no allow headers
+      val other = send("OPTIONS",
+        "/databases/default/producers/x/import",
+        Some("http://evil.example"))
+      assert(other.statusCode() == 200)
+      assert(!other.headers().firstValue("Access-Control-Allow-Origin")
+        .isPresent)
+      // routes that never registered OPTIONS answer 405 (mux method
+      // matching); ordinary requests still carry the origin echo
+      assert(send("OPTIONS", "/databases/default/topics",
+        Some("http://ok.example")).statusCode() == 405)
+      val r = send("GET", "/databases/default/topics",
+        Some("http://ok.example"))
+      assert(r.statusCode() == 200)
+      assert(r.headers().firstValue("Access-Control-Allow-Origin")
+        .orElse("") == "http://ok.example")
+      // every response carries a fresh request id (WithRequestID)
+      val id1 = r.headers().firstValue("X-Request-ID").orElse("")
+      val id2 = send("GET", "/", None).headers()
+        .firstValue("X-Request-ID").orElse("")
+      assert(id1.length == 36 && id2.length == 36 && id1 != id2)
+    } finally h2.stop()
+  }
+
   test("multiple logical databases: the {db} segment routes, unknown " +
       "names 404, listings show every database") {
     import spark.implicits._
