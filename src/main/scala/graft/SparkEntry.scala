@@ -901,21 +901,25 @@ object SparkEntry {
         buckets = 1024).orderBy("doc_id")
     }),
 
-    // corpus-level scoring totals. ALSO the honest DSIR bench number:
+    // per-source scoring totals. ALSO the honest DSIR bench number:
     // t_dsir's per-doc frame ends in a left join that count() forcing
     // ELIMINATES (unique right key + no referenced columns -> Catalyst
     // drops the whole scoring subtree, so its bench seconds measure a
-    // parquet count, not DSIR). A top-level aggregate over the weight
-    // columns cannot be pruned — this entry is what one genuine
-    // scoring pass costs, the yardstick t_dsir_select compares against
+    // parquet count — and a grand-total variant folds to count()=1
+    // the same way). A grouped aggregate over the weight columns
+    // cannot be pruned — this entry is what one genuine scoring pass
+    // costs, the yardstick t_dsir_select compares against
     "t_dsir_stats" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       Select.dsirWeights(docs,
         docs.where(col("source").isin("src1", "src3", "src5")),
         buckets = 1024)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_feats")).as("tot_feats"),
           sum(col("weight_mu")).as("tot_weight_mu"))
+        .orderBy("source")
     }),
 
     // the resampling face: the 100 docs most like the target slice
@@ -2718,13 +2722,14 @@ object SparkEntry {
         |SELECT doc_id, n_feats, weight_mu FROM wts
         |ORDER BY doc_id""".stripMargin,
 
-    // corpus totals over the same per-doc BIGINT weights
+    // per-source totals over the same per-doc BIGINT weights
     "t_dsir_stats" ->
       s"""WITH $DSIR_PERDOC
-        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
-        |  CAST(sum(n_feats) AS BIGINT) AS tot_feats,
-        |  CAST(sum(weight_mu) AS BIGINT) AS tot_weight_mu
-        |FROM wts""".stripMargin,
+        |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(w.n_feats) AS BIGINT) AS tot_feats,
+        |  CAST(sum(w.weight_mu) AS BIGINT) AS tot_weight_mu
+        |FROM wts w JOIN documents d USING (doc_id)
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
 
     // top-100 by (weight desc, id) — BIGINT weights make the k
     // boundary tie-break engine-exact

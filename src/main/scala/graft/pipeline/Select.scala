@@ -65,35 +65,70 @@ object Select {
       .select(col("_id"), explode(concat(col("_toks"), col("_bi")))
         .as("_gram"))
 
+  /** Pin + materialize NOW: cache as `RDD[Row]`, rebuild a leaf frame
+    * (the Dedup pin discipline — explicit unpersist, lineage kept for
+    * fault recovery). Several same-query consumers then read the cache
+    * instead of recomputing the subtree. */
+  private def pinNow(df: DataFrame)
+      : (DataFrame, Dedup.PinHandle) = {
+    val rdd = df.rdd.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rdd.count()
+    (df.sparkSession.createDataFrame(rdd, df.schema),
+      new Dedup.PinHandle(() => { rdd.unpersist(blocking = false); () }))
+  }
+
   /** Per-document DSIR importance weights of `raw` against `target`.
     * Output: (idCol, n_feats, weight_mu) — feature-occurrence count
     * and the importance weight in exact micro-units (BIGINT). Docs
-    * with no tokens carry zeros rather than dropping out. */
+    * with no tokens carry zeros rather than dropping out.
+    *
+    * The per-corpus (doc, bucket) gram aggregations are PINNED (eager
+    * cache materialization at construction): bucket counts, totals,
+    * lambdas, and scoring all consume the same subtree, and relying on
+    * Catalyst/AQE exchange reuse to run it once proved false — the
+    * round-9 formulation's TakeOrdered plan executed FIVE gram passes
+    * (3 raw + 2 target, measured 4.7 s warm at sf0.1 vs ~1.5 s for
+    * one pass; AQE stage reuse never fired across the cr/totals/
+    * scoring consumers). One pinned pass per corpus is deterministic
+    * where reuse is best-effort. Pin ownership follows the library's
+    * caller-sweeps contract (Bench/Verify release caches between
+    * queries; [[dsirWeightsOwned]] hands the handle to callers who
+    * want the blocks back sooner). */
   def dsirWeights(raw: DataFrame, target: DataFrame, buckets: Int,
       idCol: String = "doc_id", textCol: String = "text",
-      salt: String = "dsir"): DataFrame = {
+      salt: String = "dsir"): DataFrame =
+    dsirWeightsOwned(raw, target, buckets, idCol, textCol, salt)._1
+
+  /** [[dsirWeights]] plus the [[Dedup.PinHandle]] owning the two
+    * pinned gram aggregations — release after the LAST consumption of
+    * the returned frame (it recomputes from lineage afterwards). */
+  def dsirWeightsOwned(raw: DataFrame, target: DataFrame, buckets: Int,
+      idCol: String = "doc_id", textCol: String = "text",
+      salt: String = "dsir"): (DataFrame, Dedup.PinHandle) = {
     require(buckets >= 2, s"buckets must be >= 2: $buckets")
-    // ONE (doc, bucket) aggregation is the root of everything on the
-    // raw side — bucket counts, totals, and scoring all derive from
-    // this identical subtree, so Catalyst's exchange reuse runs the
-    // explode+md5 map stage ONCE per corpus (the naive formulation
-    // recomputed it for cr, for the totals, and for scoring: measured
-    // ~3x the md5 work at sf0.1).
-    val rawDoc = grams(raw, idCol, textCol)
-      .withColumn("_b", featureBucket(col("_gram"), buckets, salt))
-      .groupBy(col("_id"), col("_b"))
-      .agg(count(lit(1)).as("_cnt"))
+    // ONE gram pass per corpus, pinned; everything below reads caches
+    // of at most |docs|·|distinct buckets| narrow rows
+    val (rawDoc, rawPin) = pinNow(
+      grams(raw, idCol, textCol)
+        .withColumn("_b", featureBucket(col("_gram"), buckets, salt))
+        .groupBy(col("_id"), col("_b"))
+        .agg(count(lit(1)).as("_cnt")))
+    val (ct, ctPin) = pinNow(
+      grams(target, idCol, textCol)
+        .withColumn("_b", featureBucket(col("_gram"), buckets, salt))
+        .groupBy(col("_b")).agg(count(lit(1)).as("ct")))
     val cr = rawDoc.groupBy(col("_b"))
       .agg(sum(col("_cnt")).as("cr"))
-    val ct = grams(target, idCol, textCol)
-      .withColumn("_b", featureBucket(col("_gram"), buckets, salt))
-      .groupBy(col("_b")).agg(count(lit(1)).as("ct"))
-    // totals derive from the bucket tables — no second pass over text
+    // totals derive from the bucket tables — no second pass over text.
+    // Pinned leaves carry no size statistics, so every ≤buckets-row
+    // side is broadcast EXPLICITLY (the planner would otherwise assume
+    // worst-case sizes and sort-merge a 1024-row join).
     val totals = cr.agg(sum(col("cr")).as("nr"))
       .crossJoin(ct.agg(sum(col("ct")).as("nt")))
     // lambda only needs buckets that occur in raw (weights sum over
     // raw doc grams, and every such gram's bucket is in `cr`)
-    val lam = cr.join(ct, Seq("_b"), "left")
+    val lam = cr.join(broadcast(ct), Seq("_b"), "left")
       .crossJoin(broadcast(totals))
       .withColumn("lam_mu", floor(
         log(((coalesce(col("ct"), lit(0L)) + lit(1.0)) /
@@ -109,11 +144,17 @@ object Select {
       .groupBy(col("_id"))
       .agg(sum(col("_cnt")).as("_nf"),
         sum(col("_cnt") * col("lam_mu")).as("_w"))
-    raw.select(col(idCol))
+    // the id stitch restores zero-token docs; both sides are
+    // corpus-sized, so a shuffle join is the correct shape at scale
+    // (AQE broadcasts the reduced right side at bench scale)
+    val out = raw.select(col(idCol))
       .join(perDoc, raw(idCol) === perDoc("_id"), "left")
       .select(col(idCol),
         coalesce(col("_nf"), lit(0L)).as("n_feats"),
         coalesce(col("_w"), lit(0L)).as("weight_mu"))
+    (out, new Dedup.PinHandle(() => {
+      rawPin.release(); ctPin.release(); ()
+    }))
   }
 
   /** Importance SELECTION: the `k` raw documents most like the target
@@ -128,18 +169,20 @@ object Select {
       k: Int, idCol: String = "doc_id", textCol: String = "text",
       salt: String = "dsir"): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
-    val top = dsirWeights(raw, target, buckets, idCol, textCol, salt)
-      .orderBy(col("weight_mu").desc, col(idCol).asc)
+    val (w, pin) = dsirWeightsOwned(raw, target, buckets, idCol,
+      textCol, salt)
+    val top = w.orderBy(col("weight_mu").desc, col(idCol).asc)
       .limit(k)
     // MATERIALIZE the winners before the join-back: k is a corpus
     // budget (thousands) and the rows are three narrow columns —
     // control-plane by construction. Leaving `top` lazy re-executes
-    // the entire scoring pipeline inside the broadcast build, WITHOUT
-    // the exchange reuse the weights-only plan enjoys (measured 12x
-    // the weights query). Collected, the join-back plan is one scan of
-    // `raw` against a LocalRelation broadcast.
+    // the entire scoring pipeline inside the broadcast build (measured
+    // 12x the weights query). Collected, the join-back plan is one
+    // scan of `raw` against a LocalRelation broadcast — and the gram
+    // pins release here, since nothing lazy still needs them.
     val spark = raw.sparkSession
     val rows = java.util.Arrays.asList(top.collect(): _*)
+    pin.release()
     val local = spark.createDataFrame(rows, top.schema)
     raw.join(broadcast(local), Seq(idCol))
   }

@@ -114,14 +114,26 @@ class SelectSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
-  test("scale shape: the dsir lambda table broadcasts and gram text " +
-      "never sort-merges") {
-    val plan = Select.dsirWeights(docs, target, buckets = 64)
-      .queryExecution.executedPlan.toString
+  test("scale shape: dsir gram passes are pinned once per corpus and " +
+      "the lambda table broadcasts") {
+    // sweep first: earlier tests in this suite legitimately leave pins
+    // (the non-Owned variants' contract is caller-sweeps)
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    val (w, pin) = Select.dsirWeightsOwned(docs, target, buckets = 64)
+    // exactly two pinned aggregations: one per corpus (raw + target) —
+    // the witness that scoring never re-runs the explode+md5 stage
+    // (AQE exchange reuse proved best-effort: the round-9 formulation
+    // executed FIVE gram passes in its TakeOrdered plan)
+    assert(spark.sparkContext.getPersistentRDDs.size == 2,
+      s"expected 2 pinned gram aggs, got ${
+        spark.sparkContext.getPersistentRDDs.size}")
+    val plan = w.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
       "the <=buckets-row lambda table must broadcast against raw grams")
-    assert(!plan.contains("SortMergeJoin"),
-      "no corpus-sized sort-merge join belongs in the scoring path")
+    assert(!plan.contains("Generate"),
+      s"no gram explode may survive into the consuming plan:\n$plan")
+    pin.release()
   }
 
   test("scale shape: chunk is a map-only stage (no exchange)") {
