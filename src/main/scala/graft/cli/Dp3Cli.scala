@@ -36,10 +36,54 @@ import java.nio.file.{Files, Paths}
   * through this binary's verbs. (The library-level streaming tail is
   * `graft.streaming.Ingest.tail`.)
   */
+/** Contract a CLI plugin jar implements (the JVM mirror of the
+  * reference's Go-plugin `PluginCmd` symbol, cli/cmd/root.go:50-80):
+  * declare an implementation via the standard
+  * `META-INF/services/graft.cli.CliPlugin` ServiceLoader entry inside
+  * a jar installed under `<configDir>/plugins/<name>/`. The verb
+  * becomes dispatchable as `dp3 <verb> ...`. */
+trait CliPlugin {
+  /** the verb this plugin answers to */
+  def verb: String
+  def run(args: Seq[String], out: PrintStream, err: PrintStream): Int
+}
+
 object Dp3Cli {
 
   def main(args: Array[String]): Unit =
     sys.exit(run(args, Console.out, Console.err))
+
+  /** `~/.dp3`, like the reference (cli/cmd/root.go:44-48); the
+    * `dp3.config.dir` system property overrides for tests/sandboxes. */
+  private[cli] def configDir: java.nio.file.Path =
+    sys.props.get("dp3.config.dir").map(java.nio.file.Paths.get(_))
+      .getOrElse(java.nio.file.Paths.get(
+        System.getProperty("user.home"), ".dp3"))
+
+  /** Discover installed plugin verbs: every jar anywhere under
+    * `<configDir>/plugins/` is offered to ServiceLoader (the
+    * reference walks the same tree for `.so` files and looks up
+    * `PluginCmd`; on the JVM the service registry IS that symbol
+    * table). A missing directory means nothing to load. */
+  private[cli] def loadPlugins(err: PrintStream): Map[String, CliPlugin] = {
+    val dir = configDir.resolve("plugins")
+    if (!java.nio.file.Files.isDirectory(dir)) return Map.empty
+    import scala.jdk.CollectionConverters._
+    val jars = java.nio.file.Files.walk(dir).iterator().asScala
+      .filter(p => p.toString.endsWith(".jar"))
+      .map(_.toUri.toURL).toArray
+    if (jars.isEmpty) return Map.empty
+    try {
+      val loader = new java.net.URLClassLoader(jars,
+        getClass.getClassLoader)
+      java.util.ServiceLoader.load(classOf[CliPlugin], loader)
+        .iterator().asScala.map(p => p.verb -> p).toMap
+    } catch {
+      case e: Throwable =>
+        err.println(s"plugin load failed: ${e.getMessage}")
+        Map.empty
+    }
+  }
 
   /** Testable entry: returns the exit code instead of exiting. */
   def run(args: Array[String], out: PrintStream,
@@ -101,6 +145,8 @@ object Dp3Cli {
         s"$k=${URLEncoder.encode(v, "UTF-8")}" }
       if (kv.isEmpty) "" else kv.mkString("?", "&", "")
     }
+
+    var pluginRegistry: Map[String, CliPlugin] = Map.empty
 
     try positional.toList match {
       case "query" :: ql :: Nil =>
@@ -226,6 +272,30 @@ object Dp3Cli {
           "start" -> flags.get("--start"),
           "end" -> flags.get("--end"))))
 
+      // the reference's plugin verb group (cli/cmd/plugin.go — the
+      // bare verb is an empty cobra command; install copies the
+      // artifact into <configDir>/plugins/<name>/, cli/cmd/install.go)
+      case "plugin" :: Nil => 0
+
+      case "plugin" :: "install" :: name :: filepath :: Nil =>
+        val src = java.nio.file.Paths.get(filepath)
+        if (!java.nio.file.Files.isReadable(src)) {
+          err.println(s"cannot read $filepath"); 1
+        } else {
+          val dst = configDir.resolve("plugins").resolve(name)
+          java.nio.file.Files.createDirectories(dst)
+          java.nio.file.Files.copy(src, dst.resolve(src.getFileName),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          0
+        }
+
+      case verb :: rest if {
+        // installed plugin verbs dispatch like builtins; the registry
+        // loads lazily (one walk of <configDir>/plugins) only after no
+        // builtin matched
+        pluginRegistry = loadPlugins(err); pluginRegistry.contains(verb)
+      } => pluginRegistry(verb).run(rest, out, err)
+
       case other =>
         err.println(
           s"""unknown command: ${other.mkString(" ")}
@@ -237,7 +307,8 @@ object Dp3Cli {
              |  import --producer P <file.mcap>
              |  export --topics a,b [--output out.mcap]
              |  tail --topics a,b [--producer P] [--polls N] [--interval-ms M]
-             |  delete --producer P --topic T --start N --end N""".stripMargin)
+             |  delete --producer P --topic T --start N --end N
+             |  plugin | plugin install <name> <file.jar>  (+ installed verbs)""".stripMargin)
         2
     } catch {
       case e: java.net.ConnectException =>

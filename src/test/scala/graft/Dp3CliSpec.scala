@@ -103,6 +103,44 @@ class Dp3CliSpec extends AnyFunSuite {
     assert(code == 2 && err.contains("usage:"))
   }
 
+  test("plugin install copies the jar; installed verbs dispatch via " +
+      "ServiceLoader") {
+    // sandboxed config dir (reference uses ~/.dp3; the property
+    // override exists exactly for this)
+    val conf = Files.createTempDirectory("graft-cli-conf")
+    val prev = sys.props.get("dp3.config.dir")
+    sys.props("dp3.config.dir") = conf.toString
+    try {
+      // bare `plugin` is a no-op success, like the reference's empty
+      // cobra command (cli/cmd/plugin.go)
+      assert(cli("plugin")._1 == 0)
+      // build a plugin jar: only the ServiceLoader registration —
+      // the class itself resolves from the test classpath (the same
+      // parent-delegation a real plugin jar relies on for spark jars)
+      val jar = conf.resolve("greet.jar")
+      val jos = new java.util.jar.JarOutputStream(
+        Files.newOutputStream(jar))
+      jos.putNextEntry(new java.util.zip.ZipEntry(
+        "META-INF/services/graft.cli.CliPlugin"))
+      jos.write("graft.TestGreetPlugin\n".getBytes("UTF-8"))
+      jos.closeEntry(); jos.close()
+      val (ic, _, _) = cli("plugin", "install", "greet", jar.toString)
+      assert(ic == 0)
+      assert(Files.exists(
+        conf.resolve("plugins").resolve("greet").resolve("greet.jar")))
+      // the installed verb now dispatches like a builtin
+      val (code, out, _) = cli("greet", "world")
+      assert(code == 0 && out.contains("hello world"), out)
+      // missing source file fails cleanly
+      assert(cli("plugin", "install", "x", "/nope.jar")._1 == 1)
+    } finally {
+      prev match {
+        case Some(v) => sys.props("dp3.config.dir") = v
+        case None => sys.props -= "dp3.config.dir"
+      }
+    }
+  }
+
   test("tail follows imports: v1 rows first, then exactly the v2 " +
       "delta, in stream order") {
     // a store-backed server whose data arrives exclusively via /import
