@@ -401,19 +401,26 @@ object Dedup {
   /** Connected-component clustering of near-duplicate pairs: every id
     * is labeled with the smallest id reachable through the pair graph
     * (the cluster representative to keep). Iterative min-label
-    * propagation with pointer-jumping (label <- label(label)) each
-    * round, so convergence takes O(log diameter) rounds, not
-    * O(diameter) — same shape as GraphX connected components / the
-    * two-phase "large/small star" algorithm. Runs to FULL convergence
+    * propagation with pointer-jumping (label <- label(label)) AND
+    * per-round edge contraction (edges rewritten to current labels),
+    * so convergence takes O(log diameter) rounds, not O(diameter),
+    * regardless of id placement — same family as the "large/small
+    * star" contraction algorithms (Kiveris et al., SoCC 2014). The
+    * jump alone is NOT enough: it only doubles progress when label
+    * values align with the topology (see the contraction comment in
+    * the loop — the sf0.1 semantic graph measured Θ(diameter)=18
+    * rounds without contraction, 7 with). Runs to FULL convergence
     * (changed == 0); `maxIters` is a runaway-graph safety valve that
     * THROWS rather than silently returning wrong labels (log2 of any
     * real diameter fits comfortably in the default 50).
     *
-    * Exactly ONE Spark job per round: the previous label rides along
+    * ONE label job per round: the previous label rides along
     * as `_old`, so the convergence count is a predicate on the same
     * scan that materializes the round's pinned cache — no extra join,
-    * no separate count job. Superseded rounds are unpersisted
-    * immediately. The returned frame reads the final round's cached
+    * no separate count job. (Non-final rounds add one small edge-
+    * contraction job over pinned frames — 2r−1 jobs total, and the
+    * contraction is what keeps r logarithmic.) Superseded rounds are
+    * unpersisted immediately. The returned frame reads the final round's cached
     * blocks; the caller owns their lifetime (consume, then
     * `spark.sharedState.cacheManager` / `getPersistentRDDs` cleanup —
     * Verify and Bench do this between queries; library callers use
@@ -464,11 +471,13 @@ object Dedup {
     * final changed==0 confirming round included). Exposed so specs can
     * PIN the expected round count: the loop's cost at bench scale is
     * fixed per-round job overhead, so an accidental extra round (e.g.
-    * a regression that breaks the pointer-jump halving) shows up as
+    * a regression that breaks the contraction doubling) shows up as
     * quiet wall-clock variance long before it shows up as wrong
     * labels. Near-clique dedup graphs converge in 2 rounds (one
     * reaches the fixpoint — every node adjacent to its component min —
-    * one confirms); a diameter-d path needs ~log2(d)+2. */
+    * one confirms); a diameter-d component needs ~log2(d)+2
+    * REGARDLESS of how ids are placed on the topology (see the
+    * contraction note in the loop). */
   def clustersCounted(ids: DataFrame, pairs: DataFrame,
       idCol: String = "doc_id", maxIters: Int = 50)
       : (DataFrame, PinHandle, Int) = {
@@ -476,7 +485,7 @@ object Dedup {
     // union of two selects re-runs the (expensive) upstream pair
     // pipeline per branch; exploding a 2-struct array doubles the rows
     // in a single pass instead.
-    val (edges, edgesRdd) = pin(
+    var (edges, edgesRdd) = pin(
       pairs.select(explode(array(
           struct(col("id_a").as("src"), col("id_b").as("dst")),
           struct(col("id_b").as("src"), col("id_a").as("dst")))).as("_e"))
@@ -497,7 +506,8 @@ object Dedup {
       //  - identity: the node's own label (also carries _old for the
       //    convergence count — every node has exactly one such row, so
       //    max(old) recovers it through the agg)
-      //  - jump: label(label(n)), halving remaining depth per round
+      //  - jump: label(label(n)) — follows the representative chain so
+      //    non-representative nodes keep learning the improving min
       val neigh = edges.join(labels, edges("dst") === labels("id"))
         .select(edges("src").as("node"), labels("label").as("cand"), nullOld)
       val self = labels.select(col("id").as("node"),
@@ -515,6 +525,30 @@ object Dedup {
       labels = pinned.select(col("node").as("id"), col("label"))
       labelsRdd = rdd
       iter += 1
+      // EDGE CONTRACTION (the round-10 fix): rewrite every edge to the
+      // endpoints' current labels and drop self-loops. Without it the
+      // jump only doubles progress when label values happen to align
+      // with the topology (the spec's ordered path); on a graph whose
+      // ids are random relative to structure — the semantic near-dup
+      // graph at sf0.1: 624 components, diameter 24 — the loop
+      // measured Θ(diameter) = 18 rounds where contraction + jump
+      // takes 7 (clique 2, path-30 7; simulated AND spec-pinned).
+      // Each contraction shrinks the frontier graph geometrically
+      // (parallel duplicate edges are harmless to a min-agg and
+      // bounded by |E|, so no dedup shuffle); the second per-round
+      // action reads only pinned frames, and skipping it on the
+      // confirming round keeps the job count at 2r-1.
+      if (changed > 0) {
+        val (cEdges, cRdd) = pin(
+          edges.join(labels.as("ls"), edges("src") === col("ls.id"))
+            .join(labels.as("ld"), edges("dst") === col("ld.id"))
+            .select(col("ls.label").as("src"), col("ld.label").as("dst"))
+            .where(col("src") =!= col("dst")))
+        cRdd.count() // materialize before releasing the previous table
+        edgesRdd.unpersist(blocking = false)
+        edges = cEdges
+        edgesRdd = cRdd
+      }
     }
     edgesRdd.unpersist(blocking = false)
     val rddHandle = labelsRdd

@@ -171,6 +171,20 @@ class PipelineSpec extends AnyFunSuite {
     ph.release()
     assert(labels.values.forall(_ == 0L))
     assert(pRounds <= 8, s"pointer jumping must halve depth: $pRounds")
+    // the case the jump ALONE cannot halve: a path whose ids are
+    // scrambled relative to the topology (the semantic near-dup graph
+    // shape — labels don't align with structure, so label(label(n))
+    // stops short-cutting). Edge contraction keeps it logarithmic: the
+    // pre-contraction loop measured Θ(diameter) here.
+    val perm = scala.util.Random.shuffle((0L until n.toLong).toList)
+    val scrambledPairs = (0 until n - 1)
+      .map(i => (perm(i), perm(i + 1))).toDF("id_a", "id_b")
+    val (sdf, sh, sRounds) = Dedup.clustersCounted(pathIds, scrambledPairs)
+    val sLabels = sdf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sh.release()
+    assert(sLabels.values.forall(_ == 0L), "one component, min label 0")
+    assert(sRounds <= 9,
+      s"contraction must keep scrambled-id paths logarithmic: $sRounds")
   }
 
   test("clustering throws rather than returning unconverged labels") {
