@@ -25,6 +25,18 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  /** ImageIO defaults to FILE-backed stream caches: every encode and
+    * decode spools through a temp file, which at thousands of small
+    * payloads per task means tens of thousands of file creations —
+    * measured as a bimodal 0.7 s vs 5.2 s for the same 5000-image
+    * batch depending on tmpfs state. Memory-backed caches make the
+    * codec deterministic and fast; payloads here are bounded by the
+    * media row size, so the memory cost is the payload itself. (JVM-
+    * global flag; executors hit this initializer before first use.) */
+  private def imageIoNoDiskCache(): Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+  imageIoNoDiskCache()
+
   /** media row metadata produced by decode; `channels` = raster bands
     * (3 = RGB, 4 = RGBA, 1 = gray), 0 when the payload didn't decode */
   case class MediaMeta(
@@ -88,7 +100,7 @@ object Multimodal {
     * carries some truncated files, and one bad row must not kill the
     * stage. */
   final class ImageIoDecoder extends MediaDecoder {
-    def open(): Unit = ()
+    def open(): Unit = imageIoNoDiskCache() // once per partition
     def close(): Unit = ()
     def decode(id: Long, payload: Array[Byte]): MediaMeta = {
       val kind = sniffKind(payload)
@@ -117,6 +129,7 @@ object Multimodal {
     * has none (the driver testdata is text-only). */
   def pngPayload(width: Int, height: Int, seed: Long): Array[Byte] = {
     require(width >= 1 && height >= 1, "positive geometry")
+    imageIoNoDiskCache()
     val img = new java.awt.image.BufferedImage(width, height,
       java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
     var y = 0
@@ -237,7 +250,9 @@ object Multimodal {
     require(width >= 1 && height >= 1, "positive geometry")
     df.select(col(idCol).cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) =>
+      .mapPartitions { it =>
+        imageIoNoDiskCache()
+        it.map { case (id, bytes) =>
         val img =
           try Option(javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(bytes)))
@@ -259,7 +274,7 @@ object Multimodal {
             ResizedMedia(id, width, height, bos.toByteArray)
           case None => ResizedMedia(id, 0, 0, bytes)
         }
-      })
+      }}
   }
 
   /** frame-sampling output: one row per kept frame (one-to-many) */
