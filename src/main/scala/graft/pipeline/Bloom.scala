@@ -113,7 +113,15 @@ object Bloom {
     val hit = (0 until nWords).map { w =>
       (col(s"_tw$w").bitwiseAND(col(s"bloom_w$w")) === col(s"bloom_w$w"))
     }.reduce(_ && _) && col("_tw0").isNotNull
-    val flagged = joined.withColumn("_hit", hit)
+    // PIN the flagged batch: the clean/confirmed split consumes it
+    // from two plans, and without the pin each consumer re-runs the
+    // batch's fingerprint+bloom-word compute AND rebuilds the tier
+    // broadcast — i.e. re-aggregates the corpus tier per consumer (the
+    // plan audit measured 8 source scans for the union-shaped
+    // d_bloom_dedup batch). The pin is batch-sized by definition —
+    // this operator exists to keep the CORPUS out of the join, not the
+    // batch. Caller sweeps (Bench/Verify releaseCaches).
+    val (flagged, _) = Dedup.pinNow(joined.withColumn("_hit", hit))
     val clean = flagged.where(!col("_hit"))
     val refFps = refDocs
       .select(TextOps.fingerprint(col(textCol)).as("_fp")).distinct()

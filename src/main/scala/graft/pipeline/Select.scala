@@ -65,19 +65,6 @@ object Select {
       .select(col("_id"), explode(concat(col("_toks"), col("_bi")))
         .as("_gram"))
 
-  /** Pin + materialize NOW: cache as `RDD[Row]`, rebuild a leaf frame
-    * (the Dedup pin discipline — explicit unpersist, lineage kept for
-    * fault recovery). Several same-query consumers then read the cache
-    * instead of recomputing the subtree. */
-  private def pinNow(df: DataFrame)
-      : (DataFrame, Dedup.PinHandle) = {
-    val rdd = df.rdd.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    rdd.count()
-    (df.sparkSession.createDataFrame(rdd, df.schema),
-      new Dedup.PinHandle(() => { rdd.unpersist(blocking = false); () }))
-  }
-
   /** Per-document DSIR importance weights of `raw` against `target`.
     * Output: (idCol, n_feats, weight_mu) — feature-occurrence count
     * and the importance weight in exact micro-units (BIGINT). Docs
@@ -109,12 +96,12 @@ object Select {
     require(buckets >= 2, s"buckets must be >= 2: $buckets")
     // ONE gram pass per corpus, pinned; everything below reads caches
     // of at most |docs|·|distinct buckets| narrow rows
-    val (rawDoc, rawPin) = pinNow(
+    val (rawDoc, rawPin) = Dedup.pinNow(
       grams(raw, idCol, textCol)
         .withColumn("_b", featureBucket(col("_gram"), buckets, salt))
         .groupBy(col("_id"), col("_b"))
         .agg(count(lit(1)).as("_cnt")))
-    val (ct, ctPin) = pinNow(
+    val (ct, ctPin) = Dedup.pinNow(
       grams(target, idCol, textCol)
         .withColumn("_b", featureBucket(col("_gram"), buckets, salt))
         .groupBy(col("_b")).agg(count(lit(1)).as("ct")))

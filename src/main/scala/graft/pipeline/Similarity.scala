@@ -339,14 +339,21 @@ object Similarity {
           .as(Seq("_i", "_mu")))
     val rows = muRows(emb)
     // codebook: per (dim, cell) micro-unit mean component — the
-    // sub-centroid of subspace (_i div subDim) restricted to dim _i
-    val codebook = rows
+    // sub-centroid of subspace (_i div subDim) restricted to dim _i.
+    // MATERIALIZED driver-side: dims × cells rows (control-plane, the
+    // same k·d scale as trainIvfCentroids' collect), consumed by TWO
+    // broadcast builds (encode + LUT) that would otherwise each re-run
+    // the full µ-row aggregation — the plan audit measured 4 passes
+    // over the embedding µ-rows with zero exchange reuse.
+    val codebook0 = rows
       .groupBy(col("_i"), col("_vcell").as("_cell"))
       .agg(count(lit(1)).as("_n"), sum(col("_mu")).as("_s"))
       .select(col("_i"), col("_cell"), expr(s"_i div $subDim").as("_sub"),
         // floor of an identical IEEE quotient — exact on both engines
         floor(col("_s").cast("double") / col("_n")).cast("long")
           .as("_cmu"))
+    val codebook = emb.sparkSession.createDataFrame(
+      java.util.Arrays.asList(codebook0.collect(): _*), codebook0.schema)
     // encode: nearest sub-centroid per (vector, subspace) by integer
     // squared distance; min(struct) ties to the lower cell id
     val codes = rows.join(broadcast(codebook), "_i")
@@ -427,8 +434,14 @@ object Similarity {
     require(dims >= 1, "dims >= 1") // explicit: probing the frame for
     // the dimension would be a driver-side action in an operator path
     val w = nBits / bands
-    val sig = srpSignature(emb, srpPlanes(nBits, dims, salt), idCol,
-      vecCol)
+    // PIN the signatures: nBits plane-dots per vector, and the banding
+    // self-join consumes the subtree from up to FOUR plans (both join
+    // sides + the hot-bucket count's anti-join) — the plan audit
+    // showed 4 signature passes over the raw embeddings with zero
+    // exchange reuse. One row per vector cached; caller sweeps
+    // (Bench/Verify releaseCaches between queries).
+    val (sig, _) = Dedup.pinNow(
+      srpSignature(emb, srpPlanes(nBits, dims, salt), idCol, vecCol))
     val buckets0 = sig.select(col(idCol).as("_id"),
       explode(array((0 until bands).map(b => concat_ws("#",
         lit(b.toString),

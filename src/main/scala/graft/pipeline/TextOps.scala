@@ -207,6 +207,14 @@ object TextOps {
              i -> struct(element_at(_toks, i) AS w1,
                          element_at(_toks, i + 1) AS w2))""")))
         .select(col("_id"), col("_p.w1").as("w1"), col("_p.w2").as("w2"))
+    // NB deliberately NOT pinned: the multiply-consumed subtree here is
+    // plain tokenization, and caching corpus-sized token arrays costs
+    // MORE than recomputing them (A/B at sf0.1: pinned toks 0.82 s vs
+    // re-tokenize 0.29 s — the cache write serializes every token,
+    // roughly the same byte volume the extra scans read). The pin
+    // discipline pays for expensive-per-row or heavily-reduced
+    // subtrees (md5 gram aggs, signatures, bloom words), not for cheap
+    // maps over the raw corpus.
     val bg = bigrams(tr).groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("cb"))
     val ug = bg.groupBy(col("w1")).agg(sum(col("cb")).as("cu"))

@@ -93,6 +93,33 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!pc.contains("BroadcastNestedLoopJoin"), pc)
   }
 
+  test("pinned pipelines scan their source once per genuine pass, " +
+      "not once per consumer") {
+    // the round-10 audit found multi-consumer subtrees silently
+    // re-executing (SRP signatures 4x, PQ mu-rows 4x, bloom batch 8
+    // source scans) because AQE exchange reuse never fired; these
+    // gates hold the fixed shapes. Counts are FileScan occurrences of
+    // the source file in the final plan — pinned/collected subtrees
+    // ran eagerly and appear as cached-RDD / local leaves instead.
+    def scans(q: String, file: String): Int = {
+      val p = SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      p.linesIterator.count(l => l.contains("FileScan")
+        && l.contains(file))
+    }
+    // srp: pinned signatures; embeddings re-read only for the exact
+    // cosine filter's two norm sides
+    assert(scans("d_srp_neardup", "embeddings.parquet") <= 2)
+    // pq: codebook collected (control-plane); mu-rows re-derived only
+    // for encode + the query LUT (pushed-down to the query ids)
+    assert(scans("s_topk_pq", "embeddings.parquet") <= 2)
+    // bloom dedup: flagged batch pinned — the tier build and the
+    // clean/confirmed split must not multiply source scans
+    assert(scans("d_bloom_dedup", "documents.parquet") <= 2)
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+  }
+
   test("stratified sampling filter reaches the scan's data filters") {
     // membership is a pure row-local string compare — at 100 TB the
     // rejected rows must die scan-adjacent (DataFilters in the scan's
