@@ -106,10 +106,42 @@ object Bloom {
       nBuckets: Int = 1024, nWords: Int = 4, kHashes: Int = 4,
       textCol: String = "text"): DataFrame = {
     val tier = bloomTier(refDocs, nBuckets, nWords, kHashes, textCol)
-      .select(col("bloom_bucket") +:
-        (0 until nWords).map(w => col(s"bloom_w$w").as(s"_tw$w")): _*)
+    val refFps = refDocs
+      .select(TextOps.fingerprint(col(textCol)).as("_fp")).distinct()
+    dedupAgainstTier(newDocs, tier, refFps, nBuckets, nWords, kHashes,
+      textCol)
+  }
+
+  /** [[dedupAgainstCorpusBloom]]'s core against a PREBUILT tier and
+    * fingerprint table — the shape a maintained store uses (the
+    * streaming ingest keeps both as append-only sidecars, so the
+    * prefilter reads kilobytes of tier instead of re-aggregating the
+    * corpus; see [[graft.streaming.CorpusDedup]]). `tier` rows are
+    * (bloom_bucket, bloom_w0..) built with the SAME
+    * nBuckets/nWords/kHashes — partials are fine, bit_or-merged here;
+    * `refFps` is the corpus fingerprint column `_fp` (need not be
+    * distinct). */
+  def dedupAgainstTier(newDocs: DataFrame, tier: DataFrame,
+      refFps: DataFrame, nBuckets: Int = 1024, nWords: Int = 4,
+      kHashes: Int = 4, textCol: String = "text"): DataFrame =
+    dedupAgainstTierOwned(newDocs, tier, refFps, nBuckets, nWords,
+      kHashes, textCol)._1
+
+  /** [[dedupAgainstTier]] plus the [[Dedup.PinHandle]] owning the
+    * pinned flagged batch — long-running callers (a streaming loop
+    * invoking this per micro-batch) MUST release after consuming or
+    * pins accumulate for the life of the stream; one-shot callers may
+    * use the plain variant and sweep. */
+  def dedupAgainstTierOwned(newDocs: DataFrame, tier: DataFrame,
+      refFps: DataFrame, nBuckets: Int = 1024, nWords: Int = 4,
+      kHashes: Int = 4, textCol: String = "text")
+      : (DataFrame, Dedup.PinHandle) = {
+    val merged = tier.groupBy(col("bloom_bucket"))
+      .agg(expr("bit_or(bloom_w0)").as("_tw0"),
+        (1 until nWords).map(w =>
+          expr(s"bit_or(bloom_w$w)").as(s"_tw$w")): _*)
     val nw = withBloomWords(newDocs, nBuckets, nWords, kHashes, textCol)
-    val joined = nw.join(broadcast(tier), Seq("bloom_bucket"), "left")
+    val joined = nw.join(broadcast(merged), Seq("bloom_bucket"), "left")
     val hit = (0 until nWords).map { w =>
       (col(s"_tw$w").bitwiseAND(col(s"bloom_w$w")) === col(s"bloom_w$w"))
     }.reduce(_ && _) && col("_tw0").isNotNull
@@ -120,14 +152,14 @@ object Bloom {
     // plan audit measured 8 source scans for the union-shaped
     // d_bloom_dedup batch). The pin is batch-sized by definition —
     // this operator exists to keep the CORPUS out of the join, not the
-    // batch. Caller sweeps (Bench/Verify releaseCaches).
-    val (flagged, _) = Dedup.pinNow(joined.withColumn("_hit", hit))
+    // batch. Caller sweeps (Bench/Verify releaseCaches) or releases
+    // the returned handle.
+    val (flagged, pin) = Dedup.pinNow(joined.withColumn("_hit", hit))
     val clean = flagged.where(!col("_hit"))
-    val refFps = refDocs
-      .select(TextOps.fingerprint(col(textCol)).as("_fp")).distinct()
     val confirmed = flagged.where(col("_hit"))
-      .join(refFps, Seq("_fp"), "left_anti")
-    clean.unionByName(confirmed)
-      .select(newDocs.columns.map(col): _*)
+      .join(refFps.select(col("_fp")).distinct(), Seq("_fp"),
+        "left_anti")
+    (clean.unionByName(confirmed)
+      .select(newDocs.columns.map(col): _*), pin)
   }
 }

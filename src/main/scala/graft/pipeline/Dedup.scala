@@ -384,7 +384,7 @@ object Dedup {
     * conversion the RDD path pays once at cache-write time. Columnar
     * remains available behind GRAFT_PIN_COLUMNAR=1 for re-measurement
     * on engines where the consumers stay columnar end-to-end. */
-  private[pipeline] def pinNow(df: DataFrame): (DataFrame, PinHandle) =
+  private[graft] def pinNow(df: DataFrame): (DataFrame, PinHandle) =
     if (columnarPin) {
       val p = df.persist(StorageLevel.MEMORY_AND_DISK)
       p.count()

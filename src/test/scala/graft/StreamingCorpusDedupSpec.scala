@@ -1,0 +1,97 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.{Dedup, TextOps}
+import graft.streaming.CorpusDedup
+
+/** Streaming incremental corpus dedup: accept-first-occurrence over a
+  * micro-batched document stream, equivalent to batch exact dedup over
+  * the concatenated history but never re-scanning corpus text. */
+class StreamingCorpusDedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def dirs(): (String, String, String, String) = {
+    val base = Files.createTempDirectory("graft-corpusdedup").toString
+    (s"$base/corpus", s"$base/tier", s"$base/fp", s"$base/ckpt")
+  }
+
+  test("appendBatch accepts first occurrences only, across batches " +
+      "and within a batch") {
+    val (corpus, tier, fp, _) = dirs()
+    val b1 = Seq((1L, "alpha beta"), (2L, "gamma delta"),
+      (7L, "alpha beta")) // in-batch dup of 1 — min id wins
+      .toDF("doc_id", "text")
+    assert(CorpusDedup.appendBatch(spark, b1, 1L, corpus, tier, fp)
+      == 2L)
+    val b2 = Seq((10L, "gamma delta"), // cross-batch dup of 2
+      (11L, "epsilon zeta"),
+      (12L, "epsilon zeta"), // in-batch dup of 11
+      (13L, "alpha beta")) // cross-batch dup of 1
+      .toDF("doc_id", "text")
+    assert(CorpusDedup.appendBatch(spark, b2, 2L, corpus, tier, fp)
+      == 1L)
+    val accepted = spark.read.parquet(corpus)
+      .select("doc_id", "version").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(accepted == Map(1L -> 1L, 2L -> 1L, 11L -> 2L))
+    // sidecars carry one fingerprint row per accepted doc and one
+    // tier partial per (bucket, version)
+    val fps = spark.read.parquet(fp)
+    assert(fps.count() == 3 && fps.select("doc_id").as[Long]
+      .collect().toSet == Set(1L, 2L, 11L))
+    val tierRows = spark.read.parquet(tier)
+    assert(tierRows.select("version").distinct().as[Long]
+      .collect().toSet == Set(1L, 2L))
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+  }
+
+  test("streaming run over MemoryStream equals batch exact dedup of " +
+      "the concatenated history") {
+    val (corpus, tier, fp, ckpt) = dirs()
+    implicit val sqlCtx = spark.sqlContext
+    // 60 docs across 3 batches, every 3rd a copy of an earlier text
+    def text(i: Int) = s"document number ${i % 40} body"
+    val all = (0 until 60).map(i => (i.toLong, text(i)))
+    val stream = MemoryStream[(Long, String)]
+    all.grouped(20).foreach(stream.addData(_))
+    val q = CorpusDedup.start(spark,
+      stream.toDF().toDF("doc_id", "text"),
+      corpus, tier, fp, ckpt)
+    q.awaitTermination()
+    val streamed = spark.read.parquet(corpus)
+      .select("doc_id").as[Long].collect().toSet
+    // ground truth: batch exact dedup keeps min id per fingerprint
+    val truth = Dedup.exact(all.toDF("doc_id", "text"))
+      .select("keep_id").as[Long].collect().toSet
+    assert(streamed == truth,
+      s"streamed=$streamed truth=$truth")
+    // the accepted set carries exactly one row per distinct text
+    assert(streamed.size == all.map(_._2).distinct.size)
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+  }
+
+  test("tier partials merge: a batch of pure duplicates accepts " +
+      "nothing and appends no tier rows") {
+    val (corpus, tier, fp, _) = dirs()
+    val b1 = (0L until 30L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    assert(CorpusDedup.appendBatch(spark, b1, 1L, corpus, tier, fp)
+      == 30L)
+    val dups = (100L until 130L).map(i => (i, s"text ${i - 100}"))
+      .toDF("doc_id", "text")
+    assert(CorpusDedup.appendBatch(spark, dups, 2L, corpus, tier, fp)
+      == 0L)
+    assert(spark.read.parquet(corpus).count() == 30)
+    assert(spark.read.parquet(tier).select("version").distinct()
+      .as[Long].collect().toSet == Set(1L))
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+  }
+}
