@@ -92,39 +92,56 @@ object AsofJoin {
     // correctly with sibling topics when the asof is a merge child
     // (first-right-time emission returned different rows under
     // limit/offset there).
-    val lefts = matchedRights
-      .groupBy((keys.map(col) :+ col("_leftSeq")): _*)
-      .agg(min_by(col("_lastLeft"), struct(col("_t"), col("_tie")))
-        .as("_row"))
-      .select((keys.map(col)
-        :+ col("_row").getField(timeCol).as("_emit_time")
-        :+ lit(0).as("_side") :+ col("_row")): _*)
+    //
+    // ONE-PASS EMISSION: the matched left is exactly the _lastLeft of
+    // its FIRST matched right (a groupBy per _leftSeq said the same
+    // thing, but as a SECOND consumer of the window pipeline — the
+    // whole scan+exchange+sort ran once per output branch before the
+    // final union; the plan audit counted both). A row_number over the
+    // same exchange (hashpartitioning(keys) satisfies the
+    // (keys, _leftSeq) clustering — extra local sort, no new shuffle)
+    // marks the first right, which then EXPLODES into (left, right)
+    // while every later right explodes into just itself. Single
+    // pipeline, no union, half the scans.
+    val wr = Window
+      .partitionBy((keys.map(col) :+ col("_leftSeq")): _*)
+      .orderBy(col("_t"), col("_tie"))
+    val withRn = matchedRights.withColumn("_rn", row_number().over(wr))
+    val kept = if (immediate) withRn.where(col("_rn") === 1) else withRn
 
-    val rightsKept =
-      if (immediate) {
-        val wr = Window
-          .partitionBy((keys.map(col) :+ col("_leftSeq")): _*)
-          .orderBy(col("_t"), col("_tie"))
-        matchedRights
-          .withColumn("_rn", row_number().over(wr))
-          .where(col("_rn") === 1)
-      } else matchedRights
+    val leftEmit = struct(
+      col("_lastLeft").getField(timeCol).as("_emit_time"),
+      lit(0).as("_eside"),
+      col("_lastLeft").as("_lr"),
+      lit(null).cast(rType).as("_rr"))
+    val rightEmit = struct(
+      col("_t").as("_emit_time"),
+      lit(1).as("_eside"),
+      lit(null).cast(lType).as("_lr"),
+      col("_rrow").as("_rr"))
+    val emitted = kept
+      .select((keys.map(col) :+ explode(
+        when(col("_rn") === 1, array(leftEmit, rightEmit))
+          .otherwise(array(rightEmit))).as("_e")): _*)
 
-    val rights = rightsKept
-      .select((keys.map(col) :+ col("_t").as("_emit_time")
-        :+ lit(1).as("_side") :+ col("_rrow").as("_row")): _*)
-
-    // expand the two row shapes and union by name (null-fill mismatches)
-    def expand(df: DataFrame, fields: Seq[String]): DataFrame = {
-      val dataCols = fields.filterNot(keys.contains)
-        .map(f => col("_row").getField(f).as(f))
-      df.select((keys.map(col) ++ Seq(col("_emit_time"), col("_side"))
-        ++ dataCols): _*)
+    // project the union-by-name output shape: per field, the value
+    // comes from whichever side's struct is non-null on this row
+    // (exactly one is), left-side column order first like the previous
+    // two-branch union
+    val fields = (left.columns ++ right.columns).distinct.toSeq
+      .filterNot(keys.contains)
+    val dataCols = fields.map { f =>
+      val inL = left.columns.contains(f)
+      val inR = right.columns.contains(f)
+      val c =
+        if (inL && inR) coalesce(col("_e._lr").getField(f),
+          col("_e._rr").getField(f))
+        else if (inL) col("_e._lr").getField(f)
+        else col("_e._rr").getField(f)
+      c.as(f)
     }
-    val lOut = expand(lefts, left.columns.toSeq)
-    val rOut = expand(rights, right.columns.toSeq)
-    lOut.unionByName(rOut, allowMissingColumns = true)
-      .withColumnRenamed("_emit_time", "emit_time")
-      .withColumnRenamed("_side", "emit_side")
+    emitted.select((keys.map(col)
+      :+ col("_e._emit_time").as("emit_time")
+      :+ col("_e._eside").as("emit_side")) ++ dataCols: _*)
   }
 }
