@@ -109,6 +109,33 @@ object CorpusDedup {
     } finally pin.release()
   }
 
+  /** Compact the tier sidecar: after many batches the tier holds one
+    * partial row-set per version; fold them to ONE bit_or-merged row
+    * per bucket (≤ nBuckets rows total, version = the max folded).
+    * Membership answers are unchanged — bit_or is associative — and
+    * the next batch's prefilter reads one row per bucket instead of
+    * one per (bucket, version). Write-new-then-flip via fs.rename
+    * (Spark refuses to overwrite a path it is reading from). */
+  def compactTier(spark: SparkSession, tierDir: String,
+      nWords: Int = 4): Unit = {
+    if (!exists(spark, tierDir)) return
+    val merged = spark.read.parquet(tierDir)
+      .groupBy(col("bloom_bucket"))
+      .agg(expr("bit_or(bloom_w0)").as("bloom_w0"),
+        ((1 until nWords).map(x =>
+          expr(s"bit_or(bloom_w$x)").as(s"bloom_w$x"))
+          :+ max(col("version")).as("version")): _*)
+    val p = new org.apache.hadoop.fs.Path(tierDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(tierDir + ".compact-tmp")
+    val old = new org.apache.hadoop.fs.Path(tierDir + ".compact-old")
+    merged.repartition(1).write.mode("overwrite").parquet(tmp.toString)
+    require(fs.rename(p, old), s"cannot stage $tierDir aside")
+    require(fs.rename(tmp, p), s"cannot flip compacted tier into place")
+    fs.delete(old, true)
+    ()
+  }
+
   private def exists(spark: SparkSession, dir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -78,6 +78,33 @@ class StreamingCorpusDedupSpec extends AnyFunSuite {
       .foreach(_.unpersist(blocking = true))
   }
 
+  test("compactTier folds version partials to one row per bucket " +
+      "without changing membership answers") {
+    val (corpus, tier, fp, _) = dirs()
+    (1L to 4L).foreach { v =>
+      val b = (v * 100L until v * 100L + 10L)
+        .map(i => (i, s"doc $i body")).toDF("doc_id", "text")
+      CorpusDedup.appendBatch(spark, b, v, corpus, tier, fp)
+    }
+    val before = spark.read.parquet(tier).count()
+    CorpusDedup.compactTier(spark, tier)
+    val after = spark.read.parquet(tier)
+    assert(after.count() < before)
+    assert(after.groupBy("bloom_bucket").count()
+      .agg(max("count")).head().getLong(0) == 1L,
+      "one merged row per bucket")
+    // dedup answers are unchanged against the compacted tier: dups of
+    // every prior version still drop, a new doc still lands
+    val probe = Seq((900L, "doc 101 body"), (901L, "doc 401 body"),
+      (902L, "genuinely new body")).toDF("doc_id", "text")
+    assert(CorpusDedup.appendBatch(spark, probe, 9L, corpus, tier, fp)
+      == 1L)
+    assert(spark.read.parquet(corpus).where(col("doc_id") === 902L)
+      .count() == 1)
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+  }
+
   test("tier partials merge: a batch of pure duplicates accepts " +
       "nothing and appends no tier rows") {
     val (corpus, tier, fp, _) = dirs()
