@@ -105,6 +105,38 @@ class StreamingCorpusDedupSpec extends AnyFunSuite {
       .foreach(_.unpersist(blocking = true))
   }
 
+  test("property: random batch histories accept exactly the " +
+      "first-occurrence set") {
+    // seeded random histories: ids unique across the history, texts
+    // drawn from a small universe so cross-batch and in-batch dups
+    // are frequent; the accepted set must always be min-id-per-text
+    val rnd = new scala.util.Random(20260813L)
+    for (trial <- 1 to 5) {
+      val (corpus, tier, fp, _) = dirs()
+      val nDocs = 20 + rnd.nextInt(40)
+      val texts = (0 until 8 + rnd.nextInt(10)).map(i => s"body $i")
+      val docs = (0 until nDocs).map(i =>
+        (i.toLong, texts(rnd.nextInt(texts.size))))
+      // random partition into 1..5 batches, order preserved
+      val nBatches = 1 + rnd.nextInt(5)
+      val cuts = (Seq(0, docs.size) ++
+        Seq.fill(nBatches - 1)(rnd.nextInt(docs.size + 1)))
+        .distinct.sorted
+      cuts.sliding(2).zipWithIndex.foreach { case (Seq(a, b), v) =>
+        val batch = docs.slice(a, b)
+        if (batch.nonEmpty)
+          CorpusDedup.appendBatch(spark,
+            batch.toDF("doc_id", "text"), v + 1L, corpus, tier, fp)
+      }
+      val accepted = spark.read.parquet(corpus)
+        .select("doc_id").as[Long].collect().toSet
+      val want = docs.groupBy(_._2).values.map(_.map(_._1).min).toSet
+      assert(accepted == want, s"trial $trial: got $accepted want $want")
+    }
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+  }
+
   test("tier partials merge: a batch of pure duplicates accepts " +
       "nothing and appends no tier rows") {
     val (corpus, tier, fp, _) = dirs()
