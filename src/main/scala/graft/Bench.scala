@@ -114,12 +114,10 @@ object Bench {
     }
     val loadEnd = loadavg()
     // The driver captures only the TAIL of stdout: the single JSON line
-    // must stay compact at any registry size (the r8 line grew to
-    // ~4.5 KB once the 67-query spread map landed and arrived truncated
-    // -> BENCH_r08 parsed:null). Per-query seconds at 2 decimals, the
-    // spread map summarized to its worst offender; the full 3-decimal
-    // detail goes to a sidecar file instead of stdout. BenchLineSpec
-    // asserts the line stays under 2 KB at the full registry.
+    // must stay compact at any registry size (r8-r10 all arrived
+    // truncated -> parsed:null). See formatLine's doc for the 1900-char
+    // budget; the full 3-decimal per-query detail goes to a sidecar
+    // file instead of stdout.
     // idle wait gave up AND the machine was still hot when timing
     // began: numbers are contention-inflated (~1.5x observed) — flag
     // the line so a later reader doesn't chase phantom regressions
@@ -143,23 +141,31 @@ object Bench {
   /** One driver-parseable stdout line. Kept as a pure function so
     * BenchLineSpec can bound its length against the FULL query registry
     * without running anything.
+    *
+    * Two hard constraints, both learned from rounds 8-10 arriving as
+    * `parsed: null`: the driver captures only the LAST ~2000 chars of
+    * stdout (and sbt appends a `[success]` trailer), so (a) the whole
+    * line must stay under 1900 chars at the full registry with
+    * worst-case value widths — BenchLineSpec enforces this — and (b)
+    * the summary fields (`metric`/`value`/`unit`, spread, load) sit at
+    * the END of the line so even a head-truncated capture still carries
+    * the totals for regex extraction. Per-query seconds are 100 ms
+    * resolution (3 chars max); full 3-decimal detail goes to the
+    * sidecar file, never stdout.
     */
   def formatLine(
       results: Seq[(String, Double, Double)],
       loadStart: Double, loadEnd: Double,
       idleWaitSec: Int, sfDir: String,
       loadPoisoned: Boolean = false): String = {
-    // Adaptive per-query width: the line's budget is spent on NAMES
-    // (which the driver needs verbatim), so seconds carry only the
-    // precision their magnitude warrants — 10 ms resolution under 10 s,
-    // 100 ms under 100 s, whole seconds above. Worst-case value width
-    // drops 6 -> 4 chars, which at ~90 registry entries is the
-    // difference between fitting the driver's tail window and not.
+    // The line's budget is spent on NAMES (which the driver needs
+    // verbatim): values are capped at 3 chars — "0.8" under 10 s, "42"
+    // under 100 s, "999" above (display-capped), "-1" for failures.
     def fmt(v: Double): String =
-      if (v < 0) "-1.00"
-      else if (v >= 100) f"$v%.0f"
-      else if (v >= 10) f"$v%.1f"
-      else f"$v%.2f"
+      if (v < 0) "-1"
+      else if (v < 9.95) f"$v%.1f"
+      else if (v < 99.5) f"$v%.0f"
+      else f"${math.min(v, 999.0)}%.0f"
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -168,6 +174,8 @@ object Bench {
     val (spName, spMax) = results
       .map { case (k, _, s) => (k, s) }
       .sortBy(-_._2).headOption.getOrElse(("", -1.0))
-    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread_max":$spMax%.2f,"spread_max_query":"$spName","load":{"start":$loadStart%.2f,"end":$loadEnd%.2f,"idle_wait_sec":$idleWaitSec,"load_poisoned":$loadPoisoned},"sf":"$sfDir"}"""
+    val sf = sfDir.split('/').lastOption.getOrElse(sfDir)
+    val p = if (loadPoisoned) 1 else 0
+    f"""{"queries":$qs,"spread_max":$spMax%.1f,"spread_q":"$spName","load":[$loadStart%.2f,$loadEnd%.2f,$idleWaitSec,$p],"sf":"$sf","metric":"total","unit":"sec","value":$total%.2f}"""
   }
 }

@@ -2,13 +2,14 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** The driver captures only the TAIL of Bench's stdout, so the single
-  * JSON result line must stay short at any registry size — the round-8
-  * line grew to ~4.5 KB with a 67-entry spread map and arrived
-  * truncated (BENCH_r08 parsed:null). These tests bound the line
-  * against the FULL current registry with worst-case-width values, so
-  * registry growth that would overflow the driver's window fails here
-  * first, before a round's bench record goes dark.
+/** The driver captures only the LAST ~2000 chars of Bench's stdout
+  * (plus an sbt `[success]` trailer eats part of that window), so the
+  * single JSON result line must stay short at any registry size — the
+  * round-8/9/10 lines all arrived truncated (`parsed: null`). These
+  * tests bound the line against the FULL current registry with
+  * worst-case-width values, so registry growth that would overflow the
+  * driver's window fails here first, before a round's bench record
+  * goes dark.
   */
 class BenchLineSpec extends AnyFunSuite {
 
@@ -18,27 +19,50 @@ class BenchLineSpec extends AnyFunSuite {
     Bench.formatLine(results, 12.34, 12.34, 300, "/root/testdata/sf0.1")
   }
 
-  test("stdout line stays under 2 KB at the full query registry") {
-    // 3-digit seconds (999.99) is worst-case width for a sane run
+  test("stdout line stays under 1900 chars at the full query registry") {
+    // 999.99 exercises the display cap (worst-case 3-char width)
     val line = lineAt(999.99)
-    assert(line.length < 2048,
+    assert(line.length < 1900,
       s"bench stdout line is ${line.length} bytes; driver tail-capture " +
-        "truncates long lines — compact the format (BENCH_r08 lesson)")
+        "truncates long lines — compact the format (BENCH_r08-r10 lesson)")
   }
 
   test("line is valid single-line JSON with the driver's fields") {
     val line = lineAt(1.5)
     assert(!line.contains("\n"))
     for (field <- Seq("\"metric\":\"total\"", "\"value\":", "\"unit\":\"sec\"",
-        "\"queries\":{", "\"spread_max\":", "\"load\":{", "\"sf\":"))
+        "\"queries\":{", "\"spread_max\":", "\"load\":[", "\"sf\":"))
       assert(line.contains(field), s"missing $field in: $line")
     // every registered query appears exactly once
     for (name <- SparkEntry.queries.keys)
       assert(line.contains("\"" + name + "\":"), s"missing query $name")
   }
 
-  test("failed-query sentinel (-1) survives the 2-decimal format") {
+  test("summary fields sit AFTER the per-query map (truncation keeps tails)") {
+    val line = lineAt(1.5)
+    val qEnd = line.indexOf("\"queries\":{")
+    for (field <- Seq("\"metric\":\"total\"", "\"value\":", "\"unit\":\"sec\"",
+        "\"load\":["))
+      assert(line.lastIndexOf(field) > qEnd,
+        s"$field must follow the queries map so a head-truncated " +
+          "capture still carries the totals")
+    // `value` (the headline total) is the line's final field
+    assert(line.matches(""".*"value":\d+\.\d\d}$"""),
+      s"total must close the line: ${line.takeRight(40)}")
+  }
+
+  test("failed-query sentinel (-1) survives the compact format") {
     val line = lineAt(-1.0)
-    assert(line.contains(":-1.00"))
+    assert(line.contains(":-1,") || line.contains(":-1}"))
+  }
+
+  test("per-query values never exceed 3 chars (line-budget invariant)") {
+    for (v <- Seq(0.04, 0.25, 1.0, 9.94, 9.96, 42.4, 99.4, 99.6, 100.0,
+        998.0, 999.99, 12345.0, -1.0)) {
+      val line = Bench.formatLine(Seq(("q", v, 1.0)), 0, 0, 0, "sf")
+      val m = """"q":([^,}]+)""".r.findFirstMatchIn(line).get.group(1)
+      assert(m.length <= 3, s"value $v formatted as '$m' (>3 chars)")
+      assert(!m.contains("E") && !m.contains("e"), s"sci notation: $m")
+    }
   }
 }
