@@ -65,23 +65,37 @@ object Dp3Cli {
     * reference walks the same tree for `.so` files and looks up
     * `PluginCmd`; on the JVM the service registry IS that symbol
     * table). A missing directory means nothing to load. */
-  private[cli] def loadPlugins(err: PrintStream): Map[String, CliPlugin] = {
+  private[cli] def loadPlugins(err: PrintStream): Map[String, CliPlugin] =
+    loadPluginsWithLoader(err)._1
+
+  /** As [[loadPlugins]], but also hands back the URLClassLoader so the
+    * dispatcher can close it once the plugin verb finishes — keeping
+    * it open for the process lifetime leaks a file handle per jar and
+    * keeps the jars locked on some platforms. The walk stream is
+    * closed eagerly here for the same reason. */
+  private[cli] def loadPluginsWithLoader(err: PrintStream)
+      : (Map[String, CliPlugin], Option[java.net.URLClassLoader]) = {
     val dir = configDir.resolve("plugins")
-    if (!java.nio.file.Files.isDirectory(dir)) return Map.empty
+    if (!java.nio.file.Files.isDirectory(dir)) return (Map.empty, None)
     import scala.jdk.CollectionConverters._
-    val jars = java.nio.file.Files.walk(dir).iterator().asScala
-      .filter(p => p.toString.endsWith(".jar"))
-      .map(_.toUri.toURL).toArray
-    if (jars.isEmpty) return Map.empty
+    val walk = java.nio.file.Files.walk(dir)
+    val jars =
+      try walk.iterator().asScala
+        .filter(p => p.toString.endsWith(".jar"))
+        .map(_.toUri.toURL).toArray
+      finally walk.close()
+    if (jars.isEmpty) return (Map.empty, None)
+    val loader = new java.net.URLClassLoader(jars,
+      getClass.getClassLoader)
     try {
-      val loader = new java.net.URLClassLoader(jars,
-        getClass.getClassLoader)
-      java.util.ServiceLoader.load(classOf[CliPlugin], loader)
+      val verbs = java.util.ServiceLoader.load(classOf[CliPlugin], loader)
         .iterator().asScala.map(p => p.verb -> p).toMap
+      (verbs, Some(loader))
     } catch {
       case e: Throwable =>
         err.println(s"plugin load failed: ${e.getMessage}")
-        Map.empty
+        try loader.close() catch { case _: Throwable => }
+        (Map.empty, None)
     }
   }
 
@@ -147,6 +161,7 @@ object Dp3Cli {
     }
 
     var pluginRegistry: Map[String, CliPlugin] = Map.empty
+    var pluginLoader: Option[java.net.URLClassLoader] = None
 
     try positional.toList match {
       case "query" :: ql :: Nil =>
@@ -293,10 +308,21 @@ object Dp3Cli {
         // installed plugin verbs dispatch like builtins; the registry
         // loads lazily (one walk of <configDir>/plugins) only after no
         // builtin matched
-        pluginRegistry = loadPlugins(err); pluginRegistry.contains(verb)
-      } => pluginRegistry(verb).run(rest, out, err)
+        val (reg, ldr) = loadPluginsWithLoader(err)
+        pluginRegistry = reg; pluginLoader = ldr
+        pluginRegistry.contains(verb)
+      } =>
+        // close the loader once dispatch completes — plugin classes
+        // load lazily during run(), so closing earlier would break them
+        try pluginRegistry(verb).run(rest, out, err)
+        finally pluginLoader.foreach(l =>
+          try l.close() catch { case _: Throwable => })
 
       case other =>
+        // the guard above may have opened the plugin loader and then
+        // not matched — release it before reporting the unknown verb
+        pluginLoader.foreach(l =>
+          try l.close() catch { case _: Throwable => })
         err.println(
           s"""unknown command: ${other.mkString(" ")}
              |usage: dp3 [--server-url URL] [--database DB] <verb>

@@ -74,12 +74,28 @@ final class EventsCatalog(sfDir: String) extends MessageCatalog
     * TIMESTAMP(NANOS) (a LongType only because nanosAsLong is set)
     * from a plain BIGINT of some other unit, so keying behavior off
     * the footer is the only non-guessing option. Read once per
-    * catalog instance (a footer, not data). */
-  @transient private lazy val tsEnc: TsEncoding =
-    readTsEncoding(s"$sfDir/events.parquet")
+    * catalog instance (a footer, not data), with the SESSION's Hadoop
+    * conf — a bare `new Configuration()` would make the footer probe
+    * fail on any filesystem needing session config (s3a credentials,
+    * custom defaultFS) even though the subsequent spark.read of the
+    * same path succeeds. */
+  @transient @volatile private var tsEncCache: TsEncoding = _
+  private def encoding(spark: SparkSession): TsEncoding = {
+    if (tsEncCache == null)
+      tsEncCache = readTsEncoding(s"$sfDir/events.parquet",
+        spark.sessionState.newHadoopConf())
+    tsEncCache
+  }
+  private def tsEnc: TsEncoding = {
+    val e = tsEncCache
+    require(e != null,
+      "ts encoding not resolved yet — call through a path that " +
+        "passes the SparkSession (messages/scanTopic) first")
+    e
+  }
 
   private def rawEvents(spark: SparkSession): DataFrame = {
-    if (tsEnc == TsNanosLong)
+    if (encoding(spark) == TsNanosLong)
       // required for the read to SUCCEED on TIMESTAMP(NANOS) files
       // (Spark otherwise rejects the type); a no-op conf for µs data,
       // so only set when the footer proves it's needed.
@@ -180,11 +196,11 @@ object EventsCatalog {
   private[model] case object TsMicrosNtz  extends TsEncoding // TIMESTAMP(MICROS), naive
   private[model] case object TsMicrosUtc  extends TsEncoding // TIMESTAMP(MICROS), UTC-adjusted
 
-  private[model] def readTsEncoding(path: String): TsEncoding = {
+  private[model] def readTsEncoding(path: String,
+      conf: org.apache.hadoop.conf.Configuration): TsEncoding = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.parquet.schema.LogicalTypeAnnotation
-    val conf = new org.apache.hadoop.conf.Configuration()
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
     val file =

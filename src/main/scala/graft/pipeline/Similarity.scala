@@ -429,7 +429,19 @@ object Similarity {
   def srpCandidatePairs(emb: DataFrame, dims: Int, nBits: Int,
       bands: Int, threshold: Double, maxBucket: Int = Int.MaxValue,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      salt: String = "graft"): DataFrame = {
+      salt: String = "graft"): DataFrame =
+    srpCandidatePairsOwned(emb, dims, nBits, bands, threshold,
+      maxBucket, idCol, vecCol, salt)._1
+
+  /** [[srpCandidatePairs]] plus the [[Dedup.PinHandle]] owning the
+    * pinned signature blocks: consume the frame, then `release()` —
+    * the same Owned discipline as the Dedup/Bloom/Select families, so
+    * long-running library callers outside Bench/Verify's global sweep
+    * can free the cache instead of accumulating pins. */
+  def srpCandidatePairsOwned(emb: DataFrame, dims: Int, nBits: Int,
+      bands: Int, threshold: Double, maxBucket: Int = Int.MaxValue,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      salt: String = "graft"): (DataFrame, Dedup.PinHandle) = {
     require(nBits % bands == 0, "bands must divide nBits")
     require(dims >= 1, "dims >= 1") // explicit: probing the frame for
     // the dimension would be a driver-side action in an operator path
@@ -440,7 +452,7 @@ object Similarity {
     // showed 4 signature passes over the raw embeddings with zero
     // exchange reuse. One row per vector cached; caller sweeps
     // (Bench/Verify releaseCaches between queries).
-    val (sig, _) = Dedup.pinNow(
+    val (sig, pin) = Dedup.pinNow(
       srpSignature(emb, srpPlanes(nBits, dims, salt), idCol, vecCol))
     val buckets0 = sig.select(col(idCol).as("_id"),
       explode(array((0 until bands).map(b => concat_ws("#",
@@ -461,7 +473,7 @@ object Similarity {
       .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
       .distinct()
     val n = withNorm(emb, vecCol)
-    cand
+    val out = cand
       .join(n.select(col(idCol).as("id_a"), col(vecCol).as("_va"),
         col("_nrm").as("_na")), "id_a")
       .join(n.select(col(idCol).as("id_b"), col(vecCol).as("_vb"),
@@ -470,6 +482,7 @@ object Similarity {
         round(dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")), 6))
       .where(col("cos_sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos_sim"))
+    (out, pin)
   }
 
   /** All near-duplicate pairs by embedding cosine ≥ threshold.

@@ -42,9 +42,19 @@ object CorpusDedup {
 
   /** Start the streaming dedup: each micro-batch is deduped in-batch
     * (min id per fingerprint), then against the accepted corpus via
-    * the tier + fingerprint sidecars; survivors append to `corpusDir`
-    * stamped with the batch's version. AvailableNow + checkpoint make
-    * restarts exactly-once, like `Ingest.startWithStats`. */
+    * the tier + fingerprint sidecars; survivors land in `corpusDir`
+    * under the batch's version partition.
+    *
+    * Restart semantics: foreachBatch is at-least-once, so a crashed
+    * batch replays with the SAME batchId. [[appendBatch]] is
+    * idempotent per version — the accepted set is computed against
+    * strictly OLDER versions only (a replay never sees its own partial
+    * writes, so it re-derives the identical survivor set), and all
+    * three outputs are version-partitioned dynamic overwrites (a
+    * replay replaces its own partitions with identical content rather
+    * than appending duplicates). Replay ∘ appendBatch = appendBatch,
+    * which together with the checkpointed offsets gives effectively-
+    * exactly-once corpus contents. */
   def start(spark: SparkSession, stream: DataFrame, corpusDir: String,
       tierDir: String, fpDir: String, checkpointDir: String,
       nBuckets: Int = 1024, nWords: Int = 4, kHashes: Int = 4,
@@ -61,8 +71,18 @@ object CorpusDedup {
       .start()
 
   /** One micro-batch (also the batch-import face): in-batch canonical
-    * copy, corpus-membership filter, then the three appends. Returns
-    * the number of accepted documents. */
+    * copy, corpus-membership filter, then three version-partitioned
+    * writes. Returns the number of accepted documents.
+    *
+    * Idempotent per `version`: the membership state is read with
+    * `version < N` (partition-pruned, so a crashed attempt's own
+    * partial writes are invisible to its replay — without this a
+    * bloom false positive could find its OWN fingerprint from the
+    * failed attempt and silently drop the document), and each output
+    * is a dynamic partition overwrite of `version=N` only, so a
+    * replay replaces rather than duplicates. Callers outside the
+    * streaming path must issue versions monotonically and reuse the
+    * same version when retrying a failed append. */
   def appendBatch(spark: SparkSession, batch0: DataFrame, version: Long,
       corpusDir: String, tierDir: String, fpDir: String,
       nBuckets: Int = 1024, nWords: Int = 4, kHashes: Int = 4,
@@ -77,33 +97,39 @@ object CorpusDedup {
     val (survivors, tierPin) =
       if (exists(spark, tierDir)) {
         val tier = spark.read.parquet(tierDir)
+          .where(col("version") < version)
           .select(col("bloom_bucket") +:
             (0 until nWords).map(n => col(s"bloom_w$n")): _*)
-        val fps = spark.read.parquet(fpDir).select(col("_fp"))
+        val fps = spark.read.parquet(fpDir)
+          .where(col("version") < version).select(col("_fp"))
         val (s, p) = Bloom.dedupAgainstTierOwned(batch.drop("_fp"),
           tier, fps, nBuckets, nWords, kHashes, textCol)
         (s, Some(p))
       } else (batch.drop("_fp"), None)
-    // one computation of the accepted set feeds all three appends
+    // one computation of the accepted set feeds all three writes;
+    // pinNow severs lineage to the sidecar reads, so the overwrites
+    // below never write a path their own plan is reading
     val (pinned, pin) = graft.pipeline.Dedup.pinNow(
       Bloom.withBloomWords(survivors, nBuckets, nWords, kHashes,
         textCol))
     tierPin.foreach(_.release()) // accepted set is materialized now
+    def writeVersioned(df: DataFrame, dir: String): Unit =
+      df.withColumn("version", lit(version))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("version")
+        .parquet(dir)
     try {
       val n = pinned.count()
       if (n > 0) {
-        pinned.select(batch0.columns.map(col): _*)
-          .withColumn("version", lit(version))
-          .write.mode("append").parquet(corpusDir)
-        pinned.select(col(idCol), col("_fp"))
-          .withColumn("version", lit(version))
-          .write.mode("append").parquet(fpDir)
-        pinned.groupBy(col("bloom_bucket"))
+        writeVersioned(pinned.select(batch0.columns.map(col): _*),
+          corpusDir)
+        writeVersioned(pinned.select(col(idCol), col("_fp")), fpDir)
+        writeVersioned(pinned.groupBy(col("bloom_bucket"))
           .agg(expr("bit_or(bloom_w0)").as("bloom_w0"),
             (1 until nWords).map(x =>
-              expr(s"bit_or(bloom_w$x)").as(s"bloom_w$x")): _*)
-          .withColumn("version", lit(version))
-          .write.mode("append").parquet(tierDir)
+              expr(s"bit_or(bloom_w$x)").as(s"bloom_w$x")): _*),
+          tierDir)
       }
       n
     } finally pin.release()
@@ -111,35 +137,58 @@ object CorpusDedup {
 
   /** Compact the tier sidecar: after many batches the tier holds one
     * partial row-set per version; fold them to ONE bit_or-merged row
-    * per bucket (≤ nBuckets rows total, version = the max folded).
-    * Membership answers are unchanged — bit_or is associative — and
-    * the next batch's prefilter reads one row per bucket instead of
-    * one per (bucket, version). Write-new-then-flip via fs.rename
-    * (Spark refuses to overwrite a path it is reading from). */
+    * per bucket (≤ nBuckets rows total, landing in the max version's
+    * partition). Membership answers are unchanged — bit_or is
+    * associative — and the next batch's prefilter reads one row per
+    * bucket instead of one per (bucket, version).
+    *
+    * Crash-safe in place: the merged rows (control-plane kilobytes —
+    * collected to the driver, which also severs any read-while-write
+    * overlap) are first APPENDED into the `version=maxV` partition
+    * dir, then the superseded version dirs and the partition's old
+    * part files are deleted. The tier path never disappears (the old
+    * write-new-then-flip left a window where a concurrent append's
+    * exists() check saw no tier and bypassed dedup entirely), and a
+    * crash at any step leaves redundant-but-correct bits that the
+    * next compaction folds. Run single-writer with respect to
+    * appendBatch: deleting files under a concurrently planning read
+    * can fail that batch (correctness is unaffected — it would fail,
+    * not mis-dedup — but schedule compaction between batches). */
   def compactTier(spark: SparkSession, tierDir: String,
       nWords: Int = 4): Unit = {
     if (!exists(spark, tierDir)) return
-    val merged = spark.read.parquet(tierDir)
-      .groupBy(col("bloom_bucket"))
+    val tier = spark.read.parquet(tierDir)
+    val versions = tier.select(col("version").cast("long"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    if (versions.length <= 1) return // already one partial set
+    val maxV = versions.last
+    val merged = tier.groupBy(col("bloom_bucket"))
       .agg(expr("bit_or(bloom_w0)").as("bloom_w0"),
-        ((1 until nWords).map(x =>
-          expr(s"bit_or(bloom_w$x)").as(s"bloom_w$x"))
-          :+ max(col("version")).as("version")): _*)
-    val p = new org.apache.hadoop.fs.Path(tierDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(tierDir + ".compact-tmp")
-    val old = new org.apache.hadoop.fs.Path(tierDir + ".compact-old")
-    merged.repartition(1).write.mode("overwrite").parquet(tmp.toString)
-    require(fs.rename(p, old), s"cannot stage $tierDir aside")
-    require(fs.rename(tmp, p), s"cannot flip compacted tier into place")
-    fs.delete(old, true)
+        (1 until nWords).map(x =>
+          expr(s"bit_or(bloom_w$x)").as(s"bloom_w$x")): _*)
+    val local = merged.collect() // ≤ nBuckets rows of longs
+    val fs = new org.apache.hadoop.fs.Path(tierDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val part = new org.apache.hadoop.fs.Path(s"$tierDir/version=$maxV")
+    val superseded = fs.listStatus(part).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+    spark.createDataFrame(
+        java.util.Arrays.asList(local: _*), merged.schema)
+      .coalesce(1).write.mode("append").parquet(part.toString)
+    versions.init.foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$tierDir/version=$v"),
+        true)
+    }
+    superseded.foreach(fs.delete(_, false))
     ()
   }
 
   private def exists(spark: SparkSession, dir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && fs.listStatus(p).exists(
-      _.getPath.getName.endsWith(".parquet"))
+    fs.exists(p) && fs.listStatus(p).exists { st =>
+      st.getPath.getName.endsWith(".parquet") ||
+        (st.isDirectory && st.getPath.getName.startsWith("version="))
+    }
   }
 }

@@ -36,8 +36,9 @@ class StreamingCorpusDedupSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
     assert(CorpusDedup.appendBatch(spark, b2, 2L, corpus, tier, fp)
       == 1L)
+    // `version` is a partition column now — reads back as Integer
     val accepted = spark.read.parquet(corpus)
-      .select("doc_id", "version").collect()
+      .select(col("doc_id"), col("version").cast("long")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(accepted == Map(1L -> 1L, 2L -> 1L, 11L -> 2L))
     // sidecars carry one fingerprint row per accepted doc and one
@@ -46,8 +47,8 @@ class StreamingCorpusDedupSpec extends AnyFunSuite {
     assert(fps.count() == 3 && fps.select("doc_id").as[Long]
       .collect().toSet == Set(1L, 2L, 11L))
     val tierRows = spark.read.parquet(tier)
-    assert(tierRows.select("version").distinct().as[Long]
-      .collect().toSet == Set(1L, 2L))
+    assert(tierRows.select(col("version").cast("long")).distinct()
+      .as[Long].collect().toSet == Set(1L, 2L))
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = true))
   }
@@ -148,8 +149,64 @@ class StreamingCorpusDedupSpec extends AnyFunSuite {
     assert(CorpusDedup.appendBatch(spark, dups, 2L, corpus, tier, fp)
       == 0L)
     assert(spark.read.parquet(corpus).count() == 30)
-    assert(spark.read.parquet(tier).select("version").distinct()
+    assert(spark.read.parquet(tier)
+      .select(col("version").cast("long")).distinct()
       .as[Long].collect().toSet == Set(1L))
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+  }
+
+  test("replaying a batch with the same version is idempotent " +
+      "(foreachBatch is at-least-once)") {
+    val (corpus, tier, fp, _) = dirs()
+    val b1 = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    assert(CorpusDedup.appendBatch(spark, b1, 1L, corpus, tier, fp)
+      == 2L)
+    val b2 = Seq((10L, "gamma"), (11L, "alpha")).toDF("doc_id", "text")
+    assert(CorpusDedup.appendBatch(spark, b2, 2L, corpus, tier, fp)
+      == 1L)
+    def snapshot() = (
+      spark.read.parquet(corpus).select("doc_id").as[Long]
+        .collect().sorted.toSeq,
+      spark.read.parquet(fp).select("doc_id").as[Long]
+        .collect().sorted.toSeq,
+      spark.read.parquet(tier).count())
+    val before = snapshot()
+    // crash-replay: same batch, same version, state already committed
+    assert(CorpusDedup.appendBatch(spark, b2, 2L, corpus, tier, fp)
+      == 1L)
+    assert(snapshot() == before,
+      "replay must replace its own version partitions, not append")
+    assert(before._1 == Seq(1L, 2L, 10L))
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+  }
+
+  test("replay heals a partial crash (corpus written, sidecars not)") {
+    val (corpus, tier, fp, _) = dirs()
+    val b1 = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    CorpusDedup.appendBatch(spark, b1, 1L, corpus, tier, fp)
+    val b2 = Seq((10L, "gamma"), (11L, "alpha")).toDF("doc_id", "text")
+    CorpusDedup.appendBatch(spark, b2, 2L, corpus, tier, fp)
+    // simulate a crash between the corpus write and the sidecar
+    // writes of version 2: sidecars vanish, corpus rows remain
+    val conf = spark.sparkContext.hadoopConfiguration
+    for (dir <- Seq(fp, tier)) {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/version=2")
+      assert(p.getFileSystem(conf).delete(p, true))
+    }
+    assert(CorpusDedup.appendBatch(spark, b2, 2L, corpus, tier, fp)
+      == 1L)
+    // corpus has no duplicates and all three stores agree again
+    val docs = spark.read.parquet(corpus).select("doc_id").as[Long]
+      .collect().sorted.toSeq
+    assert(docs == Seq(1L, 2L, 10L), s"got $docs")
+    assert(spark.read.parquet(fp).select("doc_id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L, 10L))
+    // and the healed sidecars dedup the next batch correctly
+    assert(CorpusDedup.appendBatch(spark,
+      Seq((20L, "gamma"), (21L, "delta")).toDF("doc_id", "text"),
+      3L, corpus, tier, fp) == 1L)
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = true))
   }
