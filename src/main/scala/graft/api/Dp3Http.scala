@@ -296,6 +296,7 @@ final class Dp3Http(svc: Dp3Service, spark: SparkSession,
             throw new IllegalArgumentException(
               "queries must be terminated with a semicolon")
           val skeleton = boolField(body, "skeleton").getOrElse(false)
+          val explainReq = boolField(body, "explain").getOrElse(false)
           graft.ql.Parser.parse(ql) match {
             // the reference's query route executes truncate statements
             // too, answering an empty result (query.go:163-180)
@@ -303,6 +304,14 @@ final class Dp3Http(svc: Dp3Service, spark: SparkSession,
               dbFor(db).svc.truncate(spark, ql)
               respond(ex, 200, "application/x-ndjson",
                 Array.emptyByteArray)
+            // request-level explain (QueryRequest.Explain): answer the
+            // per-node exec stats read back from the result MCAP's
+            // metadata record (query.go:53-90). A QL-level `explain`
+            // keeps its plan-rows answer below.
+            case q: graft.ql.Query if explainReq && !q.explain =>
+              respond(ex, 200, "application/json",
+                dbFor(db).svc.queryExplainJson(spark, ql)
+                  .getBytes(UTF_8))
             case _ =>
               respondNdjson(ex, dbFor(db).svc.query(spark, ql, skeleton))
           }

@@ -536,10 +536,32 @@ final class Dp3Service(underlying: MessageCatalog,
 
   /** Query with MCAP serialization — the reference's primary output
     * surface: one multiplexed stream, schema/channel ids remapped in
-    * first-appearance order (server/mcap/merge_coordinator.go). */
+    * first-appearance order (server/mcap/merge_coordinator.go). With
+    * `explain = true` the stream carries the per-node execution stats
+    * as an in-band "query" Metadata record, like the reference's
+    * instrumented run (server/executor/executor.go:87-94); read it
+    * back with [[graft.mcap.Mcap.readMetadata]]. */
   def queryMcap(spark: SparkSession, ql: String,
-      dataCols: Seq[String]): Array[Byte] =
-    Export.mcap(query(spark, ql), dataCols)
+      dataCols: Seq[String], explain: Boolean = false): Array[Byte] =
+    Export.mcap(query(spark, ql), dataCols, explain)
+
+  /** The reference's explain-request path, end to end: run the query
+    * instrumented, serialize the result MCAP with the in-band "query"
+    * stats record, then read the record back out of the stream and
+    * wrap it as `{"explain": ...}` — exactly the produce-then-parse
+    * round trip of server/routes/query.go:53-90 (writeJSONExplain),
+    * which also keeps the read path honest. */
+  def queryExplainJson(spark: SparkSession, ql: String): String = {
+    val df = query(spark, ql)
+    val dataCols =
+      df.columns.filterNot(skeletonEnvelope.contains).toSeq
+    val bytes = Export.mcap(df, dataCols, explain = true)
+    val ctx = graft.mcap.Mcap.readMetadata(bytes)
+      .find(_.name == "query").flatMap(_.kv.get("context"))
+      .getOrElse(throw new IllegalStateException(
+        "query metadata not found"))
+    s"""{"explain":$ctx}"""
+  }
 
   /** /export with MCAP serialization: ordered multi-topic merge →
     * multiplexed MCAP. */

@@ -93,6 +93,9 @@ object Export {
       w.writeMessage(Mcap.MessageRec(cid, seq, logTime, publishTime, data))
     }
 
+    def writeMetadata(name: String, kv: Seq[(String, String)]): Unit =
+      w.writeMetadata(name, kv)
+
     def finish(): Array[Byte] = w.finish()
   }
 
@@ -142,11 +145,27 @@ object Export {
     * one writer); `toLocalIterator` pulls a partition at a time, so
     * driver memory is one partition, not the result. For unbounded
     * exports use [[writeMcapParts]]. */
-  def mcap(df: DataFrame, dataCols: Seq[String]): Array[Byte] = {
+  def mcap(df: DataFrame, dataCols: Seq[String]): Array[Byte] =
+    mcap(df, dataCols, explain = false)
+
+  /** As [[mcap]]; with `explain = true` the stream additionally
+    * carries a Metadata record named "query" whose "context" key is
+    * the JSON NodeStats of THE RUN THAT PRODUCED THE STREAM (same
+    * QueryExecution the multiplexer drained — one execution, exactly
+    * like the reference's instrumented run,
+    * server/executor/executor.go:87-94). */
+  def mcap(df: DataFrame, dataCols: Seq[String], explain: Boolean)
+      : Array[Byte] = {
     val schemaData = jsonSchemaFor(df, dataCols).getBytes(UTF_8)
     import scala.jdk.CollectionConverters._
-    consume(jsonRows(df, dataCols).toLocalIterator().asScala,
-      writeJsonRow(schemaData))
+    val rows = jsonRows(df, dataCols)
+    val mux = new Mux(new Mcap.Writer())
+    rows.toLocalIterator().asScala
+      .foreach(writeJsonRow(schemaData)(mux, _))
+    if (explain)
+      mux.writeMetadata("query", Seq("context" ->
+        graft.plan.Planner.metricsJson(graft.plan.Planner.metricsOf(rows))))
+    mux.finish()
   }
 
   /** Multiplex already-binary messages (the [[Mcap.load]] canonical

@@ -120,11 +120,45 @@ object Mcap {
       })
     }
 
+    // (offset, length, name) of each Metadata record, for the
+    // MetadataIndex records finish() writes into the summary section
+    private val metadataIndex =
+      scala.collection.mutable.Buffer[(Long, Long, String)]()
+
+    /** Metadata(0x0C): name + string→string map — how the reference
+      * ships per-node execution stats in-band with explain query
+      * output (server/executor/executor.go:87-94 WriteMetadata).
+      * Written at the top level of the data section (current chunk is
+      * flushed first so record order is preserved), with offset/length
+      * captured so finish() can emit the MetadataIndex(0x0D) records
+      * official readers use to find it without a linear scan. */
+    def writeMetadata(name: String, kv: Seq[(String, String)]): Unit = {
+      if (chunked) flushChunk()
+      val offset = out.size().toLong
+      writeRecord(out, 0x0C, { b =>
+        str(b, name)
+        val map = new ByteArrayOutputStream()
+        kv.foreach { case (k, v) => str(map, k); str(map, v) }
+        val mb = map.toByteArray
+        b.write(u32(mb.length.toLong)); b.write(mb)
+      })
+      metadataIndex += ((offset, out.size().toLong - offset, name))
+    }
+
     def finish(): Array[Byte] = {
       if (chunked) flushChunk()
       writeRecord(out, 0x0F, b => b.write(u32(0L))) // DataEnd(crc=0)
+      // summary section: one MetadataIndex(0x0D) per metadata record;
+      // footer's summary_start points at it (0 = no summary, as before)
+      val summaryStart =
+        if (metadataIndex.isEmpty) 0L else out.size().toLong
+      metadataIndex.foreach { case (off, len, name) =>
+        writeRecord(out, 0x0D, { b =>
+          b.write(u64(off)); b.write(u64(len)); str(b, name)
+        })
+      }
       writeRecord(out, 0x02, { b =>                  // Footer
-        b.write(u64(0L)); b.write(u64(0L)); b.write(u32(0L))
+        b.write(u64(summaryStart)); b.write(u64(0L)); b.write(u32(0L))
       })
       out.write(Magic)
       out.toByteArray
@@ -252,6 +286,57 @@ object Mcap {
     val n = buf.getInt()
     val b = new Array[Byte](n); buf.get(b)
     new String(b, UTF_8)
+  }
+
+  final case class MetadataRec(name: String, kv: Map[String, String])
+
+  /** All Metadata(0x0C) records of a stream, top level and inside
+    * chunks, in order — the read-back side of
+    * [[Writer.writeMetadata]], serving the reference's explain
+    * round-trip (server/routes/query.go:53-90 reads the "query"
+    * metadata record out of the MCAP result to answer an explain
+    * request). Linear scan, like [[read]]. */
+  def readMetadata(bytes: Array[Byte]): Seq[MetadataRec] = {
+    require(bytes.length > 16 &&
+      bytes.take(8).sameElements(Magic), "not an MCAP file")
+    val out = scala.collection.mutable.Buffer[MetadataRec]()
+    def scan(buf: ByteBuffer): Unit = {
+      var stop = false
+      while (!stop && buf.remaining() >= 9) {
+        val op = buf.get() & 0xff
+        val len = buf.getLong()
+        if (op == 0x02 || buf.remaining() < len) stop = true
+        else {
+          val end = buf.position() + len.toInt
+          op match {
+            case 0x0C =>
+              val name = readStr(buf)
+              val mapLen = buf.getInt()
+              val mapEnd = buf.position() + mapLen
+              val kv = scala.collection.mutable.LinkedHashMap[String, String]()
+              while (buf.position() < mapEnd)
+                kv(readStr(buf)) = readStr(buf)
+              out += MetadataRec(name, kv.toMap)
+            case 0x06 =>
+              buf.getLong(); buf.getLong()
+              val usize = buf.getLong()
+              buf.getInt()
+              val comp = readStr(buf)
+              val rlen = buf.getLong()
+              val cdata = new Array[Byte](rlen.toInt); buf.get(cdata)
+              scan(ByteBuffer.wrap(
+                  Compression.decompress(comp, cdata, usize.toInt))
+                .order(ByteOrder.LITTLE_ENDIAN))
+            case _ => ()
+          }
+          buf.position(end)
+        }
+      }
+    }
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    buf.position(8)
+    scan(buf)
+    out.toSeq
   }
 
   /** Schema records of one MCAP stream, in definition order (chunks

@@ -155,38 +155,7 @@ final class Planner(catalog: MessageCatalog,
     // execute THIS queryExecution (df.count() would instrument a new
     // plan and leave these metrics empty)
     df.queryExecution.toRdd.count()
-    def walk(p: org.apache.spark.sql.execution.SparkPlan)
-        : Seq[Planner.NodeMetrics] = {
-      val rows = p.metrics.get("numOutputRows").map(_.value).getOrElse(-1L)
-      val bytes = p.metrics.get("dataSize")
-        .orElse(p.metrics.get("filesSize")).map(_.value).getOrElse(-1L)
-      // largest timing metric on the node; timing metrics are ms,
-      // nsTiming ns (SQLMetrics.TIMING_METRIC / NS_TIMING_METRIC)
-      val times = p.metrics.values.collect {
-        case m if m.metricType == "timing"   => m.value
-        case m if m.metricType == "nsTiming" => m.value / 1000000L
-      }
-      val timeMs = if (times.isEmpty) -1L else times.max
-      val own =
-        if (rows < 0 && bytes < 0 && timeMs < 0) Seq.empty
-        else Seq(Planner.NodeMetrics(p.nodeName, rows, bytes, timeMs))
-      // AQE wraps materialized stages in QueryStageExec, whose inner
-      // plan is a member, not a child — descend explicitly
-      val below = p match {
-        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-          walk(q.plan)
-        case _ => p.children.flatMap(walk)
-      }
-      own ++ below
-    }
-    val executed = df.queryExecution.executedPlan
-    // unwrap AQE final plan if present
-    val root = executed match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        a.executedPlan
-      case other => other
-    }
-    walk(root)
+    Planner.metricsOf(df)
   }
 
   // --- select-tree compilation -------------------------------------------
@@ -359,6 +328,62 @@ object Planner {
     * node (see [[Planner.explainAnalyze]]). */
   final case class NodeMetrics(node: String, rows: Long, bytes: Long,
       timeMs: Long)
+
+  /** Walk an already-EXECUTED frame's physical plan and collect the
+    * NodeStats triple per instrumented node (see [[Planner!.explainAnalyze]]
+    * for the metric semantics). The caller must have run this exact
+    * QueryExecution (toRdd / toLocalIterator / collect) — an
+    * unexecuted plan reports empty or zero metrics. */
+  def metricsOf(df: org.apache.spark.sql.DataFrame): Seq[NodeMetrics] = {
+    def walk(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[NodeMetrics] = {
+      val rows = p.metrics.get("numOutputRows").map(_.value).getOrElse(-1L)
+      val bytes = p.metrics.get("dataSize")
+        .orElse(p.metrics.get("filesSize")).map(_.value).getOrElse(-1L)
+      // largest timing metric on the node; timing metrics are ms,
+      // nsTiming ns (SQLMetrics.TIMING_METRIC / NS_TIMING_METRIC)
+      val times = p.metrics.values.collect {
+        case m if m.metricType == "timing"   => m.value
+        case m if m.metricType == "nsTiming" => m.value / 1000000L
+      }
+      val timeMs = if (times.isEmpty) -1L else times.max
+      val own =
+        if (rows < 0 && bytes < 0 && timeMs < 0) Seq.empty
+        else Seq(NodeMetrics(p.nodeName, rows, bytes, timeMs))
+      // AQE wraps materialized stages in QueryStageExec, whose inner
+      // plan is a member, not a child — descend explicitly
+      val below = p match {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walk(q.plan)
+        case _ => p.children.flatMap(walk)
+      }
+      own ++ below
+    }
+    val executed = df.queryExecution.executedPlan
+    // unwrap AQE final plan if present
+    val root = executed match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    walk(root)
+  }
+
+  /** JSON rendering of the NodeStats triples — the payload of the
+    * in-band "query" metadata record (the analogue of the reference's
+    * util.Context JSON under the "context" key,
+    * server/routes/query.go:73-76). */
+  def metricsJson(ms: Seq[NodeMetrics]): String = {
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    ms.map(m => s"""{"node":"${esc(m.node)}","rows":${m.rows},""" +
+        s""""bytes":${m.bytes},"time_ms":${m.timeMs}}""")
+      .mkString("""{"nodes":[""", ",", "]}")
+  }
 
   /** A maintained per-field stat tier backing statfilter scan pruning:
     * `tier` yields rows keyed (producer, topic, bucket) carrying

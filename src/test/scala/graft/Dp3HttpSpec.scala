@@ -57,6 +57,23 @@ class Dp3HttpSpec extends AnyFunSuite {
     assert(skLines.forall(l => !l.contains("\"k\"") && l.contains("\"seq\"")))
   }
 
+  test("explain request answers in-band exec stats read back from " +
+      "the result MCAP (query.go:53-90 round trip)") {
+    val r = post("/databases/default/query",
+      """{"query": "from p3 click limit 3;", "explain": true}""")
+    assert(r.statusCode() == 200, r.body())
+    assert(r.headers().firstValue("Content-Type").orElse("")
+      .startsWith("application/json"))
+    val body = r.body()
+    assert(body.startsWith("""{"explain":{"nodes":["""), body)
+    assert(body.contains("\"rows\":") && body.contains("\"time_ms\":"))
+    // QL-level explain still answers plan rows, explain flag or not
+    val plan = post("/databases/default/query",
+      """{"query": "explain from p3 click limit 3;", "explain": true}""")
+    assert(plan.statusCode() == 200, plan.body())
+    assert(plan.body().linesIterator.next().contains("plan"))
+  }
+
   test("query errors map to 400 with the parse message") {
     val noSemi = post("/databases/default/query",
       """{"query": "from p3 click"}""")

@@ -35,6 +35,26 @@ class ExportSpec extends AnyFunSuite {
     }
   }
 
+  test("explain query MCAP carries the NodeStats metadata record " +
+      "from the same run that produced the stream") {
+    val bytes = svc.queryMcap(spark, "from p3 click limit 5;",
+      Seq("value", "k"), explain = true)
+    // the data stream itself is unchanged
+    assert(Mcap.read(bytes).size == 5)
+    val md = Mcap.readMetadata(bytes)
+    assert(md.map(_.name) == Seq("query"),
+      "one in-band metadata record named 'query' (executor.go:87-94)")
+    val ctx = md.head.kv("context")
+    assert(ctx.startsWith("""{"nodes":["""), ctx)
+    // stats come from the executed run: some node counted real rows
+    assert("\"rows\":(\\d+)".r.findAllMatchIn(ctx)
+      .exists(_.group(1).toLong >= 5L),
+      s"expected an instrumented node with >=5 output rows in: $ctx")
+    // non-explain output carries no metadata record
+    assert(Mcap.readMetadata(svc.queryMcap(spark,
+      "from p3 click limit 5;", Seq("value", "k"))).isEmpty)
+  }
+
   test("multiplexed export remaps channels and keeps time order") {
     val bytes = svc.exportMcap(spark, Seq("click", "error"),
       Seq("value"))

@@ -58,6 +58,62 @@ class McapSpec extends AnyFunSuite {
     checkRoundTrip(fixture(new Mcap.Writer(chunkSize = 1)))
   }
 
+  test("Metadata(0x0C) records round-trip and land in the summary " +
+      "index (reference executor writes explain stats this way)") {
+    val w = new Mcap.Writer()
+    w.writeSchema(Mcap.SchemaRec(1, "package/test", "ros1msg",
+      "string data".getBytes))
+    w.writeChannel(Mcap.ChannelRec(0, 1, "topic-0", "ros1"))
+    w.writeMessage(Mcap.MessageRec(0, 1L, 1L, 1L, "m1".getBytes))
+    w.writeMetadata("query",
+      Seq("context" -> """{"nodes":[]}""", "other" -> "v"))
+    w.writeMetadata("second", Seq("a" -> "b"))
+    val bytes = w.finish()
+    // messages unaffected by interleaved metadata
+    assert(Mcap.read(bytes).toSeq.map(_.topic) == Seq("topic-0"))
+    val md = Mcap.readMetadata(bytes)
+    assert(md.map(_.name) == Seq("query", "second"))
+    assert(md.head.kv == Map(
+      "context" -> """{"nodes":[]}""", "other" -> "v"))
+    assert(md(1).kv == Map("a" -> "b"))
+    // footer points at a summary section holding MetadataIndex(0x0D)
+    // records whose offsets locate the 0x0C records exactly
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val footerStart = bytes.length - 8 - 9 - 20 // magic + rec hdr + body
+    assert((bytes(footerStart) & 0xff) == 0x02)
+    buf.position(footerStart + 9)
+    val summaryStart = buf.getLong()
+    assert(summaryStart > 0L, "footer must point at the summary section")
+    buf.position(summaryStart.toInt)
+    val names = Seq("query", "second").map { expect =>
+      assert((buf.get() & 0xff) == 0x0D, "MetadataIndex record")
+      buf.getLong() // record length
+      val off = buf.getLong(); val len = buf.getLong()
+      assert((bytes(off.toInt) & 0xff) == 0x0C,
+        s"index offset $off must locate a Metadata record")
+      assert(len > 0)
+      val nameLen = buf.getInt()
+      val nb = new Array[Byte](nameLen); buf.get(nb)
+      val got = new String(nb, java.nio.charset.StandardCharsets.UTF_8)
+      assert(got == expect)
+      got
+    }
+    assert(names == Seq("query", "second"))
+  }
+
+  test("metadata round-trips in un-chunked streams too") {
+    val w = new Mcap.Writer(chunked = false)
+    w.writeSchema(Mcap.SchemaRec(1, "p/t", "ros1msg", Array[Byte]()))
+    w.writeChannel(Mcap.ChannelRec(0, 1, "t", "ros1"))
+    w.writeMessage(Mcap.MessageRec(0, 1L, 1L, 1L, "x".getBytes))
+    w.writeMetadata("m", Seq("k" -> "v"))
+    val bytes = w.finish()
+    assert(Mcap.readMetadata(bytes) ==
+      Seq(Mcap.MetadataRec("m", Map("k" -> "v"))))
+    assert(Mcap.read(bytes).size == 1)
+  }
+
   test("reader rejects non-MCAP bytes") {
     assertThrows[IllegalArgumentException](
       Mcap.read("not an mcap".getBytes ++ new Array[Byte](20)).toSeq)
