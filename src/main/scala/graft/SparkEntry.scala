@@ -963,6 +963,24 @@ object SparkEntry {
       Multimodal.decodeMeta(s, media, new Multimodal.ImageIoDecoder)
         .toDF().select("doc_id", "kind", "width", "height", "channels")
         .orderBy("doc_id")
+    }),
+
+    // REAL audio decode: synthesize a genuine RIFF/WAVE container per
+    // document (PCM geometry derived from row fields), then parse it
+    // back with the pure-JVM chunk walker — the oracle recomputes the
+    // geometry AND the container byte size arithmetically, so a defect
+    // in either the writer or the parser breaks the match.
+    "m_audio" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val rate = when(col("doc_id") % 3 === 0, 8000)
+        .when(col("doc_id") % 3 === 1, 16000).otherwise(44100)
+      val media = Multimodal.withAudioPayload(s, docs, "doc_id",
+        rate, lit(1) + (col("doc_id") % 2),
+        lit(1) + length(col("text")) % 500)
+      Multimodal.decodeAudioMeta(s, media).toDF()
+        .select("doc_id", "kind", "codec", "sample_rate", "channels",
+          "n_samples", "duration_us", "byte_len")
+        .orderBy("doc_id")
     })
   )
 
@@ -2778,6 +2796,22 @@ object SparkEntry {
         |  CAST(1 + length(text) % 13 AS INT) AS width,
         |  CAST(1 + doc_id % 11 AS INT) AS height,
         |  CAST(3 AS INT) AS channels
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the PCM geometry the Spark side serialized INTO real RIFF/WAVE
+    // bytes and parsed back out via the chunk walker; byte_len checks
+    // the container framing itself (44-byte canonical header + frames)
+    "m_audio" ->
+      """SELECT doc_id, 'wav' AS kind, 'pcm_s16le' AS codec,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |       ELSE 44100 END AS INT) AS sample_rate,
+        |  CAST(1 + doc_id % 2 AS INT) AS channels,
+        |  CAST(1 + length(text) % 500 AS BIGINT) AS n_samples,
+        |  CAST((1 + length(text) % 500) * 1000000
+        |       // (CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |           ELSE 44100 END) AS BIGINT) AS duration_us,
+        |  CAST(44 + (1 + length(text) % 500) * (1 + doc_id % 2) * 2
+        |       AS BIGINT) AS byte_len
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

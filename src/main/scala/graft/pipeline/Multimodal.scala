@@ -11,9 +11,12 @@ import org.apache.spark.sql.types._
   * Decode is a pluggable `MediaDecoder`. [[ImageIoDecoder]] is a REAL
   * image codec (javax.imageio ships with the JDK: PNG/JPEG/GIF/BMP) —
   * geometry and channels come from the decoded raster, and
-  * [[resizeImages]] rescales actual pixels. Formats the JVM lacks
-  * (video containers, compressed audio) stay behind [[StubDecoder]], a
-  * deterministic fake that keeps the Spark-side contract — schema,
+  * [[resizeImages]] rescales actual pixels. Audio is a REAL container
+  * codec too: [[wavPayload]]/[[parseWav]] write and walk RIFF/WAVE
+  * chunk lists in pure JVM (PCM geometry: codec, sample rate,
+  * channels, frame count, duration). Formats the JVM lacks (video
+  * containers, compressed audio codecs) stay behind [[StubDecoder]],
+  * a deterministic fake that keeps the Spark-side contract — schema,
   * batch shape, partition locality — real and testable; swap in a
   * JNI/ffmpeg decoder without touching the pipeline.
   *
@@ -168,6 +171,148 @@ object Multimodal {
     * testdata has no real media; the pipeline shape is the point). */
   def withPayload(df: DataFrame, textCol: String = "text"): DataFrame =
     df.withColumn("payload", encode(col(textCol), "utf-8"))
+
+  // --- audio (RIFF/WAVE — a real pure-JVM container codec) --------------
+
+  /** audio row metadata produced by [[decodeAudioMeta]]; zeros +
+    * kind = sniffed container when the payload is not a parsable WAV
+    * (degrade, never throw — same discipline as [[ImageIoDecoder]]) */
+  case class AudioMeta(
+      doc_id: Long,
+      byte_len: Long,
+      kind: String,
+      codec: String,
+      sample_rate: Int,
+      channels: Int,
+      n_samples: Long,
+      duration_us: Long,
+      checksum: String)
+
+  /** Serialize a REAL RIFF/WAVE file (canonical 44-byte header: one
+    * PCM fmt chunk + one data chunk) holding `nSamples` frames of
+    * 16-bit little-endian PCM whose values derive deterministically
+    * from `seed` — the audio analogue of [[pngPayload]], so the WAV
+    * parser is exercised against genuine container bytes even though
+    * the driver testdata carries no media. */
+  def wavPayload(sampleRate: Int, channels: Int, nSamples: Int,
+      seed: Long): Array[Byte] = {
+    require(sampleRate >= 1 && channels >= 1 && nSamples >= 0,
+      "positive audio geometry")
+    val dataLen = nSamples * channels * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII"))
+    buf.putInt(36 + dataLen) // riff payload size
+    buf.put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII"))
+    buf.putInt(16)                       // PCM fmt chunk size
+    buf.putShort(1)                      // audio format 1 = PCM
+    buf.putShort(channels.toShort)
+    buf.putInt(sampleRate)
+    buf.putInt(sampleRate * channels * 2) // byte rate
+    buf.putShort((channels * 2).toShort)  // block align
+    buf.putShort(16)                      // bits per sample
+    buf.put("data".getBytes("US-ASCII"))
+    buf.putInt(dataLen)
+    var i = 0
+    while (i < nSamples * channels) {
+      // deterministic full-range 16-bit pattern (Knuth multiplicative)
+      buf.putShort((((seed + i) * 2654435761L >>> 16) & 0xffff).toShort)
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** Parse RIFF/WAVE geometry from raw bytes: walks the chunk list
+    * (honoring the spec's odd-size pad byte and skipping unknown
+    * chunks like LIST/INFO), reads the fmt chunk's PCM parameters and
+    * sizes the data chunk into a frame count. Returns None when the
+    * container is not a well-formed WAV — truncated files and foreign
+    * formats degrade, they don't throw. */
+  def parseWav(b: Array[Byte])
+      : Option[(String, Int, Int, Long)] = {
+    if (b.length < 12 || sniffKind(b) != "wav") return None
+    val buf = java.nio.ByteBuffer.wrap(b)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.position(12) // past RIFF<size>WAVE
+    var codec: String = null
+    var rate = 0; var ch = 0; var blockAlign = 0
+    var nSamples = -1L
+    try {
+      while (buf.remaining() >= 8 && (codec == null || nSamples < 0)) {
+        val id = {
+          val a = new Array[Byte](4); buf.get(a)
+          new String(a, "US-ASCII")
+        }
+        val size = buf.getInt()
+        if (size < 0 || size > buf.remaining()) return None
+        val next = buf.position() + size + (size & 1) // odd sizes pad
+        id match {
+          case "fmt " if size >= 16 =>
+            val fmt = buf.getShort() & 0xffff
+            ch = buf.getShort() & 0xffff
+            rate = buf.getInt()
+            buf.getInt() // byte rate
+            blockAlign = buf.getShort() & 0xffff
+            val bits = buf.getShort() & 0xffff
+            codec =
+              if (fmt == 1 && bits == 16) "pcm_s16le"
+              else if (fmt == 1 && bits == 8) "pcm_u8"
+              else if (fmt == 1) s"pcm_s${bits}le"
+              else s"fmt_$fmt"
+          case "data" =>
+            nSamples = if (blockAlign > 0) size.toLong / blockAlign
+              else return None // data before fmt: not well-formed
+          case _ => () // LIST, fact, cue, bext... skip
+        }
+        if (next > b.length) return None
+        buf.position(math.min(next, b.length))
+      }
+      if (codec == null || nSamples < 0 || rate <= 0 || ch <= 0) None
+      else Some((codec, rate, ch, nSamples))
+    } catch { case _: RuntimeException => None }
+  }
+
+  /** Attach a REAL WAV payload whose audio geometry derives from row
+    * fields — the audio face of [[withImagePayload]]. */
+  def withAudioPayload(spark: SparkSession, df: DataFrame,
+      idCol: String, rateExpr: Column, channelsExpr: Column,
+      samplesExpr: Column): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id"),
+        rateExpr.cast("int").as("_r"), channelsExpr.cast("int").as("_c"),
+        samplesExpr.cast("int").as("_n"))
+      .as[(Long, Int, Int, Int)]
+      .mapPartitions(_.map { case (id, r, c, n) =>
+        (id, wavPayload(r, c, n, seed = id))
+      })
+      .toDF("doc_id", "payload")
+  }
+
+  /** Partition-local audio decode: binary payload → typed geometry.
+    * `duration_us = n_samples · 1e6 / sample_rate` in integer
+    * microseconds (floor) — stable cross-engine arithmetic, the
+    * oracle-facing duration unit. */
+  def decodeAudioMeta(spark: SparkSession, df: DataFrame,
+      idCol: String = "doc_id"): Dataset[AudioMeta] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, bytes) =>
+          val checksum = md.digest(bytes).map("%02x".format(_)).mkString
+          parseWav(bytes) match {
+            case Some((codec, rate, ch, n)) =>
+              AudioMeta(id, bytes.length.toLong, "wav", codec, rate, ch,
+                n, n * 1000000L / rate, checksum)
+            case None =>
+              AudioMeta(id, bytes.length.toLong, sniffKind(bytes), "",
+                0, 0, 0L, 0L, checksum)
+          }
+        }
+      }
+  }
 
   /** Partition-local decode: binary payload → typed metadata. */
   def decodeMeta(spark: SparkSession, df: DataFrame,

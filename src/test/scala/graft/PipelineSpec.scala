@@ -958,6 +958,79 @@ class PipelineSpec extends AnyFunSuite {
       .toSeq == Seq((10L, 5, 11, 3), (11L, 3, 1, 3)))
   }
 
+  test("wav payload/parse round-trips PCM geometry through real " +
+      "RIFF bytes") {
+    val wav = Multimodal.wavPayload(16000, 2, 100, seed = 7L)
+    assert(Multimodal.sniffKind(wav) == "wav")
+    assert(wav.length == 44 + 100 * 2 * 2)
+    assert(Multimodal.parseWav(wav)
+      == Some(("pcm_s16le", 16000, 2, 100L)))
+    // determinism: same inputs, same bytes
+    assert(wav.sameElements(Multimodal.wavPayload(16000, 2, 100, 7L)))
+    // zero-length audio is a legal container
+    assert(Multimodal.parseWav(Multimodal.wavPayload(8000, 1, 0, 1L))
+      == Some(("pcm_s16le", 8000, 1, 0L)))
+  }
+
+  test("wav parser walks unknown chunks, honors odd-size padding, " +
+      "and degrades on malformed input") {
+    // hand-build: RIFF [ LIST(odd size -> pad byte) fmt data ]
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer
+        .allocate(8 + body.length + (body.length & 1))
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put(id.getBytes("US-ASCII")); b.putInt(body.length); b.put(body)
+      b.array()
+    }
+    val canonical = Multimodal.wavPayload(44100, 1, 3, 2L)
+    val fmtAndData = canonical.drop(12) // fmt + data chunks verbatim
+    val list = chunk("LIST", "INFOx".getBytes) // 5 bytes: odd, padded
+    val reordered = java.nio.ByteBuffer
+      .allocate(12 + list.length + fmtAndData.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    reordered.put("RIFF".getBytes("US-ASCII"))
+    reordered.putInt(4 + list.length + fmtAndData.length)
+    reordered.put("WAVE".getBytes("US-ASCII"))
+    reordered.put(list); reordered.put(fmtAndData)
+    assert(Multimodal.parseWav(reordered.array())
+      == Some(("pcm_s16le", 44100, 1, 3L)))
+    // truncated mid-chunk / foreign bytes / data-before-fmt: None
+    assert(Multimodal.parseWav(canonical.take(30)).isEmpty)
+    assert(Multimodal.parseWav("RIFFxxxxWAVE".getBytes).isEmpty)
+    assert(Multimodal.parseWav("not audio at all".getBytes).isEmpty)
+    val dataFirst = java.nio.ByteBuffer.allocate(12 + 8 + 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    dataFirst.put("RIFF".getBytes("US-ASCII")); dataFirst.putInt(16)
+    dataFirst.put("WAVE".getBytes("US-ASCII"))
+    dataFirst.put(chunk("data", Array[Byte](1, 2, 3, 4)))
+    assert(Multimodal.parseWav(dataFirst.array()).isEmpty)
+  }
+
+  test("audio decode pipeline: row-field geometry round-trips and " +
+      "non-wav payloads degrade in place") {
+    val df = Seq((0L, "abcd"), (1L, "ab"), (2L, "abcdefg"))
+      .toDF("doc_id", "text")
+    val rate = org.apache.spark.sql.functions
+      .when(col("doc_id") % 3 === 0, 8000)
+      .when(col("doc_id") % 3 === 1, 16000).otherwise(44100)
+    val media = Multimodal.withAudioPayload(spark, df, "doc_id", rate,
+      org.apache.spark.sql.functions.lit(1) + (col("doc_id") % 2),
+      org.apache.spark.sql.functions.lit(1) +
+        org.apache.spark.sql.functions.length(col("text")) % 500)
+    val meta = Multimodal.decodeAudioMeta(spark, media)
+      .collect().sortBy(_.doc_id)
+    assert(meta.map(m => (m.doc_id, m.kind, m.codec, m.sample_rate,
+      m.channels, m.n_samples, m.duration_us, m.byte_len)).toSeq == Seq(
+      (0L, "wav", "pcm_s16le", 8000, 1, 5L, 625L, 44L + 5 * 1 * 2),
+      (1L, "wav", "pcm_s16le", 16000, 2, 3L, 187L, 44L + 3 * 2 * 2),
+      (2L, "wav", "pcm_s16le", 44100, 1, 8L, 181L, 44L + 8 * 1 * 2)))
+    // a text payload through the same decoder: sniffed kind, zeros
+    val degraded = Multimodal.decodeAudioMeta(spark,
+      Multimodal.withPayload(df)).collect().sortBy(_.doc_id).head
+    assert(degraded.kind == "bin" && degraded.sample_rate == 0
+      && degraded.n_samples == 0L)
+  }
+
   test("multimodal stub decode is deterministic and partition-local") {
     val meta = Multimodal.decodeMeta(spark, Multimodal.withPayload(docs))
       .collect().sortBy(_.doc_id)
