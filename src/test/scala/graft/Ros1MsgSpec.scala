@@ -249,6 +249,85 @@ class Ros1MsgSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus spot checks: flattened paths and Spark types match " +
+      "hand-derived expectations for real production schemas") {
+    val dir = new java.io.File(sys.env.getOrElse(
+      "GRAFT_ROS1_SCHEMA_CORPUS",
+      "/root/reference/server/util/ros1msg/testdata/schemas"))
+    assume(dir.isDirectory, s"schema corpus not present at $dir")
+    def flatNames(file: String): Seq[String] = {
+      val pkg = file.split("-")(0)
+      val defn = new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(dir, file).toPath), "UTF-8")
+      Ros1Msg.flatFields(Ros1Msg.parse(defn, pkg = pkg)).map(_._1)
+    }
+    def struct(file: String): org.apache.spark.sql.types.StructType = {
+      val pkg = file.split("-")(0)
+      val defn = new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(dir, file).toPath), "UTF-8")
+      Ros1Msg.structType(Ros1Msg.parse(defn, pkg = pkg))
+    }
+    import org.apache.spark.sql.types._
+
+    // nav_msgs/Odometry: 3 levels of record nesting + a 36-element
+    // covariance (>= 10: excluded from the flat view). Record
+    // subfields go to the BACK of the per-field queue (the reference
+    // AnalyzeSchema discipline), so position/orientation leaves come
+    // after the excluded covariance is visited.
+    assert(flatNames("nav_msgs-Odometry.msg") == Seq(
+      "header.seq", "header.stamp", "header.frame_id",
+      "child_frame_id",
+      "pose.pose.position.x", "pose.pose.position.y",
+      "pose.pose.position.z",
+      "pose.pose.orientation.x", "pose.pose.orientation.y",
+      "pose.pose.orientation.z", "pose.pose.orientation.w",
+      "twist.twist.linear.x", "twist.twist.linear.y",
+      "twist.twist.linear.z",
+      "twist.twist.angular.x", "twist.twist.angular.y",
+      "twist.twist.angular.z"))
+    val odo = struct("nav_msgs-Odometry.msg")
+    val header = odo("header").dataType.asInstanceOf[StructType]
+    assert(header("stamp").dataType == LongType)  // time -> epoch ns
+    assert(header("seq").dataType == LongType)    // uint32 widened
+    assert(odo("child_frame_id").dataType == StringType)
+    val poseCov = odo("pose").dataType.asInstanceOf[StructType]
+    assert(poseCov("covariance").dataType
+      == ArrayType(DoubleType, containsNull = false))
+
+    // geometry_msgs/Twist: bare Vector3 names resolve against the
+    // parent package's namespaced sub-definitions
+    assert(flatNames("geometry_msgs-Twist.msg") == Seq(
+      "linear.x", "linear.y", "linear.z",
+      "angular.x", "angular.y", "angular.z"))
+
+    // sensor_msgs/CameraInfo: fixed arrays under 10 expand at the
+    // FRONT (K[0..8], R[0..8]); float64[12] P and float64[] D are
+    // excluded; the roi record flattens after the scalars
+    assert(flatNames("sensor_msgs-CameraInfo.msg") == Seq(
+      "header.seq", "header.stamp", "header.frame_id",
+      "height", "width", "distortion_model") ++
+      (0 until 9).map(i => s"K[$i]") ++
+      (0 until 9).map(i => s"R[$i]") ++ Seq(
+      "binning_x", "binning_y",
+      "roi.x_offset", "roi.y_offset", "roi.height", "roi.width",
+      "roi.do_rectify"))
+    val cam = struct("sensor_msgs-CameraInfo.msg")
+    assert(cam("K").dataType == ArrayType(DoubleType, false))
+    assert(cam("height").dataType == LongType) // uint32
+    assert(cam("roi").dataType.asInstanceOf[StructType]("do_rectify")
+      .dataType == BooleanType)
+
+    // rosgraph_msgs/Log: byte constants (DEBUG=1...) are skipped, the
+    // string[] topics array is excluded, byte widens to short
+    assert(flatNames("rosgraph_msgs-Log.msg") == Seq(
+      "header.seq", "header.stamp", "header.frame_id",
+      "level", "name", "msg", "file", "function", "line"))
+    val log = struct("rosgraph_msgs-Log.msg")
+    assert(log("level").dataType == ShortType)  // byte widened
+    assert(log("line").dataType == LongType)    // uint32 widened
+    assert(log("topics").dataType == ArrayType(StringType, false))
+  }
+
   test("recursive type references error instead of looping") {
     val defn =
       """Loop a
