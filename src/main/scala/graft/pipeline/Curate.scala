@@ -101,8 +101,15 @@ object Curate {
       : (DataFrame, Dedup.PinHandle) = {
     val (pairs, pin) = Dedup.crossCorpusPairsOwned(newDocs, refDocs, k,
       threshold, idCol, textCol, maxDf = maxDf)
-    (newDocs.join(pairs.select(col("new_id").as(idCol)), Seq(idCol),
-      "left_anti"), pin)
+    // broadcast the flagged-id set EXPLICITLY: `pairs` descends from a
+    // pinned LogicalRDD leaf, which carries no size statistics, so
+    // Catalyst plans a worst-case sort-merge anti-join that shuffles
+    // the whole batch scan. The set is ≤ the (already thresholded)
+    // pair count and the batch is the SMALL side of an incremental
+    // dedup by design; no distinct — the anti-join doesn't need one
+    // and the exchange it would add costs a whole extra stage.
+    val flagged = broadcast(pairs.select(col("new_id").as(idCol)))
+    (newDocs.join(flagged, Seq(idCol), "left_anti"), pin)
   }
 
   /** One-call SEMANTIC dedup — the SemDeDup shape (Abbas et al. 2023,
