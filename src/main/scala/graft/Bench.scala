@@ -2,10 +2,30 @@ package graft
 
 /** Benchmark main: runs every registered query against
   * SPARK_GRAFT_SF_DIR and prints one JSON line with per-query seconds.
-  * Each query is forced with a cheap `count()` action (results stay
-  * distributed — no collect).
+  * Each query is forced by [[Bench.forced]] — an aggregate that
+  * references EVERY output column — never a bare `count()`, which
+  * Catalyst exploits to optimize pipelines out of their own
+  * measurement (see [[forced]]).
   */
 object Bench {
+
+  /** The forcing plan: hash every output column into a per-partition
+    * max, collected (≤ numPartitions tiny rows). A bare `count()` is
+    * NOT a valid benchmark forcing: column pruning drops every
+    * non-key column, after which Catalyst join-eliminates left joins
+    * on unique keys and constant-folds groupless aggregates — r10's
+    * t_dsir benched a parquet count while its scoring subtree never
+    * ran, and the same audit found t_lm_score / t_decontam /
+    * t_semantic_decontam losing their score-attachment subtrees the
+    * same way. Referencing all columns through the hash makes every
+    * operator that produced them load-bearing; PlanQualitySpec gates
+    * that no registry entry loses a file-backed leaf under THIS plan. */
+  def forced(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.groupBy(spark_partition_id().as("_p"))
+      .agg(max(xxhash64(df.columns.map(col): _*)).as("_h"))
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -50,7 +70,7 @@ object Bench {
         => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).count()
+        forced(fn(spark, sfDir)).collect() // ≤ numPartitions rows
         (System.nanoTime() - t0) / 1e9
       } catch {
         case e: Throwable =>

@@ -901,14 +901,12 @@ object SparkEntry {
         buckets = 1024).orderBy("doc_id")
     }),
 
-    // per-source scoring totals. ALSO the honest DSIR bench number:
-    // t_dsir's per-doc frame ends in a left join that count() forcing
-    // ELIMINATES (unique right key + no referenced columns -> Catalyst
-    // drops the whole scoring subtree, so its bench seconds measure a
-    // parquet count — and a grand-total variant folds to count()=1
-    // the same way). A grouped aggregate over the weight columns
-    // cannot be pruned — this entry is what one genuine scoring pass
-    // costs, the yardstick t_dsir_select compares against
+    // per-source scoring totals — what one genuine scoring pass
+    // costs, the yardstick t_dsir_select compares against. (History:
+    // t_dsir's per-doc frame ends in a left join that a bare count()
+    // forcing join-ELIMINATED, benching a parquet count; Bench.forced
+    // now hashes every output column so no entry's pipeline can be
+    // optimized out of its own measurement — PlanQualitySpec gates it.)
     "t_dsir_stats" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       Select.dsirWeights(docs,

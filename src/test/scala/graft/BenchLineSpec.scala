@@ -13,11 +13,10 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class BenchLineSpec extends AnyFunSuite {
 
-  private def lineAt(value: Double): String = {
-    val results = SparkEntry.queries.keys.toSeq.sorted
-      .map(name => (name, value, value))
-    Bench.formatLine(results, 12.34, 12.34, 300, "/root/testdata/sf0.1")
-  }
+  private def lineAt(value: Double): String =
+    Bench.formatLine(SparkEntry.queries.keys.toSeq.sorted
+        .map(name => (name, value, value)),
+      12.34, 12.34, 300, "/root/testdata/sf0.1")
 
   test("stdout line stays under 1900 chars at the full query registry") {
     // 999.99 exercises the display cap (worst-case 3-char width)

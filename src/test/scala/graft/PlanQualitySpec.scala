@@ -93,6 +93,42 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!pc.contains("BroadcastNestedLoopJoin"), pc)
   }
 
+  test("bench forcing keeps every pipeline intact — no registry " +
+      "entry loses a file scan under Bench.forced") {
+    // A bare count() is not a valid forcing: column pruning drops
+    // every non-key column, Catalyst join-eliminates left joins on
+    // unique keys (and constant-folds groupless aggregates), and the
+    // bench silently measures a plan WITHOUT its own pipeline — the
+    // r10 audit caught t_dsir this way, and this gate then found
+    // t_lm_score / t_decontam / t_semantic_decontam losing their
+    // score-attachment subtrees too. Bench.forced references every
+    // output column through a hash, which makes elimination
+    // impossible; this gate holds that invariant for ALL entries.
+    //
+    // FILE-backed leaves only: pinned/collected subtrees (LogicalRDD
+    // / LocalRelation leaves) ran EAGERLY at frame construction, so
+    // the bench times them regardless — eliminating one downstream is
+    // benign. Losing a parquet scan means pipeline work the bench
+    // claims to measure never runs.
+    def fileLeaves(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collectLeaves().count {
+        case _: org.apache.spark.sql.execution.datasources
+          .LogicalRelation => true
+        case _ => false
+      }
+    val pruned = scala.collection.mutable.SortedSet[String]()
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val df = fn(spark, sfDir)
+      val full = fileLeaves(df)
+      val forced = fileLeaves(Bench.forced(df))
+      if (forced < full) pruned += s"$name ($full->$forced)"
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+    assert(pruned.isEmpty,
+      s"bench forcing optimizes pipelines away: ${pruned.mkString(",")}")
+  }
+
   test("pinned pipelines scan their source once per genuine pass, " +
       "not once per consumer") {
     // the round-10 audit found multi-consumer subtrees silently
