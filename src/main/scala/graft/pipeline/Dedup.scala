@@ -72,6 +72,47 @@ object Dedup {
       .select(col("_id"), TextOps.tokens(lower(col(textCol))).as("_toks"))
       .select(col("_id"), explode(shinglesOfTokens(col("_toks"), k)).as("sh"))
 
+  /** Per-doc distinct shingle ARRAYS (one row per doc) — the
+    * pre-explode granularity the Jaccard family pins: the expensive
+    * tokenize+shingle work runs once into a doc-count-sized cache
+    * (5k array rows instead of 260k exploded rows at sf0.1), and each
+    * consumer explodes from the cache in codegen. */
+  private def shingleArrays(df: DataFrame, k: Int, idCol: String,
+      textCol: String): DataFrame =
+    spread(df.select(col(idCol).as("_id"), col(textCol)), "_id")
+      .select(col("_id"), TextOps.tokens(lower(col(textCol))).as("_toks"))
+      .select(col("_id"), shinglesOfTokens(col("_toks"), k).as("_arr"))
+
+  /** Apply the `maxDf` shingle-universe cap at ARRAY granularity and
+    * attach the POST-cap set size as `_n`: the hot set (`df > maxDf`)
+    * is tiny by construction — that is the point of the cap — so it is
+    * computed in ONE job over the pinned array cache and collected to
+    * the driver as control-plane data (the IVF-centroid discipline),
+    * then folded into every consumer as a literal `array_except`
+    * argument. Versus the exploded-row anti-join shape this removes
+    * the per-consumer hot-set re-aggregation (broadcast subtrees are
+    * re-executed per consumer when exchange reuse misses) AND lets
+    * rows carry their own post-cap size, which kills the separate
+    * per-doc size aggregates and the post-pair-agg size joins — the
+    * Jaccard denominator rides the intersect join instead. */
+  private def capArrays(arr: DataFrame, maxDf: Int): DataFrame = {
+    val capped =
+      if (maxDf == Int.MaxValue) arr
+      else {
+        require(maxDf >= 2, s"maxDf must be >= 2 (got $maxDf): " +
+          "a shingle needs at least 2 docs to generate a pair")
+        val hot = arr.select(explode(col("_arr")).as("sh"))
+          .groupBy(col("sh")).agg(count(lit(1)).as("_df"))
+          .where(col("_df") > maxDf)
+          .select(col("sh"))
+          .collect().map(_.getString(0)).toSeq
+        if (hot.isEmpty) arr
+        else arr.withColumn("_arr",
+          array_except(col("_arr"), typedLit(hot)))
+      }
+    capped.withColumn("_n", size(col("_arr")))
+  }
+
   /** Drop shingles whose document frequency exceeds `maxDf` — the
     * production guard against the O(f²) pair blowup on boilerplate: one
     * shingle shared by f documents produces f² candidate rows in the
@@ -125,11 +166,15 @@ object Dedup {
     * strategy, is the real problem and `maxDf` is the production
     * answer (see [[capDf]]).
     *
-    * The exploded shingle frame is referenced by FOUR downstream
-    * subtrees (hot-set agg, both self-join sides, per-doc sizes), and
-    * only bit-identical exchanges get reused — everything else would
-    * re-run the tokenize+shingle pipeline per reference. It is pinned
-    * once instead (MEMORY_AND_DISK, spills rather than OOMs at scale);
+    * The shingle pipeline is referenced by THREE downstream subtrees
+    * (hot-set job, both self-join sides), and only bit-identical
+    * exchanges get reused — everything else would re-run the
+    * tokenize+shingle work per reference. The per-doc shingle ARRAY
+    * frame is pinned once instead (MEMORY_AND_DISK, spills rather
+    * than OOMs at scale; doc-count-sized, so far smaller than the
+    * exploded rows), each consumer explodes from the cache, and rows
+    * carry their post-cap set size so the Jaccard denominator needs
+    * no size aggregates or joins (see [[capArrays]]);
     * the returned frame is therefore CACHE-BACKED and the caller owns
     * the blocks' lifetime — consume, then release (Verify and Bench
     * unpersist between queries), the same contract as [[clusters]].
@@ -146,20 +191,22 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text",
       hashJoin: Boolean = true, maxDf: Int = Int.MaxValue)
       : (DataFrame, PinHandle) = {
-    val (sh0, handle) = pinNow(withShingles(df, k, idCol, textCol))
-    val sh = capDf(sh0, maxDf)
-    val sizes = sh.groupBy(col("_id")).agg(count(lit(1)).as("n"))
-    val left = if (hashJoin) sh.hint("shuffle_hash") else sh
-    val a = left.as("a"); val b = sh.as("b")
-    val inter = a.join(b, col("a.sh") === col("b.sh")
+    val (arr, handle) = pinNow(shingleArrays(df, k, idCol, textCol))
+    val capped = capArrays(arr, maxDf)
+    // each exploded row carries its doc's POST-cap set size, so the
+    // Jaccard denominator is available straight out of the intersect
+    // aggregation — no separate size aggregates, no size joins
+    val aSide = capped.select(col("_id"), col("_n").as("na"),
+      explode(col("_arr")).as("sh"))
+    val bSide = capped.select(col("_id"), col("_n").as("nb"),
+      explode(col("_arr")).as("sh"))
+    val left = if (hashJoin) aSide.hint("shuffle_hash") else aSide
+    val a = left.as("a"); val b = bSide.as("b")
+    val pairs = a.join(b, col("a.sh") === col("b.sh")
         && col("a._id") < col("b._id"))
       .groupBy(col("a._id").as("id_a"), col("b._id").as("id_b"))
-      .agg(count(lit(1)).as("c"))
-    val pairs = inter
-      .join(sizes.withColumnRenamed("_id", "id_a")
-        .withColumnRenamed("n", "na"), "id_a")
-      .join(sizes.withColumnRenamed("_id", "id_b")
-        .withColumnRenamed("n", "nb"), "id_b")
+      .agg(count(lit(1)).as("c"), min(col("na")).as("na"),
+        min(col("nb")).as("nb"))
       .withColumn("jaccard", round(col("c").cast("double")
         / (col("na") + col("nb") - col("c")), 6))
       .where(col("jaccard") >= threshold)
@@ -195,30 +242,28 @@ object Dedup {
       k: Int, threshold: Double, idCol: String = "doc_id",
       textCol: String = "text", hashJoin: Boolean = true,
       maxDf: Int = Int.MaxValue): (DataFrame, PinHandle) = {
-    // one pinned frame for both sides: the hot-set agg, both join
-    // sides, and both size aggregates all consume it
-    val both = withShingles(newDocs, k, idCol, textCol)
+    // one pinned frame for both sides: the hot set must be counted
+    // over BOTH corpora together (boilerplate is hot regardless of
+    // which side it sits in), and each side explodes from the cache.
+    // Sizes ride the exploded rows, so the cross-corpus id collision
+    // (each side numbers its own docs) never needs side-keyed size
+    // frames — na/nb come off the join's own sides.
+    val both = shingleArrays(newDocs, k, idCol, textCol)
         .withColumn("_side", lit(1))
-      .unionByName(withShingles(refDocs, k, idCol, textCol)
+      .unionByName(shingleArrays(refDocs, k, idCol, textCol)
         .withColumn("_side", lit(0)))
-    val (sh0, handle) = pinNow(both)
-    val sh = capDf(sh0, maxDf)
-    // ids may collide across corpora (each side numbers its own docs),
-    // so set sizes are keyed per side
-    val sizes = sh.groupBy(col("_side"), col("_id"))
-      .agg(count(lit(1)).as("n"))
-    val newSide = sh.where(col("_side") === 1)
-    val refSide = sh.where(col("_side") === 0)
+    val (arr, handle) = pinNow(both)
+    val capped = capArrays(arr, maxDf)
+    val newSide = capped.where(col("_side") === 1)
+      .select(col("_id"), col("_n").as("na"), explode(col("_arr")).as("sh"))
+    val refSide = capped.where(col("_side") === 0)
+      .select(col("_id"), col("_n").as("nb"), explode(col("_arr")).as("sh"))
     val left = if (hashJoin) newSide.hint("shuffle_hash") else newSide
-    val inter = left.as("a").join(refSide.as("b"),
+    val pairs = left.as("a").join(refSide.as("b"),
         col("a.sh") === col("b.sh"))
       .groupBy(col("a._id").as("new_id"), col("b._id").as("ref_id"))
-      .agg(count(lit(1)).as("c"))
-    val pairs = inter
-      .join(sizes.where(col("_side") === 1).select(
-        col("_id").as("new_id"), col("n").as("na")), "new_id")
-      .join(sizes.where(col("_side") === 0).select(
-        col("_id").as("ref_id"), col("n").as("nb")), "ref_id")
+      .agg(count(lit(1)).as("c"), min(col("na")).as("na"),
+        min(col("nb")).as("nb"))
       .withColumn("jaccard", round(col("c").cast("double")
         / (col("na") + col("nb") - col("c")), 6))
       .where(col("jaccard") >= threshold)
