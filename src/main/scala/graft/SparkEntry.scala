@@ -979,6 +979,24 @@ object SparkEntry {
         .select("doc_id", "kind", "codec", "sample_rate", "channels",
           "n_samples", "duration_us", "byte_len")
         .orderBy("doc_id")
+    }),
+
+    // REAL video decode: synthesize a genuine ISO-BMFF (MP4) container
+    // per document (box tree with 16.16 track geometry, stts frame
+    // count, 90 kHz timescale durations — all derived from row
+    // fields), then walk the box tree back out — the oracle recomputes
+    // geometry, tick arithmetic, AND total container byte size, so a
+    // defect in either the writer or the parser breaks the match.
+    "m_video" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val media = Multimodal.withVideoPayload(s, docs, "doc_id",
+        lit(16) * (lit(1) + col("doc_id") % 5),
+        lit(16) * (lit(1) + length(col("text")) % 4),
+        lit(1) + length(col("text")) % 240)
+      Multimodal.decodeVideoMeta(s, media).toDF()
+        .select("doc_id", "kind", "brand", "codec", "width", "height",
+          "n_frames", "duration_us", "byte_len")
+        .orderBy("doc_id")
     })
   )
 
@@ -2810,7 +2828,24 @@ object SparkEntry {
         |           ELSE 44100 END) AS BIGINT) AS duration_us,
         |  CAST(44 + (1 + length(text) % 500) * (1 + doc_id % 2) * 2
         |       AS BIGINT) AS byte_len
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the box-tree geometry the Spark side serialized INTO a real
+    // ISO-BMFF container and walked back out; duration is the 90 kHz
+    // tick arithmetic and byte_len checks the box framing itself
+    // (constants interpolated from the codec so the sides can't drift)
+    "m_video" ->
+      s"""SELECT doc_id, 'mp4' AS kind, 'isom' AS brand,
+         |  'avc1' AS codec,
+         |  CAST(16 * (1 + doc_id % 5) AS INT) AS width,
+         |  CAST(16 * (1 + length(text) % 4) AS INT) AS height,
+         |  CAST(1 + length(text) % 240 AS BIGINT) AS n_frames,
+         |  CAST((1 + length(text) % 240) * ${Multimodal.Mp4FrameTicks}
+         |       * 1000000 // ${Multimodal.Mp4Timescale} AS BIGINT)
+         |    AS duration_us,
+         |  CAST(${Multimodal.Mp4FixedBytes} + (1 + length(text) % 240)
+         |       * ${Multimodal.Mp4FrameBytes} AS BIGINT) AS byte_len
+         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }
 

@@ -14,11 +14,15 @@ import org.apache.spark.sql.types._
   * [[resizeImages]] rescales actual pixels. Audio is a REAL container
   * codec too: [[wavPayload]]/[[parseWav]] write and walk RIFF/WAVE
   * chunk lists in pure JVM (PCM geometry: codec, sample rate,
-  * channels, frame count, duration). Formats the JVM lacks (video
-  * containers, compressed audio codecs) stay behind [[StubDecoder]],
-  * a deterministic fake that keeps the Spark-side contract — schema,
-  * batch shape, partition locality — real and testable; swap in a
-  * JNI/ffmpeg decoder without touching the pipeline.
+  * channels, frame count, duration), and video is a REAL container
+  * codec: [[mp4Payload]]/[[parseMp4]] write and walk ISO base-media
+  * (MP4) box trees in pure JVM (brand, sample-entry codec, 16.16
+  * track geometry, stts frame count, timescale duration). What stays
+  * behind [[StubDecoder]] is only the PIXEL/SAMPLE decode of
+  * compressed codecs (H.264 frames, MP3 packets — JNI/ffmpeg
+  * territory), a deterministic fake that keeps the Spark-side
+  * contract — schema, batch shape, partition locality — real and
+  * testable; swap in a native decoder without touching the pipeline.
   *
   * Scale notes: decode runs via mapPartitions so codec init happens
   * once per partition, not per row; payloads never pass through a
@@ -92,6 +96,8 @@ object Multimodal {
     else if (at(0) == 'R' && at(1) == 'I' && at(2) == 'F' && at(3) == 'F'
         && at(8) == 'W' && at(9) == 'A' && at(10) == 'V' && at(11) == 'E')
       "wav"
+    else if (at(4) == 'f' && at(5) == 't' && at(6) == 'y' && at(7) == 'p')
+      "mp4" // ISO base-media brand family (mp4/mov/3gp share ftyp)
     else "bin"
   }
 
@@ -309,6 +315,295 @@ object Multimodal {
             case None =>
               AudioMeta(id, bytes.length.toLong, sniffKind(bytes), "",
                 0, 0, 0L, 0L, checksum)
+          }
+        }
+      }
+  }
+
+  // --- video (MP4 / ISO base media — a real pure-JVM container codec) ---
+
+  /** video row metadata produced by [[decodeVideoMeta]]; zeros +
+    * kind = sniffed container when the payload is not a parsable
+    * ISO-BMFF file (degrade, never throw). `duration_us` derives from
+    * the movie header's timescale/duration pair in integer µs (floor),
+    * `n_frames` from the stts table's sample counts. */
+  case class VideoMeta(
+      doc_id: Long,
+      byte_len: Long,
+      kind: String,
+      brand: String,
+      codec: String,
+      width: Int,
+      height: Int,
+      n_frames: Long,
+      duration_us: Long,
+      checksum: String)
+
+  /** Movie timescale written by [[mp4Payload]]: 90 kHz, the MPEG
+    * transport convention. One frame = [[Mp4FrameTicks]] ticks
+    * (30 fps). Fixed constants keep the container arithmetic
+    * oracle-recomputable. */
+  val Mp4Timescale = 90000
+  val Mp4FrameTicks = 3000
+  /** mdat body bytes per synthesized frame. */
+  val Mp4FrameBytes = 16
+  /** Size of everything but the mdat body in a [[mp4Payload]] file:
+    * ftyp(24) + moov(551) + mdat header(8). Exposed so specs and the
+    * oracle can check container FRAMING arithmetic, not just parsed
+    * fields. */
+  val Mp4FixedBytes = 24 + 551 + 8
+
+  /** Serialize a REAL ISO base-media (MP4) container — ISO/IEC
+    * 14496-12 box tree: `ftyp` + `moov(mvhd, trak(tkhd, mdia(mdhd,
+    * hdlr, minf(vmhd, dinf(dref(url)), stbl(stsd(avc1), stts, stsc,
+    * stsz, stco)))))` + `mdat` with `nFrames` deterministic 16-byte
+    * pseudo-frames derived from `seed`. Geometry lives where real
+    * tools put it (tkhd 16.16 fixed-point width/height, avc1 sample
+    * entry, mvhd/mdhd duration in 90 kHz ticks). The avc1 entry
+    * carries no avcC decoder config and the mdat bytes are not H.264 —
+    * this is a CONTAINER codec (the thing a metadata/curation pipeline
+    * parses), not an encoder; a player would reject the streams, a
+    * demuxer reads the same fields [[parseMp4]] does. */
+  def mp4Payload(width: Int, height: Int, nFrames: Int,
+      seed: Long): Array[Byte] = {
+    require(width >= 1 && width < 65536 && height >= 1 && height < 65536,
+      "geometry must fit 16.16 fixed point")
+    require(nFrames >= 0, "nFrames >= 0")
+    def box(tpe: String, body: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + body.length) // big-endian
+      b.putInt(8 + body.length)
+      b.put(tpe.getBytes("US-ASCII"))
+      b.put(body)
+      b.array()
+    }
+    def full(tpe: String, body: java.nio.ByteBuffer => Unit,
+        size: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(size)
+      b.putInt(0) // version 0, flags 0 (overwritten by tkhd below)
+      body(b)
+      require(!b.hasRemaining, s"$tpe body size mismatch")
+      box(tpe, b.array())
+    }
+    val durTicks = nFrames.toLong * Mp4FrameTicks
+    val ftyp = box("ftyp", {
+      val b = java.nio.ByteBuffer.allocate(16)
+      b.put("isom".getBytes("US-ASCII")); b.putInt(0x200)
+      b.put("isom".getBytes("US-ASCII"))
+      b.put("mp41".getBytes("US-ASCII"))
+      b.array()
+    })
+    val mvhd = full("mvhd", { b =>
+      b.putInt(0); b.putInt(0)            // creation/modification
+      b.putInt(Mp4Timescale)
+      b.putInt(durTicks.toInt)
+      b.putInt(0x00010000); b.putShort(0x0100); b.putShort(0) // rate/vol
+      b.putLong(0)                        // reserved
+      b.putInt(0x00010000); b.putInt(0); b.putInt(0) // unity matrix
+      b.putInt(0); b.putInt(0x00010000); b.putInt(0)
+      b.putInt(0); b.putInt(0); b.putInt(0x40000000)
+      (0 until 6).foreach(_ => b.putInt(0)) // pre_defined
+      b.putInt(2)                         // next track id
+    }, 100)
+    val tkhd = locally {
+      val raw = full("tkhd", { b =>
+        b.putInt(0); b.putInt(0)          // creation/modification
+        b.putInt(1)                       // track id
+        b.putInt(0)                       // reserved
+        b.putInt(durTicks.toInt)
+        b.putLong(0)                      // reserved
+        b.putShort(0); b.putShort(0); b.putShort(0); b.putShort(0)
+        b.putInt(0x00010000); b.putInt(0); b.putInt(0) // unity matrix
+        b.putInt(0); b.putInt(0x00010000); b.putInt(0)
+        b.putInt(0); b.putInt(0); b.putInt(0x40000000)
+        b.putInt(width << 16)             // 16.16 fixed
+        b.putInt(height << 16)
+      }, 84)
+      raw(11) = 7 // flags: enabled | in_movie | in_preview
+      raw
+    }
+    val mdhd = full("mdhd", { b =>
+      b.putInt(0); b.putInt(0)
+      b.putInt(Mp4Timescale); b.putInt(durTicks.toInt)
+      b.putShort(0x55c4)                  // language 'und'
+      b.putShort(0)
+    }, 24)
+    val hdlr = full("hdlr", { b =>
+      b.putInt(0)                         // pre_defined
+      b.put("vide".getBytes("US-ASCII"))
+      b.putInt(0); b.putInt(0); b.putInt(0) // reserved
+      b.put("VideoHandler".getBytes("US-ASCII")); b.put(0.toByte)
+    }, 37)
+    val vmhd = locally {
+      val raw = full("vmhd", { b =>
+        b.putShort(0)                     // graphicsmode copy
+        b.putShort(0); b.putShort(0); b.putShort(0) // opcolor
+      }, 12)
+      raw(11) = 1 // flags = 1, per spec
+      raw
+    }
+    val dinf = box("dinf", full("dref", { b =>
+      b.putInt(1)                         // entry count
+      b.putInt(12); b.put("url ".getBytes("US-ASCII"))
+      b.putInt(1)                         // flags: self-contained
+    }, 20))
+    val avc1 = box("avc1", {
+      val b = java.nio.ByteBuffer.allocate(78)
+      b.putInt(0); b.putShort(0)          // reserved
+      b.putShort(1)                       // data reference index
+      (0 until 4).foreach(_ => b.putInt(0)) // pre_defined/reserved
+      b.putShort(width.toShort); b.putShort(height.toShort)
+      b.putInt(0x00480000); b.putInt(0x00480000) // 72 dpi
+      b.putInt(0)                         // reserved
+      b.putShort(1)                       // frame count
+      b.put(new Array[Byte](32))          // compressor name
+      b.putShort(0x0018)                  // depth 24
+      b.putShort(-1)                      // pre_defined
+      b.array()
+    })
+    val stsd = full("stsd", { b => b.putInt(1); b.put(avc1) }, 8 + avc1.length)
+    val stts = full("stts", { b =>
+      b.putInt(1); b.putInt(nFrames); b.putInt(Mp4FrameTicks)
+    }, 16)
+    val stsc = full("stsc", _.putInt(0), 8)
+    val stsz = full("stsz", { b => b.putInt(0); b.putInt(nFrames) }, 12)
+    val stco = full("stco", _.putInt(0), 8)
+    val stbl = box("stbl",
+      stsd ++ stts ++ stsc ++ stsz ++ stco)
+    val minf = box("minf", vmhd ++ dinf ++ stbl)
+    val mdia = box("mdia", mdhd ++ hdlr ++ minf)
+    val trak = box("trak", tkhd ++ mdia)
+    val moov = box("moov", mvhd ++ trak)
+    val frames = new Array[Byte](nFrames * Mp4FrameBytes)
+    var i = 0
+    while (i < frames.length) {
+      frames(i) = (((seed + i) * 2654435761L >>> 16) & 0xff).toByte
+      i += 1
+    }
+    val mdat = box("mdat", frames)
+    ftyp ++ moov ++ mdat
+  }
+
+  /** Parse ISO-BMFF geometry from raw bytes: walks the box tree
+    * (32-bit sizes, the 64-bit `size == 1` largesize escape, and the
+    * `size == 0` to-end-of-file form; descends the standard container
+    * boxes), reading the major brand, movie timescale/duration, track
+    * 16.16 geometry, first sample-entry fourcc, and total stts sample
+    * count. Returns None when the container is not well-formed —
+    * truncated and foreign payloads degrade, they don't throw.
+    * Returns (brand, codec, width, height, nFrames, durationUs). */
+  def parseMp4(b: Array[Byte])
+      : Option[(String, String, Int, Int, Long, Long)] = {
+    if (sniffKind(b) != "mp4") return None
+    var brand: String = null
+    var codec: String = null
+    var timescale = 0L; var durTicks = -1L
+    var width = 0; var height = 0
+    var nFrames = -1L
+    val containers = Set("moov", "trak", "mdia", "minf", "stbl")
+    def u32(at: Int): Long =
+      ((b(at) & 0xffL) << 24) | ((b(at + 1) & 0xffL) << 16) |
+        ((b(at + 2) & 0xffL) << 8) | (b(at + 3) & 0xffL)
+    def fourcc(at: Int): String =
+      new String(b, at, 4, "US-ASCII")
+    // returns false when the range is malformed
+    def walk(from: Int, to: Int): Boolean = {
+      var p = from
+      while (p < to) {
+        if (p + 8 > to) return false
+        var size = u32(p)
+        val tpe = fourcc(p + 4)
+        var bodyAt = p + 8
+        if (size == 1) { // 64-bit largesize
+          if (p + 16 > to) return false
+          size = (u32(p + 8) << 32) | u32(p + 12)
+          bodyAt = p + 16
+        } else if (size == 0) size = (to - p).toLong // to end of file
+        if (size < (bodyAt - p) || p + size > to) return false
+        val end = (p + size).toInt
+        tpe match {
+          case t if containers.contains(t) =>
+            if (!walk(bodyAt, end)) return false
+          case "ftyp" if end - bodyAt >= 4 =>
+            brand = fourcc(bodyAt)
+          case "mvhd" if end - bodyAt >= 4 =>
+            val version = b(bodyAt) & 0xff
+            if (version == 1) {
+              if (end - bodyAt < 32) return false
+              timescale = u32(bodyAt + 20)
+              durTicks = (u32(bodyAt + 24) << 32) | u32(bodyAt + 28)
+            } else {
+              if (end - bodyAt < 20) return false
+              timescale = u32(bodyAt + 12)
+              durTicks = u32(bodyAt + 16)
+            }
+          case "tkhd" =>
+            val version = b(bodyAt) & 0xff
+            // width/height are the LAST 8 bytes in both versions
+            if (end - bodyAt < (if (version == 1) 92 else 80)) return false
+            width = (u32(end - 8) >>> 16).toInt
+            height = (u32(end - 4) >>> 16).toInt
+          case "stsd" if end - bodyAt >= 16 =>
+            codec = fourcc(bodyAt + 12) // first sample entry's fourcc
+          case "stts" if end - bodyAt >= 8 =>
+            val entries = u32(bodyAt + 4)
+            if (end - bodyAt < 8 + entries * 8) return false
+            var n = 0L
+            var e = 0
+            while (e < entries) {
+              n += u32(bodyAt + 8 + e * 8)
+              e += 1
+            }
+            nFrames = n
+          case _ => () // mdat, free, udta... skip
+        }
+        p = end
+      }
+      true
+    }
+    try {
+      if (!walk(0, b.length)) return None
+      if (brand == null || codec == null || timescale <= 0
+          || durTicks < 0 || width <= 0 || height <= 0 || nFrames < 0)
+        None
+      else Some((brand, codec, width, height, nFrames,
+        durTicks * 1000000L / timescale))
+    } catch { case _: RuntimeException => None }
+  }
+
+  /** Attach a REAL MP4 payload whose geometry derives from row
+    * fields — the video face of [[withImagePayload]]. */
+  def withVideoPayload(spark: SparkSession, df: DataFrame,
+      idCol: String, widthExpr: Column, heightExpr: Column,
+      framesExpr: Column): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id"),
+        widthExpr.cast("int").as("_w"), heightExpr.cast("int").as("_h"),
+        framesExpr.cast("int").as("_n"))
+      .as[(Long, Int, Int, Int)]
+      .mapPartitions(_.map { case (id, w, h, n) =>
+        (id, mp4Payload(w, h, n, seed = id))
+      })
+      .toDF("doc_id", "payload")
+  }
+
+  /** Partition-local video decode: binary payload → typed geometry
+    * (same degrade-don't-throw discipline as [[decodeAudioMeta]]). */
+  def decodeVideoMeta(spark: SparkSession, df: DataFrame,
+      idCol: String = "doc_id"): Dataset[VideoMeta] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, bytes) =>
+          val checksum = md.digest(bytes).map("%02x".format(_)).mkString
+          parseMp4(bytes) match {
+            case Some((brand, codec, w, h, n, durUs)) =>
+              VideoMeta(id, bytes.length.toLong, "mp4", brand, codec,
+                w, h, n, durUs, checksum)
+            case None =>
+              VideoMeta(id, bytes.length.toLong, sniffKind(bytes), "",
+                "", 0, 0, 0L, 0L, checksum)
           }
         }
       }

@@ -1031,6 +1031,77 @@ class PipelineSpec extends AnyFunSuite {
       && degraded.n_samples == 0L)
   }
 
+  test("mp4 payload/parse round-trips geometry through real ISO-BMFF " +
+      "bytes") {
+    val mp4 = Multimodal.mp4Payload(320, 240, nFrames = 30, seed = 7L)
+    assert(Multimodal.sniffKind(mp4) == "mp4")
+    // container framing arithmetic: fixed box overhead + mdat body
+    assert(mp4.length
+      == Multimodal.Mp4FixedBytes + 30 * Multimodal.Mp4FrameBytes)
+    // 30 frames at 3000/90000 ticks = exactly 1 s
+    assert(Multimodal.parseMp4(mp4)
+      == Some(("isom", "avc1", 320, 240, 30L, 1000000L)))
+    // determinism: same inputs, same bytes
+    assert(mp4.sameElements(Multimodal.mp4Payload(320, 240, 30, 7L)))
+    // zero-frame video is a legal container
+    assert(Multimodal.parseMp4(Multimodal.mp4Payload(16, 16, 0, 1L))
+      == Some(("isom", "avc1", 16, 16, 0L, 0L)))
+  }
+
+  test("mp4 parser handles largesize/to-eof boxes and degrades on " +
+      "malformed input") {
+    val canonical = Multimodal.mp4Payload(64, 48, 2, seed = 3L)
+    // rewrite the trailing mdat header to the 64-bit largesize form:
+    // size=1 escape + 8-byte size after the fourcc
+    val mdatAt = canonical.length - 8 - 2 * Multimodal.Mp4FrameBytes
+    assert(new String(canonical, mdatAt + 4, 4, "US-ASCII") == "mdat")
+    val body = canonical.drop(mdatAt + 8)
+    val large = java.nio.ByteBuffer.allocate(16 + body.length)
+    large.putInt(1)
+    large.put("mdat".getBytes("US-ASCII"))
+    large.putLong(16L + body.length)
+    large.put(body)
+    val rewritten = canonical.take(mdatAt) ++ large.array()
+    assert(Multimodal.parseMp4(rewritten)
+      == Some(("isom", "avc1", 64, 48, 2L, 66666L)))
+    // size=0 (to end of file) on the last box is also legal
+    val toEof = canonical.clone()
+    java.nio.ByteBuffer.wrap(toEof).putInt(mdatAt, 0)
+    assert(Multimodal.parseMp4(toEof)
+      == Some(("isom", "avc1", 64, 48, 2L, 66666L)))
+    // truncated mid-box / foreign bytes / box overrunning file: None
+    assert(Multimodal.parseMp4(canonical.take(40)).isEmpty)
+    assert(Multimodal.parseMp4("not video at all".getBytes).isEmpty)
+    val overrun = canonical.clone()
+    java.nio.ByteBuffer.wrap(overrun)
+      .putInt(mdatAt, canonical.length) // mdat claims more than exists
+    assert(Multimodal.parseMp4(overrun).isEmpty)
+  }
+
+  test("video decode pipeline: row-field geometry round-trips and " +
+      "non-mp4 payloads degrade in place") {
+    val df = Seq((0L, "abcd"), (1L, "ab")).toDF("doc_id", "text")
+    val media = Multimodal.withVideoPayload(spark, df, "doc_id",
+      org.apache.spark.sql.functions.lit(16) * (lit(1) + col("doc_id") % 5),
+      org.apache.spark.sql.functions.lit(16) * (lit(1) +
+        org.apache.spark.sql.functions.length(col("text")) % 4),
+      org.apache.spark.sql.functions.lit(1) +
+        org.apache.spark.sql.functions.length(col("text")) % 240)
+    val meta = Multimodal.decodeVideoMeta(spark, media)
+      .collect().sortBy(_.doc_id)
+    assert(meta.map(m => (m.doc_id, m.kind, m.brand, m.codec, m.width,
+      m.height, m.n_frames, m.duration_us, m.byte_len)).toSeq == Seq(
+      (0L, "mp4", "isom", "avc1", 16, 16, 5L, 166666L,
+        Multimodal.Mp4FixedBytes + 5L * Multimodal.Mp4FrameBytes),
+      (1L, "mp4", "isom", "avc1", 32, 48, 3L, 100000L,
+        Multimodal.Mp4FixedBytes + 3L * Multimodal.Mp4FrameBytes)))
+    // a text payload through the same decoder: sniffed kind, zeros
+    val degraded = Multimodal.decodeVideoMeta(spark,
+      Multimodal.withPayload(df)).collect().sortBy(_.doc_id).head
+    assert(degraded.kind == "bin" && degraded.width == 0
+      && degraded.n_frames == 0L)
+  }
+
   test("multimodal stub decode is deterministic and partition-local") {
     val meta = Multimodal.decodeMeta(spark, Multimodal.withPayload(docs))
       .collect().sortBy(_.doc_id)
