@@ -84,33 +84,50 @@ object Dedup {
       .select(col("_id"), shinglesOfTokens(col("_toks"), k).as("_arr"))
 
   /** Apply the `maxDf` shingle-universe cap at ARRAY granularity and
-    * attach the POST-cap set size as `_n`: the hot set (`df > maxDf`)
-    * is tiny by construction — that is the point of the cap — so it is
-    * computed in ONE job over the pinned array cache and collected to
-    * the driver as control-plane data (the IVF-centroid discipline),
-    * then folded into every consumer as a literal `array_except`
-    * argument. Versus the exploded-row anti-join shape this removes
-    * the per-consumer hot-set re-aggregation (broadcast subtrees are
-    * re-executed per consumer when exchange reuse misses) AND lets
-    * rows carry their own post-cap size, which kills the separate
-    * per-doc size aggregates and the post-pair-agg size joins — the
-    * Jaccard denominator rides the intersect join instead. */
-  private def capArrays(arr: DataFrame, maxDf: Int): DataFrame = {
-    val capped =
-      if (maxDf == Int.MaxValue) arr
+    * attach the POST-cap set size as `_n`, so every exploded row can
+    * carry its own Jaccard denominator — which kills the separate
+    * per-doc size aggregates and the post-pair-agg size joins.
+    *
+    * Two paths, picked by ONE tiny probe job over the pinned array
+    * cache (control-plane, like the hot-set broadcast itself):
+    *  - hot set empty (a clean corpus at any scale): the input pin is
+    *    reused as-is with `_n = size(_arr)` — zero extra work.
+    *  - hot set non-empty: explode → broadcast ANTI-join → re-collect
+    *    per doc into a SECOND pin carrying post-cap arrays + sizes;
+    *    the raw pin is released the moment the capped one is
+    *    materialized. Everything stays distributed — the rejected
+    *    alternative (collect the hot set and fold it into a literal
+    *    `array_except` argument) rebuilds a hash set of the hot
+    *    array PER ROW and died at the sf1 probe: 10k hot shingles ×
+    *    50k docs ≈ 214 s of task time in the explode stage alone,
+    *    and a driver-side literal of the hot set cannot scale to the
+    *    boilerplate volume of a real web corpus anyway. */
+  private def capArrays(arr: DataFrame, maxDf: Int, handle: PinHandle,
+      sideCols: Seq[String] = Nil): (DataFrame, PinHandle) = {
+    if (maxDf == Int.MaxValue)
+      (arr.withColumn("_n", size(col("_arr"))), handle)
+    else {
+      require(maxDf >= 2, s"maxDf must be >= 2 (got $maxDf): " +
+        "a shingle needs at least 2 docs to generate a pair")
+      val hot = arr.select(explode(col("_arr")).as("sh"))
+        .groupBy(col("sh")).agg(count(lit(1)).as("_df"))
+        .where(col("_df") > maxDf)
+        .select(col("sh"))
+      if (hot.limit(1).count() == 0L)
+        (arr.withColumn("_n", size(col("_arr"))), handle)
       else {
-        require(maxDf >= 2, s"maxDf must be >= 2 (got $maxDf): " +
-          "a shingle needs at least 2 docs to generate a pair")
-        val hot = arr.select(explode(col("_arr")).as("sh"))
-          .groupBy(col("sh")).agg(count(lit(1)).as("_df"))
-          .where(col("_df") > maxDf)
-          .select(col("sh"))
-          .collect().map(_.getString(0)).toSeq
-        if (hot.isEmpty) arr
-        else arr.withColumn("_arr",
-          array_except(col("_arr"), typedLit(hot)))
+        val keyCols = (Seq("_id") ++ sideCols).map(col)
+        val capped = arr
+          .select(keyCols :+ explode(col("_arr")).as("sh"): _*)
+          .join(broadcast(hot), Seq("sh"), "left_anti")
+          .groupBy(keyCols: _*)
+          .agg(collect_list(col("sh")).as("_arr"),
+            count(lit(1)).as("_n"))
+        val (pinned, h2) = pinNow(capped)
+        handle.release() // superseded by the capped pin
+        (pinned, h2)
       }
-    capped.withColumn("_n", size(col("_arr")))
+    }
   }
 
   /** Drop shingles whose document frequency exceeds `maxDf` — the
@@ -191,8 +208,8 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text",
       hashJoin: Boolean = true, maxDf: Int = Int.MaxValue)
       : (DataFrame, PinHandle) = {
-    val (arr, handle) = pinNow(shingleArrays(df, k, idCol, textCol))
-    val capped = capArrays(arr, maxDf)
+    val (arr, handle0) = pinNow(shingleArrays(df, k, idCol, textCol))
+    val (capped, handle) = capArrays(arr, maxDf, handle0)
     // each exploded row carries its doc's POST-cap set size, so the
     // Jaccard denominator is available straight out of the intersect
     // aggregation — no separate size aggregates, no size joins
@@ -252,8 +269,8 @@ object Dedup {
         .withColumn("_side", lit(1))
       .unionByName(shingleArrays(refDocs, k, idCol, textCol)
         .withColumn("_side", lit(0)))
-    val (arr, handle) = pinNow(both)
-    val capped = capArrays(arr, maxDf)
+    val (arr, handle0) = pinNow(both)
+    val (capped, handle) = capArrays(arr, maxDf, handle0, Seq("_side"))
     val newSide = capped.where(col("_side") === 1)
       .select(col("_id"), col("_n").as("na"), explode(col("_arr")).as("sh"))
     val refSide = capped.where(col("_side") === 0)

@@ -100,9 +100,24 @@ class PipelineSpec extends AnyFunSuite {
       (100L, "alpha beta gamma delta epsilon zeta"),
       (101L, "alpha beta gamma delta epsilon eta"))
     val corpus = (boiler ++ dups).toDF("doc_id", "text")
-    val capped = Dedup.jaccardPairs(corpus, k = 3, threshold = 0.1,
-      maxDf = 4).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cappedRows = Dedup.jaccardPairs(corpus, k = 3, threshold = 0.1,
+      maxDf = 4).collect()
+    val capped = cappedRows.map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(capped == Set((100L, 101L)))
+    // post-cap SIZES: both intersections and denominators are over the
+    // capped universe (4 shingles each, 3 shared -> 3/5), pinning that
+    // the capped-pin path carries post-cap set sizes, not raw ones
+    assert(cappedRows.head.getAs[Double]("jaccard") == 0.6)
+    // cross-corpus capping flows through the same capped pin: split
+    // the same corpus and the boundary-crossing near-dup pair (and
+    // nothing from the boilerplate herd) survives with the same value
+    val cross = Dedup.crossCorpusPairs(
+      corpus.where(col("doc_id") % 2 === 1),
+      corpus.where(col("doc_id") % 2 === 0),
+      k = 3, threshold = 0.1, maxDf = 4).collect()
+    assert(cross.map(r => (r.getLong(0), r.getLong(1))).toSet
+      == Set((101L, 100L)))
+    assert(cross.head.getAs[Double]("jaccard") == 0.6)
     // uncapped the hot shingle alone materializes all 66 boilerplate
     // pairs (each at jaccard 1/7) — the cap is what removed them
     val uncapped = Dedup.jaccardPairs(corpus, k = 3, threshold = 0.1)

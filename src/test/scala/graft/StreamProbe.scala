@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.CorpusDedup
+
+/** Scale probe for the streaming corpus dedup (test-scope main, run
+  * with `Test/runMain graft.StreamProbe [sfDir] [nBatches]`): feeds
+  * the documents table through [[CorpusDedup.appendBatch]] in
+  * id-range batches and prints per-batch wall seconds + accept
+  * counts. The contract under test at scale is that BATCH COST STAYS
+  * FLAT as the accepted corpus grows — each batch pays |batch| work
+  * plus a bloom-hit-fraction fingerprint join, never a corpus scan —
+  * so a super-linear trend across batches is the regression signal.
+  * Every batch also carries planted copies of batch-0 text under
+  * fresh ids, so the cross-batch reject path does real work. */
+object StreamProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val nBatches = if (args.length > 1) args(1).toInt else 5
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-streamprobe").toString
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").cache()
+    val total = docs.count()
+    // batch by hash of id so every batch draws uniformly from the
+    // corpus (scaled testdata offsets ids by copy, so contiguous id
+    // ranges would leave most batches empty)
+    val batched = docs.withColumn("_b", pmod(
+      xxhash64(col("doc_id")), lit(nBatches.toLong))).cache()
+    // planted dups: a slice of batch 0 re-offered in every later
+    // batch under fresh ids — these must all be rejected
+    val planted = batched.where(col("_b") === 0
+      && col("doc_id") % 10 === 0).drop("_b")
+    var accepted = 0L
+    (0 until nBatches).foreach { b =>
+      val fresh = batched.where(col("_b") === b).drop("_b")
+      val batch =
+        if (b == 0) fresh
+        else fresh.unionByName(planted.select(
+          (col("doc_id") + 10000000L * b).as("doc_id"), col("text")))
+      val t0 = System.nanoTime()
+      val n = CorpusDedup.appendBatch(spark, batch, version = b + 1,
+        s"$base/corpus", s"$base/tier", s"$base/fp")
+      val dt = (System.nanoTime() - t0) / 1e9
+      accepted += n
+      println(f"== batch $b: $dt%.2f s, accepted $n (corpus $accepted)")
+    }
+    docs.unpersist(blocking = true)
+    batched.unpersist(blocking = true)
+    require(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "appendBatch leaked pinned blocks")
+    println(f"== total accepted $accepted of ~$total offered (+planted)")
+    spark.stop()
+  }
+}
