@@ -83,31 +83,47 @@ object DDSketch extends Serializable {
 
   // --- Spark typed aggregators ------------------------------------------
 
+  /** Mutable aggregation state. The first formulation used
+    * `Map[Int, Long]` with `updated` per row — one immutable-map
+    * allocation (plus boxing) per VALUE, measured ~30 µs/update inside
+    * the sort-based object aggregate on q_stats_fields (70 s of task
+    * time for 1.2M updates at sf0.1). Object-hash/sort aggregation
+    * keeps buffers as raw JVM objects and only serializes them at the
+    * partial-output boundary, so a mutable map + kryo buffer encoder
+    * is the right trade: O(1) in-place updates, serialization cost
+    * proportional to GROUPS (not rows) at the shuffle. */
+  type Buf = scala.collection.mutable.HashMap[Int, Long]
+  private def bufAdd(b: Buf, k: Int, n: Long): Buf = {
+    b.update(k, b.getOrElse(k, 0L) + n); b
+  }
+  private def bufMerge(a: Buf, b: Buf): Buf =
+    if (a.size < b.size) bufMerge(b, a)
+    else b.foldLeft(a) { case (acc, (k, v)) => bufAdd(acc, k, v) }
+
   /** values → sketch */
-  final class SketchAgg extends Aggregator[Double, Map[Int, Long],
-      Map[Int, Long]] {
-    override def zero: Map[Int, Long] = Map.empty
-    override def reduce(b: Map[Int, Long], x: Double): Map[Int, Long] =
-      add(b, x)
-    override def merge(a: Map[Int, Long], b: Map[Int, Long])
-        : Map[Int, Long] = mergeMaps(a, b)
-    override def finish(b: Map[Int, Long]): Map[Int, Long] = b
-    override def bufferEncoder: Encoder[Map[Int, Long]] =
+  final class SketchAgg extends Aggregator[Double, Buf, Map[Int, Long]] {
+    override def zero: Buf = new Buf
+    override def reduce(b: Buf, x: Double): Buf = {
+      val k = bucketOf(x)
+      if (k == Int.MinValue) b else bufAdd(b, k, 1L)
+    }
+    override def merge(a: Buf, b: Buf): Buf = bufMerge(a, b)
+    override def finish(b: Buf): Map[Int, Long] = b.toMap
+    override def bufferEncoder: Encoder[Buf] = Encoders.kryo[Buf]
+    override def outputEncoder: Encoder[Map[Int, Long]] =
       ExpressionEncoder[Map[Int, Long]]()
-    override def outputEncoder: Encoder[Map[Int, Long]] = bufferEncoder
   }
 
   /** sketches → merged sketch (tier rollup) */
-  final class MergeAgg extends Aggregator[Map[Int, Long], Map[Int, Long],
+  final class MergeAgg extends Aggregator[Map[Int, Long], Buf,
       Map[Int, Long]] {
-    override def zero: Map[Int, Long] = Map.empty
-    override def reduce(b: Map[Int, Long], s: Map[Int, Long])
-        : Map[Int, Long] = mergeMaps(b, s)
-    override def merge(a: Map[Int, Long], b: Map[Int, Long])
-        : Map[Int, Long] = mergeMaps(a, b)
-    override def finish(b: Map[Int, Long]): Map[Int, Long] = b
-    override def bufferEncoder: Encoder[Map[Int, Long]] =
+    override def zero: Buf = new Buf
+    override def reduce(b: Buf, s: Map[Int, Long]): Buf =
+      s.foldLeft(b) { case (acc, (k, v)) => bufAdd(acc, k, v) }
+    override def merge(a: Buf, b: Buf): Buf = bufMerge(a, b)
+    override def finish(b: Buf): Map[Int, Long] = b.toMap
+    override def bufferEncoder: Encoder[Buf] = Encoders.kryo[Buf]
+    override def outputEncoder: Encoder[Map[Int, Long]] =
       ExpressionEncoder[Map[Int, Long]]()
-    override def outputEncoder: Encoder[Map[Int, Long]] = bufferEncoder
   }
 }

@@ -31,6 +31,17 @@ object StatTiers {
   val sketchOf = udaf(new DDSketch.SketchAgg)
   val sketchMerge = udaf(new DDSketch.MergeAgg)
 
+  // NOTE (round-11 A/B, kept for the next reader): re-expressing the
+  // sketch as a codegen'd bin-count aggregation (per-row bucket key,
+  // HashAggregate over (group, field, bin), map_from_entries at the
+  // end, left-join back) was implemented and MEASURED SLOWER at
+  // sf0.1 — q_stats_tier 1.5 -> 2.5 s warm — because it adds two
+  // shuffles and a join to plans that are stage-latency-bound, while
+  // the typed-agg cost it removes is small once the aggregator uses
+  // mutable kryo buffers (DDSketch.Buf). The single-pass groupBy with
+  // sketchOf stays; revisit only if tier-0 row volume per group grows
+  // enough that object aggregation dominates the stage.
+
   /** Tier 0: raw canonical messages → per-(producer, topic, bucket)
     * stats on `valueCol`. NaN/Inf are excluded from numeric stats but
     * still counted, mirroring statistics.go:108-127. */
@@ -39,7 +50,7 @@ object StatTiers {
     val v = col(valueCol)
     val finite = !isnan(v) && !v.isin(Double.PositiveInfinity,
       Double.NegativeInfinity)
-    messages
+    val flat = messages
       // `div` = exact integer division: time is epoch ns (~1.7e18),
       // beyond double's 2^53 exact range, so `/` would corrupt buckets
       .groupBy(col("producer"), col("topic"),
@@ -55,9 +66,8 @@ object StatTiers {
         // nulls are routed through NaN so the sketch SKIPS them —
         // a null fed to a primitive-Double aggregator would decode
         // as a phantom 0.0 sample
-        sketchOf(coalesce(v, lit(Double.NaN))).as("sketch")
-      )
-      .withColumn("width_ns", lit(widthNs))
+        sketchOf(coalesce(v, lit(Double.NaN))).as("sketch"))
+    flat.withColumn("width_ns", lit(widthNs))
   }
 
   // --- per-field statistics ---------------------------------------------
@@ -79,16 +89,40 @@ object StatTiers {
       numericFields: Seq[String], textFields: Seq[String]): DataFrame = {
     require(numericFields.nonEmpty || textFields.nonEmpty,
       "no fields to aggregate")
+    // The text min/max aggregates demote this aggregation to
+    // SortAggregate (string buffers are not fixed-width, so
+    // HashAggregate refuses the whole thing), and SortAggregate
+    // evaluates its input expressions INTERPRETED, per row. So every
+    // non-trivial input (isnan/isin CASE, decimal cast) is
+    // pre-projected into a named column inside whole-stage codegen,
+    // and the aggregate only touches bare attributes — measured 39 ->
+    // 33 s of task time on the sf0.1 tier-0 stage (the remainder is
+    // the sort + per-row buffer updates themselves, which only a
+    // string-free aggregate would avoid; split-and-join shapes cost
+    // more in stage latency than they save — see the A/B note above).
+    val finCols: Seq[(String, org.apache.spark.sql.Column)] =
+      numericFields.flatMap { f =>
+        val v = col(f).cast("double")
+        val finite = !isnan(v) && !v.isin(Double.PositiveInfinity,
+          Double.NegativeInfinity)
+        // the decimal face derives from the PROJECTED column: a
+        // single-referenced projection gets inlined back into the
+        // aggregate by CollapseProject, but _fin_$f ends up
+        // multiply-referenced (count/min/max + this cast), so the
+        // expensive CASE stays materialized and only the bare cast
+        // rides into the agg input
+        Seq(s"_fin_$f" -> when(finite, v),
+          s"_find_$f" -> col(s"_fin_$f").cast(Dec))
+      }
     val aggs = numericFields.flatMap { f =>
-      val v = col(f).cast("double")
-      val finite = !isnan(v) && !v.isin(Double.PositiveInfinity,
-        Double.NegativeInfinity)
       Seq(
-        count(when(finite, 1)).as(s"${f}__count"),
-        min(when(finite, v)).as(s"${f}__min"),
-        max(when(finite, v)).as(s"${f}__max"),
-        sum(when(finite, v).cast(Dec)).as(s"${f}__sum"),
-        sketchOf(coalesce(v, lit(Double.NaN))).as(s"${f}__sketch"))
+        count(col(s"_fin_$f")).as(s"${f}__count"),
+        min(col(s"_fin_$f")).as(s"${f}__min"),
+        max(col(s"_fin_$f")).as(s"${f}__max"),
+        sum(col(s"_find_$f")).as(s"${f}__sum"),
+        // nulls routed through NaN: the sketch skips them (see base)
+        sketchOf(coalesce(col(s"_fin_$f"), lit(Double.NaN)))
+          .as(s"${f}__sketch"))
     } ++ textFields.flatMap { f =>
       // trigram signature rides with every text summary, like the
       // reference's TextSummary (statistics.go:237,359) — [[StatFilter]]
@@ -116,7 +150,10 @@ object StatTiers {
     val withMasks = textFields.foldLeft(input) { (df, f) =>
       df.withColumn(s"_trgm_masks_$f", Trigram.masksOf(col(f)))
     }
-    withMasks
+    val withFin = finCols.foldLeft(withMasks) { case (df, (n, c)) =>
+      df.withColumn(n, c)
+    }
+    withFin
       .groupBy(col("producer"), col("topic"),
         expr(s"time div ${widthNs}L").as("bucket"))
       .agg(aggs.head, aggs.tail: _*)
