@@ -1093,6 +1093,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(Multimodal.parseMp4(overrun).isEmpty)
   }
 
+  test("container parsers never throw: every truncation and " +
+      "single-byte corruption parses to Some or None") {
+    // a 100 TB corpus always carries truncated and bit-rotted files;
+    // the decode contract is degrade-in-place, never a stage kill
+    val wav = Multimodal.wavPayload(16000, 2, 40, seed = 9L)
+    val mp4 = Multimodal.mp4Payload(48, 32, 7, seed = 9L)
+    (0 until wav.length).foreach { n =>
+      Multimodal.parseWav(wav.take(n)) // must not throw
+    }
+    (0 until mp4.length).foreach { n =>
+      Multimodal.parseMp4(mp4.take(n))
+    }
+    val rnd = new scala.util.Random(7)
+    (0 until 500).foreach { _ =>
+      val m = mp4.clone(); val w = wav.clone()
+      m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      w(rnd.nextInt(w.length)) = rnd.nextInt(256).toByte
+      Multimodal.parseMp4(m)
+      Multimodal.parseWav(w)
+    }
+  }
+
   test("video decode pipeline: row-field geometry round-trips and " +
       "non-mp4 payloads degrade in place") {
     val df = Seq((0L, "abcd"), (1L, "ab")).toDF("doc_id", "text")
