@@ -391,7 +391,16 @@ object SparkEntry {
 
     // --- TPC-H-ish analytics over the star schema -----------------------
     "q1_pricing" -> ((s, dir) => {
-      val li = Tables.load(s, dir, "lineitem")
+      // a single-row-group lineitem file arrives as ONE task and the
+      // decimal partial aggregation runs on one core (measured 2.0 s
+      // warm at sf0.1); spread the projected agg columns to cluster
+      // parallelism first — identity once the input has >= cluster
+      // splits (the probe in Spread), so this is a local-scale fix
+      // that costs nothing at 100 TB
+      val li = graft.util.Spread.ensure(
+        Tables.load(s, dir, "lineitem").select("l_returnflag",
+          "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"),
+        Seq(col("l_extendedprice"))) // ~unique: uniform spread
       li.groupBy("l_returnflag", "l_linestatus")
         .agg(
           sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double")

@@ -198,6 +198,11 @@ object TextOps {
   def lmScore(docs: DataFrame, train: Option[DataFrame] = None,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val tr = train.getOrElse(docs)
+    // NB deliberately NOT spread: A/B'd at sf0.1 (round 11) — spreading
+    // the three tokenize branches measured 4.4 -> 4.9 s warm; the
+    // added exchanges cost more stage latency than the single-task
+    // scan stages they parallelize (train and score branches overlap
+    // on idle cores as-is)
     def toks(df: DataFrame): DataFrame =
       df.select(col(idCol).as("_id"), tokens(lower(col(textCol))).as("_toks"))
     def bigrams(df: DataFrame): DataFrame =

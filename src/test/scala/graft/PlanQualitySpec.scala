@@ -152,6 +152,17 @@ class PlanQualitySpec extends AnyFunSuite {
     // bloom dedup: flagged batch pinned — the tier build and the
     // clean/confirmed split must not multiply source scans
     assert(scans("d_bloom_dedup", "documents.parquet") <= 2)
+    // jaccard family (round-11 array-granularity pin): the tokenize+
+    // shingle pipeline runs once into the pin, so the final pair plan
+    // reads NO parquet at all — both join sides explode from the cache
+    assert(scans("d_jaccard_pairs", "documents.parquet") == 0)
+    // cross-corpus dedup re-reads the source only as the anti-join's
+    // left (batch) side; the flagged set rides a broadcast of the
+    // pinned pair pipeline, never a sort-merge of a second scan
+    assert(scans("d_cross_dedup", "documents.parquet") <= 1)
+    val crossPlan = SparkEntry.queries("d_cross_dedup")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!crossPlan.contains("SortMergeJoin"), crossPlan)
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = false))
   }
