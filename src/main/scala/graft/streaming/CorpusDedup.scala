@@ -135,6 +135,134 @@ object CorpusDedup {
     } finally pin.release()
   }
 
+  /** Streaming NEAR-duplicate corpus dedup — the shingle-Jaccard face
+    * of [[appendBatch]]: drop every batch document within Jaccard
+    * `threshold` of anything already ACCEPTED, using a persisted
+    * shingle inverted index instead of re-shingling corpus text
+    * ([[graft.pipeline.Dedup.crossCorpusPairs]] notes the ref side's
+    * exploded index is "the thing to persist between batches" in
+    * production — this is that sidecar).
+    *
+    * `postingsDir` layout: (bucket, sh, ref_id, nb, version) — one row
+    * per accepted document per distinct k-shingle, `nb` the document's
+    * shingle-set size frozen at accept time, partitioned by `version`
+    * (idempotent replay, same discipline as [[appendBatch]]) and
+    * `bucket` = a hash of the shingle. At 100 TB the bucket column is
+    * the co-location handle: the candidate join shuffles on `sh`
+    * anyway, but bucketing the stored side lets a planner prune or
+    * pre-cluster postings reads; batch work is |batch's shingles| join
+    * the matching postings, never a corpus text scan.
+    *
+    * Semantics: EXACT `crossCorpusPairs(batch, accepted)` at
+    * `maxDf = MaxValue` — each batch's survivors are what the batch
+    * operator would keep against the accepted-so-far corpus (the spec
+    * pins this equivalence over random multi-batch histories).
+    * In-batch near-dups are deliberately NOT collapsed (the corpus
+    * boundary is this verb's job, [[graft.pipeline.Curate
+    * .dedupAgainstCorpus]]'s contract); run the batch through
+    * [[graft.pipeline.Curate.dedupNearDup]] first if needed.
+    *
+    * `maxDf` is the hot-shingle guard, applied to the CURRENT
+    * postings df (corpus side): shingles indexed by more than `maxDf`
+    * accepted documents are dropped from candidate generation and
+    * intersection counting, while `na`/`nb` stay the frozen set
+    * sizes. This deliberately DIVERGES from the batch operator's
+    * post-cap sizes — an incremental index cannot retroactively
+    * re-size accepted documents as shingles become hot — and is the
+    * standard recall-preserving approximation (a shingle shared by
+    * hundreds of documents carries no dedup signal; dropping it can
+    * only lower measured Jaccard, so `threshold` remains a lower
+    * bound on true similarity of dropped docs). */
+  def appendBatchNearDup(spark: SparkSession, batch0: DataFrame,
+      version: Long, corpusDir: String, postingsDir: String,
+      k: Int = 3, threshold: Double = 0.5,
+      maxDf: Int = Int.MaxValue, nBuckets: Int = 256,
+      idCol: String = "doc_id", textCol: String = "text"): Long = {
+    import graft.pipeline.{Dedup, TextOps}
+    if (maxDf != Int.MaxValue)
+      require(maxDf >= 1, s"maxDf must be >= 1 (got $maxDf)")
+    // one pinned frame of (id, distinct-shingle array, size): feeds
+    // the candidate join's batch side, the survivor filter, and the
+    // postings append — the jaccardPairs pin discipline
+    val (arr, pin) = Dedup.pinNow(
+      graft.util.Spread.ensure(
+        batch0.select(col(idCol).as("_id"), col(textCol)), Seq(col("_id")))
+        .select(col("_id"),
+          TextOps.tokens(lower(col(textCol))).as("_toks"))
+        .select(col("_id"),
+          Dedup.shinglesOfTokens(col("_toks"), k).as("_arr"))
+        .withColumn("_na", size(col("_arr"))))
+    try {
+      val flagged: DataFrame =
+        if (!exists(spark, postingsDir))
+          arr.select(col("_id")).limit(0) // typed-empty: no corpus yet
+        else {
+          val postings = spark.read.parquet(postingsDir)
+            .where(col("version") < version)
+            .select(col("sh"), col("ref_id"), col("nb"))
+          val capped =
+            if (maxDf == Int.MaxValue) postings
+            else {
+              val hot = postings.groupBy(col("sh"))
+                .agg(count(lit(1)).as("_df"))
+                .where(col("_df") > maxDf).select("sh")
+              postings.join(broadcast(hot), Seq("sh"), "left_anti")
+            }
+          val newSide = arr.select(col("_id"), col("_na"),
+            explode(col("_arr")).as("sh"))
+          newSide.hint("shuffle_hash").join(capped, Seq("sh"))
+            .groupBy(col("_id"), col("ref_id"))
+            .agg(count(lit(1)).as("_c"), min(col("_na")).as("na"),
+              min(col("nb")).as("nb"))
+            .where(round(col("_c").cast("double")
+              / (col("na") + col("nb") - col("_c")), 6) >= threshold)
+            .select(col("_id")).distinct()
+        }
+      val survivors = arr.join(broadcast(flagged), Seq("_id"), "left_anti")
+      val (pinnedSurv, survPin) = Dedup.pinNow(survivors)
+      try {
+        val n = pinnedSurv.count()
+        if (n > 0) {
+          def writeVersioned(df: DataFrame, dir: String): Unit =
+            df.withColumn("version", lit(version))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("version")
+              .parquet(dir)
+          writeVersioned(
+            batch0.join(broadcast(pinnedSurv.select(
+              col("_id").as(idCol))), Seq(idCol), "left_semi"),
+            corpusDir)
+          writeVersioned(
+            pinnedSurv.select(col("_id").as("ref_id"),
+                col("_na").as("nb"), explode(col("_arr")).as("sh"))
+              .withColumn("bucket",
+                pmod(xxhash64(col("sh")), lit(nBuckets.toLong))),
+            postingsDir)
+        }
+        n
+      } finally survPin.release()
+    } finally pin.release()
+  }
+
+  /** Start the streaming near-dup dedup ([[appendBatchNearDup]] per
+    * micro-batch; same checkpoint/replay contract as [[start]]). */
+  def startNearDup(spark: SparkSession, stream: DataFrame,
+      corpusDir: String, postingsDir: String, checkpointDir: String,
+      k: Int = 3, threshold: Double = 0.5,
+      maxDf: Int = Int.MaxValue, nBuckets: Int = 256,
+      idCol: String = "doc_id", textCol: String = "text")
+      : StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendBatchNearDup(spark, batch, batchId + 1, corpusDir,
+          postingsDir, k, threshold, maxDf, nBuckets, idCol, textCol)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Compact the tier sidecar: after many batches the tier holds one
     * partial row-set per version; fold them to ONE bit_or-merged row
     * per bucket (≤ nBuckets rows total, landing in the max version's

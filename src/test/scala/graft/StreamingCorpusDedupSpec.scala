@@ -210,4 +210,115 @@ class StreamingCorpusDedupSpec extends AnyFunSuite {
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = true))
   }
+
+  // --- near-dup face ------------------------------------------------------
+
+  private def sweep(): Unit =
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+
+  /** deterministic corpus: families of near-identical sentences —
+    * variants within a family share all but the last token (jaccard
+    * 5/7 ≈ 0.71 at k=3), while every token is family-specific so
+    * cross-family jaccard is 0 */
+  private def famText(f: Int, v: Int) =
+    s"f$f-a f$f-b f$f-c f$f-d f$f-e f$f-g f$f-h v$v"
+
+  test("appendBatchNearDup over random batch histories equals the " +
+      "batch cross-corpus dedup applied iteratively") {
+    val (corpus, _, _, _) = dirs()
+    val postings = corpus + "-postings"
+    val rnd = new scala.util.Random(11)
+    // 48 docs in 8 families of 6 variants, shuffled into 4 batches
+    val docs = rnd.shuffle(
+      (for (f <- 0 until 8; v <- 0 until 6)
+        yield ((f * 100 + v).toLong, famText(f, v))).toList)
+    val batches = docs.grouped(12).toSeq
+    var acceptedTruth = Vector.empty[(Long, String)]
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val batch = b.toDF("doc_id", "text")
+      val got = CorpusDedup.appendBatchNearDup(spark, batch,
+        version = i + 1L, corpus, postings, k = 3, threshold = 0.5)
+      // ground truth: the BATCH operator against the accepted-so-far
+      // corpus text (which the streaming path never re-reads)
+      val expected =
+        if (acceptedTruth.isEmpty) b.map(_._1).toSet
+        else {
+          val (kept, pin) = graft.pipeline.Curate.dedupAgainstCorpus(
+            batch, acceptedTruth.toDF("doc_id", "text"),
+            k = 3, threshold = 0.5)
+          val ids = kept.select("doc_id").as[Long].collect().toSet
+          pin.release()
+          ids
+        }
+      assert(got == expected.size, s"batch $i: $got vs $expected")
+      acceptedTruth = acceptedTruth ++ b.filter(d => expected(d._1))
+    }
+    val streamed = spark.read.parquet(corpus)
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamed == acceptedTruth.map(_._1).toSet)
+    // later-batch variants of already-accepted families were dropped
+    // (so the corpus is well under the 48 offered), but same-batch
+    // variants both survive — the boundary-only contract
+    assert(streamed.size >= 8 && streamed.size < 48, streamed.toString)
+    sweep()
+  }
+
+  test("appendBatchNearDup replay with the same version is idempotent") {
+    val (corpus, _, _, _) = dirs()
+    val postings = corpus + "-postings"
+    val b1 = Seq((1L, famText(1, 0)), (2L, famText(2, 0)))
+      .toDF("doc_id", "text")
+    assert(CorpusDedup.appendBatchNearDup(spark, b1, 1L, corpus,
+      postings) == 2L)
+    val b2 = Seq((10L, famText(1, 3)), (11L, famText(3, 0)))
+      .toDF("doc_id", "text")
+    assert(CorpusDedup.appendBatchNearDup(spark, b2, 2L, corpus,
+      postings) == 1L) // 10 is a near-dup of 1
+    def snapshot() = (
+      spark.read.parquet(corpus).select("doc_id").as[Long]
+        .collect().sorted.toSeq,
+      spark.read.parquet(postings)
+        .select("ref_id", "sh").distinct().count())
+    val before = snapshot()
+    assert(CorpusDedup.appendBatchNearDup(spark, b2, 2L, corpus,
+      postings) == 1L)
+    assert(snapshot() == before,
+      "replay must replace its version partitions, not append")
+    assert(before._1 == Seq(1L, 2L, 11L))
+    sweep()
+  }
+
+  test("appendBatchNearDup maxDf drops hot shingles from candidate " +
+      "generation") {
+    val (corpus, _, _, _) = dirs()
+    val postings = corpus + "-postings"
+    // 12 accepted docs all sharing one boilerplate line; a later doc
+    // shares ONLY that line with them — uncapped it pairs with all 12
+    // (jaccard of the shared shingle set is below threshold though),
+    // and capped the hot shingles never reach the join at all
+    val boiler = (0L until 12L).map(i =>
+      (i, s"common header line x$i y$i z$i")).toDF("doc_id", "text")
+    assert(CorpusDedup.appendBatchNearDup(spark, boiler, 1L, corpus,
+      postings, k = 3, threshold = 0.1, maxDf = 4) == 12L)
+    val b2 = Seq(
+      // genuine near-dup of doc 0: shares its two RARE shingles
+      // (capped jaccard 2/6 = 0.333) — must still be caught
+      (100L, "common header line x0 y0 z9"),
+      // linked to the corpus ONLY through the hot boilerplate shingle:
+      // uncapped jaccard 1/9 = 0.111 >= 0.1 would FLAG it; the cap
+      // removes the hot shingle from the join, so it survives — the
+      // observable difference the maxDf knob makes
+      (101L, "common header line only plus unrelated tail tokens"))
+      .toDF("doc_id", "text")
+    val got = CorpusDedup.appendBatchNearDup(spark, b2, 2L, corpus,
+      postings, k = 3, threshold = 0.1, maxDf = 4)
+    val kept = spark.read.parquet(corpus)
+      .where(col("version") === 2).select("doc_id").as[Long]
+      .collect().toSet
+    // 100 dropped (rare-shingle overlap with doc 0), 101 kept (only
+    // the hot boilerplate shingle links it, and the cap removed it)
+    assert(got == 1L && kept == Set(101L), s"got=$got kept=$kept")
+    sweep()
+  }
 }
