@@ -18,6 +18,11 @@ object StreamProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val nBatches = if (args.length > 1) args(1).toInt else 5
+    // "exact" (default) probes appendBatch; "neardup" probes
+    // appendBatchNearDup with the production maxDf guard — on the
+    // near-dup-heavy scaled corpus the later batches are mostly
+    // rejected near-copies, the worst case for the postings join
+    val mode = if (args.length > 2) args(2) else "exact"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master(s"local[$cpus]")
@@ -49,8 +54,14 @@ object StreamProbe {
         else fresh.unionByName(planted.select(
           (col("doc_id") + 10000000L * b).as("doc_id"), col("text")))
       val t0 = System.nanoTime()
-      val n = CorpusDedup.appendBatch(spark, batch, version = b + 1,
-        s"$base/corpus", s"$base/tier", s"$base/fp")
+      val n =
+        if (mode == "neardup")
+          CorpusDedup.appendBatchNearDup(spark, batch, version = b + 1,
+            s"$base/corpus", s"$base/postings", k = 3, threshold = 0.5,
+            maxDf = 100)
+        else
+          CorpusDedup.appendBatch(spark, batch, version = b + 1,
+            s"$base/corpus", s"$base/tier", s"$base/fp")
       val dt = (System.nanoTime() - t0) / 1e9
       accepted += n
       println(f"== batch $b: $dt%.2f s, accepted $n (corpus $accepted)")
