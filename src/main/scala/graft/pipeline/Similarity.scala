@@ -258,6 +258,30 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame =
     emb.withColumn("cell", cellOf(cents, vecCol))
 
+  /** Bound cell populations by SRP refinement: `cell` = the coarse
+    * cell key plus the vector's first `bits` sign-random-projection
+    * bits — each bit roughly halves a cell, so `bits` is the dial
+    * that keeps within-cell pair work bounded as the corpus grows
+    * (the round-11 sf1 probe measured cell-pruned semantic dedup
+    * quadratic in cell size with FIXED cells; at 100 TB cell count
+    * must scale with the data, and SRP refinement does that without
+    * training). Pairs crossing a refinement boundary are missed —
+    * the standard LSH recall trade, identical in kind to
+    * [[srpCandidatePairs]] banding; raise `bits` for cost, lower for
+    * recall. Deterministic (md5-parity planes), so an external
+    * engine can reproduce the refined cells exactly. */
+  def refineCells(emb: DataFrame, bits: Int, dims: Int,
+      cellCol: String = "label", vecCol: String = "embedding",
+      salt: String = "graft"): DataFrame = {
+    require(bits >= 1, "bits >= 1")
+    val bitCols = srpPlanes(bits, dims, salt).map { pl =>
+      when(dot(col(vecCol), lit(pl.toArray)) >= 0, lit("1"))
+        .otherwise(lit("0"))
+    }
+    emb.withColumn("cell",
+      concat(col(cellCol).cast("string") +: lit("#") +: bitCols: _*))
+  }
+
   /** Per-cell centroid report: for every (cell, dimension), the member
     * count, exact micro-unit component sum, and the mean component —
     * the distributed companion to [[trainIvfCentroids]] (which is
