@@ -33,4 +33,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // fabricated a 12x apparent bench regression (VERDICT r3) — headroom
   // is cheaper than a false alarm. Override via SPARK_DRIVER_MEM.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // The full 93-query bench compiles ~2000 whole-stage-codegen classes
+  // in one JVM; the JDK default 240m ReservedCodeCacheSize fills
+  // mid-run, JIT compilation stops, and later queries run partially
+  // interpreted (measured: d_jaccard_pairs 7.8 s inside the full
+  // registry run vs 2.1 s in a 7-query run on an idle machine).
+  "-XX:ReservedCodeCacheSize=1g",
 )
