@@ -65,6 +65,15 @@ object Bench {
       val leaked = spark.sparkContext.getPersistentRDDs
       require(leaked.isEmpty,
         s"persistent RDDs leaked past cleanup: ${leaked.keys.mkString(",")}")
+      // Drain cross-query debris NOW, while the clock is stopped.
+      // ContextCleaner only reclaims shuffle files / broadcasts when a
+      // GC notices the weak refs — without this nudge that GC lands
+      // inside a LATER query's timed region, and the cleaner's
+      // unpersist/removeBroadcast RPCs compete with the measured work
+      // (d_semantic_refined benched 10 s inside the full-registry run
+      // vs 2.5 s isolated before this; spreads of 7x on mid-run
+      // queries from the same mechanism).
+      System.gc()
     }
     def time(fn: (org.apache.spark.sql.SparkSession, String)
         => org.apache.spark.sql.DataFrame): Double = {
