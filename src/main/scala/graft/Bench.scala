@@ -198,18 +198,14 @@ object Bench {
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    // spread summarized: the single worst offender (name + ratio);
-    // sustained contention is flagged by the load fields instead.
-    val (spName, spMax) = results
-      .map { case (k, _, s) => (k, s) }
-      .sortBy(-_._2).headOption.getOrElse(("", -1.0))
+    // spread summarized: the single worst ratio; its query name and
+    // every per-query spread live in the sidecar file (the name was
+    // dropped from stdout when the 94th query entered the registry —
+    // every byte here is a byte of query-name budget).
+    val spMax = results.map(_._3).maxOption.getOrElse(-1.0)
     val sf = sfDir.split('/').lastOption.getOrElse(sfDir)
     val p = if (loadPoisoned) 1 else 0
-    // "spread_max" kept by name (the driver/judge greps it); the
-    // spread-offender name (capped — it's a human pointer, the full
-    // name is in the sidecar) and load metadata ride compact forms —
-    // every byte here is a byte of query-name budget
-    val spN = spName.take(12)
-    f"""{"queries":$qs,"spread_max":$spMax%.1f,"spq":"$spN","load":[$loadStart%.1f,$loadEnd%.1f,$idleWaitSec,$p],"sf":"$sf","metric":"total","unit":"sec","value":$total%.2f}"""
+    // "spread_max" kept by name (the driver/judge greps it)
+    f"""{"queries":$qs,"spread_max":$spMax%.1f,"load":[$loadStart%.1f,$loadEnd%.1f,$idleWaitSec,$p],"sf":"$sf","metric":"total","unit":"sec","value":$total%.2f}"""
   }
 }

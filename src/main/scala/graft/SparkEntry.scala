@@ -1005,6 +1005,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // REAL audio feature extraction: decode the WAV's 16-bit PCM
+    // stream and compute integer signal features (sum, peak
+    // magnitude, zero-crossing count). The payload samples are a
+    // deterministic Knuth-multiplicative pattern, so the oracle
+    // re-derives the SAME sample values arithmetically via
+    // generate_series and must agree on every feature — a defect in
+    // the sample writer, the chunk walker, or the feature loop all
+    // break the hash. All-integer by design: bit-stable cross-engine
+    // and cross-run (no float accumulation order).
+    "m_audio_pcm" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val rate = when(col("doc_id") % 3 === 0, 8000)
+        .when(col("doc_id") % 3 === 1, 16000).otherwise(44100)
+      val media = Multimodal.withAudioPayload(s, docs, "doc_id",
+        rate, lit(1) + (col("doc_id") % 2),
+        lit(1) + length(col("text")) % 500)
+      Multimodal.pcmFeatures(s, media).toDF().orderBy("doc_id")
+    }),
+
     // REAL video decode: synthesize a genuine ISO-BMFF (MP4) container
     // per document (box tree with 16.16 track geometry, stts frame
     // count, 90 kHz timescale durations — all derived from row
@@ -2907,6 +2926,38 @@ object SparkEntry {
         |  CAST(44 + (1 + length(text) % 500) * (1 + doc_id % 2) * 2
         |       AS BIGINT) AS byte_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // re-derive the PCM sample stream the Spark side wrote into the
+    // WAV container: sample i of doc d is the low 16 bits (signed)
+    // of ((d + i) * 2654435761) >> 16 — same integer arithmetic,
+    // so sum/peak/zero-cross must match bit-for-bit
+    "m_audio_pcm" ->
+      """WITH geom AS (
+        |  SELECT doc_id, 1 + doc_id % 2 AS ch,
+        |         1 + length(text) % 500 AS n
+        |  FROM documents),
+        |vals AS (
+        |  -- DuckDB's generate_series cannot take lateral column
+        |  -- bounds: use the fixed max span (n<=500 * ch<=2) and
+        |  -- filter to each doc's true sample count
+        |  SELECT doc_id, i,
+        |    CASE WHEN u > 32767 THEN u - 65536 ELSE u END AS v
+        |  FROM (
+        |    SELECT g.doc_id, t.i,
+        |      ((g.doc_id + t.i) * 2654435761 >> 16) & 65535 AS u
+        |    FROM geom g, generate_series(0, 999) AS t(i)
+        |    WHERE t.i < g.n * g.ch)),
+        |lagged AS (
+        |  SELECT doc_id, v,
+        |    lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+        |  FROM vals)
+        |SELECT doc_id,
+        |  count(*) AS n_pcm,
+        |  CAST(sum(v) AS BIGINT) AS sum_pcm,
+        |  CAST(max(abs(v)) AS BIGINT) AS peak_abs,
+        |  CAST(coalesce(sum(CASE WHEN (v < 0) != (pv < 0)
+        |       THEN 1 ELSE 0 END), 0) AS BIGINT) AS zero_cross
+        |FROM lagged GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // the box-tree geometry the Spark side serialized INTO a real
     // ISO-BMFF container and walked back out; duration is the 90 kHz

@@ -320,6 +320,88 @@ object Multimodal {
       }
   }
 
+  /** Integer PCM signal features produced by [[pcmFeatures]] — the
+    * feature-extraction face of the audio modality (decode is
+    * [[decodeAudioMeta]]). All-zero (n_pcm = 0) when the payload is
+    * not parsable 16-bit PCM WAV — degrade, never throw. */
+  case class AudioPcmFeatures(
+      doc_id: Long,
+      n_pcm: Long,
+      sum_pcm: Long,
+      peak_abs: Long,
+      zero_cross: Long)
+
+  /** Locate the 16-bit-PCM data span inside a WAV payload: returns
+    * (dataOffset, nShorts) — the byte position of the first sample
+    * and the count of interleaved 16-bit values. Same chunk-walk
+    * rules as [[parseWav]] (pad bytes, unknown chunks skipped). */
+  private def pcm16Span(b: Array[Byte]): Option[(Int, Int)] = {
+    if (b.length < 12 || sniffKind(b) != "wav") return None
+    val buf = java.nio.ByteBuffer.wrap(b)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.position(12)
+    var pcm16 = false
+    try {
+      while (buf.remaining() >= 8) {
+        val id = {
+          val a = new Array[Byte](4); buf.get(a)
+          new String(a, "US-ASCII")
+        }
+        val size = buf.getInt()
+        if (size < 0 || size > buf.remaining()) return None
+        val next = buf.position() + size + (size & 1)
+        id match {
+          case "fmt " if size >= 16 =>
+            val fmt = buf.getShort() & 0xffff
+            buf.getShort(); buf.getInt(); buf.getInt(); buf.getShort()
+            val bits = buf.getShort() & 0xffff
+            pcm16 = fmt == 1 && bits == 16
+          case "data" =>
+            return if (pcm16) Some((buf.position(), size / 2)) else None
+          case _ => ()
+        }
+        if (next > b.length) return None
+        buf.position(math.min(next, b.length))
+      }
+      None
+    } catch { case _: RuntimeException => None }
+  }
+
+  /** Signal feature extraction over decoded PCM: per-row integer
+    * sum, peak magnitude, and sign-change (zero-crossing) count over
+    * the interleaved 16-bit sample stream. Deliberately ALL-INTEGER
+    * so the result is bit-stable cross-engine (the oracle re-derives
+    * the same samples arithmetically) and cross-run at 100 TB — no
+    * float accumulation order to worry about. Row-local map work:
+    * decodes inside the scan stage at full parallelism, no shuffle,
+    * nothing touches the driver. */
+  def pcmFeatures(spark: SparkSession, df: DataFrame,
+      idCol: String = "doc_id"): Dataset[AudioPcmFeatures] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        pcm16Span(bytes) match {
+          case Some((off, nShorts)) =>
+            var i = 0; var sum = 0L; var peak = 0L; var zc = 0L
+            var prevNeg = false
+            while (i < nShorts) {
+              val p = off + i * 2
+              val v = ((bytes(p) & 0xff) | (bytes(p + 1) << 8)).toShort.toInt
+              sum += v
+              val a = math.abs(v.toLong)
+              if (a > peak) peak = a
+              val neg = v < 0
+              if (i > 0 && neg != prevNeg) zc += 1
+              prevNeg = neg
+              i += 1
+            }
+            AudioPcmFeatures(id, nShorts.toLong, sum, peak, zc)
+          case None => AudioPcmFeatures(id, 0L, 0L, 0L, 0L)
+        }
+      })
+  }
+
   // --- video (MP4 / ISO base media — a real pure-JVM container codec) ---
 
   /** video row metadata produced by [[decodeVideoMeta]]; zeros +

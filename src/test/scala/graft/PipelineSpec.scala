@@ -987,6 +987,34 @@ class PipelineSpec extends AnyFunSuite {
       == Some(("pcm_s16le", 8000, 1, 0L)))
   }
 
+  test("pcm feature extraction matches direct recompute of the " +
+      "deterministic sample stream") {
+    import spark.implicits._
+    val df = Seq((5L, 7), (6L, 1), (7L, 250)).toDF("doc_id", "_n")
+    val media = Multimodal.withAudioPayload(spark, df, "doc_id",
+      org.apache.spark.sql.functions.lit(16000),
+      org.apache.spark.sql.functions.lit(1) + (col("doc_id") % 2),
+      col("_n"))
+    val got = Multimodal.pcmFeatures(spark, media)
+      .collect().sortBy(_.doc_id)
+    // independent recompute of the Knuth-multiplicative sample values
+    def expect(id: Long, n: Int, ch: Int) = {
+      val vs = (0 until n * ch)
+        .map(i => (((id + i) * 2654435761L >>> 16) & 0xffff).toShort.toInt)
+      (id, (n * ch).toLong, vs.map(_.toLong).sum,
+        vs.map(v => math.abs(v.toLong)).max,
+        vs.sliding(2).count(p => p.size == 2 && (p(0) < 0) != (p(1) < 0))
+          .toLong)
+    }
+    assert(got.map(f =>
+        (f.doc_id, f.n_pcm, f.sum_pcm, f.peak_abs, f.zero_cross)).toSeq
+      == Seq(expect(5L, 7, 2), expect(6L, 1, 1), expect(7L, 250, 2)))
+    // non-WAV payload degrades to zeros, never throws
+    val junk = Seq((9L, "not audio".getBytes)).toDF("doc_id", "payload")
+    assert(Multimodal.pcmFeatures(spark, junk).collect().toSeq
+      == Seq(Multimodal.AudioPcmFeatures(9L, 0L, 0L, 0L, 0L)))
+  }
+
   test("wav parser walks unknown chunks, honors odd-size padding, " +
       "and degrades on malformed input") {
     // hand-build: RIFF [ LIST(odd size -> pad byte) fmt data ]
