@@ -153,9 +153,10 @@ object Bench {
     val poisoned = waited >= idleCap && loadStart > idleBar
     println(formatLine(results, loadStart, loadEnd, waited, sfDir,
       poisoned))
-    val detail = results.map { case (k, v, s) =>
+    val detail = (results.map { case (k, v, s) =>
       "\"" + k + f"\":{" + f""""sec":$v%.3f,"spread":$s%.2f}"""
-    }.mkString("{", ",", "}")
+    } :+ f""""_meta":{"idle_wait_sec":$waited,"load_start":$loadStart%.2f,"load_end":$loadEnd%.2f,"poisoned":$poisoned}""")
+      .mkString("{", ",", "}")
     val sidecar = sys.env.getOrElse(
       "SPARK_GRAFT_BENCH_DETAIL", "/tmp/graft_bench_detail.json")
     try {
@@ -202,10 +203,14 @@ object Bench {
     // every per-query spread live in the sidecar file (the name was
     // dropped from stdout when the 94th query entered the registry —
     // every byte here is a byte of query-name budget).
-    val spMax = results.map(_._3).maxOption.getOrElse(-1.0)
+    // display-capped at 99.9: any spread beyond that is equally
+    // "poisoned run" and the exact ratio lives in the sidecar
+    val spMax = math.min(results.map(_._3).maxOption.getOrElse(-1.0), 99.9)
     val sf = sfDir.split('/').lastOption.getOrElse(sfDir)
     val p = if (loadPoisoned) 1 else 0
-    // "spread_max" kept by name (the driver/judge greps it)
-    f"""{"queries":$qs,"spread_max":$spMax%.1f,"load":[$loadStart%.1f,$loadEnd%.1f,$idleWaitSec,$p],"sf":"$sf","metric":"total","unit":"sec","value":$total%.2f}"""
+    // "spread_max" kept by name (the driver/judge greps it); load is
+    // [start, end, poisoned] — the idle-wait seconds moved to the
+    // sidecar when the 95th query entered the registry
+    f"""{"queries":$qs,"spread_max":$spMax%.1f,"load":[$loadStart%.1f,$loadEnd%.1f,$p],"sf":"$sf","metric":"total","unit":"sec","value":$total%.2f}"""
   }
 }

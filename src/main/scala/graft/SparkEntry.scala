@@ -1005,6 +1005,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // REAL video frame sampling: walk the MP4 box tree for the
+    // constant-size stsz + mdat span, pull every 7th frame, and
+    // summarize its bytes as integer features. The mdat bytes are a
+    // deterministic Knuth pattern, so the oracle re-derives each
+    // sampled frame's byte values arithmetically — container writer,
+    // box walker, and frame addressing all sit on the hash.
+    "m_video_frames" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val media = Multimodal.withVideoPayload(s, docs, "doc_id",
+        lit(16) * (lit(1) + col("doc_id") % 5),
+        lit(16) * (lit(1) + length(col("text")) % 4),
+        lit(1) + length(col("text")) % 240)
+      Multimodal.sampleVideoFrames(s, media, every = 7).toDF()
+        .orderBy("doc_id", "frame_idx")
+    }),
+
     // REAL audio feature extraction: decode the WAV's 16-bit PCM
     // stream and compute integer signal features (sum, peak
     // magnitude, zero-crossing count). The payload samples are a
@@ -2926,6 +2942,26 @@ object SparkEntry {
         |  CAST(44 + (1 + length(text) % 500) * (1 + doc_id % 2) * 2
         |       AS BIGINT) AS byte_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // re-derive every 7th frame's 16-byte mdat span: byte i of doc d
+    // is the low 8 bits of ((d + i) * 2654435761) >> 16, frame f
+    // spans [f*16, f*16+16)
+    "m_video_frames" ->
+      s"""WITH geom AS (
+         |  SELECT doc_id, 1 + length(text) % 240 AS n FROM documents),
+         |bytes AS (
+         |  SELECT g.doc_id, f.f AS frame_idx, j.j,
+         |    ((g.doc_id + f.f * ${Multimodal.Mp4FrameBytes} + j.j)
+         |      * 2654435761 >> 16) & 255 AS u
+         |  FROM geom g,
+         |    generate_series(0, 239) AS f(f),
+         |    generate_series(0, ${Multimodal.Mp4FrameBytes - 1}) AS j(j)
+         |  WHERE f.f < g.n AND f.f % 7 = 0)
+         |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+         |  CAST(sum(u) AS BIGINT) AS byte_sum,
+         |  CAST(max(CASE WHEN j = 0 THEN u END) AS BIGINT) AS first_byte
+         |FROM bytes GROUP BY doc_id, frame_idx
+         |ORDER BY doc_id, frame_idx""".stripMargin,
 
     // re-derive the PCM sample stream the Spark side wrote into the
     // WAV container: sample i of doc d is the low 16 bits (signed)

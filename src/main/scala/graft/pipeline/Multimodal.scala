@@ -547,7 +547,11 @@ object Multimodal {
       b.putInt(1); b.putInt(nFrames); b.putInt(Mp4FrameTicks)
     }, 16)
     val stsc = full("stsc", _.putInt(0), 8)
-    val stsz = full("stsz", { b => b.putInt(0); b.putInt(nFrames) }, 12)
+    // constant-size form: sample_size != 0 means every sample is that
+    // size (no per-sample table) — what [[sampleVideoFrames]] reads
+    val stsz = full("stsz", { b =>
+      b.putInt(Mp4FrameBytes); b.putInt(nFrames)
+    }, 12)
     val stco = full("stco", _.putInt(0), 8)
     val stbl = box("stbl",
       stsd ++ stts ++ stsc ++ stsz ++ stco)
@@ -689,6 +693,99 @@ object Multimodal {
           }
         }
       }
+  }
+
+  /** One sampled frame emitted by [[sampleVideoFrames]]: the frame's
+    * byte span summarized as an unsigned byte sum + leading byte —
+    * integer features, bit-stable cross-engine. */
+  case class VideoFrameSample(
+      doc_id: Long,
+      frame_idx: Long,
+      byte_sum: Long,
+      first_byte: Long)
+
+  /** Locate the frame payload geometry inside an ISO-BMFF file:
+    * (mdat body offset, constant sample size from stsz, sample
+    * count). Descends the standard container boxes for stsz and
+    * takes the top-level mdat. Degrades (None) on variable-size
+    * stsz (sample_size == 0), a missing box, or frames that don't
+    * fit the mdat body. */
+  private def mp4FrameGeom(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (sniffKind(b) != "mp4") return None
+    var sampleSize = -1; var nSamples = -1
+    var mdatAt = -1; var mdatLen = -1
+    val containers = Set("moov", "trak", "mdia", "minf", "stbl")
+    def u32(at: Int): Long =
+      ((b(at) & 0xffL) << 24) | ((b(at + 1) & 0xffL) << 16) |
+        ((b(at + 2) & 0xffL) << 8) | (b(at + 3) & 0xffL)
+    def walk(from: Int, to: Int): Boolean = {
+      var p = from
+      while (p < to) {
+        if (p + 8 > to) return false
+        var size = u32(p)
+        val tpe = new String(b, p + 4, 4, "US-ASCII")
+        var bodyAt = p + 8
+        if (size == 1) {
+          if (p + 16 > to) return false
+          size = (u32(p + 8) << 32) | u32(p + 12)
+          bodyAt = p + 16
+        } else if (size == 0) size = (to - p).toLong
+        if (size < (bodyAt - p) || p + size > to) return false
+        val end = (p + size).toInt
+        tpe match {
+          case t if containers.contains(t) =>
+            if (!walk(bodyAt, end)) return false
+          case "stsz" if end - bodyAt >= 12 =>
+            sampleSize = u32(bodyAt + 4).toInt
+            nSamples = u32(bodyAt + 8).toInt
+          case "mdat" =>
+            mdatAt = bodyAt; mdatLen = end - bodyAt
+          case _ => ()
+        }
+        p = end
+      }
+      true
+    }
+    try {
+      if (!walk(0, b.length)) return None
+      if (sampleSize <= 0 || nSamples < 0 || mdatAt < 0
+          || nSamples.toLong * sampleSize > mdatLen) None
+      else Some((mdatAt, sampleSize, nSamples))
+    } catch { case _: RuntimeException => None }
+  }
+
+  /** Frame sampling over the video modality: decode the container's
+    * sample geometry (constant-size stsz + mdat span) and emit every
+    * `every`-th frame with integer byte features. The standard
+    * training-pipeline shape for "pull keyframes out of 100 TB of
+    * video": row-local flatMap in the scan stage — each sampled
+    * frame costs exactly its own bytes, unsampled frames are never
+    * touched, no shuffle, nothing driver-side. Payloads that don't
+    * parse (or use per-sample size tables) yield no rows — degrade,
+    * never throw. */
+  def sampleVideoFrames(spark: SparkSession, df: DataFrame,
+      every: Int, idCol: String = "doc_id")
+      : Dataset[VideoFrameSample] = {
+    require(every >= 1, s"every must be >= 1 (got $every)")
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        mp4FrameGeom(bytes) match {
+          case Some((off, sz, n)) =>
+            Iterator.range(0, n, every).map { f =>
+              val base = off + f * sz
+              var j = 0; var sum = 0L
+              while (j < sz) {
+                sum += bytes(base + j) & 0xff
+                j += 1
+              }
+              VideoFrameSample(id, f.toLong, sum,
+                (bytes(base) & 0xff).toLong)
+            }
+          case None => Iterator.empty
+        }
+      })
   }
 
   /** Partition-local decode: binary payload → typed metadata. */

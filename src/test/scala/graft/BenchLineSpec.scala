@@ -18,10 +18,15 @@ class BenchLineSpec extends AnyFunSuite {
         .map(name => (name, value, value)),
       12.34, 12.34, 300, "/root/testdata/sf0.1")
 
-  test("stdout line stays under 1900 chars at the full query registry") {
+  test("stdout line fits the driver's tail capture at the full registry") {
+    // Budget arithmetic: the driver keeps the LAST 2000 chars of
+    // stdout; after our line sbt appends "\n[success] Total time:
+    // NNN s (MM:SS), completed <date>\n" — measured 73 chars, give it
+    // 80 for wider dates/durations. So the line must stay under
+    // 2000 - 80 = 1920 at worst-case value widths.
     // 999.99 exercises the display cap (worst-case 3-char width)
     val line = lineAt(999.99)
-    assert(line.length < 1900,
+    assert(line.length < 1920,
       s"bench stdout line is ${line.length} bytes; driver tail-capture " +
         "truncates long lines — compact the format (BENCH_r08-r10 lesson)")
   }

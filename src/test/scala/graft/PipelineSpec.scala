@@ -1015,6 +1015,35 @@ class PipelineSpec extends AnyFunSuite {
       == Seq(Multimodal.AudioPcmFeatures(9L, 0L, 0L, 0L, 0L)))
   }
 
+  test("video frame sampling reads stsz/mdat geometry and matches " +
+      "direct recompute of the sampled spans") {
+    import spark.implicits._
+    val df = Seq((3L, 1), (4L, 15)).toDF("doc_id", "_n")
+    val media = Multimodal.withVideoPayload(spark, df, "doc_id",
+      org.apache.spark.sql.functions.lit(32),
+      org.apache.spark.sql.functions.lit(16), col("_n"))
+    val got = Multimodal.sampleVideoFrames(spark, media, every = 4)
+      .collect().sortBy(f => (f.doc_id, f.frame_idx))
+    def expect(id: Long, n: Int) =
+      (0 until n by 4).map { f =>
+        val bs = (0 until Multimodal.Mp4FrameBytes).map(j =>
+          (((id + f * Multimodal.Mp4FrameBytes + j) * 2654435761L
+            >>> 16) & 0xff).toLong)
+        (id, f.toLong, bs.sum, bs.head)
+      }
+    assert(got.map(f =>
+        (f.doc_id, f.frame_idx, f.byte_sum, f.first_byte)).toSeq
+      == expect(3L, 1) ++ expect(4L, 15))
+    // zero-frame container yields no rows; junk yields no rows
+    val empty = Multimodal.withVideoPayload(spark,
+      Seq((8L, 0)).toDF("doc_id", "_n"),
+      "doc_id", org.apache.spark.sql.functions.lit(16),
+      org.apache.spark.sql.functions.lit(16), col("_n"))
+    assert(Multimodal.sampleVideoFrames(spark, empty, 1).count() == 0)
+    val junk = Seq((9L, "not video".getBytes)).toDF("doc_id", "payload")
+    assert(Multimodal.sampleVideoFrames(spark, junk, 1).count() == 0)
+  }
+
   test("wav parser walks unknown chunks, honors odd-size padding, " +
       "and degrades on malformed input") {
     // hand-build: RIFF [ LIST(odd size -> pad byte) fmt data ]
