@@ -203,14 +203,15 @@ object Bench {
     // every per-query spread live in the sidecar file (the name was
     // dropped from stdout when the 94th query entered the registry —
     // every byte here is a byte of query-name budget).
-    // display-capped at 99.9: any spread beyond that is equally
-    // "poisoned run" and the exact ratio lives in the sidecar
-    val spMax = math.min(results.map(_._3).maxOption.getOrElse(-1.0), 99.9)
+    // display-capped at 99 and whole numbers: any spread beyond ~2 is
+    // equally "rerun this one"; exact ratios live in the sidecar
+    val spMax = math.min(results.map(_._3).maxOption.getOrElse(-1.0), 99.0)
     val sf = sfDir.split('/').lastOption.getOrElse(sfDir)
     val p = if (loadPoisoned) 1 else 0
     // "spread_max" kept by name (the driver/judge greps it); load is
-    // [start, end, poisoned] — the idle-wait seconds moved to the
-    // sidecar when the 95th query entered the registry
-    f"""{"queries":$qs,"spread_max":$spMax%.1f,"load":[$loadStart%.1f,$loadEnd%.1f,$p],"sf":"$sf","metric":"total","unit":"sec","value":$total%.2f}"""
+    // [start, end, poisoned] in whole load-average units — idle-wait
+    // seconds and 2-decimal loads live in the sidecar's _meta; every
+    // byte trimmed here is a byte of query-name budget
+    f"""{"queries":$qs,"spread_max":$spMax%.0f,"load":[$loadStart%.0f,$loadEnd%.0f,$p],"sf":"$sf","metric":"total","unit":"sec","value":$total%.2f}"""
   }
 }

@@ -1005,6 +1005,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // REAL image feature extraction: decode the synthesized PNGs with
+    // the JDK codec and sum each RGB channel over the raster. PNG is
+    // lossless and the writer's pixel pattern is deterministic
+    // ((doc_id + 31x + 131y) & 0xffffff), so the oracle re-derives
+    // the exact channel sums — encoder, decoder, and raster walk all
+    // sit on the hash.
+    "m_rgb" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val media = Multimodal.withImagePayload(s, docs, "doc_id",
+        lit(1) + length(col("text")) % 13,
+        lit(1) + (col("doc_id") % 11))
+      Multimodal.pixelStats(s, media).toDF().orderBy("doc_id")
+    }),
+
     // REAL video frame sampling: walk the MP4 box tree for the
     // constant-size stsz + mdat span, pull every 7th frame, and
     // summarize its bytes as integer features. The mdat bytes are a
@@ -2942,6 +2956,26 @@ object SparkEntry {
         |  CAST(44 + (1 + length(text) % 500) * (1 + doc_id % 2) * 2
         |       AS BIGINT) AS byte_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // re-derive the PNG raster the Spark side encoded: pixel (x,y) of
+    // doc d is (d + 31x + 131y) & 0xffffff, split into 8-bit channels
+    "m_rgb" ->
+      """WITH geom AS (
+        |  SELECT doc_id, 1 + length(text) % 13 AS w,
+        |         1 + doc_id % 11 AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT g.doc_id,
+        |    (g.doc_id + x.x * 31 + y.y * 131) & 16777215 AS v
+        |  FROM geom g,
+        |    generate_series(0, 12) AS x(x),
+        |    generate_series(0, 10) AS y(y)
+        |  WHERE x.x < g.w AND y.y < g.h)
+        |SELECT doc_id, count(*) AS n_px,
+        |  CAST(sum((v >> 16) & 255) AS BIGINT) AS sum_r,
+        |  CAST(sum((v >> 8) & 255) AS BIGINT) AS sum_g,
+        |  CAST(sum(v & 255) AS BIGINT) AS sum_b
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // re-derive every 7th frame's 16-byte mdat span: byte i of doc d
     // is the low 8 bits of ((d + i) * 2654435761) >> 16, frame f

@@ -788,6 +788,52 @@ object Multimodal {
       })
   }
 
+  /** Per-image integer pixel statistics from [[pixelStats]]:
+    * channel sums over the decoded raster. All-zero when the payload
+    * does not decode. */
+  case class PixelStats(
+      doc_id: Long,
+      n_px: Long,
+      sum_r: Long,
+      sum_g: Long,
+      sum_b: Long)
+
+  /** Pixel feature extraction over the image modality: decode the
+    * container (PNG/JPEG/GIF/BMP via the JDK codec) and sum each RGB
+    * channel over the raster — integer features, bit-stable because
+    * PNG decode is lossless. Row-local map work in the scan stage,
+    * same shape as [[pcmFeatures]]/[[sampleVideoFrames]]. */
+  def pixelStats(spark: SparkSession, df: DataFrame,
+      idCol: String = "doc_id"): Dataset[PixelStats] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        imageIoNoDiskCache()
+        it.map { case (id, bytes) =>
+          val img =
+            try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            catch { case _: java.io.IOException => null }
+          if (img == null) PixelStats(id, 0L, 0L, 0L, 0L)
+          else {
+            var r = 0L; var g = 0L; var b = 0L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val v = img.getRGB(x, y)
+                r += (v >> 16) & 0xff; g += (v >> 8) & 0xff; b += v & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            PixelStats(id, img.getWidth.toLong * img.getHeight, r, g, b)
+          }
+        }
+      }
+  }
+
   /** Partition-local decode: binary payload → typed metadata. */
   def decodeMeta(spark: SparkSession, df: DataFrame,
       decoder: MediaDecoder = new StubDecoder,

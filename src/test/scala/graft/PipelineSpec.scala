@@ -987,6 +987,26 @@ class PipelineSpec extends AnyFunSuite {
       == Some(("pcm_s16le", 8000, 1, 0L)))
   }
 
+  test("pixel stats match direct recompute of the deterministic " +
+      "raster through the lossless PNG round-trip") {
+    import spark.implicits._
+    val df = Seq((2L, 3, 2), (3L, 1, 1)).toDF("doc_id", "_w", "_h")
+    val media = Multimodal.withImagePayload(spark, df, "doc_id",
+      col("_w"), col("_h"))
+    val got = Multimodal.pixelStats(spark, media).collect().sortBy(_.doc_id)
+    def expect(id: Long, w: Int, h: Int) = {
+      val vs = for (y <- 0 until h; x <- 0 until w)
+        yield (id + x * 31L + y * 131L) & 0xffffffL
+      (id, (w * h).toLong, vs.map(v => (v >> 16) & 0xff).sum,
+        vs.map(v => (v >> 8) & 0xff).sum, vs.map(_ & 0xffL).sum)
+    }
+    assert(got.map(p => (p.doc_id, p.n_px, p.sum_r, p.sum_g, p.sum_b))
+      .toSeq == Seq(expect(2L, 3, 2), expect(3L, 1, 1)))
+    val junk = Seq((9L, "not an image".getBytes)).toDF("doc_id", "payload")
+    assert(Multimodal.pixelStats(spark, junk).collect().toSeq
+      == Seq(Multimodal.PixelStats(9L, 0L, 0L, 0L, 0L)))
+  }
+
   test("pcm feature extraction matches direct recompute of the " +
       "deterministic sample stream") {
     import spark.implicits._
