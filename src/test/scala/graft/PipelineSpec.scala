@@ -1190,6 +1190,23 @@ class PipelineSpec extends AnyFunSuite {
       Multimodal.parseMp4(m)
       Multimodal.parseWav(w)
     }
+    // the FEATURE walkers (pcm16Span / mp4FrameGeom) hold the same
+    // contract — fuzz them through their public Spark faces, all
+    // variants in one job each so the degrade path runs inside tasks
+    import spark.implicits._
+    def variants(b: Array[Byte]): Seq[Array[Byte]] =
+      (0 until b.length).map(b.take) ++ (0 until 500).map { _ =>
+        val c = b.clone()
+        c(rnd.nextInt(c.length)) = rnd.nextInt(256).toByte
+        c
+      }
+    val wavDf = variants(wav).zipWithIndex
+      .map { case (p, i) => (i.toLong, p) }.toDF("doc_id", "payload")
+    val mp4Df = variants(mp4).zipWithIndex
+      .map { case (p, i) => (i.toLong, p) }.toDF("doc_id", "payload")
+    // counts just force execution; a throw inside a task fails here
+    Multimodal.pcmFeatures(spark, wavDf).count()
+    assert(Multimodal.sampleVideoFrames(spark, mp4Df, 2).count() >= 0)
   }
 
   test("video decode pipeline: row-field geometry round-trips and " +
