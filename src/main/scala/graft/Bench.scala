@@ -203,15 +203,18 @@ object Bench {
     // every per-query spread live in the sidecar file (the name was
     // dropped from stdout when the 94th query entered the registry —
     // every byte here is a byte of query-name budget).
-    // display-capped at 99 and whole numbers: any spread beyond ~2 is
-    // equally "rerun this one"; exact ratios live in the sidecar
-    val spMax = math.min(results.map(_._3).maxOption.getOrElse(-1.0), 99.0)
+    // display-capped at 9 and whole numbers: any spread beyond ~2 is
+    // equally "rerun this one"; exact per-query ratios live in the
+    // sidecar
+    val spMax = math.min(results.map(_._3).maxOption.getOrElse(-1.0), 9.0)
     val sf = sfDir.split('/').lastOption.getOrElse(sfDir)
     val p = if (loadPoisoned) 1 else 0
-    // "spread_max" kept by name (the driver/judge greps it); load is
-    // [start, end, poisoned] in whole load-average units — idle-wait
-    // seconds and 2-decimal loads live in the sidecar's _meta; every
-    // byte trimmed here is a byte of query-name budget
-    f"""{"queries":$qs,"spread_max":$spMax%.0f,"load":[$loadStart%.0f,$loadEnd%.0f,$p],"sf":"$sf","metric":"total","unit":"sec","value":$total%.2f}"""
+    // "spread_max" kept by name (the driver/judge greps it). "hot"=1
+    // means the idle-wait gave up while the 1-min load was still above
+    // cpus/4 — numbers are contention-inflated. The load averages
+    // themselves (2-decimal start/end + idle-wait seconds) live in the
+    // sidecar's _meta entry: every byte here is query-name budget, and
+    // the bench's own 32 threads dominate the end-load anyway.
+    f"""{"queries":$qs,"spread_max":$spMax%.0f,"hot":$p,"sf":"$sf","metric":"total","unit":"sec","value":$total%.2f}"""
   }
 }

@@ -1005,6 +1005,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // REAL image resize on the oracle: decode the synthesized PNG,
+    // floor-mapped nearest-neighbor rescale to 5x4 (downscale AND
+    // upscale across the corpus geometry range), re-encode, decode
+    // AGAIN, and sum channels. The oracle re-derives the resized
+    // raster arithmetically, so both codec directions and the
+    // resampling arithmetic sit on the hash.
+    "m_resize" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val media = Multimodal.withImagePayload(s, docs, "doc_id",
+        lit(1) + length(col("text")) % 13,
+        lit(1) + (col("doc_id") % 11))
+      val resized = Multimodal.resizeImages(s, media, width = 5,
+        height = 4).toDF()
+      Multimodal.pixelStats(s, resized).toDF().orderBy("doc_id")
+    }),
+
     // REAL image feature extraction: decode the synthesized PNGs with
     // the JDK codec and sum each RGB channel over the raster. PNG is
     // lossless and the writer's pixel pattern is deterministic
@@ -2956,6 +2972,27 @@ object SparkEntry {
         |  CAST(44 + (1 + length(text) % 500) * (1 + doc_id % 2) * 2
         |       AS BIGINT) AS byte_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // re-derive the 5x4 nearest-neighbor resample: dst (x,y) reads
+    // src (x*w/5, y*h/4) in integer division, whose channel values
+    // the raster formula gives directly
+    "m_resize" ->
+      """WITH geom AS (
+        |  SELECT doc_id, 1 + length(text) % 13 AS w,
+        |         1 + doc_id % 11 AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT g.doc_id,
+        |    (g.doc_id + ((x.x * g.w) // 5) * 31
+        |       + ((y.y * g.h) // 4) * 131) & 16777215 AS v
+        |  FROM geom g,
+        |    generate_series(0, 4) AS x(x),
+        |    generate_series(0, 3) AS y(y))
+        |SELECT doc_id, count(*) AS n_px,
+        |  CAST(sum((v >> 16) & 255) AS BIGINT) AS sum_r,
+        |  CAST(sum((v >> 8) & 255) AS BIGINT) AS sum_g,
+        |  CAST(sum(v & 255) AS BIGINT) AS sum_b
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // re-derive the PNG raster the Spark side encoded: pixel (x,y) of
     // doc d is (d + 31x + 131y) & 0xffffff, split into 8-bit channels

@@ -924,16 +924,25 @@ object Multimodal {
           catch { case _: java.io.IOException => None }
         img match {
           case Some(src) =>
+            // explicit floor-mapped nearest neighbor (src pixel of
+            // dst (x,y) is (x·srcW/dstW, y·srcH/dstH) in integer
+            // division) rather than Graphics2D's rasterizer: the
+            // textbook NN definition, identical on every JVM, and
+            // simple enough that the m_resize oracle re-derives the
+            // resized raster arithmetically
             val dst = new java.awt.image.BufferedImage(width, height,
               java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
-            val g = dst.createGraphics()
-            try {
-              g.setRenderingHint(
-                java.awt.RenderingHints.KEY_INTERPOLATION,
-                java.awt.RenderingHints
-                  .VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
-              g.drawImage(src, 0, 0, width, height, null)
-            } finally g.dispose()
+            val sw = src.getWidth; val sh = src.getHeight
+            var y = 0
+            while (y < height) {
+              val sy = y * sh / height
+              var x = 0
+              while (x < width) {
+                dst.setRGB(x, y, src.getRGB(x * sw / width, sy))
+                x += 1
+              }
+              y += 1
+            }
             val bos = new java.io.ByteArrayOutputStream()
             javax.imageio.ImageIO.write(dst, "png", bos)
             ResizedMedia(id, width, height, bos.toByteArray)

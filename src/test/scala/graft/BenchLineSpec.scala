@@ -35,7 +35,7 @@ class BenchLineSpec extends AnyFunSuite {
     val line = lineAt(1.5)
     assert(!line.contains("\n"))
     for (field <- Seq("\"metric\":\"total\"", "\"value\":", "\"unit\":\"sec\"",
-        "\"queries\":{", "\"spread_max\":", "\"load\":[", "\"sf\":"))
+        "\"queries\":{", "\"spread_max\":", "\"hot\":", "\"sf\":"))
       assert(line.contains(field), s"missing $field in: $line")
     // every registered query appears exactly once
     for (name <- SparkEntry.queries.keys)
@@ -46,7 +46,7 @@ class BenchLineSpec extends AnyFunSuite {
     val line = lineAt(1.5)
     val qEnd = line.indexOf("\"queries\":{")
     for (field <- Seq("\"metric\":\"total\"", "\"value\":", "\"unit\":\"sec\"",
-        "\"load\":["))
+        "\"hot\":"))
       assert(line.lastIndexOf(field) > qEnd,
         s"$field must follow the queries map so a head-truncated " +
           "capture still carries the totals")

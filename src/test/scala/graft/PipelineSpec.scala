@@ -959,6 +959,15 @@ class PipelineSpec extends AnyFunSuite {
     val expect = src.getRGB(0, 0)
     assert((0 until 2).forall(x => (0 until 2).forall(y =>
       dst.getRGB(x, y) == expect)))
+    // the mapping is the textbook floor NN: dst(x,y) = src(x*sw/dw,
+    // y*sh/dh) — pinned so the m_resize oracle's arithmetic stays true
+    val big = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(
+        Multimodal.pngPayload(8, 6, seed = 7L)))
+    val down = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out.head.payload))
+    assert((0 until 4).forall(x => (0 until 2).forall(y =>
+      down.getRGB(x, y) == big.getRGB(x * 8 / 4, y * 6 / 2))))
   }
 
   test("withImagePayload geometry derives from row fields end-to-end") {
