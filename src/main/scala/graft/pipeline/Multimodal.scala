@@ -811,10 +811,14 @@ object Multimodal {
       .mapPartitions { it =>
         imageIoNoDiskCache()
         it.map { case (id, bytes) =>
+          val kind = sniffKind(bytes)
           val img =
-            try javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(bytes))
-            catch { case _: java.io.IOException => null }
+            if (kind == "png" || kind == "jpeg" || kind == "gif"
+                || kind == "bmp")
+              try javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(bytes))
+              catch { case _: java.io.IOException => null }
+            else null
           if (img == null) PixelStats(id, 0L, 0L, 0L, 0L)
           else {
             var r = 0L; var g = 0L; var b = 0L

@@ -1216,6 +1216,13 @@ class PipelineSpec extends AnyFunSuite {
     // counts just force execution; a throw inside a task fails here
     Multimodal.pcmFeatures(spark, wavDf).count()
     assert(Multimodal.sampleVideoFrames(spark, mp4Df, 2).count() >= 0)
+    // image feature/resize paths hold the same contract over real
+    // PNG bytes (the JDK reader sees every truncation + corruption)
+    val png = Multimodal.pngPayload(9, 7, seed = 9L)
+    val pngDf = variants(png).zipWithIndex
+      .map { case (p, i) => (i.toLong, p) }.toDF("doc_id", "payload")
+    Multimodal.pixelStats(spark, pngDf).count()
+    Multimodal.resizeImages(spark, pngDf, 3, 3).count()
   }
 
   test("video decode pipeline: row-field geometry round-trips and " +
