@@ -37,16 +37,30 @@ object Export {
     else col("time")
 
   /** dp3 NDJSON shape over a canonical message frame. `dataCols` are
-    * the decoded payload columns to nest under "data". */
+    * the decoded payload columns to nest under "data".
+    *
+    * `log_time`/`publish_time` render as DECIMAL SECONDS with 9-digit
+    * nanos (`0.000000100`), the reference's wire format
+    * (server/mcap/mcap_to_json.go:57-67 formatDecimalTime) — NOT raw
+    * nanosecond integers, which a consumer would read 1e9 off. The
+    * line is assembled from builtins only (to_json for the escaped
+    * head and the data object, format_string for the time fields) so
+    * the projection stays one codegen'd pass. */
   def ndjson(df: DataFrame, dataCols: Seq[String]): Dataset[String] = {
-    val payload = struct(dataCols.map(col): _*)
     import df.sparkSession.implicits._
-    df.select(to_json(struct(
-      col("topic"),
-      col("seq").as("sequence"),
-      col("time").as("log_time"),
-      publishTime(df).as("publish_time"),
-      payload.as("data"))).as("json")).as[String]
+    df.select(col("topic"), col("seq"),
+        col("time").as("_lt"), publishTime(df).as("_pt"),
+        struct(dataCols.map(col): _*).as("_data"))
+      .withColumn("_head",
+        to_json(struct(col("topic"), col("seq").as("sequence"))))
+      .selectExpr(
+        """concat(
+          |  substring(_head, 1, length(_head) - 1),
+          |  format_string(',"log_time":%d.%09d,"publish_time":%d.%09d,"data":',
+          |    _lt div 1000000000, _lt % 1000000000,
+          |    _pt div 1000000000, _pt % 1000000000),
+          |  to_json(_data), '}') AS json""".stripMargin)
+      .as[String]
   }
 
   /** Multi-topic export merge: the /export endpoint merges topic

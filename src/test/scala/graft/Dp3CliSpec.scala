@@ -215,7 +215,10 @@ class Dp3CliSpec extends AnyFunSuite {
       // exactly once: v1's three rows, then only the v2 delta — no
       // re-emission of v1 on later polls — each batch in stream order
       val times = linesNow.map { l =>
-        "\"log_time\":(\\d+)".r.findFirstMatchIn(l).get.group(1).toLong
+        // decimal-seconds wire format: secs.nanos9
+        val m = "\"log_time\":(\\d+)\\.(\\d{9})".r
+          .findFirstMatchIn(l).get
+        m.group(1).toLong * 1000000000L + m.group(2).toLong
       }
       assert(times == Seq(1L, 2L, 3L, 10L, 11L))
     } finally h.stop()

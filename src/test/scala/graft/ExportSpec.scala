@@ -29,7 +29,10 @@ class ExportSpec extends AnyFunSuite {
     decoded.zip(nd).foreach { case (d, j) =>
       assert(d.topic == "click")
       assert(j.contains(s""""sequence":${d.sequence}"""))
-      assert(j.contains(s""""log_time":${d.logTime}"""))
+      // decimal-seconds wire format (mcap_to_json.go formatDecimalTime)
+      val lt = d.logTime
+      assert(j.contains(
+        f""""log_time":${lt / 1000000000L}%d.${lt % 1000000000L}%09d"""))
       // the MCAP payload IS the ndjson "data" object, byte for byte
       assert(j.endsWith(s""""data":${new String(d.data, UTF_8)}}"""))
     }
