@@ -695,6 +695,48 @@ object Multimodal {
       }
   }
 
+  /** Content-derived audio embedding: mean |amplitude| per window
+    * over `dim` equal windows of the decoded 16-bit PCM stream,
+    * normalized to [0, 1] — a real signal-shape descriptor (identical
+    * audio → identical vector; silence → zeros), unlike the
+    * digest-based [[extractFeatures]] stub. Output columns
+    * (`doc_id`, `embedding`) plug straight into
+    * [[graft.pipeline.Similarity]]'s ANN operators, closing the
+    * multimodal → embedding → similarity-search path. Row-local
+    * scan-stage work; non-PCM payloads yield the zero vector. */
+  def pcmFeatureVector(spark: SparkSession, df: DataFrame,
+      dim: Int = 8, idCol: String = "doc_id"): DataFrame = {
+    require(dim >= 1, "dim >= 1")
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val fs = new Array[Float](dim)
+        pcm16Span(bytes) match {
+          case Some((off, n)) if n > 0 =>
+            val sums = new Array[Long](dim)
+            val cnts = new Array[Long](dim)
+            var i = 0
+            while (i < n) {
+              val p = off + i * 2
+              val v = ((bytes(p) & 0xff) | (bytes(p + 1) << 8)).toShort.toInt
+              val w = (i.toLong * dim / n).toInt
+              sums(w) += math.abs(v.toLong); cnts(w) += 1
+              i += 1
+            }
+            var w = 0
+            while (w < dim) {
+              if (cnts(w) > 0)
+                fs(w) = (sums(w).toDouble / cnts(w) / 32768.0).toFloat
+              w += 1
+            }
+          case _ => ()
+        }
+        (id, fs)
+      })
+      .toDF(idCol, "embedding")
+  }
+
   /** One sampled frame emitted by [[sampleVideoFrames]]: the frame's
     * byte span summarized as an unsigned byte sum + leading byte —
     * integer features, bit-stable cross-engine. */

@@ -996,6 +996,36 @@ class PipelineSpec extends AnyFunSuite {
       == Some(("pcm_s16le", 8000, 1, 0L)))
   }
 
+  test("pcm feature vectors close the multimodal -> embedding -> " +
+      "similarity-search path") {
+    import spark.implicits._
+    // docs 1 and 2 carry IDENTICAL audio; 3 and 4 differ
+    val same = Multimodal.wavPayload(16000, 1, 400, seed = 42L)
+    val df = Seq(
+      (1L, same), (2L, same),
+      (3L, Multimodal.wavPayload(16000, 1, 400, seed = 7L)),
+      (4L, Multimodal.wavPayload(8000, 2, 300, seed = 9L)))
+      .toDF("doc_id", "payload")
+    val emb = Multimodal.pcmFeatureVector(spark, df, dim = 8)
+    val vecs = emb.as[(Long, Array[Float])].collect().toMap
+    assert(vecs.keySet == Set(1L, 2L, 3L, 4L))
+    assert(vecs.values.forall(v =>
+      v.length == 8 && v.forall(f => f >= 0f && f <= 1f)))
+    assert(vecs(1L).toSeq == vecs(2L).toSeq) // same audio, same vector
+    assert(vecs(1L).toSeq != vecs(3L).toSeq)
+    // the vectors feed the ANN stack directly: doc 2 is doc 1's
+    // nearest neighbor at cosine 1
+    val top = Similarity.bruteForceTopK(emb, queryId = 1L, k = 1,
+      idCol = "doc_id", vecCol = "embedding").collect()
+    assert(top.length == 1 && top.head.getLong(0) == 2L
+      && top.head.getDouble(1) == 1.0)
+    // junk payloads degrade to the zero vector, never throw
+    val junk = Seq((9L, "no audio".getBytes)).toDF("doc_id", "payload")
+    assert(Multimodal.pcmFeatureVector(spark, junk, dim = 4)
+      .as[(Long, Array[Float])].collect().head._2.toSeq
+      == Seq(0f, 0f, 0f, 0f))
+  }
+
   test("pixel stats match direct recompute of the deterministic " +
       "raster through the lossless PNG round-trip") {
     import spark.implicits._
