@@ -144,15 +144,14 @@ object Bench {
     val loadEnd = loadavg()
     // The driver captures only the TAIL of stdout: the single JSON line
     // must stay compact at any registry size (r8-r10 all arrived
-    // truncated -> parsed:null). See formatLine's doc for the 1900-char
-    // budget; the full 3-decimal per-query detail goes to a sidecar
-    // file instead of stdout.
+    // truncated -> parsed:null). See formatLine's doc for the byte
+    // budget; the full 3-decimal per-query detail and the load/idle
+    // metadata go to a sidecar file instead of stdout.
     // idle wait gave up AND the machine was still hot when timing
     // began: numbers are contention-inflated (~1.5x observed) — flag
     // the line so a later reader doesn't chase phantom regressions
     val poisoned = waited >= idleCap && loadStart > idleBar
-    println(formatLine(results, loadStart, loadEnd, waited, sfDir,
-      poisoned))
+    println(formatLine(results, sfDir, poisoned))
     val detail = (results.map { case (k, v, s) =>
       "\"" + k + f"\":{" + f""""sec":$v%.3f,"spread":$s%.2f}"""
     } :+ f""""_meta":{"idle_wait_sec":$waited,"load_start":$loadStart%.2f,"load_end":$loadEnd%.2f,"poisoned":$poisoned}""")
@@ -174,19 +173,19 @@ object Bench {
     *
     * Two hard constraints, both learned from rounds 8-10 arriving as
     * `parsed: null`: the driver captures only the LAST ~2000 chars of
-    * stdout (and sbt appends a `[success]` trailer), so (a) the whole
-    * line must stay under 1900 chars at the full registry with
-    * worst-case value widths — BenchLineSpec enforces this — and (b)
-    * the summary fields (`metric`/`value`/`unit`, spread, load) sit at
-    * the END of the line so even a head-truncated capture still carries
-    * the totals for regex extraction. Per-query seconds are 100 ms
-    * resolution (3 chars max); full 3-decimal detail goes to the
-    * sidecar file, never stdout.
+    * stdout (and sbt appends a ~73-char `[success]` trailer), so (a)
+    * the whole line must stay under 1920 chars at the full registry
+    * with worst-case value widths — BenchLineSpec enforces this — and
+    * (b) the summary fields (`metric`/`value`/`unit`, spread, hot)
+    * sit at the END of the line so even a head-truncated capture
+    * still carries the totals for regex extraction. Per-query seconds
+    * are 100 ms resolution (3 chars max); full 3-decimal detail plus
+    * the load/idle-wait metadata go to the sidecar file, never
+    * stdout.
     */
   def formatLine(
       results: Seq[(String, Double, Double)],
-      loadStart: Double, loadEnd: Double,
-      idleWaitSec: Int, sfDir: String,
+      sfDir: String,
       loadPoisoned: Boolean = false): String = {
     // The line's budget is spent on NAMES (which the driver needs
     // verbatim): values are capped at 3 chars — "0.8" under 10 s, "42"
@@ -199,13 +198,10 @@ object Bench {
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    // spread summarized: the single worst ratio; its query name and
-    // every per-query spread live in the sidecar file (the name was
-    // dropped from stdout when the 94th query entered the registry —
-    // every byte here is a byte of query-name budget).
-    // display-capped at 9 and whole numbers: any spread beyond ~2 is
-    // equally "rerun this one"; exact per-query ratios live in the
-    // sidecar
+    // spread summarized: the single worst ratio, display-capped at 9
+    // (any spread beyond ~2 is equally "rerun this one"); the
+    // offending query's name and every per-query ratio live in the
+    // sidecar — every byte here is a byte of query-name budget
     val spMax = math.min(results.map(_._3).maxOption.getOrElse(-1.0), 9.0)
     val sf = sfDir.split('/').lastOption.getOrElse(sfDir)
     val p = if (loadPoisoned) 1 else 0

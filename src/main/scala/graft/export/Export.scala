@@ -48,8 +48,15 @@ object Export {
     * the projection stays one codegen'd pass. */
   def ndjson(df: DataFrame, dataCols: Seq[String]): Dataset[String] = {
     import df.sparkSession.implicits._
-    df.select(col("topic"), col("seq"),
-        col("time").as("_lt"), publishTime(df).as("_pt"),
+    // corrupt-row defense: a null in any head field would make
+    // format_string/concat yield a NULL line (the HTTP streamer then
+    // NPEs mid-stream, after the 200 header) or drop the field from
+    // the to_json head (invalid JSON when spliced). Coalesce to
+    // zero values instead — a zero-time line beats a killed stream.
+    df.select(coalesce(col("topic"), lit("")).as("topic"),
+        coalesce(col("seq"), lit(0L)).as("seq"),
+        coalesce(col("time"), lit(0L)).as("_lt"),
+        coalesce(publishTime(df), col("time"), lit(0L)).as("_pt"),
         struct(dataCols.map(col): _*).as("_data"))
       .withColumn("_head",
         to_json(struct(col("topic"), col("seq").as("sequence"))))

@@ -108,6 +108,22 @@ object Multimodal {
     * zero geometry rather than erroring — a 100 TB corpus always
     * carries some truncated files, and one bad row must not kill the
     * stage. */
+  /** THE image decode, shared by [[ImageIoDecoder]], [[pixelStats]]
+    * and [[resizeImages]] so the degrade rules (sniff gate + JDK
+    * codec + IOException-as-None) cannot drift between the metadata,
+    * feature, and resize paths. Null when the payload isn't a known
+    * image container or doesn't decode — degrade, never throw. */
+  private def readImage(payload: Array[Byte])
+      : java.awt.image.BufferedImage = {
+    val kind = sniffKind(payload)
+    if (kind == "png" || kind == "jpeg" || kind == "gif"
+        || kind == "bmp")
+      try javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException => null }
+    else null
+  }
+
   final class ImageIoDecoder extends MediaDecoder {
     def open(): Unit = imageIoNoDiskCache() // once per partition
     def close(): Unit = ()
@@ -115,14 +131,7 @@ object Multimodal {
       val kind = sniffKind(payload)
       val checksum = java.security.MessageDigest.getInstance("MD5")
         .digest(payload).map("%02x".format(_)).mkString
-      val img =
-        if (kind == "png" || kind == "jpeg" || kind == "gif"
-            || kind == "bmp")
-          try Option(javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(payload)))
-          catch { case _: java.io.IOException => None }
-        else None
-      img match {
+      Option(readImage(payload)) match {
         case Some(i) => MediaMeta(id, payload.length.toLong, kind,
           i.getWidth, i.getHeight, i.getRaster.getNumBands, checksum)
         case None => MediaMeta(id, payload.length.toLong, kind,
@@ -235,48 +244,67 @@ object Multimodal {
     * sizes the data chunk into a frame count. Returns None when the
     * container is not a well-formed WAV — truncated files and foreign
     * formats degrade, they don't throw. */
+  private def leU16(b: Array[Byte], at: Int): Int =
+    (b(at) & 0xff) | ((b(at + 1) & 0xff) << 8)
+  private def leI32(b: Array[Byte], at: Int): Int =
+    (b(at) & 0xff) | ((b(at + 1) & 0xff) << 8) |
+      ((b(at + 2) & 0xff) << 16) | (b(at + 3) << 24)
+
+  /** THE RIFF/WAVE chunk walk, shared by [[parseWav]] and
+    * [[pcm16Span]] so the malformed-input rules cannot drift between
+    * the parse and feature paths: honors the spec's odd-size pad
+    * byte, skips unknown chunks (LIST, fact, cue, bext...).
+    * `onChunk(id, bodyAt, size)` returns true to keep walking, false
+    * to stop early (not an error). Returns false only on malformed
+    * framing (or a non-WAV payload). */
+  private def walkWavChunks(b: Array[Byte],
+      onChunk: (String, Int, Int) => Boolean): Boolean = {
+    if (b.length < 12 || sniffKind(b) != "wav") return false
+    try {
+      var p = 12 // past RIFF<size>WAVE
+      var cont = true
+      while (cont && b.length - p >= 8) {
+        val id = new String(b, p, 4, "US-ASCII")
+        val size = leI32(b, p + 4)
+        if (size < 0 || size > b.length - p - 8) return false
+        val next = p + 8 + size + (size & 1) // odd sizes pad
+        cont = onChunk(id, p + 8, size)
+        if (cont && next > b.length) return false
+        p = math.min(next, b.length)
+      }
+      true
+    } catch { case _: RuntimeException => false }
+  }
+
   def parseWav(b: Array[Byte])
       : Option[(String, Int, Int, Long)] = {
-    if (b.length < 12 || sniffKind(b) != "wav") return None
-    val buf = java.nio.ByteBuffer.wrap(b)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    buf.position(12) // past RIFF<size>WAVE
     var codec: String = null
     var rate = 0; var ch = 0; var blockAlign = 0
     var nSamples = -1L
-    try {
-      while (buf.remaining() >= 8 && (codec == null || nSamples < 0)) {
-        val id = {
-          val a = new Array[Byte](4); buf.get(a)
-          new String(a, "US-ASCII")
-        }
-        val size = buf.getInt()
-        if (size < 0 || size > buf.remaining()) return None
-        val next = buf.position() + size + (size & 1) // odd sizes pad
-        id match {
-          case "fmt " if size >= 16 =>
-            val fmt = buf.getShort() & 0xffff
-            ch = buf.getShort() & 0xffff
-            rate = buf.getInt()
-            buf.getInt() // byte rate
-            blockAlign = buf.getShort() & 0xffff
-            val bits = buf.getShort() & 0xffff
-            codec =
-              if (fmt == 1 && bits == 16) "pcm_s16le"
-              else if (fmt == 1 && bits == 8) "pcm_u8"
-              else if (fmt == 1) s"pcm_s${bits}le"
-              else s"fmt_$fmt"
-          case "data" =>
-            nSamples = if (blockAlign > 0) size.toLong / blockAlign
-              else return None // data before fmt: not well-formed
-          case _ => () // LIST, fact, cue, bext... skip
-        }
-        if (next > b.length) return None
-        buf.position(math.min(next, b.length))
+    var bad = false
+    val ok = walkWavChunks(b, (id, bodyAt, size) => {
+      id match {
+        case "fmt " if size >= 16 =>
+          val fmt = leU16(b, bodyAt)
+          ch = leU16(b, bodyAt + 2)
+          rate = leI32(b, bodyAt + 4)
+          blockAlign = leU16(b, bodyAt + 12)
+          val bits = leU16(b, bodyAt + 14)
+          codec =
+            if (fmt == 1 && bits == 16) "pcm_s16le"
+            else if (fmt == 1 && bits == 8) "pcm_u8"
+            else if (fmt == 1) s"pcm_s${bits}le"
+            else s"fmt_$fmt"
+        case "data" =>
+          if (blockAlign > 0) nSamples = size.toLong / blockAlign
+          else bad = true // data before fmt: not well-formed
+        case _ => ()
       }
-      if (codec == null || nSamples < 0 || rate <= 0 || ch <= 0) None
-      else Some((codec, rate, ch, nSamples))
-    } catch { case _: RuntimeException => None }
+      !bad && (codec == null || nSamples < 0) // stop once both found
+    })
+    if (!ok || bad || codec == null || nSamples < 0 || rate <= 0
+        || ch <= 0) None
+    else Some((codec, rate, ch, nSamples))
   }
 
   /** Attach a REAL WAV payload whose audio geometry derives from row
@@ -336,35 +364,21 @@ object Multimodal {
     * and the count of interleaved 16-bit values. Same chunk-walk
     * rules as [[parseWav]] (pad bytes, unknown chunks skipped). */
   private def pcm16Span(b: Array[Byte]): Option[(Int, Int)] = {
-    if (b.length < 12 || sniffKind(b) != "wav") return None
-    val buf = java.nio.ByteBuffer.wrap(b)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    buf.position(12)
     var pcm16 = false
-    try {
-      while (buf.remaining() >= 8) {
-        val id = {
-          val a = new Array[Byte](4); buf.get(a)
-          new String(a, "US-ASCII")
-        }
-        val size = buf.getInt()
-        if (size < 0 || size > buf.remaining()) return None
-        val next = buf.position() + size + (size & 1)
-        id match {
-          case "fmt " if size >= 16 =>
-            val fmt = buf.getShort() & 0xffff
-            buf.getShort(); buf.getInt(); buf.getInt(); buf.getShort()
-            val bits = buf.getShort() & 0xffff
-            pcm16 = fmt == 1 && bits == 16
-          case "data" =>
-            return if (pcm16) Some((buf.position(), size / 2)) else None
-          case _ => ()
-        }
-        if (next > b.length) return None
-        buf.position(math.min(next, b.length))
+    var found: Option[(Int, Int)] = None
+    var bad = false
+    val ok = walkWavChunks(b, (id, bodyAt, size) => {
+      id match {
+        case "fmt " if size >= 16 =>
+          pcm16 = leU16(b, bodyAt) == 1 && leU16(b, bodyAt + 14) == 16
+        case "data" =>
+          if (pcm16) found = Some((bodyAt, size / 2))
+          else bad = true // data before fmt, or not 16-bit PCM
+        case _ => ()
       }
-      None
-    } catch { case _: RuntimeException => None }
+      !bad && found.isEmpty
+    })
+    if (!ok || bad) None else found
   }
 
   /** Signal feature extraction over decoded PCM: per-row integer
@@ -577,6 +591,57 @@ object Multimodal {
     * count. Returns None when the container is not well-formed —
     * truncated and foreign payloads degrade, they don't throw.
     * Returns (brand, codec, width, height, nFrames, durationUs). */
+  /** Container boxes the ISO-BMFF walkers descend into. */
+  private val Mp4Containers = Set("moov", "trak", "mdia", "minf", "stbl")
+
+  /** Legit files nest at most moov/trak/mdia/minf/stbl (= 5 of the
+    * descended container types); a corrupt payload of containers
+    * nested inside themselves would otherwise recurse once per 8
+    * header bytes and StackOverflowError PAST the RuntimeException
+    * degrade-catch (an Error, not an Exception — it would kill the
+    * task). Anything deeper than this bound is malformed by fiat. */
+  private val Mp4MaxDepth = 16
+
+  private def beU32(b: Array[Byte], at: Int): Long =
+    ((b(at) & 0xffL) << 24) | ((b(at + 1) & 0xffL) << 16) |
+      ((b(at + 2) & 0xffL) << 8) | (b(at + 3) & 0xffL)
+
+  /** THE ISO-BMFF box walk, shared by [[parseMp4]] and
+    * [[mp4FrameGeom]] so the malformed-input rules cannot drift
+    * between the parse and feature paths: 32-bit sizes, the 64-bit
+    * `size == 1` largesize escape, the `size == 0` to-end-of-file
+    * form, bounded descent into the standard container boxes.
+    * `onBox(tpe, bodyAt, end)` fires for every non-container box and
+    * returns false to mark the payload malformed. Returns false on
+    * any malformed framing. */
+  private def walkMp4Boxes(b: Array[Byte],
+      onBox: (String, Int, Int) => Boolean): Boolean = {
+    def walk(from: Int, to: Int, depth: Int): Boolean = {
+      if (depth > Mp4MaxDepth) return false
+      var p = from
+      while (p < to) {
+        if (p + 8 > to) return false
+        var size = beU32(b, p)
+        val tpe = new String(b, p + 4, 4, "US-ASCII")
+        var bodyAt = p + 8
+        if (size == 1) { // 64-bit largesize
+          if (p + 16 > to) return false
+          size = (beU32(b, p + 8) << 32) | beU32(b, p + 12)
+          bodyAt = p + 16
+        } else if (size == 0) size = (to - p).toLong // to end of file
+        if (size < (bodyAt - p) || p + size > to) return false
+        val end = (p + size).toInt
+        if (Mp4Containers.contains(tpe)) {
+          if (!walk(bodyAt, end, depth + 1)) return false
+        } else if (!onBox(tpe, bodyAt, end)) return false
+        p = end
+      }
+      true
+    }
+    try walk(0, b.length, 0)
+    catch { case _: RuntimeException => false }
+  }
+
   def parseMp4(b: Array[Byte])
       : Option[(String, String, Int, Int, Long, Long)] = {
     if (sniffKind(b) != "mp4") return None
@@ -585,75 +650,60 @@ object Multimodal {
     var timescale = 0L; var durTicks = -1L
     var width = 0; var height = 0
     var nFrames = -1L
-    val containers = Set("moov", "trak", "mdia", "minf", "stbl")
-    def u32(at: Int): Long =
-      ((b(at) & 0xffL) << 24) | ((b(at + 1) & 0xffL) << 16) |
-        ((b(at + 2) & 0xffL) << 8) | (b(at + 3) & 0xffL)
+    def u32(at: Int): Long = beU32(b, at)
     def fourcc(at: Int): String =
       new String(b, at, 4, "US-ASCII")
-    // returns false when the range is malformed
-    def walk(from: Int, to: Int): Boolean = {
-      var p = from
-      while (p < to) {
-        if (p + 8 > to) return false
-        var size = u32(p)
-        val tpe = fourcc(p + 4)
-        var bodyAt = p + 8
-        if (size == 1) { // 64-bit largesize
-          if (p + 16 > to) return false
-          size = (u32(p + 8) << 32) | u32(p + 12)
-          bodyAt = p + 16
-        } else if (size == 0) size = (to - p).toLong // to end of file
-        if (size < (bodyAt - p) || p + size > to) return false
-        val end = (p + size).toInt
-        tpe match {
-          case t if containers.contains(t) =>
-            if (!walk(bodyAt, end)) return false
-          case "ftyp" if end - bodyAt >= 4 =>
-            brand = fourcc(bodyAt)
-          case "mvhd" if end - bodyAt >= 4 =>
-            val version = b(bodyAt) & 0xff
-            if (version == 1) {
-              if (end - bodyAt < 32) return false
-              timescale = u32(bodyAt + 20)
-              durTicks = (u32(bodyAt + 24) << 32) | u32(bodyAt + 28)
-            } else {
-              if (end - bodyAt < 20) return false
-              timescale = u32(bodyAt + 12)
-              durTicks = u32(bodyAt + 16)
-            }
-          case "tkhd" =>
-            val version = b(bodyAt) & 0xff
-            // width/height are the LAST 8 bytes in both versions
-            if (end - bodyAt < (if (version == 1) 92 else 80)) return false
-            width = (u32(end - 8) >>> 16).toInt
-            height = (u32(end - 4) >>> 16).toInt
-          case "stsd" if end - bodyAt >= 16 =>
-            codec = fourcc(bodyAt + 12) // first sample entry's fourcc
-          case "stts" if end - bodyAt >= 8 =>
-            val entries = u32(bodyAt + 4)
-            if (end - bodyAt < 8 + entries * 8) return false
-            var n = 0L
-            var e = 0
-            while (e < entries) {
-              n += u32(bodyAt + 8 + e * 8)
-              e += 1
-            }
-            nFrames = n
-          case _ => () // mdat, free, udta... skip
+    val ok = walkMp4Boxes(b, (tpe, bodyAt, end) => tpe match {
+      case "ftyp" if end - bodyAt >= 4 =>
+        brand = fourcc(bodyAt); true
+      case "mvhd" if end - bodyAt >= 4 =>
+        val version = b(bodyAt) & 0xff
+        if (version == 1) {
+          if (end - bodyAt < 32) false
+          else {
+            timescale = u32(bodyAt + 20)
+            durTicks = (u32(bodyAt + 24) << 32) | u32(bodyAt + 28)
+            true
+          }
+        } else {
+          if (end - bodyAt < 20) false
+          else {
+            timescale = u32(bodyAt + 12)
+            durTicks = u32(bodyAt + 16)
+            true
+          }
         }
-        p = end
-      }
-      true
-    }
-    try {
-      if (!walk(0, b.length)) return None
-      if (brand == null || codec == null || timescale <= 0
-          || durTicks < 0 || width <= 0 || height <= 0 || nFrames < 0)
-        None
-      else Some((brand, codec, width, height, nFrames,
-        durTicks * 1000000L / timescale))
-    } catch { case _: RuntimeException => None }
+      case "tkhd" =>
+        val version = b(bodyAt) & 0xff
+        // width/height are the LAST 8 bytes in both versions
+        if (end - bodyAt < (if (version == 1) 92 else 80)) false
+        else {
+          width = (u32(end - 8) >>> 16).toInt
+          height = (u32(end - 4) >>> 16).toInt
+          true
+        }
+      case "stsd" if end - bodyAt >= 16 =>
+        codec = fourcc(bodyAt + 12); true // first sample entry's fourcc
+      case "stts" if end - bodyAt >= 8 =>
+        val entries = u32(bodyAt + 4)
+        if (end - bodyAt < 8 + entries * 8) false
+        else {
+          var n = 0L
+          var e = 0
+          while (e < entries) {
+            n += u32(bodyAt + 8 + e * 8)
+            e += 1
+          }
+          nFrames = n
+          true
+        }
+      case _ => true // mdat, free, udta... skip
+    })
+    if (!ok || brand == null || codec == null || timescale <= 0
+        || durTicks < 0 || width <= 0 || height <= 0 || nFrames < 0)
+      None
+    else Some((brand, codec, width, height, nFrames,
+      durTicks * 1000000L / timescale))
   }
 
   /** Attach a REAL MP4 payload whose geometry derives from row
@@ -756,44 +806,20 @@ object Multimodal {
     if (sniffKind(b) != "mp4") return None
     var sampleSize = -1; var nSamples = -1
     var mdatAt = -1; var mdatLen = -1
-    val containers = Set("moov", "trak", "mdia", "minf", "stbl")
-    def u32(at: Int): Long =
-      ((b(at) & 0xffL) << 24) | ((b(at + 1) & 0xffL) << 16) |
-        ((b(at + 2) & 0xffL) << 8) | (b(at + 3) & 0xffL)
-    def walk(from: Int, to: Int): Boolean = {
-      var p = from
-      while (p < to) {
-        if (p + 8 > to) return false
-        var size = u32(p)
-        val tpe = new String(b, p + 4, 4, "US-ASCII")
-        var bodyAt = p + 8
-        if (size == 1) {
-          if (p + 16 > to) return false
-          size = (u32(p + 8) << 32) | u32(p + 12)
-          bodyAt = p + 16
-        } else if (size == 0) size = (to - p).toLong
-        if (size < (bodyAt - p) || p + size > to) return false
-        val end = (p + size).toInt
-        tpe match {
-          case t if containers.contains(t) =>
-            if (!walk(bodyAt, end)) return false
-          case "stsz" if end - bodyAt >= 12 =>
-            sampleSize = u32(bodyAt + 4).toInt
-            nSamples = u32(bodyAt + 8).toInt
-          case "mdat" =>
-            mdatAt = bodyAt; mdatLen = end - bodyAt
-          case _ => ()
-        }
-        p = end
+    val ok = walkMp4Boxes(b, (tpe, bodyAt, end) => {
+      tpe match {
+        case "stsz" if end - bodyAt >= 12 =>
+          sampleSize = beU32(b, bodyAt + 4).toInt
+          nSamples = beU32(b, bodyAt + 8).toInt
+        case "mdat" =>
+          mdatAt = bodyAt; mdatLen = end - bodyAt
+        case _ => ()
       }
       true
-    }
-    try {
-      if (!walk(0, b.length)) return None
-      if (sampleSize <= 0 || nSamples < 0 || mdatAt < 0
-          || nSamples.toLong * sampleSize > mdatLen) None
-      else Some((mdatAt, sampleSize, nSamples))
-    } catch { case _: RuntimeException => None }
+    })
+    if (!ok || sampleSize <= 0 || nSamples < 0 || mdatAt < 0
+        || nSamples.toLong * sampleSize > mdatLen) None
+    else Some((mdatAt, sampleSize, nSamples))
   }
 
   /** Frame sampling over the video modality: decode the container's
@@ -853,14 +879,7 @@ object Multimodal {
       .mapPartitions { it =>
         imageIoNoDiskCache()
         it.map { case (id, bytes) =>
-          val kind = sniffKind(bytes)
-          val img =
-            if (kind == "png" || kind == "jpeg" || kind == "gif"
-                || kind == "bmp")
-              try javax.imageio.ImageIO.read(
-                new java.io.ByteArrayInputStream(bytes))
-              catch { case _: java.io.IOException => null }
-            else null
+          val img = readImage(bytes)
           if (img == null) PixelStats(id, 0L, 0L, 0L, 0L)
           else {
             var r = 0L; var g = 0L; var b = 0L
@@ -964,11 +983,7 @@ object Multimodal {
       .mapPartitions { it =>
         imageIoNoDiskCache()
         it.map { case (id, bytes) =>
-        val img =
-          try Option(javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(bytes)))
-          catch { case _: java.io.IOException => None }
-        img match {
+        Option(readImage(bytes)) match {
           case Some(src) =>
             // explicit floor-mapped nearest neighbor (src pixel of
             // dst (x,y) is (x·srcW/dstW, y·srcH/dstH) in integer

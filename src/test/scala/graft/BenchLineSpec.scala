@@ -16,7 +16,7 @@ class BenchLineSpec extends AnyFunSuite {
   private def lineAt(value: Double): String =
     Bench.formatLine(SparkEntry.queries.keys.toSeq.sorted
         .map(name => (name, value, value)),
-      12.34, 12.34, 300, "/root/testdata/sf0.1")
+      "/root/testdata/sf0.1")
 
   test("stdout line fits the driver's tail capture at the full registry") {
     // Budget arithmetic: the driver keeps the LAST 2000 chars of
@@ -63,7 +63,7 @@ class BenchLineSpec extends AnyFunSuite {
   test("per-query values never exceed 3 chars (line-budget invariant)") {
     for (v <- Seq(0.04, 0.25, 1.0, 9.94, 9.96, 42.4, 99.4, 99.6, 100.0,
         998.0, 999.99, 12345.0, -1.0)) {
-      val line = Bench.formatLine(Seq(("q", v, 1.0)), 0, 0, 0, "sf")
+      val line = Bench.formatLine(Seq(("q", v, 1.0)), "sf")
       val m = """"q":([^,}]+)""".r.findFirstMatchIn(line).get.group(1)
       assert(m.length <= 3, s"value $v formatted as '$m' (>3 chars)")
       assert(!m.contains("E") && !m.contains("e"), s"sci notation: $m")

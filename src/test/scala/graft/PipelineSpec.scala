@@ -1246,6 +1246,22 @@ class PipelineSpec extends AnyFunSuite {
     // counts just force execution; a throw inside a task fails here
     Multimodal.pcmFeatures(spark, wavDf).count()
     assert(Multimodal.sampleVideoFrames(spark, mp4Df, 2).count() >= 0)
+    // adversarial depth: containers nested inside themselves cost
+    // only 8 header bytes per level — an unbounded recursive walk
+    // would StackOverflowError (an Error, past the degrade catch).
+    // The walker's depth bound must reject this as malformed instead.
+    val depth = 50000
+    val ftyp = mp4.take(24) // the real ftyp box (sniff passes)
+    val evil = new Array[Byte](ftyp.length + 8 * depth)
+    System.arraycopy(ftyp, 0, evil, 0, ftyp.length)
+    val bb = java.nio.ByteBuffer.wrap(evil)
+    bb.position(ftyp.length)
+    (0 until depth).foreach { i =>
+      bb.putInt(8 * (depth - i)); bb.put("moov".getBytes("US-ASCII"))
+    }
+    assert(Multimodal.parseMp4(evil).isEmpty)
+    val evilDf = Seq((1L, evil)).toDF("doc_id", "payload")
+    assert(Multimodal.sampleVideoFrames(spark, evilDf, 1).count() == 0)
     // image feature/resize paths hold the same contract over real
     // PNG bytes (the JDK reader sees every truncation + corruption)
     val png = Multimodal.pngPayload(9, 7, seed = 9L)
