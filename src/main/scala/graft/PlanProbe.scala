@@ -30,8 +30,12 @@ object PlanProbe {
         .foreach(_.unpersist(blocking = true))
       spark.sharedState.cacheManager.clearCache()
     }
-    // warm pass (JIT, codegen, file listings)
-    fn(spark, sfDir).count(); sweep()
+    // warm pass (JIT, codegen, file listings) — forced through the
+    // full-column hash like Bench: a bare count() lets Catalyst
+    // join-eliminate/prune exactly the subtrees being diagnosed, so
+    // their codegen and shuffles would NOT be warm and the timed
+    // pass would misattribute first-run cost to them
+    Bench.forced(fn(spark, sfDir)).collect(); sweep()
     val df = fn(spark, sfDir)
     val t0 = System.nanoTime()
     df.queryExecution.toRdd.count()

@@ -64,11 +64,8 @@ object Dp3Cli {
     * `<configDir>/plugins/` is offered to ServiceLoader (the
     * reference walks the same tree for `.so` files and looks up
     * `PluginCmd`; on the JVM the service registry IS that symbol
-    * table). A missing directory means nothing to load. */
-  private[cli] def loadPlugins(err: PrintStream): Map[String, CliPlugin] =
-    loadPluginsWithLoader(err)._1
-
-  /** As [[loadPlugins]], but also hands back the URLClassLoader so the
+    * table). A missing directory means nothing to load.
+    * Also hands back the URLClassLoader so the
     * dispatcher can close it once the plugin verb finishes — keeping
     * it open for the process lifetime leaks a file handle per jar and
     * keeps the jars locked on some platforms. The walk stream is

@@ -15,7 +15,7 @@ import graft.mcap.Mcap
   * The reference multiplexes results into MCAP or, with
   * `Accept: application/json`, transcodes to newline-delimited JSON
   * rows of `{"topic","sequence","log_time","publish_time","data":{..}}`
-  * with nanosecond-integer timestamps (reference:
+  * with decimal-seconds timestamps (reference:
   * server/mcap/mcap_to_json.go:42-142, server/routes/query.go:101-135).
   *
   * `ndjson` is a streaming projection — one pass, no driver
@@ -138,9 +138,11 @@ object Export {
   }
 
   private def consume(rows: Iterator[Row],
-      write: (Mux, Row) => Unit): Array[Byte] = {
+      write: (Mux, Row) => Unit,
+      beforeFinish: Mux => Unit = _ => ()): Array[Byte] = {
     val mux = new Mux(new Mcap.Writer())
     rows.foreach(write(mux, _))
+    beforeFinish(mux) // e.g. the in-band explain Metadata record
     mux.finish()
   }
 
@@ -180,13 +182,12 @@ object Export {
     val schemaData = jsonSchemaFor(df, dataCols).getBytes(UTF_8)
     import scala.jdk.CollectionConverters._
     val rows = jsonRows(df, dataCols)
-    val mux = new Mux(new Mcap.Writer())
-    rows.toLocalIterator().asScala
-      .foreach(writeJsonRow(schemaData)(mux, _))
-    if (explain)
-      mux.writeMetadata("query", Seq("context" ->
-        graft.plan.Planner.metricsJson(graft.plan.Planner.metricsOf(rows))))
-    mux.finish()
+    consume(rows.toLocalIterator().asScala,
+      writeJsonRow(schemaData),
+      mux => if (explain)
+        mux.writeMetadata("query", Seq("context" ->
+          graft.plan.Planner.metricsJson(
+            graft.plan.Planner.metricsOf(rows)))))
   }
 
   /** Multiplex already-binary messages (the [[Mcap.load]] canonical

@@ -273,6 +273,18 @@ object Similarity {
   def refineCells(emb: DataFrame, bits: Int, dims: Int,
       cellCol: String = "label", vecCol: String = "embedding",
       salt: String = "graft"): DataFrame = {
+    // Known cross-engine exposure (here and in srpSignature): the
+    // SRP bit is the SIGN of a cross-row double sum, which the
+    // oracle recomputes with its own (unspecified) aggregation
+    // order. IEEE non-associativity can differ only within ~1e-15
+    // relative error, so a sign flip needs a projection that close
+    // to zero — negligible for any fixed test corpus (green at
+    // sf0.01 AND sf0.1) and harmless to LSH semantics (borderline
+    // vectors land in an arbitrary-but-valid cell either way). The
+    // fully-deterministic alternative per the s_centroids lesson —
+    // sum ±floor(x·1e6) as BIGINT on both sides — changes cell
+    // assignments and would need a native quantized-dot expression;
+    // adopt it if a corpus ever hits the window.
     require(bits >= 1, "bits >= 1")
     val bitCols = srpPlanes(bits, dims, salt).map { pl =>
       when(dot(col(vecCol), lit(pl.toArray)) >= 0, lit("1"))

@@ -70,6 +70,19 @@ object CorpusDedup {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** THE versioned sidecar write, shared by [[appendBatch]] and
+    * [[appendBatchNearDup]] so the replay contract (dynamic partition
+    * overwrite of exactly `version=N`) cannot drift between the exact
+    * and near-dup paths: a retried batch replaces its own partition
+    * and only its own partition. */
+  private def writeVersioned(version: Long)(
+      df: DataFrame, dir: String): Unit =
+    df.withColumn("version", lit(version))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("version")
+      .parquet(dir)
+
   /** One micro-batch (also the batch-import face): in-batch canonical
     * copy, corpus-membership filter, then three version-partitioned
     * writes. Returns the number of accepted documents.
@@ -113,19 +126,14 @@ object CorpusDedup {
       Bloom.withBloomWords(survivors, nBuckets, nWords, kHashes,
         textCol))
     tierPin.foreach(_.release()) // accepted set is materialized now
-    def writeVersioned(df: DataFrame, dir: String): Unit =
-      df.withColumn("version", lit(version))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("version")
-        .parquet(dir)
     try {
       val n = pinned.count()
       if (n > 0) {
-        writeVersioned(pinned.select(batch0.columns.map(col): _*),
-          corpusDir)
-        writeVersioned(pinned.select(col(idCol), col("_fp")), fpDir)
-        writeVersioned(pinned.groupBy(col("bloom_bucket"))
+        writeVersioned(version)(
+          pinned.select(batch0.columns.map(col): _*), corpusDir)
+        writeVersioned(version)(
+          pinned.select(col(idCol), col("_fp")), fpDir)
+        writeVersioned(version)(pinned.groupBy(col("bloom_bucket"))
           .agg(expr("bit_or(bloom_w0)").as("bloom_w0"),
             (1 until nWords).map(x =>
               expr(s"bit_or(bloom_w$x)").as(s"bloom_w$x")): _*),
@@ -223,17 +231,11 @@ object CorpusDedup {
       try {
         val n = pinnedSurv.count()
         if (n > 0) {
-          def writeVersioned(df: DataFrame, dir: String): Unit =
-            df.withColumn("version", lit(version))
-              .write.mode("overwrite")
-              .option("partitionOverwriteMode", "dynamic")
-              .partitionBy("version")
-              .parquet(dir)
-          writeVersioned(
+          writeVersioned(version)(
             batch0.join(broadcast(pinnedSurv.select(
               col("_id").as(idCol))), Seq(idCol), "left_semi"),
             corpusDir)
-          writeVersioned(
+          writeVersioned(version)(
             pinnedSurv.select(col("_id").as("ref_id"),
                 col("_na").as("nb"), explode(col("_arr")).as("sh"))
               .withColumn("bucket",
@@ -272,9 +274,13 @@ object CorpusDedup {
     *
     * Crash-safe in place: the merged rows (control-plane kilobytes —
     * collected to the driver, which also severs any read-while-write
-    * overlap) are first APPENDED into the `version=maxV` partition
-    * dir, then the superseded version dirs and the partition's old
-    * part files are deleted. The tier path never disappears (the old
+    * overlap) are first APPENDED into the second-newest version's
+    * partition dir, then the superseded version dirs and the
+    * partition's old part files are deleted. The NEWEST version is
+    * never folded: its stream batch may not have committed its
+    * checkpoint yet, and a replay of it re-reads `version < maxV` —
+    * which must still see all older membership bits, not an empty
+    * tier. The tier path never disappears (the old
     * write-new-then-flip left a window where a concurrent append's
     * exists() check saw no tier and bypassed dedup entirely), and a
     * crash at any step leaves redundant-but-correct bits that the
@@ -288,22 +294,32 @@ object CorpusDedup {
     val tier = spark.read.parquet(tierDir)
     val versions = tier.select(col("version").cast("long"))
       .distinct().collect().map(_.getLong(0)).sorted
-    if (versions.length <= 1) return // already one partial set
-    val maxV = versions.last
-    val merged = tier.groupBy(col("bloom_bucket"))
+    // Fold only versions STRICTLY OLDER than the newest: the newest
+    // version may belong to a stream batch whose checkpoint commit
+    // has not landed yet, and an at-least-once replay of that batch
+    // re-reads the tier with `version < maxV` — folding maxV's
+    // partials downward would make that read come back EMPTY and
+    // re-accept every historical duplicate. Versions with a
+    // successor are committed by construction (the stream issues
+    // versions monotonically), so they are safe to merge.
+    if (versions.length <= 2) return // nothing strictly-older to fold
+    val olds = versions.init
+    val keepV = olds.last
+    val merged = tier.where(col("version") < versions.last)
+      .groupBy(col("bloom_bucket"))
       .agg(expr("bit_or(bloom_w0)").as("bloom_w0"),
         (1 until nWords).map(x =>
           expr(s"bit_or(bloom_w$x)").as(s"bloom_w$x")): _*)
     val local = merged.collect() // ≤ nBuckets rows of longs
     val fs = new org.apache.hadoop.fs.Path(tierDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val part = new org.apache.hadoop.fs.Path(s"$tierDir/version=$maxV")
+    val part = new org.apache.hadoop.fs.Path(s"$tierDir/version=$keepV")
     val superseded = fs.listStatus(part).map(_.getPath)
       .filter(_.getName.endsWith(".parquet"))
     spark.createDataFrame(
         java.util.Arrays.asList(local: _*), merged.schema)
       .coalesce(1).write.mode("append").parquet(part.toString)
-    versions.init.foreach { v =>
+    olds.init.foreach { v =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$tierDir/version=$v"),
         true)
     }

@@ -90,10 +90,27 @@ class StreamingCorpusDedupSpec extends AnyFunSuite {
     val before = spark.read.parquet(tier).count()
     CorpusDedup.compactTier(spark, tier)
     val after = spark.read.parquet(tier)
-    assert(after.count() < before)
-    assert(after.groupBy("bloom_bucket").count()
-      .agg(max("count")).head().getLong(0) == 1L,
-      "one merged row per bucket")
+    assert(after.count() <= before)
+    // versions STRICTLY older than the newest fold into ONE version
+    // partition with one row per bucket; the newest version's
+    // partials stay separate so a replay of its (possibly-
+    // uncommitted) batch still sees history
+    assert(after.where(col("version") < 4L).select("version")
+      .distinct().collect().map(_.get(0).toString.toLong).toSeq
+      == Seq(3L), // partition cols re-read as Integer (CLAUDE.md)
+      "committed versions fold into the second-newest partition")
+    assert(after.where(col("version") < 4L).groupBy("bloom_bucket")
+      .count().agg(max("count")).head().getLong(0) == 1L,
+      "one merged row per bucket among committed versions")
+    // REPLAY of the newest version against the compacted tier is
+    // still idempotent: before the fix, compaction folded version 4
+    // into itself, the replay's `version < 4` read came back empty,
+    // and every historical duplicate was re-accepted
+    assert(CorpusDedup.appendBatch(spark,
+      (400L until 410L).map(i => (i, s"doc $i body"))
+        .toDF("doc_id", "text"), 4L, corpus, tier, fp) == 10L)
+    assert(spark.read.parquet(corpus).groupBy("doc_id").count()
+      .where(col("count") > 1).count() == 0, "no duplicate corpus rows")
     // dedup answers are unchanged against the compacted tier: dups of
     // every prior version still drop, a new doc still lands
     val probe = Seq((900L, "doc 101 body"), (901L, "doc 401 body"),
