@@ -251,6 +251,18 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(data.columns.contains("time"))
   }
 
+  test("the driver's flagship entry() returns rows via the QL path, " +
+      "not the fallback scan") {
+    val df = SparkEntry.entry(spark)
+    // the QL result carries the canonical message frame; the
+    // fallback (a bare lineitem scan) would not — so this asserts
+    // the REAL path worked, one failure earlier than the driver's
+    // opaque rows>0 smoke check
+    assert(df.columns.contains("topic"), df.columns.mkString(","))
+    assert(df.count() > 0)
+    spark.sharedState.cacheManager.clearCache() // entry() caches
+  }
+
   test("ndjson export matches the dp3 row shape") {
     val m = new EventsCatalog(sfDir).messages(spark)
       .where(col("topic") === "click").limit(1)
