@@ -53,10 +53,15 @@ object Export {
     // NPEs mid-stream, after the 200 header) or drop the field from
     // the to_json head (invalid JSON when spliced). Coalesce to
     // zero values instead — a zero-time line beats a killed stream.
+    // negative (pre-epoch) times are clamped to 0 alongside the null
+    // coalesce: `%d.%09d` with div/% (truncate-toward-zero) would
+    // render `0.-00000001` — invalid JSON. The reference can't emit
+    // them (uint64 log times), so clamping matches its value domain.
     df.select(coalesce(col("topic"), lit("")).as("topic"),
         coalesce(col("seq"), lit(0L)).as("seq"),
-        coalesce(col("time"), lit(0L)).as("_lt"),
-        coalesce(publishTime(df), col("time"), lit(0L)).as("_pt"),
+        greatest(coalesce(col("time"), lit(0L)), lit(0L)).as("_lt"),
+        greatest(coalesce(publishTime(df), col("time"), lit(0L)),
+          lit(0L)).as("_pt"),
         struct(dataCols.map(col): _*).as("_data"))
       .withColumn("_head",
         to_json(struct(col("topic"), col("seq").as("sequence"))))

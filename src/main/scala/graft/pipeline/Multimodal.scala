@@ -120,7 +120,11 @@ object Multimodal {
         || kind == "bmp")
       try javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(payload))
-      catch { case _: java.io.IOException => null }
+      // NonFatal, not just IOException: the JDK GIF/PNG readers have
+      // historically thrown AIOOBE/NegativeArraySizeException on
+      // crafted bytes, and the degrade contract must hold for those
+      // too (the WAV/MP4 walkers already catch RuntimeException).
+      catch { case scala.util.control.NonFatal(_) => null }
     else null
   }
 
@@ -804,11 +808,12 @@ object Multimodal {
     * fit the mdat body. */
   private def mp4FrameGeom(b: Array[Byte]): Option[(Int, Int, Int)] = {
     if (sniffKind(b) != "mp4") return None
-    var sampleSize = -1; var nSamples = -1
+    var sampleSize = -1; var nSamples = -1; var nStsz = 0
     var mdatAt = -1; var mdatLen = -1
     val ok = walkMp4Boxes(b, (tpe, bodyAt, end) => {
       tpe match {
         case "stsz" if end - bodyAt >= 12 =>
+          nStsz += 1
           sampleSize = beU32(b, bodyAt + 4).toInt
           nSamples = beU32(b, bodyAt + 8).toInt
         case "mdat" =>
@@ -817,7 +822,12 @@ object Multimodal {
       }
       true
     })
-    if (!ok || sampleSize <= 0 || nSamples < 0 || mdatAt < 0
+    // multi-track guard: two stsz boxes (e.g. video+audio tracks)
+    // mean we cannot tell which one sizes the mdat samples — pairing
+    // the wrong track's constant size would yield wrong-but-plausible
+    // frame features, so degrade to None instead.
+    if (!ok || nStsz != 1 || sampleSize <= 0 || nSamples < 0
+        || mdatAt < 0
         || nSamples.toLong * sampleSize > mdatLen) None
     else Some((mdatAt, sampleSize, nSamples))
   }

@@ -38,6 +38,27 @@ class ExportSpec extends AnyFunSuite {
     }
   }
 
+  test("ndjson clamps corrupt times (null / pre-epoch) to 0 and " +
+      "stays valid JSON") {
+    import spark.implicits._
+    val df = Seq(
+      ("t", 1L, Some(-1L), "a"),     // pre-epoch: %d.%09d would
+      ("t", 2L, None: Option[Long],  // render `0.-00000001`
+        "b"),
+      ("t", 3L, Some(1500000000L), "c"))
+      .toDF("topic", "seq", "time", "v")
+    val lines = Export.ndjson(df, Seq("v")).collect()
+    assert(lines.length == 3)
+    lines.foreach { l =>
+      // every line must parse as a JSON object with numeric times
+      assert(l.startsWith("{") && l.endsWith("}"))
+      assert(!l.contains(".-"), s"negative nano field leaked: $l")
+    }
+    assert(lines(0).contains(""""log_time":0.000000000"""))
+    assert(lines(1).contains(""""log_time":0.000000000"""))
+    assert(lines(2).contains(""""log_time":1.500000000"""))
+  }
+
   test("explain query MCAP carries the NodeStats metadata record " +
       "from the same run that produced the stream") {
     val bytes = svc.queryMcap(spark, "from p3 click limit 5;",

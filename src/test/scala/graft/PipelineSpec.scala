@@ -1209,6 +1209,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(Multimodal.parseMp4(overrun).isEmpty)
   }
 
+  test("frame sampling degrades to no rows on multi-track stsz " +
+      "(ambiguous sample geometry)") {
+    // a video+audio file carries one stsz per track; pairing the
+    // LAST stsz seen with the mdat would sample frame spans with the
+    // wrong track's sample size — wrong-but-plausible features. The
+    // walker must degrade to None when more than one stsz appears.
+    import spark.implicits._
+    val canonical = Multimodal.mp4Payload(64, 48, 4, seed = 11L)
+    val mdatAt =
+      canonical.length - 8 - 4 * Multimodal.Mp4FrameBytes
+    assert(new String(canonical, mdatAt + 4, 4, "US-ASCII") == "mdat")
+    // a second top-level stsz (20 bytes: hdr + ver/flags + size=4,
+    // count=2 — 8 bytes, fits the mdat, so only the multi-track
+    // guard rejects it)
+    val extra = java.nio.ByteBuffer.allocate(20)
+    extra.putInt(20); extra.put("stsz".getBytes("US-ASCII"))
+    extra.putInt(0); extra.putInt(4); extra.putInt(2)
+    val twoTracks =
+      canonical.take(mdatAt) ++ extra.array() ++ canonical.drop(mdatAt)
+    assert(Multimodal.sniffKind(twoTracks) == "mp4")
+    val df = Seq((1L, twoTracks), (2L, canonical))
+      .toDF("doc_id", "payload")
+    val rows = Multimodal.sampleVideoFrames(spark, df, 1).collect()
+    // the single-track doc still samples; the ambiguous one degrades
+    assert(rows.nonEmpty && rows.forall(_.doc_id == 2L))
+  }
+
   test("container parsers never throw: every truncation and " +
       "single-byte corruption parses to Some or None") {
     // a 100 TB corpus always carries truncated and bit-rotted files;
