@@ -182,6 +182,16 @@ object Bench {
     * are 100 ms resolution (3 chars max); full 3-decimal detail plus
     * the load/idle-wait metadata go to the sidecar file, never
     * stdout.
+    *
+    * `queries` is a COLUMNAR pair since round 12:
+    * `{"n":"name1,name2,…","s":[sec1,sec2,…]}` — zip the comma-split
+    * names with the seconds array positionally to recover the map.
+    * The flat `{"name":sec}` object spent 4 framing chars per entry
+    * (two quotes, colon vs the pair's two commas are a wash, plus the
+    * map braces); columnar framing costs 2, which at ~100 registry
+    * entries is the difference between ~6 chars of headroom and ~200
+    * — registry growth stopped being a truncation hazard. Names stay
+    * verbatim and sorted, so the encoding is lossless.
     */
   def formatLine(
       results: Seq[(String, Double, Double)],
@@ -195,8 +205,9 @@ object Bench {
       else if (v < 9.95) f"$v%.1f"
       else if (v < 99.5) f"$v%.0f"
       else f"${math.min(v, 999.0)}%.0f"
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
+    val qs = "{\"n\":\"" + results.map(_._1).mkString(",") +
+      "\",\"s\":[" + results.map { case (_, v, _) => fmt(v) }
+        .mkString(",") + "]}"
     val total = results.map(_._2).sum
     // spread summarized: the single worst ratio, display-capped at 9
     // (any spread beyond ~2 is equally "rerun this one"); the

@@ -10,13 +10,20 @@ import org.scalatest.funsuite.AnyFunSuite
   * worst-case-width values, so registry growth that would overflow the
   * driver's window fails here first, before a round's bench record
   * goes dark.
+  *
+  * Since round 12 `queries` is columnar — `{"n":"a,b,…","s":[…]}`,
+  * zipped positionally — because the flat map's per-entry framing left
+  * only ~3 chars of headroom at 97 entries (one more registry entry
+  * would have silently truncated the line).
   */
 class BenchLineSpec extends AnyFunSuite {
 
-  private def lineAt(value: Double): String =
-    Bench.formatLine(SparkEntry.queries.keys.toSeq.sorted
-        .map(name => (name, value, value)),
+  private def lineFor(names: Seq[String], value: Double): String =
+    Bench.formatLine(names.map(name => (name, value, value)),
       "/root/testdata/sf0.1")
+
+  private def lineAt(value: Double): String =
+    lineFor(SparkEntry.queries.keys.toSeq.sorted, value)
 
   test("stdout line fits the driver's tail capture at the full registry") {
     // Budget arithmetic: the driver keeps the LAST 2000 chars of
@@ -31,24 +38,57 @@ class BenchLineSpec extends AnyFunSuite {
         "truncates long lines — compact the format (BENCH_r08-r10 lesson)")
   }
 
+  test("registry growth headroom: >=100 chars to spare with an extra " +
+      "worst-case-named entry") {
+    // the r11 flat-map format had 3 chars of headroom at 97 entries:
+    // the NEXT registry entry would have cost the round its perf
+    // record. Guard the fix — a hypothetical 98th entry with a
+    // worst-case-length name must still leave >=100 chars free.
+    val longest = SparkEntry.queries.keys.map(_.length).max
+    val names = SparkEntry.queries.keys.toSeq.sorted :+
+      ("z" * math.max(longest, 24))
+    val line = lineFor(names, 999.99)
+    assert(line.length <= 1920 - 100,
+      s"line is ${line.length} bytes at ${names.size} entries; " +
+        "need >=100 chars of growth headroom under the 1920 budget")
+  }
+
   test("line is valid single-line JSON with the driver's fields") {
     val line = lineAt(1.5)
     assert(!line.contains("\n"))
     for (field <- Seq("\"metric\":\"total\"", "\"value\":", "\"unit\":\"sec\"",
         "\"queries\":{", "\"spread_max\":", "\"hot\":", "\"sf\":"))
       assert(line.contains(field), s"missing $field in: $line")
-    // every registered query appears exactly once
-    for (name <- SparkEntry.queries.keys)
-      assert(line.contains("\"" + name + "\":"), s"missing query $name")
+    // every registered query appears exactly once in the names string
+    val namesStr = """"n":"([^"]*)"""".r
+      .findFirstMatchIn(line).get.group(1)
+    val names = namesStr.split(',')
+    assert(names.toSeq == SparkEntry.queries.keys.toSeq.sorted)
   }
 
-  test("summary fields sit AFTER the per-query map (truncation keeps tails)") {
+  test("columnar queries decode losslessly: names zip seconds " +
+      "positionally") {
+    val results = Seq(("alpha", 0.4, 1.0), ("beta", -1.0, -1.0),
+      ("gamma", 12.3, 1.1))
+    val line = Bench.formatLine(results, "sf0.1")
+    val names = """"n":"([^"]*)"""".r
+      .findFirstMatchIn(line).get.group(1).split(',')
+    val secs = """"s":\[([^\]]*)\]""".r
+      .findFirstMatchIn(line).get.group(1).split(',')
+    assert(names.length == secs.length && names.length == 3)
+    val decoded = names.zip(secs.map(_.toDouble)).toMap
+    assert(decoded("alpha") == 0.4 && decoded("beta") == -1.0
+      && decoded("gamma") == 12.0) // 100ms/1s display resolution
+  }
+
+  test("summary fields sit AFTER the per-query pair (truncation keeps " +
+      "tails)") {
     val line = lineAt(1.5)
     val qEnd = line.indexOf("\"queries\":{")
     for (field <- Seq("\"metric\":\"total\"", "\"value\":", "\"unit\":\"sec\"",
         "\"hot\":"))
       assert(line.lastIndexOf(field) > qEnd,
-        s"$field must follow the queries map so a head-truncated " +
+        s"$field must follow the queries pair so a head-truncated " +
           "capture still carries the totals")
     // `value` (the headline total) is the line's final field
     assert(line.matches(""".*"value":\d+\.\d\d}$"""),
@@ -57,14 +97,15 @@ class BenchLineSpec extends AnyFunSuite {
 
   test("failed-query sentinel (-1) survives the compact format") {
     val line = lineAt(-1.0)
-    assert(line.contains(":-1,") || line.contains(":-1}"))
+    assert(line.contains("[-1,") || line.contains(",-1,")
+      || line.contains("[-1]") || line.contains(",-1]"))
   }
 
   test("per-query values never exceed 3 chars (line-budget invariant)") {
     for (v <- Seq(0.04, 0.25, 1.0, 9.94, 9.96, 42.4, 99.4, 99.6, 100.0,
         998.0, 999.99, 12345.0, -1.0)) {
       val line = Bench.formatLine(Seq(("q", v, 1.0)), "sf")
-      val m = """"q":([^,}]+)""".r.findFirstMatchIn(line).get.group(1)
+      val m = """"s":\[([^\]]*)\]""".r.findFirstMatchIn(line).get.group(1)
       assert(m.length <= 3, s"value $v formatted as '$m' (>3 chars)")
       assert(!m.contains("E") && !m.contains("e"), s"sci notation: $m")
     }
