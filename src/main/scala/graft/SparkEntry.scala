@@ -346,14 +346,17 @@ object SparkEntry {
 
     "q_stats_quantiles_served" -> ((s, dir) => {
       // DDSketch SERVING path under oracle: 60 s sketches merged 60x
-      // into hour bins (map-union — the mergeability the tiers rely
-      // on), quantiles read from the merged sketch. The oracle
-      // replicates the bucket arithmetic exactly (see oracleSql).
-      val t0 = StatTiers.base(msgs(s, dir), 60L * 1000000000L)
-      val t1 = StatTiers.rollup(t0, 60L)
-      StatTiers.serve(t1, quantiles = Seq(0.5, 0.95))
-        .select(col("producer"), col("topic"),
-          expr("start_ns div 3600000000000").as("bucket"),
+      // into hour bins, quantiles read from the merged sketch. Runs
+      // the COLUMNAR row-form pipeline (StatTiers.sketchRows — one
+      // codegen HashAggregate per tier, window-cumsum quantiles; the
+      // map-column/typed-aggregator path benched 2.5 s here because
+      // every stage paid object aggregation + an interpreted per-bin
+      // UDF). The oracle replicates the bucket arithmetic exactly
+      // (see oracleSql) and pins the row form ≡ the map form.
+      val t0 = StatTiers.sketchRows(msgs(s, dir), 60L * 1000000000L)
+      val t1 = StatTiers.rollupSketchRows(t0, 60L)
+      StatTiers.serveQuantileRows(t1, quantiles = Seq(0.5, 0.95))
+        .select(col("producer"), col("topic"), col("bucket"),
           round(col("p50"), 6).as("p50"),
           round(col("p95"), 6).as("p95"))
         .orderBy("producer", "topic", "bucket")

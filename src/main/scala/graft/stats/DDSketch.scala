@@ -28,8 +28,9 @@ object DDSketch extends Serializable {
   val Alpha = 0.01
   val Gamma: Double = (1 + Alpha) / (1 - Alpha)
   private val logGamma = math.log(Gamma)
-  /** |x| below this maps to the zero bucket */
-  private val MinValue = 1e-9
+  /** |x| below this maps to the zero bucket (shared with the
+    * columnar [[graft.stats.StatTiers.sketchKey]] face) */
+  val MinValue = 1e-9
 
   def bucketOf(x: Double): Int = {
     if (x.isNaN || x.isInfinite) return Int.MinValue // sentinel: skip

@@ -272,6 +272,113 @@ object StatTiers {
     }.drop("sketch")
   }
 
+  // --- columnar sketch serving ------------------------------------------
+  // The map-column sketch path above (SketchAgg/MergeAgg + the serve
+  // UDF) pays ObjectHashAggregate + kryo encoder traffic per group at
+  // BUILD time and an interpreted quantile walk per bin at SERVE time
+  // — fine when the sketch rides along a wide tier row, but the
+  // flagship quantile-serving query was the most expensive dp3-core
+  // entry (2.5 s at sf0.1). The row form below keeps the ENTIRE
+  // pipeline in codegen'd primitive aggregation: a sketch is (kb, c)
+  // ROWS, built by one HashAggregate, merged by sum, and quantiles
+  // fall out of a window cumulative sum — no typed aggregator, no
+  // kryo, no interpreted UDF anywhere. (This differs from the
+  // round-11 bin-count A/B rejected at the NOTE above: that shape
+  // lost because the wide tier needed a join to re-attach the other
+  // stats; a quantile-only serving plan has nothing to join.)
+
+  /** [[DDSketch.bucketOf]] as a builtin-function column (bit-identical:
+    * both sides are java.lang.Math log/ceil on the same operands).
+    * NaN/Inf/null → null, so a `where(isNotNull)` drops skipped
+    * samples exactly like the typed aggregator does. */
+  def sketchKey(v: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val a = abs(v)
+    val k = ceil(log(a) / lit(math.log(DDSketch.Gamma))).cast("int")
+    when(isnan(v) || a === Double.PositiveInfinity,
+        lit(null).cast("int"))
+      .when(a < lit(DDSketch.MinValue), lit(0))
+      .otherwise(when(v > 0, k + lit(1073741824))
+        .otherwise(-(k + lit(1073741824))))
+  }
+
+  /** [[DDSketch.bucketValue]] as a builtin-function column. */
+  def sketchKeyValue(kq: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val g = DDSketch.Gamma
+    val mag = lit(2.0) *
+      pow(lit(g), (abs(kq) - lit(1073741824)).cast("double")) /
+      lit(g + 1)
+    when(kq === 0, lit(0.0))
+      .otherwise(when(kq > 0, mag).otherwise(-mag))
+  }
+
+  /** Tier 0 in row form: (producer, topic, bucket, kb, c) — the same
+    * DDSketch, one codegen'd HashAggregate instead of an object
+    * aggregate. Mergeable by `sum(c)` at any granularity. */
+  def sketchRows(messages: DataFrame, widthNs: Long,
+      valueCol: String = "value"): DataFrame =
+    messages
+      .select(col("producer"), col("topic"),
+        expr(s"time div ${widthNs}L").as("bucket"),
+        sketchKey(col(valueCol)).as("kb"))
+      .where(col("kb").isNotNull)
+      .groupBy(col("producer"), col("topic"), col("bucket"), col("kb"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("width_ns", lit(widthNs))
+
+  /** Merge `factor` adjacent buckets of a row-form sketch tier — the
+    * map-union is just a sum over (group, kb). The input is
+    * repartitioned on the COARSE keys only (p, t, bucket div F): that
+    * one exchange satisfies both this aggregate's clustering (subset
+    * of its keys, carrying already-reduced tier rows — same shuffle
+    * volume as letting the groupBy hash on all four keys) and the
+    * downstream [[serveQuantileRows]] window partition, which
+    * HashAggregate's alias-aware output partitioning propagates — so
+    * serving quantiles off a rollup costs no further exchange. */
+  def rollupSketchRows(rows: DataFrame, factor: Long): DataFrame =
+    rows
+      .repartition(col("producer"), col("topic"),
+        expr(s"bucket div ${factor}L"))
+      .groupBy(col("producer"), col("topic"),
+        expr(s"bucket div ${factor}L").as("bucket"), col("kb"))
+      .agg(sum(col("c")).as("c"), first(col("width_ns")).as("_w0"))
+      .withColumn("width_ns", col("_w0") * lit(factor))
+      .drop("_w0")
+
+  /** Quantiles from a row-form sketch tier, all builtins: a window
+    * cumulative sum per (producer, topic, bucket) ordered by kb (key
+    * order IS value order), then one grouped aggregate takes every
+    * requested quantile at once — `min(kb) where cum > rank`, the
+    * same walk [[DDSketch.quantile]] does, vectorized across bins.
+    * The window's partition keys are a prefix of the groupBy's, so
+    * the final aggregate reuses the window's partitioning (one
+    * exchange of reduced rows total, after the build's own). */
+  def serveQuantileRows(rows: DataFrame,
+      quantiles: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9, 0.95, 0.99))
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val part = Window.partitionBy(col("producer"), col("topic"),
+      col("bucket"))
+    val withCum = rows
+      .withColumn("_cum", sum(col("c")).over(part.orderBy(col("kb"))))
+      .withColumn("_total", sum(col("c")).over(part))
+    val aggs = quantiles.map { p =>
+      val rank = greatest(lit(0L),
+        ceil(lit(p) * (col("_total") - 1)).cast("long"))
+      min(when(col("_cum") > rank, col("kb")))
+        .as(s"_k${(p * 100).toInt}")
+    } :+ first(col("width_ns")).as("width_ns")
+    val agged = withCum
+      .groupBy(col("producer"), col("topic"), col("bucket"))
+      .agg(aggs.head, aggs.tail: _*)
+    quantiles.foldLeft(agged) { (df, p) =>
+      val n = (p * 100).toInt
+      df.withColumn(s"p$n", sketchKeyValue(col(s"_k$n")))
+        .drop(s"_k$n")
+    }
+  }
+
   /** Merge append-only tier partials (e.g. one per streaming
     * micro-batch) into canonical per-bucket rows — associativity makes
     * append + merge-on-read equivalent to a rebuild. */

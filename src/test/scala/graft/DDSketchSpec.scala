@@ -60,6 +60,74 @@ class DDSketchSpec extends AnyFunSuite {
     assert(!sk.contains(0), s"phantom zero bucket: $sk")
   }
 
+  test("columnar row-form sketch pipeline equals the map-form sketch " +
+      "bucket for bucket and quantile for quantile") {
+    // the serving path runs the row form (codegen HashAggregate +
+    // window cumsum); the map form (typed aggregator + interpreted
+    // quantile walk) is the stored-tier face. They must be the SAME
+    // sketch: same keys, same counts, same quantiles — over values
+    // spanning sign folds, the zero bucket, sub-MinValue magnitudes,
+    // NaN/Inf/null skips, and multi-bucket merges.
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, explode}
+    import graft.stats.StatTiers
+    val rnd = new Random(19)
+    val rows = (0 until 4000).map { i =>
+      val v: java.lang.Double = rnd.nextInt(12) match {
+        case 0 => 0.0
+        case 1 => rnd.nextDouble() * 1e-10 // below MinValue
+        case 2 => -math.exp(rnd.nextGaussian() * 3)
+        case 3 => Double.NaN
+        case 4 => Double.PositiveInfinity
+        case 5 => null
+        case _ => math.exp(rnd.nextGaussian() * 3)
+      }
+      ("p" + (i % 2), "t", i.toLong * 700L, i.toLong, v)
+    }
+    val df = rows.toDF("producer", "topic", "time", "seq", "value")
+    val widthNs = 10000L
+    // bucket-for-bucket: row form == exploded map form
+    val rowForm = StatTiers
+      .rollupSketchRows(StatTiers.sketchRows(df, widthNs), 4L)
+      .select("producer", "topic", "bucket", "kb", "c")
+      .as[(String, String, Long, Int, Long)].collect().toSet
+    val mapForm = StatTiers.rollup(StatTiers.base(df, widthNs), 4L)
+      .select(col("producer"), col("topic"), col("bucket"),
+        explode(col("sketch")))
+      .as[(String, String, Long, Int, Long)].collect().toSet
+    assert(rowForm == mapForm)
+    // quantile-for-quantile: window-cumsum walk == DDSketch.quantile
+    val qs = Seq(0.25, 0.5, 0.9, 0.99)
+    val served = StatTiers.serveQuantileRows(
+        StatTiers.rollupSketchRows(StatTiers.sketchRows(df, widthNs), 4L),
+        qs)
+      .collect().map(r => ((r.getString(0), r.getString(1),
+        r.getLong(2)), qs.indices.map(i => r.getDouble(4 + i)))).toMap
+    val sketches = StatTiers.rollup(StatTiers.base(df, widthNs), 4L)
+      .select(col("producer"), col("topic"), col("bucket"), col("sketch"))
+      .collect().map(r => ((r.getString(0), r.getString(1),
+        r.getLong(2)), r.getMap[Int, Long](3)))
+    assert(sketches.nonEmpty)
+    sketches.foreach { case (key, m0) =>
+      val m = Map(m0.toSeq: _*)
+      if (m.nonEmpty) {
+        val got = served(key)
+        qs.zipWithIndex.foreach { case (q, i) =>
+          val want = DDSketch.quantile(m, q)
+          // 2-ulp tolerance: Math.pow's JIT intrinsic and its
+          // interpreted (StrictMath-backed) fallback may differ by
+          // 1 ulp between call sites of the SAME JVM. Bucket
+          // SELECTION is pinned exactly by the set equality above;
+          // this only tolerates the value reconstruction's last bit
+          // (round(x, 6) downstream absorbs it everywhere it ships).
+          assert(math.abs(got(i) - want) <= 2 * math.ulp(want),
+            s"$key q=$q: ${got(i)} vs $want")
+        }
+      } else assert(!served.contains(key))
+    }
+  }
+
   test("tier rollup equals direct aggregation (spark)") {
     val spark = TestSpark.spark
     import graft.stats.StatTiers
