@@ -219,8 +219,20 @@ object Dedup {
       explode(col("_arr")).as("sh"))
     val left = if (hashJoin) aSide.hint("shuffle_hash") else aSide
     val a = left.as("a"); val b = bSide.as("b")
+    // length filter (the classic prefix-family size bound): J >= t
+    // forces min(na,nb)/max(na,nb) >= t, so size-mismatched pairs
+    // can be dropped AT THE JOIN, before they cost candidate rows in
+    // the pair shuffle and intersect aggregation. The bound runs at
+    // t - 1e-6: the final predicate is round(j, 6) >= t, which can
+    // admit true j down to t - 5e-7, and the slack guarantees the
+    // filtered plan never drops a pair the unfiltered one keeps.
+    val tSlack = threshold - 1e-6
+    val sizeOk =
+      if (tSlack <= 0) lit(true)
+      else col("b.nb").cast("double") >= lit(tSlack) * col("a.na") &&
+        col("a.na").cast("double") >= lit(tSlack) * col("b.nb")
     val pairs = a.join(b, col("a.sh") === col("b.sh")
-        && col("a._id") < col("b._id"))
+        && col("a._id") < col("b._id") && sizeOk)
       .groupBy(col("a._id").as("id_a"), col("b._id").as("id_b"))
       .agg(count(lit(1)).as("c"), min(col("na")).as("na"),
         min(col("nb")).as("nb"))
@@ -512,10 +524,12 @@ object Dedup {
     * Measured cost shape at sf0.1 (5k docs): the dominant term is
     * MATERIALIZING THE PAIRS INPUT into the pinned edge cache (~2.5 s
     * of jaccard pipeline), then 2 BSP rounds (one reaches the
-    * fixpoint, one confirms changed == 0) of fixed small-job overhead
-    * each — overhead that amortizes away at real data sizes, where
-    * per-round work is data-bound. Counting fused labels vs `_old` is
-    * exactly the right termination test (see above). */
+    * fixpoint; the confirming round runs the cheap jump-only plan
+    * once the contraction empties the quotient — see the loop) of
+    * fixed small-job overhead — overhead that amortizes away at real
+    * data sizes, where per-round work is data-bound. Counting fused
+    * labels vs `_old` is exactly the right termination test (see
+    * above). */
   def clusters(ids: DataFrame, pairs: DataFrame,
       idCol: String = "doc_id", maxIters: Int = 50): DataFrame =
     clustersOwned(ids, pairs, idCol, maxIters)._1
@@ -536,10 +550,10 @@ object Dedup {
     * a regression that breaks the contraction doubling) shows up as
     * quiet wall-clock variance long before it shows up as wrong
     * labels. Near-clique dedup graphs converge in 2 rounds (one
-    * reaches the fixpoint — every node adjacent to its component min —
-    * one confirms); a diameter-d component needs ~log2(d)+2
-    * REGARDLESS of how ids are placed on the topology (see the
-    * contraction note in the loop). */
+    * reaches the fixpoint — every node adjacent to its component
+    * min — one confirms, on the cheap jump-only plan); a diameter-d
+    * component needs ~log2(d)+2 REGARDLESS of how ids are placed on
+    * the topology (see the contraction note in the loop). */
   def clustersCounted(ids: DataFrame, pairs: DataFrame,
       idCol: String = "doc_id", maxIters: Int = 50)
       : (DataFrame, PinHandle, Int) = {
@@ -557,6 +571,7 @@ object Dedup {
     val idT = labels.schema("label").dataType
     var changed = 1L
     var iter = 0
+    var graphEmpty = false
     while (changed > 0) {
       if (iter >= maxIters)
         throw new IllegalStateException(
@@ -570,16 +585,36 @@ object Dedup {
       //    max(old) recovers it through the agg)
       //  - jump: label(label(n)) — follows the representative chain so
       //    non-representative nodes keep learning the improving min
-      val neigh = edges.join(labels, edges("dst") === labels("id"))
-        .select(edges("src").as("node"), labels("label").as("cand"), nullOld)
-      val self = labels.select(col("id").as("node"),
-        col("label").as("cand"), col("label").as("old"))
-      val jump = labels.as("x").join(labels.as("y"),
-          col("x.label") === col("y.id"))
-        .select(col("x.id").as("node"), col("y.label").as("cand"), nullOld)
-      val round = neigh.union(self).union(jump)
-        .groupBy(col("node"))
-        .agg(min(col("cand")).as("label"), max(col("old")).as("_old"))
+      //
+      // Once the CONTRACTED graph is empty (quotient fully collapsed;
+      // only representative chains remain to flatten), the neighbor
+      // source is gone and min(self, jump) = jump — label(label(n)) ≤
+      // label(n) because label(m) ≤ m for every m (labels start as own
+      // ids and only min-reduce). The remaining rounds therefore run a
+      // JUMP-ONLY plan: one self-join instead of the 3-way union DAG —
+      // same labels, same round count, smaller job. (Round 12; an
+      // earlier attempt to SKIP these rounds entirely was wrong — the
+      // quotient can collapse while non-representatives still lag.)
+      val round =
+        if (graphEmpty)
+          labels.as("x").join(labels.as("y"),
+              col("x.label") === col("y.id"))
+            .select(col("x.id").as("node"),
+              col("y.label").as("label"), col("x.label").as("_old"))
+        else {
+          val neigh = edges.join(labels, edges("dst") === labels("id"))
+            .select(edges("src").as("node"), labels("label").as("cand"),
+              nullOld)
+          val self = labels.select(col("id").as("node"),
+            col("label").as("cand"), col("label").as("old"))
+          val jump = labels.as("x").join(labels.as("y"),
+              col("x.label") === col("y.id"))
+            .select(col("x.id").as("node"), col("y.label").as("cand"),
+              nullOld)
+          neigh.union(self).union(jump)
+            .groupBy(col("node"))
+            .agg(min(col("cand")).as("label"), max(col("old")).as("_old"))
+        }
       val (pinned, rdd) = pin(round)
       // materializes the cache AND counts convergence in one job
       changed = pinned.where(col("label") =!= col("_old")).count()
@@ -600,16 +635,19 @@ object Dedup {
       // bounded by |E|, so no dedup shuffle); the second per-round
       // action reads only pinned frames, and skipping it on the
       // confirming round keeps the job count at 2r-1.
-      if (changed > 0) {
+      if (changed > 0 && !graphEmpty) {
         val (cEdges, cRdd) = pin(
           edges.join(labels.as("ls"), edges("src") === col("ls.id"))
             .join(labels.as("ld"), edges("dst") === col("ld.id"))
             .select(col("ls.label").as("src"), col("ld.label").as("dst"))
             .where(col("src") =!= col("dst")))
-        cRdd.count() // materialize before releasing the previous table
+        // the materializing count doubles as the quotient-collapse
+        // test that switches later rounds to the jump-only plan
+        val remaining = cRdd.count()
         edgesRdd.unpersist(blocking = false)
         edges = cEdges
         edgesRdd = cRdd
+        if (remaining == 0) graphEmpty = true
       }
     }
     edgesRdd.unpersist(blocking = false)

@@ -167,15 +167,18 @@ class PipelineSpec extends AnyFunSuite {
     // the BSP loop's bench cost is fixed per-round job overhead, so a
     // regression that breaks the pointer-jump halving reads as quiet
     // wall-clock variance; pin the round count instead. A clique (the
-    // near-dup common case: every node adjacent to the min) reaches the
-    // fixpoint in round 1 and confirms in round 2; a path of 30 needs
-    // the jump's halving — ~log2(29)+2 ≈ 7, far under the naive 29.
+    // near-dup common case: every node adjacent to the min) reaches
+    // the fixpoint in round 1; round 2 is the confirming round, which
+    // runs the cheap JUMP-ONLY plan because round 1's contraction
+    // emptied the quotient graph (round 12).
     val cliqueIds = (0L until 8L).toDF("doc_id")
     val cliquePairs = (for {
       a <- 0L until 8L; b <- (a + 1) until 8L
     } yield (a, b)).toDF("id_a", "id_b")
     val (cdf, ch, cRounds) = Dedup.clustersCounted(cliqueIds, cliquePairs)
-    cdf.count(); ch.release()
+    val cLabels = cdf.collect().map(r => r.getLong(0) -> r.getLong(1))
+    ch.release()
+    assert(cLabels.forall(_._2 == 0L), "clique collapses to min id 0")
     assert(cRounds == 2, s"clique must converge in 2 rounds: $cRounds")
     val n = 30
     val pathIds = (0L until n.toLong).toDF("doc_id")
