@@ -2054,7 +2054,9 @@ object SparkEntry {
         |  FROM embeddings),
         | bits AS (
         |  SELECT e.vec_id, pl.p,
-        |    CASE WHEN sum(e.x * pl.w) >= 0 THEN '1' ELSE '0' END AS bit
+        |    CASE WHEN sum(CAST(floor(e.x * 1e6) AS BIGINT)
+        |        * CAST(floor(pl.w * 1e6) AS BIGINT)) >= 0
+        |      THEN '1' ELSE '0' END AS bit
         |  FROM e JOIN planes pl ON pl.d = e.i - 1 GROUP BY 1, 2),
         | cells AS (
         |  SELECT v.vec_id,
@@ -2128,7 +2130,9 @@ object SparkEntry {
         |  FROM embeddings),
         | bits AS (
         |  SELECT e.vec_id, pl.p,
-        |    CASE WHEN sum(e.x * pl.w) >= 0 THEN '1' ELSE '0' END AS bit
+        |    CASE WHEN sum(CAST(floor(e.x * 1e6) AS BIGINT)
+        |        * CAST(floor(pl.w * 1e6) AS BIGINT)) >= 0
+        |      THEN '1' ELSE '0' END AS bit
         |  FROM e JOIN planes pl ON pl.d = e.d GROUP BY 1, 2),
         | sig AS (
         |  SELECT vec_id, string_agg(bit, '' ORDER BY p) AS srp

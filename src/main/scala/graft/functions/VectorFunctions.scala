@@ -87,22 +87,111 @@ case class DotProduct(left: Expression, right: Expression)
       newRight: Expression): Expression = copy(newLeft, newRight)
 }
 
+/** Micro-unit-quantized dot product — the CROSS-ENGINE-EXACT variant
+  * of [[DotProduct]] for decisions that must hash identically on any
+  * engine (the SRP sign bit): every element is first quantized to an
+  * integer via `floor(x · 1e6)` (floor of an identical IEEE double is
+  * unambiguous — the s_centroids lesson), and the accumulator is a
+  * plain BIGINT sum, associative and order-free. A double-fold dot
+  * differs across engines only by ~1e-15 non-associativity, but a
+  * SIGN read off it can flip — this expression closes that window.
+  *
+  * Overflow contract: |floor(x·1e6) · floor(w·1e6)| ≤ ~1e13 per
+  * element for unit-scale embeddings, so vectors up to ~1e5 dims fit
+  * a signed 64-bit accumulator with 10^1.8 to spare. */
+case class DotQuantized(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(
+        s"graft_dotq expects array<float>/array<double>, got " +
+          s"${left.dataType} and ${right.dataType}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    val lf = elemType(left) == FloatType
+    val rf = elemType(right) == FloatType
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      acc += math.floor(xv * 1e6).toLong * math.floor(yv * 1e6).toLong
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    def get(arr: String, dt: DataType, i: String): String = dt match {
+      case FloatType => s"(double) $arr.getFloat($i)"
+      case _         => s"$arr.getDouble($i)"
+    }
+    val lt = elemType(left); val rt = elemType(right)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (long) java.lang.Math.floor(${get(a, lt, i)} * 1.0E6)
+         |    * (long) java.lang.Math.floor(${get(b, rt, i)} * 1.0E6);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(newLeft, newRight)
+}
+
 /** Registration + Column-level API for the custom expressions. */
 object VectorFunctions {
 
   val name = "graft_dot"
+  val nameQ = "graft_dotq"
 
   private val info = new ExpressionInfo(classOf[DotProduct].getName, name)
 
   /** one-time, idempotent per-session registration */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      nameQ, exprs => DotQuantized(exprs(0), exprs(1)), "scala_udf")
+  }
 
   /** dot(a, b) through the codegen'd native expression */
   def dotF(a: Column, b: Column): Column = {
     register(SparkSession.active)
     call_function(name, a, b)
+  }
+
+  /** micro-unit-quantized integer dot(a, b) — cross-engine exact */
+  def dotQ(a: Column, b: Column): Column = {
+    register(SparkSession.active)
+    call_function(nameQ, a, b)
   }
 }
 
@@ -115,6 +204,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getName,
         VectorFunctions.name),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier(VectorFunctions.nameQ),
+      new ExpressionInfo(classOf[DotQuantized].getName,
+        VectorFunctions.nameQ),
+      (exprs: Seq[Expression]) => DotQuantized(exprs(0), exprs(1))))
     e.injectFunction((FunctionIdentifier(TextFunctions.trgmName),
       new ExpressionInfo(classOf[TrigramMasks].getName,
         TextFunctions.trgmName),

@@ -35,6 +35,13 @@ object Similarity {
   def dot(a: Column, b: Column): Column =
     graft.functions.VectorFunctions.dotF(a, b)
 
+  /** micro-unit-quantized integer dot — cross-engine exact; used
+    * wherever a SIGN or equality is read off the product (SRP bits),
+    * where a double fold's ~1e-15 non-associativity could flip the
+    * decision between engines */
+  def dotQ(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.dotQ(a, b)
+
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column =
@@ -273,21 +280,18 @@ object Similarity {
   def refineCells(emb: DataFrame, bits: Int, dims: Int,
       cellCol: String = "label", vecCol: String = "embedding",
       salt: String = "graft"): DataFrame = {
-    // Known cross-engine exposure (here and in srpSignature): the
-    // SRP bit is the SIGN of a cross-row double sum, which the
-    // oracle recomputes with its own (unspecified) aggregation
-    // order. IEEE non-associativity can differ only within ~1e-15
-    // relative error, so a sign flip needs a projection that close
-    // to zero — negligible for any fixed test corpus (green at
-    // sf0.01 AND sf0.1) and harmless to LSH semantics (borderline
-    // vectors land in an arbitrary-but-valid cell either way). The
-    // fully-deterministic alternative per the s_centroids lesson —
-    // sum ±floor(x·1e6) as BIGINT on both sides — changes cell
-    // assignments and would need a native quantized-dot expression;
-    // adopt it if a corpus ever hits the window.
+    // The SRP bit is the SIGN of the projection, and a sign read off
+    // a cross-row double fold is not cross-engine stable (IEEE
+    // non-associativity; the s_centroids lesson). Since round 12 the
+    // bit comes from [[dotQ]] — per-element floor(x·1e6) BIGINT
+    // products summed in an order-free integer accumulator — so any
+    // engine that implements the same quantization derives the
+    // identical cell, no 1e-15 window. LSH semantics are unaffected
+    // (a micro-unit grid shifts only projections within 1e-6·dims of
+    // zero, which land in an arbitrary-but-valid cell either way).
     require(bits >= 1, "bits >= 1")
     val bitCols = srpPlanes(bits, dims, salt).map { pl =>
-      when(dot(col(vecCol), lit(pl.toArray)) >= 0, lit("1"))
+      when(dotQ(col(vecCol), lit(pl.toArray)) >= 0, lit("1"))
         .otherwise(lit("0"))
     }
     emb.withColumn("cell",
@@ -435,16 +439,19 @@ object Similarity {
     }
   }
 
-  /** Sign-random-projection signature: bit i = (dot(v, plane_i) >= 0),
+  /** Sign-random-projection signature: bit i = (dotQ(v, plane_i) >= 0),
     * as a '0'/'1' string (bit 0 first — the simhash convention, so the
     * same banding machinery applies). Planes ride as broadcast
-    * literals; each bit is one codegen'd [[dot]] — shuffle-free. */
+    * literals; each bit is one codegen'd [[dotQ]] — shuffle-free and
+    * cross-engine exact (see the [[refineCells]] note: sign off a
+    * double fold can flip between engines; the micro-unit integer
+    * sum cannot). */
   def srpSignature(emb: DataFrame, planes: Seq[Seq[Double]],
       idCol: String = "vec_id", vecCol: String = "embedding")
       : DataFrame = {
     require(planes.nonEmpty, "need at least one plane")
     val bits = planes.map { pl =>
-      when(dot(col(vecCol), lit(pl.toArray)) >= 0, lit("1"))
+      when(dotQ(col(vecCol), lit(pl.toArray)) >= 0, lit("1"))
         .otherwise(lit("0"))
     }
     emb.select(col(idCol), concat(bits: _*).as("srp"))
