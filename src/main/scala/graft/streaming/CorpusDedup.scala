@@ -382,6 +382,61 @@ object CorpusDedup {
     ()
   }
 
+  /** Compact the fingerprint sidecar: [[appendBatch]] leaves one
+    * `version=N` partition per batch forever, so a long-lived stream
+    * accumulates thousands of small partitions and every batch's
+    * membership join pays the file-listing and footer overhead. Fold
+    * all fingerprints of versions STRICTLY OLDER than the newest into
+    * the second-newest version's partition — same fold-only-committed
+    * rule as [[compactTier]]: the newest version's stream batch may
+    * not have committed its checkpoint, and its replay re-reads
+    * `version < N`, which must still see every older fingerprint.
+    * Membership answers are unchanged (the fold moves rows, it never
+    * drops or alters a fingerprint; `version` collapsing to `keepV`
+    * is invisible to the `version < N` reads).
+    *
+    * Unlike the tier (kilobytes, driver-collected), fingerprints are
+    * corpus-sized, so the fold is distributed: write the merged rows
+    * to a temp dir (Spark refuses to write a path it reads), RENAME
+    * the part files into the keep partition (UUID part names cannot
+    * collide), then delete the superseded version dirs and the keep
+    * partition's pre-fold files. A crash between steps leaves
+    * redundant-but-correct rows — duplicate fingerprints are harmless
+    * to the membership semi-join and the next compaction folds them.
+    * Single-writer with respect to appendBatch, like compactTier. */
+  def compactFp(spark: SparkSession, fpDir: String): Unit = {
+    if (!exists(spark, fpDir)) return
+    val fps = spark.read.parquet(fpDir)
+    val versions = fps.select(col("version").cast("long"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    if (versions.length <= 2) return // nothing strictly-older to fold
+    val keepV = versions.init.last
+    val dataCols = fps.columns.filterNot(_ == "version").map(col)
+    val merged = fps.where(col("version") < versions.last)
+      .select(dataCols: _*)
+    val root = new org.apache.hadoop.fs.Path(fpDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val part = new org.apache.hadoop.fs.Path(s"$fpDir/version=$keepV")
+    val superseded = fs.listStatus(part).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$fpDir/.compact-tmp-$keepV")
+    fs.delete(tmp, true)
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    fs.listStatus(tmp).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+      .foreach { p =>
+        fs.rename(p, new org.apache.hadoop.fs.Path(part, p.getName))
+      }
+    fs.delete(tmp, true)
+    versions.init.init.foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$fpDir/version=$v"),
+        true)
+    }
+    superseded.foreach(fs.delete(_, false))
+    ()
+  }
+
   private def exists(spark: SparkSession, dir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

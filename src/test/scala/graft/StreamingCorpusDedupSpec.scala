@@ -228,6 +228,68 @@ class StreamingCorpusDedupSpec extends AnyFunSuite {
       .foreach(_.unpersist(blocking = true))
   }
 
+  test("compactFp folds fingerprint partitions without changing " +
+      "membership answers, and replay after a fold still heals") {
+    val (corpus, tier, fp, _) = dirs()
+    // four batches; each later batch re-offers an earlier text so
+    // every membership path (bloom hit -> fp confirm) does real work
+    val texts = Seq("alpha", "beta", "gamma", "delta", "epsilon")
+    (0 until 4).foreach { i =>
+      val b = Seq((i * 10L, texts(i)), (i * 10L + 1, texts(i + 1)),
+        (i * 10L + 2, texts(0))) // dup of batch 0 from batch 1 on
+        .toDF("doc_id", "text")
+      CorpusDedup.appendBatch(spark, b, i + 1L, corpus, tier, fp)
+    }
+    val fpSetBefore = spark.read.parquet(fp)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val nPartsBefore = spark.read.parquet(fp)
+      .select(col("version").cast("long")).distinct().count()
+    assert(nPartsBefore == 4L)
+    CorpusDedup.compactFp(spark, fp)
+    // fold-only-committed: versions 1-3 collapse into version=3, the
+    // newest (4) stays untouched for its possibly-uncommitted replay
+    val byVersion = spark.read.parquet(fp)
+      .select(col("version").cast("long")).distinct()
+      .as[Long].collect().sorted.toSeq
+    assert(byVersion == Seq(3L, 4L), s"got $byVersion")
+    assert(spark.read.parquet(fp).select("doc_id").as[Long]
+      .collect().sorted.toSeq == fpSetBefore,
+      "the fold must move fingerprints, never drop or alter one")
+    // membership answers unchanged: a batch of pure re-offers
+    // accepts nothing
+    assert(CorpusDedup.appendBatch(spark,
+      Seq((100L, texts(0)), (101L, texts(4))).toDF("doc_id", "text"),
+      5L, corpus, tier, fp) == 0L)
+    // and a fresh text still lands
+    assert(CorpusDedup.appendBatch(spark,
+      Seq((110L, "zeta")).toDF("doc_id", "text"),
+      6L, corpus, tier, fp) == 1L)
+    // replay of the newest pre-fold version is still idempotent:
+    // its `version < 4` read sees the folded rows
+    val b4 = Seq((30L, texts(3)), (31L, texts(4)),
+      (32L, texts(0))).toDF("doc_id", "text")
+    assert(CorpusDedup.appendBatch(spark, b4, 4L, corpus, tier, fp)
+      == 1L) // same survivor set as the original version-4 run
+    sweep()
+  }
+
+  test("compactFp is a no-op below three versions and survives a " +
+      "missing dir") {
+    val (corpus, tier, fp, _) = dirs()
+    CorpusDedup.compactFp(spark, fp) // no dir yet: must not throw
+    CorpusDedup.appendBatch(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text"),
+      1L, corpus, tier, fp)
+    CorpusDedup.appendBatch(spark,
+      Seq((3L, "c")).toDF("doc_id", "text"),
+      2L, corpus, tier, fp)
+    CorpusDedup.compactFp(spark, fp)
+    assert(spark.read.parquet(fp)
+      .select(col("version").cast("long")).distinct()
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    sweep()
+  }
+
   // --- near-dup face ------------------------------------------------------
 
   private def sweep(): Unit =
