@@ -297,6 +297,7 @@ final class Dp3Http(svc: Dp3Service, spark: SparkSession,
               "queries must be terminated with a semicolon")
           val skeleton = boolField(body, "skeleton").getOrElse(false)
           val explainReq = boolField(body, "explain").getOrElse(false)
+          val mcapReq = boolField(body, "mcap").getOrElse(false)
           graft.ql.Parser.parse(ql) match {
             // the reference's query route executes truncate statements
             // too, answering an empty result (query.go:163-180)
@@ -304,6 +305,14 @@ final class Dp3Http(svc: Dp3Service, spark: SparkSession,
               dbFor(db).svc.truncate(spark, ql)
               respond(ex, 200, "application/x-ndjson",
                 Array.emptyByteArray)
+            // raw MCAP output ("mcap": true): the reference's primary
+            // serialization; with "explain" the stream carries the
+            // in-band "query" Metadata record for the CLIENT to
+            // decode (executor.go:87-94 — the CLI's --explain path)
+            case _: graft.ql.Query if mcapReq =>
+              respond(ex, 200, "application/octet-stream",
+                dbFor(db).svc.queryMcapAuto(spark, ql,
+                  explain = explainReq))
             // request-level explain (QueryRequest.Explain): answer the
             // per-node exec stats read back from the result MCAP's
             // metadata record (query.go:53-90). A QL-level `explain`

@@ -545,6 +545,16 @@ final class Dp3Service(underlying: MessageCatalog,
       dataCols: Seq[String], explain: Boolean = false): Array[Byte] =
     Export.mcap(query(spark, ql), dataCols, explain)
 
+  /** [[queryMcap]] with the data columns inferred (everything outside
+    * the skeleton envelope) — the HTTP query route's MCAP face, so a
+    * client asking for `"mcap": true` needs no column knowledge. */
+  def queryMcapAuto(spark: SparkSession, ql: String,
+      explain: Boolean = false): Array[Byte] = {
+    val df = query(spark, ql)
+    Export.mcap(df,
+      df.columns.filterNot(skeletonEnvelope.contains).toSeq, explain)
+  }
+
   /** The reference's explain-request path, end to end: run the query
     * instrumented, serialize the result MCAP with the in-band "query"
     * stats record, then read the record back out of the stream and

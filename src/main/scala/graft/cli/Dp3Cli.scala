@@ -14,7 +14,7 @@ import java.nio.file.{Files, Paths}
   * hand-rolled flag parsing over a fixed verb set, `java.net.http`
   * for transport.
   *
-  *   dp3 query '<ql;>' [--skeleton]         one NDJSON line per row
+  *   dp3 query '<ql;>' [--skeleton|--explain]  NDJSON rows / NodeStats
   *   dp3 topics | producers | tables | databases
   *   dp3 statrange --granularity N [--start N --end N --topic T --producer P]
   *   dp3 statistics --granularity N [--group-by-producer]
@@ -101,8 +101,8 @@ object Dp3Cli {
       err: PrintStream): Int = {
     // split "--flag value" pairs from positionals; boolean flags have
     // no value (fixed set, like the reference's cobra definitions)
-    val boolFlags = Set("--skeleton", "--group-by-producer",
-      "--historical")
+    val boolFlags = Set("--skeleton", "--explain",
+      "--group-by-producer", "--historical")
     val flags = scala.collection.mutable.Map[String, String]()
     val positional = scala.collection.mutable.Buffer[String]()
     var i = 0
@@ -161,6 +161,31 @@ object Dp3Cli {
     var pluginLoader: Option[java.net.URLClassLoader] = None
 
     try positional.toList match {
+      case "query" :: ql :: Nil if flags.contains("--explain") =>
+        // CLIENT-SIDE explain decode (reference: cli/cmd/query.go's
+        // explain flag): request the raw MCAP stream with the
+        // instrumented run's in-band "query" Metadata record and
+        // parse the NodeStats out of the STREAM here — the transport
+        // carries the stats exactly as the reference's executor
+        // emits them (server/executor/executor.go:87-94), and the
+        // client, not the server, does the unwrapping.
+        val r = post(s"/databases/$db/query",
+          s"""{"query": "${esc(ql)}", "mcap": true, "explain": true}""")
+        if (r.statusCode() != 200) {
+          err.println(s"HTTP ${r.statusCode()}: ${
+            new String(r.body(), UTF_8)}")
+          1
+        } else {
+          graft.mcap.Mcap.readMetadata(r.body())
+            .find(_.name == "query").flatMap(_.kv.get("context")) match {
+            case Some(ctx) => out.println(ctx); 0
+            case None =>
+              err.println(
+                "result stream carried no \"query\" metadata record")
+              1
+          }
+        }
+
       case "query" :: ql :: Nil =>
         val skeleton = flags.contains("--skeleton")
         printOrFail(post(s"/databases/$db/query",
@@ -323,7 +348,7 @@ object Dp3Cli {
         err.println(
           s"""unknown command: ${other.mkString(" ")}
              |usage: dp3 [--server-url URL] [--database DB] <verb>
-             |  query '<ql;>' [--skeleton]
+             |  query '<ql;>' [--skeleton|--explain]
              |  databases | topics | producers | tables
              |  statrange --granularity N [--start N --end N --topic T --producer P]
              |  statistics --granularity N [--group-by-producer]

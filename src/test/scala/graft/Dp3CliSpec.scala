@@ -51,6 +51,24 @@ class Dp3CliSpec extends AnyFunSuite {
     assert(out2.linesIterator.forall(l => !l.contains("\"k\"")))
   }
 
+  test("query --explain decodes the NodeStats from the MCAP stream " +
+      "client-side") {
+    // the server answers "mcap": true with the raw stream carrying
+    // the in-band "query" Metadata record (executor.go:87-94); the
+    // CLI must parse the record out of the STREAM itself — transport
+    // and decode both exercised end to end.
+    val (code, out, errS) =
+      cli("query", "from p3 click limit 3;", "--explain")
+    assert(code == 0, errS)
+    val lines = out.linesIterator.toSeq
+    assert(lines.length == 1, s"one NodeStats JSON line: $out")
+    // the NodeStats triple of the instrumented run: every node
+    // reports node name, rows/bytes out, elapsed time
+    assert(lines.head.startsWith("""{"nodes":["""), out)
+    for (f <- Seq("\"node\"", "\"rows\"", "\"bytes\"", "\"time_ms\""))
+      assert(lines.head.contains(f), out)
+  }
+
   test("bad query exits non-zero with the server's message") {
     val (code, _, err) = cli("query", "from p3 click")
     assert(code == 1 && err.contains("semicolon"))
