@@ -288,8 +288,16 @@ object Dedup {
     val refSide = capped.where(col("_side") === 0)
       .select(col("_id"), col("_n").as("nb"), explode(col("_arr")).as("sh"))
     val left = if (hashJoin) newSide.hint("shuffle_hash") else newSide
+    // the same length-filter join bound as [[jaccardPairsOwned]]
+    // (J >= t forces min/max set-size ratio >= t; t - 1e-6 slack
+    // keeps the round-to-6 threshold boundary exact)
+    val tSlack = threshold - 1e-6
+    val sizeOk =
+      if (tSlack <= 0) lit(true)
+      else col("b.nb").cast("double") >= lit(tSlack) * col("a.na") &&
+        col("a.na").cast("double") >= lit(tSlack) * col("b.nb")
     val pairs = left.as("a").join(refSide.as("b"),
-        col("a.sh") === col("b.sh"))
+        col("a.sh") === col("b.sh") && sizeOk)
       .groupBy(col("a._id").as("new_id"), col("b._id").as("ref_id"))
       .agg(count(lit(1)).as("c"), min(col("na")).as("na"),
         min(col("nb")).as("nb"))

@@ -292,10 +292,21 @@ object CorpusDedup {
           // exist only where both sides hold the shingle
           newSide0.join(broadcast(hot), Seq("sh"), "left_anti")
         }
-      postings.join(broadcast(newSide), Seq("sh"))
-        .groupBy(col("_id"), col("ref_id"))
-        .agg(count(lit(1)).as("_c"), min(col("_na")).as("na"),
-          min(col("nb")).as("nb"))
+      // the jaccardPairs length-filter bound, applied at the join:
+      // J >= t forces min/max set-size ratio >= t (t - 1e-6 slack
+      // keeps the round-to-6 threshold boundary exact), so
+      // size-mismatched candidates never cost aggregate rows
+      val tSlack = threshold - 1e-6
+      val sizeOk =
+        if (tSlack <= 0) lit(true)
+        else col("p.nb").cast("double") >= lit(tSlack) * col("n._na") &&
+          col("n._na").cast("double") >= lit(tSlack) * col("p.nb")
+      postings.as("p")
+        .join(broadcast(newSide.as("n")),
+          col("p.sh") === col("n.sh") && sizeOk)
+        .groupBy(col("n._id").as("_id"), col("p.ref_id").as("ref_id"))
+        .agg(count(lit(1)).as("_c"), min(col("n._na")).as("na"),
+          min(col("p.nb")).as("nb"))
         .where(round(col("_c").cast("double")
           / (col("na") + col("nb") - col("_c")), 6) >= threshold)
         .select(col("_id")).distinct()
