@@ -286,6 +286,31 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(e.getMessage.contains("too granular"))
   }
 
+  test("columnar sketch serving stays in codegen primitive " +
+      "aggregation with a shared rollup/window exchange") {
+    // the round-12 rewrite exists precisely to avoid object
+    // aggregation (typed Aggregator buffers) and the interpreted
+    // per-bin quantile UDF; gate the shape so a refactor cannot
+    // silently reintroduce either, and pin that the rollup's
+    // coarse-key repartition is the ONLY exchange between the tier
+    // build and the served quantiles (the aggregate and the window
+    // both reuse it)
+    val cat = new EventsCatalog(sfDir)
+    val rows = StatTiers.sketchRows(cat.messages(spark),
+      60L * 1000000000L)
+    val served = StatTiers.serveQuantileRows(
+      StatTiers.rollupSketchRows(rows, 60L), Seq(0.5, 0.95))
+    val p = served.queryExecution.executedPlan.toString
+    assert(!p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("SortAggregate"), p)
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+    // exchanges: the 60 s tier build's own + the shared rollup
+    // repartition — the window and final quantile aggregate add none
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 2, s"expected 2 exchanges, plan:\n$p")
+    assert("Scan parquet".r.findAllIn(p).length == 1, p)
+  }
+
   test("per-field tier is ONE aggregation, not one pass per field") {
     val cat = new EventsCatalog(sfDir)
     val tier = StatTiers.baseFields(cat.messages(spark),
