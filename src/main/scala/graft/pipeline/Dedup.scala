@@ -517,9 +517,14 @@ object Dedup {
     * scheduler/block-manager latency — not data — dominates each
     * round; on a loaded machine the r6 driver bench amplified that
     * fixed overhead ~6x, which is exactly the tax a busy 1000-executor
-    * cluster pays. Both remaining joins share the labels-by-id
-    * exchange, and AQE (enabled in Bench/Verify) turns them into
-    * broadcasts while labels are small. Convergence is unchanged:
+    * cluster pays. While the label table is provably small (counted
+    * once at entry — it has exactly one row per input id in every
+    * round) the loop broadcasts it EXPLICITLY in all joins, collapsing
+    * each round to a single shuffle (the candidate min-agg); pinned
+    * leaves carry no stats, so without the hint Catalyst sort-merges
+    * and even AQE's conversion first pays the shuffle write it then
+    * bypasses (round 12; see `broadcastMaxIds`). Convergence is
+    * unchanged:
     * stability of the fused min implies every neighbor's label equals
     * the node's across each (symmetric) edge, i.e. component-uniform
     * labels, so no earlier exit exists. The jump uses the PREVIOUS
@@ -563,7 +568,8 @@ object Dedup {
     * component needs ~log2(d)+2 REGARDLESS of how ids are placed on
     * the topology (see the contraction note in the loop). */
   def clustersCounted(ids: DataFrame, pairs: DataFrame,
-      idCol: String = "doc_id", maxIters: Int = 50)
+      idCol: String = "doc_id", maxIters: Int = 50,
+      broadcastMaxIds: Long = 1L << 20)
       : (DataFrame, PinHandle, Int) = {
     // both edge directions from ONE evaluation of the pairs DAG: a
     // union of two selects re-runs the (expensive) upstream pair
@@ -576,6 +582,22 @@ object Dedup {
         .select(col("_e.src").as("src"), col("_e.dst").as("dst")))
     var (labels, labelsRdd) = pin(
       ids.select(col(idCol).as("id"), col(idCol).as("label")))
+    // Eager materialization of the label pin (pinNow's contention
+    // rationale: round 1 reads it from THREE concurrent stages —
+    // neighbor join, identity scan, jump self-join), and the count is
+    // the broadcast proof: a pinned leaf carries no Catalyst stats, so
+    // without an explicit hint every labels join sort-merges through
+    // two exchanges per round — pure scheduler latency at bench scale,
+    // and AQE's broadcast conversion still pays the shuffle write it
+    // later bypasses. The label frame is exactly one row per input id
+    // FOREVER (rounds replace values, never add rows), so one count at
+    // entry licenses the hint for every round. Past `broadcastMaxIds`
+    // (corpus-scale graphs — labels are doc-count-sized) the loop
+    // keeps the partitioned joins: a 100 TB label table cannot ride a
+    // broadcast, and there the per-round work is data-bound anyway.
+    val bcastLabels = labelsRdd.count() <= broadcastMaxIds
+    def asBcast(df: DataFrame): DataFrame =
+      if (bcastLabels) broadcast(df) else df
     val idT = labels.schema("label").dataType
     var changed = 1L
     var iter = 0
@@ -605,17 +627,17 @@ object Dedup {
       // quotient can collapse while non-representatives still lag.)
       val round =
         if (graphEmpty)
-          labels.as("x").join(labels.as("y"),
+          labels.as("x").join(asBcast(labels.as("y")),
               col("x.label") === col("y.id"))
             .select(col("x.id").as("node"),
               col("y.label").as("label"), col("x.label").as("_old"))
         else {
-          val neigh = edges.join(labels, edges("dst") === labels("id"))
+          val neigh = edges.join(asBcast(labels), edges("dst") === labels("id"))
             .select(edges("src").as("node"), labels("label").as("cand"),
               nullOld)
           val self = labels.select(col("id").as("node"),
             col("label").as("cand"), col("label").as("old"))
-          val jump = labels.as("x").join(labels.as("y"),
+          val jump = labels.as("x").join(asBcast(labels.as("y")),
               col("x.label") === col("y.id"))
             .select(col("x.id").as("node"), col("y.label").as("cand"),
               nullOld)
@@ -645,8 +667,8 @@ object Dedup {
       // confirming round keeps the job count at 2r-1.
       if (changed > 0 && !graphEmpty) {
         val (cEdges, cRdd) = pin(
-          edges.join(labels.as("ls"), edges("src") === col("ls.id"))
-            .join(labels.as("ld"), edges("dst") === col("ld.id"))
+          edges.join(asBcast(labels.as("ls")), edges("src") === col("ls.id"))
+            .join(asBcast(labels.as("ld")), edges("dst") === col("ld.id"))
             .select(col("ls.label").as("src"), col("ld.label").as("dst"))
             .where(col("src") =!= col("dst")))
         // the materializing count doubles as the quotient-collapse

@@ -205,6 +205,30 @@ class PipelineSpec extends AnyFunSuite {
       s"contraction must keep scrambled-id paths logarithmic: $sRounds")
   }
 
+  test("clustering: partitioned-join path matches the broadcast path") {
+    // while the label table is provably small the loop broadcasts it
+    // explicitly (pinned leaves carry no stats — without the hint every
+    // round sort-merges); past `broadcastMaxIds` it keeps partitioned
+    // joins for corpus-scale graphs. Same labels, same round count on
+    // both paths — broadcast is a physical hint, never semantics.
+    val n = 24
+    val ids = (0L until n.toLong).toDF("doc_id")
+    val perm = scala.util.Random.shuffle((0L until n.toLong).toList)
+    val pairs = (0 until n - 1)
+      .map(i => (perm(i), perm(i + 1))).toDF("id_a", "id_b")
+    val (bdf, bh, bRounds) = Dedup.clustersCounted(ids, pairs)
+    val bLabels = bdf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    bh.release()
+    val (pdf2, ph2, pRounds2) = Dedup.clustersCounted(ids, pairs,
+      broadcastMaxIds = 0L)
+    val pLabels = pdf2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ph2.release()
+    assert(pLabels == bLabels)
+    assert(pRounds2 == bRounds,
+      s"round count must not depend on the join strategy: " +
+        s"$pRounds2 vs $bRounds")
+  }
+
   test("clustering throws rather than returning unconverged labels") {
     val ids = (0L until 40L).toDF("doc_id")
     val pairs = (0L until 39L).map(i => (i, i + 1)).toDF("id_a", "id_b")
