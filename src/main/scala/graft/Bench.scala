@@ -184,14 +184,17 @@ object Bench {
     * stdout.
     *
     * `queries` is a COLUMNAR pair since round 12:
-    * `{"n":"name1,name2,…","s":[sec1,sec2,…]}` — zip the comma-split
-    * names with the seconds array positionally to recover the map.
-    * The flat `{"name":sec}` object spent 4 framing chars per entry
-    * (two quotes, colon vs the pair's two commas are a wash, plus the
-    * map braces); columnar framing costs 2, which at ~100 registry
-    * entries is the difference between ~6 chars of headroom and ~200
-    * — registry growth stopped being a truncation hazard. Names stay
-    * verbatim and sorted, so the encoding is lossless.
+    * `{"n":"<front-coded names>","s":[sec1,sec2,…]}` — decode the
+    * names with [[decodeNames]] (or `tools/decode_bench.py`) and zip
+    * with the seconds array positionally to recover the map. The flat
+    * `{"name":sec}` object spent 4 framing chars per entry; columnar
+    * framing costs 2; and since the names are emitted SORTED,
+    * front-coding (first name verbatim, then one base-36
+    * shared-prefix-length char + the suffix per name) removes the
+    * long common stems too — at 100 registry entries the line
+    * measures ~1.3 KB flat-map, ~1.15 KB columnar, ~0.75 KB
+    * front-coded against the driver's 2000-byte tail capture, so
+    * registry growth stopped being a truncation hazard twice over.
     */
   def formatLine(
       results: Seq[(String, Double, Double)],
@@ -205,7 +208,7 @@ object Bench {
       else if (v < 9.95) f"$v%.1f"
       else if (v < 99.5) f"$v%.0f"
       else f"${math.min(v, 999.0)}%.0f"
-    val qs = "{\"n\":\"" + results.map(_._1).mkString(",") +
+    val qs = "{\"n\":\"" + frontCode(results.map(_._1)) +
       "\",\"s\":[" + results.map { case (_, v, _) => fmt(v) }
         .mkString(",") + "]}"
     val total = results.map(_._2).sum
@@ -224,4 +227,41 @@ object Bench {
     // the bench's own 32 threads dominate the end-load anyway.
     f"""{"queries":$qs,"spread_max":$spMax%.0f,"hot":$p,"sf":"$sf","metric":"total","unit":"sec","value":$total%.2f}"""
   }
+
+  /** Front-code a name list: first name verbatim; every subsequent
+    * entry is ONE base-36 char — the length of the prefix shared with
+    * the PREVIOUS name, capped at 35 — followed by the remaining
+    * suffix. Registry names are identifiers (no commas, never
+    * starting with the separator), so splitting on ',' and reading
+    * one leading length char per non-first entry is unambiguous; a
+    * digit-leading suffix can't be misread because the length code is
+    * always exactly one char. Sorted input compresses best (long
+    * family stems like `q_stats_` collapse to a single char) but any
+    * order round-trips. */
+  def frontCode(names: Seq[String]): String = {
+    val sb = new StringBuilder
+    names.foldLeft(Option.empty[String]) { (prev, n) =>
+      prev match {
+        case None => sb.append(n)
+        case Some(p) =>
+          val lcp = math.min(
+            n.zip(p).takeWhile { case (a, b) => a == b }.size, 35)
+          sb.append(',').append(java.lang.Integer.toString(lcp, 36))
+            .append(n.substring(lcp))
+      }
+      Some(n)
+    }
+    sb.toString
+  }
+
+  /** Inverse of [[frontCode]]. */
+  def decodeNames(coded: String): Seq[String] =
+    if (coded.isEmpty) Seq.empty
+    else {
+      val parts = coded.split(",", -1)
+      parts.drop(1).scanLeft(parts.head) { (prev, part) =>
+        val lcp = java.lang.Integer.parseInt(part.take(1), 36)
+        prev.take(lcp) + part.drop(1)
+      }.toSeq
+    }
 }

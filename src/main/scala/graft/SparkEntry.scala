@@ -537,6 +537,14 @@ object SparkEntry {
       kept.select("doc_id").orderBy("doc_id")
     }),
 
+    "d_source_overlap" -> ((s, dir) =>
+      // between-source shingle-vocabulary overlap audit — exact
+      // intersection/union sizes + integer-ppm jaccard/containments
+      // per source pair; candidate volume is |vocab| x G^2-bounded,
+      // doc-count-independent (the pre-mix contamination report)
+      Dedup.corpusOverlap(Tables.load(s, dir, "documents"), k = 3)
+        .orderBy("group_a", "group_b")),
+
     "d_semantic_dedup" -> ((s, dir) => {
       // SemDeDup: embedding near-dup pairs within coarse cells ->
       // connected components -> one representative per semantic
@@ -763,6 +771,32 @@ object SparkEntry {
         Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
         .groupBy(col("split")).agg(count(lit(1)).as("n"))
         .orderBy("split")),
+
+    "t_soft_dedup" -> ((s, dir) => {
+      // soft dedup: keep every doc, down-weight by near-dup cluster
+      // size (weight_ppm = floor(1e6/|cluster|)) — the reweighting
+      // alternative to dropping borderline near-dups
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = Dedup.jaccardPairs(docs, k = 3, threshold = 0.5,
+        maxDf = ShingleMaxDf)
+      Dedup.softDedupWeights(docs.select("doc_id"), pairs)
+        .orderBy("doc_id")
+    }),
+
+    "t_split_leakfree" -> ((s, dir) => {
+      // leak-free train/valid/test split: the split key is the
+      // near-dup CLUSTER label, not the doc id, so near-duplicates
+      // can never straddle splits (eval decontamination by
+      // construction — a doc-keyed split leaks every duplicate pair)
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = Dedup.jaccardPairs(docs, k = 3, threshold = 0.5,
+        maxDf = ShingleMaxDf)
+      val labels = Dedup.clusters(docs.select("doc_id"), pairs)
+      Sampling.split(labels,
+          Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1),
+          idCol = "cluster")
+        .select("doc_id", "cluster", "split").orderBy("doc_id")
+    }),
 
     "t_weighted" -> ((s, dir) =>
       // quality-proportional sampling: keep probability = clamped
@@ -1194,6 +1228,41 @@ object SparkEntry {
       |  SELECT s.doc_id, s.sh FROM sh0 s
       |  JOIN shdf USING (sh) WHERE shdf.df <= """.stripMargin +
       s"$ShingleMaxDf)\n"
+
+  /** Per-doc lexical near-dup cluster label — min reachable id over
+    * the jaccard >= 0.5 pair graph, the oracle-side mirror of
+    * `Dedup.clusters(jaccardPairs(k=3, t=0.5, maxDf))`. Shared by the
+    * soft-dedup and leak-free-split oracles (the older
+    * d_dedup_clusters/d_dedup_corpus entries keep their inline
+    * copies). Ends with the `clusters(doc_id, cluster)` CTE ready to
+    * select from. */
+  private val LEX_CLUSTERS =
+    s"""$SHINGLES,
+       | sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       | inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       | pairs AS (
+       |  SELECT id_a, id_b FROM inter
+       |  JOIN sizes sa ON sa.doc_id = id_a
+       |  JOIN sizes sb ON sb.doc_id = id_b
+       |  WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= 0.5),
+       | edges AS (
+       |  SELECT id_a AS a, id_b AS b FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       | reach AS (
+       |  WITH RECURSIVE r(src, dst) AS (
+       |    SELECT a, b FROM edges
+       |    UNION
+       |    SELECT r.src, e.b FROM r JOIN edges e ON r.dst = e.a)
+       |  SELECT * FROM r),
+       | clusters AS (
+       |  SELECT d.doc_id,
+       |    least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS cluster
+       |  FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+       |  GROUP BY d.doc_id)
+       |""".stripMargin
 
   /** 32-bit SimHash signature per document — mirrors
     * [[graft.pipeline.Dedup.simhash]] bit for bit (bit b of token t =
@@ -1816,6 +1885,33 @@ object SparkEntry {
          |  GROUP BY d.doc_id)
          |SELECT doc_id FROM lab WHERE cluster = doc_id
          |ORDER BY doc_id""".stripMargin,
+
+    // group-granular DISTINCT shingle index from the PRE-cap sh0 CTE
+    // (overlap counts shared vocabulary; the df cap is a pair-blowup
+    // guard that doesn't apply at group granularity), then exact
+    // intersection sizes per source pair; all ratios integer-ppm.
+    // shingle identity = 60-bit md5 prefix, mirroring corpusOverlap
+    "d_source_overlap" ->
+      s"""$SHINGLES,
+         | gsh AS (
+         |  SELECT DISTINCT d.source AS g,
+         |    CAST(('0x' || substr(md5(s.sh), 1, 15)) AS BIGINT) AS sid
+         |  FROM sh0 s JOIN documents d USING (doc_id)),
+         | gsizes AS (SELECT g, count(*) AS n FROM gsh GROUP BY g),
+         | ginter AS (
+         |  SELECT a.g AS group_a, b.g AS group_b, count(*) AS common
+         |  FROM gsh a JOIN gsh b ON a.sid = b.sid AND a.g < b.g
+         |  GROUP BY 1, 2)
+         |SELECT group_a, group_b, CAST(common AS BIGINT) AS common,
+         |  CAST(sa.n + sb.n - common AS BIGINT) AS union_size,
+         |  CAST(common * 1000000 // (sa.n + sb.n - common) AS BIGINT)
+         |    AS jaccard_ppm,
+         |  CAST(common * 1000000 // sa.n AS BIGINT) AS cont_a_ppm,
+         |  CAST(common * 1000000 // sb.n AS BIGINT) AS cont_b_ppm
+         |FROM ginter
+         |JOIN gsizes sa ON sa.g = group_a
+         |JOIN gsizes sb ON sb.g = group_b
+         |ORDER BY group_a, group_b""".stripMargin,
 
     // incremental dedup pairs: candidates only cross the even/odd
     // corpus boundary; the df cap stays over BOTH sides together (the
@@ -2531,6 +2627,28 @@ object SparkEntry {
          |  ELSE 'test' END AS split,
          |  CAST(count(*) AS BIGINT) AS n
          |FROM documents GROUP BY 1 ORDER BY split""".stripMargin,
+
+    // LEX_CLUSTERS mirrors Dedup.clusters over jaccardPairs; the
+    // window count per cluster label and the floor'd ppm weight are
+    // pure integer arithmetic on both engines
+    "t_soft_dedup" ->
+      s"""${LEX_CLUSTERS}SELECT doc_id, cluster,
+         |  CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT)
+         |    AS n_dups,
+         |  CAST(1000000 // (count(*) OVER (PARTITION BY cluster))
+         |    AS BIGINT) AS weight_ppm
+         |FROM clusters ORDER BY doc_id""".stripMargin,
+
+    // t_split's hash-cutoff CASE, keyed on the near-dup CLUSTER label
+    // instead of the doc id — near-duplicates land in one split
+    "t_split_leakfree" ->
+      s"""${LEX_CLUSTERS}SELECT doc_id, cluster, CASE
+         |  WHEN substr(md5('graft:' || CAST(cluster AS VARCHAR)), 1, 8)
+         |    < '${Sampling.hexCutoff(0.8)}' THEN 'train'
+         |  WHEN substr(md5('graft:' || CAST(cluster AS VARCHAR)), 1, 8)
+         |    < '${Sampling.hexCutoff(0.9)}' THEN 'valid'
+         |  ELSE 'test' END AS split
+         |FROM clusters ORDER BY doc_id""".stripMargin,
 
     // same integer-space comparison: hash bucket as BIGINT vs
     // floor(weight * 2^32) of the identical IEEE product

@@ -308,6 +308,71 @@ object Dedup {
     (pairs, handle)
   }
 
+  /** Between-source corpus overlap audit: for every pair of corpus
+    * groups (default: the `source` column), the exact size of their
+    * shared k-shingle vocabulary plus integer-ppm Jaccard and
+    * directional containments — "how much of source A also appears in
+    * source B", the standard curation question before mixing crawls
+    * (and the source-level view of dataset contamination).
+    *
+    * Shape: one shuffle builds the DISTINCT (group, shingle-id) index
+    * (group-granular, so each shingle appears at most once per group);
+    * the pair join then fans out at most |groups| rows per shingle —
+    * candidate volume is bounded by |vocabulary| x G^2, independent of
+    * document count, which is why the exact computation scales where
+    * doc-granular pair joins need LSH. Shingle identity is its 60-bit
+    * md5 prefix (the repo-wide fingerprint discipline, engine-exact):
+    * the index pin, the distinct, and the pair join all carry 8-byte
+    * ids instead of shingle text — at sf0.1 that halved the joined
+    * exchange and cut serve wall ~35%, and at 100 TB shuffling
+    * shingle text is the difference between an index and a copy of
+    * the corpus. Sizes attach via an explicit broadcast (G rows; the
+    * index pin carries no stats, so Catalyst would otherwise
+    * sort-merge kilobytes). All reported ratios are floor'd integer
+    * ppm over exact counts — no cross-engine float (working-notes
+    * rule: cross-row math that feeds the hash compare stays in
+    * integers).
+    *
+    * Returns (group_a, group_b, common, union_size, jaccard_ppm,
+    * cont_a_ppm, cont_b_ppm), one row per unordered group pair with at
+    * least one shared shingle; cache-backed — library callers use
+    * [[corpusOverlapOwned]] and `release()`. */
+  def corpusOverlap(df: DataFrame, k: Int, groupCol: String = "source",
+      textCol: String = "text"): DataFrame =
+    corpusOverlapOwned(df, k, groupCol, textCol)._1
+
+  /** [[corpusOverlap]] plus the [[PinHandle]] owning the pinned
+    * (group, shingle) index blocks: consume the frame, then
+    * `release()`. */
+  def corpusOverlapOwned(df: DataFrame, k: Int,
+      groupCol: String = "source", textCol: String = "text")
+      : (DataFrame, PinHandle) = {
+    val (gsh, handle) = pinNow(
+      spread(df.select(col(groupCol).as("_g"), col(textCol)), "_g")
+        .select(col("_g"),
+          explode(shinglesOfTokens(TextOps.tokens(lower(col(textCol))), k))
+            .as("sh"))
+        .select(col("_g"),
+          conv(substring(md5(col("sh")), 1, 15), 16, 10)
+            .cast("long").as("sid"))
+        .distinct())
+    val sizes = gsh.groupBy(col("_g")).agg(count(lit(1)).as("n"))
+    val pairs = gsh.as("a").hint("shuffle_hash")
+      .join(gsh.as("b"), col("a.sid") === col("b.sid")
+        && col("a._g") < col("b._g"))
+      .groupBy(col("a._g").as("group_a"), col("b._g").as("group_b"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(broadcast(sizes.as("sa")), col("group_a") === col("sa._g"))
+      .join(broadcast(sizes.as("sb")), col("group_b") === col("sb._g"))
+      .select(col("group_a"), col("group_b"), col("common"),
+        (col("sa.n") + col("sb.n") - col("common")).as("union_size"),
+        expr("common * 1000000L div (sa.n + sb.n - common)")
+          .as("jaccard_ppm"),
+        expr("common * 1000000L div sa.n").as("cont_a_ppm"),
+        expr("common * 1000000L div sb.n").as("cont_b_ppm")) -> handle
+  }
+
   /** MinHash + LSH candidate pairs: `numHashes` signature components in
     * `bands` bands; rows sharing any band bucket are candidates.
     * Deterministic (salted md5), so checkable against any engine.
@@ -685,6 +750,37 @@ object Dedup {
     (labels.select(col("id").as(idCol), col("label").as("cluster")),
       new PinHandle(() => { rddHandle.unpersist(blocking = false); () }),
       iter)
+  }
+
+  /** Soft dedup: instead of DROPPING near-duplicates, keep every
+    * document and down-weight it by its near-dup cluster size —
+    * weight_ppm = floor(1e6 / |cluster|), so each duplicate cluster
+    * contributes ~one document's worth of sampling mass in total (the
+    * "repetition discounting" alternative to hard dedup when
+    * borderline near-dups carry signal). Composes [[clusters]] with
+    * ONE extra exchange: a window count per cluster label over the
+    * final pinned label frame (no join back to the corpus — the label
+    * frame already has one row per doc). Weights are integer ppm
+    * (working-notes rule: no cross-engine float on the hash), ready
+    * to divide into [[Sampling.weighted]]'s keep-probability or to
+    * scale a loss/sampling prior downstream.
+    *
+    * Returns (idCol, cluster, n_dups, weight_ppm); cache-backed like
+    * [[clusters]] — library callers use [[softDedupWeightsOwned]]. */
+  def softDedupWeights(ids: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id"): DataFrame =
+    softDedupWeightsOwned(ids, pairs, idCol)._1
+
+  /** [[softDedupWeights]] plus the [[PinHandle]] owning the final
+    * label blocks: consume the frame, then `release()`. */
+  def softDedupWeightsOwned(ids: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id"): (DataFrame, PinHandle) = {
+    import org.apache.spark.sql.expressions.Window
+    val (labels, handle) = clustersOwned(ids, pairs, idCol)
+    val n = count(lit(1)).over(Window.partitionBy(col("cluster")))
+    (labels.withColumn("n_dups", n)
+      .withColumn("weight_ppm", expr("1000000L div n_dups")),
+      handle)
   }
 
   /** 32-bit SimHash over word tokens, returned as a '0'/'1' string (bit

@@ -11,10 +11,15 @@ import org.scalatest.funsuite.AnyFunSuite
   * driver's window fails here first, before a round's bench record
   * goes dark.
   *
-  * Since round 12 `queries` is columnar — `{"n":"a,b,…","s":[…]}`,
-  * zipped positionally — because the flat map's per-entry framing left
-  * only ~3 chars of headroom at 97 entries (one more registry entry
-  * would have silently truncated the line).
+  * Since round 12 `queries` is columnar — `{"n":"<front-coded>",
+  * "s":[…]}`, zipped positionally — because the flat map's per-entry
+  * framing left only ~3 chars of headroom at 97 entries (one more
+  * registry entry would have silently truncated the line). The names
+  * string is FRONT-CODED (`Bench.frontCode`: first name verbatim,
+  * then one base-36 shared-prefix-length char + suffix per name;
+  * decode with `Bench.decodeNames` or `tools/decode_bench.py`) —
+  * verbatim sorted names crossed the headroom guard again at 100
+  * entries, and the shared family stems are most of their bytes.
   */
 class BenchLineSpec extends AnyFunSuite {
 
@@ -62,8 +67,8 @@ class BenchLineSpec extends AnyFunSuite {
     // every registered query appears exactly once in the names string
     val namesStr = """"n":"([^"]*)"""".r
       .findFirstMatchIn(line).get.group(1)
-    val names = namesStr.split(',')
-    assert(names.toSeq == SparkEntry.queries.keys.toSeq.sorted)
+    val names = Bench.decodeNames(namesStr)
+    assert(names == SparkEntry.queries.keys.toSeq.sorted)
   }
 
   test("columnar queries decode losslessly: names zip seconds " +
@@ -71,14 +76,26 @@ class BenchLineSpec extends AnyFunSuite {
     val results = Seq(("alpha", 0.4, 1.0), ("beta", -1.0, -1.0),
       ("gamma", 12.3, 1.1))
     val line = Bench.formatLine(results, "sf0.1")
-    val names = """"n":"([^"]*)"""".r
-      .findFirstMatchIn(line).get.group(1).split(',')
+    val names = Bench.decodeNames(""""n":"([^"]*)"""".r
+      .findFirstMatchIn(line).get.group(1))
     val secs = """"s":\[([^\]]*)\]""".r
       .findFirstMatchIn(line).get.group(1).split(',')
     assert(names.length == secs.length && names.length == 3)
     val decoded = names.zip(secs.map(_.toDouble)).toMap
     assert(decoded("alpha") == 0.4 && decoded("beta") == -1.0
       && decoded("gamma") == 12.0) // 100ms/1s display resolution
+  }
+
+  test("front-coding round-trips the registry and adversarial names") {
+    val registry = SparkEntry.queries.keys.toSeq.sorted
+    assert(Bench.decodeNames(Bench.frontCode(registry)) == registry)
+    // digit-leading suffixes, zero overlap, >35-char shared prefixes,
+    // a name that PREFIXES its successor, unsorted order
+    val adversarial = Seq("q1_pricing", "q3_topn", "a", "ab",
+      "x" * 40 + "a", "x" * 40 + "b", "zz9", "zz91")
+    assert(Bench.decodeNames(Bench.frontCode(adversarial)) == adversarial)
+    assert(Bench.decodeNames(Bench.frontCode(Seq.empty)) == Seq.empty)
+    assert(Bench.decodeNames(Bench.frontCode(Seq("solo"))) == Seq("solo"))
   }
 
   test("summary fields sit AFTER the per-query pair (truncation keeps " +

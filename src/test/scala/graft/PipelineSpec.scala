@@ -205,6 +205,76 @@ class PipelineSpec extends AnyFunSuite {
       s"contraction must keep scrambled-id paths logarithmic: $sRounds")
   }
 
+  test("soft-dedup weights: floor'd ppm of the cluster size, every doc kept") {
+    val ids = Seq(0L, 1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val pairs = Seq((0L, 1L), (1L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val got = Dedup.softDedupWeights(ids, pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster"), r.getAs[Long]("n_dups"),
+          r.getAs[Long]("weight_ppm"))).toMap
+    assert(got.size == 6, "soft dedup drops nothing")
+    // component {0,1,3}: n=3, floor(1e6/3)=333333; singleton {2}:
+    // full weight; pair {4,5}: half weight
+    assert(got(0L) == (0L, 3L, 333333L))
+    assert(got(1L) == (0L, 3L, 333333L))
+    assert(got(3L) == (0L, 3L, 333333L))
+    assert(got(2L) == (2L, 1L, 1000000L))
+    assert(got(4L) == (4L, 2L, 500000L))
+    assert(got(5L) == (4L, 2L, 500000L))
+  }
+
+  test("corpus overlap: exact intersections and integer-ppm ratios per " +
+      "group pair; disjoint pairs emit no row") {
+    // k=1 shingles = distinct tokens: A={a,b,c,d}, B={c,d,e,f} share
+    // {c,d}; C={x,y} is disjoint from both. Two docs per group prove
+    // group-granular distinctness (duplicate tokens across docs
+    // count once).
+    val df = Seq(
+      ("A", "a b c"), ("A", "b c d"),
+      ("B", "c d e"), ("B", "d e f"),
+      ("C", "x y")).toDF("source", "text")
+    val rows = Dedup.corpusOverlap(df, k = 1).collect()
+    assert(rows.length == 1, s"only A-B overlaps: ${rows.mkString(",")}")
+    val r = rows.head
+    assert(r.getAs[String]("group_a") == "A")
+    assert(r.getAs[String]("group_b") == "B")
+    assert(r.getAs[Long]("common") == 2L)        // {c, d}
+    assert(r.getAs[Long]("union_size") == 6L)    // {a..f}
+    assert(r.getAs[Long]("jaccard_ppm") == 333333L)  // floor(2e6/6)
+    assert(r.getAs[Long]("cont_a_ppm") == 500000L)   // 2 of A's 4
+    assert(r.getAs[Long]("cont_b_ppm") == 500000L)
+  }
+
+  test("leak-free split: near-duplicates never straddle splits") {
+    // 5 exact-dup groups of 4 docs each; a doc-keyed split scatters
+    // them (md5 of the id is uniform), a cluster-keyed split cannot
+    val texts = Seq(
+      "alpha beta gamma delta epsilon zeta", // distinct per group
+      "one two three four five six seven",
+      "red green blue yellow purple orange",
+      "north south east west up down sideways",
+      "spark catalyst tungsten codegen shuffle broadcast")
+    val dup = (0 until 20).map(i => (i.toLong, texts(i % 5)))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(dup, k = 3, threshold = 0.5)
+    val labels = Dedup.clusters(dup.select("doc_id"), pairs)
+    val split = Sampling.split(labels,
+      Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1),
+      idCol = "cluster")
+    val byDoc = split.collect().map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("cluster"), r.getAs[String]("split"))).toMap
+    assert(byDoc.size == 20, "every doc is assigned exactly one split")
+    // every near-dup pair lands in the same split (the leak-free
+    // property a doc-keyed split violates for some of these 30 pairs)
+    val p = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(p.nonEmpty)
+    p.foreach { case (a, b) =>
+      assert(byDoc(a)._2 == byDoc(b)._2,
+        s"near-dup pair ($a,$b) straddles splits: " +
+          s"${byDoc(a)._2} vs ${byDoc(b)._2}")
+    }
+  }
+
   test("clustering: partitioned-join path matches the broadcast path") {
     // while the label table is provably small the loop broadcasts it
     // explicitly (pinned leaves carry no stats — without the hint every
