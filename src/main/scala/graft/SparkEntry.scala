@@ -772,6 +772,13 @@ object SparkEntry {
         .groupBy(col("split")).agg(count(lit(1)).as("n"))
         .orderBy("split")),
 
+    "t_temperature" -> ((s, dir) =>
+      // τ=2 temperature sampling over the language mixture: rare
+      // languages keep all rows, en (3.4x the rarest) keeps
+      // sqrt(n_min/n_en) — post-sample sizes ∝ sqrt(n_lang)
+      Sampling.temperatureSample(Tables.load(s, dir, "documents"), "lang")
+        .select("doc_id", "lang").orderBy("doc_id")),
+
     "t_soft_dedup" -> ((s, dir) => {
       // soft dedup: keep every doc, down-weight by near-dup cluster
       // size (weight_ppm = floor(1e6/|cluster|)) — the reweighting
@@ -2627,6 +2634,23 @@ object SparkEntry {
          |  ELSE 'test' END AS split,
          |  CAST(count(*) AS BIGINT) AS n
          |FROM documents GROUP BY 1 ORDER BY split""".stripMargin,
+
+    // τ=2 cutoffs re-derived in SQL: nmin/ns as a DOUBLE quotient of
+    // the same BIGINTs, sqrt (IEEE correctly rounded on both
+    // engines), x 2^32, floor — bit-identical to the Scala
+    // driver-side literals; ties at nmin take the 2^32 keep-all
+    "t_temperature" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        | m AS (SELECT min(n) AS nmin FROM c),
+        | cut AS (
+        |  SELECT lang, CASE WHEN n = nmin THEN 4294967296
+        |    ELSE LEAST(CAST(floor(sqrt(CAST(nmin AS DOUBLE) / n)
+        |      * 4294967296.0) AS BIGINT), 4294967295) END AS cutoff
+        |  FROM c, m)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN cut USING (lang)
+        |WHERE CAST(('0x' || substr(md5('graft:' ||
+        |    CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) < cutoff
+        |ORDER BY doc_id""".stripMargin,
 
     // LEX_CLUSTERS mirrors Dedup.clusters over jaccardPairs; the
     // window count per cluster label and the floor'd ppm weight are

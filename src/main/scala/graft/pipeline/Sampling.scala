@@ -239,4 +239,43 @@ object Sampling {
     docs.where(col(strataCol).isin(listed: _*))
       .where(hashBucket(col(idCol), salt) < cutCol)
   }
+
+  /** Temperature-based mixture sampling at τ = 2 ("square-root
+    * scaling", the multilingual-pretraining standard for upweighting
+    * rare languages/sources): downsample each stratum at keep rate
+    * sqrt(n_min / n_s), so the rarest stratum keeps every row and
+    * post-sample stratum sizes are ∝ sqrt(n_s) — the τ = 2 mixture —
+    * without ever upsampling. τ is FIXED at 2 deliberately: sqrt is
+    * the one fractional power IEEE 754 defines as correctly rounded,
+    * so the per-stratum cutoff floor(sqrt(n_min/n_s)·2³²) is
+    * bit-identical on every engine (a general pow(x, 1/τ) is
+    * libm-dependent — for other temperatures, precompute rates
+    * offline and use [[stratified]]).
+    *
+    * Stratum counts are G control-plane rows collected once (the
+    * [[rebalance]] discipline); membership stays the row-local
+    * integer-space hash comparison of [[weighted]] — one pushable
+    * filter, no shuffle on the data path. Strata tied at n_min take
+    * the 2³² keep-all cutoff (every 32-bit hash is strictly below
+    * it); all other rates are < 1 but their product with 2³² is
+    * capped at 2³²−1 in case a near-tie's sqrt rounds up to 1.0. */
+  def temperatureSample(df: DataFrame, strataCol: String,
+      idCol: String = "doc_id", salt: String = "graft"): DataFrame = {
+    val counts: Seq[(String, Long)] = df
+      .groupBy(col(strataCol).cast("string"))
+      .agg(count(lit(1)))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    require(counts.nonEmpty, "temperatureSample: empty corpus")
+    val nMin = counts.map(_._2).min
+    val cutCol = counts.foldLeft(lit(0L): Column) { case (e, (s, n)) =>
+      val cut =
+        if (n == nMin) 4294967296L
+        else math.min(
+          (math.sqrt(nMin.toDouble / n.toDouble) * 4294967296.0).toLong,
+          4294967295L)
+      when(col(strataCol).cast("string") === s, lit(cut)).otherwise(e)
+    }
+    val bucket = conv(hashBucket(col(idCol), salt), 16, 10).cast("long")
+    df.where(bucket < cutCol)
+  }
 }

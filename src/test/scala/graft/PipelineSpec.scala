@@ -679,6 +679,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(again.sorted.sameElements(kept.sorted))
   }
 
+  test("temperature sampling: rarest stratum keeps all, others thin " +
+      "toward the sqrt mixture") {
+    // 400 "big" vs 100 "small": rate_big = sqrt(100/400) = 0.5, so
+    // post-sample sizes head toward sqrt(100*400) = 200 vs 100 — the
+    // τ=2 mixture
+    val rows = (0L until 500L).map(i =>
+      (i, if (i < 400) "big" else "small")).toDF("doc_id", "source")
+    val kept = Sampling.temperatureSample(rows, "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.count(_._2 == "small") == 100, "rarest stratum keeps all")
+    val big = kept.count(_._2 == "big")
+    assert(big > 160 && big < 240,
+      s"big stratum should thin toward sqrt mixture (~200): $big")
+    // rate 0.5 cutoff is exactly 2^31: membership == plain sample(0.5)
+    val plain = Sampling.sample(rows.where(col("source") === "big"), 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.filter(_._2 == "big").map(_._1).toSet == plain)
+    // determinism
+    val again = Sampling.temperatureSample(rows, "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(again.sorted.sameElements(kept.sorted))
+    // uniform strata degrade to identity (all tie at n_min)
+    val uni = (0L until 90L).map(i => (i, s"s${i % 3}"))
+      .toDF("doc_id", "source")
+    assert(Sampling.temperatureSample(uni, "source").count() == 90L)
+  }
+
   test("rebalance derives per-stratum rates from counts toward the " +
       "target mixture; binding stratum keeps all rows") {
     // 300 "web" vs 60 "code" rows; target web:code = 1:1 — code binds
