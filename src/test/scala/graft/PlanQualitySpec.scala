@@ -213,6 +213,31 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("source overlap: id self-join shuffled-hash, sizes broadcast, " +
+      "never sort-merge") {
+    // the (group, shingle-id) pin carries no stats — without the
+    // explicit hints Catalyst would sort-merge the kilobyte sizes
+    // frame and the id self-join
+    val p = SparkEntry.queries("d_source_overlap")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("temperature sampling's data path is a row-local filter — " +
+      "counts never join back") {
+    // stratum counts are control-plane rows folded into literals at
+    // plan time; the corpus-side plan must stay scan + filter (+ the
+    // oracle-facing sort), with no aggregate or join on the data path
+    val p = SparkEntry.queries("t_temperature")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("HashAggregate"), p)
+  }
+
   test("pii scrub is a shuffle-free projection over the scan") {
     val p = SparkEntry.queries("t_pii")(spark, sfDir)
       .queryExecution.executedPlan.toString
