@@ -545,6 +545,14 @@ object SparkEntry {
       Dedup.corpusOverlap(Tables.load(s, dir, "documents"), k = 3)
         .orderBy("group_a", "group_b")),
 
+    "d_source_overlap_est" -> ((s, dir) =>
+      // the sketch face of d_source_overlap: minhash-estimated
+      // pairwise source Jaccard from a G x 64 signature matrix — one
+      // corpus pass, control-plane pair join (the large-G path)
+      Dedup.corpusOverlapSketch(Tables.load(s, dir, "documents"),
+          k = 3, numHashes = 64)
+        .orderBy("group_a", "group_b")),
+
     "d_semantic_dedup" -> ((s, dir) => {
       // SemDeDup: embedding near-dup pairs within coarse cells ->
       // connected components -> one representative per semantic
@@ -2634,6 +2642,27 @@ object SparkEntry {
          |  ELSE 'test' END AS split,
          |  CAST(count(*) AS BIGINT) AS n
          |FROM documents GROUP BY 1 ORDER BY split""".stripMargin,
+
+    // minhash components re-derived per (source, i): min over the
+    // group's doc-distinct shingles of md5(i || ':' || sh) in
+    // hex-string order — the d_minhash_lsh convention at group
+    // granularity; estimate = integer matches over 64 components
+    "d_source_overlap_est" ->
+      s"""$SHINGLES,
+         | gsh AS (
+         |  SELECT d.source AS g, s.sh
+         |  FROM sh0 s JOIN documents d USING (doc_id)),
+         | sig AS (
+         |  SELECT g, i, min(md5(CAST(i AS VARCHAR) || ':' || sh)) AS h
+         |  FROM gsh, (SELECT unnest(generate_series(0, 63)) AS i)
+         |  GROUP BY g, i),
+         | est AS (
+         |  SELECT a.g AS group_a, b.g AS group_b, count(*) AS matches
+         |  FROM sig a JOIN sig b ON a.i = b.i AND a.h = b.h AND a.g < b.g
+         |  GROUP BY 1, 2)
+         |SELECT group_a, group_b, CAST(matches AS BIGINT) AS matches,
+         |  CAST(matches * 1000000 // 64 AS BIGINT) AS est_jaccard_ppm
+         |FROM est ORDER BY group_a, group_b""".stripMargin,
 
     // τ=2 cutoffs re-derived in SQL: nmin/ns as a DOUBLE quotient of
     // the same BIGINTs, sqrt (IEEE correctly rounded on both

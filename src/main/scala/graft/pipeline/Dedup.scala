@@ -338,17 +338,21 @@ object Dedup {
     * least one shared shingle; cache-backed — library callers use
     * [[corpusOverlapOwned]] and `release()`. */
   def corpusOverlap(df: DataFrame, k: Int, groupCol: String = "source",
-      textCol: String = "text"): DataFrame =
-    corpusOverlapOwned(df, k, groupCol, textCol)._1
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    corpusOverlapOwned(df, k, groupCol, textCol, idCol)._1
 
   /** [[corpusOverlap]] plus the [[PinHandle]] owning the pinned
     * (group, shingle) index blocks: consume the frame, then
     * `release()`. */
   def corpusOverlapOwned(df: DataFrame, k: Int,
-      groupCol: String = "source", textCol: String = "text")
-      : (DataFrame, PinHandle) = {
+      groupCol: String = "source", textCol: String = "text",
+      idCol: String = "doc_id"): (DataFrame, PinHandle) = {
+    // spread by DOC id, not group: tokenize/shingle parallelism must
+    // scale with the corpus — G partitions would cap the expensive
+    // stage at |groups| tasks regardless of cluster size
     val (gsh, handle) = pinNow(
-      spread(df.select(col(groupCol).as("_g"), col(textCol)), "_g")
+      spread(df.select(col(groupCol).as("_g"), col(idCol).as("_did"),
+          col(textCol)), "_did")
         .select(col("_g"),
           explode(shinglesOfTokens(TextOps.tokens(lower(col(textCol))), k))
             .as("sh"))
@@ -371,6 +375,63 @@ object Dedup {
           .as("jaccard_ppm"),
         expr("common * 1000000L div sa.n").as("cont_a_ppm"),
         expr("common * 1000000L div sb.n").as("cont_b_ppm")) -> handle
+  }
+
+  /** Sketch face of [[corpusOverlap]]: MinHash-ESTIMATED pairwise
+    * group Jaccard from `numHashes` per-group signature components —
+    * P(component match) = J, so matches/numHashes is an unbiased
+    * estimate with std-error ~sqrt(J(1-J)/numHashes). The exact audit
+    * joins a \|vocab\| x G index; this one reduces the whole corpus
+    * pass to a G x numHashes signature matrix (min-aggregates with
+    * map-side combine — signature partial-mins shuffle, never shingle
+    * text), which is the shape that survives when G grows from 20
+    * sources to 10^5 crawl domains. The matrix is control-plane sized
+    * (the [[Similarity.trainIvfCentroids]] discipline), so it
+    * collects into a LOCAL relation — the pair join below can never
+    * re-execute the corpus scan (AQE exchange reuse is best-effort;
+    * a two-consumer plan would pay the pass twice), and a local
+    * relation carries exact stats so Catalyst broadcasts it.
+    *
+    * Components follow [[minhashLshCandidates]]'s engine-portable
+    * convention exactly: component i = min over the group's shingles
+    * of md5("i:" ++ shingle), hex-string order. Duplicate shingles
+    * across a group's docs don't perturb a min, so no distinct pass
+    * is needed. Returns (group_a, group_b, matches, est_jaccard_ppm)
+    * for pairs with at least one matching component (est >= 1/H;
+    * pairs below that resolution emit nothing). */
+  def corpusOverlapSketch(df: DataFrame, k: Int, numHashes: Int = 64,
+      groupCol: String = "source", textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(numHashes >= 1 && numHashes <= 512,
+      s"numHashes must be in [1, 512]: $numHashes")
+    val spark = df.sparkSession
+    val sh = spread(df.select(col(groupCol).as("_g"),
+        col(idCol).as("_did"), col(textCol)), "_did")
+      .select(col("_g"),
+        explode(shinglesOfTokens(TextOps.tokens(lower(col(textCol))), k))
+          .as("sh"))
+    val sigCols = (0 until numHashes).map(i =>
+      min(md5(concat(lit(s"$i:"), col("sh")))).as(s"_h$i"))
+    val sig = sh.groupBy(col("_g")).agg(sigCols.head, sigCols.tail: _*)
+    val rows = sig.collect().flatMap { r =>
+      (0 until numHashes).map(i => Row(r.get(0), i, r.getString(i + 1)))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("_g",
+        sig.schema.head.dataType),
+      org.apache.spark.sql.types.StructField("i",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("h",
+        org.apache.spark.sql.types.StringType)))
+    val comp = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), schema)
+    comp.as("a")
+      .join(comp.as("b"), col("a.i") === col("b.i")
+        && col("a.h") === col("b.h") && col("a._g") < col("b._g"))
+      .groupBy(col("a._g").as("group_a"), col("b._g").as("group_b"))
+      .agg(count(lit(1)).as("matches"))
+      .withColumn("est_jaccard_ppm",
+        expr(s"matches * 1000000L div ${numHashes}L"))
   }
 
   /** MinHash + LSH candidate pairs: `numHashes` signature components in

@@ -233,6 +233,7 @@ class PipelineSpec extends AnyFunSuite {
       ("A", "a b c"), ("A", "b c d"),
       ("B", "c d e"), ("B", "d e f"),
       ("C", "x y")).toDF("source", "text")
+      .withColumn("doc_id", monotonically_increasing_id())
     val rows = Dedup.corpusOverlap(df, k = 1).collect()
     assert(rows.length == 1, s"only A-B overlaps: ${rows.mkString(",")}")
     val r = rows.head
@@ -243,6 +244,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.getAs[Long]("jaccard_ppm") == 333333L)  // floor(2e6/6)
     assert(r.getAs[Long]("cont_a_ppm") == 500000L)   // 2 of A's 4
     assert(r.getAs[Long]("cont_b_ppm") == 500000L)
+  }
+
+  test("sketch overlap: identical vocabularies match on every " +
+      "component, disjoint ones emit nothing") {
+    val df = Seq(
+      ("A", "alpha beta gamma delta"), ("A", "beta gamma delta epsilon"),
+      ("B", "alpha beta gamma delta"), ("B", "beta gamma delta epsilon"),
+      ("C", "one two three four five")).toDF("source", "text")
+      .withColumn("doc_id", monotonically_increasing_id())
+    val rows = Dedup.corpusOverlapSketch(df, k = 2, numHashes = 16)
+      .collect()
+    // A and B carry the same shingle set -> every component ties;
+    // C shares nothing with either -> below the 1/H resolution
+    assert(rows.length == 1, rows.mkString(","))
+    val r = rows.head
+    assert(r.getAs[String]("group_a") == "A"
+      && r.getAs[String]("group_b") == "B")
+    assert(r.getAs[Long]("matches") == 16L)
+    assert(r.getAs[Long]("est_jaccard_ppm") == 1000000L)
+    // determinism: salted md5 minhash, no RNG
+    val again = Dedup.corpusOverlapSketch(df, k = 2, numHashes = 16)
+      .collect()
+    assert(again.map(_.toString).sorted
+      .sameElements(rows.map(_.toString).sorted))
   }
 
   test("leak-free split: near-duplicates never straddle splits") {

@@ -226,6 +226,18 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("sketch overlap's pair join runs over the collected signature " +
+      "matrix — the corpus is never re-scanned") {
+    // the G x H signature matrix collects into a local relation (one
+    // corpus pass at build time); a plan that still reads parquet
+    // would re-run the pass once per join consumer (AQE exchange
+    // reuse is best-effort, the repo's five-gram-pass lesson)
+    val p = SparkEntry.queries("d_source_overlap_est")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Scan parquet"), p)
+    assert(!p.contains("FileScan"), p)
+  }
+
   test("temperature sampling's data path is a row-local filter — " +
       "counts never join back") {
     // stratum counts are control-plane rows folded into literals at
