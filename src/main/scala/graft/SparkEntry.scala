@@ -780,6 +780,19 @@ object SparkEntry {
         .groupBy(col("split")).agg(count(lit(1)).as("n"))
         .orderBy("split")),
 
+    "t_cap_dups" -> ((s, dir) => {
+      // bounded near-dup retention: keep at most 2 copies per
+      // near-dup cluster — the middle ground between hard dedup
+      // (keeps 1) and soft weighting (keeps all, down-weighted);
+      // survivors are the deterministic md5-salted per-key choice
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = Dedup.jaccardPairs(docs, k = 3, threshold = 0.5,
+        maxDf = ShingleMaxDf)
+      val labels = Dedup.clusters(docs.select("doc_id"), pairs)
+      Curate.capPerKey(labels, keyCol = "cluster", cap = 2)
+        .select("doc_id", "cluster").orderBy("doc_id")
+    }),
+
     "t_temperature" -> ((s, dir) =>
       // τ=2 temperature sampling over the language mixture: rare
       // languages keep all rows, en (3.4x the rarest) keeps
@@ -2642,6 +2655,17 @@ object SparkEntry {
          |  ELSE 'test' END AS split,
          |  CAST(count(*) AS BIGINT) AS n
          |FROM documents GROUP BY 1 ORDER BY split""".stripMargin,
+
+    // t_cap_per_key's ranked-survivor CTE, partitioned by the
+    // LEX_CLUSTERS label instead of a raw column
+    "t_cap_dups" ->
+      s"""${LEX_CLUSTERS}SELECT doc_id, cluster FROM (
+         |  SELECT doc_id, cluster,
+         |    row_number() OVER (PARTITION BY cluster
+         |      ORDER BY substring(md5('graft:' || CAST(doc_id AS VARCHAR)),
+         |        1, 8), doc_id) AS rk
+         |  FROM clusters)
+         |WHERE rk <= 2 ORDER BY doc_id""".stripMargin,
 
     // minhash components re-derived per (source, i): min over the
     // group's doc-distinct shingles of md5(i || ':' || sh) in
