@@ -688,6 +688,15 @@ object SparkEntry {
         queryId = 0L, k = 10)
         .orderBy(col("cos_sim").desc, col("vec_id").asc)),
 
+    "s_topk_mmr" -> ((s, dir) =>
+      // maximal-marginal-relevance diversified top-k: relevance
+      // traded against redundancy to the already-selected set —
+      // all-integer greedy (micro-unit cosines), so the selection
+      // ORDER is oracle-exact, not just the scores
+      Similarity.mmrTopK(Tables.load(s, dir, "embeddings"),
+        queryId = 0L, k = 8, poolSize = 40)
+        .orderBy("mmr_rank")),
+
     "s_topk_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(Tables.load(s, dir, "embeddings"),
         queryId = 1L, k = 10)
@@ -2303,6 +2312,73 @@ object SparkEntry {
         |JOIN norms na ON na.vec_id = d.vec_id
         |JOIN norms nq ON nq.vec_id = 0
         |ORDER BY cos_sim DESC, d.vec_id LIMIT 10""".stripMargin,
+
+    // the greedy MMR loop unrolled as k-1 chained CTE stages: each
+    // stage appends the argmax of L*rel - M*max(sim to selected) in
+    // BIGINT micro-units with ties by vec_id — integer ordering, so
+    // the k-step selection replays identically on both engines
+    "s_topk_mmr" -> {
+      val L = 500000L; val M = 500000L
+      val mmrK = 8; val mmrPool = 40; val qid = 0
+      val stages = (1 until mmrK).map { i =>
+        s""" sel$i AS (
+           |  SELECT * FROM sel${i - 1}
+           |  UNION ALL
+           |  SELECT $i AS mmr_rank, vec_id, rel_mu, score_mu FROM (
+           |    SELECT p.vec_id, p.rel_mu,
+           |      $L * p.rel_mu - $M * coalesce((
+           |        SELECT max(s.sim_mu) FROM sims s
+           |        JOIN sel${i - 1} t ON s.ib = t.vec_id
+           |        WHERE s.ia = p.vec_id), 0) AS score_mu
+           |    FROM pool p
+           |    WHERE p.vec_id NOT IN (SELECT vec_id FROM sel${i - 1})
+           |    ORDER BY score_mu DESC, p.vec_id LIMIT 1))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         |    CAST(unnest(embedding) AS DOUBLE) AS x
+         |  FROM embeddings),
+         | nn AS MATERIALIZED (
+         |  SELECT vec_id, sum(CAST(floor(x * 1e6) AS BIGINT)
+         |    * CAST(floor(x * 1e6) AS BIGINT)) AS d
+         |  FROM e GROUP BY vec_id),
+         | relq AS (
+         |  SELECT a.vec_id, sum(CAST(floor(a.x * 1e6) AS BIGINT)
+         |    * CAST(floor(q.x * 1e6) AS BIGINT)) AS d
+         |  FROM e a JOIN e q ON a.i = q.i AND q.vec_id = $qid
+         |  WHERE a.vec_id <> $qid GROUP BY 1),
+         | rel AS (
+         |  SELECT r.vec_id, CAST(floor((1000000.0 * CAST(r.d AS DOUBLE))
+         |    / (sqrt(CAST(na.d AS DOUBLE)) * sqrt(CAST(nq.d AS DOUBLE))))
+         |    AS BIGINT) AS rel_mu
+         |  FROM relq r
+         |  JOIN nn na ON na.vec_id = r.vec_id AND na.d > 0
+         |  JOIN nn nq ON nq.vec_id = $qid AND nq.d > 0),
+         | pool AS MATERIALIZED (
+         |  SELECT vec_id, rel_mu FROM rel
+         |  ORDER BY rel_mu DESC, vec_id LIMIT $mmrPool),
+         | pe AS (SELECT e.* FROM e JOIN pool p ON p.vec_id = e.vec_id),
+         | pd AS (
+         |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         |    sum(CAST(floor(a.x * 1e6) AS BIGINT)
+         |      * CAST(floor(b.x * 1e6) AS BIGINT)) AS d
+         |  FROM pe a JOIN pe b ON a.i = b.i AND a.vec_id <> b.vec_id
+         |  GROUP BY 1, 2),
+         | sims AS MATERIALIZED (
+         |  SELECT ia, ib, CAST(floor((1000000.0 * CAST(pd.d AS DOUBLE))
+         |    / (sqrt(CAST(na.d AS DOUBLE)) * sqrt(CAST(nb.d AS DOUBLE))))
+         |    AS BIGINT) AS sim_mu
+         |  FROM pd
+         |  JOIN nn na ON na.vec_id = ia
+         |  JOIN nn nb ON nb.vec_id = ib),
+         | sel0 AS (
+         |  SELECT 0 AS mmr_rank, vec_id, rel_mu, $L * rel_mu AS score_mu
+         |  FROM pool ORDER BY rel_mu DESC, vec_id LIMIT 1),
+         |$stages
+         |SELECT CAST(mmr_rank AS INT) AS mmr_rank, vec_id, rel_mu,
+         |  CAST(score_mu AS BIGINT) AS score_mu
+         |FROM sel${mmrK - 1} ORDER BY mmr_rank""".stripMargin
+    },
 
     "s_topk_ivf" ->
       """WITH q AS (SELECT vec_id, label FROM embeddings WHERE vec_id = 1),

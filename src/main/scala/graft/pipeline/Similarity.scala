@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`array<float>`).
@@ -63,6 +63,95 @@ object Similarity {
         round(dot(col(vecCol), col("_qvec")) / (col("_nrm") * col("_qnrm")),
           6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol).asc).limit(k)
+  }
+
+  /** Maximal-marginal-relevance top-k (Carbonell & Goldstein, SIGIR
+    * 1998): greedily pick the candidate maximizing
+    * λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s) — relevance traded
+    * against redundancy, the diverse-retrieval / diverse-few-shot
+    * selection verb (plain top-k hands back k near-copies whenever
+    * the corpus has them).
+    *
+    * Everything the greedy loop COMPARES is an integer: rel/sim are
+    * micro-unit quantized cosines — floor(1e6·dq(a,b) /
+    * (√dq(a,a)·√dq(b,b))) with dq the order-free integer
+    * [[dotQ]] — and the MMR objective is
+    * λppm·rel_mu − (1e6−λppm)·maxSim_mu in 64-bit integers with ties
+    * broken by id, so selection order is exact on any engine (the
+    * repo-wide no-cross-engine-float rule; a 1e-15 double wobble
+    * here would reorder ranks, not just perturb a score).
+    *
+    * Scale shape: the DISTRIBUTED work is one scored corpus pass
+    * (query broadcast, codegen dot products, TakeOrdered — exactly
+    * [[bruteForceTopK]]'s plan) that reduces to a `poolSize`
+    * candidate pool; the pool is control-plane sized by definition
+    * (MMR is quadratic in it), so its pairwise sims compute over a
+    * LOCAL relation and the k-step greedy argmax runs driver-side
+    * over ≤ poolSize² integers — same discipline as the IVF/PQ
+    * codebooks. Returns (mmr_rank, vec_id, rel_mu, score_mu). */
+  def mmrTopK(emb: DataFrame, queryId: Long, k: Int,
+      poolSize: Int = 40, lambdaPpm: Long = 500000L,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    require(k >= 1 && poolSize >= k,
+      s"need poolSize >= k >= 1: k=$k poolSize=$poolSize")
+    require(lambdaPpm >= 0L && lambdaPpm <= 1000000L,
+      s"lambdaPpm in [0, 1e6]: $lambdaPpm")
+    val spark = emb.sparkSession
+    val mu = 1000000L
+    def cosMu(d: Column, na: Column, nb: Column): Column =
+      floor((lit(1000000.0) * d.cast("double")) /
+        (sqrt(na.cast("double")) * sqrt(nb.cast("double")))).cast("long")
+    val q = emb.where(col(idCol) === queryId)
+      .select(col(vecCol).as("_qvec"))
+      .withColumn("_qq", dotQ(col("_qvec"), col("_qvec")))
+    val pool = emb.where(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("_vv", dotQ(col(vecCol), col(vecCol)))
+      .where(col("_vv") > 0 && col("_qq") > 0)
+      .select(col(idCol), col(vecCol),
+        cosMu(dotQ(col(vecCol), col("_qvec")), col("_vv"), col("_qq"))
+          .as("rel_mu"))
+      .orderBy(col("rel_mu").desc, col(idCol).asc)
+      .limit(poolSize)
+      .collect()
+    // pairwise sims over the pool — a local relation (poolSize rows),
+    // so this job never re-reads the corpus
+    val vecT = emb.schema(vecCol).dataType
+    val poolSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("_id",
+        emb.schema(idCol).dataType),
+      org.apache.spark.sql.types.StructField("_v", vecT)))
+    val poolDf = spark.createDataFrame(
+      java.util.Arrays.asList(
+        pool.map(r => Row(r.get(0), r.get(1))): _*), poolSchema)
+      .withColumn("_nn", dotQ(col("_v"), col("_v")))
+    val sims = poolDf.as("a")
+      .join(poolDf.as("b"), col("a._id") =!= col("b._id"))
+      .select(col("a._id").as("ia"), col("b._id").as("ib"),
+        cosMu(dotQ(col("a._v"), col("b._v")), col("a._nn"), col("b._nn"))
+          .as("sim_mu"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // greedy integer argmax: λppm·rel − (1e6−λppm)·maxSim, ties by id
+    val relOf = pool.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val remaining = scala.collection.mutable.TreeSet(relOf.keys.toSeq: _*)
+    val selected = scala.collection.mutable.ArrayBuffer.empty[
+      (Int, Long, Long, Long)]
+    while (selected.size < k && remaining.nonEmpty) {
+      val best = remaining.map { c =>
+        val maxSim =
+          if (selected.isEmpty) 0L
+          else selected.map(s => sims((c, s._2))).max
+        val score = lambdaPpm * relOf(c) - (mu - lambdaPpm) * maxSim
+        (c, score)
+      }.minBy { case (c, score) => (-score, c) }
+      selected += ((selected.size, best._1, relOf(best._1), best._2))
+      remaining -= best._1
+    }
+    import spark.implicits._
+    selected.toSeq.toDF("mmr_rank", "vec_id", "rel_mu", "score_mu")
+      .withColumnRenamed("vec_id", idCol)
   }
 
   /** Batch top-k: nearest k rows for EVERY query id in one pass — the

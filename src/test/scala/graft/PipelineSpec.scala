@@ -343,6 +343,37 @@ class PipelineSpec extends AnyFunSuite {
       4L -> 4L, 5L -> 4L))
   }
 
+  test("mmr interleaves clusters where plain top-k returns near-copies") {
+    // query along e1; cluster A (ids 1-4) at cos ~0.95 to q and
+    // ~0.9999 to each other; cluster B (ids 5-8) at cos ~0.90 to q
+    // and ~0.72 to A. Relevance-only top-4 = all of A; MMR at
+    // lambda=0.5 pays the within-A redundancy after one pick, so the
+    // second pick crosses to B; from the third pick on the max-sim
+    // penalty is saturated for BOTH clusters (~0.9999 to their own
+    // first pick), so relevance decides again and A resumes — the
+    // exact greedy order is 1, 5, 2, 3.
+    val rows =
+      Seq((0L, Seq(1f, 0f, 0f, 0f))) ++
+      (1 to 4).map(i => (i.toLong,
+        Seq(0.95f, 0.312f, 0.001f * i, 0f))) ++
+      (5 to 8).map(i => (i.toLong,
+        Seq(0.90f, -0.436f, 0f, 0.001f * i)))
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Similarity.mmrTopK(df, queryId = 0L, k = 4, poolSize = 8)
+      .collect().sortBy(_.getAs[Int]("mmr_rank"))
+      .map(_.getAs[Long]("vec_id"))
+    val inA = (1L to 4L).toSet; val inB = (5L to 8L).toSet
+    assert(inA.contains(got(0)), s"first pick is pure relevance: ${got.toSeq}")
+    assert(inB.contains(got(1)),
+      s"second pick must cross to the other cluster: ${got.toSeq}")
+    assert(got.toSeq == Seq(1L, 5L, 2L, 3L),
+      s"deterministic greedy order: ${got.toSeq}")
+    // relevance-only ranking would keep all four A vectors
+    val brute = Similarity.bruteForceTopK(df, queryId = 0L, k = 4)
+      .collect().map(_.getLong(0))
+    assert(brute.forall(inA), s"plain top-k is all near-copies: ${brute.toSeq}")
+  }
+
   test("semantic dedup keeps one representative per embedding cluster") {
     // two semantic clusters inside one cell + an outlier; near-dup
     // vectors are paraphrase stand-ins (same direction, scaled)
