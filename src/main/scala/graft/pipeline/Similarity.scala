@@ -287,6 +287,66 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col(idCol).asc).limit(k)
   }
 
+  /** Persist an IVF index to storage: `dir/centroids` holds the
+    * coarse quantizer as (cell, pos, w) rows and `dir/vectors` holds
+    * the corpus PARTITIONED BY cell on disk — a query's probe set
+    * maps to partition DIRECTORIES, so Catalyst prunes every other
+    * cell at the file level before a byte is read (the vector
+    * analogue of dp3's tree descent: serve cost ∝ probed cells,
+    * never corpus size; at 100 TB the unprobed 99% of the index is
+    * never opened). Training is [[trainIvfCentroids]] — no RNG, so
+    * rebuilding the index reproduces it bit for bit. */
+  def writeIvfIndex(emb: DataFrame, dir: String, kCells: Int,
+      iters: Int = 5, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cents = trainIvfCentroids(emb, kCells, iters, idCol, vecCol)
+    cents.zipWithIndex.flatMap { case (c, ci) =>
+      c.zipWithIndex.map { case (w, p) => (ci, p, w) } }
+      .toDF("cell", "pos", "w")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    assignCells(emb, cents, vecCol)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/vectors")
+  }
+
+  /** Serve top-k from a [[writeIvfIndex]] index without the training
+    * frame: the centroid table is control-plane (kCells x dims rows),
+    * so probe selection — the `nprobe` best cells by unit-centroid
+    * dot, ties by cell id — happens driver-side, and the data side is
+    * ONE scan of the probed partitions (check `PartitionFilters` in
+    * the plan: unprobed cells are pruned before IO). Takes an
+    * explicit query VECTOR (the serving shape — queries usually
+    * aren't corpus rows); returns (idCol, cell, cos_sim), ranked like
+    * [[ivfTopK]]. nprobe = kCells degrades to brute force over the
+    * whole index. */
+  def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, queryVec: Seq[Float], k: Int, nprobe: Int = 1,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    require(k >= 1 && nprobe >= 1, s"k >= 1, nprobe >= 1")
+    def dotL(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      .groupBy(_._1).toSeq
+      .map { case (ci, rows) => ci -> rows.sortBy(_._2).map(_._3).toSeq }
+    val q = queryVec.map(_.toDouble)
+    val probed = cents.map { case (ci, c) =>
+      val n = math.sqrt(dotL(c, c))
+      val u = if (n == 0.0) c else c.map(_ / n)
+      (ci, dotL(q, u))
+    }.sortBy { case (ci, s) => (-s, ci) }.take(nprobe).map(_._1)
+    val qn = math.sqrt(dotL(q, q))
+    spark.read.parquet(s"$dir/vectors")
+      .where(col("cell").isin(probed: _*))
+      .select(col(idCol), col("cell").cast("int").as("cell"),
+        round(dot(col(vecCol), lit(q.toArray)) /
+          (norm(col(vecCol)) * lit(qn)), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol).asc).limit(k)
+  }
+
   /** Train an IVF coarse quantizer: Lloyd's k-means over the embedding
     * column, fully deterministic — init = the k lowest-id vectors, no
     * RNG — so the index is bit-reproducible run to run (the repo-wide

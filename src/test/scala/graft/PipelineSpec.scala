@@ -343,6 +343,40 @@ class PipelineSpec extends AnyFunSuite {
       4L -> 4L, 5L -> 4L))
   }
 
+  test("persisted ivf index: unprobed cells prune at the partition " +
+      "level; full probe covers the corpus; rebuild is deterministic") {
+    // even ids cluster on e1, odd ids on e2; k-means init = the two
+    // lowest ids (one per cluster), so training separates them
+    val emb = (0L until 20L).map { i =>
+      if (i % 2 == 0L) (i, Seq(1f, 0.01f * i, 0f, 0f))
+      else (i, Seq(0.01f * i, 1f, 0f, 0f))
+    }.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    Similarity.writeIvfIndex(emb, dir, kCells = 2, iters = 3)
+    val q = Seq(1f, 0.05f, 0f, 0f)
+    val top = Similarity.ivfTopKFromIndex(spark, dir, q, k = 5, nprobe = 1)
+    // the unprobed cell must disappear BEFORE IO: the cell predicate
+    // sits in PartitionFilters (directory pruning), not a row filter
+    val plan = top.queryExecution.executedPlan.toString
+    assert("""PartitionFilters: \[[^\]]*cell""".r
+      .findFirstIn(plan).isDefined, plan)
+    val got = top.collect()
+    assert(got.length == 5)
+    assert(got.forall(_.getLong(0) % 2 == 0L),
+      s"one-probe hits stay in the query's cluster: ${got.mkString(",")}")
+    // full probe serves the whole index (brute-force degradation)
+    val full = Similarity.ivfTopKFromIndex(spark, dir, q, k = 20,
+      nprobe = 2).collect()
+    assert(full.length == 20)
+    assert(full.head.getLong(0) == got.head.getLong(0),
+      "pruning must not change the winner when it lives in the probe set")
+    // no-RNG contract: rebuilding the index reproduces the results
+    Similarity.writeIvfIndex(emb, dir, kCells = 2, iters = 3)
+    val again = Similarity.ivfTopKFromIndex(spark, dir, q, k = 5,
+      nprobe = 1).collect()
+    assert(again.map(_.toString).toSeq == got.map(_.toString).toSeq)
+  }
+
   test("mmr interleaves clusters where plain top-k returns near-copies") {
     // query along e1; cluster A (ids 1-4) at cos ~0.95 to q and
     // ~0.9999 to each other; cluster B (ids 5-8) at cos ~0.90 to q
