@@ -28,6 +28,35 @@ class DegenerateInputSpec extends AnyFunSuite {
   private def oneDoc: DataFrame =
     Seq((1L, "a single short document")).toDF("doc_id", "text")
 
+  test("round-12 additions: empty/singleton corpora flow through") {
+    val withSrc = (df: DataFrame) => df.withColumn("source", lit("s0"))
+    // overlap audits: one group (or none) -> no pair rows
+    assert(Dedup.corpusOverlap(withSrc(emptyDocs), k = 3).count() == 0)
+    assert(Dedup.corpusOverlap(withSrc(oneDoc), k = 3).count() == 0)
+    assert(Dedup.corpusOverlapSketch(withSrc(emptyDocs), k = 3,
+      numHashes = 8).count() == 0)
+    assert(Dedup.corpusOverlapSketch(withSrc(oneDoc), k = 3,
+      numHashes = 8).count() == 0)
+    // soft dedup with no pairs: every doc a singleton at full weight
+    val emptyPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val w = Dedup.softDedupWeights(oneDoc.select("doc_id"), emptyPairs)
+      .collect()
+    assert(w.length == 1 && w.head.getAs[Long]("weight_ppm") == 1000000L)
+    // temperature sampling: empty corpus errors cleanly (no strata to
+    // license a cutoff), singleton keeps its row (rarest stratum)
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureSample(withSrc(emptyDocs), "source")
+    }
+    assert(Sampling.temperatureSample(withSrc(oneDoc), "source")
+      .count() == 1)
+    // mmr: pool of one candidate returns that candidate at rank 0
+    val twoVecs = Seq((0L, Seq(1f, 0f)), (1L, Seq(0.9f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val m = Similarity.mmrTopK(twoVecs, queryId = 0L, k = 1,
+      poolSize = 1).collect()
+    assert(m.length == 1 && m.head.getAs[Long]("vec_id") == 1L)
+  }
+
   test("dedup family: empty and singleton corpora") {
     assert(Dedup.exact(emptyDocs).count() == 0)
     assert(Dedup.exact(oneDoc).count() == 1)
