@@ -2743,26 +2743,37 @@ object SparkEntry {
          |  FROM clusters)
          |WHERE rk <= 2 ORDER BY doc_id""".stripMargin,
 
-    // minhash components re-derived per (source, i): min over the
-    // group's doc-distinct shingles of md5(i || ':' || sh) in
-    // hex-string order — the d_minhash_lsh convention at group
-    // granularity; estimate = integer matches over 64 components
-    "d_source_overlap_est" ->
+    // minhash components re-derived per (source, i): ONE md5 per
+    // shingle (base = first 32 bits mod the Mersenne prime 2^31-1),
+    // component i = (A_i*base + B_i) mod p with the IDENTICAL
+    // Dedup.minhashConsts literals inlined as a VALUES table —
+    // Carter-Wegman; plain BIGINT arithmetic under 2^62 on both
+    // engines; estimate = integer matches over 64 components
+    "d_source_overlap_est" -> {
+      val consts = (0 until 64).map { i =>
+        val (a, b) = Dedup.minhashConsts(i)
+        s"($i, ${a}, ${b})"
+      }.mkString(", ")
+      val p = Dedup.MinhashPrime
       s"""$SHINGLES,
-         | gsh AS (
-         |  SELECT d.source AS g, s.sh
+         | mh(i, a, b) AS (SELECT * FROM (VALUES $consts)),
+         | gsh AS MATERIALIZED (
+         |  SELECT d.source AS g,
+         |    CAST(('0x' || substr(md5(s.sh), 1, 8)) AS BIGINT) % $p
+         |      AS base
          |  FROM sh0 s JOIN documents d USING (doc_id)),
-         | sig AS (
-         |  SELECT g, i, min(md5(CAST(i AS VARCHAR) || ':' || sh)) AS h
-         |  FROM gsh, (SELECT unnest(generate_series(0, 63)) AS i)
-         |  GROUP BY g, i),
+         | sig AS MATERIALIZED (
+         |  SELECT g, mh.i, min((mh.a * base + mh.b) % $p) AS h
+         |  FROM gsh, mh
+         |  GROUP BY g, mh.i),
          | est AS (
          |  SELECT a.g AS group_a, b.g AS group_b, count(*) AS matches
          |  FROM sig a JOIN sig b ON a.i = b.i AND a.h = b.h AND a.g < b.g
          |  GROUP BY 1, 2)
          |SELECT group_a, group_b, CAST(matches AS BIGINT) AS matches,
          |  CAST(matches * 1000000 // 64 AS BIGINT) AS est_jaccard_ppm
-         |FROM est ORDER BY group_a, group_b""".stripMargin,
+         |FROM est ORDER BY group_a, group_b""".stripMargin
+    },
 
     // τ=2 cutoffs re-derived in SQL: nmin/ns as a DOUBLE quotient of
     // the same BIGINTs, sqrt (IEEE correctly rounded on both

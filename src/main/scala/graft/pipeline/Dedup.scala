@@ -392,13 +392,27 @@ object Dedup {
     * a two-consumer plan would pay the pass twice), and a local
     * relation carries exact stats so Catalyst broadcasts it.
     *
-    * Components follow [[minhashLshCandidates]]'s engine-portable
-    * convention exactly: component i = min over the group's shingles
-    * of md5("i:" ++ shingle), hex-string order. Duplicate shingles
-    * across a group's docs don't perturb a min, so no distinct pass
-    * is needed. Returns (group_a, group_b, matches, est_jaccard_ppm)
-    * for pairs with at least one matching component (est >= 1/H;
-    * pairs below that resolution emit nothing). */
+    * Components are universal-hash derived from ONE md5 per shingle:
+    * base = the shingle md5's first 32 bits reduced mod the Mersenne
+    * prime p = 2^31 − 1, component i = (A_i·base + B_i) mod p with
+    * md5-derived constants in [1, p) — the Carter-Wegman family. The
+    * mod is LOAD-BEARING: without it a positive-multiplier affine
+    * map is order-preserving in base, every component's min picks
+    * the same globally-min-hashed shingle, and the 64 "independent"
+    * permutations collapse to one (caught by the sf0.01 oracle row
+    * count: 190 pairs → 5). Products stay under 2^62, inside signed
+    * 64-bit on any engine (DuckDB ERRORS on BIGINT overflow where
+    * the JVM wraps — the bound sidesteps both). The first cut
+    * evaluated 64 FULL md5 calls per exploded shingle row and
+    * measured 32 s at the 50k-doc probe — hash count, not data
+    * volume, dominated; one md5 into a NAMED column (the
+    * working-notes CSE rule) + 64 integer multiply-add-mods brings
+    * the corpus pass back to scan cost.
+    * Duplicate shingles across a group's docs don't perturb a min,
+    * so no distinct pass is needed. Returns (group_a, group_b,
+    * matches, est_jaccard_ppm) for pairs with at least one matching
+    * component (est >= 1/H; pairs below that resolution emit
+    * nothing). */
   def corpusOverlapSketch(df: DataFrame, k: Int, numHashes: Int = 64,
       groupCol: String = "source", textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
@@ -410,11 +424,19 @@ object Dedup {
       .select(col("_g"),
         explode(shinglesOfTokens(TextOps.tokens(lower(col(textCol))), k))
           .as("sh"))
-    val sigCols = (0 until numHashes).map(i =>
-      min(md5(concat(lit(s"$i:"), col("sh")))).as(s"_h$i"))
+      // ONE md5 per shingle row, bound to a named column so the 64
+      // component expressions reference it instead of re-hashing
+      .select(col("_g"),
+        pmod(conv(substring(md5(col("sh")), 1, 8), 16, 10)
+          .cast("long"), lit(MinhashPrime)).as("_b"))
+    val sigCols = (0 until numHashes).map { i =>
+      val (a, b) = minhashConsts(i)
+      min(pmod(lit(a) * col("_b") + lit(b), lit(MinhashPrime)))
+        .as(s"_h$i")
+    }
     val sig = sh.groupBy(col("_g")).agg(sigCols.head, sigCols.tail: _*)
     val rows = sig.collect().flatMap { r =>
-      (0 until numHashes).map(i => Row(r.get(0), i, r.getString(i + 1)))
+      (0 until numHashes).map(i => Row(r.get(0), i, r.getLong(i + 1)))
     }
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("_g",
@@ -422,7 +444,7 @@ object Dedup {
       org.apache.spark.sql.types.StructField("i",
         org.apache.spark.sql.types.IntegerType, nullable = false),
       org.apache.spark.sql.types.StructField("h",
-        org.apache.spark.sql.types.StringType)))
+        org.apache.spark.sql.types.LongType)))
     val comp = spark.createDataFrame(
       java.util.Arrays.asList(rows: _*), schema)
     comp.as("a")
@@ -432,6 +454,27 @@ object Dedup {
       .agg(count(lit(1)).as("matches"))
       .withColumn("est_jaccard_ppm",
         expr(s"matches * 1000000L div ${numHashes}L"))
+  }
+
+  /** The Carter-Wegman modulus for [[corpusOverlapSketch]]: the
+    * Mersenne prime 2^31 − 1. */
+  val MinhashPrime: Long = 2147483647L
+
+  /** Universal-hash constants for [[corpusOverlapSketch]] component
+    * `i`: md5-derived (A_i, B_i) with A_i in [1, p) and B_i in
+    * [0, p), p = [[MinhashPrime]]. A_i·base + B_i < 2^62 stays
+    * inside a signed 64-bit value on every engine (DuckDB ERRORS on
+    * BIGINT overflow where the JVM wraps — staying under the bound
+    * sidesteps both). Public so the paired oracle SQL can inline the
+    * identical literals. */
+  def minhashConsts(i: Int): (Long, Long) = {
+    def h(tag: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$tag:$i".getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.map("%02x".format(_)).mkString.take(15), 16) % MinhashPrime
+    }
+    (h("graft-mh-a").max(1L), h("graft-mh-b"))
   }
 
   /** MinHash + LSH candidate pairs: `numHashes` signature components in
