@@ -802,6 +802,21 @@ object SparkEntry {
         .select("doc_id", "cluster").orderBy("doc_id")
     }),
 
+    "t_dup_profile" -> ((s, dir) => {
+      // duplication profile: how much of the corpus sits in near-dup
+      // clusters of each size — the health report that decides
+      // between hard dedup, capping, and soft weighting
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = Dedup.jaccardPairs(docs, k = 3, threshold = 0.5,
+        maxDf = ShingleMaxDf)
+      Dedup.clusters(docs.select("doc_id"), pairs)
+        .groupBy(col("cluster")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+        .orderBy("cluster_size")
+    }),
+
     "t_temperature" -> ((s, dir) =>
       // τ=2 temperature sampling over the language mixture: rare
       // languages keep all rows, en (3.4x the rarest) keeps
@@ -2731,6 +2746,15 @@ object SparkEntry {
          |  ELSE 'test' END AS split,
          |  CAST(count(*) AS BIGINT) AS n
          |FROM documents GROUP BY 1 ORDER BY split""".stripMargin,
+
+    // cluster-size histogram over the LEX_CLUSTERS labels
+    "t_dup_profile" ->
+      s"""${LEX_CLUSTERS}SELECT sz AS cluster_size,
+         |  CAST(count(*) AS BIGINT) AS n_clusters,
+         |  CAST(sz * count(*) AS BIGINT) AS n_docs
+         |FROM (SELECT cluster, count(*) AS sz FROM clusters
+         |      GROUP BY cluster)
+         |GROUP BY sz ORDER BY cluster_size""".stripMargin,
 
     // t_cap_per_key's ranked-survivor CTE, partitioned by the
     // LEX_CLUSTERS label instead of a raw column
