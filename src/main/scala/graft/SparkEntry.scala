@@ -913,19 +913,28 @@ object SparkEntry {
     // deterministically (identical expression in the oracle) — doc_id
     // residues vary which categories appear; md5(redacted) checks the
     // replacement text exactly without hashing a free-form string
+    "t_pii_profile" -> ((s, dir) => {
+      // per-source PII density audit over the same augmented corpus
+      // as t_pii: docs, docs carrying any PII, per-kind totals, and
+      // an integer-ppm density — the privacy report that picks which
+      // sources need scrubbing before a mix
+      val d = Tables.load(s, dir, "documents")
+      TextOps.piiFeatures(
+          d.select(col("doc_id"), col("source"), piiAug.as("text")))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("docs"),
+          sum(when(col("n_emails") + col("n_ipv4") + col("n_phones") > 0,
+            1L).otherwise(0L)).as("pii_docs"),
+          sum(col("n_emails")).as("n_emails"),
+          sum(col("n_ipv4")).as("n_ipv4"),
+          sum(col("n_phones")).as("n_phones"))
+        .withColumn("pii_ppm", expr("pii_docs * 1000000L div docs"))
+        .orderBy("source")
+    }),
+
     "t_pii" -> ((s, dir) => {
       val d = Tables.load(s, dir, "documents")
-      val aug = concat(col("text"),
-        when(col("doc_id") % 3 === 0, concat(lit(" contact user"),
-          col("doc_id").cast("string"), lit("@example.com")))
-          .otherwise(lit("")),
-        when(col("doc_id") % 4 === 0, concat(lit(" from 10."),
-          (col("doc_id") % 250).cast("string"), lit(".0."),
-          (col("doc_id") % 200).cast("string"))).otherwise(lit("")),
-        when(col("doc_id") % 5 === 0, concat(lit(" call +1555"),
-          lpad((col("doc_id") % 10000).cast("string"), 7, "0")))
-          .otherwise(lit("")))
-      TextOps.piiFeatures(d.select(col("doc_id"), aug.as("text")))
+      TextOps.piiFeatures(d.select(col("doc_id"), piiAug.as("text")))
         .select(col("doc_id"), col("n_emails"), col("n_ipv4"),
           col("n_phones"), md5(col("redacted")).as("red_md5"))
         .orderBy("doc_id")
@@ -1253,6 +1262,22 @@ object SparkEntry {
        |SELECT * FROM (SELECT * FROM lefts UNION ALL SELECT * FROM rights)
        |ORDER BY producer, emit_us, side, seq""".stripMargin
   }
+
+  /** The PII-augmented document text shared by `t_pii` and
+    * `t_pii_profile`: the raw corpus carries no PII, so deterministic
+    * synthetic email/IPv4/phone markers are appended per doc_id
+    * residue (mirrored verbatim in both oracles' `aug` CTE). */
+  private def piiAug: org.apache.spark.sql.Column =
+    concat(col("text"),
+      when(col("doc_id") % 3 === 0, concat(lit(" contact user"),
+        col("doc_id").cast("string"), lit("@example.com")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 4 === 0, concat(lit(" from 10."),
+        (col("doc_id") % 250).cast("string"), lit(".0."),
+        (col("doc_id") % 200).cast("string"))).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0, concat(lit(" call +1555"),
+        lpad((col("doc_id") % 10000).cast("string"), 7, "0")))
+        .otherwise(lit("")))
 
   /** Document-frequency cap applied to shingles on both engines —
     * mirrors `maxDf` in [[graft.pipeline.Dedup.capDf]]. Declared before
@@ -2629,6 +2654,40 @@ object SparkEntry {
         |  max(d.n_chars) AS max_chars
         |FROM documents d LEFT JOIN tc ON tc.doc_id = d.doc_id
         |GROUP BY 1, 2 ORDER BY source, lang""".stripMargin,
+
+    // the t_pii aug CTE + source, rolled up per source with integer
+    // ppm density
+    "t_pii_profile" ->
+      """WITH aug AS (
+        |  SELECT doc_id, source, text
+        |    || CASE WHEN doc_id % 3 = 0 THEN ' contact user'
+        |         || CAST(doc_id AS VARCHAR) || '@example.com'
+        |       ELSE '' END
+        |    || CASE WHEN doc_id % 4 = 0 THEN ' from 10.'
+        |         || CAST(doc_id % 250 AS VARCHAR) || '.0.'
+        |         || CAST(doc_id % 200 AS VARCHAR)
+        |       ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0 THEN ' call +1555'
+        |         || lpad(CAST(doc_id % 10000 AS VARCHAR), 7, '0')
+        |       ELSE '' END AS t
+        |  FROM documents),
+        | per AS (
+        |  SELECT source,
+        |    len(regexp_extract_all(t,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS ne,
+        |    len(regexp_extract_all(t,
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS ni,
+        |    len(regexp_extract_all(t, '\+\d{9,14}')) AS np
+        |  FROM aug)
+        |SELECT source, CAST(count(*) AS BIGINT) AS docs,
+        |  CAST(sum(CASE WHEN ne + ni + np > 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS pii_docs,
+        |  CAST(sum(ne) AS BIGINT) AS n_emails,
+        |  CAST(sum(ni) AS BIGINT) AS n_ipv4,
+        |  CAST(sum(np) AS BIGINT) AS n_phones,
+        |  CAST(sum(CASE WHEN ne + ni + np > 0 THEN 1 ELSE 0 END)
+        |    * 1000000 // count(*) AS BIGINT) AS pii_ppm
+        |FROM per GROUP BY source ORDER BY source""".stripMargin,
 
     "t_pii" ->
       """WITH aug AS (
