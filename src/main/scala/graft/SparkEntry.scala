@@ -1970,7 +1970,7 @@ object SparkEntry {
     // shingle identity = 60-bit md5 prefix, mirroring corpusOverlap
     "d_source_overlap" ->
       s"""$SHINGLES,
-         | gsh AS (
+         | gsh AS MATERIALIZED (
          |  SELECT DISTINCT d.source AS g,
          |    CAST(('0x' || substr(md5(s.sh), 1, 15)) AS BIGINT) AS sid
          |  FROM sh0 s JOIN documents d USING (doc_id)),
@@ -2361,7 +2361,7 @@ object SparkEntry {
       val L = 500000L; val M = 500000L
       val mmrK = 8; val mmrPool = 40; val qid = 0
       val stages = (1 until mmrK).map { i =>
-        s""" sel$i AS (
+        s""" sel$i AS MATERIALIZED (
            |  SELECT * FROM sel${i - 1}
            |  UNION ALL
            |  SELECT $i AS mmr_rank, vec_id, rel_mu, score_mu FROM (
@@ -2411,7 +2411,7 @@ object SparkEntry {
          |  FROM pd
          |  JOIN nn na ON na.vec_id = ia
          |  JOIN nn nb ON nb.vec_id = ib),
-         | sel0 AS (
+         | sel0 AS MATERIALIZED (
          |  SELECT 0 AS mmr_rank, vec_id, rel_mu, $L * rel_mu AS score_mu
          |  FROM pool ORDER BY rel_mu DESC, vec_id LIMIT 1),
          |$stages
@@ -2863,7 +2863,8 @@ object SparkEntry {
     // engines), x 2^32, floor — bit-identical to the Scala
     // driver-side literals; ties at nmin take the 2^32 keep-all
     "t_temperature" ->
-      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents
+        |      WHERE lang IS NOT NULL GROUP BY lang),
         | m AS (SELECT min(n) AS nmin FROM c),
         | cut AS (
         |  SELECT lang, CASE WHEN n = nmin THEN 4294967296

@@ -338,29 +338,63 @@ object Dedup {
     * least one shared shingle; cache-backed — library callers use
     * [[corpusOverlapOwned]] and `release()`. */
   def corpusOverlap(df: DataFrame, k: Int, groupCol: String = "source",
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
-    corpusOverlapOwned(df, k, groupCol, textCol, idCol)._1
+      textCol: String = "text", idCol: String = "doc_id",
+      maxGroups: Int = 1000): DataFrame =
+    corpusOverlapOwned(df, k, groupCol, textCol, idCol, maxGroups)._1
+
+  /** Exploded (group, shingle) rows — the ONE tokenize/shingle
+    * pipeline shared by the exact and sketch overlap faces, so their
+    * notions of "shingle" can never silently diverge. Spread by DOC
+    * id, not group: tokenize/shingle parallelism must scale with the
+    * corpus — G partitions would cap the expensive stage at |groups|
+    * tasks regardless of cluster size. */
+  private def groupShingles(df: DataFrame, k: Int, groupCol: String,
+      textCol: String, idCol: String): DataFrame =
+    spread(df.select(col(groupCol).as("_g"), col(idCol).as("_did"),
+        col(textCol)), "_did")
+      .select(col("_g"),
+        explode(shinglesOfTokens(TextOps.tokens(lower(col(textCol))), k))
+          .as("sh"))
 
   /** [[corpusOverlap]] plus the [[PinHandle]] owning the pinned
     * (group, shingle) index blocks: consume the frame, then
     * `release()`. */
   def corpusOverlapOwned(df: DataFrame, k: Int,
       groupCol: String = "source", textCol: String = "text",
-      idCol: String = "doc_id"): (DataFrame, PinHandle) = {
-    // spread by DOC id, not group: tokenize/shingle parallelism must
-    // scale with the corpus — G partitions would cap the expensive
-    // stage at |groups| tasks regardless of cluster size
+      idCol: String = "doc_id", maxGroups: Int = 1000)
+      : (DataFrame, PinHandle) = {
+    val spark = df.sparkSession
     val (gsh, handle) = pinNow(
-      spread(df.select(col(groupCol).as("_g"), col(idCol).as("_did"),
-          col(textCol)), "_did")
-        .select(col("_g"),
-          explode(shinglesOfTokens(TextOps.tokens(lower(col(textCol))), k))
-            .as("sh"))
+      groupShingles(df, k, groupCol, textCol, idCol)
         .select(col("_g"),
           conv(substring(md5(col("sh")), 1, 15), 16, 10)
             .cast("long").as("sid"))
         .distinct())
-    val sizes = gsh.groupBy(col("_g")).agg(count(lit(1)).as("n"))
+    // G control-plane size rows, collected once. This is where the
+    // quadratic guard wires in (working-notes rule: at the ENTRY, not
+    // just available elsewhere): the pair join fans out up to G rows
+    // per shingle, so the exact audit is only exact-AND-cheap while G
+    // is small — past the cap the caller wants [[corpusOverlapSketch]],
+    // whose cost is G x numHashes instead of |vocab| x G^2. The
+    // collected local relation also keeps the two size joins from
+    // re-aggregating the pinned index once per side (exchange reuse
+    // is best-effort, never a plan invariant).
+    val sizeRows = gsh.groupBy(col("_g")).agg(count(lit(1)).as("n"))
+      .collect()
+    if (sizeRows.length > maxGroups) {
+      handle.release()
+      throw new IllegalArgumentException(
+        s"corpusOverlap: ${sizeRows.length} groups exceeds " +
+          s"maxGroups=$maxGroups — the exact pair join is " +
+          s"|vocab| x G^2; use corpusOverlapSketch for large G")
+    }
+    val sizes = spark.createDataFrame(
+      java.util.Arrays.asList(sizeRows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("_g",
+          gsh.schema("_g").dataType),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType))))
     val pairs = gsh.as("a").hint("shuffle_hash")
       .join(gsh.as("b"), col("a.sid") === col("b.sid")
         && col("a._g") < col("b._g"))
@@ -419,11 +453,7 @@ object Dedup {
     require(numHashes >= 1 && numHashes <= 512,
       s"numHashes must be in [1, 512]: $numHashes")
     val spark = df.sparkSession
-    val sh = spread(df.select(col(groupCol).as("_g"),
-        col(idCol).as("_did"), col(textCol)), "_did")
-      .select(col("_g"),
-        explode(shinglesOfTokens(TextOps.tokens(lower(col(textCol))), k))
-          .as("sh"))
+    val sh = groupShingles(df, k, groupCol, textCol, idCol)
       // ONE md5 per shingle row, bound to a named column so the 64
       // component expressions reference it instead of re-hashing
       .select(col("_g"),

@@ -261,11 +261,19 @@ object Sampling {
     * capped at 2³²−1 in case a near-tie's sqrt rounds up to 1.0. */
   def temperatureSample(df: DataFrame, strataCol: String,
       idCol: String = "doc_id", salt: String = "graft"): DataFrame = {
+    // NULL strata are excluded from BOTH the counts and the output:
+    // letting a null group participate in n_min would silently set
+    // the keep-all baseline from rows that then get dropped anyway
+    // (the when-chain can never match null), skewing every real
+    // stratum's rate — rows without a stratum are not a mixture
+    // component, they're unlabeled data the caller must bucket first.
     val counts: Seq[(String, Long)] = df
+      .where(col(strataCol).isNotNull)
       .groupBy(col(strataCol).cast("string"))
       .agg(count(lit(1)))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
-    require(counts.nonEmpty, "temperatureSample: empty corpus")
+    require(counts.nonEmpty,
+      "temperatureSample: no non-null strata in the corpus")
     val nMin = counts.map(_._2).min
     val cutCol = counts.foldLeft(lit(0L): Column) { case (e, (s, n)) =>
       val cut =

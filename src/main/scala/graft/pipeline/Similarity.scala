@@ -339,8 +339,14 @@ object Similarity {
       (ci, dotL(q, u))
     }.sortBy { case (ci, s) => (-s, ci) }.take(nprobe).map(_._1)
     val qn = math.sqrt(dotL(q, q))
+    // zero-norm guard on BOTH sides: 0/0 = NaN, and Spark sorts NaN
+    // ABOVE every real number in a descending order — a zero vector
+    // in the index (or a zero query) would displace a genuine top-k
+    // hit with garbage (mmrTopK carries the same guard)
+    require(qn > 0.0, "ivfTopKFromIndex: zero-norm query vector")
     spark.read.parquet(s"$dir/vectors")
       .where(col("cell").isin(probed: _*))
+      .where(dot(col(vecCol), col(vecCol)) > 0)
       .select(col(idCol), col("cell").cast("int").as("cell"),
         round(dot(col(vecCol), lit(q.toArray)) /
           (norm(col(vecCol)) * lit(qn)), 6).as("cos_sim"))

@@ -57,6 +57,44 @@ class DegenerateInputSpec extends AnyFunSuite {
     assert(m.length == 1 && m.head.getAs[Long]("vec_id") == 1L)
   }
 
+  test("review-pass guards: null strata, group-cardinality cap, " +
+      "zero-norm index rows") {
+    // a NULL stratum must not set the temperature baseline: n_min
+    // comes from REAL strata only, and unlabeled rows drop (letting
+    // a null group bind n_min would cut the genuinely-rarest stratum
+    // while its own rows vanish anyway)
+    val mixed = (0L until 40L).map(i =>
+        (i, if (i < 4) null else if (i < 14) "rare" else "big"))
+      .toDF("doc_id", "source")
+    val kept = Sampling.temperatureSample(mixed, "source").collect()
+      .map(r => Option(r.getString(1)))
+    assert(!kept.contains(None), "null-stratum rows drop")
+    assert(kept.count(_.contains("rare")) == 10,
+      "the real rarest stratum keeps all rows despite the null group")
+    // the exact overlap audit refuses high-cardinality group columns
+    // at the ENTRY (quadratic-guard rule) and points to the sketch
+    val manyGroups = (0L until 30L)
+      .map(i => (s"g$i", i, "alpha beta gamma delta epsilon"))
+      .toDF("source", "doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.corpusOverlap(manyGroups, k = 3, maxGroups = 10)
+    }
+    assert(e.getMessage.contains("corpusOverlapSketch"))
+    // a zero vector stored in an IVF index must not surface as a NaN
+    // top hit (Spark sorts NaN above every real score descending)
+    val dir = java.nio.file.Files.createTempDirectory("ivfz").toString
+    val withZero = Seq((0L, Seq(1f, 0f)), (1L, Seq(0.9f, 0.1f)),
+      (2L, Seq(0f, 0f))).toDF("vec_id", "embedding")
+    Similarity.writeIvfIndex(withZero, dir, kCells = 1, iters = 1)
+    val top = Similarity.ivfTopKFromIndex(spark, dir, Seq(1f, 0f),
+      k = 3, nprobe = 1).collect()
+    assert(!top.exists(_.getLong(0) == 2L), "zero-norm row filtered")
+    assert(top.head.getLong(0) == 0L, "the identical vector ranks first")
+    intercept[IllegalArgumentException] {
+      Similarity.ivfTopKFromIndex(spark, dir, Seq(0f, 0f), k = 1)
+    }
+  }
+
   test("dedup family: empty and singleton corpora") {
     assert(Dedup.exact(emptyDocs).count() == 0)
     assert(Dedup.exact(oneDoc).count() == 1)

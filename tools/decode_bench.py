@@ -8,6 +8,13 @@ verbatim; each subsequent comma-separated entry starts with ONE base-36
 char giving the prefix length shared with the PREVIOUS name, followed
 by the suffix. This mirrors Bench.frontCode/decodeNames (Bench.scala).
 
+Format caveat: a short-lived mid-round-12 format carried VERBATIM
+comma-joined names in "n" (columnar, not front-coded) — it never
+reached a driver BENCH_r*.json (r11 and earlier are flat maps, which
+this tool handles; r12+ are front-coded). Decoding such a line here
+would silently garble names; if the output shows duplicate or
+mangled names, split "n" on commas verbatim instead.
+
 Usage:
   python3 tools/decode_bench.py BENCH_r12.json      # driver file
   python3 tools/decode_bench.py <<< '{"queries":...}'  # raw line
