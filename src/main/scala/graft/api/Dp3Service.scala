@@ -241,38 +241,45 @@ final class Dp3Service(underlying: MessageCatalog,
     (lo, hi)
   }
 
-  /** The tier of `widthNs` covering [startNs, endNs): from the
-    * maintained stat partials when a store exists (summary rows only —
-    * the bucket-range predicate prunes the stats scan), else by
-    * aggregating the in-range raw messages. */
-  private def tierFor(spark: SparkSession, widthNs: Long,
+  /** The maintained stat partials pruned to the buckets covering
+    * [startNs, endNs) — summary rows only; the bucket-range predicate
+    * prunes the stats scan. None without a store. */
+  private def prunedPartials(spark: SparkSession, widthNs: Long,
       startNs: Long, endNs: Long,
-      restrict: DataFrame => DataFrame): DataFrame = store match {
-    case Some(st) =>
+      restrict: DataFrame => DataFrame): Option[DataFrame] =
+    store.map { st =>
       val (lo, hi) = alignedRange(widthNs, startNs, endNs)
       val b = StatTiers.BaseWidthNs
       val loBucket = math.floorDiv(lo, b)
       val hiBucket =
-        if (hi >= Long.MaxValue - b) Long.MaxValue else math.floorDiv(hi + b - 1, b)
-      val partials = maskVersions(restrict(st.stats(spark)))
+        if (hi >= Long.MaxValue - b) Long.MaxValue
+        else math.floorDiv(hi + b - 1, b)
+      maskVersions(restrict(st.stats(spark)))
         .where(col("bucket") >= loBucket && col("bucket") < hiBucket)
-      StatTiers.tierFromPartials(partials, widthNs)
-    case None =>
-      StatTiers.tierAt(restrict(binAligned(spark, widthNs, startNs, endNs)),
-        widthNs)
-  }
+    }
 
   /** /statrange: flat per-bin stat records at the requested
     * granularity — coarsest tier at least as fine, "too granular"
     * below the base tier (reference: server/tree/tree.go:214-258).
     * Returns every bin OVERLAPPING [startNs, endNs), like the
-    * reference's tree descent (tree.go:237). */
+    * reference's tree descent (tree.go:237).
+    *
+    * Served entirely on the columnar sketch-row path (round 13):
+    * stats roll up via primitive HashAggregate, quantiles via the
+    * exploded (kb, c) row face — no ObjectHashAggregate and no
+    * interpreted UDF anywhere in the plan (Dp3ServiceSpec gates the
+    * shape), matching the reference's "served mostly from RAM"
+    * flagship surface. */
   def statRange(spark: SparkSession, granularityNs: Long,
       startNs: Long = 0L, endNs: Long = Long.MaxValue): DataFrame = {
     val width = StatTiers.pickTierWidth(granularityNs)
-    val tier = tierFor(spark, width, startNs, endNs, identity)
-    StatTiers.serve(tier)
-      .where(col("start_ns") < endNs && col("end_ns") > startNs)
+    val served =
+      prunedPartials(spark, width, startNs, endNs, identity) match {
+        case Some(partials) => StatTiers.serveFromPartials(partials, width)
+        case None => StatTiers.serveFromMessages(
+          binAligned(spark, width, startNs, endNs), width)
+      }
+    served.where(col("start_ns") < endNs && col("end_ns") > startNs)
   }
 
   /** /statrange with the reference's per-field surface (the reference
@@ -297,8 +304,11 @@ final class Dp3Service(underlying: MessageCatalog,
       numericFields.forall(f => cols.contains(s"${f}__min")) &&
         textFields.forall(f => cols.contains(s"${f}__tmin"))
     }
-    val tier = stored match {
+    val served = stored match {
       case Some(partials0) =>
+        // the all-codegen split path: non-sketch columns roll up via
+        // primitive aggregates, quantiles via the per-field (kb, c)
+        // row face — no typed aggregator on the serving surface
         val (lo, hi) = alignedRange(width, startNs, endNs)
         val b = StatTiers.BaseWidthNs
         val hiBucket = if (hi >= Long.MaxValue - b) Long.MaxValue
@@ -308,26 +318,33 @@ final class Dp3Service(underlying: MessageCatalog,
             && col("bucket") < hiBucket)
         topic.foreach(t => partials = partials
           .where(col("topic") === t))
-        StatTiers.rollupFields(partials, width / StatTiers.BaseWidthNs)
+        StatTiers.serveFieldsFromPartials(partials, width,
+          numericFields, textFields)
       case None =>
         var m = binAligned(spark, width, startNs, endNs)
         topic.foreach(t => m = m.where(col("topic") === t))
         val base = StatTiers.baseFields(m, StatTiers.BaseWidthNs,
           numericFields, textFields)
-        StatTiers.rollupFields(base, width / StatTiers.BaseWidthNs)
+        StatTiers.serveFieldsFromPartials(base, width,
+          numericFields, textFields)
     }
-    StatTiers.serveFields(tier, numericFields, textFields)
-      .where(col("start_ns") < endNs && col("end_ns") > startNs)
+    served.where(col("start_ns") < endNs && col("end_ns") > startNs)
   }
 
   /** /statistics: merged bins with the reference's parameter surface —
     * topic/producer restriction, time range, granularity,
-    * groupByProducer (reference: server/treemgr/treemgr.go:384-501). */
+    * groupByProducer (reference: server/treemgr/treemgr.go:384-501).
+    * Served as flat stat records (incl. quantiles) on the same
+    * columnar path as [[statRange]]; producer-merged bins just drop
+    * `producer` from the grouping keys — quantile sketches merge by
+    * summing (kb, c) rows across producers, all codegen. */
   def statistics(spark: SparkSession, granularityNs: Long,
       groupByProducer: Boolean,
       topics: Seq[String] = Nil, producers: Seq[String] = Nil,
       startNs: Long = 0L, endNs: Long = Long.MaxValue): DataFrame = {
     val width = StatTiers.pickTierWidth(granularityNs)
+    val keys =
+      if (groupByProducer) Seq("producer", "topic") else Seq("topic")
     val restrict = (df: DataFrame) => {
       var m = df
       if (topics.nonEmpty) m = m.where(col("topic").isin(topics: _*))
@@ -335,10 +352,15 @@ final class Dp3Service(underlying: MessageCatalog,
         m = m.where(col("producer").isin(producers: _*))
       m
     }
-    val tier = tierFor(spark, width, startNs, endNs, restrict)
-    StatTiers.mergeBins(tier, groupByProducer)
-      .where(col("bucket") * width < endNs
-        && (col("bucket") + 1) * width > startNs)
+    val served =
+      prunedPartials(spark, width, startNs, endNs, restrict) match {
+        case Some(partials) =>
+          StatTiers.serveFromPartials(partials, width, keys = keys)
+        case None => StatTiers.serveFromMessages(
+          restrict(binAligned(spark, width, startNs, endNs)), width,
+          keys = keys)
+      }
+    served.where(col("start_ns") < endNs && col("end_ns") > startNs)
   }
 
   /** /statistics/available */

@@ -352,9 +352,8 @@ object Dedup {
       textCol: String, idCol: String): DataFrame =
     spread(df.select(col(groupCol).as("_g"), col(idCol).as("_did"),
         col(textCol)), "_did")
-      .select(col("_g"),
-        explode(shinglesOfTokens(TextOps.tokens(lower(col(textCol))), k))
-          .as("sh"))
+      .select(col("_g"), TextOps.tokens(lower(col(textCol))).as("_toks"))
+      .select(col("_g"), explode(shinglesOfTokens(col("_toks"), k)).as("sh"))
 
   /** [[corpusOverlap]] plus the [[PinHandle]] owning the pinned
     * (group, shingle) index blocks: consume the frame, then
@@ -449,9 +448,41 @@ object Dedup {
     * nothing). */
   def corpusOverlapSketch(df: DataFrame, k: Int, numHashes: Int = 64,
       groupCol: String = "source", textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id",
+      maxLocalGroups: Int = 10000): DataFrame = {
+    val (out, handle) = corpusOverlapSketchOwned(df, k, numHashes,
+      groupCol, textCol, idCol, maxLocalGroups)
+    handle.release()
+    out
+  }
+
+  /** [[corpusOverlapSketch]] plus the [[PinHandle]] owning the pinned
+    * signature matrix on the large-G path. Two faces, picked by the
+    * MEASURED group count (one tiny count over the G-row signature
+    * frame, which the pin materializes anyway):
+    *
+    *  - G ≤ `maxLocalGroups`: the matrix collects into a LOCAL
+    *    relation (exact stats → Catalyst broadcasts it; the pair join
+    *    can never re-run the corpus pass) and the pin is released
+    *    before returning — the handle is a no-op and the PLAIN face
+    *    is leak-free.
+    *  - G > `maxLocalGroups` (10^5 crawl domains): G × numHashes rows
+    *    would be a multi-million-row LocalRelation — driver memory
+    *    plus per-task serialization. The component rows instead
+    *    explode DISTRIBUTED from the pinned signature frame and the
+    *    pair join runs as a shuffle-hash self-join (pinned leaves
+    *    carry no stats, so the hint — not Catalyst's worst-case
+    *    sort-merge — picks the join). The caller must consume the
+    *    result, then `release()`; the plain face releases the pin
+    *    BEFORE the result is consumed and is only safe for small G. */
+  def corpusOverlapSketchOwned(df: DataFrame, k: Int,
+      numHashes: Int = 64, groupCol: String = "source",
+      textCol: String = "text", idCol: String = "doc_id",
+      maxLocalGroups: Int = 10000): (DataFrame, PinHandle) = {
     require(numHashes >= 1 && numHashes <= 512,
       s"numHashes must be in [1, 512]: $numHashes")
+    require(maxLocalGroups >= 1,
+      s"maxLocalGroups must be >= 1: $maxLocalGroups")
     val spark = df.sparkSession
     val sh = groupShingles(df, k, groupCol, textCol, idCol)
       // ONE md5 per shingle row, bound to a named column so the 64
@@ -464,26 +495,44 @@ object Dedup {
       min(pmod(lit(a) * col("_b") + lit(b), lit(MinhashPrime)))
         .as(s"_h$i")
     }
-    val sig = sh.groupBy(col("_g")).agg(sigCols.head, sigCols.tail: _*)
-    val rows = sig.collect().flatMap { r =>
-      (0 until numHashes).map(i => Row(r.get(0), i, r.getLong(i + 1)))
+    // Pin the G-row matrix: the group-cardinality probe below AND
+    // (on the large-G path) both self-join sides read it without
+    // re-running the corpus pass (exchange reuse is best-effort).
+    val (sig, handle) = pinNow(
+      sh.groupBy(col("_g")).agg(sigCols.head, sigCols.tail: _*))
+    val nGroups = sig.count()
+    def pairsOf(comp: DataFrame, hinted: Boolean): DataFrame = {
+      val a = if (hinted) comp.as("a").hint("shuffle_hash")
+              else comp.as("a")
+      a.join(comp.as("b"), col("a.i") === col("b.i")
+          && col("a.h") === col("b.h") && col("a._g") < col("b._g"))
+        .groupBy(col("a._g").as("group_a"), col("b._g").as("group_b"))
+        .agg(count(lit(1)).as("matches"))
+        .withColumn("est_jaccard_ppm",
+          expr(s"matches * 1000000L div ${numHashes}L"))
     }
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("_g",
-        sig.schema.head.dataType),
-      org.apache.spark.sql.types.StructField("i",
-        org.apache.spark.sql.types.IntegerType, nullable = false),
-      org.apache.spark.sql.types.StructField("h",
-        org.apache.spark.sql.types.LongType)))
-    val comp = spark.createDataFrame(
-      java.util.Arrays.asList(rows: _*), schema)
-    comp.as("a")
-      .join(comp.as("b"), col("a.i") === col("b.i")
-        && col("a.h") === col("b.h") && col("a._g") < col("b._g"))
-      .groupBy(col("a._g").as("group_a"), col("b._g").as("group_b"))
-      .agg(count(lit(1)).as("matches"))
-      .withColumn("est_jaccard_ppm",
-        expr(s"matches * 1000000L div ${numHashes}L"))
+    if (nGroups <= maxLocalGroups) {
+      val rows = sig.collect().flatMap { r =>
+        (0 until numHashes).map(i => Row(r.get(0), i, r.getLong(i + 1)))
+      }
+      handle.release()
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("_g",
+          sig.schema.head.dataType),
+        org.apache.spark.sql.types.StructField("i",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("h",
+          org.apache.spark.sql.types.LongType)))
+      val comp = spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), schema)
+      (pairsOf(comp, hinted = false), new PinHandle(() => ()))
+    } else {
+      val comp = sig.select(col("_g"), explode(array(
+        (0 until numHashes).map(i =>
+          struct(lit(i).as("i"), col(s"_h$i").as("h"))): _*)).as("c"))
+        .select(col("_g"), col("c.i").as("i"), col("c.h").as("h"))
+      (pairsOf(comp, hinted = true), handle)
+    }
   }
 
   /** The Carter-Wegman modulus for [[corpusOverlapSketch]]: the

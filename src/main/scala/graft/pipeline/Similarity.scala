@@ -97,6 +97,15 @@ object Similarity {
       s"need poolSize >= k >= 1: k=$k poolSize=$poolSize")
     require(lambdaPpm >= 0L && lambdaPpm <= 1000000L,
       s"lambdaPpm in [0, 1e6]: $lambdaPpm")
+    // The greedy loop keys its integer maps by Long ids (getLong on
+    // the pool rows); a non-long id would compile the plan and then
+    // throw ClassCastException at collect time — fail at ENTRY with
+    // the actual constraint instead.
+    require(emb.schema(idCol).dataType ==
+        org.apache.spark.sql.types.LongType,
+      s"mmrTopK requires a LongType id column; '$idCol' is " +
+        s"${emb.schema(idCol).dataType.simpleString} — cast it to " +
+        "bigint first")
     val spark = emb.sparkSession
     val mu = 1000000L
     def cosMu(d: Column, na: Column, nb: Column): Column =

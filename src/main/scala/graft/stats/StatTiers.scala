@@ -187,15 +187,20 @@ object StatTiers {
 
   /** Unpivot a per-field tier to the reference's flat per-field range
     * records (statistics.go:276-339): one row per (producer, topic,
-    * bin, field) with type = numeric|text. Pure projection + explode —
-    * no shuffle; quantiles come from each field's own sketch. */
+    * bin, field) with type = numeric|text. The unpivot is a pure
+    * projection + explode; quantiles (when requested) ride the
+    * columnar row face — each field's sketch map explodes to (kb, c)
+    * rows, a window cumsum ranks them, and the per-field quantile
+    * table joins back on the bin key. No typed aggregator, no
+    * interpreted per-bin UDF (round-13: the serving surface retired
+    * the map-face quantile UDF; [[DDSketch.quantile]] remains the
+    * spec-checked reference implementation). */
   def serveFields(tier: DataFrame, numericFields: Seq[String],
       textFields: Seq[String],
       quantiles: Seq[Double] = Seq(0.5, 0.95)): DataFrame = {
-    val q = udf((m: Map[Int, Long], p: Double) => DDSketch.quantile(m, p))
     val start = col("bucket") * col("width_ns")
     val numRows = numericFields.map { f =>
-      val base = struct(
+      struct(
         lit(f).as("field"), lit("numeric").as("field_type"),
         col(s"${f}__count").as("num_count"),
         col(s"${f}__min").as("num_min"),
@@ -205,13 +210,9 @@ object StatTiers {
           .as("num_mean"),
         lit(null).cast("string").as("text_min"),
         lit(null).cast("string").as("text_max"))
-      quantiles.foldLeft(base) { (s, p) =>
-        s.withField(s"p${(p * 100).toInt}",
-          q(col(s"${f}__sketch"), lit(p)))
-      }
     }
     val textRows = textFields.map { f =>
-      val base = struct(
+      struct(
         lit(f).as("field"), lit("text").as("field_type"),
         lit(null).cast("long").as("num_count"),
         lit(null).cast("double").as("num_min"),
@@ -220,16 +221,53 @@ object StatTiers {
         lit(null).cast("double").as("num_mean"),
         col(s"${f}__tmin").as("text_min"),
         col(s"${f}__tmax").as("text_max"))
-      quantiles.foldLeft(base) { (s, p) =>
-        s.withField(s"p${(p * 100).toInt}", lit(null).cast("double"))
-      }
     }
-    tier.select(col("producer"), col("topic"),
+    val flat = tier.select(col("producer"), col("topic"),
         start.as("start_ns"), (start + col("width_ns")).as("end_ns"),
         col("msg_count"),
         explode(array((numRows ++ textRows): _*)).as("_f"))
       .select(col("producer"), col("topic"), col("start_ns"),
         col("end_ns"), col("msg_count"), col("_f.*"))
+    if (quantiles.isEmpty) flat
+    else {
+      val qt = serveQuantileRows(
+          fieldSketchRowsOfTier(tier, numericFields), quantiles,
+          keys = Seq("producer", "topic", "field"))
+        .withColumn("start_ns", col("bucket") * col("width_ns"))
+        .drop("bucket", "width_ns")
+      val joined = flat.join(qt,
+        Seq("producer", "topic", "field", "start_ns"), "left")
+      // numeric bins with no finite samples (or no matching sketch
+      // rows) serve NaN like DDSketch.quantile on an empty map; text
+      // rows keep null quantiles
+      val fixed = quantiles.foldLeft(joined) { (df, p) =>
+        val n = s"p${(p * 100).toInt}"
+        df.withColumn(n, when(col("field_type") === "numeric",
+          coalesce(col(n), lit(Double.NaN))))
+      }
+      // restore the unpivot's column order (join moved the keys first)
+      fixed.select((flat.columns.map(col) ++
+        quantiles.map(p => col(s"p${(p * 100).toInt}"))): _*)
+    }
+  }
+
+  /** Per-field sketch maps of a per-field tier in (kb, c) row form —
+    * one generator explode over the concatenated entry structs (the
+    * transform lambdas run over kilobyte-scale summary rows, never
+    * data rows). The adapter that lets stored map-face field partials
+    * ride the codegen'd columnar quantile path. */
+  def fieldSketchRowsOfTier(tier: DataFrame,
+      numericFields: Seq[String]): DataFrame = {
+    require(numericFields.nonEmpty, "no numeric fields")
+    val ents = flatten(array(numericFields.map(f =>
+      transform(map_entries(col(s"${f}__sketch")), e =>
+        struct(lit(f).as("field"), e.getField("key").as("kb"),
+          e.getField("value").as("c")))): _*))
+    tier.select(col("producer"), col("topic"), col("bucket"),
+        col("width_ns"), explode(ents).as("_e"))
+      .select(col("producer"), col("topic"), col("bucket"),
+        col("width_ns"), col("_e.field").as("field"),
+        col("_e.kb").as("kb"), col("_e.c").as("c"))
   }
 
   /** Merge `factor` adjacent buckets of a tier into the next tier. */
@@ -251,25 +289,189 @@ object StatTiers {
       .withColumn("width_ns", col("_w0") * lit(factor))
       .drop("_w0")
 
+  /** The reference's quantile set (statistics.go:276-339). */
+  val DefaultQuantiles: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9, 0.95, 0.99)
+
   /** Serve a stat-range request from a tier: flat records like the
-    * reference's /statrange response (statistics.go:276-339). */
-  def serve(tier: DataFrame, quantiles: Seq[Double] =
-      Seq(0.25, 0.5, 0.75, 0.9, 0.95, 0.99)) // reference's quantile set
+    * reference's /statrange response (statistics.go:276-339).
+    * Quantiles ride the columnar row face — the tier's sketch maps
+    * explode to (kb, c) rows, a window cumsum ranks them, and the
+    * quantile table joins back per bin. No typed aggregator, no
+    * interpreted per-bin UDF anywhere in the serve plan (round 13;
+    * the map-face [[DDSketch.quantile]] stays as the spec-checked
+    * reference implementation). */
+  def serve(tier: DataFrame, quantiles: Seq[Double] = DefaultQuantiles)
       : DataFrame = {
-    val q = udf((m: Map[Int, Long], p: Double) => DDSketch.quantile(m, p))
     val start = col("bucket") * col("width_ns")
     val mean = (col("num_sum").cast("double") / col("num_count"))
     val base = tier.select(
-      col("producer"), col("topic"),
+      col("producer"), col("topic"), col("bucket"),
       start.as("start_ns"), (start + col("width_ns")).as("end_ns"),
       col("msg_count"), col("num_count"),
       col("num_min"), col("num_max"),
       col("num_sum").cast("double").as("num_sum_d"),
-      mean.as("num_mean"),
-      col("sketch"))
+      mean.as("num_mean"))
+    val out =
+      if (quantiles.isEmpty) base
+      else {
+        val qt = serveQuantileRows(sketchRowsOfTier(tier), quantiles)
+          .drop("width_ns")
+        val joined = base.join(qt,
+          Seq("producer", "topic", "bucket"), "left")
+        // bins whose sketch is empty (no finite samples) serve NaN,
+        // exactly like DDSketch.quantile on an empty map
+        quantiles.foldLeft(joined) { (df, p) =>
+          val n = s"p${(p * 100).toInt}"
+          df.withColumn(n, coalesce(col(n), lit(Double.NaN)))
+        }
+      }
+    // join moved the keys first; restore serve's column order
+    out.select((base.columns.filterNot(_ == "bucket").map(col) ++
+      quantiles.map(p => col(s"p${(p * 100).toInt}"))): _*)
+  }
+
+  /** A map-face sketch column in (kb, c) row form — the adapter that
+    * lets stored map partials ride the codegen'd columnar serving
+    * path. explode of a map is pure codegen; empty sketches emit no
+    * rows and serve as NaN quantiles downstream. */
+  def sketchRowsOfTier(tier: DataFrame,
+      sketchCol: String = "sketch"): DataFrame =
+    tier.select(col("producer"), col("topic"), col("bucket"),
+        col("width_ns"), explode(col(sketchCol)))
+      .toDF("producer", "topic", "bucket", "width_ns", "kb", "c")
+
+  /** [[rollup]] minus the sketch column: every aggregate is a
+    * primitive builtin, so the whole merge runs in codegen'd
+    * HashAggregate — the serving path pairs this with
+    * [[rollupSketchRows]] over [[sketchRowsOfTier]] instead of
+    * merging map sketches through the typed aggregator. */
+  def rollupStats(tier: DataFrame, factor: Long,
+      keys: Seq[String] = Seq("producer", "topic")): DataFrame =
+    tier.drop("sketch")
+      .groupBy((keys.map(col) :+
+        expr(s"bucket div ${factor}L").as("bucket")): _*)
+      .agg(
+        sum(col("msg_count")).as("msg_count"),
+        sum(col("num_count")).as("num_count"),
+        min(col("num_min")).as("num_min"),
+        max(col("num_max")).as("num_max"),
+        sum(col("num_sum")).as("num_sum"),
+        min(col("min_time")).as("min_time"),
+        max(col("max_time")).as("max_time"),
+        first(col("width_ns")).as("_w0"))
+      .withColumn("width_ns", col("_w0") * lit(factor))
+      .drop("_w0")
+
+  /** /statrange straight from append-only base-tier partials, all
+    * codegen (round 13 — the serving surface the reference runs
+    * "mostly from RAM"): the non-sketch stats roll up via primitive
+    * HashAggregate ([[rollupStats]]), quantiles via the exploded
+    * (kb, c) row face ([[sketchRowsOfTier]] → [[rollupSketchRows]] →
+    * [[serveQuantileRows]]), and the two branches join on the bin
+    * key. No ObjectHashAggregate, no interpreted UDF anywhere in the
+    * plan; both branches scan the kilobyte-scale partials table, so
+    * the double read costs nothing while keeping every stage in
+    * whole-stage codegen. Value-identical to
+    * [[tierFromPartials]] + [[serve]] (associativity on the stats,
+    * the window-cumsum ≡ the map walk on quantiles). */
+  def serveFromPartials(partials: DataFrame, widthNs: Long,
+      quantiles: Seq[Double] = DefaultQuantiles,
+      keys: Seq[String] = Seq("producer", "topic")): DataFrame = {
+    require(widthNs % BaseWidthNs == 0,
+      s"tier width must be a multiple of $BaseWidthNs")
+    val factor = widthNs / BaseWidthNs
+    val stats = rollupStats(partials, factor, keys)
+    val start = col("bucket") * col("width_ns")
+    val base = stats.select((keys.map(col) ++ Seq(col("bucket"),
+      start.as("start_ns"), (start + col("width_ns")).as("end_ns"),
+      col("msg_count"), col("num_count"),
+      col("num_min"), col("num_max"),
+      col("num_sum").cast("double").as("num_sum_d"),
+      (col("num_sum").cast("double") / col("num_count"))
+        .as("num_mean"))): _*)
+    val out =
+      if (quantiles.isEmpty) base
+      else {
+        val qt = serveQuantileRows(
+            rollupSketchRows(sketchRowsOfTier(partials), factor, keys),
+            quantiles, keys)
+          .drop("width_ns")
+        val joined = base.join(qt, keys :+ "bucket", "left")
+        quantiles.foldLeft(joined) { (df, p) =>
+          val n = s"p${(p * 100).toInt}"
+          df.withColumn(n, coalesce(col(n), lit(Double.NaN)))
+        }
+      }
+    out.select((base.columns.filterNot(_ == "bucket").map(col) ++
+      quantiles.map(p => col(s"p${(p * 100).toInt}"))): _*)
+  }
+
+  /** /statrange straight from raw messages in ONE scan and ONE
+    * exchange, all codegen — the no-store fallback face of
+    * [[serveFromPartials]]: the scan pre-partitions on the bin key,
+    * a HashAggregate at (bin, kb) reduces rows to sketch-bucket
+    * partials that CARRY the non-sketch stats, a window cumsum (sort
+    * only — the partitioning is already bin-keyed) ranks the
+    * buckets, and one final bin-level HashAggregate folds stats and
+    * quantiles together. Same output schema and values as
+    * [[tierAt]] + [[serve]]. Rows with non-finite values land in the
+    * null sketch bucket (num_count 0, ordered first), so they count
+    * toward msg_count but can never win a quantile. */
+  def serveFromMessages(messages: DataFrame, widthNs: Long,
+      quantiles: Seq[Double] = DefaultQuantiles,
+      valueCol: String = "value",
+      keys: Seq[String] = Seq("producer", "topic")): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = col(valueCol)
+    val finite = !isnan(v) && !v.isin(Double.PositiveInfinity,
+      Double.NegativeInfinity)
+    val binKeys = keys.map(col) :+ col("bucket")
+    val pre = messages
+      .select((binKeys.dropRight(1) ++ Seq(
+        expr(s"time div ${widthNs}L").as("bucket"),
+        sketchKey(v).as("kb"), when(finite, v).as("_fv"))): _*)
+      .repartition(binKeys: _*)
+      .groupBy((binKeys :+ col("kb")): _*)
+      .agg(count(lit(1)).as("msg_count"),
+        count(col("_fv")).as("num_count"),
+        min(col("_fv")).as("num_min"),
+        max(col("_fv")).as("num_max"),
+        sum(col("_fv").cast(Dec)).as("num_sum"))
+    val part = Window.partitionBy(binKeys: _*)
+    val withCum = pre
+      .withColumn("_cum", sum(col("num_count"))
+        .over(part.orderBy(col("kb").asc_nulls_first)))
+      .withColumn("_total", sum(col("num_count")).over(part))
+    val qAggs = quantiles.map { p =>
+      val rank = greatest(lit(0L),
+        ceil(lit(p) * (col("_total") - 1)).cast("long"))
+      min(when(col("_cum") > rank, col("kb")))
+        .as(s"_k${(p * 100).toInt}")
+    }
+    val aggs = Seq(
+      sum(col("msg_count")).as("msg_count"),
+      sum(col("num_count")).as("num_count"),
+      min(col("num_min")).as("num_min"),
+      max(col("num_max")).as("num_max"),
+      sum(col("num_sum")).as("num_sum")) ++ qAggs
+    val binned = withCum
+      .groupBy(binKeys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+    val start = col("bucket") * lit(widthNs)
+    val base = binned.select(keys.map(col) ++ Seq(
+      start.as("start_ns"), (start + lit(widthNs)).as("end_ns"),
+      col("msg_count"), col("num_count"),
+      col("num_min"), col("num_max"),
+      col("num_sum").cast("double").as("num_sum_d"),
+      (col("num_sum").cast("double") / col("num_count"))
+        .as("num_mean")) ++
+      quantiles.map(p => col(s"_k${(p * 100).toInt}")): _*)
     quantiles.foldLeft(base) { (df, p) =>
-      df.withColumn(s"p${(p * 100).toInt}", q(col("sketch"), lit(p)))
-    }.drop("sketch")
+      val n = (p * 100).toInt
+      df.withColumn(s"p$n",
+          coalesce(sketchKeyValue(col(s"_k$n")), lit(Double.NaN)))
+        .drop(s"_k$n")
+    }
   }
 
   // --- columnar sketch serving ------------------------------------------
@@ -336,12 +538,13 @@ object StatTiers {
     * downstream [[serveQuantileRows]] window partition, which
     * HashAggregate's alias-aware output partitioning propagates — so
     * serving quantiles off a rollup costs no further exchange. */
-  def rollupSketchRows(rows: DataFrame, factor: Long): DataFrame =
+  def rollupSketchRows(rows: DataFrame, factor: Long,
+      keys: Seq[String] = Seq("producer", "topic")): DataFrame =
     rows
-      .repartition(col("producer"), col("topic"),
-        expr(s"bucket div ${factor}L"))
-      .groupBy(col("producer"), col("topic"),
-        expr(s"bucket div ${factor}L").as("bucket"), col("kb"))
+      .repartition((keys.map(col) :+
+        expr(s"bucket div ${factor}L")): _*)
+      .groupBy((keys.map(col) :+
+        expr(s"bucket div ${factor}L").as("bucket") :+ col("kb")): _*)
       .agg(sum(col("c")).as("c"), first(col("width_ns")).as("_w0"))
       .withColumn("width_ns", col("_w0") * lit(factor))
       .drop("_w0")
@@ -355,11 +558,11 @@ object StatTiers {
     * the final aggregate reuses the window's partitioning (one
     * exchange of reduced rows total, after the build's own). */
   def serveQuantileRows(rows: DataFrame,
-      quantiles: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9, 0.95, 0.99))
-      : DataFrame = {
+      quantiles: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9, 0.95, 0.99),
+      keys: Seq[String] = Seq("producer", "topic")): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val part = Window.partitionBy(col("producer"), col("topic"),
-      col("bucket"))
+    val partKeys = (keys.map(col) :+ col("bucket"))
+    val part = Window.partitionBy(partKeys: _*)
     val withCum = rows
       .withColumn("_cum", sum(col("c")).over(part.orderBy(col("kb"))))
       .withColumn("_total", sum(col("c")).over(part))
@@ -370,12 +573,51 @@ object StatTiers {
         .as(s"_k${(p * 100).toInt}")
     } :+ first(col("width_ns")).as("width_ns")
     val agged = withCum
-      .groupBy(col("producer"), col("topic"), col("bucket"))
+      .groupBy(partKeys: _*)
       .agg(aggs.head, aggs.tail: _*)
     quantiles.foldLeft(agged) { (df, p) =>
       val n = (p * 100).toInt
       df.withColumn(s"p$n", sketchKeyValue(col(s"_k$n")))
         .drop(s"_k$n")
+    }
+  }
+
+  /** Per-field /statrange straight from append-only per-field
+    * partials, all codegen — the field analogue of
+    * [[serveFromPartials]]: the non-sketch field columns roll up via
+    * [[rollupFields]] over a sketch-free projection (dropping the
+    * `__sketch` columns first removes the only typed aggregator from
+    * the suffix-driven merge), quantiles via the per-field (kb, c)
+    * row face, joined back per (bin, field). Value-identical to
+    * [[rollupFields]] + [[serveFields]]. */
+  def serveFieldsFromPartials(partials: DataFrame, widthNs: Long,
+      numericFields: Seq[String], textFields: Seq[String],
+      quantiles: Seq[Double] = Seq(0.5, 0.95)): DataFrame = {
+    require(widthNs % BaseWidthNs == 0,
+      s"tier width must be a multiple of $BaseWidthNs")
+    val factor = widthNs / BaseWidthNs
+    val sketchCols = partials.columns.filter(_.endsWith("__sketch"))
+    val statsTier = rollupFields(partials.drop(sketchCols: _*), factor)
+    val flat = serveFields(statsTier, numericFields, textFields,
+      quantiles = Nil)
+    if (quantiles.isEmpty) flat
+    else {
+      val qt = serveQuantileRows(
+          rollupSketchRows(
+            fieldSketchRowsOfTier(partials, numericFields), factor,
+            keys = Seq("producer", "topic", "field")),
+          quantiles, keys = Seq("producer", "topic", "field"))
+        .withColumn("start_ns", col("bucket") * col("width_ns"))
+        .drop("bucket", "width_ns")
+      val joined = flat.join(qt,
+        Seq("producer", "topic", "field", "start_ns"), "left")
+      val fixed = quantiles.foldLeft(joined) { (df, p) =>
+        val n = s"p${(p * 100).toInt}"
+        df.withColumn(n, when(col("field_type") === "numeric",
+          coalesce(col(n), lit(Double.NaN))))
+      }
+      fixed.select((flat.columns.map(col) ++
+        quantiles.map(p => col(s"p${(p * 100).toInt}"))): _*)
     }
   }
 

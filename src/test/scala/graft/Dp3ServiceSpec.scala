@@ -300,6 +300,67 @@ class Dp3ServiceSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("statrange plan is all-codegen and the store path matches the " +
+      "raw path, quantiles included") {
+    import spark.implicits._
+    import graft.stats.StatTiers
+    val base = java.nio.file.Files.createTempDirectory("graft-statq")
+      .toString
+    val rows = Seq(
+      ("p0", "click", 10L * 1000000000L, 1L, 1.0),
+      ("p0", "click", 20L * 1000000000L, 2L, 2.0),
+      ("p0", "click", 30L * 1000000000L, 3L, Double.NaN),
+      ("p0", "click", 70L * 1000000000L, 4L, 4.0),
+      ("p0", "view", 15L * 1000000000L, 5L, -3.0))
+      .toDF("producer", "topic", "time", "seq", "value")
+      .withColumn("ingest_version", lit(1L))
+    rows.write.parquet(s"$base/data")
+    StatTiers.base(rows, StatTiers.BaseWidthNs)
+      .withColumn("ingest_version", lit(1L))
+      .write.parquet(s"$base/stats")
+    Seq(("p0", "click", 1L, 1000L), ("p0", "view", 1L, 1000L))
+      .toDF("producer", "topic", "ingest_version", "ingest_time_ns")
+      .write.parquet(s"$base/control")
+    val cat2 = new graft.model.IngestedCatalog(
+      s"$base/data", s"$base/stats", s"$base/control")
+    val stored = new Dp3Service(cat2, s => cat2.messages(s),
+      Some(graft.api.IngestStore(cat2)))
+    val raw = new Dp3Service(cat2, s => cat2.messages(s))
+    val gran = 3600L * 1000000000L
+    val a = stored.statRange(spark, gran)
+    val b = raw.statRange(spark, gran)
+    // round-13 gate: the serving surface never runs the typed
+    // aggregator (ObjectHashAggregate + kryo) or an interpreted
+    // quantile UDF — both branches are codegen shapes
+    for (df <- Seq(a, b, stored.statistics(spark, gran,
+        groupByProducer = false))) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("ObjectHashAggregate"), p)
+      assert(!p.contains("ScalaUDF"), p)
+    }
+    // store-served records (rolled from map-face partials) are
+    // identical to raw aggregation, quantile for quantile (NaN-safe
+    // via boxed-Double Row equality; the NaN sample counts toward
+    // msg_count but never wins a quantile)
+    val got = a.orderBy("producer", "topic", "start_ns").collect().toSeq
+    val want = b.orderBy("producer", "topic", "start_ns").collect().toSeq
+    assert(got == want, s"store path diverged:\n$got\nvs\n$want")
+    assert(got.nonEmpty)
+    // and the quantiles agree with the map-face reference walk
+    val mRow = StatTiers.base(rows.where(col("topic") === "click"
+        && col("time") < 60L * 1000000000L), StatTiers.BaseWidthNs)
+      .head()
+    val m = Map(mRow.getMap[Int, Long](mRow.fieldIndex("sketch"))
+      .toSeq: _*)
+    val clickBin0 = got.find(r => r.getString(1) == "click"
+      && r.getLong(2) == 0L).get
+    val want50 = graft.stats.DDSketch.quantile(m, 0.5)
+    val got50 = clickBin0.getDouble(clickBin0.fieldIndex("p50"))
+    assert(math.abs(got50 - want50) <= 2 * math.ulp(want50),
+      s"p50 $got50 vs $want50")
+    assert(got.forall(r => !r.isNullAt(r.fieldIndex("p50"))))
+  }
+
   test("statrange serves per-field records") {
     val bins = svc.statRangeFields(spark, 3600L * 1000000000L,
       numericFields = Seq("value", "k"), textFields = Seq("props"),

@@ -194,7 +194,9 @@ class PipelineSpec extends AnyFunSuite {
     // shape — labels don't align with structure, so label(label(n))
     // stops short-cutting). Edge contraction keeps it logarithmic: the
     // pre-contraction loop measured Θ(diameter) here.
-    val perm = scala.util.Random.shuffle((0L until n.toLong).toList)
+    // fixed seed: a failure must replay deterministically across runs
+    val perm = new scala.util.Random(42)
+      .shuffle((0L until n.toLong).toList)
     val scrambledPairs = (0 until n - 1)
       .map(i => (perm(i), perm(i + 1))).toDF("id_a", "id_b")
     val (sdf, sh, sRounds) = Dedup.clustersCounted(pathIds, scrambledPairs)
@@ -308,7 +310,9 @@ class PipelineSpec extends AnyFunSuite {
     // both paths — broadcast is a physical hint, never semantics.
     val n = 24
     val ids = (0L until n.toLong).toDF("doc_id")
-    val perm = scala.util.Random.shuffle((0L until n.toLong).toList)
+    // fixed seed: a failure must replay deterministically across runs
+    val perm = new scala.util.Random(42)
+      .shuffle((0L until n.toLong).toList)
     val pairs = (0 until n - 1)
       .map(i => (perm(i), perm(i + 1))).toDF("id_a", "id_b")
     val (bdf, bh, bRounds) = Dedup.clustersCounted(ids, pairs)

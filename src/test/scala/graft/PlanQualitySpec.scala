@@ -361,12 +361,20 @@ class PlanQualitySpec extends AnyFunSuite {
     // one scan of the events table, not one per field
     val scans = "Scan parquet".r.findAllIn(p).length
     assert(scans == 1, s"expected 1 scan, plan:\n$p")
-    // serveFields on top adds NO further exchange (pure unpivot)
+    // the quantile-free unpivot adds NO further exchange
     val served = StatTiers.serveFields(tier, Seq("value", "k"),
-      Seq("props"))
+      Seq("props"), quantiles = Nil)
     val sp = served.queryExecution.executedPlan.toString
     assert("Exchange hashpartitioning".r.findAllIn(sp).length == 1,
       s"serveFields added a shuffle:\n$sp")
+    // with quantiles the serve rides the columnar row face: exchanges
+    // appear (window + join) but never a typed aggregator or an
+    // interpreted UDF beyond the tier build's own sketchOf (round 13:
+    // the per-bin quantile UDF is retired from the serving surface)
+    val quant = StatTiers.serveFields(tier, Seq("value", "k"),
+      Seq("props"))
+    val qp = quant.queryExecution.executedPlan.toString
+    assert(!qp.contains("ScalaUDF"), qp)
   }
 
   test("mcap export plan streams the query frame without extra sorts") {
