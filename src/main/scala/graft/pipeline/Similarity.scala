@@ -307,10 +307,18 @@ object Similarity {
     * rebuilding the index reproduces it bit for bit. */
   def writeIvfIndex(emb: DataFrame, dir: String, kCells: Int,
       iters: Int = 5, idCol: String = "vec_id",
-      vecCol: String = "embedding"): Unit = {
+      vecCol: String = "embedding"): Unit =
+    writeIvfIndexWith(emb,
+      trainIvfCentroids(emb, kCells, iters, idCol, vecCol), dir, vecCol)
+
+  /** [[writeIvfIndex]] with an explicit, already-trained quantizer —
+    * the rebuild face incremental maintenance verifies against
+    * (append ≡ rebuild holds for a FIXED quantizer; retraining
+    * changes cells by design). */
+  def writeIvfIndexWith(emb: DataFrame, cents: Seq[Seq[Double]],
+      dir: String, vecCol: String = "embedding"): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val cents = trainIvfCentroids(emb, kCells, iters, idCol, vecCol)
     cents.zipWithIndex.flatMap { case (c, ci) =>
       c.zipWithIndex.map { case (w, p) => (ci, p, w) } }
       .toDF("cell", "pos", "w")
@@ -318,6 +326,71 @@ object Similarity {
     assignCells(emb, cents, vecCol)
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/vectors")
+  }
+
+  /** Read a persisted coarse quantizer back as centroid vectors
+    * (cell-ordered) — control-plane kilobytes, shared by the serving
+    * path and incremental maintenance. */
+  def readIvfCentroids(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[Seq[Double]] =
+    spark.read.parquet(s"$dir/centroids")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, rows) => rows.sortBy(_._2).map(_._3).toSeq }
+
+  /** Incrementally add vectors to a persisted IVF index: assign each
+    * new vector with the STORED quantizer (deterministic — the same
+    * cell a full rebuild would give) and append the matching cell
+    * partition directories. Serving is unchanged in kind: probe-set
+    * pruning still maps to partition directories, which now hold one
+    * more file per append — run [[compactIvfVectors]] when the file
+    * count per cell grows, and [[writeIvfIndex]] (retrain) when the
+    * data distribution drifts enough that the frozen quantizer's
+    * cells go unbalanced. An append is atomic per task file; a failed
+    * attempt can leave duplicate vec_ids if retried after a partial
+    * commit — retry by rebuilding the cell partitions ([[compactIvfVectors]]
+    * dedups on `idCol`), the usual object-store append discipline. */
+  def appendToIvfIndex(newEmb: DataFrame, dir: String,
+      vecCol: String = "embedding"): Unit = {
+    val cents = readIvfCentroids(newEmb.sparkSession, dir)
+    assignCells(newEmb, cents, vecCol)
+      .write.mode("append").partitionBy("cell")
+      .parquet(s"$dir/vectors")
+  }
+
+  /** Compact a [[writeIvfIndex]] layout after many appends: rewrite
+    * the vectors tree with one pass (dedup on `idCol` keeping the
+    * first-written row — min id per duplicate — so a retried partial
+    * append heals), then FLIP directories: the new tree is fully
+    * written to a sibling temp dir before the live dir is swapped via
+    * two renames (Spark refuses to overwrite a path it reads — the
+    * write-new-then-flip rule). The swap window leaves the vectors
+    * path momentarily absent: a concurrent read fails loudly, never
+    * serves half an index; run single-writer like the other sidecar
+    * compactions. */
+  def compactIvfVectors(spark: org.apache.spark.sql.SparkSession,
+      dir: String, idCol: String = "vec_id"): Unit = {
+    import org.apache.hadoop.fs.Path
+    val live = new Path(s"$dir/vectors")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(live)) return
+    val tmp = new Path(s"$dir/.vectors-compact")
+    val trash = new Path(s"$dir/.vectors-trash")
+    fs.delete(tmp, true); fs.delete(trash, true)
+    // duplicate (id, cell) rows are full-row identical by construction
+    // (a replayed append re-derives the same deterministic assignment),
+    // so any-copy-wins dedup is exact
+    spark.read.parquet(live.toString)
+      .dropDuplicates(idCol, "cell")
+      .write.partitionBy("cell").parquet(tmp.toString)
+    if (!fs.rename(live, trash))
+      throw new java.io.IOException(s"compactIvfVectors: rename $live")
+    if (!fs.rename(tmp, live)) {
+      fs.rename(trash, live) // restore — the old tree is intact
+      throw new java.io.IOException(s"compactIvfVectors: rename $tmp")
+    }
+    fs.delete(trash, true)
+    ()
   }
 
   /** Serve top-k from a [[writeIvfIndex]] index without the training
@@ -337,10 +410,8 @@ object Similarity {
     require(k >= 1 && nprobe >= 1, s"k >= 1, nprobe >= 1")
     def dotL(a: Seq[Double], b: Seq[Double]): Double =
       a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
-    val cents = spark.read.parquet(s"$dir/centroids")
-      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
-      .groupBy(_._1).toSeq
-      .map { case (ci, rows) => ci -> rows.sortBy(_._2).map(_._3).toSeq }
+    val cents = readIvfCentroids(spark, dir).zipWithIndex
+      .map { case (c, ci) => (ci, c) }
     val q = queryVec.map(_.toDouble)
     val probed = cents.map { case (ci, c) =>
       val n = math.sqrt(dotL(c, c))

@@ -313,6 +313,134 @@ object CorpusDedup {
     }
   }
 
+  /** Streaming SEMANTIC corpus dedup — the embedding face of
+    * [[appendBatchNearDup]]: drop every batch vector within cosine
+    * `threshold` of anything already ACCEPTED, using a persisted
+    * accepted-vector sidecar instead of re-reading corpus embeddings.
+    *
+    * `vecDir` layout: (vec_id, embedding, _nrm, cell, version) — one
+    * row per accepted vector with its norm frozen at accept time,
+    * partitioned by `version` (idempotent replay, the sidecar
+    * discipline shared with [[appendBatch]]), rows clustered by
+    * `cell` within each version's files so the read path's pushed
+    * `cell IN (batch cells)` predicate prunes row groups the batch
+    * cannot touch (the coarse-quantizer analogue of the postings
+    * bucket prune).
+    *
+    * `cents` is the FROZEN coarse quantizer
+    * ([[graft.pipeline.Similarity.trainIvfCentroids]] on a sample,
+    * persisted once): cell assignment must agree across every batch
+    * or the cell-equi candidate join loses pairs, so the quantizer is
+    * an input, never retrained per batch.
+    *
+    * Semantics: EXACT [[graft.pipeline.Curate
+    * .dedupSemanticAgainstCorpus]] against the accepted-so-far corpus
+    * with the same cell pruning (the spec pins this equivalence over
+    * random multi-batch histories). In-batch paraphrases are
+    * deliberately NOT collapsed — run the batch through
+    * [[graft.pipeline.Curate.dedupSemantic]] first if needed, the
+    * same contract as the lexical face.
+    *
+    * 100 TB shape: the batch side of the candidate join is BROADCAST
+    * (micro-batches are small by definition — the broadcast is the
+    * contract), so the corpus-sized sidecar STREAMS map-side through
+    * one BroadcastHashJoin with ZERO exchange on the corpus side
+    * ([[SemanticPlan]] is the spec-gated plan builder), and the only
+    * shuffled rows are the flagged-id aggregate's. Batch cost is
+    * |batch| × |probed cells|, never corpus size. */
+  def appendBatchSemantic(spark: SparkSession, batch0: DataFrame,
+      version: Long, corpusDir: String, vecDir: String,
+      cents: Seq[Seq[Double]], threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Long = {
+    import graft.pipeline.{Dedup, Similarity}
+    require(cents.nonEmpty,
+      "appendBatchSemantic needs a trained coarse quantizer (cents)")
+    // one pinned frame of (id, vector, norm, cell): feeds the
+    // candidate join's broadcast side, the survivor filter, and the
+    // sidecar append
+    val (arr, pin) = Dedup.pinNow(
+      Similarity.assignCells(
+        batch0.select(col(idCol).as("_id"), col(vecCol).as("_v")),
+        cents, "_v")
+        .withColumn("_nrm", Similarity.norm(col("_v"))))
+    try {
+      val flagged: DataFrame =
+        if (!exists(spark, vecDir))
+          arr.select(col("_id")).limit(0) // typed-empty: no corpus yet
+        else {
+          // the batch's cell set, collected driver-side (≤ kCells
+          // ints off the pinned frame): pushed as a row predicate so
+          // the cell-clustered sidecar files prune row groups
+          val batchCells = arr.select(col("cell")).distinct()
+            .collect().map(_.getInt(0))
+          val accepted = spark.read.parquet(vecDir)
+            .where(col("version") < version)
+            .where(col("cell").isin(batchCells.map(c => c: Any): _*))
+            .select(col("_rv"), col("_rnrm"), col("cell"))
+          SemanticPlan.flagged(arr, accepted, threshold)
+        }
+      val survivors = arr.join(broadcast(flagged), Seq("_id"), "left_anti")
+      val (pinnedSurv, survPin) = Dedup.pinNow(survivors)
+      try {
+        val n = pinnedSurv.count()
+        if (n > 0) {
+          writeVersioned(version)(
+            batch0.join(broadcast(pinnedSurv.select(
+              col("_id").as(idCol))), Seq(idCol), "left_semi"),
+            corpusDir)
+          writeVersioned(version)(
+            pinnedSurv.select(col("_v").as("_rv"),
+                col("_nrm").as("_rnrm"), col("cell"))
+              // cluster by cell so the next batch's pushed cell-IN
+              // predicate skips row groups on min/max stats
+              .repartition(col("cell"))
+              .sortWithinPartitions(col("cell")),
+            vecDir)
+        }
+        n
+      } finally survPin.release()
+    } finally pin.release()
+  }
+
+  /** The semantic candidate plan, factored out so its physical shape
+    * is spec-gateable (StreamingSemanticDedupSpec asserts the
+    * corpus-sized `accepted` side is NEVER shuffled: the candidate
+    * join is a BroadcastHashJoin with the sidecar streaming, and the
+    * only exchange carries flagged ids).
+    *
+    * `arr` is the pinned batch frame (_id, _v, _nrm, cell);
+    * `accepted` the sidecar rows (_rv, _rnrm, cell). Returns the
+    * distinct `_id`s within cosine `threshold` of an accepted
+    * vector — the identical round-to-6 cosine the batch operator
+    * ([[graft.pipeline.Similarity.crossCosinePairs]]) computes. */
+  private[graft] object SemanticPlan {
+    import graft.pipeline.Similarity
+    def flagged(arr: DataFrame, accepted: DataFrame,
+        threshold: Double): DataFrame =
+      accepted
+        .join(broadcast(arr), Seq("cell"))
+        .where(round(Similarity.dot(col("_v"), col("_rv"))
+          / (col("_nrm") * col("_rnrm")), 6) >= threshold)
+        .select(col("_id")).distinct()
+  }
+
+  /** Start the streaming semantic dedup ([[appendBatchSemantic]] per
+    * micro-batch; same checkpoint/replay contract as [[start]]). */
+  def startSemantic(spark: SparkSession, stream: DataFrame,
+      corpusDir: String, vecDir: String, checkpointDir: String,
+      cents: Seq[Seq[Double]], threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendBatchSemantic(spark, batch, batchId + 1, corpusDir,
+          vecDir, cents, threshold, idCol, vecCol)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Start the streaming near-dup dedup ([[appendBatchNearDup]] per
     * micro-batch; same checkpoint/replay contract as [[start]]). */
   def startNearDup(spark: SparkSession, stream: DataFrame,

@@ -25,7 +25,7 @@ class BenchLineSpec extends AnyFunSuite {
 
   private def lineFor(names: Seq[String], value: Double): String =
     Bench.formatLine(names.map(name => (name, value, value)),
-      "/root/testdata/sf0.1")
+      "/root/testdata/sf0.1", canarySec = 999.99) // worst-case width
 
   private def lineAt(value: Double): String =
     lineFor(SparkEntry.queries.keys.toSeq.sorted, value)
@@ -62,7 +62,8 @@ class BenchLineSpec extends AnyFunSuite {
     val line = lineAt(1.5)
     assert(!line.contains("\n"))
     for (field <- Seq("\"metric\":\"total\"", "\"value\":", "\"unit\":\"sec\"",
-        "\"queries\":{", "\"spread_max\":", "\"hot\":", "\"sf\":"))
+        "\"queries\":{", "\"spread_max\":", "\"hot\":", "\"canary\":",
+        "\"sf\":"))
       assert(line.contains(field), s"missing $field in: $line")
     // every registered query appears exactly once in the names string
     val namesStr = """"n":"([^"]*)"""".r

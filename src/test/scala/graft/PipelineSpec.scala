@@ -381,6 +381,48 @@ class PipelineSpec extends AnyFunSuite {
     assert(again.map(_.toString).toSeq == got.map(_.toString).toSeq)
   }
 
+  test("ivf index append: stored-quantizer assignment makes append " +
+      "serve identically to a same-quantizer rebuild; compaction " +
+      "heals duplicate appends") {
+    val emb = (0L until 20L).map { i =>
+      if (i % 2 == 0L) (i, Seq(1f, 0.01f * i, 0f, 0f))
+      else (i, Seq(0.01f * i, 1f, 0f, 0f))
+    }.toDF("vec_id", "embedding")
+    val first = emb.where(col("vec_id") < 10)
+    val rest = emb.where(col("vec_id") >= 10)
+    val dir = java.nio.file.Files.createTempDirectory("ivfapp").toString
+    Similarity.writeIvfIndex(first, dir, kCells = 2, iters = 3)
+    Similarity.appendToIvfIndex(rest, dir)
+    // rebuild face: same frozen quantizer over the concatenated data
+    val dir2 = java.nio.file.Files.createTempDirectory("ivfapp2")
+      .toString
+    Similarity.writeIvfIndexWith(emb,
+      Similarity.readIvfCentroids(spark, dir), dir2)
+    val q = Seq(1f, 0.05f, 0f, 0f)
+    def serve(d: String, nprobe: Int) =
+      Similarity.ivfTopKFromIndex(spark, d, q, k = 20, nprobe = nprobe)
+    for (np <- Seq(1, 2)) {
+      assert(serve(dir, np).collect().map(_.toString).toSeq
+        == serve(dir2, np).collect().map(_.toString).toSeq,
+        s"append diverged from rebuild at nprobe=$np")
+    }
+    // partition-level pruning survives the append
+    val plan = serve(dir, 1).queryExecution.executedPlan.toString
+    assert("""PartitionFilters: \[[^\]]*cell""".r
+      .findFirstIn(plan).isDefined, plan)
+    // a replayed (duplicate) append leaves double rows; compaction
+    // dedups on vec_id and serving returns to the rebuilt answers
+    Similarity.appendToIvfIndex(rest, dir)
+    assert(spark.read.parquet(s"$dir/vectors").count() == 30)
+    Similarity.compactIvfVectors(spark, dir)
+    assert(spark.read.parquet(s"$dir/vectors").count() == 20)
+    for (np <- Seq(1, 2)) {
+      assert(serve(dir, np).collect().map(_.toString).toSeq
+        == serve(dir2, np).collect().map(_.toString).toSeq,
+        s"compaction changed serving at nprobe=$np")
+    }
+  }
+
   test("mmr interleaves clusters where plain top-k returns near-copies") {
     // query along e1; cluster A (ids 1-4) at cos ~0.95 to q and
     // ~0.9999 to each other; cluster B (ids 5-8) at cos ~0.90 to q

@@ -1,0 +1,167 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.{Curate, Dedup, Similarity}
+import graft.streaming.CorpusDedup
+
+/** Streaming incremental SEMANTIC corpus dedup: accept a vector iff
+  * nothing already accepted sits within cosine threshold — equivalent
+  * to the batch dedupSemanticAgainstCorpus applied iteratively, but
+  * each batch reads the cell-pruned accepted-vector sidecar, never
+  * corpus embeddings. */
+class StreamingSemanticDedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** family f points in the e1–e2 plane at angle 0.35·f (cross-family
+    * cosine ≤ cos 0.35 ≈ 0.94); variants v perturb the third
+    * component by 0.001·v (within-family cosine ≥ 0.99999) — so
+    * threshold 0.999 separates exactly along family lines. */
+  private def famVec(f: Int, v: Int): Seq[Float] = {
+    val th = f * 0.35
+    Seq(math.cos(th).toFloat, math.sin(th).toFloat, 0.001f * v, 0f)
+  }
+
+  private val Threshold = 0.999
+
+  private def dirs(): (String, String) = {
+    val base = Files.createTempDirectory("graft-semdedup").toString
+    (s"$base/corpus", s"$base/vecs")
+  }
+
+  /** frozen coarse quantizer, trained once on the family bases — the
+    * production discipline (per-batch retraining would shift cells). */
+  private lazy val cents: Seq[Seq[Double]] =
+    Similarity.trainIvfCentroids(
+      (0 until 8).map(f => (f.toLong, famVec(f, 0)))
+        .toDF("vec_id", "embedding"), k = 2, iters = 3)
+
+  private def sweep(): Unit =
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+
+  test("appendBatchSemantic accepts first occurrences across batches; " +
+      "in-batch paraphrases both survive (the corpus-boundary contract)") {
+    val (corpus, vecs) = dirs()
+    val b1 = Seq((1L, famVec(0, 0)), (2L, famVec(2, 0)),
+      (3L, famVec(0, 1))) // in-batch near-dup of 1 — NOT collapsed
+      .toDF("vec_id", "embedding")
+    assert(CorpusDedup.appendBatchSemantic(spark, b1, 1L, corpus, vecs,
+      cents, Threshold) == 3L)
+    val b2 = Seq(
+      (10L, famVec(0, 2)), // cross-batch paraphrase of 1 — dropped
+      (11L, famVec(4, 0))) // new family — accepted
+      .toDF("vec_id", "embedding")
+    assert(CorpusDedup.appendBatchSemantic(spark, b2, 2L, corpus, vecs,
+      cents, Threshold) == 1L)
+    val accepted = spark.read.parquet(corpus)
+      .select("vec_id").as[Long].collect().toSet
+    assert(accepted == Set(1L, 2L, 3L, 11L))
+    // sidecar carries one row per accepted vector with frozen norm
+    val side = spark.read.parquet(vecs)
+    assert(side.count() == 4)
+    assert(side.columns.toSet ==
+      Set("_rv", "_rnrm", "cell", "version"))
+    sweep()
+  }
+
+  test("appendBatchSemantic over random batch histories equals the " +
+      "batch semantic dedup applied iteratively") {
+    val (corpus, vecs) = dirs()
+    val rnd = new scala.util.Random(17)
+    val docs = rnd.shuffle(
+      (for (f <- 0 until 8; v <- 0 until 6)
+        yield ((f * 100 + v).toLong, famVec(f, v))).toList)
+    val batches = docs.grouped(12).toSeq
+    var acceptedTruth = Vector.empty[(Long, Seq[Float])]
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val batch = b.toDF("vec_id", "embedding")
+      val got = CorpusDedup.appendBatchSemantic(spark, batch,
+        version = i + 1L, corpus, vecs, cents, Threshold)
+      // ground truth: the BATCH operator against the accepted-so-far
+      // corpus (which the streaming path never re-reads), same cells
+      val expected =
+        if (acceptedTruth.isEmpty) b.map(_._1).toSet
+        else Curate.dedupSemanticAgainstCorpus(
+            Similarity.assignCells(batch, cents),
+            Similarity.assignCells(
+              acceptedTruth.toDF("vec_id", "embedding"), cents),
+            Threshold, Some("cell"))
+          .select("vec_id").as[Long].collect().toSet
+      assert(got == expected.size, s"batch $i: $got vs $expected")
+      acceptedTruth = acceptedTruth ++ b.filter(d => expected(d._1))
+    }
+    val streamed = spark.read.parquet(corpus)
+      .select("vec_id").as[Long].collect().toSet
+    assert(streamed == acceptedTruth.map(_._1).toSet)
+    // later-batch paraphrases of accepted families were dropped, but
+    // same-batch paraphrases both survive — boundary-only semantics
+    assert(streamed.size >= 8 && streamed.size < 48, streamed.toString)
+    sweep()
+  }
+
+  test("appendBatchSemantic replay with the same version is idempotent") {
+    val (corpus, vecs) = dirs()
+    val b1 = Seq((1L, famVec(0, 0)), (2L, famVec(2, 0)))
+      .toDF("vec_id", "embedding")
+    assert(CorpusDedup.appendBatchSemantic(spark, b1, 1L, corpus, vecs,
+      cents, Threshold) == 2L)
+    val b2 = Seq((10L, famVec(0, 3)), (11L, famVec(4, 0)))
+      .toDF("vec_id", "embedding")
+    assert(CorpusDedup.appendBatchSemantic(spark, b2, 2L, corpus, vecs,
+      cents, Threshold) == 1L) // 10 is a paraphrase of 1
+    def snapshot() = (
+      spark.read.parquet(corpus).select("vec_id").as[Long]
+        .collect().sorted.toSeq,
+      spark.read.parquet(vecs).count())
+    val before = snapshot()
+    assert(CorpusDedup.appendBatchSemantic(spark, b2, 2L, corpus, vecs,
+      cents, Threshold) == 1L)
+    assert(snapshot() == before,
+      "replay must replace its version partitions, not append")
+    assert(before._1 == Seq(1L, 2L, 11L))
+    sweep()
+  }
+
+  test("semantic candidate plan never shuffles the corpus-sized " +
+      "sidecar (broadcast batch, pushed cell set)") {
+    val (corpus, vecs) = dirs()
+    val b1 = (0 until 8).map(f => (f.toLong, famVec(f, 0)))
+      .toDF("vec_id", "embedding")
+    assert(CorpusDedup.appendBatchSemantic(spark, b1, 1L, corpus, vecs,
+      cents, Threshold) == 8L)
+    val batch = Seq((100L, famVec(0, 5)), (101L, famVec(3, 2)))
+      .toDF("vec_id", "embedding")
+    val (arr, pin) = Dedup.pinNow(
+      Similarity.assignCells(
+        batch.select(col("vec_id").as("_id"),
+          col("embedding").as("_v")), cents, "_v")
+        .withColumn("_nrm", Similarity.norm(col("_v"))))
+    try {
+      val batchCells = arr.select(col("cell")).distinct()
+        .collect().map(_.getInt(0))
+      val accepted = spark.read.parquet(vecs)
+        .where(col("version") < 2)
+        .where(col("cell").isin(batchCells.map(c => c: Any): _*))
+        .select(col("_rv"), col("_rnrm"), col("cell"))
+      val p = CorpusDedup.SemanticPlan
+        .flagged(arr, accepted, Threshold)
+        .queryExecution.executedPlan.toString
+      // the sidecar may only STREAM through a BroadcastHashJoin with
+      // the batch side broadcast; the only exchange carries flagged ids
+      assert(!p.contains("SortMergeJoin"), p)
+      assert(!p.contains("ShuffledHashJoin"), p)
+      assert(p.contains("BroadcastHashJoin"), p)
+      // the pinned batch frame is a LogicalRDD, so every FileScan IS a
+      // sidecar pass — exactly one
+      assert(p.linesIterator.count(_.contains("FileScan")) == 1, p)
+      // and the batch's cell set is pushed into the parquet read, so
+      // (cell-clustered) row groups the batch cannot match are skipped
+      assert("In\\(cell".r.findFirstIn(p).isDefined, p)
+    } finally { pin.release(); sweep() }
+  }
+}
