@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.model.{EventsCatalog, Tables}
 import graft.ops.{AsofJoin, IntervalJoin, Sessionize}
-import graft.pipeline.{Bloom, Curate, Dedup, Multimodal, Sampling, Search, Select, Similarity, TextOps}
+import graft.pipeline.{Bloom, Bpe, Curate, Dedup, Multimodal, Sampling, Search, Select, Similarity, TextOps}
 import graft.plan.Planner
 import graft.ql.{Cmp, Eq, StrLit}
 import graft.stats.{StatFilter, StatTiers}
@@ -25,6 +25,11 @@ import graft.streaming.Lifecycle
   *  - every result carries its own ORDER BY keys.
   */
 object SparkEntry {
+
+  /** merge-table size for the t_tokens_bpe entry: the oracle unrolls
+    * one chained CTE stage per rank, so the rank count is pinned
+    * small here; the library (graft.pipeline.Bpe) takes any size. */
+  private val BpeMerges = 12
 
   private val NS_0108 = 1704672000000000000L // 2024-01-08T00:00:00Z
   private val NS_0115 = 1705276800000000000L // 2024-01-15T00:00:00Z
@@ -754,6 +759,18 @@ object SparkEntry {
           "score_zh", "lang_pred")
         .orderBy("doc_id")),
 
+    "t_langid_model" -> ((s, dir) => {
+      // TRAINABLE language ID: char-trigram naive Bayes trained on the
+      // corpus's own labels, scored back over the corpus (the marker
+      // heuristic above stays as the untrained fallback). All log-probs
+      // are floor'd integer micro-units (the lmScore discipline), so
+      // the model AND the argmax are engine-exact — the oracle
+      // re-derives training and scoring entirely in SQL.
+      val docs = Tables.load(s, dir, "documents")
+      TextOps.langIdScore(docs, TextOps.trainLangId(docs))
+        .orderBy("doc_id")
+    }),
+
     "t_fingerprint" -> ((s, dir) =>
       Tables.load(s, dir, "documents")
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
@@ -901,6 +918,22 @@ object SparkEntry {
           TextOps.tokenCount(col("text")).cast("long").as("n_ws"),
           TextOps.regexTokenCount(col("text")).cast("long").as("n_re"))
         .orderBy("doc_id")),
+
+    "t_tokens_bpe" -> ((s, dir) => {
+      // SUBWORD token accounting: train BpeMerges merges on the corpus
+      // itself (deterministic pair argmax, ties by binary string
+      // order), then count BPE tokens per document — the honest
+      // tokensCol for packBudget (whitespace counts diverge 2-4x on
+      // code/CJK). The oracle re-derives training AND encoding in
+      // DuckDB: the merge loop unrolls as BpeMerges chained
+      // MATERIALIZED CTE stages (the MMR greedy-loop discipline), and
+      // encoding is the same literal-replace fold over the wrapped
+      // symbol form, so the merges table and every count are
+      // engine-exact.
+      val docs = Tables.load(s, dir, "documents")
+      Bpe.tokenCounts(docs, Bpe.train(docs, nMerges = BpeMerges))
+        .orderBy("doc_id")
+    }),
 
     "t_ngrams" -> ((s, dir) =>
       TextOps.topNgrams(Tables.load(s, dir, "documents"), n = 2, k = 20)),
@@ -2635,6 +2668,68 @@ object SparkEntry {
 
     "t_langid" -> TextOpsOracle.langIdSql,
 
+    // naive-Bayes training + scoring re-derived end to end: identical
+    // trigram extraction (substring windows over the padded text),
+    // identical smoothed log-probs (ln of the same IEEE quotient,
+    // floored to BIGINT micro-units before any cross-row sum), same
+    // deterministic argmax (score DESC, lang ASC)
+    "t_langid_model" ->
+      """WITH pad AS MATERIALIZED (
+        |  SELECT doc_id, lang, ' ' || lower(text) || ' ' AS p
+        |  FROM documents),
+        |ttg AS MATERIALIZED (
+        |  SELECT lang, unnest(list_transform(
+        |    generate_series(1, len(p) - 2),
+        |    i -> substring(p, i, 3))) AS g
+        |  FROM pad),
+        |dg AS MATERIALIZED (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(p) - 2),
+        |    i -> substring(p, i, 3))) AS g
+        |  FROM pad),
+        |cgl AS MATERIALIZED (
+        |  SELECT g, lang, CAST(count(*) AS BIGINT) AS c
+        |  FROM ttg GROUP BY 1, 2),
+        |tot AS MATERIALIZED (
+        |  SELECT lang, CAST(sum(c) AS BIGINT) AS tot
+        |  FROM cgl GROUP BY 1),
+        |vv AS MATERIALIZED (
+        |  SELECT CAST(count(DISTINCT g) AS BIGINT) AS v FROM cgl),
+        |mu AS MATERIALIZED (
+        |  SELECT g, cgl.lang,
+        |    CAST(floor(ln((c + 1.0) / (tot + v)) * 1000000.0)
+        |      AS BIGINT) AS mu
+        |  FROM cgl JOIN tot USING (lang) CROSS JOIN vv),
+        |lg AS MATERIALIZED (
+        |  SELECT nl.lang,
+        |    CAST(floor(ln(CAST(nl AS DOUBLE) / n) * 1000000.0)
+        |      AS BIGINT) AS prior_mu,
+        |    CAST(floor(ln(1.0 / (coalesce(tot, 0) + v)) * 1000000.0)
+        |      AS BIGINT) AS fallback_mu
+        |  FROM (SELECT lang, CAST(count(*) AS BIGINT) AS nl
+        |        FROM documents GROUP BY 1) nl
+        |  CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n
+        |              FROM documents)
+        |  LEFT JOIN tot ON nl.lang = tot.lang
+        |  CROSS JOIN vv),
+        |perlang AS MATERIALIZED (
+        |  SELECT dg.doc_id, lg.lang,
+        |    CAST(sum(coalesce(mu.mu, lg.fallback_mu)) AS BIGINT) AS gsum
+        |  FROM dg CROSS JOIN lg
+        |  LEFT JOIN mu ON dg.g = mu.g AND lg.lang = mu.lang
+        |  GROUP BY 1, 2),
+        |scored AS MATERIALIZED (
+        |  SELECT d.doc_id, lg.lang,
+        |    CAST(coalesce(gsum, 0) + lg.prior_mu AS BIGINT) AS score_mu
+        |  FROM documents d CROSS JOIN lg
+        |  LEFT JOIN perlang
+        |    ON d.doc_id = perlang.doc_id AND lg.lang = perlang.lang)
+        |SELECT doc_id, lang AS lang_pred, score_mu FROM (
+        |  SELECT doc_id, lang, score_mu, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score_mu DESC, lang ASC) AS rn
+        |  FROM scored) WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
+
     "t_fingerprint" ->
       """SELECT doc_id, md5(lower(trim(text))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
@@ -2984,6 +3079,57 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(d.text,
         |    '[a-zA-Z0-9_]+|[^a-zA-Z0-9_\s]')) AS BIGINT) AS n_re
         |FROM documents d ORDER BY doc_id""".stripMargin,
+
+    // BPE training unrolled as one chained CTE stage per merge rank
+    // (the MMR greedy-loop discipline): stage s picks the
+    // occurrence-weighted pair argmax of stage s-1's encodings
+    // (ties: count DESC, a ASC, b ASC — binary order on both
+    // engines) and applies it as the SAME literal replace over the
+    // wrapped symbol form Spark uses (' a  b ' -> ' ab '). Every
+    // stage is MATERIALIZED — DuckDB re-expands plain CTEs once per
+    // reference and each wf stage is referenced twice (argmax +
+    // apply). LEFT JOIN ON TRUE keeps words intact at stages where
+    // no pair remains, mirroring Bpe.train's early stop.
+    "t_tokens_bpe" -> {
+      val stages = (1 to BpeMerges).map { n =>
+        s"""b$n AS MATERIALIZED (
+           |  SELECT a, b FROM (
+           |    SELECT s[i] AS a, s[i + 1] AS b, sum(f) AS c
+           |    FROM (SELECT f, s, unnest(generate_series(1, len(s) - 1))
+           |            AS i
+           |          FROM (SELECT f, string_split(trim(enc), '  ') AS s
+           |                FROM wf${n - 1}))
+           |    GROUP BY 1, 2)
+           |  ORDER BY c DESC, a ASC, b ASC LIMIT 1),
+           |wf$n AS MATERIALIZED (
+           |  SELECT w, f, CASE WHEN m.a IS NULL THEN enc ELSE
+           |    replace(enc, ' ' || m.a || '  ' || m.b || ' ',
+           |            ' ' || m.a || m.b || ' ') END AS enc
+           |  FROM wf${n - 1} LEFT JOIN b$n m ON TRUE)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH dw AS MATERIALIZED (
+         |  SELECT doc_id, unnest(regexp_extract_all(lower(text),
+         |    '[a-z0-9_]+')) AS w FROM documents),
+         |np AS MATERIALIZED (
+         |  SELECT doc_id, CAST(len(regexp_extract_all(lower(text),
+         |    '[^a-z0-9_\\s]')) AS BIGINT) AS np FROM documents),
+         |wf0 AS MATERIALIZED (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS f,
+         |    ' ' || rtrim(regexp_replace(w, '(.)', '\\1  ', 'g'))
+         |      || ' ' AS enc
+         |  FROM dw GROUP BY w),
+         |$stages,
+         |wtok AS MATERIALIZED (
+         |  SELECT w, CAST(len(string_split(trim(enc), '  ')) AS BIGINT)
+         |    AS nt FROM wf$BpeMerges),
+         |wsum AS MATERIALIZED (
+         |  SELECT doc_id, CAST(sum(nt) AS BIGINT) AS wt
+         |  FROM dw JOIN wtok USING (w) GROUP BY doc_id)
+         |SELECT doc_id, CAST(coalesce(wt, 0) + np AS BIGINT)
+         |  AS bpe_tokens
+         |FROM np LEFT JOIN wsum USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "t_ngrams" ->
       """WITH raw AS (

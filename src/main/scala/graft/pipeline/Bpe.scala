@@ -1,0 +1,150 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding subword tokenizer (Sennrich, Haddow & Birch,
+  * "Neural Machine Translation of Rare Words with Subword Units",
+  * ACL 2016 — the public algorithm behind GPT/Llama-style token
+  * budgets): train a merges table on-corpus, encode by applying the
+  * merges, count subword tokens. Whitespace/regex token counts
+  * diverge 2-4× from BPE counts on code/CJK, so packing and chunk
+  * budgets built on them misstate real training cost —
+  * [[Sampling.packBudget]] takes a `tokensCol`, and this module
+  * supplies the honest one.
+  *
+  * Determinism (the repo-wide rule): training has no RNG — the merge
+  * at each rank is the (count, pair) argmax with ties broken by
+  * binary string order — and encoding is a FIXED sequence of literal
+  * string replaces, so the merges table and every token count are
+  * bit-identical across engines, runs, and partitionings (the
+  * t_tokens_bpe oracle re-derives both in DuckDB).
+  *
+  * Representation: a word's symbol sequence is one string with every
+  * symbol wrapped in single spaces and adjacent symbols separated by
+  * two — `" h  e  l  l  o "`. Merging pair (a, b) is then the literal
+  * replace `" a  b " → " ab "`: the surrounding single spaces pin
+  * symbol boundaries exactly (no prefix of a longer symbol can
+  * match), the replaced text regenerates the wrapped form, and
+  * left-to-right non-overlapping replacement — the semantics of both
+  * Spark's and DuckDB's `replace` — gives the standard greedy pairing
+  * (`a a a` → `aa a`). No regex, no lookaround, no per-engine
+  * metacharacter hazards.
+  *
+  * Merges apply in RANK ORDER (rank 0 first, one global replace per
+  * rank), which equals the reference lowest-rank-present-first loop
+  * for any SELF-TRAINED table: a merge's output symbol exists only
+  * after its rank, so every later pair involving it carries a higher
+  * rank by construction — rank-order application can never skip a
+  * pair the reference would take (BpeSpec pins the equivalence
+  * against a literal reference implementation on random words).
+  *
+  * Scale shapes:
+  *  - training: rounds over the DISTINCT-word frame (Zipf: vocabulary
+  *    ≪ corpus), one count-weighted pair argmax per round (map-side
+  *    combined, one kilobyte-scale collect), state pinned per round
+  *    and the superseded round released at once — the BSP loop
+  *    discipline. At 100 TB train on a sample: the merges table is
+  *    control-plane rows, persisted and reused like IVF centroids.
+  *  - encoding: the R-replace fold runs once per DISTINCT word (not
+  *    per occurrence), then one shuffle join on the word key attaches
+  *    counts to occurrences. The fold itself is a chain of literal
+  *    `replace` builtins — whole-stage codegen, no UDF, no lambda.
+  */
+object Bpe {
+
+  /** lowercase word tokens that BPE merges operate over; anything
+    * matching [[PunctRe]] stays a single token (the usual
+    * pre-tokenization split, cf. [[TextOps.TokenRegex]]) */
+  val WordRe = "[a-z0-9_]+"
+  val PunctRe = "[^a-z0-9_\\s]"
+
+  /** a word as its initial wrapped symbol sequence: every character a
+    * symbol — `"abc"` → `" a  b  c "` */
+  def initEnc(w: Column): Column =
+    concat(lit(" "), rtrim(regexp_replace(w, "(.)", "$1  ")), lit(" "))
+
+  /** the literal (search, replacement) pair that merges (a, b) in the
+    * wrapped form — shared with the oracle SQL generator */
+  def mergePattern(a: String, b: String): (String, String) =
+    (s" $a  $b ", s" $a$b ")
+
+  /** apply a merges table in rank order — a codegen'd chain of
+    * literal replaces */
+  def applyMerges(enc: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(enc) { case (acc, (a, b)) =>
+      val (pat, rep) = mergePattern(a, b)
+      replace(acc, lit(pat), lit(rep))
+    }
+
+  /** symbols in a wrapped sequence = BPE tokens of the word */
+  def symbolCount(enc: Column): Column = size(split(trim(enc), "  "))
+
+  /** Train `nMerges` merges on the corpus: each round merges the
+    * most frequent adjacent symbol pair (occurrence-weighted over all
+    * word occurrences; ties by binary string order of (a, b)).
+    * Returns the ranked merges — a control-plane table to persist
+    * alongside the corpus. Stops early when no pair remains. */
+  def train(docs: DataFrame, nMerges: Int, textCol: String = "text")
+      : Seq[(String, String)] = {
+    require(nMerges >= 0, s"nMerges >= 0: $nMerges")
+    val base = docs
+      .select(explode(regexp_extract_all(lower(col(textCol)),
+        lit(WordRe), lit(0))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .withColumn("enc", initEnc(col("w")))
+    var (wf, pin) = Dedup.pinNow(base)
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String)]
+    try {
+      var done = false
+      while (!done && merges.size < nMerges) {
+        val top = wf
+          .select(col("f"), split(trim(col("enc")), "  ").as("s"))
+          .where(size(col("s")) >= 2)
+          .select(col("f"), explode(expr(
+            "transform(sequence(1, size(s) - 1), " +
+              "i -> struct(element_at(s, i) AS a, " +
+              "element_at(s, i + 1) AS b))")).as("p"))
+          .select(col("f"), col("p.a").as("a"), col("p.b").as("b"))
+          .groupBy(col("a"), col("b")).agg(sum(col("f")).as("c"))
+          .orderBy(col("c").desc, col("a").asc, col("b").asc)
+          .limit(1).collect()
+        if (top.isEmpty) done = true
+        else {
+          val (a, b) = (top(0).getString(0), top(0).getString(1))
+          merges += ((a, b))
+          val (pat, rep) = mergePattern(a, b)
+          val (nwf, npin) = Dedup.pinNow(
+            wf.withColumn("enc", replace(col("enc"), lit(pat), lit(rep))))
+          pin.release()
+          wf = nwf; pin = npin
+        }
+      }
+      merges.toSeq
+    } finally pin.release()
+  }
+
+  /** BPE token count per document under a trained merges table:
+    * sum over the document's word occurrences of the word's subword
+    * count, plus one per non-word (punctuation) character. The
+    * R-replace encode runs once per DISTINCT word; occurrences attach
+    * through one join on the word key. Output: (idCol, bpe_tokens). */
+  def tokenCounts(docs: DataFrame, merges: Seq[(String, String)],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val words = docs.select(col(idCol),
+      explode(regexp_extract_all(lower(col(textCol)),
+        lit(WordRe), lit(0))).as("w"))
+    val wordTok = words.select(col("w")).distinct()
+      .withColumn("_nt",
+        symbolCount(applyMerges(initEnc(col("w")), merges)).cast("long"))
+    val perDoc = words.join(wordTok, Seq("w"))
+      .groupBy(col(idCol)).agg(sum(col("_nt")).as("_wt"))
+    docs.select(col(idCol),
+        size(regexp_extract_all(lower(col(textCol)), lit(PunctRe),
+          lit(0))).cast("long").as("_np"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        (coalesce(col("_wt"), lit(0L)) + col("_np")).as("bpe_tokens"))
+  }
+}

@@ -105,6 +105,100 @@ object TextOps {
     * the exact-dedup key. */
   def fingerprint(text: Column): Column = md5(lower(trim(text)))
 
+  // --- trainable language ID (char-trigram naive Bayes) -----------------
+
+  /** Character trigrams of a PRE-PROJECTED padded column (project
+    * `' ' || lower(text) || ' '` into a named column first — the
+    * lambda-CSE rule, see [[tokenHashes]]): one entry per position,
+    * the fastText-style character-n-gram feature space. */
+  def charTrigramsOf(padCol: String): Column = expr(
+    s"transform(sequence(1, length($padCol) - 2), " +
+      s"i -> substring($padCol, i, 3))")
+
+  /** A trained naive-Bayes language model: `grams` = (g, lang, mu) —
+    * integer micro-unit log P(trigram | lang) for OBSERVED pairs —
+    * and `langs` = (lang, prior_mu, fallback_mu), the doc-frequency
+    * prior and the unseen-trigram (add-one smoothed) penalty. Both
+    * are control-plane tables (the trigram space is bounded by
+    * charset³, not corpus size): persist them like IVF centroids and
+    * score any corpus without retraining. */
+  final case class NbLangModel(grams: DataFrame, langs: DataFrame)
+
+  /** Train the naive-Bayes model on a LABELED sample (`langCol`):
+    * add-one smoothing over the observed trigram vocabulary V,
+    *
+    *   mu(g, l)    = floor(1e6 · ln((C(g,l) + 1) / (C(·,l) + V)))
+    *   fallback(l) = floor(1e6 · ln(      1      / (C(·,l) + V)))
+    *   prior(l)    = floor(1e6 · ln(N_l / N))
+    *
+    * — every logarithm is ONE `ln` of an identical IEEE quotient of
+    * exact integers, floored to BIGINT micro-units before anything
+    * crosses a row boundary (the [[lmScore]] discipline), so the
+    * model and every score are engine-exact. Two count aggregations
+    * (map-side combined) and a kilobyte-scale join tree — training is
+    * one pass over the sample. */
+  def trainLangId(train: DataFrame, langCol: String = "lang",
+      textCol: String = "text"): NbLangModel = {
+    val tg = train
+      .select(col(langCol).as("lang"),
+        concat(lit(" "), lower(col(textCol)), lit(" ")).as("_pad"))
+      .select(col("lang"), explode(charTrigramsOf("_pad")).as("g"))
+    val cgl = tg.groupBy(col("g"), col("lang"))
+      .agg(count(lit(1)).as("c"))
+    val tot = cgl.groupBy(col("lang")).agg(sum(col("c")).as("tot"))
+    val vdf = cgl.select(count_distinct(col("g")).as("v"))
+    val grams = cgl.join(broadcast(tot), Seq("lang"))
+      .crossJoin(broadcast(vdf))
+      .select(col("g"), col("lang"),
+        floor(log((col("c") + lit(1.0)) / (col("tot") + col("v")))
+          * lit(1000000.0)).cast("long").as("mu"))
+    val nl = train.groupBy(col(langCol).as("lang"))
+      .agg(count(lit(1)).as("nl"))
+    val n = train.select(count(lit(1)).as("n"))
+    val langs = nl.crossJoin(broadcast(n))
+      .join(broadcast(tot), Seq("lang"), "left")
+      .crossJoin(broadcast(vdf))
+      .select(col("lang"),
+        floor(log(col("nl").cast("double") / col("n"))
+          * lit(1000000.0)).cast("long").as("prior_mu"),
+        floor(log(lit(1.0) / (coalesce(col("tot"), lit(0L)) + col("v")))
+          * lit(1000000.0)).cast("long").as("fallback_mu"))
+    NbLangModel(grams, langs)
+  }
+
+  /** Score documents under a trained model and pick the argmax
+    * language (ties: lexicographically first — deterministic):
+    * returns (idCol, lang_pred, score_mu). The scan explodes doc
+    * trigrams once, crosses the |langs|-row broadcast, left-joins the
+    * broadcast gram table (misses take the fallback), and partial-
+    * aggregates per (doc, lang) before the one exchange — the
+    * [[lmScore]] shape; nothing driver-side grows with the corpus.
+    * Empty documents score priors only. */
+  def langIdScore(docs: DataFrame, model: NbLangModel,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val dg = docs
+      .select(col(idCol).as("_id"),
+        concat(lit(" "), lower(col(textCol)), lit(" ")).as("_pad"))
+      .select(col("_id"), explode(charTrigramsOf("_pad")).as("g"))
+    val perLang = dg.crossJoin(broadcast(model.langs))
+      .join(broadcast(model.grams), Seq("g", "lang"), "left")
+      .groupBy(col("_id"), col("lang"))
+      .agg(sum(coalesce(col("mu"), col("fallback_mu"))).as("_gsum"))
+    val scored = docs.select(col(idCol).as("_id"))
+      .crossJoin(broadcast(model.langs))
+      .join(perLang, Seq("_id", "lang"), "left")
+      .select(col("_id"), col("lang"),
+        (coalesce(col("_gsum"), lit(0L)) + col("prior_mu"))
+          .as("score_mu"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_id"))
+      .orderBy(col("score_mu").desc, col("lang").asc)
+    scored.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .select(col("_id").as(idCol), col("lang").as("lang_pred"),
+        col("score_mu"))
+  }
+
   // --- rolling (Rabin-style polynomial) fingerprints --------------------
 
   /** Polynomial-hash base/modulus — both under 2^30/2^31 so the

@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.Bpe
+
+/** BPE subword tokenizer: deterministic training, encode equivalence
+  * to the reference lowest-rank-first algorithm, honest token
+  * accounting. */
+class BpeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** the reference algorithm: repeatedly merge the LOWEST-RANK pair
+    * present anywhere in the word (left-to-right within a rank),
+    * until none applies — the loop HF/GPT tokenizers run. */
+  private def referenceEncode(word: String,
+      merges: Seq[(String, String)]): Seq[String] = {
+    val rank = merges.zipWithIndex.toMap
+    var syms = word.map(_.toString).toVector
+    var continue = true
+    while (continue && syms.length >= 2) {
+      val present = syms.indices.dropRight(1)
+        .flatMap(i => rank.get((syms(i), syms(i + 1))).map(r => (r, i)))
+      if (present.isEmpty) continue = false
+      else {
+        val (r, _) = present.minBy(_._1)
+        val (a, b) = merges(r)
+        // merge all occurrences of (a, b), left to right
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+      }
+    }
+    syms
+  }
+
+  test("training learns the most frequent pairs with deterministic " +
+      "tie-breaks and stops when no pair remains") {
+    val docs = Seq(
+      (1L, "low low low lower lowest"),
+      (2L, "new newer newest low")).toDF("doc_id", "text")
+    val merges = Bpe.train(docs, nMerges = 3)
+    assert(merges.length == 3)
+    // "lo" + "w" dominate: 'l','o' adjacent in every low* word (6
+    // occurrences), then ('lo','w') — the classic example
+    assert(merges.head == ("l", "o"))
+    assert(merges(1) == ("lo", "w"))
+    // tiny corpus with no repeatable pair: training stops early
+    val one = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val m1 = Bpe.train(one, nMerges = 5)
+    assert(m1.isEmpty) // all words are single chars — no pairs at all
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+  }
+
+  test("rank-order replace encoding equals the reference " +
+      "lowest-rank-first algorithm on random words") {
+    val docs = Seq(
+      (1L, "the theatre then there therefore other mother"),
+      (2L, "banana bandana ananas banal the there"),
+      (3L, "aaaa aaab abab baaa the other then")).toDF("doc_id", "text")
+    val merges = Bpe.train(docs, nMerges = 10)
+    assert(merges.nonEmpty)
+    // random words over the trained alphabet, plus the corpus's own
+    val rnd = new scala.util.Random(23)
+    val alphabet = "abehnorst"
+    val words = (0 until 200).map(_ =>
+      (0 to rnd.nextInt(10)).map(_ =>
+        alphabet(rnd.nextInt(alphabet.length))).mkString) ++
+      Seq("the", "theatre", "banana", "aaaa", "abab", "x", "")
+    val wdf = words.filter(_.nonEmpty).distinct.toDF("w")
+    val got = wdf.select(col("w"),
+        Bpe.symbolCount(Bpe.applyMerges(Bpe.initEnc(col("w")), merges))
+          .as("n"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    words.filter(_.nonEmpty).distinct.foreach { w =>
+      val want = referenceEncode(w, merges).length
+      assert(got(w) == want,
+        s"word '$w': rank-order gave ${got(w)}, reference $want " +
+          s"(merges $merges)")
+    }
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+  }
+
+  test("trained naive-Bayes language ID separates languages with real " +
+      "character signal, including on held-out text") {
+    // NB: the testdata documents table draws the SAME vocabulary for
+    // every lang label (no character-level signal — self-scoring
+    // accuracy there is the prior's ~54% by construction; measured),
+    // so the accuracy check runs on a corpus with genuine per-language
+    // character distributions. The oracle entry t_langid_model covers
+    // cross-engine exactness on the real table.
+    import graft.pipeline.TextOps
+    val vocab = Map(
+      "aa" -> Seq("kala", "talo", "puhua", "paljon", "kaunis", "vesi"),
+      "bb" -> Seq("strom", "pravda", "zdroj", "vrstva", "hlavni", "dvur"),
+      "cc" -> Seq("ohayo", "tenki", "sushi", "kimono", "haiku", "onsen"))
+    val rnd = new scala.util.Random(31)
+    def doc(lang: String) =
+      (0 until 12).map(_ => vocab(lang)(rnd.nextInt(6))).mkString(" ")
+    val rows = (0 until 240).map { i =>
+      val lang = Seq("aa", "bb", "cc")(i % 3)
+      (i.toLong, lang, doc(lang))
+    }
+    val (trainRows, heldOut) = rows.splitAt(180)
+    val train = trainRows.toDF("doc_id", "lang", "text")
+    val model = TextOps.trainLangId(train)
+    def accuracy(df: org.apache.spark.sql.DataFrame): Double = {
+      val scored = TextOps.langIdScore(df, model)
+        .join(df.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      scored.where(col("lang_pred") === col("lang")).count().toDouble /
+        scored.count()
+    }
+    assert(accuracy(train) >= 0.98, s"train accuracy ${accuracy(train)}")
+    assert(accuracy(heldOut.toDF("doc_id", "lang", "text")) >= 0.95)
+    // unseen text scores via fallbacks, empty text via priors —
+    // deterministic, never null
+    val odd = Seq((900001L, "zzz qqq unseen"), (900002L, ""))
+      .toDF("doc_id", "text")
+    val got = TextOps.langIdScore(odd, model).collect()
+    assert(got.length == 2 && got.forall(!_.isNullAt(2)))
+  }
+
+  test("token counts: word subwords plus one per punctuation char; " +
+      "empty and punctuation-only docs handled") {
+    val docs = Seq(
+      (1L, "low lower, low!"),
+      (2L, "..."),
+      (3L, "")).toDF("doc_id", "text")
+    val merges = Bpe.train(docs, nMerges = 2) // (l,o), (lo,w)
+    val got = Bpe.tokenCounts(docs, merges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1: "low"→[low] (1), "lower"→[low,e,r] (3), "low" (1) + "," "!"
+    assert(got(1L) == 1 + 3 + 1 + 2, got.toString)
+    assert(got(2L) == 3)
+    assert(got(3L) == 0)
+    // BPE counts differ from whitespace counts — the honest-budget
+    // point: feed bpe_tokens into packBudget's tokensCol
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+  }
+}
