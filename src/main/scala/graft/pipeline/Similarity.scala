@@ -620,6 +620,24 @@ object Similarity {
     // broadcast builds (encode + LUT) that would otherwise each re-run
     // the full µ-row aggregation — the plan audit measured 4 passes
     // over the embedding µ-rows with zero exchange reuse.
+    val codebook = pqCodebookLocal(rows, subDim)
+    // encode: nearest sub-centroid per (vector, subspace) by integer
+    // squared distance; min(struct) ties to the lower cell id
+    val codes = pqCodesOf(rows, codebook)
+    // per-query lookup table: inner product of the query subvector
+    // with every sub-centroid, in µ² integers
+    val lut = rows.where(col("_vid").isin(queryIds: _*))
+      .join(broadcast(codebook), "_i")
+      .groupBy(col("_vid").as("query_id"), col("_sub"), col("_cell"))
+      .agg(sum(col("_mu") * col("_cmu")).as("_dot"))
+    pqAdcServe(codes, lut, k)
+  }
+
+  /** per-(dim, cell) micro-unit mean components as a LOCAL relation —
+    * the PQ codebook (see the materialization note in
+    * [[pqTopKBatch]]) */
+  private def pqCodebookLocal(rows: DataFrame, subDim: Int)
+      : DataFrame = {
     val codebook0 = rows
       .groupBy(col("_i"), col("_vcell").as("_cell"))
       .agg(count(lit(1)).as("_n"), sum(col("_mu")).as("_s"))
@@ -627,11 +645,15 @@ object Similarity {
         // floor of an identical IEEE quotient — exact on both engines
         floor(col("_s").cast("double") / col("_n")).cast("long")
           .as("_cmu"))
-    val codebook = emb.sparkSession.createDataFrame(
+    rows.sparkSession.createDataFrame(
       java.util.Arrays.asList(codebook0.collect(): _*), codebook0.schema)
-    // encode: nearest sub-centroid per (vector, subspace) by integer
-    // squared distance; min(struct) ties to the lower cell id
-    val codes = rows.join(broadcast(codebook), "_i")
+  }
+
+  /** encode: nearest sub-centroid per (vector, subspace) by integer
+    * squared distance; min(struct) ties to the lower cell id */
+  private def pqCodesOf(rows: DataFrame, codebook: DataFrame)
+      : DataFrame =
+    rows.join(broadcast(codebook), "_i")
       .groupBy(col("_vid"), col("_sub"), col("_cell"))
       .agg(sum((col("_mu") - col("_cmu")) * (col("_mu") - col("_cmu")))
         .as("_d"))
@@ -639,12 +661,11 @@ object Similarity {
       .agg(min(struct(col("_d"), col("_cell"))).as("_best"))
       .select(col("_vid"), col("_sub"), col("_best").getField("_cell")
         .as("_cell"))
-    // per-query lookup table: inner product of the query subvector
-    // with every sub-centroid, in µ² integers
-    val lut = rows.where(col("_vid").isin(queryIds: _*))
-      .join(broadcast(codebook), "_i")
-      .groupBy(col("_vid").as("query_id"), col("_sub"), col("_cell"))
-      .agg(sum(col("_mu") * col("_cmu")).as("_dot"))
+
+  /** ADC scoring: code rows × broadcast LUT → per-(query, vector)
+    * µ² inner-product sums → top-k per query */
+  private def pqAdcServe(codes: DataFrame, lut: DataFrame, k: Int)
+      : DataFrame = {
     val scored = codes
       .join(broadcast(lut), Seq("_sub", "_cell"))
       .where(col("_vid") =!= col("query_id"))
@@ -656,6 +677,78 @@ object Similarity {
     scored.withColumn("_rn", row_number().over(w))
       .where(col("_rn") <= k)
       .select(col("query_id"), col("_vid").as("vec_id"), col("adc_mu2"))
+  }
+
+  /** Persist a PQ index: `dir/codebook` = (_i, _cell, _sub, _cmu)
+    * rows (dims × cells — control-plane) and `dir/codes` =
+    * (_vid, _sub, _cell) — m small codes per vector, the COMPRESSED
+    * corpus a query scans instead of raw embeddings (the
+    * memory-compression half of IVF-PQ made durable: at 100 TB the
+    * d-float vectors stay cold; serving IO is m codes per row).
+    * The same deterministic micro-unit pipeline as [[pqTopKBatch]],
+    * so a rebuild is bit-reproducible. */
+  def writePqIndex(emb: DataFrame, dir: String, dims: Int, m: Int = 4,
+      cellCol: String = "label", idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    require(m >= 1 && dims % m == 0, s"m=$m must divide dims=$dims")
+    val subDim = dims / m
+    val rows = emb.select(col(idCol).as("_vid"),
+      col(cellCol).as("_vcell"),
+      posexplode(transform(col(vecCol), x =>
+        floor(x.cast("double") * lit(1000000.0)).cast("long")))
+        .as(Seq("_i", "_mu")))
+    val codebook = pqCodebookLocal(rows, subDim)
+    codebook.coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/codebook")
+    pqCodesOf(rows, codebook)
+      .repartition(col("_vid"))
+      .write.mode("overwrite").parquet(s"$dir/codes")
+  }
+
+  /** Serve ADC top-k from a [[writePqIndex]] index with EXPLICIT
+    * query vectors — the serving shape: the per-query lookup tables
+    * compute DRIVER-side from the collected codebook (|Q|·m·cells
+    * integers, the same arithmetic as the distributed LUT: per
+    * (sub, cell) the integer dot of the query's µ-components with
+    * the sub-centroid's), broadcast, and score against ONE scan of
+    * the stored code table. Raw embeddings are never read
+    * (spec-gated: the serve plan's only FileScan is `codes`) —
+    * identical results to [[pqTopKBatch]] over the index's build
+    * frame for corpus queries (self excluded by id). */
+  def pqTopKFromIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, queries: Seq[(Long, Seq[Float])], k: Int)
+      : DataFrame = {
+    require(queries.nonEmpty, "empty query set")
+    require(k >= 1, "k must be >= 1")
+    // cell/sub re-read from disk can surface as int or long depending
+    // on the build frame's label type — normalize (the partition-
+    // column-type lesson from the working notes)
+    val cb = spark.read.parquet(s"$dir/codebook")
+      .select(col("_i").cast("int"), col("_cell").cast("long"),
+        col("_sub").cast("int"), col("_cmu").cast("long"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2),
+        r.getLong(3)))
+    val lutRows = queries.flatMap { case (qid, vec) =>
+      val mu = vec.map(x =>
+        math.floor(x.toDouble * 1000000.0).toLong).toArray
+      cb.groupBy(r => (r._3, r._2)).toSeq.map { case ((sub, cell), rs) =>
+        Row(qid, sub, cell,
+          rs.foldLeft(0L) { case (acc, (i, _, _, cmu)) =>
+            acc + mu(i) * cmu })
+      }
+    }
+    val lutSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("query_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("_sub",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("_cell",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("_dot",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val lut = spark.createDataFrame(
+      java.util.Arrays.asList(lutRows: _*), lutSchema)
+    pqAdcServe(spark.read.parquet(s"$dir/codes"), lut, k)
   }
 
   /** Deterministic Rademacher (±1) hyperplane components for

@@ -82,6 +82,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(r == run()) // bit-identical re-run (scores included)
   }
 
+  test("persisted pq index serves identically to the inline ADC " +
+      "pipeline and never rescans embeddings") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.9f, 0.0f, 0.1f), 0),
+      (1L, Array(0.9f, 1.0f, 0.1f, 0.0f), 0),
+      (2L, Array(1.0f, 1.0f, 0.0f, 0.0f), 0),
+      (3L, Array(0.0f, 0.1f, 1.0f, 0.9f), 1),
+      (4L, Array(0.1f, 0.0f, 0.9f, 1.0f), 1),
+      (5L, Array(0.0f, 0.0f, 1.0f, 1.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("pqidx").toString
+    Similarity.writePqIndex(emb, dir, dims = 4, m = 2)
+    val queries = Seq(
+      0L -> Seq(1.0f, 0.9f, 0.0f, 0.1f),
+      3L -> Seq(0.0f, 0.1f, 1.0f, 0.9f))
+    val served = Similarity.pqTopKFromIndex(spark, dir, queries, k = 5)
+    // stored-index serve == inline pipeline (codebook, codes, and the
+    // driver-built LUT all reproduce the distributed integers exactly)
+    val inline = Similarity.pqTopKBatch(emb, Seq(0L, 3L), k = 5,
+      dims = 4, m = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy(col("query_id"), col("adc_mu2").desc, col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    assert(rows(served) == rows(inline))
+    // serving reads the m-codes-per-vector table ONLY: one FileScan,
+    // of codes — raw embeddings never touched at serve time
+    val p = served.queryExecution.executedPlan.toString
+    val scans = p.linesIterator.filter(_.contains("FileScan")).toSeq
+    assert(scans.length == 1 && scans.head.contains("codes"),
+      s"serve plan must scan codes only:\n$p")
+    // rebuild is bit-reproducible
+    Similarity.writePqIndex(emb, dir, dims = 4, m = 2)
+    assert(rows(Similarity.pqTopKFromIndex(spark, dir, queries, k = 5))
+      == rows(inline))
+  }
+
   test("minhash lsh candidates include exact and near dups") {
     val pairs = Dedup.minhashLshCandidates(docs, k = 3, numHashes = 8,
       bands = 4).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
