@@ -102,24 +102,54 @@ object Dedup {
     *    50k docs ≈ 214 s of task time in the explode stage alone,
     *    and a driver-side literal of the hot set cannot scale to the
     *    boilerplate volume of a real web corpus anyway. */
-  private def capArrays(arr: DataFrame, maxDf: Int, handle: PinHandle,
+  /** Hot-set rows beyond this stay a distributed frame instead of a
+    * driver collect. The hot set is ≤ exploded-rows / maxDf by
+    * construction, and in practice it is boilerplate (tiny); the cap
+    * only guards the pathological corpus where it is not. */
+  private val MaxHotCollect = 100000
+
+  /** Pin the raw shingle-array frame and apply the `maxDf` cap — the
+    * two are FUSED (round 13): with a cap requested, the pin is
+    * materialized lazily BY the hot-set aggregation itself (its
+    * single consumer at that point), and the hot set is COLLECTED
+    * from that same job (bounded — see [[MaxHotCollect]]) so the
+    * anti-join rebuild reads a local relation instead of re-running
+    * the explode+aggregate as a broadcast build. The old shape paid
+    * three passes before the pair join (pinNow count, probe agg,
+    * broadcast re-agg); this one pays one, or two when a rebuild is
+    * needed. Semantics unchanged; PipelineSpec's cap tests pin them. */
+  private def capArrays(raw: DataFrame, maxDf: Int,
       sideCols: Seq[String] = Nil): (DataFrame, PinHandle) = {
-    if (maxDf == Int.MaxValue)
-      (arr.withColumn("_n", size(col("_arr"))), handle)
-    else {
+    if (maxDf == Int.MaxValue) {
+      // no cap: the first consumers are the two concurrent self-join
+      // sides, so the eager pinNow (contention rationale) stays
+      val (arr, h) = pinNow(raw)
+      (arr.withColumn("_n", size(col("_arr"))), h)
+    } else {
       require(maxDf >= 2, s"maxDf must be >= 2 (got $maxDf): " +
         "a shingle needs at least 2 docs to generate a pair")
+      val (arr, rdd) = pin(raw)
+      val handle = new PinHandle(() => {
+        rdd.unpersist(blocking = false); ()
+      })
       val hot = arr.select(explode(col("_arr")).as("sh"))
         .groupBy(col("sh")).agg(count(lit(1)).as("_df"))
         .where(col("_df") > maxDf)
         .select(col("sh"))
-      if (hot.limit(1).count() == 0L)
+      // ONE job: materializes the pin AND returns the hot set
+      val hotRows = hot.limit(MaxHotCollect + 1).collect()
+      if (hotRows.isEmpty)
         (arr.withColumn("_n", size(col("_arr"))), handle)
       else {
         val keyCols = (Seq("_id") ++ sideCols).map(col)
+        val hotDf =
+          if (hotRows.length <= MaxHotCollect)
+            raw.sparkSession.createDataFrame(
+              java.util.Arrays.asList(hotRows: _*), hot.schema)
+          else hot // pathological boilerplate volume: stay distributed
         val capped = arr
           .select(keyCols :+ explode(col("_arr")).as("sh"): _*)
-          .join(broadcast(hot), Seq("sh"), "left_anti")
+          .join(broadcast(hotDf), Seq("sh"), "left_anti")
           .groupBy(keyCols: _*)
           .agg(collect_list(col("sh")).as("_arr"),
             count(lit(1)).as("_n"))
@@ -208,8 +238,8 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text",
       hashJoin: Boolean = true, maxDf: Int = Int.MaxValue)
       : (DataFrame, PinHandle) = {
-    val (arr, handle0) = pinNow(shingleArrays(df, k, idCol, textCol))
-    val (capped, handle) = capArrays(arr, maxDf, handle0)
+    val (capped, handle) =
+      capArrays(shingleArrays(df, k, idCol, textCol), maxDf)
     // each exploded row carries its doc's POST-cap set size, so the
     // Jaccard denominator is available straight out of the intersect
     // aggregation — no separate size aggregates, no size joins
@@ -281,8 +311,7 @@ object Dedup {
         .withColumn("_side", lit(1))
       .unionByName(shingleArrays(refDocs, k, idCol, textCol)
         .withColumn("_side", lit(0)))
-    val (arr, handle0) = pinNow(both)
-    val (capped, handle) = capArrays(arr, maxDf, handle0, Seq("_side"))
+    val (capped, handle) = capArrays(both, maxDf, Seq("_side"))
     val newSide = capped.where(col("_side") === 1)
       .select(col("_id"), col("_n").as("na"), explode(col("_arr")).as("sh"))
     val refSide = capped.where(col("_side") === 0)

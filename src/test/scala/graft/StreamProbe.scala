@@ -34,6 +34,7 @@ object StreamProbe {
     spark.sparkContext.setLogLevel("WARN")
     val base = java.nio.file.Files
       .createTempDirectory("graft-streamprobe").toString
+    if (mode == "semantic") { semanticProbe(spark, sfDir, nBatches, base); return }
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text").cache()
     val total = docs.count()
@@ -70,6 +71,48 @@ object StreamProbe {
     batched.unpersist(blocking = true)
     require(spark.sparkContext.getPersistentRDDs.isEmpty,
       "appendBatch leaked pinned blocks")
+    println(f"== total accepted $accepted of ~$total offered (+planted)")
+    spark.stop()
+  }
+
+  /** Semantic-stream face of the probe: embedding batches through
+    * [[CorpusDedup.appendBatchSemantic]] with a quantizer frozen from
+    * batch 0 (the production discipline) and planted re-offers of
+    * batch-0 vectors under fresh ids. Same contract under test: batch
+    * cost flat as the accepted sidecar grows; every planted re-offer
+    * rejected. */
+  private def semanticProbe(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, nBatches: Int, base: String): Unit = {
+    import graft.pipeline.Similarity
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").cache()
+    val total = emb.count()
+    val batched = emb.withColumn("_b", pmod(
+      xxhash64(col("vec_id")), lit(nBatches.toLong))).cache()
+    val cents = Similarity.trainIvfCentroids(
+      batched.where(col("_b") === 0).drop("_b"), k = 10, iters = 3)
+    val planted = batched.where(col("_b") === 0
+      && col("vec_id") % 10 === 0).drop("_b")
+    var accepted = 0L
+    (0 until nBatches).foreach { b =>
+      val fresh = batched.where(col("_b") === b).drop("_b")
+      val batch =
+        if (b == 0) fresh
+        else fresh.unionByName(planted.select(
+          (col("vec_id") + 10000000L * b).as("vec_id"),
+          col("embedding")))
+      val t0 = System.nanoTime()
+      val n = CorpusDedup.appendBatchSemantic(spark, batch,
+        version = b + 1, s"$base/corpus", s"$base/vecs", cents,
+        threshold = 0.999)
+      val dt = (System.nanoTime() - t0) / 1e9
+      accepted += n
+      println(f"== batch $b: $dt%.2f s, accepted $n (corpus $accepted)")
+    }
+    emb.unpersist(blocking = true)
+    batched.unpersist(blocking = true)
+    require(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "appendBatchSemantic leaked pinned blocks")
     println(f"== total accepted $accepted of ~$total offered (+planted)")
     spark.stop()
   }
