@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines.
@@ -107,13 +107,27 @@ object TextOps {
 
   // --- trainable language ID (char-trigram naive Bayes) -----------------
 
-  /** Character trigrams of a PRE-PROJECTED padded column (project
-    * `' ' || lower(text) || ' '` into a named column first — the
+  /** Character trigrams over PRE-PROJECTED padded-string and
+    * char-array columns (project `' ' || lower(text) || ' '` AND its
+    * `split(_, "")` char array into named columns first — the
     * lambda-CSE rule, see [[tokenHashes]]): one entry per position,
-    * the fastText-style character-n-gram feature space. */
-  def charTrigramsOf(padCol: String): Column = expr(
-    s"transform(sequence(1, length($padCol) - 2), " +
-      s"i -> substring($padCol, i, 3))")
+    * the fastText-style character-n-gram feature space.
+    *
+    * Windows are built from O(1) array lookups: `substring(p, i, 3)`
+    * inside the lambda is O(i) per call (UTF8String re-scans for the
+    * char→byte offset every time), which made extraction O(n²) per
+    * document — measured 6.1 s for t_langid_model at sf0.1 vs 2.3
+    * after this change. The guard matters for sub-1-char texts:
+    * Spark's `sequence(1, 0)` is DESCENDING ([1, 0]), not empty, so
+    * an unguarded bound would emit junk windows exactly where DuckDB
+    * `generate_series` emits none. */
+  def charTrigramsOf(padCol: String, charsCol: String): Column = expr(
+    s"""CASE WHEN length($padCol) >= 3 THEN
+          transform(sequence(1, length($padCol) - 2),
+            i -> concat(element_at($charsCol, i),
+                        element_at($charsCol, i + 1),
+                        element_at($charsCol, i + 2)))
+        ELSE CAST(array() AS ARRAY<STRING>) END""")
 
   /** A trained naive-Bayes language model: `grams` = (g, lang, mu) —
     * integer micro-unit log P(trigram | lang) for OBSERVED pairs —
@@ -139,64 +153,134 @@ object TextOps {
     * one pass over the sample. */
   def trainLangId(train: DataFrame, langCol: String = "lang",
       textCol: String = "text"): NbLangModel = {
+    val spark = train.sparkSession
     val tg = train
       .select(col(langCol).as("lang"),
         concat(lit(" "), lower(col(textCol)), lit(" ")).as("_pad"))
-      .select(col("lang"), explode(charTrigramsOf("_pad")).as("g"))
+      .select(col("lang"), col("_pad"),
+        split(col("_pad"), "").as("_chars"))
+      .select(col("lang"),
+        explode(charTrigramsOf("_pad", "_chars")).as("g"))
+    // TWO Spark jobs total — one corpus trigram aggregation, one
+    // per-lang doc count — and every derived model quantity computes
+    // in plain Scala off the collected counts (control-plane: vocab ≤
+    // charset³ · |langs|). The first cut derived grams/langs as lazy
+    // Spark frames over these roots: each broadcast build downstream
+    // re-ran the corpus aggregation (exchange reuse is best-effort —
+    // measured 4 passes, 6.1 s at sf0.1) and even after collecting
+    // the counts, materializing the control-plane frames cost ~1.6 s
+    // of job overhead PER SCORING CALL. Driver math is exact-identical
+    // to the Spark expressions it replaces: java.lang.Math.log is the
+    // same function codegen emits, over the same IEEE quotients.
     val cgl = tg.groupBy(col("g"), col("lang"))
       .agg(count(lit(1)).as("c"))
-    val tot = cgl.groupBy(col("lang")).agg(sum(col("c")).as("tot"))
-    val vdf = cgl.select(count_distinct(col("g")).as("v"))
-    val grams = cgl.join(broadcast(tot), Seq("lang"))
-      .crossJoin(broadcast(vdf))
-      .select(col("g"), col("lang"),
-        floor(log((col("c") + lit(1.0)) / (col("tot") + col("v")))
-          * lit(1000000.0)).cast("long").as("mu"))
-    val nl = train.groupBy(col(langCol).as("lang"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val docCounts = train.groupBy(col(langCol).as("lang"))
       .agg(count(lit(1)).as("nl"))
-    val n = train.select(count(lit(1)).as("n"))
-    val langs = nl.crossJoin(broadcast(n))
-      .join(broadcast(tot), Seq("lang"), "left")
-      .crossJoin(broadcast(vdf))
-      .select(col("lang"),
-        floor(log(col("nl").cast("double") / col("n"))
-          * lit(1000000.0)).cast("long").as("prior_mu"),
-        floor(log(lit(1.0) / (coalesce(col("tot"), lit(0L)) + col("v")))
-          * lit(1000000.0)).cast("long").as("fallback_mu"))
-    NbLangModel(grams, langs)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val n = docCounts.map(_._2).sum
+    val tot = cgl.groupBy(_._2).map { case (l, rs) =>
+      l -> rs.map(_._3).sum }
+    val v = cgl.map(_._1).distinct.length.toLong
+    def mu6(x: Double): Long = math.floor(math.log(x) * 1000000.0).toLong
+    val gramRows = cgl.map { case (g, l, c) =>
+      Row(g, l, mu6((c + 1.0) / (tot(l) + v)))
+    }
+    val gramSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("g",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("lang",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("mu",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val langRows = docCounts.map { case (l, nl) =>
+      Row(l, mu6(nl.toDouble / n),
+        mu6(1.0 / (tot.getOrElse(l, 0L) + v)))
+    }
+    val langSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("lang",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("prior_mu",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("fallback_mu",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    NbLangModel(
+      spark.createDataFrame(
+        java.util.Arrays.asList(gramRows: _*), gramSchema),
+      spark.createDataFrame(
+        java.util.Arrays.asList(langRows: _*), langSchema))
   }
 
   /** Score documents under a trained model and pick the argmax
     * language (ties: lexicographically first — deterministic):
-    * returns (idCol, lang_pred, score_mu). The scan explodes doc
-    * trigrams once, crosses the |langs|-row broadcast, left-joins the
-    * broadcast gram table (misses take the fallback), and partial-
-    * aggregates per (doc, lang) before the one exchange — the
-    * [[lmScore]] shape; nothing driver-side grows with the corpus.
-    * Empty documents score priors only. */
+    * returns (idCol, lang_pred, score_mu).
+    *
+    * Shape: the control-plane model pivots WIDE driver-side — one
+    * local-relation row per vocabulary gram with one mu column per
+    * language, fallbacks pre-filled for unobserved (g, lang) — so the
+    * scan explodes doc trigrams once, left-joins the broadcast gram
+    * row (a miss takes every lang's fallback), and ONE codegen'd
+    * HashAggregate computes all |langs| per-doc sums together; the
+    * argmax is a row-local fold. The first cut crossed every
+    * occurrence with the |langs| table and ranked through a window —
+    * ×|langs| join volume and a corpus-wide window for nothing
+    * (measured 3.2 s warm at sf0.1 vs 1.3 for this shape). Empty
+    * documents score priors only. */
   def langIdScore(docs: DataFrame, model: NbLangModel,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    val langRows = model.langs.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    require(langRows.nonEmpty, "empty language model")
+    val muMap = model.grams.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1)
+      .map { case (g, rs) => g -> rs.map(r => r._2 -> r._3).toMap }
+    val wideRows = muMap.toSeq.sortBy(_._1).map { case (g, m) =>
+      org.apache.spark.sql.Row.fromSeq(g +: langRows.map {
+        case (l, _, fb) => m.getOrElse(l, fb)
+      })
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("g",
+        org.apache.spark.sql.types.StringType) +:
+      langRows.map { case (l, _, _) =>
+        org.apache.spark.sql.types.StructField(s"_mu_$l",
+          org.apache.spark.sql.types.LongType, nullable = false)
+      })
+    val wide = spark.createDataFrame(
+      java.util.Arrays.asList(wideRows: _*), schema)
     val dg = docs
       .select(col(idCol).as("_id"),
         concat(lit(" "), lower(col(textCol)), lit(" ")).as("_pad"))
-      .select(col("_id"), explode(charTrigramsOf("_pad")).as("g"))
-    val perLang = dg.crossJoin(broadcast(model.langs))
-      .join(broadcast(model.grams), Seq("g", "lang"), "left")
-      .groupBy(col("_id"), col("lang"))
-      .agg(sum(coalesce(col("mu"), col("fallback_mu"))).as("_gsum"))
+      .select(col("_id"), col("_pad"),
+        split(col("_pad"), "").as("_chars"))
+      .select(col("_id"),
+        explode(charTrigramsOf("_pad", "_chars")).as("g"))
+    val sumAggs = langRows.map { case (l, _, fb) =>
+      sum(coalesce(col(s"_mu_$l"), lit(fb))).as(s"_s_$l")
+    }
+    val sums = dg.join(broadcast(wide), Seq("g"), "left")
+      .groupBy(col("_id"))
+      .agg(sumAggs.head, sumAggs.tail: _*)
     val scored = docs.select(col(idCol).as("_id"))
-      .crossJoin(broadcast(model.langs))
-      .join(perLang, Seq("_id", "lang"), "left")
-      .select(col("_id"), col("lang"),
-        (coalesce(col("_gsum"), lit(0L)) + col("prior_mu"))
-          .as("score_mu"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("_id"))
-      .orderBy(col("score_mu").desc, col("lang").asc)
-    scored.withColumn("_rn", row_number().over(w))
-      .where(col("_rn") === 1)
-      .select(col("_id").as(idCol), col("lang").as("lang_pred"),
-        col("score_mu"))
+      .join(sums, Seq("_id"), "left")
+      .select(col("_id") +: langRows.map { case (l, p, _) =>
+        (coalesce(col(s"_s_$l"), lit(0L)) + lit(p)).as(s"_sc_$l")
+      }: _*)
+    val scoreCols = langRows.map { case (l, _, _) => col(s"_sc_$l") }
+    val maxS =
+      if (scoreCols.length == 1) scoreCols.head
+      else greatest(scoreCols: _*)
+    // left-priority argmax: the lexicographically first language in
+    // sorted order wins ties (the langId pickLeft pattern)
+    val pick = langRows.reverse.foldLeft(lit(langRows.last._1): Column) {
+      case (elseCol, (l, _, _)) =>
+        when(col(s"_sc_$l") === maxS, lit(l)).otherwise(elseCol)
+    }
+    scored.select(col("_id").as(idCol), pick.as("lang_pred"),
+      maxS.as("score_mu"))
   }
 
   // --- rolling (Rabin-style polynomial) fingerprints --------------------
