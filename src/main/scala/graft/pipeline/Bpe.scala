@@ -93,7 +93,11 @@ object Bpe {
         lit(WordRe), lit(0))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("f"))
       .withColumn("enc", initEnc(col("w")))
-    var (wf, pin) = Dedup.pinNow(base)
+    // one job per round: each round's state is pinned LAZILY and
+    // materialized BY the pair-argmax collect (its only consumer —
+    // the next round's pin builds from the warm cache), the capArrays
+    // fusion discipline
+    var (wf, pin) = Dedup.pinLazy(base)
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(String, String)]
     try {
@@ -115,7 +119,7 @@ object Bpe {
           val (a, b) = (top(0).getString(0), top(0).getString(1))
           merges += ((a, b))
           val (pat, rep) = mergePattern(a, b)
-          val (nwf, npin) = Dedup.pinNow(
+          val (nwf, npin) = Dedup.pinLazy(
             wf.withColumn("enc", replace(col("enc"), lit(pat), lit(rep))))
           pin.release()
           wf = nwf; pin = npin

@@ -743,6 +743,17 @@ object Dedup {
     * conversion the RDD path pays once at cache-write time. Columnar
     * remains available behind GRAFT_PIN_COLUMNAR=1 for re-measurement
     * on engines where the consumers stay columnar end-to-end. */
+  /** [[pin]] as a handle, WITHOUT eager materialization: for loop
+    * states whose first (and only concurrent) consumer is a
+    * control-plane collect — that job materializes the cache and the
+    * eager count would be a second pass for nothing (the capArrays
+    * fusion discipline). Use [[pinNow]] when several stages of one
+    * query read the pin concurrently. */
+  private[graft] def pinLazy(df: DataFrame): (DataFrame, PinHandle) = {
+    val (f, rdd) = pin(df)
+    (f, new PinHandle(() => { rdd.unpersist(blocking = false); () }))
+  }
+
   private[graft] def pinNow(df: DataFrame): (DataFrame, PinHandle) =
     if (columnarPin) {
       val p = df.persist(StorageLevel.MEMORY_AND_DISK)
