@@ -705,6 +705,29 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$dir/codes")
   }
 
+  /** Incrementally add vectors to a persisted PQ index: encode the
+    * new vectors against the STORED codebook (the quantization is a
+    * pure function of (codebook, vector), so append ≡ same-codebook
+    * rebuild) and append their code rows. Retrain ([[writePqIndex]])
+    * when distribution drift degrades the codebook — the
+    * [[appendToIvfIndex]] discipline. */
+  def appendToPqIndex(newEmb: DataFrame, dir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = newEmb.sparkSession
+    val cb0 = spark.read.parquet(s"$dir/codebook")
+    val codebook = spark.createDataFrame(
+      java.util.Arrays.asList(cb0.collect(): _*), cb0.schema)
+    // no cell column needed: encoding is a pure function of
+    // (codebook, vector)
+    val rows = newEmb.select(col(idCol).as("_vid"),
+      posexplode(transform(col(vecCol), x =>
+        floor(x.cast("double") * lit(1000000.0)).cast("long")))
+        .as(Seq("_i", "_mu")))
+    pqCodesOf(rows, codebook)
+      .repartition(col("_vid"))
+      .write.mode("append").parquet(s"$dir/codes")
+  }
+
   /** Serve ADC top-k from a [[writePqIndex]] index with EXPLICIT
     * query vectors — the serving shape: the per-query lookup tables
     * compute DRIVER-side from the collected codebook (|Q|·m·cells

@@ -117,6 +117,27 @@ class PipelineSpec extends AnyFunSuite {
     Similarity.writePqIndex(emb, dir, dims = 4, m = 2)
     assert(rows(Similarity.pqTopKFromIndex(spark, dir, queries, k = 5))
       == rows(inline))
+    // incremental append: an index built on half the corpus and
+    // appended with the rest serves the same ADC scores for the
+    // appended vectors as the full-build index gives them (encoding
+    // is a pure function of codebook + vector; the codebook itself
+    // differs, so compare against a same-codebook rebuild)
+    val dir3 = java.nio.file.Files.createTempDirectory("pqapp").toString
+    Similarity.writePqIndex(emb.where(col("vec_id") < 3), dir3,
+      dims = 4, m = 2)
+    Similarity.appendToPqIndex(emb.where(col("vec_id") >= 3), dir3)
+    val cb3 = spark.read.parquet(s"$dir3/codebook")
+    val codes3 = spark.read.parquet(s"$dir3/codes")
+      .orderBy("_vid", "_sub").collect().map(_.toString).toSeq
+    // rebuild the codes with the SAME stored codebook via a second
+    // append into a fresh dir holding only that codebook
+    val dir4 = java.nio.file.Files.createTempDirectory("pqapp2")
+      .toString
+    cb3.write.parquet(s"$dir4/codebook")
+    Similarity.appendToPqIndex(emb, dir4)
+    assert(spark.read.parquet(s"$dir4/codes")
+      .orderBy("_vid", "_sub").collect().map(_.toString).toSeq
+      == codes3, "append must encode exactly as a same-codebook build")
   }
 
   test("minhash lsh candidates include exact and near dups") {
