@@ -94,10 +94,15 @@ object Bpe {
       .groupBy(col("w")).agg(count(lit(1)).as("f"))
       .withColumn("enc", initEnc(col("w")))
     // one job per round: each round's state is pinned LAZILY and
-    // materialized BY the pair-argmax collect (its only consumer —
-    // the next round's pin builds from the warm cache), the capArrays
-    // fusion discipline
+    // materialized BY the pair-argmax collect (its only consumer),
+    // the capArrays fusion discipline. The superseded PARENT pin is
+    // released only AFTER that collect has materialized the child —
+    // releasing it at child-creation time (the first cut) made every
+    // round's argmax recompute through the whole unpersisted chain
+    // (O(rounds²) total work; the pinNow shape never hit this because
+    // its eager count materialized the child before the release).
     var (wf, pin) = Dedup.pinLazy(base)
+    var prevPin: Option[Dedup.PinHandle] = None
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(String, String)]
     try {
@@ -114,6 +119,9 @@ object Bpe {
           .groupBy(col("a"), col("b")).agg(sum(col("f")).as("c"))
           .orderBy(col("c").desc, col("a").asc, col("b").asc)
           .limit(1).collect()
+        // wf's pin is materialized now — its parent is safe to drop
+        prevPin.foreach(_.release())
+        prevPin = None
         if (top.isEmpty) done = true
         else {
           val (a, b) = (top(0).getString(0), top(0).getString(1))
@@ -121,12 +129,15 @@ object Bpe {
           val (pat, rep) = mergePattern(a, b)
           val (nwf, npin) = Dedup.pinLazy(
             wf.withColumn("enc", replace(col("enc"), lit(pat), lit(rep))))
-          pin.release()
+          prevPin = Some(pin)
           wf = nwf; pin = npin
         }
       }
       merges.toSeq
-    } finally pin.release()
+    } finally {
+      prevPin.foreach(_.release())
+      pin.release()
+    }
   }
 
   /** BPE token count per document under a trained merges table:

@@ -259,10 +259,18 @@ object StatTiers {
   def fieldSketchRowsOfTier(tier: DataFrame,
       numericFields: Seq[String]): DataFrame = {
     require(numericFields.nonEmpty, "no numeric fields")
-    val ents = flatten(array(numericFields.map(f =>
-      transform(map_entries(col(s"${f}__sketch")), e =>
-        struct(lit(f).as("field"), e.getField("key").as("kb"),
-          e.getField("value").as("c")))): _*))
+    // coalesce each field's entry list: baseFields always writes a
+    // map, but a null sketch in a hand-built partial would otherwise
+    // null the whole flatten and silently drop the SIBLING fields'
+    // entries for that row
+    val ents = flatten(array(numericFields.map { f =>
+      coalesce(
+        transform(map_entries(col(s"${f}__sketch")), e =>
+          struct(lit(f).as("field"), e.getField("key").as("kb"),
+            e.getField("value").as("c"))),
+        expr("CAST(array() AS " +
+          "ARRAY<STRUCT<field: STRING, kb: INT, c: BIGINT>>)"))
+    }: _*))
     tier.select(col("producer"), col("topic"), col("bucket"),
         col("width_ns"), explode(ents).as("_e"))
       .select(col("producer"), col("topic"), col("bucket"),
