@@ -479,9 +479,19 @@ object Dedup {
       groupCol: String = "source", textCol: String = "text",
       idCol: String = "doc_id",
       maxLocalGroups: Int = 10000): DataFrame = {
-    val (out, handle) = corpusOverlapSketchOwned(df, k, numHashes,
+    val (out, handle, local) = corpusOverlapSketchImpl(df, k, numHashes,
       groupCol, textCol, idCol, maxLocalGroups)
     handle.release()
+    if (!local)
+      // releasing the pin before consumption would silently re-run
+      // the corpus pass once per self-join side (the exchange-reuse
+      // disease) — the plain face refuses the large-G path instead,
+      // like corpusOverlap's maxGroups guard
+      throw new IllegalArgumentException(
+        s"corpusOverlapSketch: group count exceeds " +
+          s"maxLocalGroups=$maxLocalGroups — use " +
+          "corpusOverlapSketchOwned (the pinned distributed pair " +
+          "join) and release() after consuming")
     out
   }
 
@@ -502,12 +512,22 @@ object Dedup {
     *    pair join runs as a shuffle-hash self-join (pinned leaves
     *    carry no stats, so the hint — not Catalyst's worst-case
     *    sort-merge — picks the join). The caller must consume the
-    *    result, then `release()`; the plain face releases the pin
-    *    BEFORE the result is consumed and is only safe for small G. */
+    *    result, then `release()`; the plain face cannot hold the pin
+    *    across consumption, so it REFUSES the large-G path (throws,
+    *    the corpusOverlap maxGroups precedent). */
   def corpusOverlapSketchOwned(df: DataFrame, k: Int,
       numHashes: Int = 64, groupCol: String = "source",
       textCol: String = "text", idCol: String = "doc_id",
       maxLocalGroups: Int = 10000): (DataFrame, PinHandle) = {
+    val (out, handle, _) = corpusOverlapSketchImpl(df, k, numHashes,
+      groupCol, textCol, idCol, maxLocalGroups)
+    (out, handle)
+  }
+
+  private def corpusOverlapSketchImpl(df: DataFrame, k: Int,
+      numHashes: Int, groupCol: String, textCol: String,
+      idCol: String, maxLocalGroups: Int)
+      : (DataFrame, PinHandle, Boolean) = {
     require(numHashes >= 1 && numHashes <= 512,
       s"numHashes must be in [1, 512]: $numHashes")
     require(maxLocalGroups >= 1,
@@ -527,7 +547,9 @@ object Dedup {
     // Pin the G-row matrix: the group-cardinality probe below AND
     // (on the large-G path) both self-join sides read it without
     // re-running the corpus pass (exchange reuse is best-effort).
-    val (sig, handle) = pinNow(
+    // lazy pin: the group-count probe is the single next consumer and
+    // materializes the matrix in its own job (the pinLazy discipline)
+    val (sig, handle) = pinLazy(
       sh.groupBy(col("_g")).agg(sigCols.head, sigCols.tail: _*))
     val nGroups = sig.count()
     def pairsOf(comp: DataFrame, hinted: Boolean): DataFrame = {
@@ -554,13 +576,13 @@ object Dedup {
           org.apache.spark.sql.types.LongType)))
       val comp = spark.createDataFrame(
         java.util.Arrays.asList(rows: _*), schema)
-      (pairsOf(comp, hinted = false), new PinHandle(() => ()))
+      (pairsOf(comp, hinted = false), new PinHandle(() => ()), true)
     } else {
       val comp = sig.select(col("_g"), explode(array(
         (0 until numHashes).map(i =>
           struct(lit(i).as("i"), col(s"_h$i").as("h"))): _*)).as("c"))
         .select(col("_g"), col("c.i").as("i"), col("c.h").as("h"))
-      (pairsOf(comp, hinted = true), handle)
+      (pairsOf(comp, hinted = true), handle, false)
     }
   }
 
@@ -748,11 +770,16 @@ object Dedup {
     * control-plane collect — that job materializes the cache and the
     * eager count would be a second pass for nothing (the capArrays
     * fusion discipline). Use [[pinNow]] when several stages of one
-    * query read the pin concurrently. */
-  private[graft] def pinLazy(df: DataFrame): (DataFrame, PinHandle) = {
-    val (f, rdd) = pin(df)
-    (f, new PinHandle(() => { rdd.unpersist(blocking = false); () }))
-  }
+    * query read the pin concurrently. Honors the same
+    * GRAFT_PIN_COLUMNAR re-measurement flag as [[pinNow]]. */
+  private[graft] def pinLazy(df: DataFrame): (DataFrame, PinHandle) =
+    if (columnarPin) {
+      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+      (p, new PinHandle(() => { p.unpersist(blocking = false); () }))
+    } else {
+      val (f, rdd) = pin(df)
+      (f, new PinHandle(() => { rdd.unpersist(blocking = false); () }))
+    }
 
   private[graft] def pinNow(df: DataFrame): (DataFrame, PinHandle) =
     if (columnarPin) {

@@ -751,7 +751,14 @@ object Similarity {
         col("_sub").cast("int"), col("_cmu").cast("long"))
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2),
         r.getLong(3)))
+    val dims = cb.map(_._1).max + 1
     val lutRows = queries.flatMap { case (qid, vec) =>
+      // a longer vector would silently truncate to the index dims, a
+      // shorter one would throw a bare index error mid-fold — fail at
+      // entry with the actual constraint (the mmrTopK discipline)
+      require(vec.length == dims,
+        s"pqTopKFromIndex: query $qid has ${vec.length} dims, " +
+          s"index has $dims")
       val mu = vec.map(x =>
         math.floor(x.toDouble * 1000000.0).toLong).toArray
       cb.groupBy(r => (r._3, r._2)).toSeq.map { case ((sub, cell), rs) =>

@@ -152,7 +152,9 @@ object TextOps {
     * (map-side combined) and a kilobyte-scale join tree — training is
     * one pass over the sample. */
   def trainLangId(train: DataFrame, langCol: String = "lang",
-      textCol: String = "text"): NbLangModel = {
+      textCol: String = "text",
+      maxVocab: Int = 2000000): NbLangModel = {
+    require(maxVocab >= 1, s"maxVocab >= 1: $maxVocab")
     val spark = train.sparkSession
     val tg = train
       .select(col(langCol).as("lang"),
@@ -172,9 +174,21 @@ object TextOps {
     // of job overhead PER SCORING CALL. Driver math is exact-identical
     // to the Spark expressions it replaces: java.lang.Math.log is the
     // same function codegen emits, over the same IEEE quotients.
+    // `maxVocab` guards the collect: "bounded by charset³" fails on
+    // CJK/unicode corpora where distinct char trigrams scale with the
+    // corpus — past the cap, train on a sample or a restricted
+    // charset rather than silently pulling a corpus-sized vocabulary
+    // into the driver (every unbounded collect gets its guard wired
+    // at the ENTRY — the working-notes rule)
     val cgl = tg.groupBy(col("g"), col("lang"))
       .agg(count(lit(1)).as("c"))
+      .limit(maxVocab + 1)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    if (cgl.length > maxVocab)
+      throw new IllegalArgumentException(
+        s"trainLangId: (trigram, lang) vocabulary exceeds " +
+          s"maxVocab=$maxVocab — the model is control-plane by " +
+          "contract; train on a sample or restrict the charset")
     val docCounts = train.groupBy(col(langCol).as("lang"))
       .agg(count(lit(1)).as("nl"))
       .collect().map(r => r.getString(0) -> r.getLong(1))
@@ -259,7 +273,7 @@ object TextOps {
       .select(col("_id"),
         explode(charTrigramsOf("_pad", "_chars")).as("g"))
     val sumAggs = langRows.map { case (l, _, fb) =>
-      sum(coalesce(col(s"_mu_$l"), lit(fb))).as(s"_s_$l")
+      sum(coalesce(col(s"`_mu_$l`"), lit(fb))).as(s"_s_$l")
     }
     val sums = dg.join(broadcast(wide), Seq("g"), "left")
       .groupBy(col("_id"))
@@ -267,9 +281,9 @@ object TextOps {
     val scored = docs.select(col(idCol).as("_id"))
       .join(sums, Seq("_id"), "left")
       .select(col("_id") +: langRows.map { case (l, p, _) =>
-        (coalesce(col(s"_s_$l"), lit(0L)) + lit(p)).as(s"_sc_$l")
+        (coalesce(col(s"`_s_$l`"), lit(0L)) + lit(p)).as(s"_sc_$l")
       }: _*)
-    val scoreCols = langRows.map { case (l, _, _) => col(s"_sc_$l") }
+    val scoreCols = langRows.map { case (l, _, _) => col(s"`_sc_$l`") }
     val maxS =
       if (scoreCols.length == 1) scoreCols.head
       else greatest(scoreCols: _*)
@@ -277,7 +291,7 @@ object TextOps {
     // sorted order wins ties (the langId pickLeft pattern)
     val pick = langRows.reverse.foldLeft(lit(langRows.last._1): Column) {
       case (elseCol, (l, _, _)) =>
-        when(col(s"_sc_$l") === maxS, lit(l)).otherwise(elseCol)
+        when(col(s"`_sc_$l`") === maxS, lit(l)).otherwise(elseCol)
     }
     scored.select(col("_id").as(idCol), pick.as("lang_pred"),
       maxS.as("score_mu"))

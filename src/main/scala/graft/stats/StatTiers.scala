@@ -229,26 +229,46 @@ object StatTiers {
       .select(col("producer"), col("topic"), col("start_ns"),
         col("end_ns"), col("msg_count"), col("_f.*"))
     if (quantiles.isEmpty) flat
-    else {
-      val qt = serveQuantileRows(
-          fieldSketchRowsOfTier(tier, numericFields), quantiles,
-          keys = Seq("producer", "topic", "field"))
-        .withColumn("start_ns", col("bucket") * col("width_ns"))
-        .drop("bucket", "width_ns")
-      val joined = flat.join(qt,
-        Seq("producer", "topic", "field", "start_ns"), "left")
-      // numeric bins with no finite samples (or no matching sketch
-      // rows) serve NaN like DDSketch.quantile on an empty map; text
-      // rows keep null quantiles
-      val fixed = quantiles.foldLeft(joined) { (df, p) =>
-        val n = s"p${(p * 100).toInt}"
-        df.withColumn(n, when(col("field_type") === "numeric",
-          coalesce(col(n), lit(Double.NaN))))
-      }
-      // restore the unpivot's column order (join moved the keys first)
-      fixed.select((flat.columns.map(col) ++
-        quantiles.map(p => col(s"p${(p * 100).toInt}"))): _*)
+    else withQuantiles(flat, fieldQuantileTable(tier, numericFields,
+        quantiles),
+      Seq("producer", "topic", "field", "start_ns"), quantiles,
+      byFieldType = true)
+  }
+
+  /** The per-field quantile table for a rolled tier — None for
+    * text-only field sets (a supported configuration: the serve faces
+    * then emit null quantile columns without a join). */
+  private def fieldQuantileTable(tier: DataFrame,
+      numericFields: Seq[String], quantiles: Seq[Double])
+      : Option[DataFrame] =
+    if (numericFields.isEmpty) None
+    else Some(serveQuantileRows(
+        fieldSketchRowsOfTier(tier, numericFields), quantiles,
+        keys = Seq("producer", "topic", "field"))
+      .withColumn("start_ns", col("bucket") * col("width_ns"))
+      .drop("bucket", "width_ns"))
+
+  /** Left-join a quantile table onto flat serve records, fill the
+    * DDSketch empty-map semantics (NaN for numeric rows, null for
+    * text), and restore the flat column order — the ONE
+    * implementation behind every serving face (four hand-rolled
+    * copies had already diverged once: the text-only path). */
+  private def withQuantiles(flat: DataFrame, qt: Option[DataFrame],
+      joinKeys: Seq[String], quantiles: Seq[Double],
+      byFieldType: Boolean): DataFrame = {
+    val pCols = quantiles.map(p => s"p${(p * 100).toInt}")
+    val joined = qt match {
+      case Some(q) => flat.join(q, joinKeys, "left")
+      case None => pCols.foldLeft(flat)((df, n) =>
+        df.withColumn(n, lit(null).cast("double")))
     }
+    val fixed = pCols.foldLeft(joined) { (df, n) =>
+      val filled = coalesce(col(n), lit(Double.NaN))
+      df.withColumn(n,
+        if (byFieldType) when(col("field_type") === "numeric", filled)
+        else filled)
+    }
+    fixed.select((flat.columns.map(col) ++ pCols.map(col)): _*)
   }
 
   /** Per-field sketch maps of a per-field tier in (kb, c) row form —
@@ -321,19 +341,11 @@ object StatTiers {
       mean.as("num_mean"))
     val out =
       if (quantiles.isEmpty) base
-      else {
-        val qt = serveQuantileRows(sketchRowsOfTier(tier), quantiles)
-          .drop("width_ns")
-        val joined = base.join(qt,
-          Seq("producer", "topic", "bucket"), "left")
-        // bins whose sketch is empty (no finite samples) serve NaN,
-        // exactly like DDSketch.quantile on an empty map
-        quantiles.foldLeft(joined) { (df, p) =>
-          val n = s"p${(p * 100).toInt}"
-          df.withColumn(n, coalesce(col(n), lit(Double.NaN)))
-        }
-      }
-    // join moved the keys first; restore serve's column order
+      else withQuantiles(base,
+        Some(serveQuantileRows(sketchRowsOfTier(tier), quantiles)
+          .drop("width_ns")),
+        Seq("producer", "topic", "bucket"), quantiles,
+        byFieldType = false)
     out.select((base.columns.filterNot(_ == "bucket").map(col) ++
       quantiles.map(p => col(s"p${(p * 100).toInt}"))): _*)
   }
@@ -399,17 +411,12 @@ object StatTiers {
         .as("num_mean"))): _*)
     val out =
       if (quantiles.isEmpty) base
-      else {
-        val qt = serveQuantileRows(
+      else withQuantiles(base,
+        Some(serveQuantileRows(
             rollupSketchRows(sketchRowsOfTier(partials), factor, keys),
             quantiles, keys)
-          .drop("width_ns")
-        val joined = base.join(qt, keys :+ "bucket", "left")
-        quantiles.foldLeft(joined) { (df, p) =>
-          val n = s"p${(p * 100).toInt}"
-          df.withColumn(n, coalesce(col(n), lit(Double.NaN)))
-        }
-      }
+          .drop("width_ns")),
+        keys :+ "bucket", quantiles, byFieldType = false)
     out.select((base.columns.filterNot(_ == "bucket").map(col) ++
       quantiles.map(p => col(s"p${(p * 100).toInt}"))): _*)
   }
@@ -610,22 +617,18 @@ object StatTiers {
       quantiles = Nil)
     if (quantiles.isEmpty) flat
     else {
-      val qt = serveQuantileRows(
-          rollupSketchRows(
-            fieldSketchRowsOfTier(partials, numericFields), factor,
-            keys = Seq("producer", "topic", "field")),
-          quantiles, keys = Seq("producer", "topic", "field"))
-        .withColumn("start_ns", col("bucket") * col("width_ns"))
-        .drop("bucket", "width_ns")
-      val joined = flat.join(qt,
-        Seq("producer", "topic", "field", "start_ns"), "left")
-      val fixed = quantiles.foldLeft(joined) { (df, p) =>
-        val n = s"p${(p * 100).toInt}"
-        df.withColumn(n, when(col("field_type") === "numeric",
-          coalesce(col(n), lit(Double.NaN))))
-      }
-      fixed.select((flat.columns.map(col) ++
-        quantiles.map(p => col(s"p${(p * 100).toInt}"))): _*)
+      val qt =
+        if (numericFields.isEmpty) None
+        else Some(serveQuantileRows(
+            rollupSketchRows(
+              fieldSketchRowsOfTier(partials, numericFields), factor,
+              keys = Seq("producer", "topic", "field")),
+            quantiles, keys = Seq("producer", "topic", "field"))
+          .withColumn("start_ns", col("bucket") * col("width_ns"))
+          .drop("bucket", "width_ns"))
+      withQuantiles(flat, qt,
+        Seq("producer", "topic", "field", "start_ns"), quantiles,
+        byFieldType = true)
     }
   }
 

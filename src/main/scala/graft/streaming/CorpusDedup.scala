@@ -119,15 +119,21 @@ object CorpusDedup {
           tier, fps, nBuckets, nWords, kHashes, textCol)
         (s, Some(p))
       } else (batch.drop("_fp"), None)
-    // one computation of the accepted set feeds all three writes;
-    // pinNow severs lineage to the sidecar reads, so the overwrites
-    // below never write a path their own plan is reading
-    val (pinned, pin) = graft.pipeline.Dedup.pinNow(
+    // one computation of the accepted set feeds all three writes; the
+    // pin severs lineage to the sidecar reads, so the overwrites
+    // below never write a path their own plan is reading. Lazy pin:
+    // the count below is the single next consumer and materializes
+    // the cache in its own job (the pinLazy discipline) — the tier
+    // pin is released only AFTER that, or the count would recompute
+    // through the released prefilter
+    val (pinned, pin) = graft.pipeline.Dedup.pinLazy(
       Bloom.withBloomWords(survivors, nBuckets, nWords, kHashes,
         textCol))
-    tierPin.foreach(_.release()) // accepted set is materialized now
     try {
-      val n = pinned.count()
+      // release the prefilter the moment the accepted set is
+      // materialized (finally: also on failure)
+      val n =
+        try pinned.count() finally tierPin.foreach(_.release())
       if (n > 0) {
         writeVersioned(version)(
           pinned.select(batch0.columns.map(col): _*), corpusDir)
@@ -208,7 +214,10 @@ object CorpusDedup {
     // one pinned frame of (id, distinct-shingle array, size): feeds
     // the candidate join's batch side, the survivor filter, and the
     // postings append — the jaccardPairs pin discipline
-    val (arr, pin) = Dedup.pinNow(
+    // lazy pin: the first consumer is single either way (the bucket-set
+    // collect when a corpus exists, else the survivor count) and
+    // materializes the cache in its own job
+    val (arr, pin) = Dedup.pinLazy(
       graft.util.Spread.ensure(
         batch0.select(col(idCol).as("_id"), col(textCol)), Seq(col("_id")))
         .select(col("_id"),
@@ -237,7 +246,8 @@ object CorpusDedup {
           NearDupPlan.flagged(arr, postings, maxDf, threshold)
         }
       val survivors = arr.join(broadcast(flagged), Seq("_id"), "left_anti")
-      val (pinnedSurv, survPin) = Dedup.pinNow(survivors)
+      // lazy: the count is the single next consumer (pinLazy rule)
+      val (pinnedSurv, survPin) = Dedup.pinLazy(survivors)
       try {
         val n = pinnedSurv.count()
         if (n > 0) {
@@ -357,8 +367,10 @@ object CorpusDedup {
       "appendBatchSemantic needs a trained coarse quantizer (cents)")
     // one pinned frame of (id, vector, norm, cell): feeds the
     // candidate join's broadcast side, the survivor filter, and the
-    // sidecar append
-    val (arr, pin) = Dedup.pinNow(
+    // sidecar append. Lazy: the first consumer is single either way
+    // (the cell-set collect when a corpus exists, else the survivor
+    // count) and materializes the cache in its own job
+    val (arr, pin) = Dedup.pinLazy(
       Similarity.assignCells(
         batch0.select(col(idCol).as("_id"), col(vecCol).as("_v")),
         cents, "_v")
@@ -380,7 +392,8 @@ object CorpusDedup {
           SemanticPlan.flagged(arr, accepted, threshold)
         }
       val survivors = arr.join(broadcast(flagged), Seq("_id"), "left_anti")
-      val (pinnedSurv, survPin) = Dedup.pinNow(survivors)
+      // lazy: the count is the single next consumer (pinLazy rule)
+      val (pinnedSurv, survPin) = Dedup.pinLazy(survivors)
       try {
         val n = pinnedSurv.count()
         if (n > 0) {

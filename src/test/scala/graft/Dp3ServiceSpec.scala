@@ -378,6 +378,22 @@ class Dp3ServiceSpec extends AnyFunSuite {
       && p.isNullAt(p.fieldIndex("num_count")))
   }
 
+  test("statrange per-field serves TEXT-ONLY field sets with null " +
+      "quantiles (round-13 regression: the quantile join must not " +
+      "demand numeric fields)") {
+    val bins = svc.statRangeFields(spark, 3600L * 1000000000L,
+      numericFields = Nil, textFields = Seq("props"),
+      topic = Some("click"))
+    val rows = bins.limit(5).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[String]("field_type") == "text")
+      assert(!r.isNullAt(r.fieldIndex("text_min")))
+      assert(r.isNullAt(r.fieldIndex("p50"))
+        && r.isNullAt(r.fieldIndex("p95")))
+    }
+  }
+
   test("catalog listings: topics, producers, tables") {
     val ts = svc.topics(spark).collect().map(_.getString(0)).toSeq
     assert(ts.contains("click") && ts.contains("error"))
