@@ -376,9 +376,23 @@ final class Dp3Http(svc: Dp3Service, spark: SparkSession,
             throw new IllegalArgumentException("missing granularity"))
           val statSvc = field("database").map(n => dbFor(n).svc)
             .getOrElse(svc)
-          var df = statSvc.statRange(spark, gran,
-            num("start").getOrElse(0L),
-            num("end").getOrElse(Long.MaxValue))
+          // `numeric`/`text` select the per-FIELD face (the
+          // reference's statrange serves every schema field —
+          // statistics.go:305-313); without them the value-column
+          // face answers, as before
+          val numeric = field("numeric").toSeq
+            .flatMap(_.split(",")).filter(_.nonEmpty)
+          val text = field("text").toSeq
+            .flatMap(_.split(",")).filter(_.nonEmpty)
+          var df =
+            if (numeric.nonEmpty || text.nonEmpty)
+              statSvc.statRangeFields(spark, gran, numeric, text,
+                topic = field("topic"),
+                startNs = num("start").getOrElse(0L),
+                endNs = num("end").getOrElse(Long.MaxValue))
+            else statSvc.statRange(spark, gran,
+              num("start").getOrElse(0L),
+              num("end").getOrElse(Long.MaxValue))
           field("topic").foreach(t =>
             df = df.where(org.apache.spark.sql.functions.col("topic") === t))
           field("producer").foreach(pr => df =

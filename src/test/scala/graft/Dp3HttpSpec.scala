@@ -110,6 +110,14 @@ class Dp3HttpSpec extends AnyFunSuite {
     assert(viaPost.statusCode() == 200)
     assert(viaPost.body().linesIterator.size
       <= viaGet.body().linesIterator.size)
+    // the per-field face (the reference serves statistics for every
+    // schema field): numeric/text params select it
+    val fields = get("/statrange?granularity=3600000000000" +
+      "&numeric=value,k&text=props&topic=click")
+    assert(fields.statusCode() == 200)
+    val line = fields.body().linesIterator.next()
+    assert(line.contains("\"field\"") && line.contains("\"field_type\""),
+      line)
   }
 
   test("unknown route is a JSON 404") {
