@@ -672,6 +672,14 @@ object SparkEntry {
         w = 8, minShared = 2L)
         .orderBy("id_a", "id_b")),
 
+    // passage-level duplicate-text REMOVAL (Lee et al. 2021): every
+    // duplicated 8-token window keeps its first (doc, pos) occurrence
+    // and is scrubbed everywhere else; aggregate-shaped (one window
+    // over the two-lane fingerprint), never a pair join
+    "d_passage_dedup" -> ((s, dir) =>
+      Dedup.removeSharedPassages(Tables.load(s, dir, "documents"), w = 8)
+        .orderBy("doc_id")),
+
     "d_embed_neardup" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(Tables.load(s, dir, "embeddings"),
         threshold = 0.3, cellCol = Some("label"))
@@ -2162,6 +2170,61 @@ object SparkEntry {
 
     // same polynomial fold as t_rolling_fp at w=8, distinct per doc,
     // inverted-index self-join on the fingerprint
+    // passage removal: the d_overlap_pairs fold on BOTH fingerprint
+    // lanes (disjoint md5 substrings, different base/modulus — a
+    // single ~30-bit lane collides at birthday scale and here a
+    // collision deletes text); duplicated windows keep the first
+    // (doc, pos) occurrence, later ones scrub their token coverage
+    "d_passage_dedup" ->
+      """WITH t AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '')
+        |      AS toks
+        |  FROM documents),
+        | hh AS (
+        |  SELECT doc_id,
+        |    list_transform(toks, x ->
+        |      CAST(('0x' || substring(md5(x),1,15)) AS BIGINT)
+        |        % 1000000007) AS t1,
+        |    list_transform(toks, x ->
+        |      CAST(('0x' || substring(md5(x),16,15)) AS BIGINT)
+        |        % 999999937) AS t2
+        |  FROM t),
+        | occ AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |    list_reduce(t1[i:i+7],
+        |      (a,x) -> (a*1000003 + x) % 1000000007) AS f1,
+        |    list_reduce(t2[i:i+7],
+        |      (a,x) -> (a*1000033 + x) % 999999937) AS f2
+        |  FROM hh, UNNEST(range(1, len(t1) - 6)) AS u(i)
+        |  WHERE len(t1) >= 8),
+        | marked AS (
+        |  SELECT doc_id, pos,
+        |    count(*) OVER (PARTITION BY f1, f2) AS cnt,
+        |    row_number() OVER (PARTITION BY f1, f2
+        |      ORDER BY doc_id, pos) AS rn
+        |  FROM occ),
+        | rem AS (SELECT doc_id, pos FROM marked
+        |   WHERE cnt >= 2 AND rn > 1),
+        | cov AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id, pos + k AS tp
+        |  FROM rem, UNNEST(range(0, 8)) AS u(k)),
+        | covagg AS (SELECT doc_id, count(*) AS n_removed
+        |   FROM cov GROUP BY doc_id),
+        | tok AS (SELECT doc_id, unnest(toks) AS tok,
+        |   unnest(range(len(toks))) AS tp FROM t),
+        | surv AS (SELECT k.doc_id, k.tp, k.tok FROM tok k
+        |   ANTI JOIN cov c ON c.doc_id = k.doc_id AND c.tp = k.tp),
+        | rec AS (SELECT doc_id,
+        |   string_agg(tok, ' ' ORDER BY tp) AS text_dedup
+        |  FROM surv GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(ca.n_removed, 0) AS BIGINT) AS n_removed,
+        |  coalesce(r.text_dedup, '') AS text_dedup
+        |FROM t LEFT JOIN covagg ca USING (doc_id)
+        |  LEFT JOIN rec r USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
     "d_overlap_pairs" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -719,6 +719,83 @@ object Dedup {
     (pairs, handle)
   }
 
+  /** Passage-level duplicate-text REMOVAL (the "deduplicate training
+    * data" operator of Lee et al. 2021, ExactSubstr-style): every
+    * `w`-token window whose rolling fingerprint occurs more than once
+    * in the corpus — across documents OR repeated inside one — keeps
+    * its FIRST occurrence (min (doc, pos)) and is scrubbed everywhere
+    * else; documents are re-emitted with the covered token positions
+    * deleted. [[overlapPairs]] DETECTS shared passages pairwise; this
+    * is the companion that actually edits the corpus (boilerplate
+    * headers, license blocks, decoding loops).
+    *
+    * Shape — aggregate, never pair-join, so no quadratic guard is
+    * needed: occurrences (id, pos, fp) are corpus-token-proportional
+    * and take ONE hash shuffle on the fingerprint (a window computes
+    * occurrence count + first-occurrence rank together); coverage
+    * explodes only REMOVED occurrences (duplication-proportional) and
+    * re-aggregates per doc; reconstruction joins the per-doc covered
+    * set (≤ one row per doc) back on the id and rebuilds the text
+    * row-locally — `array_except` is hash-set backed (O(n + c) per
+    * doc, order-preserving) and tokens are O(1) `element_at` lookups
+    * off the bound array. A boilerplate window with millions of
+    * occurrences costs only its own narrow occurrence rows in one
+    * window partition — linear, unlike the pair generators where hot
+    * keys explode quadratically. The corpus is tokenized twice (scan
+    * is cheaper than caching token arrays — measured 0.29 vs 0.82 s).
+    *
+    * Fingerprints key on TWO independent rolling lanes (disjoint md5
+    * bits, different base/modulus): one ~30-bit lane collides at
+    * birthday scale ~31k windows, and here a collision DELETES
+    * unrelated text rather than costing a filtered candidate — the
+    * paired key pushes that past 2^59 (see TextOps.RollB2).
+    *
+    * Returns one row per input doc: (idCol, n_tokens, n_removed,
+    * text_dedup) — text rebuilt from surviving lowercased tokens
+    * joined by single spaces (the lexical family's canonical token
+    * stream); docs shorter than `w` tokens pass through whole. */
+  def removeSharedPassages(df: DataFrame, w: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(w >= 1, "window >= 1")
+    val base = spread(df.select(col(idCol).as("_id"), col(textCol)), "_id")
+      .select(col("_id"), TextOps.tokens(lower(col(textCol))).as("_toks"))
+    // occurrence frame: both fingerprint lanes from ONE md5 projection
+    val occ = base
+      .select(col("_id"), TextOps.tokenMd5s(col("_toks")).as("_ms"))
+      .select(col("_id"),
+        TextOps.tokenHashesFromMd5s(col("_ms")).as("_h1"),
+        TextOps.tokenHashes2FromMd5s(col("_ms")).as("_h2"))
+      .select(col("_id"), posexplode(zip_with(
+        TextOps.rollingFromHashes(col("_h1"), w),
+        TextOps.rollingFromHashes2(col("_h2"), w),
+        (a, b) => struct(a.as("f1"), b.as("f2")))).as(Seq("_pos", "_fp")))
+      .select(col("_id"), col("_pos"),
+        col("_fp.f1").as("_f1"), col("_fp.f2").as("_f2"))
+    val part = Window.partitionBy("_f1", "_f2")
+    val removed = occ
+      .withColumn("_cnt", count(lit(1)).over(part))
+      .withColumn("_rn", row_number().over(
+        part.orderBy(col("_id"), col("_pos"))))
+      .where(col("_cnt") >= 2 && col("_rn") > 1)
+    val covered = removed
+      .select(col("_id"),
+        explode(sequence(col("_pos"), col("_pos") + lit(w - 1))).as("_tp"))
+      .groupBy("_id")
+      .agg(sort_array(collect_set(col("_tp"))).as("_cov"))
+    base.join(covered, Seq("_id"), "left")
+      .withColumn("_cov2", coalesce(col("_cov"), array().cast("array<int>")))
+      .select(col("_id").as(idCol),
+        size(col("_toks")).cast("long").as("n_tokens"),
+        size(col("_cov2")).cast("long").as("n_removed"),
+        concat_ws(" ", transform(
+          array_except(
+            when(size(col("_toks")) === 0, array().cast("array<int>"))
+              .otherwise(sequence(lit(0), size(col("_toks")) - 1)),
+            col("_cov2")),
+          i => element_at(col("_toks"), i + lit(1)))).as("text_dedup"))
+  }
+
   /** Ownership handle for pinned cache blocks. Returned by the
     * `*Owned` variants so a library caller can free the blocks the
     * moment the result is consumed, instead of relying on a global

@@ -331,6 +331,46 @@ object TextOps {
       .otherwise(array().cast("array<long>"))
   }
 
+  /** Independent second fingerprint lane (different base AND modulus,
+    * fed by a DISJOINT md5 substring). A single ~30-bit rolling lane
+    * collides at birthday scale ~√M ≈ 31k windows — fine for
+    * candidate GENERATION (a collision costs one false candidate the
+    * exact filter drops) but not for operators whose fingerprint
+    * equality directly EDITS data ([[Dedup.removeSharedPassages]]):
+    * there a collision silently deletes unrelated text. Keying on
+    * both lanes puts collisions past 2^59. */
+  val RollB2 = 1000033L
+  val RollM2 = 999999937L
+
+  /** md5 hex strings per token — project ONCE, derive both hash lanes
+    * from the bound attribute (the lambda-CSE rule: md5 inlined in two
+    * lanes would run twice per token). */
+  def tokenMd5s(toks: Column): Column = transform(toks, t => md5(t))
+
+  /** Lane-1 per-token hashes from pre-projected md5 strings —
+    * identical values to [[tokenHashes]]. */
+  def tokenHashesFromMd5s(ms: Column): Column =
+    transform(ms, s =>
+      pmod(conv(substring(s, 1, 15), 16, 10).cast("long"), lit(RollM)))
+
+  /** Lane-2 per-token hashes: hex chars 16-30 of the same md5 (disjoint
+    * bits from lane 1) mod [[RollM2]]. */
+  def tokenHashes2FromMd5s(ms: Column): Column =
+    transform(ms, s =>
+      pmod(conv(substring(s, 16, 15), 16, 10).cast("long"), lit(RollM2)))
+
+  /** Lane-2 rolling fingerprints — the [[rollingFromHashes]] fold with
+    * ([[RollB2]], [[RollM2]]); products stay < 2^50, far inside Long
+    * on both engines. */
+  def rollingFromHashes2(th: Column, w: Int): Column = {
+    require(w >= 1, "window >= 1")
+    when(size(th) >= w,
+      transform(sequence(lit(0), size(th) - w),
+        i => aggregate(slice(th, i + lit(1), lit(w)), lit(0L),
+          (acc, x) => pmod(acc * lit(RollB2) + x, lit(RollM2)))))
+      .otherwise(array().cast("array<long>"))
+  }
+
   /** Word n-grams over a BOUND token-array attribute (project the
     * tokens into a named column first — the lambda-CSE trap, see
     * [[tokenHashes]]). */

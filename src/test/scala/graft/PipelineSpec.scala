@@ -656,6 +656,49 @@ class PipelineSpec extends AnyFunSuite {
     assert(capped == Set((100L, 101L)))
   }
 
+  test("passage removal scrubs later occurrences, keeps the first") {
+    val corpus = Seq(
+      (0L, "intro words here one two three four five"), // passage @3
+      (1L, "one two three four five and a tail"),       // passage @0
+      (2L, "nothing shared with anybody else at all")
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeSharedPassages(corpus, w = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // owner = min (doc, pos) = doc 0: untouched; doc 1 loses tokens 0-4
+    assert(got(0L) == ((8L, 0L, "intro words here one two three four five")))
+    assert(got(1L) == ((8L, 5L, "and a tail")))
+    assert(got(2L) == ((7L, 0L, "nothing shared with anybody else at all")))
+  }
+
+  test("passage removal scrubs intra-doc repetition") {
+    val corpus = Seq(
+      (7L, "aa bb cc dd ee zz aa bb cc dd ee")).toDF("doc_id", "text")
+    val r = Dedup.removeSharedPassages(corpus, w = 5).collect().head
+    assert((r.getLong(1), r.getLong(2), r.getString(3)) ==
+      ((11L, 5L, "aa bb cc dd ee zz")))
+  }
+
+  test("passage removal: short and empty docs pass through whole") {
+    val corpus = Seq(
+      (0L, "too short"), (1L, "too short"), (2L, "")
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeSharedPassages(corpus, w = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(0L) == ((2L, 0L, "too short")))
+    assert(got(1L) == ((2L, 0L, "too short"))) // dup but un-windowable
+    assert(got(2L) == ((0L, 0L, "")))
+  }
+
+  test("passage removal can empty a fully-duplicated doc") {
+    val corpus = Seq(
+      (3L, "p q r s t"), (4L, "p q r s t")).toDF("doc_id", "text")
+    val got = Dedup.removeSharedPassages(corpus, w = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(got == Map(3L -> "p q r s t", 4L -> ""))
+  }
+
   test("batch ivf topk equals per-query ivf topk") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f), 1),

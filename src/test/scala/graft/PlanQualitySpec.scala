@@ -213,6 +213,20 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("passage removal is aggregate-shaped: two corpus scans, one " +
+      "window exchange, no pair join") {
+    val df = SparkEntry.queries("d_passage_dedup")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    // occurrence branch + reconstruction branch — never per-consumer
+    // re-execution beyond those two, and never a self-join
+    assert(p.linesIterator.count(l => l.contains("FileScan")
+      && l.contains("documents.parquet")) == 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // exactly one Window stage computes count + first-occurrence rank
+    assert(p.linesIterator.count(_.trim.startsWith("Window")) <= 2, p)
+  }
+
   test("source overlap: id self-join shuffled-hash, sizes broadcast, " +
       "never sort-merge") {
     // the (group, shingle-id) pin carries no stats — without the
