@@ -936,15 +936,18 @@ object Dedup {
     * labels vs `_old` is exactly the right termination test (see
     * above). */
   def clusters(ids: DataFrame, pairs: DataFrame,
-      idCol: String = "doc_id", maxIters: Int = 50): DataFrame =
-    clustersOwned(ids, pairs, idCol, maxIters)._1
+      idCol: String = "doc_id", maxIters: Int = 50,
+      localMaxEdges: Int = 1 << 18): DataFrame =
+    clustersOwned(ids, pairs, idCol, maxIters, localMaxEdges)._1
 
   /** [[clusters]] plus the [[PinHandle]] owning the final round's
     * pinned label blocks: consume the frame, then `release()`. */
   def clustersOwned(ids: DataFrame, pairs: DataFrame,
-      idCol: String = "doc_id", maxIters: Int = 50)
+      idCol: String = "doc_id", maxIters: Int = 50,
+      localMaxEdges: Int = 1 << 18)
       : (DataFrame, PinHandle) = {
-    val (df, h, _) = clustersCounted(ids, pairs, idCol, maxIters)
+    val (df, h, _) = clustersCounted(ids, pairs, idCol, maxIters,
+      localMaxEdges = localMaxEdges)
     (df, h)
   }
 
@@ -958,10 +961,29 @@ object Dedup {
     * reaches the fixpoint — every node adjacent to its component
     * min — one confirms, on the cheap jump-only plan); a diameter-d
     * component needs ~log2(d)+2 REGARDLESS of how ids are placed on
-    * the topology (see the contraction note in the loop). */
+    * the topology (see the contraction note in the loop).
+    *
+    * CONTROL-PLANE FAST PATH (`localMaxEdges`, round 13): a connected-
+    * components problem whose edge list fits the driver is a
+    * control-plane computation, not a distributed one — the BSP
+    * loop's cost at that size is pure per-round scheduler latency
+    * (~1.4 s of small jobs at sf0.1 for 2 rounds + contraction). The
+    * edge pin's materialization is FUSED with a bounded
+    * `limit(n+1).collect()` probe (the capArrays discipline: the same
+    * job caches the blocks and returns the rows), so the size check
+    * costs zero extra jobs on either path. At or under the bound the
+    * labels come from driver union-find (min-id per component —
+    * identical labels by construction, spec-pinned equivalent) joined
+    * back as a broadcast local relation; past it — corpus-scale
+    * graphs, where per-round work is data-bound and the loop is the
+    * right shape — the already-pinned edges feed the unchanged BSP
+    * loop. `localMaxEdges` bounds the DOUBLED edge rows (2 per pair);
+    * `localMaxEdges = 0` disables the probe entirely (specs pinning
+    * BSP round counts force this). The local path reports 0 rounds. */
   def clustersCounted(ids: DataFrame, pairs: DataFrame,
       idCol: String = "doc_id", maxIters: Int = 50,
-      broadcastMaxIds: Long = 1L << 20)
+      broadcastMaxIds: Long = 1L << 20,
+      localMaxEdges: Int = 1 << 18)
       : (DataFrame, PinHandle, Int) = {
     // both edge directions from ONE evaluation of the pairs DAG: a
     // union of two selects re-runs the (expensive) upstream pair
@@ -972,6 +994,29 @@ object Dedup {
           struct(col("id_a").as("src"), col("id_b").as("dst")),
           struct(col("id_b").as("src"), col("id_a").as("dst")))).as("_e"))
         .select(col("_e.src").as("src"), col("_e.dst").as("dst")))
+    // control-plane fast path: one fused job materializes the edge pin
+    // AND probes its size; a driver-sized edge list short-circuits the
+    // whole loop (see the scaladoc). Ordering is required to replicate
+    // the engines' min() on the id type — unsupported types keep BSP.
+    val localOrd: Option[Ordering[Any]] =
+      ids.schema(idCol).dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          Some(Ordering.by((x: Any) => x.asInstanceOf[Long]))
+        case org.apache.spark.sql.types.IntegerType =>
+          Some(Ordering.by((x: Any) => x.asInstanceOf[Int]))
+        case org.apache.spark.sql.types.StringType =>
+          Some(Ordering.by((x: Any) => x.asInstanceOf[String]))
+        case _ => None
+      }
+    if (localMaxEdges > 0 && localOrd.isDefined) {
+      val probe = edges.limit(localMaxEdges + 1).collect()
+      if (probe.length <= localMaxEdges) {
+        edgesRdd.unpersist(blocking = false)
+        return localComponents(ids, probe, idCol, localOrd.get)
+      }
+      // over the bound: the probe still (partially) warmed the pin;
+      // fall through to the unchanged BSP loop over the pinned edges
+    }
     var (labels, labelsRdd) = pin(
       ids.select(col(idCol).as("id"), col(idCol).as("label")))
     // Eager materialization of the label pin (pinNow's contention
@@ -1077,6 +1122,62 @@ object Dedup {
     (labels.select(col("id").as(idCol), col("label").as("cluster")),
       new PinHandle(() => { rddHandle.unpersist(blocking = false); () }),
       iter)
+  }
+
+  /** Driver-side min-label connected components over a collected edge
+    * list (the [[clustersCounted]] fast path): union-find with path
+    * compression, then min-id per component under the SAME ordering
+    * the engines' `min()` applies — identical labels to the BSP loop
+    * by construction. Only nodes whose label differs from their own id
+    * ship back (a broadcast local relation); every other id labels
+    * itself via `coalesce`. The returned frame is pinned like the BSP
+    * result so multi-consumer callers and the plan-shape gates see the
+    * identical contract. */
+  private def localComponents(ids: DataFrame, edgeRows: Array[Row],
+      idCol: String, ord: Ordering[Any])
+      : (DataFrame, PinHandle, Int) = {
+    import scala.collection.mutable
+    val parent = mutable.HashMap.empty[Any, Any]
+    def find(x: Any): Any = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    edgeRows.foreach { e =>
+      val a = e.get(0); val b = e.get(1)
+      if (!parent.contains(a)) parent(a) = a
+      if (!parent.contains(b)) parent(b) = b
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(rb) = ra
+    }
+    val minOf = mutable.HashMap.empty[Any, Any]
+    parent.keysIterator.foreach { n =>
+      val r = find(n)
+      val cur = minOf.get(r)
+      if (cur.isEmpty || ord.lt(n, cur.get)) minOf(r) = n
+    }
+    val mapping = parent.keysIterator
+      .map(n => (n, minOf(find(n)))).filter { case (n, l) => n != l }
+      .toSeq
+    val spark = ids.sparkSession
+    val idT = ids.schema(idCol).dataType
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", idT),
+      org.apache.spark.sql.types.StructField("_lbl", idT)))
+    import scala.jdk.CollectionConverters._
+    val mapDf = spark.createDataFrame(
+      mapping.map { case (n, l) => Row(n, l) }.asJava, schema)
+    val (labels, labelsRdd) = pin(
+      ids.select(col(idCol).as("id"))
+        .join(broadcast(mapDf), Seq("id"), "left")
+        .select(col("id").as(idCol),
+          coalesce(col("_lbl"), col("id")).as("cluster")))
+    labelsRdd.count()
+    (labels,
+      new PinHandle(() => { labelsRdd.unpersist(blocking = false); () }),
+      0)
   }
 
   /** Soft dedup: instead of DROPPING near-duplicates, keep every

@@ -233,7 +233,8 @@ class PipelineSpec extends AnyFunSuite {
     val cliquePairs = (for {
       a <- 0L until 8L; b <- (a + 1) until 8L
     } yield (a, b)).toDF("id_a", "id_b")
-    val (cdf, ch, cRounds) = Dedup.clustersCounted(cliqueIds, cliquePairs)
+    val (cdf, ch, cRounds) = Dedup.clustersCounted(cliqueIds, cliquePairs,
+      localMaxEdges = 0)
     val cLabels = cdf.collect().map(r => r.getLong(0) -> r.getLong(1))
     ch.release()
     assert(cLabels.forall(_._2 == 0L), "clique collapses to min id 0")
@@ -242,7 +243,8 @@ class PipelineSpec extends AnyFunSuite {
     val pathIds = (0L until n.toLong).toDF("doc_id")
     val pathPairs = (0L until (n - 1).toLong).map(i => (i, i + 1))
       .toDF("id_a", "id_b")
-    val (pdf, ph, pRounds) = Dedup.clustersCounted(pathIds, pathPairs)
+    val (pdf, ph, pRounds) = Dedup.clustersCounted(pathIds, pathPairs,
+      localMaxEdges = 0)
     val labels = pdf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     ph.release()
     assert(labels.values.forall(_ == 0L))
@@ -257,7 +259,8 @@ class PipelineSpec extends AnyFunSuite {
       .shuffle((0L until n.toLong).toList)
     val scrambledPairs = (0 until n - 1)
       .map(i => (perm(i), perm(i + 1))).toDF("id_a", "id_b")
-    val (sdf, sh, sRounds) = Dedup.clustersCounted(pathIds, scrambledPairs)
+    val (sdf, sh, sRounds) = Dedup.clustersCounted(pathIds, scrambledPairs,
+      localMaxEdges = 0)
     val sLabels = sdf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     sh.release()
     assert(sLabels.values.forall(_ == 0L), "one component, min label 0")
@@ -373,11 +376,12 @@ class PipelineSpec extends AnyFunSuite {
       .shuffle((0L until n.toLong).toList)
     val pairs = (0 until n - 1)
       .map(i => (perm(i), perm(i + 1))).toDF("id_a", "id_b")
-    val (bdf, bh, bRounds) = Dedup.clustersCounted(ids, pairs)
+    val (bdf, bh, bRounds) = Dedup.clustersCounted(ids, pairs,
+      localMaxEdges = 0)
     val bLabels = bdf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     bh.release()
     val (pdf2, ph2, pRounds2) = Dedup.clustersCounted(ids, pairs,
-      broadcastMaxIds = 0L)
+      broadcastMaxIds = 0L, localMaxEdges = 0)
     val pLabels = pdf2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     ph2.release()
     assert(pLabels == bLabels)
@@ -386,11 +390,43 @@ class PipelineSpec extends AnyFunSuite {
         s"$pRounds2 vs $bRounds")
   }
 
+  test("local union-find path produces the BSP loop's exact labels") {
+    // mixed topology under a seeded permutation: cliques, a long path,
+    // a star, isolated nodes — the local path (driver union-find over
+    // the fused bounded collect) must be label-for-label identical to
+    // the distributed BSP loop, including 0 reported rounds
+    val n = 200
+    val perm = new scala.util.Random(13)
+      .shuffle((0L until n.toLong).toList)
+    val pairs = (
+      (0 until 40).map(i => (perm(i), perm((i + 7) % 40))) ++ // tangle
+      (40 until 99).map(i => (perm(i), perm(i + 1))) ++       // path
+      (101 until 120).map(i => (perm(100), perm(i)))          // star
+    ).toDF("id_a", "id_b")                                    // 120+ lone
+    val ids = (0L until n.toLong).toDF("doc_id")
+    val (ldf, lh, lRounds) = Dedup.clustersCounted(ids, pairs)
+    val local = ldf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    lh.release()
+    val (bdf, bh, bRounds) = Dedup.clustersCounted(ids, pairs,
+      localMaxEdges = 0)
+    val bsp = bdf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    bh.release()
+    assert(lRounds == 0 && bRounds > 0)
+    assert(local == bsp)
+    // and past the bound the same call falls back to BSP
+    val (fdf, fh, fRounds) = Dedup.clustersCounted(ids, pairs,
+      localMaxEdges = 3)
+    val fb = fdf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    fh.release()
+    assert(fRounds > 0 && fb == bsp)
+  }
+
   test("clustering throws rather than returning unconverged labels") {
     val ids = (0L until 40L).toDF("doc_id")
     val pairs = (0L until 39L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val e = intercept[IllegalStateException] {
-      Dedup.clusters(ids, pairs, maxIters = 2).collect()
+      Dedup.clusters(ids, pairs, maxIters = 2, localMaxEdges = 0)
+        .collect()
     }
     assert(e.getMessage.contains("did not converge"))
   }
