@@ -1005,7 +1005,20 @@ object Dedup {
         case org.apache.spark.sql.types.IntegerType =>
           Some(Ordering.by((x: Any) => x.asInstanceOf[Int]))
         case org.apache.spark.sql.types.StringType =>
-          Some(Ordering.by((x: Any) => x.asInstanceOf[String]))
+          // Spark's min() on strings compares UTF8String BYTES
+          // (code-point order); java.lang.String.compareTo compares
+          // UTF-16 code units, which disagrees whenever supplementary-
+          // plane characters mix with U+E000..U+FFFF. Compare the
+          // UTF-8 bytes unsigned — the engines' exact order.
+          Some(new Ordering[Any] {
+            def compare(a: Any, b: Any): Int = {
+              val xa = a.asInstanceOf[String]
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              val xb = b.asInstanceOf[String]
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              java.util.Arrays.compareUnsigned(xa, xb)
+            }
+          })
         case _ => None
       }
     if (localMaxEdges > 0 && localOrd.isDefined) {

@@ -393,6 +393,47 @@ object Similarity {
     ()
   }
 
+  /** Retrain a persisted IVF index in place — the lifecycle step
+    * [[appendToIvfIndex]]'s scaladoc defers to when the frozen
+    * quantizer's cells go unbalanced under distribution drift. Reads
+    * the live vectors (healing replayed partial appends first — dup
+    * rows are full-row identical, so any-copy dedup on `idCol` is
+    * exact, and an UNhealed duplicate would bias the centroid means),
+    * trains a fresh quantizer with [[trainIvfCentroids]] (no RNG:
+    * retrain ≡ [[writeIvfIndex]] over the same rows, bit for bit),
+    * and builds the ENTIRE new index under a temp sibling before
+    * flipping the whole directory. Centroids and vectors MUST change
+    * together — a reader pairing the new quantizer with the old
+    * partition layout probes the wrong directories silently — so the
+    * flip is on `dir` itself, not the subtrees ([[compactIvfVectors]]
+    * flips only `vectors` because compaction never changes the
+    * quantizer). Same swap contract: the path is momentarily absent,
+    * a concurrent read fails loudly, single-writer discipline. */
+  def retrainIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, kCells: Int, iters: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new Path(s"$dir/vectors")),
+      s"retrainIvfIndex: no index at $dir")
+    val tmp = new Path(s"$dir.retrain")
+    val trash = new Path(s"$dir.trash")
+    fs.delete(tmp, true); fs.delete(trash, true)
+    val live = spark.read.parquet(s"$dir/vectors")
+      .dropDuplicates(idCol).drop("cell")
+    val cents = trainIvfCentroids(live, kCells, iters, idCol, vecCol)
+    writeIvfIndexWith(live, cents, tmp.toString, vecCol)
+    if (!fs.rename(root, trash))
+      throw new java.io.IOException(s"retrainIvfIndex: rename $root")
+    if (!fs.rename(tmp, root)) {
+      fs.rename(trash, root) // restore — the old index is intact
+      throw new java.io.IOException(s"retrainIvfIndex: rename $tmp")
+    }
+    fs.delete(trash, true)
+    ()
+  }
+
   /** Serve top-k from a [[writeIvfIndex]] index without the training
     * frame: the centroid table is control-plane (kCells x dims rows),
     * so probe selection — the `nprobe` best cells by unit-centroid

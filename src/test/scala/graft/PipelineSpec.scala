@@ -421,6 +421,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(fRounds > 0 && fb == bsp)
   }
 
+  test("local path string-id min matches Spark's UTF8 byte order") {
+    // U+1F600 (emoji, UTF-16 surrogate pair starting D83D) vs U+E000
+    // (private-use BMP char): java.lang.String.compareTo says the
+    // emoji sorts FIRST (D83D < E000 as code units) while Spark's
+    // min() on UTF8String bytes says U+E000 sorts first (EE.. < F0..,
+    // code-point order). The local path must replicate Spark's order
+    // or a driver-sized graph gets a different cluster label than the
+    // BSP loop would emit.
+    val emoji = new String(Character.toChars(0x1F600))
+    val pua = "\uE000"
+    assert(emoji.compareTo(pua) < 0) // the trap this test pins
+    val ids = Seq(emoji, pua, "zz").toDF("doc_id")
+    val pairs = Seq((emoji, pua)).toDF("id_a", "id_b")
+    val (ldf, lh, lRounds) = Dedup.clustersCounted(ids, pairs)
+    val local = ldf.collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    lh.release()
+    val (bdf, bh, _) = Dedup.clustersCounted(ids, pairs,
+      localMaxEdges = 0)
+    val bsp = bdf.collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    bh.release()
+    assert(lRounds == 0)
+    assert(local(emoji) == pua && local(pua) == pua, s"got $local")
+    assert(local == bsp)
+  }
+
   test("clustering throws rather than returning unconverged labels") {
     val ids = (0L until 40L).toDF("doc_id")
     val pairs = (0L until 39L).map(i => (i, i + 1)).toDF("id_a", "id_b")
@@ -515,6 +542,49 @@ class PipelineSpec extends AnyFunSuite {
         == serve(dir2, np).collect().map(_.toString).toSeq,
         s"compaction changed serving at nprobe=$np")
     }
+  }
+
+  test("ivf index retrain: rebuilt-in-place index equals a fresh " +
+      "writeIvfIndex over the same rows, healing replayed appends") {
+    val emb = (0L until 20L).map { i =>
+      if (i % 2 == 0L) (i, Seq(1f, 0.01f * i, 0f, 0f))
+      else (i, Seq(0.01f * i, 1f, 0f, 0f))
+    }.toDF("vec_id", "embedding")
+    val first = emb.where(col("vec_id") < 10)
+    val rest = emb.where(col("vec_id") >= 10)
+    val dir = java.nio.file.Files.createTempDirectory("ivfret").toString
+    Similarity.writeIvfIndex(first, dir, kCells = 2, iters = 3)
+    // two appends, the second a replay — the retrain must dedup
+    // BEFORE training or the doubled rows bias the centroid means
+    Similarity.appendToIvfIndex(rest, dir)
+    Similarity.appendToIvfIndex(rest, dir)
+    Similarity.retrainIvfIndex(spark, dir, kCells = 2, iters = 3)
+    assert(spark.read.parquet(s"$dir/vectors").count() == 20)
+    // no-RNG contract: retrain-in-place ≡ a fresh build over the
+    // concatenated rows — centroids AND serving, bit for bit
+    val dir3 = java.nio.file.Files.createTempDirectory("ivfret3")
+      .toString
+    Similarity.writeIvfIndex(emb, dir3, kCells = 2, iters = 3)
+    assert(Similarity.readIvfCentroids(spark, dir)
+      == Similarity.readIvfCentroids(spark, dir3))
+    val q = Seq(1f, 0.05f, 0f, 0f)
+    for (np <- Seq(1, 2)) {
+      val a = Similarity.ivfTopKFromIndex(spark, dir, q, 20, np)
+      val b = Similarity.ivfTopKFromIndex(spark, dir3, q, 20, np)
+      assert(a.collect().map(_.toString).toSeq
+        == b.collect().map(_.toString).toSeq,
+        s"retrain diverged from fresh build at nprobe=$np")
+      // directory pruning survives the whole-dir flip
+      if (np == 1)
+        assert("""PartitionFilters: \[[^\]]*cell""".r.findFirstIn(
+          a.queryExecution.executedPlan.toString).isDefined)
+    }
+    // a missing index fails loudly, and the live dir is untouched
+    val e = intercept[IllegalArgumentException] {
+      Similarity.retrainIvfIndex(spark,
+        dir + ".nosuch", kCells = 2)
+    }
+    assert(e.getMessage.contains("no index"))
   }
 
   test("mmr interleaves clusters where plain top-k returns near-copies") {
