@@ -2168,8 +2168,6 @@ object SparkEntry {
         |SELECT id_a, id_b, hamming FROM ham
         |WHERE hamming <= 1 ORDER BY id_a, id_b""".stripMargin,
 
-    // same polynomial fold as t_rolling_fp at w=8, distinct per doc,
-    // inverted-index self-join on the fingerprint
     // passage removal: the d_overlap_pairs fold on BOTH fingerprint
     // lanes (disjoint md5 substrings, different base/modulus — a
     // single ~30-bit lane collides at birthday scale and here a
@@ -2200,12 +2198,11 @@ object SparkEntry {
         |  WHERE len(t1) >= 8),
         | marked AS (
         |  SELECT doc_id, pos,
-        |    count(*) OVER (PARTITION BY f1, f2) AS cnt,
         |    row_number() OVER (PARTITION BY f1, f2
         |      ORDER BY doc_id, pos) AS rn
         |  FROM occ),
         | rem AS (SELECT doc_id, pos FROM marked
-        |   WHERE cnt >= 2 AND rn > 1),
+        |   WHERE rn > 1),
         | cov AS MATERIALIZED (
         |  SELECT DISTINCT doc_id, pos + k AS tp
         |  FROM rem, UNNEST(range(0, 8)) AS u(k)),
@@ -2225,6 +2222,8 @@ object SparkEntry {
         |  LEFT JOIN rec r USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
+    // same polynomial fold as t_rolling_fp at w=8, distinct per doc,
+    // inverted-index self-join on the fingerprint
     "d_overlap_pairs" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -384,10 +384,15 @@ final class Dp3Http(svc: Dp3Service, spark: SparkSession,
             .flatMap(_.split(",")).filter(_.nonEmpty)
           val text = field("text").toSeq
             .flatMap(_.split(",")).filter(_.nonEmpty)
+          // the topic predicate applies exactly once, here, on both
+          // faces: topic is a grouping key of each, so Catalyst
+          // pushes the post-filter through the rollup to the tier
+          // scan — passing it to statRangeFields AS WELL (the first
+          // cut) stacked two identical predicates on that path
           var df =
             if (numeric.nonEmpty || text.nonEmpty)
               statSvc.statRangeFields(spark, gran, numeric, text,
-                topic = field("topic"),
+                topic = None,
                 startNs = num("start").getOrElse(0L),
                 endNs = num("end").getOrElse(Long.MaxValue))
             else statSvc.statRange(spark, gran,

@@ -772,12 +772,15 @@ object Dedup {
         (a, b) => struct(a.as("f1"), b.as("f2")))).as(Seq("_pos", "_fp")))
       .select(col("_id"), col("_pos"),
         col("_fp.f1").as("_f1"), col("_fp.f2").as("_f2"))
+    // row_number > 1 alone selects every non-first occurrence — a
+    // partition count would be redundant (rn > 1 implies >= 2 rows)
+    // AND cost a second WindowExec pass (unordered count + ordered
+    // row_number don't fuse into one Window operator)
     val part = Window.partitionBy("_f1", "_f2")
     val removed = occ
-      .withColumn("_cnt", count(lit(1)).over(part))
       .withColumn("_rn", row_number().over(
         part.orderBy(col("_id"), col("_pos"))))
-      .where(col("_cnt") >= 2 && col("_rn") > 1)
+      .where(col("_rn") > 1)
     val covered = removed
       .select(col("_id"),
         explode(sequence(col("_pos"), col("_pos") + lit(w - 1))).as("_tp"))
@@ -973,8 +976,10 @@ object Dedup {
     * job caches the blocks and returns the rows), so the size check
     * costs zero extra jobs on either path. At or under the bound the
     * labels come from driver union-find (min-id per component —
-    * identical labels by construction, spec-pinned equivalent) joined
-    * back as a broadcast local relation; past it — corpus-scale
+    * identical labels by construction, spec-pinned equivalent; a
+    * membership guard keeps BSP for graphs violating pairs ⊆ ids×ids,
+    * see [[localComponents]]) joined back as a broadcast local
+    * relation; past it — corpus-scale
     * graphs, where per-round work is data-bound and the loop is the
     * right shape — the already-pinned edges feed the unchanged BSP
     * loop. `localMaxEdges` bounds the DOUBLED edge rows (2 per pair);
@@ -1024,11 +1029,16 @@ object Dedup {
     if (localMaxEdges > 0 && localOrd.isDefined) {
       val probe = edges.limit(localMaxEdges + 1).collect()
       if (probe.length <= localMaxEdges) {
-        edgesRdd.unpersist(blocking = false)
-        return localComponents(ids, probe, idCol, localOrd.get)
+        localComponents(ids, probe, idCol, localOrd.get) match {
+          case Some(res) =>
+            edgesRdd.unpersist(blocking = false)
+            return res
+          case None => // foreign/null endpoints: BSP's join semantics
+                       // (drop the edge) are the defined behavior
+        }
       }
-      // over the bound: the probe still (partially) warmed the pin;
-      // fall through to the unchanged BSP loop over the pinned edges
+      // over the bound (or precondition miss): the probe still warmed
+      // the pin; fall through to the unchanged BSP loop over it
     }
     var (labels, labelsRdd) = pin(
       ids.select(col(idCol).as("id"), col(idCol).as("label")))
@@ -1141,14 +1151,28 @@ object Dedup {
     * list (the [[clustersCounted]] fast path): union-find with path
     * compression, then min-id per component under the SAME ordering
     * the engines' `min()` applies — identical labels to the BSP loop
-    * by construction. Only nodes whose label differs from their own id
-    * ship back (a broadcast local relation); every other id labels
-    * itself via `coalesce`. The returned frame is pinned like the BSP
-    * result so multi-consumer callers and the plan-shape gates see the
+    * by construction. "By construction" needs pairs ⊆ ids×ids:
+    * outside that contract the BSP loop's join semantics produce a
+    * DIFFERENT (degenerate) answer than union-find — measured:
+    * foreign endpoints surface as extra label rows carrying a
+    * neighbor's label, but a foreign id never becomes an ids-row's
+    * label and doesn't transitively connect its neighbors, while
+    * union-find would merge the whole component under it and could
+    * elect a non-id as the min. So
+    * one cheap membership job (endpoint locals, broadcast semi-join
+    * against the ids column, distinct count) guards the path: any
+    * foreign or null endpoint returns None and the caller keeps the
+    * BSP loop, whose join semantics ARE the defined behavior. Every
+    * internal caller derives pairs from the ids frame, so the guard
+    * job is the fast path's only overhead beyond the probe. Only
+    * nodes whose label differs from their own id ship back (a
+    * broadcast local relation); every other id labels itself via
+    * `coalesce`. The returned frame is pinned like the BSP result so
+    * multi-consumer callers and the plan-shape gates see the
     * identical contract. */
   private def localComponents(ids: DataFrame, edgeRows: Array[Row],
       idCol: String, ord: Ordering[Any])
-      : (DataFrame, PinHandle, Int) = {
+      : Option[(DataFrame, PinHandle, Int)] = {
     import scala.collection.mutable
     val parent = mutable.HashMap.empty[Any, Any]
     def find(x: Any): Any = {
@@ -1158,12 +1182,29 @@ object Dedup {
       while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
       r
     }
-    edgeRows.foreach { e =>
+    var i = 0
+    while (i < edgeRows.length) {
+      val e = edgeRows(i)
       val a = e.get(0); val b = e.get(1)
+      if (a == null || b == null) return None
       if (!parent.contains(a)) parent(a) = a
       if (!parent.contains(b)) parent(b) = b
       val ra = find(a); val rb = find(b)
       if (ra != rb) parent(rb) = ra
+      i += 1
+    }
+    val spark = ids.sparkSession
+    val idT = ids.schema(idCol).dataType
+    if (parent.nonEmpty) {
+      import scala.jdk.CollectionConverters._
+      val nodesDf = spark.createDataFrame(
+        parent.keysIterator.map(Row(_)).toSeq.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", idT))))
+      val nMember = ids.select(col(idCol).as("id"))
+        .join(broadcast(nodesDf), Seq("id"), "left_semi")
+        .agg(count_distinct(col("id"))).collect()(0).getLong(0)
+      if (nMember < parent.size) return None
     }
     val minOf = mutable.HashMap.empty[Any, Any]
     parent.keysIterator.foreach { n =>
@@ -1174,8 +1215,6 @@ object Dedup {
     val mapping = parent.keysIterator
       .map(n => (n, minOf(find(n)))).filter { case (n, l) => n != l }
       .toSeq
-    val spark = ids.sparkSession
-    val idT = ids.schema(idCol).dataType
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("id", idT),
       org.apache.spark.sql.types.StructField("_lbl", idT)))
@@ -1188,9 +1227,9 @@ object Dedup {
         .select(col("id").as(idCol),
           coalesce(col("_lbl"), col("id")).as("cluster")))
     labelsRdd.count()
-    (labels,
+    Some((labels,
       new PinHandle(() => { labelsRdd.unpersist(blocking = false); () }),
-      0)
+      0))
   }
 
   /** Soft dedup: instead of DROPPING near-duplicates, keep every

@@ -420,10 +420,17 @@ object Similarity {
     val tmp = new Path(s"$dir.retrain")
     val trash = new Path(s"$dir.trash")
     fs.delete(tmp, true); fs.delete(trash, true)
-    val live = spark.read.parquet(s"$dir/vectors")
-      .dropDuplicates(idCol).drop("cell")
-    val cents = trainIvfCentroids(live, kCells, iters, idCol, vecCol)
-    writeIvfIndexWith(live, cents, tmp.toString, vecCol)
+    // pin the healed frame: the k-means trainer takes one action for
+    // the seed plus one per iteration and the rewrite is one more —
+    // unpinned, EACH would re-run the scan + dedup shuffle (the
+    // multi-consumer-subtree rule; iters+2 executions at default 5)
+    val (live, liveHandle) = Dedup.pinNow(
+      spark.read.parquet(s"$dir/vectors").dropDuplicates(idCol)
+        .drop("cell"))
+    try {
+      val cents = trainIvfCentroids(live, kCells, iters, idCol, vecCol)
+      writeIvfIndexWith(live, cents, tmp.toString, vecCol)
+    } finally liveHandle.release()
     if (!fs.rename(root, trash))
       throw new java.io.IOException(s"retrainIvfIndex: rename $root")
     if (!fs.rename(tmp, root)) {

@@ -309,9 +309,7 @@ object TextOps {
     * inlined subtree would re-evaluate per window — the lambda-CSE
     * trap, see Dedup.shinglesOfTokens). */
   def tokenHashes(toks: Column): Column =
-    transform(toks, t =>
-      pmod(conv(substring(md5(t), 1, 15), 16, 10).cast("long"),
-        lit(RollM)))
+    tokenHashesFromMd5s(tokenMd5s(toks))
 
   /** Rolling fingerprints over every `w`-token window: window i holds
     * the left-fold `((0·B + h_i)·B + h_{i+1}…) mod M` — the
@@ -322,12 +320,20 @@ object TextOps {
     * per-window fold over a bound array attribute is codegen-cheap).
     * Engine-portable: the identical fold runs in DuckDB list_reduce
     * (oracle `t_rolling_fp`). */
-  def rollingFromHashes(th: Column, w: Int): Column = {
+  def rollingFromHashes(th: Column, w: Int): Column =
+    rollingWith(th, w, RollB, RollM)
+
+  /** The one fold both lanes share, parameterized on (base, modulus):
+    * any future fix to the window arithmetic (the `size >= w` guard
+    * against Spark's DESCENDING `sequence(1, 0)`, the pmod overflow
+    * envelope) lands in exactly one place. */
+  private def rollingWith(th: Column, w: Int, b: Long, m: Long)
+      : Column = {
     require(w >= 1, "window >= 1")
     when(size(th) >= w,
       transform(sequence(lit(0), size(th) - w),
         i => aggregate(slice(th, i + lit(1), lit(w)), lit(0L),
-          (acc, x) => pmod(acc * lit(RollB) + x, lit(RollM)))))
+          (acc, x) => pmod(acc * lit(b) + x, lit(m)))))
       .otherwise(array().cast("array<long>"))
   }
 
@@ -350,26 +356,23 @@ object TextOps {
   /** Lane-1 per-token hashes from pre-projected md5 strings —
     * identical values to [[tokenHashes]]. */
   def tokenHashesFromMd5s(ms: Column): Column =
-    transform(ms, s =>
-      pmod(conv(substring(s, 1, 15), 16, 10).cast("long"), lit(RollM)))
+    tokenHashesWith(ms, 1, RollM)
 
   /** Lane-2 per-token hashes: hex chars 16-30 of the same md5 (disjoint
     * bits from lane 1) mod [[RollM2]]. */
   def tokenHashes2FromMd5s(ms: Column): Column =
+    tokenHashesWith(ms, 16, RollM2)
+
+  private def tokenHashesWith(ms: Column, offset: Int, m: Long)
+      : Column =
     transform(ms, s =>
-      pmod(conv(substring(s, 16, 15), 16, 10).cast("long"), lit(RollM2)))
+      pmod(conv(substring(s, offset, 15), 16, 10).cast("long"), lit(m)))
 
   /** Lane-2 rolling fingerprints — the [[rollingFromHashes]] fold with
     * ([[RollB2]], [[RollM2]]); products stay < 2^50, far inside Long
     * on both engines. */
-  def rollingFromHashes2(th: Column, w: Int): Column = {
-    require(w >= 1, "window >= 1")
-    when(size(th) >= w,
-      transform(sequence(lit(0), size(th) - w),
-        i => aggregate(slice(th, i + lit(1), lit(w)), lit(0L),
-          (acc, x) => pmod(acc * lit(RollB2) + x, lit(RollM2)))))
-      .otherwise(array().cast("array<long>"))
-  }
+  def rollingFromHashes2(th: Column, w: Int): Column =
+    rollingWith(th, w, RollB2, RollM2)
 
   /** Word n-grams over a BOUND token-array attribute (project the
     * tokens into a named column first — the lambda-CSE trap, see

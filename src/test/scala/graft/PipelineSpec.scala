@@ -421,6 +421,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(fRounds > 0 && fb == bsp)
   }
 
+  test("local path falls back to BSP when pairs reference unknown ids") {
+    // pairs ⊆ ids×ids is the documented contract; outside it the BSP
+    // loop's join semantics are the DEFINED (degenerate) behavior —
+    // measured here: foreign endpoints surface as extra label rows
+    // (0 -> 5, 7 -> 5) and the foreign min 0 never becomes an id's
+    // label. Driver union-find would instead merge the whole
+    // component under foreign 0, so the membership guard must reject
+    // the fast path and keep BSP — the two calls below must agree
+    // exactly, with the default call reporting BSP rounds, not 0.
+    val ids = Seq(5L, 6L).toDF("doc_id")
+    val pairs = Seq((0L, 5L), (7L, 5L), (7L, 6L)).toDF("id_a", "id_b")
+    val (ldf, lh, lRounds) = Dedup.clustersCounted(ids, pairs)
+    val viaGuard = ldf.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    lh.release()
+    val (bdf, bh, _) = Dedup.clustersCounted(ids, pairs,
+      localMaxEdges = 0)
+    val bsp = bdf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    bh.release()
+    assert(lRounds > 0, "membership guard must keep the BSP loop")
+    assert(viaGuard == bsp)
+    assert(viaGuard(5L) != 0L && viaGuard(6L) != 0L,
+      s"a foreign endpoint must never become an id's label: $viaGuard")
+  }
+
   test("local path string-id min matches Spark's UTF8 byte order") {
     // U+1F600 (emoji, UTF-16 surrogate pair starting D83D) vs U+E000
     // (private-use BMP char): java.lang.String.compareTo says the

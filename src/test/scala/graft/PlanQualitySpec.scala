@@ -223,8 +223,12 @@ class PlanQualitySpec extends AnyFunSuite {
       && l.contains("documents.parquet")) == 2, p)
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("SortMergeJoin"), p)
-    // exactly one Window stage computes count + first-occurrence rank
-    assert(p.linesIterator.count(_.trim.startsWith("Window")) <= 2, p)
+    // exactly ONE Window stage (first-occurrence rank alone: rn > 1
+    // implies the partition has >= 2 rows, so the count window the
+    // first cut carried was a redundant second WindowExec pass).
+    // NB: operator lines render as "+- Window [..." — a bare
+    // startsWith("Window") counts zero and gates nothing
+    assert("""[+:]- Window \[""".r.findAllIn(p).size == 1, p)
   }
 
   test("source overlap: id self-join shuffled-hash, sizes broadcast, " +
