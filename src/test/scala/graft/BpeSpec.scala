@@ -129,6 +129,39 @@ class BpeSpec extends AnyFunSuite {
     assert(got.length == 2 && got.forall(!_.isNullAt(2)))
   }
 
+  test("the NB classifier is label-generic: trained clean-vs-garbled " +
+      "quality filtering works through the same trainLangId face") {
+    // the production quality filter (fastText-style classifier over
+    // character n-grams, CCNet/RefinedWeb lineage) IS this model with
+    // a quality label column instead of a language one — the label
+    // column is generic by construction; this spec documents and pins
+    // that second face. Garbled text (keyboard mash, char soup) has a
+    // sharply different trigram distribution from running prose.
+    import graft.pipeline.TextOps
+    val cleanWords = Seq("the", "water", "flows", "over", "stone",
+      "and", "light", "rests", "on", "morning", "fields", "with")
+    val rnd = new scala.util.Random(47)
+    def clean() =
+      (0 until 14).map(_ => cleanWords(rnd.nextInt(12))).mkString(" ")
+    def garbled() = (0 until 14).map { _ =>
+      (0 until 6).map(_ => "qxzvkjwf" (rnd.nextInt(8))).mkString
+    }.mkString(" ")
+    val rows = (0 until 200).map { i =>
+      if (i % 2 == 0) (i.toLong, "keep", clean())
+      else (i.toLong, "drop", garbled())
+    }
+    val (trainRows, heldOut) = rows.splitAt(150)
+    val model = TextOps.trainLangId(
+      trainRows.toDF("doc_id", "label", "text"), langCol = "label")
+    val scored = TextOps.langIdScore(
+      heldOut.toDF("doc_id", "label", "text"), model)
+      .join(heldOut.toDF("doc_id", "label", "text")
+        .select(col("doc_id"), col("label")), Seq("doc_id"))
+    val acc = scored.where(col("lang_pred") === col("label")).count()
+      .toDouble / scored.count()
+    assert(acc >= 0.98, s"held-out quality accuracy $acc")
+  }
+
   test("token counts: word subwords plus one per punctuation char; " +
       "empty and punctuation-only docs handled") {
     val docs = Seq(
