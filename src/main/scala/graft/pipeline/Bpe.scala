@@ -84,9 +84,27 @@ object Bpe {
     * most frequent adjacent symbol pair (occurrence-weighted over all
     * word occurrences; ties by binary string order of (a, b)).
     * Returns the ranked merges — a control-plane table to persist
-    * alongside the corpus. Stops early when no pair remains. */
-  def train(docs: DataFrame, nMerges: Int, textCol: String = "text")
-      : Seq[(String, String)] = {
+    * alongside the corpus. Stops early when no pair remains.
+    *
+    * CONTROL-PLANE FAST PATH (`localMaxVocab`, the clustersCounted
+    * discipline): training state is the DISTINCT-word frame, which
+    * Zipf keeps vocabulary-sized at any corpus scale — when it fits
+    * the driver, each distributed round is one Spark job of pure
+    * scheduler latency around kilobytes of work. The base pin's
+    * materialization is FUSED with a bounded `limit(n+1).collect()`
+    * probe (zero extra jobs either way); at or under the bound the
+    * merge loop runs in plain Scala over the collected (enc, f) rows
+    * — exact-equivalent by construction: pair counts are order-free
+    * Long sums, the argmax tie-break compares UTF-8 bytes unsigned
+    * (the engines' binary string order; symbols here are ASCII but
+    * the comparator doesn't rely on it), and Java's literal
+    * left-to-right non-overlapping `String.replace` is the same
+    * contract as Spark's `replace` builtin (spec-pinned on
+    * merge-run-heavy corpora). Past the bound the warmed pin feeds
+    * the unchanged distributed loop. `localMaxVocab = 0` disables
+    * the probe (specs pinning the distributed path force this). */
+  def train(docs: DataFrame, nMerges: Int, textCol: String = "text",
+      localMaxVocab: Int = 1 << 17): Seq[(String, String)] = {
     require(nMerges >= 0, s"nMerges >= 0: $nMerges")
     val base = docs
       .select(explode(regexp_extract_all(lower(col(textCol)),
@@ -102,6 +120,16 @@ object Bpe {
     // (O(rounds²) total work; the pinNow shape never hit this because
     // its eager count materialized the child before the release).
     var (wf, pin) = Dedup.pinLazy(base)
+    if (localMaxVocab > 0) {
+      val probe = wf.limit(localMaxVocab + 1).collect()
+      if (probe.length <= localMaxVocab) {
+        pin.release()
+        return trainLocal(
+          probe.map(r => (r.getString(2), r.getLong(1))), nMerges)
+      }
+      // over the bound: the probe still (partially) warmed the pin;
+      // fall through to the distributed loop over it
+    }
     var prevPin: Option[Dedup.PinHandle] = None
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(String, String)]
@@ -138,6 +166,55 @@ object Bpe {
       prevPin.foreach(_.release())
       pin.release()
     }
+  }
+
+  /** The [[train]] merge loop over collected (enc, f) rows — plain
+    * Scala, exact-equivalent to the distributed rounds (see the
+    * fast-path note on [[train]]). Iteration order of the count map
+    * never matters: the argmax comparator (count desc, then a, then b
+    * by unsigned UTF-8 bytes — the engines' binary string order) is
+    * total. */
+  private def trainLocal(rows: Array[(String, Long)], nMerges: Int)
+      : Seq[(String, String)] = {
+    import scala.collection.mutable
+    def byteLt(x: String, y: String): Boolean =
+      java.util.Arrays.compareUnsigned(
+        x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        y.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+    var encs = rows
+    val merges = mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (!done && merges.size < nMerges) {
+      val counts = mutable.HashMap.empty[(String, String), Long]
+      encs.foreach { case (enc, f) =>
+        val s = enc.trim.split("  ")
+        var i = 0
+        while (i < s.length - 1) {
+          val k = (s(i), s(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + f
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        var best: ((String, String), Long) = null
+        counts.foreach { kv =>
+          if (best == null) best = kv
+          else {
+            val c = java.lang.Long.compare(kv._2, best._2)
+            if (c > 0 || (c == 0 && {
+              (byteLt(kv._1._1, best._1._1)
+                || (kv._1._1 == best._1._1
+                  && byteLt(kv._1._2, best._1._2)))
+            })) best = kv
+          }
+        }
+        merges += best._1
+        val (pat, rep) = mergePattern(best._1._1, best._1._2)
+        encs = encs.map { case (enc, f) => (enc.replace(pat, rep), f) }
+      }
+    }
+    merges.toSeq
   }
 
   /** BPE token count per document under a trained merges table:

@@ -60,6 +60,32 @@ class BpeSpec extends AnyFunSuite {
       .foreach(_.unpersist(blocking = true))
   }
 
+  test("local BPE training equals the distributed loop merge for " +
+      "merge: greedy same-symbol runs, byte ties, early stop") {
+    // merge-run-heavy corpus: 'aaaa' stresses left-to-right
+    // non-overlapping replace (greedy pairing 'aa aa', never 'a aa a'),
+    // repeated suffixes give deep merge chains, and equal-count pairs
+    // exercise the binary-order tie-break. The local path (fused probe
+    // + plain-Scala loop) must emit the identical ranked merges as the
+    // distributed rounds (forced via localMaxVocab = 0).
+    val docs = Seq(
+      (1L, "aaaa aaa aa banana bandana low lower lowest lowest"),
+      (2L, "aaaa banana cabana low low newest fewest zest zest"),
+      (3L, "mississippi missive misses aaaa aa zest be bee beet"))
+      .toDF("doc_id", "text")
+    for (n <- Seq(0, 1, 5, 12, 40)) {
+      val local = Bpe.train(docs, nMerges = n)
+      val dist = Bpe.train(docs, nMerges = n, localMaxVocab = 0)
+      assert(local == dist, s"nMerges=$n: $local vs $dist")
+    }
+    // and past the bound the same call falls back to the distributed
+    // loop (vocab here is > 2 words)
+    val fb = Bpe.train(docs, nMerges = 5, localMaxVocab = 2)
+    assert(fb == Bpe.train(docs, nMerges = 5, localMaxVocab = 0))
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+  }
+
   test("rank-order replace encoding equals the reference " +
       "lowest-rank-first algorithm on random words") {
     val docs = Seq(
