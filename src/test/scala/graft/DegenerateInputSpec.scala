@@ -93,6 +93,15 @@ class DegenerateInputSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Similarity.ivfTopKFromIndex(spark, dir, Seq(0f, 0f), k = 1)
     }
+    // retrain survives the zero vector (empty-cell centroids keep
+    // their previous value — standard Lloyd's) and kCells > n; the
+    // zero row is preserved in the index but stays filtered at serve
+    Similarity.retrainIvfIndex(spark, dir, kCells = 5, iters = 2)
+    val top2 = Similarity.ivfTopKFromIndex(spark, dir, Seq(1f, 0f),
+      k = 3, nprobe = 5).collect()
+    assert(!top2.exists(_.getLong(0) == 2L), "zero-norm row filtered")
+    assert(top2.head.getLong(0) == 0L)
+    assert(spark.read.parquet(s"$dir/vectors").count() == 3)
   }
 
   test("dedup family: empty and singleton corpora") {
