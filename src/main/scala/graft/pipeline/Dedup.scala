@@ -1158,15 +1158,15 @@ object Dedup {
     * neighbor's label, but a foreign id never becomes an ids-row's
     * label and doesn't transitively connect its neighbors, while
     * union-find would merge the whole component under it and could
-    * elect a non-id as the min. So
-    * one cheap membership job (endpoint locals, broadcast semi-join
-    * against the ids column, distinct count) guards the path: any
-    * foreign or null endpoint returns None and the caller keeps the
-    * BSP loop, whose join semantics ARE the defined behavior. Every
-    * internal caller derives pairs from the ids frame, so the guard
-    * job is the fast path's only overhead beyond the probe. Only
-    * nodes whose label differs from their own id ship back (a
-    * broadcast local relation); every other id labels itself via
+    * elect a non-id as the min. The membership check is FUSED into
+    * the labels pin's forcing job (zero extra jobs): the broadcast
+    * map relation carries EVERY endpoint node (self-labels included)
+    * so a join hit marks membership, and the one forcing aggregate
+    * both materializes the cache and counts distinct hit ids — fewer
+    * hits than endpoint nodes means a foreign endpoint, the pin is
+    * dropped and the caller keeps the BSP loop, whose join semantics
+    * ARE the defined behavior (a null endpoint bails the same way
+    * before any job). Ids outside every edge label themselves via
     * `coalesce`. The returned frame is pinned like the BSP result so
     * multi-consumer callers and the plan-shape gates see the
     * identical contract. */
@@ -1195,39 +1195,38 @@ object Dedup {
     }
     val spark = ids.sparkSession
     val idT = ids.schema(idCol).dataType
-    if (parent.nonEmpty) {
-      import scala.jdk.CollectionConverters._
-      val nodesDf = spark.createDataFrame(
-        parent.keysIterator.map(Row(_)).toSeq.asJava,
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("id", idT))))
-      val nMember = ids.select(col(idCol).as("id"))
-        .join(broadcast(nodesDf), Seq("id"), "left_semi")
-        .agg(count_distinct(col("id"))).collect()(0).getLong(0)
-      if (nMember < parent.size) return None
-    }
     val minOf = mutable.HashMap.empty[Any, Any]
     parent.keysIterator.foreach { n =>
       val r = find(n)
       val cur = minOf.get(r)
       if (cur.isEmpty || ord.lt(n, cur.get)) minOf(r) = n
     }
-    val mapping = parent.keysIterator
-      .map(n => (n, minOf(find(n)))).filter { case (n, l) => n != l }
-      .toSeq
+    // EVERY endpoint node ships (self-labels included): a join hit is
+    // the membership witness the fused guard counts
+    val mapping = parent.keysIterator.map(n => (n, minOf(find(n)))).toSeq
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("id", idT),
       org.apache.spark.sql.types.StructField("_lbl", idT)))
     import scala.jdk.CollectionConverters._
     val mapDf = spark.createDataFrame(
       mapping.map { case (n, l) => Row(n, l) }.asJava, schema)
-    val (labels, labelsRdd) = pin(
+    val (pinned, labelsRdd) = pin(
       ids.select(col(idCol).as("id"))
         .join(broadcast(mapDf), Seq("id"), "left")
-        .select(col("id").as(idCol),
-          coalesce(col("_lbl"), col("id")).as("cluster")))
-    labelsRdd.count()
-    Some((labels,
+        .select(col("id"),
+          coalesce(col("_lbl"), col("id")).as("cluster"),
+          col("_lbl").isNotNull.as("_hit")))
+    // ONE action: materializes the pin AND counts distinct member
+    // endpoints (count_distinct skips the null the hit-less `when`
+    // leaves, and collapses duplicate ids rather than overcounting)
+    val hits = pinned
+      .agg(count_distinct(when(col("_hit"), col("id"))))
+      .collect()(0).getLong(0)
+    if (hits < parent.size) {
+      labelsRdd.unpersist(blocking = false)
+      return None
+    }
+    Some((pinned.select(col("id").as(idCol), col("cluster")),
       new PinHandle(() => { labelsRdd.unpersist(blocking = false); () }),
       0))
   }
