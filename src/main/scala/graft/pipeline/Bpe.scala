@@ -121,7 +121,12 @@ object Bpe {
     // its eager count materialized the child before the release).
     var (wf, pin) = Dedup.pinLazy(base)
     if (localMaxVocab > 0) {
-      val probe = wf.limit(localMaxVocab + 1).collect()
+      // the +1 distinguishes at-bound from over-bound; clamp so a
+      // force-everything Int.MaxValue doesn't overflow to a negative
+      // limit
+      val probe = wf
+        .limit(if (localMaxVocab == Int.MaxValue) localMaxVocab
+               else localMaxVocab + 1).collect()
       if (probe.length <= localMaxVocab) {
         pin.release()
         return trainLocal(

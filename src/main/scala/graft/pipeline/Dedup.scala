@@ -731,8 +731,10 @@ object Dedup {
     *
     * Shape — aggregate, never pair-join, so no quadratic guard is
     * needed: occurrences (id, pos, fp) are corpus-token-proportional
-    * and take ONE hash shuffle on the fingerprint (a window computes
-    * occurrence count + first-occurrence rank together); coverage
+    * and take ONE hash shuffle on the fingerprint (a single window
+    * computes the first-occurrence rank; `rn > 1` alone marks
+    * removals — an occurrence-count window would be redundant AND a
+    * second WindowExec pass, see the inline note); coverage
     * explodes only REMOVED occurrences (duplication-proportional) and
     * re-aggregates per doc; reconstruction joins the per-doc covered
     * set (≤ one row per doc) back on the id and rebuilds the text
@@ -1027,7 +1029,11 @@ object Dedup {
         case _ => None
       }
     if (localMaxEdges > 0 && localOrd.isDefined) {
-      val probe = edges.limit(localMaxEdges + 1).collect()
+      // clamp: a force-everything Int.MaxValue must not overflow the
+      // +1 into a negative limit
+      val probe = edges
+        .limit(if (localMaxEdges == Int.MaxValue) localMaxEdges
+               else localMaxEdges + 1).collect()
       if (probe.length <= localMaxEdges) {
         localComponents(ids, probe, idCol, localOrd.get) match {
           case Some(res) =>

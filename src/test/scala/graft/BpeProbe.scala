@@ -37,7 +37,11 @@ object BpeProbe {
           lit(pipeline.Bpe.WordRe), lit(0))).as("w"))
         .distinct().count()
       var t0 = System.nanoTime()
-      val local = pipeline.Bpe.train(docs, nMerges)
+      // force the fast path regardless of the default bound — on a
+      // vocabulary past 2^17 the default would silently fall back and
+      // this probe would compare the distributed loop to itself
+      val local = pipeline.Bpe.train(docs, nMerges,
+        localMaxVocab = Int.MaxValue)
       val tLocal = (System.nanoTime() - t0) / 1e9
       sweep()
       t0 = System.nanoTime()
