@@ -589,6 +589,48 @@ object CorpusDedup {
     ()
   }
 
+  /** Re-quantize the accepted-vector sidecar under a NEW coarse
+    * quantizer — the streaming face of
+    * [[graft.pipeline.Similarity.retrainIvfIndex]], and the
+    * maintenance step [[appendBatchSemantic]]'s frozen-quantizer
+    * contract defers to under distribution drift (stale cells stop
+    * pruning; they never break correctness). STOPPED-STREAM,
+    * single-writer: every batch after this must pass the new `cents`,
+    * or cell assignments disagree and the candidate join loses pairs
+    * — the coordinated swap is the point. Vectors and frozen norms
+    * are untouched (membership answers cannot change); only `cell` is
+    * recomputed, with the whole sidecar rewritten version-partitioned
+    * and cell-clustered exactly like the append path writes it, via
+    * write-new-then-FLIP on the sidecar root (the
+    * [[graft.pipeline.Similarity.compactIvfVectors]] swap contract: a
+    * concurrent read fails loudly, never sees half a layout). The
+    * `version` column survives verbatim so checkpoint-replay's
+    * `version < N` reads still see every accepted vector. */
+  def requantizeVectors(spark: SparkSession, vecDir: String,
+      cents: Seq[Seq[Double]]): Unit = {
+    import graft.pipeline.Similarity
+    require(cents.nonEmpty, "requantizeVectors needs a quantizer")
+    if (!exists(spark, vecDir)) return
+    val root = new org.apache.hadoop.fs.Path(vecDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(s"$vecDir.requantize")
+    val trash = new org.apache.hadoop.fs.Path(s"$vecDir.trash")
+    fs.delete(tmp, true); fs.delete(trash, true)
+    Similarity.assignCells(
+        spark.read.parquet(vecDir).drop("cell"), cents, "_rv")
+      .repartition(col("version"), col("cell"))
+      .sortWithinPartitions(col("version"), col("cell"))
+      .write.partitionBy("version").parquet(tmp.toString)
+    if (!fs.rename(root, trash))
+      throw new java.io.IOException(s"requantizeVectors: rename $root")
+    if (!fs.rename(tmp, root)) {
+      fs.rename(trash, root) // restore — the old sidecar is intact
+      throw new java.io.IOException(s"requantizeVectors: rename $tmp")
+    }
+    fs.delete(trash, true)
+    ()
+  }
+
   private def exists(spark: SparkSession, dir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -104,6 +104,56 @@ class StreamingSemanticDedupSpec extends AnyFunSuite {
     sweep()
   }
 
+  test("requantizeVectors rewrites the sidecar consistently under a " +
+      "new quantizer; appends after the swap match batch ground truth") {
+    val (corpus, vecs) = dirs()
+    CorpusDedup.appendBatchSemantic(spark,
+      Seq((1L, famVec(0, 0)), (2L, famVec(2, 0)), (3L, famVec(4, 0)))
+        .toDF("vec_id", "embedding"),
+      1L, corpus, vecs, cents, Threshold)
+    CorpusDedup.appendBatchSemantic(spark,
+      Seq((10L, famVec(6, 0)), (11L, famVec(0, 1))) // 11 ~ 1: dropped
+        .toDF("vec_id", "embedding"),
+      2L, corpus, vecs, cents, Threshold)
+    val before = spark.read.parquet(vecs)
+      .select(col("_rv"), col("_rnrm"), col("version"))
+      .collect().map(_.toString).sorted.toSeq
+    // drift maintenance: a finer quantizer replaces the frozen one
+    val cents2 = Similarity.trainIvfCentroids(
+      (0 until 8).map(f => (f.toLong, famVec(f, 0)))
+        .toDF("vec_id", "embedding"), k = 4, iters = 3)
+    assert(cents2 != cents, "the probe needs a genuinely new quantizer")
+    CorpusDedup.requantizeVectors(spark, vecs, cents2)
+    val side = spark.read.parquet(vecs)
+    // vectors, frozen norms, and versions survive verbatim — only
+    // `cell` is recomputed, and it must equal a fresh assignment of
+    // the same vectors under the new quantizer
+    assert(side.select(col("_rv"), col("_rnrm"), col("version"))
+      .collect().map(_.toString).sorted.toSeq == before)
+    val reassigned = Similarity.assignCells(
+      side.withColumnRenamed("cell", "cell_old"), cents2, "_rv")
+    assert(reassigned.where(col("cell") =!= col("cell_old"))
+      .count() == 0)
+    // the coordinated swap: batches now pass cents2 and must match
+    // the BATCH operator's ground truth against the accepted history
+    // under cents2's cells
+    val history = spark.read.parquet(corpus)
+      .select("vec_id", "embedding")
+    val b3 = Seq(
+      (20L, famVec(2, 1)), // paraphrase of accepted 2 — dropped
+      (21L, famVec(7, 0))) // new family — accepted
+      .toDF("vec_id", "embedding")
+    val got = CorpusDedup.appendBatchSemantic(spark, b3, 3L, corpus,
+      vecs, cents2, Threshold)
+    val expected = graft.pipeline.Curate.dedupSemanticAgainstCorpus(
+        Similarity.assignCells(b3, cents2),
+        Similarity.assignCells(history, cents2), Threshold, Some("cell"))
+      .select("vec_id").as[Long].collect().toSet
+    assert(got == expected.size && expected == Set(21L),
+      s"$got vs $expected")
+    sweep()
+  }
+
   test("appendBatchSemantic replay with the same version is idempotent") {
     val (corpus, vecs) = dirs()
     val b1 = Seq((1L, famVec(0, 0)), (2L, famVec(2, 0)))
