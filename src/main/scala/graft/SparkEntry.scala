@@ -890,6 +890,13 @@ object SparkEntry {
       TextOps.repetitionFeatures(Tables.load(s, dir, "documents"), n = 3)
         .orderBy("doc_id")),
 
+    "t_quality_gopher" -> ((s, dir) =>
+      // the Gopher repetition-rule suite (dup lines, top {2,3,4}-gram
+      // coverage, dup {5..10}-gram coverage) — row-local sorted-run
+      // scans, zero shuffle, integer micro-unit ratios
+      TextOps.gopherSignals(Tables.load(s, dir, "documents"))
+        .orderBy("doc_id")),
+
     "t_pack" -> ((s, dir) => {
       // token-budget shard packing: per-hash-bucket running sums, docs
       // never split; deterministic order = (hash, id) so the shards
@@ -1449,6 +1456,89 @@ object SparkEntry {
       |   CAST(coalesce(p.w, 0) AS BIGINT) AS weight_mu
       |  FROM documents d LEFT JOIN pd p ON p.doc_id = d.doc_id)
       |""".stripMargin
+
+  /** DuckDB oracle for `t_quality_gopher`: re-derives every Gopher
+    * repetition signal via unnest + GROUP BY — counts are exact
+    * integers on both engines, ratios the shared half-up micro-unit
+    * formula, the top-gram tie the shared (count DESC, gram DESC)
+    * byte order. `t` is MATERIALIZED (ten consumers — the DuckDB face
+    * of the multi-consumer-subtree rule). */
+  private def gopherOracleSql: String = {
+    val topNs = Seq(2, 3, 4)
+    val dupNs = Seq(5, 6, 7, 8, 9, 10)
+    def gramExpr(n: Int) =
+      (0 until n).map(j => s"toks[i + $j]").mkString(" || ' ' || ")
+    val gramCtes = (topNs ++ dupNs).map { n =>
+      s""" g$n AS (
+         |  SELECT doc_id, unnest(CASE WHEN len(toks) >= $n THEN
+         |    list_transform(generate_series(1, len(toks) - ${n - 1}),
+         |      i -> ${gramExpr(n)})
+         |    ELSE [] END) AS g FROM t),
+         | c$n AS (
+         |  SELECT doc_id, g, count(*) AS c FROM g$n GROUP BY 1, 2)"""
+        .stripMargin
+    }
+    val topCtes = topNs.map { n =>
+      s""" top$n AS (
+         |  SELECT doc_id, c * length(g) AS cover FROM (
+         |    SELECT doc_id, g, c, row_number() OVER (
+         |      PARTITION BY doc_id ORDER BY c DESC, g DESC) AS rn
+         |    FROM c$n) WHERE rn = 1)""".stripMargin
+    }
+    val dupCtes = dupNs.map { n =>
+      s""" dup$n AS (
+         |  SELECT doc_id, sum(c * length(g)) AS cover
+         |  FROM c$n WHERE c > 1 GROUP BY 1)""".stripMargin
+    }
+    def micro(num: String, den: String) =
+      s"CASE WHEN ($den) <= 0 THEN 0 ELSE " +
+        s"(($num) * 2000000 + ($den)) // (($den) * 2) END"
+    val topSel = topNs.map { n =>
+      s"  CAST(${micro(s"coalesce(top$n.cover, 0)", "b.charlen")} " +
+        s"AS BIGINT) AS top${n}_char_micro6"
+    }
+    val dupSel = dupNs.map { n =>
+      s"  CAST(${micro(s"coalesce(dup$n.cover, 0)", "b.charlen")} " +
+        s"AS BIGINT) AS dup${n}_char_micro6"
+    }
+    val joins = (topNs.map(n => s"top$n") ++ dupNs.map(n => s"dup$n"))
+      .map(c => s"LEFT JOIN $c USING (doc_id)").mkString("\n")
+    s"""WITH t AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '\\s+'),
+       |      x -> x <> '') AS toks
+       |  FROM documents),
+       | b AS (
+       |  SELECT doc_id, length(array_to_string(toks, ' ')) AS charlen
+       |  FROM t),
+       | lx AS (
+       |  SELECT doc_id, unnest(list_filter(
+       |    list_transform(string_split(text, chr(10)), x -> trim(x)),
+       |    x -> x <> '')) AS line
+       |  FROM documents),
+       | lc AS (
+       |  SELECT doc_id, line, count(*) AS c FROM lx GROUP BY 1, 2),
+       | ls AS (
+       |  SELECT doc_id, sum(c) AS nl,
+       |    sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dl,
+       |    sum(c * length(line)) AS tc,
+       |    sum(CASE WHEN c > 1 THEN c * length(line) ELSE 0 END) AS dc
+       |  FROM lc GROUP BY 1),
+       |${gramCtes.mkString(",\n")},
+       |${topCtes.mkString(",\n")},
+       |${dupCtes.mkString(",\n")}
+       |SELECT b.doc_id,
+       |  CAST(coalesce(ls.nl, 0) AS BIGINT) AS n_lines,
+       |  CAST(${micro("coalesce(ls.dl, 0)", "coalesce(ls.nl, 0)")}
+       |    AS BIGINT) AS dup_line_micro6,
+       |  CAST(${micro("coalesce(ls.dc, 0)", "coalesce(ls.tc, 0)")}
+       |    AS BIGINT) AS dup_line_char_micro6,
+       |${(topSel ++ dupSel).mkString(",\n")}
+       |FROM b
+       |LEFT JOIN ls USING (doc_id)
+       |$joins
+       |ORDER BY doc_id""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q_scan" ->
@@ -3087,6 +3177,10 @@ object SparkEntry {
         |    ((len(grams) - len(list_distinct(grams))) * 2000000
         |      + len(grams)) // (len(grams) * 2) END AS dup_ratio_micro6
         |FROM g ORDER BY doc_id""".stripMargin,
+
+    // the Gopher repetition suite — generated CTE chain (9 gram
+    // sizes), see gopherOracleSql
+    "t_quality_gopher" -> gopherOracleSql,
 
     // per-bucket running sums over the identical (hash, id) order;
     // shard = the budget window the doc's cumulative count STARTS in

@@ -405,6 +405,126 @@ object TextOps {
             "div (n_grams * 2L)")))
   }
 
+  /** Gopher-style repetition signals (Rae et al. 2021, "Scaling
+    * Language Models", Table A1 — the repetition rules every large
+    * corpus pipeline applies; re-derived from the published
+    * definitions, with the conventions documented here):
+    *
+    *   - `n_lines`, `dup_line_micro6`, `dup_line_char_micro6`: lines
+    *     are `lineSep` segments, trimmed, empties dropped; a line
+    *     occurrence is "duplicated" when its value appears more than
+    *     once in the document, and ALL its occurrences count (by
+    *     number of lines and by character mass respectively).
+    *   - `top{2,3,4}_char_micro6`: characters covered by the single
+    *     most frequent word n-gram (`count × gram length`) over the
+    *     normalized char length (token lengths + single-space
+    *     separators). Count ties break to the byte-order-LARGEST gram
+    *     (Spark `array_max` struct order ≡ the oracle's
+    *     `ORDER BY c DESC, g DESC` — both engines compare strings as
+    *     unsigned bytes).
+    *   - `dup{5..10}_char_micro6`: characters covered by all n-grams
+    *     occurring more than once (`count × length` summed; window
+    *     overlaps are not deduplicated, so the ratio may exceed 1e6 —
+    *     the unclipped coverage convention of the public
+    *     re-implementations).
+    *
+    * Tokens here are WHITESPACE-regex splits of the lowercased text
+    * (not the single-space [[tokens]]), so lines never leak into
+    * grams; ratios are exact half-up integer micro-units (the
+    * cross-engine rule).
+    *
+    * 100 TB shape: zero shuffle — every signal is a sorted-run scan
+    * over per-row bound arrays in the scan stage at full parallelism,
+    * O(tokens · n_max) per document; no explode, no pair join, no
+    * window. Each intermediate (token array, sorted gram arrays, run
+    * starts, runs) is projected as a named column BEFORE the lambda
+    * that walks it — the lambda-CSE trap, see [[tokenHashes]]. */
+  def gopherSignals(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", lineSep: String = "\n"): DataFrame = {
+    val topNs = Seq(2, 3, 4)
+    val dupNs = Seq(5, 6, 7, 8, 9, 10)
+    val ns = topNs ++ dupNs
+    val sepRe = java.util.regex.Pattern.quote(lineSep)
+
+    // stage 1: bound token + line arrays (and their totals, which are
+    // order-free so they don't need the sorted face)
+    val s1 = df.select(col(idCol),
+      filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")
+        .as("_toks"),
+      filter(transform(split(col(textCol), sepRe), x => trim(x)),
+        x => x =!= "").as("_lraw"))
+
+    // stage 2: sorted arrays + scalar denominators
+    val gramCols = ns.map { n =>
+      array_sort(when(size(col("_toks")) >= n, wordNgrams("_toks", n))
+        .otherwise(array().cast("array<string>"))).as(s"_g$n")
+    }
+    val s2 = s1.select(Seq(col(idCol),
+      length(concat_ws(" ", col("_toks"))).cast("long").as("_charlen"),
+      size(col("_lraw")).cast("long").as("_nlines"),
+      length(concat_ws("", col("_lraw"))).cast("long").as("_lchars"),
+      array_sort(col("_lraw")).as("_gl")) ++ gramCols: _*)
+
+    val sortedKeys = Seq("_gl") ++ ns.map(n => s"_g$n")
+    val carried = Seq("_charlen", "_nlines", "_lchars").map(col)
+
+    // stage 3: run-start indices of each sorted array (bound — the
+    // run builder reads them three times)
+    def startsOf(c: String) = expr(
+      s"""case when size($c) = 0 then cast(array() as array<int>)
+          else filter(sequence(1, size($c)),
+            i -> i = 1 or element_at($c, i) != element_at($c, i - 1))
+          end""")
+    val s3 = s2.select(Seq(col(idCol)) ++ carried ++
+      sortedKeys.map(col) ++
+      sortedKeys.map(c => startsOf(c).as(s"_s$c")): _*)
+
+    // stage 4: equal-value runs as (cnt, v) structs — cnt first so
+    // struct ordering is (count, then byte-order value)
+    def runsOf(c: String) = expr(
+      s"""case when size(_s$c) = 0
+          then cast(array() as array<struct<cnt:int, v:string>>)
+          else zip_with(_s$c,
+            concat(slice(_s$c, 2, size(_s$c)), array(size($c) + 1)),
+            (a, b) -> named_struct('cnt', b - a,
+                                   'v', element_at($c, a)))
+          end""")
+    val s4 = s3.select(Seq(col(idCol)) ++ carried ++
+      sortedKeys.map(c => runsOf(c).as(s"_r$c")): _*)
+
+    // stage 5: scalar numerators (top-gram struct bound before its
+    // two field reads; array_max of an empty array is null)
+    def dupCnt(c: String) = expr(
+      s"""aggregate(_r$c, 0L, (acc, r) -> acc +
+          (case when r.cnt > 1 then cast(r.cnt as bigint)
+                else 0L end))""")
+    def dupChars(c: String) = expr(
+      s"""aggregate(_r$c, 0L, (acc, r) -> acc +
+          (case when r.cnt > 1
+                then cast(r.cnt as bigint) * length(r.v)
+                else 0L end))""")
+    val s5 = s4.select(Seq(col(idCol)) ++ carried ++
+      Seq(dupCnt("_gl").as("_dupl"), dupChars("_gl").as("_duplch")) ++
+      topNs.map(n => expr(s"array_max(_r_g$n)").as(s"_m$n")) ++
+      dupNs.map(n => dupChars(s"_g$n").as(s"_dup${n}ch")): _*)
+
+    def micro(num: String, den: String) = expr(
+      s"""case when ($den) <= 0L then 0L
+          else (($num) * 2000000L + ($den)) div (($den) * 2L) end""")
+    s5.select(Seq(
+      col(idCol),
+      col("_nlines").as("n_lines"),
+      micro("_dupl", "_nlines").as("dup_line_micro6"),
+      micro("_duplch", "_lchars").as("dup_line_char_micro6")) ++
+      topNs.map(n => micro(
+        s"case when _m$n is null then 0L " +
+          s"else cast(_m$n.cnt as bigint) * length(_m$n.v) end",
+        "_charlen").as(s"top${n}_char_micro6")) ++
+      dupNs.map(n =>
+        micro(s"_dup${n}ch", "_charlen").as(s"dup${n}_char_micro6")):
+      _*)
+  }
+
   /** Corpus-wide top-k n-gram counts (word n-grams). One explode + one
     * agg; at 100 TB this is the canonical map-side-combine shape. */
   /** Bigram language-model fluency scoring — the CCNet/KenLM-style

@@ -932,6 +932,47 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(3L) == ((0L, 0L, 0L)))
   }
 
+  test("gopherSignals: dup lines, top-gram tie-break, dup-gram " +
+      "coverage, degenerate inputs") {
+    val docs = Seq(
+      // 3 lines after trim/drop-empty: ["a b", "a b", "c d x"];
+      // toks = [a,b,a,b,c,d,x], charlen = 13
+      (1L, "a b\na b\n\n   \nc d x"),
+      // 5-token cycle ×3: every 5-gram duplicated (11 grams × 9 ch);
+      // bigram counts: "x y","y z","z w","w v" = 3, "v x" = 2 →
+      // tie at 3 breaks to the byte-order-largest gram "z w"
+      (2L, "x y z w v x y z w v x y z w v"),
+      (3L, ""), // no lines, no tokens
+      (4L, "hello") // 1 line, shorter than every n
+    ).toDF("doc_id", "text")
+    val cols = Seq("n_lines", "dup_line_micro6", "dup_line_char_micro6",
+      "top2_char_micro6", "top3_char_micro6", "top4_char_micro6") ++
+      (5 to 10).map(n => s"dup${n}_char_micro6")
+    val got = TextOps.gopherSignals(docs).collect()
+      .map(r => r.getLong(0) ->
+        cols.map(c => r.getLong(r.fieldIndex(c))))
+      .toMap
+
+    val d1 = got(1L)
+    assert(d1.head == 3L) // n_lines
+    // dup lines: 2 of 3 occurrences; chars 6 of 11
+    assert(d1(1) == 666667L && d1(2) == 545455L)
+    // top2 "a b" ×2 → 6/13 half-up
+    assert(d1(3) == 461538L)
+    // no duplicated 5-grams
+    assert(d1(6) == 0L)
+
+    val d2 = got(2L)
+    // top2: tie at count 3 → largest gram "z w", cover 9/29
+    assert(d2(3) == 310345L)
+    // dup5: all 11 occurrences duplicated, 99/29 > 1 (unclipped)
+    assert(d2(6) == 3413793L)
+
+    assert(got(3L) == cols.map(_ => 0L)) // empty text: all zeros
+    val d4 = got(4L)
+    assert(d4.head == 1L && d4.tail.forall(_ == 0L))
+  }
+
   test("packBudget: docs never split, shards respect the start-window " +
       "rule, packing is deterministic") {
     val docs = (1L to 40L).map(i => (i, 100L + (i % 7) * 50L))

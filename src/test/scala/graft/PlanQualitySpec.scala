@@ -276,6 +276,18 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("Join"), p)
   }
 
+  test("gopher signals are row-local sorted-run scans — no explode, " +
+      "no join, no aggregate, one scan") {
+    val p = SparkEntry.queries("t_quality_gopher")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("HashAggregate"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Generate"), p) // no explode — per-row arrays
+    assert(!p.contains("Window"), p)
+    assert(p.sliding("FileScan".length).count(_ == "FileScan") == 1, p)
+  }
+
   test("explainAnalyze reports the NodeStats triple: rows, bytes, time") {
     // scan + merge + as-of: shuffles (window by producer), scans, sorts
     val m = planner.explainAnalyze(spark,
