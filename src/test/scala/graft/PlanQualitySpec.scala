@@ -276,11 +276,14 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("Join"), p)
   }
 
-  test("gopher signals are row-local sorted-run scans — no explode, " +
-      "no join, no aggregate, one scan") {
+  test("gopher signals are row-local sorted-run scans — exactly the " +
+      "one spread exchange, no join, no aggregate, one scan") {
     val p = SparkEntry.queries("t_quality_gopher")(spark, sfDir)
       .queryExecution.executedPlan.toString
-    assert(!p.contains("Exchange hashpartitioning"), p)
+    // exactly ONE hash exchange: Spread.ensure widening the narrow
+    // scan to cluster parallelism before the interpreted HOF stages
+    assert(p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") == 1, p)
     assert(!p.contains("HashAggregate"), p)
     assert(!p.contains("Join"), p)
     assert(!p.contains("Generate"), p) // no explode — per-row arrays
