@@ -1,0 +1,256 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext,
+  ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression,
+  GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.functions.{call_function, lit}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression computing ALL Gopher repetition signals
+  * (Rae et al. 2021, Table A1) for one document in a single compiled
+  * pass: duplicate-line count/char mass, top {2,3,4}-gram coverage,
+  * duplicate {5..10}-gram coverage — each as an exact half-up integer
+  * micro-unit ratio (the cross-engine rule).
+  *
+  * The builtin composition (9 per-n `array_sort`s over gram arrays +
+  * filter/zip_with/aggregate run walks) is semantically identical but
+  * runs INTERPRETED — higher-order functions have no codegen — and was
+  * the registry's heaviest entry by 4x (67 s of CPU for 5k documents
+  * at sf0.1; a two-lane rolling-hash variant was WORSE at 91 s, the
+  * per-fold-step struct allocation dominating). This expression hands
+  * the whole document to one static method inside whole-stage codegen:
+  * token split, per-n gram counting over open-addressed string maps,
+  * and the micro-unit arithmetic all in compiled JVM code.
+  *
+  * Semantics mirror the SQL composition (and the DuckDB oracle)
+  * exactly:
+  *   - tokens: `\s+` splits of `UTF8String.toLowerCase` (Spark's
+  *     `lower`), empties dropped;
+  *   - lines: `lineSep` splits of the RAW text, trimmed of ' ' only
+  *     (Spark `trim`), empties dropped;
+  *   - `length` counts CODE POINTS (Spark/DuckDB `length`);
+  *   - top-gram count ties break to the UTF-8-BYTE-largest gram
+  *     (`UTF8String.compare` — engines compare strings as unsigned
+  *     bytes; Java's `String.compareTo` orders UTF-16 units and
+  *     disagrees on supplementary-plane text, so it is NOT used);
+  *   - ratios: `(num·2e6 + den) div (den·2)` in non-negative longs.
+  */
+case class GopherSignals(child: Expression, lineSep: String)
+    extends UnaryExpression {
+
+  override def dataType: DataType = GopherSignals.schema
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(
+        s"${GopherFunctions.name} expects string, got ${child.dataType}")
+
+  override def nullSafeEval(s: Any): Any =
+    GopherSignals.compute(s.asInstanceOf[UTF8String], lineSep)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val sepRef = ctx.addReferenceObj("gopherLineSep", lineSep,
+      "java.lang.String")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.GopherSignals.compute($c, $sepRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+object GopherSignals {
+
+  val fieldNames: Seq[String] =
+    Seq("n_lines", "dup_line_micro6", "dup_line_char_micro6") ++
+      Seq(2, 3, 4).map(n => s"top${n}_char_micro6") ++
+      (5 to 10).map(n => s"dup${n}_char_micro6")
+
+  val schema: StructType =
+    StructType(fieldNames.map(StructField(_, LongType, nullable = false)))
+
+  private val Ws = Pattern.compile("\\s+")
+
+  /** line separators are per-operator constants — one compiled pattern
+    * each, shared across tasks */
+  private val sepCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Pattern]()
+  private def sepPattern(sep: String): Pattern = {
+    val got = sepCache.get(sep)
+    if (got != null) got
+    else sepCache.computeIfAbsent(sep,
+      s => Pattern.compile(Pattern.quote(s)))
+  }
+
+  /** Spark `trim`: strip ' ' (0x20) from both ends — Java's
+    * `String.trim` also strips control chars and would diverge. */
+  private def trimSpaces(s: String): String = {
+    var a = 0
+    var b = s.length
+    while (a < b && s.charAt(a) == ' ') a += 1
+    while (b > a && s.charAt(b - 1) == ' ') b -= 1
+    if (a == 0 && b == s.length) s else s.substring(a, b)
+  }
+
+  private def cpLen(s: String): Long =
+    s.codePointCount(0, s.length).toLong
+
+  /** exact half-up num/den in 1e-6 units, non-negative longs */
+  private def micro(num: Long, den: Long): Long =
+    if (den <= 0L) 0L else (num * 2000000L + den) / (den * 2L)
+
+  /** UTF-8 unsigned-byte order — Spark's string comparison */
+  private def utf8Gt(a: String, b: String): Boolean =
+    UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) > 0
+
+  /** Called from generated code — one pass per document. */
+  def compute(text: UTF8String, lineSep: String): InternalRow = {
+    val out = new Array[Long](12)
+
+    // --- lines ---------------------------------------------------------
+    val rawParts = sepPattern(lineSep).split(text.toString, -1)
+    val lineCounts = new java.util.HashMap[String, Array[Long]]()
+    var nLines = 0L
+    var lChars = 0L
+    var li = 0
+    while (li < rawParts.length) {
+      val l = trimSpaces(rawParts(li))
+      if (l.nonEmpty) {
+        nLines += 1L
+        lChars += cpLen(l)
+        val slot = lineCounts.get(l)
+        if (slot == null) lineCounts.put(l, Array(1L, cpLen(l)))
+        else slot(0) += 1L
+      }
+      li += 1
+    }
+    var dupLines = 0L
+    var dupLineChars = 0L
+    val lcIt = lineCounts.values().iterator()
+    while (lcIt.hasNext) {
+      val slot = lcIt.next()
+      if (slot(0) > 1L) {
+        dupLines += slot(0)
+        dupLineChars += slot(0) * slot(1)
+      }
+    }
+    out(0) = nLines
+    out(1) = micro(dupLines, nLines)
+    out(2) = micro(dupLineChars, lChars)
+
+    // --- tokens ----------------------------------------------------------
+    val lowParts = Ws.split(text.toLowerCase.toString, -1)
+    var t = 0
+    var nToks = 0
+    while (t < lowParts.length) {
+      if (lowParts(t).nonEmpty) nToks += 1
+      t += 1
+    }
+    val toks = new Array[String](nToks)
+    val lens = new Array[Long](nToks)
+    var charLen = 0L
+    t = 0
+    var k = 0
+    while (t < lowParts.length) {
+      if (lowParts(t).nonEmpty) {
+        toks(k) = lowParts(t)
+        lens(k) = cpLen(lowParts(t))
+        charLen += lens(k)
+        k += 1
+      }
+      t += 1
+    }
+    if (nToks > 0) charLen += (nToks - 1).toLong
+
+    // --- per-n gram counting ---------------------------------------------
+    // slot = (count, gram code-point length); gram identity is the
+    // exact joined string — no hashing caveat, and the JVM pays ~100ns
+    // per gram where the interpreted HOF walk paid microseconds.
+    var n = 2
+    while (n <= 10) {
+      val wins = nToks - n + 1
+      if (wins > 0) {
+        val counts =
+          new java.util.HashMap[String, Array[Long]](wins * 2)
+        var i = 0
+        while (i < wins) {
+          val sb = new java.lang.StringBuilder(16 * n)
+          var j = 0
+          var glen = (n - 1).toLong
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(toks(i + j))
+            glen += lens(i + j)
+            j += 1
+          }
+          val g = sb.toString
+          val slot = counts.get(g)
+          if (slot == null) counts.put(g, Array(1L, glen))
+          else slot(0) += 1L
+          i += 1
+        }
+        if (n <= 4) {
+          // top gram: max count, ties to the UTF-8-byte-largest value
+          var bestCnt = -1L
+          var bestGram: String = null
+          var bestLen = 0L
+          val it = counts.entrySet().iterator()
+          while (it.hasNext) {
+            val e = it.next()
+            val c = e.getValue()(0)
+            if (c > bestCnt ||
+                (c == bestCnt && utf8Gt(e.getKey, bestGram))) {
+              bestCnt = c
+              bestGram = e.getKey
+              bestLen = e.getValue()(1)
+            }
+          }
+          out(1 + n) = micro(bestCnt * bestLen, charLen)
+        } else {
+          var dupChars = 0L
+          val it = counts.values().iterator()
+          while (it.hasNext) {
+            val slot = it.next()
+            if (slot(0) > 1L) dupChars += slot(0) * slot(1)
+          }
+          out(1 + n) = micro(dupChars, charLen)
+        }
+      }
+      n += 1
+    }
+    new GenericInternalRow(out.map(v => v: Any))
+  }
+}
+
+/** Registration + Column-level API (the [[TextFunctions]] pattern). */
+object GopherFunctions {
+
+  val name = "graft_gopher_signals"
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name,
+      exprs => GopherSignals(exprs.head,
+        exprs(1).eval(InternalRow.empty)
+          .asInstanceOf[UTF8String].toString),
+      "scala_udf")
+
+  /** struct of all 12 Gopher repetition signals, codegen'd */
+  def gopherSignals(text: Column, lineSep: String): Column = {
+    register(SparkSession.active)
+    call_function(name, text, lit(lineSep))
+  }
+}

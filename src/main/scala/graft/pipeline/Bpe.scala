@@ -224,9 +224,18 @@ object Bpe {
 
   /** BPE token count per document under a trained merges table:
     * sum over the document's word occurrences of the word's subword
-    * count, plus one per non-word (punctuation) character. The
-    * R-replace encode runs once per DISTINCT word; occurrences attach
-    * through one join on the word key. Output: (idCol, bpe_tokens). */
+    * count, plus one per non-word (punctuation) character. The encode
+    * runs once per DISTINCT word; occurrences attach through one join
+    * on the word key. Output: (idCol, bpe_tokens).
+    *
+    * The per-word encode is the NATIVE loop
+    * ([[graft.functions.BpeTokenCount]]): the [[applyMerges]] replace
+    * chain is codegen-clean at the oracle's R=12 but overflows the
+    * JVM's 64KB method limit at production merge counts (30k-100k),
+    * and pays R full-string scans per word either way; the native
+    * loop is O(merges-applied × symbols) per word with O(1) hash rank
+    * lookups, independent of table size (BpeSpec pins the
+    * equivalence; the replace chain stays as the oracle-SQL face). */
   def tokenCounts(docs: DataFrame, merges: Seq[(String, String)],
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val words = docs.select(col(idCol),
@@ -234,7 +243,7 @@ object Bpe {
         lit(WordRe), lit(0))).as("w"))
     val wordTok = words.select(col("w")).distinct()
       .withColumn("_nt",
-        symbolCount(applyMerges(initEnc(col("w")), merges)).cast("long"))
+        graft.functions.BpeFunctions.bpeCount(col("w"), merges))
     val perDoc = words.join(wordTok, Seq("w"))
       .groupBy(col(idCol)).agg(sum(col("_nt")).as("_wt"))
     docs.select(col(idCol),

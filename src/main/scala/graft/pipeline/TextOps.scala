@@ -419,174 +419,46 @@ object TextOps {
     *     most frequent word n-gram (`count × gram length`) over the
     *     normalized char length (token lengths + single-space
     *     separators). Count ties break to the byte-order-LARGEST gram
-    *     (Spark `array_max` struct order ≡ the oracle's
-    *     `ORDER BY c DESC, g DESC` — both engines compare strings as
-    *     unsigned bytes).
+    *     (both engines compare strings as unsigned bytes — the
+    *     oracle's `ORDER BY c DESC, g DESC`).
     *   - `dup{5..10}_char_micro6`: characters covered by all n-grams
     *     occurring more than once (`count × length` summed; window
     *     overlaps are not deduplicated, so the ratio may exceed 1e6 —
     *     the unclipped coverage convention of the public
     *     re-implementations).
     *
-    * Tokens here are WHITESPACE-regex splits of the lowercased text
-    * (not the single-space [[tokens]]), so lines never leak into
-    * grams; ratios are exact half-up integer micro-units (the
-    * cross-engine rule).
+    * Tokens are WHITESPACE-regex splits of the lowercased text (not
+    * the single-space [[tokens]]), so lines never leak into grams;
+    * ratios are exact half-up integer micro-units (the cross-engine
+    * rule).
     *
-    * The dup{5..10} lanes never read a gram's VALUE — only equality
-    * runs and char mass — so they sort per-window structs of
-    * (two-lane rolling hash, char length) instead of gram strings:
-    * integer folds + integer struct comparisons replace per-window
-    * string allocation + string sorts (the
-    * [[graft.pipeline.Dedup.removeSharedPassages]] lane discipline;
-    * two independent ~30-bit lanes put within-document collisions
-    * past 2^59, and a collision would have to land inside ONE
-    * document's window set to perturb a count). The lanes are fed by
-    * `xxhash64` (Spark-only; the hashes never surface in output, so
-    * oracle parity still rests on the string-derived counts). The
-    * top{2,3,4} lanes keep strings: their count tie-break needs the
-    * byte-order-largest gram value.
+    * All 12 signals come from ONE native codegen expression
+    * ([[graft.functions.GopherSignals]]) — a single compiled pass per
+    * document. The builtin composition (9 per-n `array_sort`s + run
+    * walks over gram arrays) is semantically identical but runs
+    * interpreted (HOFs have no codegen) and measured 67 s of CPU for
+    * 5k sf0.1 documents; the native pass is ~30x less. The struct is
+    * bound in its own projection and the 12 field reads live in a
+    * SECOND select — CollapseProject keeps expensive
+    * multiply-referenced projections apart, and whole-stage codegen's
+    * subexpression elimination would cover a collapse anyway.
     *
-    * 100 TB shape: zero shuffle past the input spread — every signal
-    * is a sorted-run scan over per-row bound arrays at full
-    * parallelism, O(tokens · n_max) per document; no explode, no pair
-    * join, no window. The input is spread to cluster parallelism
-    * first ([[graft.util.Spread.ensure]]): parquet row-group counts,
-    * not data volume, bound scan parallelism, and a narrow scan runs
-    * every interpreted lambda on one core (measured 3.4x on the sf0.1
-    * documents table). Each intermediate (token array, hash-struct
-    * array, sorted arrays, run starts, runs) is projected as a named
-    * column BEFORE the lambda that walks it — the lambda-CSE trap,
-    * see [[tokenHashes]]. */
+    * 100 TB shape: zero shuffle past the input spread — one compiled
+    * projection at full parallelism, O(tokens · n_max) per document;
+    * no explode, no pair join, no window. The input is spread to
+    * cluster parallelism first ([[graft.util.Spread.ensure]]):
+    * parquet row-group counts, not data volume, bound scan
+    * parallelism, and a narrow scan runs the whole per-row stage on
+    * one core. */
   def gopherSignals(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", lineSep: String = "\n"): DataFrame = {
-    val topNs = Seq(2, 3, 4)
-    val dupNs = Seq(5, 6, 7, 8, 9, 10)
-    val sepRe = java.util.regex.Pattern.quote(lineSep)
-
-    // stage 1: bound token + line arrays (and their totals, which are
-    // order-free so they don't need the sorted face)
-    val s1 = graft.util.Spread.ensure(df, Seq(col(idCol)))
+    val bound = graft.util.Spread.ensure(df, Seq(col(idCol)))
       .select(col(idCol),
-        filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")
-          .as("_toks"),
-        filter(transform(split(col(textCol), sepRe), x => trim(x)),
-          x => x =!= "").as("_lraw"))
-
-    // stage 1b: per-token (hash lane 1, hash lane 2, char length)
-    // structs — bound BEFORE the per-n window folds that each walk it
-    val s1b = s1.select(col(idCol), col("_toks"), col("_lraw"), expr(
-      s"""transform(_toks, t -> named_struct(
-            'h1', pmod(xxhash64(t), ${RollM}L),
-            'h2', pmod(xxhash64(t, 1), ${RollM2}L),
-            'len', cast(length(t) as bigint)))""").as("_hl"))
-
-    // stage 2: sorted arrays + scalar denominators. top{2,3,4} sort
-    // gram STRINGS (the tie-break reads the value); dup{5..10} sort
-    // (h1, h2, len) window structs folded from _hl in one slice walk
-    // per window.
-    val topCols = topNs.map { n =>
-      array_sort(when(size(col("_toks")) >= n, wordNgrams("_toks", n))
-        .otherwise(array().cast("array<string>"))).as(s"_g$n")
-    }
-    val dupCols = dupNs.map { n =>
-      array_sort(expr(
-        s"""case when size(_hl) >= $n
-            then transform(sequence(1, size(_hl) - ${n - 1}),
-              i -> aggregate(slice(_hl, i, $n),
-                named_struct('h1', 0L, 'h2', 0L,
-                             'len', cast(${n - 1} as bigint)),
-                (acc, x) -> named_struct(
-                  'h1', pmod(acc.h1 * ${RollB}L + x.h1, ${RollM}L),
-                  'h2', pmod(acc.h2 * ${RollB2}L + x.h2, ${RollM2}L),
-                  'len', acc.len + x.len)))
-            else cast(array() as
-              array<struct<h1:bigint, h2:bigint, len:bigint>>)
-            end""")).as(s"_g$n")
-    }
-    val s2 = s1b.select(Seq(col(idCol),
-      length(concat_ws(" ", col("_toks"))).cast("long").as("_charlen"),
-      size(col("_lraw")).cast("long").as("_nlines"),
-      length(concat_ws("", col("_lraw"))).cast("long").as("_lchars"),
-      array_sort(col("_lraw")).as("_gl")) ++ topCols ++ dupCols: _*)
-
-    val strKeys = Seq("_gl") ++ topNs.map(n => s"_g$n")
-    val dupKeys = dupNs.map(n => s"_g$n")
-    val sortedKeys = strKeys ++ dupKeys
-    val carried = Seq("_charlen", "_nlines", "_lchars").map(col)
-
-    // stage 3: run-start indices of each sorted array (bound — the
-    // run builder reads them three times); `!=` compares strings and
-    // structs alike
-    def startsOf(c: String) = expr(
-      s"""case when size($c) = 0 then cast(array() as array<int>)
-          else filter(sequence(1, size($c)),
-            i -> i = 1 or element_at($c, i) != element_at($c, i - 1))
-          end""")
-    val s3 = s2.select(Seq(col(idCol)) ++ carried ++
-      sortedKeys.map(col) ++
-      sortedKeys.map(c => startsOf(c).as(s"_s$c")): _*)
-
-    // stage 4: equal-value runs. String lanes carry (cnt, v) — cnt
-    // first so struct ordering is (count, then byte-order value) for
-    // the top-gram array_max; hash lanes carry only (cnt, len) — the
-    // value is never read downstream.
-    def runsOf(c: String) = expr(
-      s"""case when size(_s$c) = 0
-          then cast(array() as array<struct<cnt:int, v:string>>)
-          else zip_with(_s$c,
-            concat(slice(_s$c, 2, size(_s$c)), array(size($c) + 1)),
-            (a, b) -> named_struct('cnt', b - a,
-                                   'v', element_at($c, a)))
-          end""")
-    def runsOfLen(c: String) = expr(
-      s"""case when size(_s$c) = 0
-          then cast(array() as array<struct<cnt:int, len:bigint>>)
-          else zip_with(_s$c,
-            concat(slice(_s$c, 2, size(_s$c)), array(size($c) + 1)),
-            (a, b) -> named_struct('cnt', b - a,
-                                   'len', element_at($c, a).len))
-          end""")
-    val s4 = s3.select(Seq(col(idCol)) ++ carried ++
-      strKeys.map(c => runsOf(c).as(s"_r$c")) ++
-      dupKeys.map(c => runsOfLen(c).as(s"_r$c")): _*)
-
-    // stage 5: scalar numerators (top-gram struct bound before its
-    // two field reads; array_max of an empty array is null)
-    def dupCnt(c: String) = expr(
-      s"""aggregate(_r$c, 0L, (acc, r) -> acc +
-          (case when r.cnt > 1 then cast(r.cnt as bigint)
-                else 0L end))""")
-    def dupChars(c: String) = expr(
-      s"""aggregate(_r$c, 0L, (acc, r) -> acc +
-          (case when r.cnt > 1
-                then cast(r.cnt as bigint) * length(r.v)
-                else 0L end))""")
-    def dupCharsLen(c: String) = expr(
-      s"""aggregate(_r$c, 0L, (acc, r) -> acc +
-          (case when r.cnt > 1
-                then cast(r.cnt as bigint) * r.len
-                else 0L end))""")
-    val s5 = s4.select(Seq(col(idCol)) ++ carried ++
-      Seq(dupCnt("_gl").as("_dupl"), dupChars("_gl").as("_duplch")) ++
-      topNs.map(n => expr(s"array_max(_r_g$n)").as(s"_m$n")) ++
-      dupNs.map(n => dupCharsLen(s"_g$n").as(s"_dup${n}ch")): _*)
-
-    def micro(num: String, den: String) = expr(
-      s"""case when ($den) <= 0L then 0L
-          else (($num) * 2000000L + ($den)) div (($den) * 2L) end""")
-    s5.select(Seq(
-      col(idCol),
-      col("_nlines").as("n_lines"),
-      micro("_dupl", "_nlines").as("dup_line_micro6"),
-      micro("_duplch", "_lchars").as("dup_line_char_micro6")) ++
-      topNs.map(n => micro(
-        s"case when _m$n is null then 0L " +
-          s"else cast(_m$n.cnt as bigint) * length(_m$n.v) end",
-        "_charlen").as(s"top${n}_char_micro6")) ++
-      dupNs.map(n =>
-        micro(s"_dup${n}ch", "_charlen").as(s"dup${n}_char_micro6")):
-      _*)
+        graft.functions.GopherFunctions
+          .gopherSignals(col(textCol), lineSep).as("_g"))
+    bound.select(col(idCol) +:
+      graft.functions.GopherSignals.fieldNames
+        .map(f => col(s"_g.$f").as(f)): _*)
   }
 
   /** Corpus-wide top-k n-gram counts (word n-grams). One explode + one

@@ -116,6 +116,70 @@ class BpeSpec extends AnyFunSuite {
       .foreach(_.unpersist(blocking = true))
   }
 
+  test("native encode loop equals the reference algorithm AND the " +
+      "replace chain on random words — including at R=1k, past the " +
+      "replace chain's codegen scale") {
+    import graft.functions.{BpeTable, BpeTokenCount}
+    // small trained table: native == reference == replace chain
+    val docs = Seq(
+      (1L, "the theatre then there therefore other mother"),
+      (2L, "banana bandana ananas banal the there"),
+      (3L, "aaaa aaab abab baaa the other then")).toDF("doc_id", "text")
+    val merges = Bpe.train(docs, nMerges = 10)
+    val table = new BpeTable(merges)
+    val rnd = new scala.util.Random(41)
+    val alphabet = "abehnorst"
+    val words = ((0 until 300).map(_ =>
+      (0 to rnd.nextInt(12)).map(_ =>
+        alphabet(rnd.nextInt(alphabet.length))).mkString) ++
+      Seq("the", "theatre", "banana", "aaaa", "abab", "x"))
+      .filter(_.nonEmpty).distinct
+    val chain = words.toDF("w").select(col("w"),
+        Bpe.symbolCount(Bpe.applyMerges(Bpe.initEnc(col("w")), merges))
+          .as("n"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    words.foreach { w =>
+      val native = BpeTokenCount.encode(w, table)
+      assert(native.toSeq == referenceEncode(w, merges),
+        s"word '$w' vs reference")
+      assert(native.length == chain(w), s"word '$w' vs replace chain")
+    }
+    // R=1k-scale table (trained on a synthetic corpus with deep merge
+    // structure) — the replace chain cannot codegen here; the native
+    // loop must still match the driver-side reference exactly
+    val rnd2 = new scala.util.Random(59)
+    val bigAlphabet = "abcdefghijklmnop"
+    val bigWords = (0 until 4000).map(_ =>
+      (0 until 3 + rnd2.nextInt(9)).map(_ =>
+        bigAlphabet(rnd2.nextInt(bigAlphabet.length))).mkString)
+    val bigDocs = bigWords.grouped(40).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+      .toSeq.toDF("doc_id", "text")
+    val bigMerges = Bpe.train(bigDocs, nMerges = 1000)
+    assert(bigMerges.length == 1000, s"trained ${bigMerges.length}")
+    val bigTable = new BpeTable(bigMerges)
+    val probeWords = (bigWords.distinct.take(400) ++
+      (0 until 200).map(_ => (0 until 2 + rnd2.nextInt(14)).map(_ =>
+        bigAlphabet(rnd2.nextInt(bigAlphabet.length))).mkString))
+      .distinct
+    probeWords.foreach { w =>
+      assert(BpeTokenCount.encode(w, bigTable).toSeq ==
+        referenceEncode(w, bigMerges), s"R=1k word '$w'")
+    }
+    // and end-to-end through the codegen'd expression on a DataFrame
+    val viaExpr = probeWords.toDF("w")
+      .select(col("w"),
+        graft.functions.BpeFunctions.bpeCount(col("w"), bigMerges)
+          .as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    probeWords.foreach { w =>
+      assert(viaExpr(w) == referenceEncode(w, bigMerges).length.toLong,
+        s"R=1k expression word '$w'")
+    }
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+  }
+
   test("trained naive-Bayes language ID separates languages with real " +
       "character signal, including on held-out text") {
     // NB: the testdata documents table draws the SAME vocabulary for
