@@ -111,6 +111,29 @@ object Bench {
       }
       math.min(once(), once())
     }
+    // Second canary FACE: fixed parquet scan + one shuffle + agg.
+    // The CPU canary cannot certify a run whose variance lives in the
+    // filesystem, page cache, or task scheduling: round 14 ran
+    // byte-identical code 17% SLOWER than round 13 at a LOWER cpu
+    // canary, with the drift concentrated in the shuffle-heavy dedup
+    // family. This face touches exactly those subsystems — parquet
+    // footer + column IO on a fixed file, a 32-partition shuffle
+    // write/read, task scheduling for two stages — so cross-round
+    // total comparisons divide by BOTH canaries to attribute drift.
+    def canaryIo(): Double = {
+      import org.apache.spark.sql.functions._
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        spark.read.parquet(s"$sfDir/orders.parquet")
+          .repartition(cpus.toInt,
+            org.apache.spark.sql.functions.col("o_custkey"))
+          .groupBy(org.apache.spark.sql.functions.col("o_custkey"))
+          .agg(count(org.apache.spark.sql.functions.lit(1)).as("c"))
+          .agg(max(org.apache.spark.sql.functions.col("c"))).collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      math.min(once(), once())
+    }
     // 1-minute load average — the machine-contention tell. The r6
     // driver bench ran concurrently with a builder session and recorded
     // 54.9 s where an idle replication measures 19 s; emitting load
@@ -134,6 +157,7 @@ object Bench {
     }
     val loadStart = loadavg()
     val canaryStart = canary()
+    val canaryIoStart = canaryIo()
     // SPARK_GRAFT_ONLY=q_a,q_b restricts the run for local iteration
     // (the driver never sets it; mirrors Verify's filter)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
@@ -166,6 +190,7 @@ object Bench {
     }
     val loadEnd = loadavg()
     val canaryEnd = canary()
+    val canaryIoEnd = canaryIo()
     // The driver captures only the TAIL of stdout: the single JSON line
     // must stay compact at any registry size (r8-r10 all arrived
     // truncated -> parsed:null). See formatLine's doc for the byte
@@ -176,10 +201,11 @@ object Bench {
     // the line so a later reader doesn't chase phantom regressions
     val poisoned = waited >= idleCap && loadStart > idleBar
     println(formatLine(results, sfDir, poisoned,
-      math.min(canaryStart, canaryEnd)))
+      math.min(canaryStart, canaryEnd),
+      math.min(canaryIoStart, canaryIoEnd)))
     val detail = (results.map { case (k, v, s) =>
       "\"" + k + f"\":{" + f""""sec":$v%.3f,"spread":$s%.2f}"""
-    } :+ f""""_meta":{"idle_wait_sec":$waited,"load_start":$loadStart%.2f,"load_end":$loadEnd%.2f,"canary_start":$canaryStart%.3f,"canary_end":$canaryEnd%.3f,"poisoned":$poisoned}""")
+    } :+ f""""_meta":{"idle_wait_sec":$waited,"load_start":$loadStart%.2f,"load_end":$loadEnd%.2f,"canary_start":$canaryStart%.3f,"canary_end":$canaryEnd%.3f,"canary_io_start":$canaryIoStart%.3f,"canary_io_end":$canaryIoEnd%.3f,"poisoned":$poisoned}""")
       .mkString("{", ",", "}")
     val sidecar = sys.env.getOrElse(
       "SPARK_GRAFT_BENCH_DETAIL", "/tmp/graft_bench_detail.json")
@@ -225,7 +251,8 @@ object Bench {
       results: Seq[(String, Double, Double)],
       sfDir: String,
       loadPoisoned: Boolean = false,
-      canarySec: Double = -1.0): String = {
+      canarySec: Double = -1.0,
+      canaryIoSec: Double = -1.0): String = {
     // The line's budget is spent on NAMES (which the driver needs
     // verbatim): values are capped at 3 chars — "0.8" under 10 s, "42"
     // under 100 s, "999" above (display-capped), "-1" for failures.
@@ -251,10 +278,14 @@ object Bench {
     // themselves (2-decimal start/end + idle-wait seconds) live in the
     // sidecar's _meta entry: every byte here is query-name budget, and
     // the bench's own 32 threads dominate the end-load anyway.
-    // "canary": the fixed-workload seconds (min of the start/end
-    // samples) — divide two rounds' totals by their canaries to
-    // separate host drift from code drift; -1 when not measured
-    f"""{"queries":$qs,"spread_max":$spMax%.0f,"hot":$p,"canary":$canarySec%.2f,"sf":"$sf","metric":"total","unit":"sec","value":$total%.2f}"""
+    // "canary": the fixed CPU workload seconds; "canary_io": the fixed
+    // parquet-scan + shuffle workload seconds (each the min of its
+    // start/end samples) — divide two rounds' totals by BOTH canaries
+    // to separate host drift from code drift: cpu-flat + io-slow means
+    // filesystem/scheduler state, not a regression (the r13-vs-r14
+    // lesson: +17% on byte-identical code at a LOWER cpu canary).
+    // -1 when not measured
+    f"""{"queries":$qs,"spread_max":$spMax%.0f,"hot":$p,"canary":$canarySec%.2f,"canary_io":$canaryIoSec%.2f,"sf":"$sf","metric":"total","unit":"sec","value":$total%.2f}"""
   }
 
   /** Front-code a name list: first name verbatim; every subsequent

@@ -791,22 +791,47 @@ object Similarity {
       : DataFrame = {
     require(queries.nonEmpty, "empty query set")
     require(k >= 1, "k must be >= 1")
-    // cell/sub re-read from disk can surface as int or long depending
-    // on the build frame's label type — normalize (the partition-
-    // column-type lesson from the working notes)
-    val cb = spark.read.parquet(s"$dir/codebook")
+    val lut = spark.createDataFrame(
+      java.util.Arrays.asList(
+        pqLutRows(readPqCodebookLocal(spark, dir), queries): _*),
+      pqLutSchema)
+    pqAdcServe(spark.read.parquet(s"$dir/codes"), lut, k)
+  }
+
+  /** collected (_i, _cell, _sub, _cmu) codebook rows. cell/sub re-read
+    * from disk can surface as int or long depending on the build
+    * frame's label type — normalize (the partition-column-type lesson
+    * from the working notes). */
+  private def readPqCodebookLocal(
+      spark: org.apache.spark.sql.SparkSession, dir: String)
+      : Array[(Int, Long, Int, Long)] =
+    spark.read.parquet(s"$dir/codebook")
       .select(col("_i").cast("int"), col("_cell").cast("long"),
         col("_sub").cast("int"), col("_cmu").cast("long"))
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2),
         r.getLong(3)))
+
+  private val pqLutSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("query_id",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("_sub",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("_cell",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("_dot",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+
+  /** driver-built per-query ADC lookup rows (query_id, _sub, _cell,
+    * _dot) — the same arithmetic as the distributed LUT build */
+  private def pqLutRows(cb: Array[(Int, Long, Int, Long)],
+      queries: Seq[(Long, Seq[Float])]): Seq[Row] = {
     val dims = cb.map(_._1).max + 1
-    val lutRows = queries.flatMap { case (qid, vec) =>
+    queries.flatMap { case (qid, vec) =>
       // a longer vector would silently truncate to the index dims, a
       // shorter one would throw a bare index error mid-fold — fail at
       // entry with the actual constraint (the mmrTopK discipline)
       require(vec.length == dims,
-        s"pqTopKFromIndex: query $qid has ${vec.length} dims, " +
-          s"index has $dims")
+        s"pq serve: query $qid has ${vec.length} dims, index has $dims")
       val mu = vec.map(x =>
         math.floor(x.toDouble * 1000000.0).toLong).toArray
       cb.groupBy(r => (r._3, r._2)).toSeq.map { case ((sub, cell), rs) =>
@@ -815,18 +840,142 @@ object Similarity {
             acc + mu(i) * cmu })
       }
     }
-    val lutSchema = org.apache.spark.sql.types.StructType(Seq(
+  }
+
+  /** driver-side probe selection shared by every persisted-index
+    * serve: the `nprobe` best cells by unit-centroid dot, ties by
+    * cell id (the [[ivfTopKFromIndex]] ranking) */
+  private def probeCellsOf(cents: Seq[Seq[Double]], q: Seq[Double],
+      nprobe: Int): Seq[Int] = {
+    def dotL(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+    cents.zipWithIndex.map { case (c, ci) =>
+      val n = math.sqrt(dotL(c, c))
+      val u = if (n == 0.0) c else c.map(_ / n)
+      (ci, dotL(q, u))
+    }.sortBy { case (ci, s) => (-s, ci) }.take(nprobe).map(_._1)
+  }
+
+  /** [[pqCodesOf]] carrying the vector's COARSE cell through both
+    * aggregates (functionally dependent on `_vid` — the extra group
+    * key changes nothing but keeps the column without a second pass
+    * over the corpus): (cell, _vid, _sub, _cell) where `cell` is the
+    * coarse IVF cell and `_cell` the PQ code. */
+  private def pqCodesWithCoarseCell(rows: DataFrame, codebook: DataFrame)
+      : DataFrame =
+    rows.join(broadcast(codebook), "_i")
+      .groupBy(col("_vid"), col("_vcell"), col("_sub"), col("_cell"))
+      .agg(sum((col("_mu") - col("_cmu")) * (col("_mu") - col("_cmu")))
+        .as("_d"))
+      .groupBy(col("_vid"), col("_vcell"), col("_sub"))
+      .agg(min(struct(col("_d"), col("_cell"))).as("_best"))
+      .select(col("_vcell").as("cell"), col("_vid"), col("_sub"),
+        col("_best").getField("_cell").as("_cell"))
+
+  /** Persist the COMPOSED IVF-PQ index — IVFADC (Jégou et al.,
+    * TPAMI 2011 §IV): the production serve shape at 100 TB, where
+    * neither half suffices alone — a PQ-only index scans every
+    * vector's codes (no pruning), an IVF-only index reads raw
+    * d-float vectors in the probed cells (no compression). Layout:
+    *
+    *   `dir/centroids` — the coarse quantizer, [[writeIvfIndex]]'s
+    *       (cell, pos, w) format ([[readIvfCentroids]] reads both);
+    *   `dir/codebook`  — the PQ codebook (_i, _cell, _sub, _cmu),
+    *       control-plane;
+    *   `dir/codes`     — m codes per vector, PARTITIONED BY the
+    *       coarse `cell`: a query's probe set maps to partition
+    *       DIRECTORIES of the compressed table, so serve IO is
+    *       (probed fraction) × (m codes per row) — pruning AND
+    *       compression compose.
+    *
+    * PQ sub-centroids group on the coarse cell (the training-free
+    * codebook discipline of [[pqTopKBatch]] with `cellCol` = the
+    * trained IVF assignment). Deterministic end to end — coarse
+    * training has no RNG and the PQ pipeline is exact integer
+    * micro-units — so a rebuild is bit-reproducible. */
+  def writeIvfPqIndex(emb: DataFrame, dir: String, kCells: Int,
+      dims: Int, m: Int = 4, iters: Int = 5, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    require(m >= 1 && dims % m == 0, s"m=$m must divide dims=$dims")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val subDim = dims / m
+    val cents = trainIvfCentroids(emb, kCells, iters, idCol, vecCol)
+    cents.zipWithIndex.flatMap { case (c, ci) =>
+      c.zipWithIndex.map { case (w, p) => (ci, p, w) } }
+      .toDF("cell", "pos", "w")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    val rows = assignCells(emb, cents, vecCol)
+      .select(col(idCol).as("_vid"), col("cell").as("_vcell"),
+        posexplode(transform(col(vecCol), x =>
+          floor(x.cast("double") * lit(1000000.0)).cast("long")))
+          .as(Seq("_i", "_mu")))
+    val codebook = pqCodebookLocal(rows, subDim)
+    codebook.coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/codebook")
+    // repartition WITHOUT a count: AQE merges small cells into shared
+    // tasks (file-count control rule); partitionBy still lays each
+    // cell in its own directory
+    pqCodesWithCoarseCell(rows, codebook)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/codes")
+  }
+
+  /** Serve ADC top-k from a [[writeIvfPqIndex]] index: driver probe
+    * selection against the stored coarse quantizer (per query: the
+    * `nprobe` best cells, the [[ivfTopKFromIndex]] ranking), ONE
+    * partition-pruned scan of the compressed code table (gate
+    * `PartitionFilters` — unprobed cells are never opened), then
+    * integer ADC against the broadcast driver-built LUTs, scoped per
+    * query to ITS probe set by a broadcast (query_id, cell) join.
+    * Raw embeddings are never read; results for corpus queries equal
+    * inline probe-then-ADC composition at every nprobe (spec-pinned),
+    * and nprobe = kCells degrades to [[pqTopKFromIndex]] over the
+    * same codebook. */
+  def ivfPqTopKFromIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, queries: Seq[(Long, Seq[Float])], k: Int,
+      nprobe: Int = 1): DataFrame = {
+    require(queries.nonEmpty, "empty query set")
+    require(k >= 1 && nprobe >= 1, "k >= 1, nprobe >= 1")
+    val cents = readIvfCentroids(spark, dir)
+    val cb = readPqCodebookLocal(spark, dir)
+    val dims = cb.map(_._1).max + 1
+    val probeRows: Seq[Row] = queries.flatMap { case (qid, vec) =>
+      require(vec.length == dims,
+        s"ivfPqTopKFromIndex: query $qid has ${vec.length} dims, " +
+          s"index has $dims")
+      probeCellsOf(cents, vec.map(_.toDouble), nprobe)
+        .map(ci => Row(qid, ci))
+    }
+    val probeSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("query_id",
         org.apache.spark.sql.types.LongType, nullable = false),
-      org.apache.spark.sql.types.StructField("_sub",
-        org.apache.spark.sql.types.IntegerType, nullable = false),
-      org.apache.spark.sql.types.StructField("_cell",
-        org.apache.spark.sql.types.LongType, nullable = false),
-      org.apache.spark.sql.types.StructField("_dot",
-        org.apache.spark.sql.types.LongType, nullable = false)))
+      org.apache.spark.sql.types.StructField("cell",
+        org.apache.spark.sql.types.IntegerType, nullable = false)))
+    val probe = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), probeSchema)
     val lut = spark.createDataFrame(
-      java.util.Arrays.asList(lutRows: _*), lutSchema)
-    pqAdcServe(spark.read.parquet(s"$dir/codes"), lut, k)
+      java.util.Arrays.asList(pqLutRows(cb, queries): _*), pqLutSchema)
+    // the STATIC isin over the union of probe sets is what reaches
+    // PartitionFilters (directory pruning before IO); the broadcast
+    // probe join then scopes each query to its own cells
+    val allProbed = probeRows.map(_.getInt(1)).distinct
+    val scored = spark.read.parquet(s"$dir/codes")
+      .where(col("cell").isin(allProbed: _*))
+      .select(col("cell").cast("int").as("cell"), col("_vid"),
+        col("_sub"), col("_cell"))
+      .join(broadcast(probe), Seq("cell"))
+      .join(broadcast(lut), Seq("query_id", "_sub", "_cell"))
+      .where(col("_vid") =!= col("query_id"))
+      .groupBy(col("query_id"), col("_vid"))
+      .agg(sum(col("_dot")).as("adc_mu2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adc_mu2").desc, col("_vid").asc)
+    scored.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= k)
+      .select(col("query_id"), col("_vid").as("vec_id"), col("adc_mu2"))
   }
 
   /** Deterministic Rademacher (±1) hyperplane components for

@@ -25,7 +25,8 @@ class BenchLineSpec extends AnyFunSuite {
 
   private def lineFor(names: Seq[String], value: Double): String =
     Bench.formatLine(names.map(name => (name, value, value)),
-      "/root/testdata/sf0.1", canarySec = 999.99) // worst-case width
+      "/root/testdata/sf0.1", canarySec = 999.99,
+      canaryIoSec = 999.99) // worst-case widths
 
   private def lineAt(value: Double): String =
     lineFor(SparkEntry.queries.keys.toSeq.sorted, value)
@@ -63,7 +64,7 @@ class BenchLineSpec extends AnyFunSuite {
     assert(!line.contains("\n"))
     for (field <- Seq("\"metric\":\"total\"", "\"value\":", "\"unit\":\"sec\"",
         "\"queries\":{", "\"spread_max\":", "\"hot\":", "\"canary\":",
-        "\"sf\":"))
+        "\"canary_io\":", "\"sf\":"))
       assert(line.contains(field), s"missing $field in: $line")
     // every registered query appears exactly once in the names string
     val namesStr = """"n":"([^"]*)"""".r

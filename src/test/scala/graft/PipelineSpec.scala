@@ -140,6 +140,79 @@ class PipelineSpec extends AnyFunSuite {
       == codes3, "append must encode exactly as a same-codebook build")
   }
 
+  test("composed ivf-pq index: stored serve equals inline " +
+      "probe-then-ADC at every nprobe, scans only probed cell " +
+      "partitions of the codes table") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.9f, 0.0f, 0.1f)),
+      (1L, Array(0.9f, 1.0f, 0.1f, 0.0f)),
+      (2L, Array(1.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 0.1f, 1.0f, 0.9f)),
+      (4L, Array(0.1f, 0.0f, 0.9f, 1.0f)),
+      (5L, Array(0.0f, 0.0f, 1.0f, 1.0f)),
+      (6L, Array(0.5f, 0.5f, 0.5f, 0.5f)),
+      (7L, Array(0.4f, 0.6f, 0.5f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    val kCells = 3
+    Similarity.writeIvfPqIndex(emb, dir, kCells = kCells, dims = 4,
+      m = 2, iters = 3)
+    val queries = Seq(
+      0L -> Seq(1.0f, 0.9f, 0.0f, 0.1f),
+      3L -> Seq(0.0f, 0.1f, 1.0f, 0.9f))
+    // the probe ranking, re-derived (unit centroids, dot, ties by id)
+    val cents = Similarity.readIvfCentroids(spark, dir)
+    def probes(vec: Seq[Float], nprobe: Int): Seq[Int] = {
+      def d(a: Seq[Double], b: Seq[Double]) =
+        a.zip(b).map { case (x, y) => x * y }.sum
+      val q = vec.map(_.toDouble)
+      cents.zipWithIndex.map { case (c, ci) =>
+        val n = math.sqrt(d(c, c))
+        (ci, d(q, if (n == 0.0) c else c.map(_ / n)))
+      }.sortBy { case (ci, s) => (-s, ci) }.take(nprobe).map(_._1)
+    }
+    // vector -> coarse cell, from the stored codes
+    val cellOf = spark.read.parquet(s"$dir/codes")
+      .select(col("_vid"), col("cell").cast("int")).distinct()
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy(col("query_id"), col("adc_mu2").desc, col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    // inline reference: full-index ADC ranking (the PQ face over the
+    // same stored codebook), restricted per query to ITS probed
+    // cells, re-ranked, top-k
+    val fullAdc = rows(Similarity.pqTopKFromIndex(spark, dir, queries,
+      k = emb.count().toInt))
+    for (nprobe <- 1 to kCells) {
+      val served = Similarity.ivfPqTopKFromIndex(spark, dir, queries,
+        k = 3, nprobe = nprobe)
+      val expected = queries.flatMap { case (qid, vec) =>
+        val p = probes(vec, nprobe).toSet
+        fullAdc.filter { case (q, vid, _) =>
+          q == qid && p.contains(cellOf(vid)) }
+          .sortBy { case (_, vid, mu) => (-mu, vid) }.take(3)
+      }.sortBy { case (q, vid, mu) => (q, -mu, vid) }
+      assert(rows(served) == expected, s"nprobe=$nprobe")
+      // plan gate: ONE FileScan, of codes, with the probe set in
+      // PartitionFilters — unprobed cells never opened, raw
+      // embeddings never read
+      val p = served.queryExecution.executedPlan.toString
+      val scans = p.linesIterator.filter(_.contains("FileScan")).toSeq
+      assert(scans.length == 1 && scans.head.contains("codes"),
+        s"nprobe=$nprobe serve plan:\n$p")
+      assert("""PartitionFilters: \[[^\]]*cell""".r
+        .findFirstIn(p).isDefined, s"nprobe=$nprobe plan:\n$p")
+    }
+    // rebuild is bit-reproducible (no RNG anywhere in the pipeline)
+    Similarity.writeIvfPqIndex(emb, dir, kCells = kCells, dims = 4,
+      m = 2, iters = 3)
+    val again = rows(Similarity.ivfPqTopKFromIndex(spark, dir, queries,
+      k = 3, nprobe = 2))
+    assert(again == rows(Similarity.ivfPqTopKFromIndex(spark, dir,
+      queries, k = 3, nprobe = 2)))
+  }
+
   test("minhash lsh candidates include exact and near dups") {
     val pairs = Dedup.minhashLshCandidates(docs, k = 3, numHashes = 8,
       bands = 4).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
