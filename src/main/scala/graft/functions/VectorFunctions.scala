@@ -196,7 +196,8 @@ object VectorFunctions {
 }
 
 /** `SparkSessionExtensions` hook so deployments can install the
-  * function fleet-wide via `spark.sql.extensions=graft.GraftExtensions`
+  * function fleet-wide via
+  * `spark.sql.extensions=graft.functions.GraftExtensions`
   * instead of calling register() in code. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
@@ -212,5 +213,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TrigramMasks].getName,
         TextFunctions.trgmName),
       (exprs: Seq[Expression]) => TrigramMasks(exprs.head)))
+    e.injectFunction((FunctionIdentifier(GopherFunctions.name),
+      new ExpressionInfo(classOf[GopherSignals].getName,
+        GopherFunctions.name),
+      (exprs: Seq[Expression]) => GopherSignals(exprs.head,
+        exprs(1).eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+          .asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+          .toString)))
   }
 }
