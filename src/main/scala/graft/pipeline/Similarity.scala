@@ -895,8 +895,10 @@ object Similarity {
     * micro-units — so a rebuild is bit-reproducible. */
   def writeIvfPqIndex(emb: DataFrame, dir: String, kCells: Int,
       dims: Int, m: Int = 4, iters: Int = 5, idCol: String = "vec_id",
-      vecCol: String = "embedding"): Unit = {
+      vecCol: String = "embedding", residual: Boolean = false,
+      kSub: Int = 16): Unit = {
     require(m >= 1 && dims % m == 0, s"m=$m must divide dims=$dims")
+    require(kSub >= 1, s"kSub >= 1: $kSub")
     val spark = emb.sparkSession
     import spark.implicits._
     val subDim = dims / m
@@ -905,21 +907,158 @@ object Similarity {
       c.zipWithIndex.map { case (w, p) => (ci, p, w) } }
       .toDF("cell", "pos", "w")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
-    val rows = assignCells(emb, cents, vecCol)
+    writeIvfPqMeta(spark, dir, residual, m, subDim)
+    if (residual) {
+      // IVFADC: per-subspace integer-L2 k-means over the µ-residuals,
+      // codes = argmin against the trained codebook. The subvector
+      // frame feeds init + iters + the final encode — pin it (the
+      // multi-consumer-subtree rule; retrainIvfIndex's discipline)
+      val (subRows, pin) = Dedup.pinNow(
+        residualSubRows(emb, cents, m, subDim, idCol, vecCol))
+      try {
+        val cb = trainResidualCodebook(subRows, m, kSub, iters)
+        // stored in the SHARED codebook schema (_i = sub·subDim + pos,
+        // _cell = code id, _sub, _cmu) so the driver LUT builder
+        // serves both encodings with the same integer arithmetic
+        cb.zipWithIndex.flatMap { case (subCents, s) =>
+          subCents.zipWithIndex.flatMap { case (c, j) =>
+            c.zipWithIndex.map { case (mu, p) =>
+              (s * subDim + p, j.toLong, s, mu) } } }
+          .toDF("_i", "_cell", "_sub", "_cmu")
+          .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebook")
+        subRows.withColumn("_c", residualCodeExpr(cb))
+          .select(col("_vcell").as("cell"), col("_vid"), col("_sub"),
+            col("_c").as("_cell"))
+          .repartition(col("cell"))
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$dir/codes")
+      } finally pin.release()
+    } else {
+      val rows = assignCells(emb, cents, vecCol)
+        .select(col(idCol).as("_vid"), col("cell").as("_vcell"),
+          posexplode(transform(col(vecCol), x =>
+            floor(x.cast("double") * lit(1000000.0)).cast("long")))
+            .as(Seq("_i", "_mu")))
+      val codebook = pqCodebookLocal(rows, subDim)
+      codebook.coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/codebook")
+      // repartition WITHOUT a count: AQE merges small cells into shared
+      // tasks (file-count control rule); partitionBy still lays each
+      // cell in its own directory
+      pqCodesWithCoarseCell(rows, codebook)
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$dir/codes")
+    }
+  }
+
+  /** RESIDUAL encoding for the composed index — full IVFADC (Jégou et
+    * al. 2011 §IV.A): PQ codes quantize the residual x − centroid(cell)
+    * instead of x itself. Residuals concentrate each cell's
+    * distribution around zero, so the same code budget lands far
+    * smaller quantization error (spec-measured inequality on a
+    * clustered corpus); the serve-side score adds the driver-computed
+    * ⟨q, centroid(cell)⟩ term per probed cell:
+    * ⟨q, x⟩ ≈ ⟨q, c⟩ + ⟨q, decode(codes)⟩.
+    *
+    * Everything stays in exact integer micro-units: residuals are
+    * differences of floor(x·1e6) longs, the per-subspace codebook is
+    * trained by a deterministic integer-L2 k-means (init = the kSub
+    * lowest-id residual subvectors per subspace, exact floor-division
+    * means, argmin ties to the lower code id — no RNG, bit-reproducible
+    * rebuilds), and both ADC terms are BIGINT sums — the repo-wide
+    * cross-engine discipline even though this index has no SQL face. */
+  private def residualSubRows(emb: DataFrame, cents: Seq[Seq[Double]],
+      m: Int, subDim: Int, idCol: String, vecCol: String): DataFrame = {
+    val centMuLit = array(cents.map(c =>
+      lit(c.map(x => math.floor(x * 1000000.0).toLong).toArray)): _*)
+    val muArr = transform(col(vecCol), x =>
+      floor(x.cast("double") * lit(1000000.0)).cast("long"))
+    val resid = zip_with(muArr,
+      element_at(centMuLit, col("cell") + 1), (a, b) => a - b)
+    val subCols = (0 until m).map(s =>
+      struct(lit(s).as("_sub"),
+        expr(s"slice(_r, ${s * subDim + 1}, $subDim)").as("_rv")))
+    assignCells(emb, cents, vecCol)
       .select(col(idCol).as("_vid"), col("cell").as("_vcell"),
-        posexplode(transform(col(vecCol), x =>
-          floor(x.cast("double") * lit(1000000.0)).cast("long")))
-          .as(Seq("_i", "_mu")))
-    val codebook = pqCodebookLocal(rows, subDim)
-    codebook.coalesce(1).write.mode("overwrite")
-      .parquet(s"$dir/codebook")
-    // repartition WITHOUT a count: AQE merges small cells into shared
-    // tasks (file-count control rule); partitionBy still lays each
-    // cell in its own directory
-    pqCodesWithCoarseCell(rows, codebook)
-      .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$dir/codes")
+        resid.as("_r"))
+      .select(col("_vid"), col("_vcell"),
+        explode(array(subCols: _*)).as("_sv"))
+      .select(col("_vid"), col("_vcell"),
+        col("_sv").getField("_sub").as("_sub"),
+        col("_sv").getField("_rv").as("_rv"))
+  }
+
+  /** argmin-L2 code id for `_rv` against per-subspace centroid
+    * literals (array indexed [sub][code][pos]); first min wins —
+    * ties to the lower code id */
+  private def residualCodeExpr(cb: Seq[Seq[Array[Long]]]): Column = {
+    val cbLit = array(cb.map(subCents =>
+      array(subCents.map(c => lit(c)): _*)): _*)
+    val dists = transform(element_at(cbLit, col("_sub") + 1), c =>
+      aggregate(zip_with(col("_rv"), c, (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x))
+    (array_position(dists, array_min(dists)) - 1).cast("long")
+  }
+
+  /** Deterministic integer-L2 k-means per subspace, all `m` subspaces
+    * trained in one frame (the `_sub` column rides the group keys).
+    * Exact floor-division means keep every centroid a bit-stable
+    * Array[Long]; empty clusters keep their previous centroid
+    * (standard Lloyd's, the [[trainIvfCentroids]] contract). */
+  private def trainResidualCodebook(subRows: DataFrame, m: Int,
+      kSub: Int, iters: Int): Seq[Seq[Array[Long]]] = {
+    import org.apache.spark.sql.expressions.Window
+    // init: the kSub lowest-id residual subvectors per subspace
+    val w = Window.partitionBy(col("_sub")).orderBy(col("_vid"))
+    val init = subRows.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= kSub)
+      .select(col("_sub"), col("_rn"), col("_rv"))
+      .collect().map(r => (r.getInt(0), r.getInt(1),
+        r.getSeq[Long](2).toArray))
+      .groupBy(_._1)
+    var cb: Seq[Seq[Array[Long]]] = (0 until m).map(s =>
+      init.getOrElse(s, Array.empty).sortBy(_._2).map(_._3).toSeq)
+    for (_ <- 0 until iters) {
+      val assigned = subRows.withColumn("_c", residualCodeExpr(cb))
+      val updated = assigned
+        .select(col("_sub"), col("_c"),
+          posexplode(col("_rv")).as(Seq("_pos", "_x")))
+        .groupBy(col("_sub"), col("_c"), col("_pos"))
+        // exact floor-division mean in integers: (s - pmod(s, n)) / n
+        .agg(expr("(sum(_x) - pmod(sum(_x), count(1))) div count(1)")
+          .as("_mu"))
+        .groupBy(col("_sub"), col("_c"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("_pos"), col("_mu")))),
+          s => s.getField("_mu")).as("_cv"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1)) ->
+          r.getSeq[Long](2).toArray).toMap
+      cb = cb.zipWithIndex.map { case (subCents, s) =>
+        subCents.zipWithIndex.map { case (c, j) =>
+          updated.getOrElse((s, j.toLong), c) } }
+    }
+    cb
+  }
+
+  /** the one-row control-plane marker a [[writeIvfPqIndex]] layout
+    * carries so the serve knows its encoding; absent = raw (the
+    * pre-residual layout) */
+  private def writeIvfPqMeta(spark: org.apache.spark.sql.SparkSession,
+      dir: String, residual: Boolean, m: Int, subDim: Int): Unit = {
+    import spark.implicits._
+    Seq((residual, m, subDim)).toDF("residual", "m", "subdim")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  private def readIvfPqMeta(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/meta")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) false
+    else spark.read.parquet(p.toString)
+      .select(col("residual")).collect()(0).getBoolean(0)
   }
 
   /** Serve ADC top-k from a [[writeIvfPqIndex]] index: driver probe
@@ -939,20 +1078,35 @@ object Similarity {
     require(queries.nonEmpty, "empty query set")
     require(k >= 1 && nprobe >= 1, "k >= 1, nprobe >= 1")
     val cents = readIvfCentroids(spark, dir)
+    val residual = readIvfPqMeta(spark, dir)
     val cb = readPqCodebookLocal(spark, dir)
     val dims = cb.map(_._1).max + 1
+    // per-(query, probed cell) rows; `_qc` is the ⟨q, centroid⟩ ADC
+    // term of the residual decomposition ⟨q,x⟩ ≈ ⟨q,c⟩ + ⟨q,decode⟩ —
+    // identically zero under raw encoding, so ONE serve plan covers
+    // both layouts (and raw scores stay bit-identical to before)
     val probeRows: Seq[Row] = queries.flatMap { case (qid, vec) =>
       require(vec.length == dims,
         s"ivfPqTopKFromIndex: query $qid has ${vec.length} dims, " +
           s"index has $dims")
-      probeCellsOf(cents, vec.map(_.toDouble), nprobe)
-        .map(ci => Row(qid, ci))
+      val q = vec.map(_.toDouble)
+      val qmu = vec.map(x =>
+        math.floor(x.toDouble * 1000000.0).toLong)
+      probeCellsOf(cents, q, nprobe).map { ci =>
+        val qc =
+          if (!residual) 0L
+          else cents(ci).zip(qmu).foldLeft(0L) { case (acc, (c, qm)) =>
+            acc + math.floor(c * 1000000.0).toLong * qm }
+        Row(qid, ci, qc)
+      }
     }
     val probeSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("query_id",
         org.apache.spark.sql.types.LongType, nullable = false),
       org.apache.spark.sql.types.StructField("cell",
-        org.apache.spark.sql.types.IntegerType, nullable = false)))
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("_qc",
+        org.apache.spark.sql.types.LongType, nullable = false)))
     val probe = spark.createDataFrame(
       java.util.Arrays.asList(probeRows: _*), probeSchema)
     val lut = spark.createDataFrame(
@@ -969,7 +1123,9 @@ object Similarity {
       .join(broadcast(lut), Seq("query_id", "_sub", "_cell"))
       .where(col("_vid") =!= col("query_id"))
       .groupBy(col("query_id"), col("_vid"))
-      .agg(sum(col("_dot")).as("adc_mu2"))
+      // every (query, vid) group shares one cell, so one _qc — max is
+      // just the deterministic pick of that constant
+      .agg((max(col("_qc")) + sum(col("_dot"))).as("adc_mu2"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("adc_mu2").desc, col("_vid").asc)

@@ -213,6 +213,138 @@ class PipelineSpec extends AnyFunSuite {
       queries, k = 3, nprobe = 2)))
   }
 
+  test("residual ivf-pq (IVFADC): stored codes are the argmin residual " +
+      "quantization, serve matches a driver-side exact integer oracle " +
+      "at every nprobe, and residual coding beats raw coding's " +
+      "quantization error on a clustered corpus") {
+    def mu(x: Float): Long = math.floor(x.toDouble * 1000000.0).toLong
+    def muD(x: Double): Long = math.floor(x * 1000000.0).toLong
+    // 3 clusters with within-cluster structure the residual codes can
+    // exploit; 4 dims, m=2 subspaces
+    val rnd = new scala.util.Random(13)
+    val centers = Seq(
+      Array(1.0f, 0.8f, 0.0f, 0.1f),
+      Array(0.0f, 0.1f, 1.0f, 0.8f),
+      Array(0.5f, 0.5f, 0.5f, 0.5f))
+    val emb = (0 until 30).map { i =>
+      val c = centers(i % 3)
+      (i.toLong, c.map(x => x + (rnd.nextInt(5) - 2) * 0.03f))
+    }.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqr").toString
+    Similarity.writeIvfPqIndex(emb, dir, kCells = 3, dims = 4, m = 2,
+      iters = 3, residual = true, kSub = 3)
+    // stored control-plane tables
+    val cents = Similarity.readIvfCentroids(spark, dir)
+    val cbRows = spark.read.parquet(s"$dir/codebook")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2),
+        r.getLong(3)))
+    val codes = spark.read.parquet(s"$dir/codes")
+      .select(col("_vid"), col("_sub"), col("_cell"),
+        col("cell").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getInt(3))).toMap
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    // encode correctness: every stored code is the argmin integer-L2
+    // sub-centroid of the vector's µ-residual (ties to the lower id)
+    val cbBySub = cbRows.groupBy(_._3).map { case (s, rs) =>
+      s -> rs.groupBy(_._2).map { case (code, cs) =>
+        code -> cs.sortBy(_._1).map(_._4) }.toMap }
+    for ((vid, v) <- vecs; s <- 0 until 2) {
+      val (code, cell) = codes((vid, s))
+      val rv = (0 until 2).map(p =>
+        mu(v(s * 2 + p)) - muD(cents(cell)(s * 2 + p)))
+      val dists = cbBySub(s).toSeq.sortBy(_._1).map { case (j, c) =>
+        (j, rv.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum) }
+      val best = dists.minBy { case (j, d) => (d, j) }._1
+      assert(code == best, s"vid $vid sub $s: stored $code vs $best")
+    }
+    // serve == driver-side exact integer oracle at every nprobe
+    val queries = Seq(0L -> vecs(0L).toSeq, 1L -> vecs(1L).toSeq,
+      900L -> Seq(0.9f, 0.9f, 0.1f, 0.0f))
+    def probes(vec: Seq[Float], nprobe: Int): Seq[Int] = {
+      def d(a: Seq[Double], b: Seq[Double]) =
+        a.zip(b).map { case (x, y) => x * y }.sum
+      val q = vec.map(_.toDouble)
+      cents.zipWithIndex.map { case (c, ci) =>
+        val n = math.sqrt(d(c, c))
+        (ci, d(q, if (n == 0.0) c else c.map(_ / n)))
+      }.sortBy { case (ci, sc) => (-sc, ci) }.take(nprobe).map(_._1)
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy(col("query_id"), col("adc_mu2").desc, col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    for (nprobe <- 1 to 3) {
+      val served = Similarity.ivfPqTopKFromIndex(spark, dir, queries,
+        k = 4, nprobe = nprobe)
+      val expected = queries.flatMap { case (qid, qv) =>
+        val p = probes(qv, nprobe).toSet
+        val qmu = qv.map(mu)
+        vecs.keys.filter(vid => vid != qid
+            && p.contains(codes((vid, 0))._2)).map { vid =>
+          val cell = codes((vid, 0))._2
+          val qc = cents(cell).zip(qmu)
+            .map { case (c, qm) => muD(c) * qm }.sum
+          val adc = qc + (0 until 2).map { s =>
+            val code = codes((vid, s))._1
+            cbBySub(s)(code).zipWithIndex.map { case (cmu, p2) =>
+              qmu(s * 2 + p2) * cmu }.sum
+          }.sum
+          (qid, vid, adc)
+        }.toSeq.sortBy { case (_, vid, adc) => (-adc, vid) }.take(4)
+      }.sortBy { case (q, vid, adc) => (q, -adc, vid) }
+      assert(rows(served) == expected, s"nprobe=$nprobe")
+      val plan = served.queryExecution.executedPlan.toString
+      val scans = plan.linesIterator.filter(_.contains("FileScan")).toSeq
+      assert(scans.length == 1 && scans.head.contains("codes"), plan)
+      assert("""PartitionFilters: \[[^\]]*cell""".r
+        .findFirstIn(plan).isDefined, plan)
+    }
+    // same code budget, raw vs residual: residual reconstruction must
+    // land closer on a clustered corpus (the IVFADC point)
+    val dirRaw = java.nio.file.Files.createTempDirectory("ivfpqw")
+      .toString
+    Similarity.writeIvfPqIndex(emb, dirRaw, kCells = 3, dims = 4,
+      m = 2, iters = 3) // raw: codebook = per-coarse-cell means
+    val rawCb = spark.read.parquet(s"$dirRaw/codebook")
+      .select(col("_i").cast("int"), col("_cell").cast("long"),
+        col("_cmu").cast("long"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val rawCodes = spark.read.parquet(s"$dirRaw/codes")
+      .select(col("_vid"), col("_sub").cast("int"),
+        col("_cell").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    def sq(x: Long) = x * x
+    val errResidual = vecs.map { case (vid, v) =>
+      (0 until 4).map { i =>
+        val s = i / 2
+        val (code, cell) = codes((vid, s))
+        val recon = muD(cents(cell)(i)) + cbBySub(s)(code)(i % 2)
+        sq(recon - mu(v(i)))
+      }.sum
+    }.sum
+    val errRaw = vecs.map { case (vid, v) =>
+      (0 until 4).map { i =>
+        val code = rawCodes((vid, i / 2))
+        sq(rawCb((i, code)) - mu(v(i)))
+      }.sum
+    }.sum
+    assert(errResidual < errRaw,
+      s"residual err $errResidual !< raw err $errRaw")
+    // rebuild is bit-reproducible (deterministic k-means init + exact
+    // integer means)
+    Similarity.writeIvfPqIndex(emb, dir, kCells = 3, dims = 4, m = 2,
+      iters = 3, residual = true, kSub = 3)
+    val again = spark.read.parquet(s"$dir/codes")
+      .select(col("_vid"), col("_sub"), col("_cell"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    assert(again == codes.map { case (k2, v) => k2 -> v._1 })
+  }
+
   test("minhash lsh candidates include exact and near dups") {
     val pairs = Dedup.minhashLshCandidates(docs, k = 3, numHashes = 8,
       bands = 4).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
