@@ -1061,6 +1061,55 @@ object Similarity {
       .select(col("residual")).collect()(0).getBoolean(0)
   }
 
+  /** Incrementally add vectors to a [[writeIvfPqIndex]] index: both
+    * encodings are pure functions of (stored centroids, stored
+    * codebook, vector) — coarse cell by argmax cosine, code by
+    * nearest sub-centroid (raw µ or µ-residual per `dir/meta`) — so
+    * an append writes exactly the code rows a same-table rebuild
+    * would, into the matching coarse-cell partition directories (the
+    * [[appendToIvfIndex]]/[[appendToPqIndex]] discipline; retrain
+    * with [[writeIvfPqIndex]] when drift unbalances the cells). */
+  def appendToIvfPqIndex(newEmb: DataFrame, dir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = newEmb.sparkSession
+    val cents = readIvfCentroids(spark, dir)
+    val residual = readIvfPqMeta(spark, dir)
+    val cb = readPqCodebookLocal(spark, dir)
+    val dims = cb.map(_._1).max + 1
+    val m = cb.map(_._3).max + 1
+    val subDim = dims / m
+    val codes =
+      if (residual) {
+        // rebuild the trained codebook's [sub][code][pos] shape from
+        // the stored rows; code ids are dense from 0 by construction
+        val bySub = cb.groupBy(_._3)
+        val cbArr: Seq[Seq[Array[Long]]] = (0 until m).map { s =>
+          bySub(s).groupBy(_._2).toSeq.sortBy(_._1)
+            .map { case (_, rs) => rs.sortBy(_._1).map(_._4) }
+        }
+        residualSubRows(newEmb, cents, m, subDim, idCol, vecCol)
+          .withColumn("_c", residualCodeExpr(cbArr))
+          .select(col("_vcell").as("cell"), col("_vid"), col("_sub"),
+            col("_c").as("_cell"))
+      } else {
+        // collect the codebook PRESERVING its on-disk types (the
+        // appendToPqIndex discipline): appended code rows must carry
+        // the exact column types the build wrote, or the parquet
+        // union of old and new part files stops reading
+        val cb0 = spark.read.parquet(s"$dir/codebook")
+        val codebook = spark.createDataFrame(
+          java.util.Arrays.asList(cb0.collect(): _*), cb0.schema)
+        val rows = assignCells(newEmb, cents, vecCol)
+          .select(col(idCol).as("_vid"), col("cell").as("_vcell"),
+            posexplode(transform(col(vecCol), x =>
+              floor(x.cast("double") * lit(1000000.0)).cast("long")))
+              .as(Seq("_i", "_mu")))
+        pqCodesWithCoarseCell(rows, codebook)
+      }
+    codes.repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
+  }
+
   /** Serve ADC top-k from a [[writeIvfPqIndex]] index: driver probe
     * selection against the stored coarse quantizer (per query: the
     * `nprobe` best cells, the [[ivfTopKFromIndex]] ranking), ONE

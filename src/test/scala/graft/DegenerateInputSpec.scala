@@ -28,6 +28,45 @@ class DegenerateInputSpec extends AnyFunSuite {
   private def oneDoc: DataFrame =
     Seq((1L, "a single short document")).toDF("doc_id", "text")
 
+  test("round-15 natives: gopher signals and BPE counts on null, " +
+      "empty, separator-only, and non-ASCII inputs") {
+    import graft.functions.{BpeTable, BpeTokenCount}
+    // gopher: null text -> null struct fields (nullIntolerant), never
+    // a throw; separator/whitespace-only text -> all zeros; code-point
+    // lengths (not UTF-16 units) for non-ASCII
+    val docs = Seq[(java.lang.Long, String)](
+      (1L, null), (2L, ""), (3L, "\n \n\t\n"), (4L, "é é\né é"))
+      .toDF("doc_id", "text")
+    val g = TextOps.gopherSignals(docs).orderBy("doc_id").collect()
+    assert(g(0).isNullAt(1), "null text must yield null signals")
+    assert((1 to 12).forall(i => g(1).getLong(i) == 0L))
+    // "\n \n\t\n": one trimmed segment " " -> empty after trim except
+    // the tab segment "\t" which Spark trim KEEPS (trim strips ' '
+    // only) -> 1 line, 0 tokens (\s+ eats everything)
+    assert(g(2).getLong(1) == 1L
+      && (2 to 12).forall(i => g(2).getLong(i) == 0L))
+    // "é é\né é": 2 dup lines of cp-length 3; tokens [é,é,é,é] so
+    // charlen 7 and the top bigram "é é" spans the line break — 3
+    // windows × cp-length 3 = 9 covered chars (code points, not
+    // UTF-16 units)
+    assert(g(3).getLong(1) == 2L)
+    assert(g(3).getLong(2) == 1000000L) // 2/2 dup lines
+    assert(g(3).getLong(4) == (9L * 2000000L + 7L) / 14L)
+    // BPE: empty merges table -> every word counts its code points;
+    // empty word never reaches encode (WordRe can't match one), but
+    // the loop handles it anyway
+    val empty = new BpeTable(Seq.empty)
+    assert(BpeTokenCount.encode("", empty).length == 0)
+    assert(BpeTokenCount.encode("abc", empty).toSeq ==
+      Seq("a", "b", "c"))
+    val t = new BpeTable(Seq(("a", "b"), ("ab", "c")))
+    assert(BpeTokenCount.encode("abcabc", t).toSeq ==
+      Seq("abc", "abc"))
+    // a pair listed twice keeps its FIRST (lowest) rank
+    val dup = new BpeTable(Seq(("a", "b"), ("a", "b")))
+    assert(BpeTokenCount.encode("ab", dup).toSeq == Seq("ab"))
+  }
+
   test("round-12 additions: empty/singleton corpora flow through") {
     val withSrc = (df: DataFrame) => df.withColumn("source", lit("s0"))
     // overlap audits: one group (or none) -> no pair rows

@@ -345,6 +345,53 @@ class PipelineSpec extends AnyFunSuite {
     assert(again == codes.map { case (k2, v) => k2 -> v._1 })
   }
 
+  test("ivf-pq append encodes exactly as a same-table rebuild and " +
+      "keeps the pruned serve, both encodings") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.9f, 0.0f, 0.1f)),
+      (1L, Array(0.9f, 1.0f, 0.1f, 0.0f)),
+      (2L, Array(1.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 0.1f, 1.0f, 0.9f)),
+      (4L, Array(0.1f, 0.0f, 0.9f, 1.0f)),
+      (5L, Array(0.0f, 0.0f, 1.0f, 1.0f)),
+      (6L, Array(0.5f, 0.5f, 0.5f, 0.5f)),
+      (7L, Array(0.4f, 0.6f, 0.5f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    for (residual <- Seq(false, true)) {
+      val dirA = java.nio.file.Files
+        .createTempDirectory(s"ivfpqa$residual").toString
+      Similarity.writeIvfPqIndex(emb.where(col("vec_id") < 4), dirA,
+        kCells = 2, dims = 4, m = 2, iters = 2, residual = residual,
+        kSub = 2)
+      Similarity.appendToIvfPqIndex(emb.where(col("vec_id") >= 4), dirA)
+      // rebuild face: the SAME stored tables (centroids + codebook +
+      // meta) in a fresh dir, every vector appended — encoding is a
+      // pure function of (stored tables, vector), so the code rows
+      // must be identical
+      val dirB = java.nio.file.Files
+        .createTempDirectory(s"ivfpqb$residual").toString
+      for (part <- Seq("centroids", "codebook", "meta"))
+        spark.read.parquet(s"$dirA/$part")
+          .coalesce(1).write.parquet(s"$dirB/$part")
+      Similarity.appendToIvfPqIndex(emb, dirB)
+      def codeRows(d: String) = spark.read.parquet(s"$d/codes")
+        .select(col("_vid"), col("_sub").cast("int"),
+          col("_cell").cast("long"), col("cell").cast("int"))
+        .collect().map(_.toString).sorted.toSeq
+      assert(codeRows(dirA) == codeRows(dirB),
+        s"residual=$residual: append diverged from rebuild")
+      // the appended index still serves with partition pruning (k may
+      // exceed the one probed cell's population — that's the nprobe
+      // recall knob, not an error)
+      val served = Similarity.ivfPqTopKFromIndex(spark, dirA,
+        Seq(900L -> Seq(1.0f, 0.9f, 0.0f, 0.1f)), k = 3, nprobe = 1)
+      val plan = served.queryExecution.executedPlan.toString
+      assert(served.count() >= 2, s"residual=$residual")
+      assert("""PartitionFilters: \[[^\]]*cell""".r
+        .findFirstIn(plan).isDefined, s"residual=$residual:\n$plan")
+    }
+  }
+
   test("minhash lsh candidates include exact and near dups") {
     val pairs = Dedup.minhashLshCandidates(docs, k = 3, numHashes = 8,
       bands = 4).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
