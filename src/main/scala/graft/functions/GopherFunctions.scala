@@ -240,13 +240,33 @@ object GopherFunctions {
 
   val name = "graft_gopher_signals"
 
+  /** The SQL-facing builder, shared with [[GraftExtensions]]: the
+    * second argument is the line separator and must be a FOLDABLE
+    * string (it parameterizes the compiled expression, like a
+    * format string). Validated here with real messages — a bare
+    * `exprs(1).eval` would throw an internal IndexOutOfBounds /
+    * unresolved-expression error at a SQL user instead of an
+    * analysis-time complaint. */
+  def build(exprs: Seq[Expression]): Expression = {
+    if (exprs.length != 2)
+      throw new IllegalArgumentException(
+        s"$name expects (text, lineSep), got ${exprs.length} argument" +
+          s"${if (exprs.length == 1) "" else "s"}")
+    val sep = exprs(1)
+    if (sep.dataType != org.apache.spark.sql.types.StringType
+        || !sep.foldable)
+      throw new IllegalArgumentException(
+        s"$name: lineSep must be a string literal, got $sep")
+    val sepVal = sep.eval(InternalRow.empty)
+    if (sepVal == null)
+      throw new IllegalArgumentException(s"$name: lineSep is null")
+    GopherSignals(exprs.head,
+      sepVal.asInstanceOf[UTF8String].toString)
+  }
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name,
-      exprs => GopherSignals(exprs.head,
-        exprs(1).eval(InternalRow.empty)
-          .asInstanceOf[UTF8String].toString),
-      "scala_udf")
+      name, build, "scala_udf")
 
   /** struct of all 12 Gopher repetition signals, codegen'd */
   def gopherSignals(text: Column, lineSep: String): Column = {

@@ -216,9 +216,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier(GopherFunctions.name),
       new ExpressionInfo(classOf[GopherSignals].getName,
         GopherFunctions.name),
-      (exprs: Seq[Expression]) => GopherSignals(exprs.head,
-        exprs(1).eval(org.apache.spark.sql.catalyst.InternalRow.empty)
-          .asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
-          .toString)))
+      (exprs: Seq[Expression]) => GopherFunctions.build(exprs)))
   }
 }

@@ -317,15 +317,23 @@ object Similarity {
     * changes cells by design). */
   def writeIvfIndexWith(emb: DataFrame, cents: Seq[Seq[Double]],
       dir: String, vecCol: String = "embedding"): Unit = {
-    val spark = emb.sparkSession
+    writeCentroidsTable(emb.sparkSession, cents, dir)
+    assignCells(emb, cents, vecCol)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/vectors")
+  }
+
+  /** the ONE writer of the `dir/centroids` (cell, pos, w) layout —
+    * shared by the IVF-only and composed-index builds so the format
+    * [[readIvfCentroids]] decodes can never fork */
+  private def writeCentroidsTable(
+      spark: org.apache.spark.sql.SparkSession,
+      cents: Seq[Seq[Double]], dir: String): Unit = {
     import spark.implicits._
     cents.zipWithIndex.flatMap { case (c, ci) =>
       c.zipWithIndex.map { case (w, p) => (ci, p, w) } }
       .toDF("cell", "pos", "w")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
-    assignCells(emb, cents, vecCol)
-      .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$dir/vectors")
   }
 
   /** Read a persisted coarse quantizer back as centroid vectors
@@ -458,14 +466,9 @@ object Similarity {
     require(k >= 1 && nprobe >= 1, s"k >= 1, nprobe >= 1")
     def dotL(a: Seq[Double], b: Seq[Double]): Double =
       a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
-    val cents = readIvfCentroids(spark, dir).zipWithIndex
-      .map { case (c, ci) => (ci, c) }
+    val cents = readIvfCentroids(spark, dir)
     val q = queryVec.map(_.toDouble)
-    val probed = cents.map { case (ci, c) =>
-      val n = math.sqrt(dotL(c, c))
-      val u = if (n == 0.0) c else c.map(_ / n)
-      (ci, dotL(q, u))
-    }.sortBy { case (ci, s) => (-s, ci) }.take(nprobe).map(_._1)
+    val probed = probeCellsOf(cents, q, nprobe)
     val qn = math.sqrt(dotL(q, q))
     // zero-norm guard on BOTH sides: 0/0 = NaN, and Spark sorts NaN
     // ABOVE every real number in a descending order — a zero vector
@@ -655,12 +658,8 @@ object Similarity {
     require(k >= 1, "k must be >= 1")
     require(m >= 1 && dims % m == 0, s"m=$m must divide dims=$dims")
     val subDim = dims / m
-    def muRows(df: DataFrame) =
-      df.select(col(idCol).as("_vid"), col(cellCol).as("_vcell"),
-        posexplode(transform(col(vecCol), x =>
-          floor(x.cast("double") * lit(1000000.0)).cast("long")))
-          .as(Seq("_i", "_mu")))
-    val rows = muRows(emb)
+    val rows = muRows(emb, dims, "pqTopKBatch", idCol, vecCol,
+      Some(cellCol))
     // codebook: per (dim, cell) micro-unit mean component — the
     // sub-centroid of subspace (_i div subDim) restricted to dim _i.
     // MATERIALIZED driver-side: dims × cells rows (control-plane, the
@@ -679,6 +678,22 @@ object Similarity {
       .groupBy(col("_vid").as("query_id"), col("_sub"), col("_cell"))
       .agg(sum(col("_mu") * col("_cmu")).as("_dot"))
     pqAdcServe(codes, lut, k)
+  }
+
+  /** The µ-component explode every PQ face shares — one definition,
+    * so the quantization (floor(x·1e6)) and the per-row dims guard
+    * ([[vecDimsChecked]]) can never diverge between the build, append,
+    * and inline entry points (indexes written by different entry
+    * points must stay mutually readable). */
+  private def muRows(df: DataFrame, dims: Int, op: String,
+      idCol: String, vecCol: String, cellCol: Option[String])
+      : DataFrame = {
+    val keys = Seq(col(idCol).as("_vid")) ++
+      cellCol.map(c => col(c).as("_vcell"))
+    df.select(keys :+ posexplode(transform(
+        vecDimsChecked(vecCol, dims, op), x =>
+          floor(x.cast("double") * lit(1000000.0)).cast("long")))
+        .as(Seq("_i", "_mu")): _*)
   }
 
   /** per-(dim, cell) micro-unit mean components as a LOCAL relation —
@@ -740,11 +755,8 @@ object Similarity {
       vecCol: String = "embedding"): Unit = {
     require(m >= 1 && dims % m == 0, s"m=$m must divide dims=$dims")
     val subDim = dims / m
-    val rows = emb.select(col(idCol).as("_vid"),
-      col(cellCol).as("_vcell"),
-      posexplode(transform(col(vecCol), x =>
-        floor(x.cast("double") * lit(1000000.0)).cast("long")))
-        .as(Seq("_i", "_mu")))
+    val rows = muRows(emb, dims, "writePqIndex", idCol, vecCol,
+      Some(cellCol))
     val codebook = pqCodebookLocal(rows, subDim)
     codebook.coalesce(1).write.mode("overwrite")
       .parquet(s"$dir/codebook")
@@ -763,14 +775,15 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val spark = newEmb.sparkSession
     val cb0 = spark.read.parquet(s"$dir/codebook")
+    val cbRows = cb0.collect()
     val codebook = spark.createDataFrame(
-      java.util.Arrays.asList(cb0.collect(): _*), cb0.schema)
+      java.util.Arrays.asList(cbRows: _*), cb0.schema)
+    val dims = cbRows
+      .map(_.getAs[Number]("_i").intValue()).max + 1
     // no cell column needed: encoding is a pure function of
     // (codebook, vector)
-    val rows = newEmb.select(col(idCol).as("_vid"),
-      posexplode(transform(col(vecCol), x =>
-        floor(x.cast("double") * lit(1000000.0)).cast("long")))
-        .as(Seq("_i", "_mu")))
+    val rows = muRows(newEmb, dims, "appendToPqIndex", idCol, vecCol,
+      None)
     pqCodesOf(rows, codebook)
       .repartition(col("_vid"))
       .write.mode("append").parquet(s"$dir/codes")
@@ -822,10 +835,15 @@ object Similarity {
       org.apache.spark.sql.types.LongType, nullable = false)))
 
   /** driver-built per-query ADC lookup rows (query_id, _sub, _cell,
-    * _dot) — the same arithmetic as the distributed LUT build */
+    * _dot) — the same arithmetic as the distributed LUT build. The
+    * (sub, cell) grouping of the codebook is hoisted OUT of the
+    * per-query loop: at production shape (768 dims × 256 cells ≈ 200k
+    * rows) regrouping per query made a 100-query serve rebuild the
+    * same hash grouping 100 times on the driver. */
   private def pqLutRows(cb: Array[(Int, Long, Int, Long)],
       queries: Seq[(Long, Seq[Float])]): Seq[Row] = {
     val dims = cb.map(_._1).max + 1
+    val grouped = cb.groupBy(r => (r._3, r._2)).toSeq
     queries.flatMap { case (qid, vec) =>
       // a longer vector would silently truncate to the index dims, a
       // shorter one would throw a bare index error mid-fold — fail at
@@ -834,7 +852,7 @@ object Similarity {
         s"pq serve: query $qid has ${vec.length} dims, index has $dims")
       val mu = vec.map(x =>
         math.floor(x.toDouble * 1000000.0).toLong).toArray
-      cb.groupBy(r => (r._3, r._2)).toSeq.map { case ((sub, cell), rs) =>
+      grouped.map { case ((sub, cell), rs) =>
         Row(qid, sub, cell,
           rs.foldLeft(0L) { case (acc, (i, _, _, cmu)) =>
             acc + mu(i) * cmu })
@@ -903,10 +921,7 @@ object Similarity {
     import spark.implicits._
     val subDim = dims / m
     val cents = trainIvfCentroids(emb, kCells, iters, idCol, vecCol)
-    cents.zipWithIndex.flatMap { case (c, ci) =>
-      c.zipWithIndex.map { case (w, p) => (ci, p, w) } }
-      .toDF("cell", "pos", "w")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    writeCentroidsTable(spark, cents, dir)
     writeIvfPqMeta(spark, dir, residual, m, subDim)
     if (residual) {
       // IVFADC: per-subspace integer-L2 k-means over the µ-residuals,
@@ -914,7 +929,8 @@ object Similarity {
       // frame feeds init + iters + the final encode — pin it (the
       // multi-consumer-subtree rule; retrainIvfIndex's discipline)
       val (subRows, pin) = Dedup.pinNow(
-        residualSubRows(emb, cents, m, subDim, idCol, vecCol))
+        residualSubRows(emb, cents, m, subDim, idCol, vecCol,
+          "writeIvfPqIndex"))
       try {
         val cb = trainResidualCodebook(subRows, m, kSub, iters)
         // stored in the SHARED codebook schema (_i = sub·subDim + pos,
@@ -934,11 +950,8 @@ object Similarity {
           .parquet(s"$dir/codes")
       } finally pin.release()
     } else {
-      val rows = assignCells(emb, cents, vecCol)
-        .select(col(idCol).as("_vid"), col("cell").as("_vcell"),
-          posexplode(transform(col(vecCol), x =>
-            floor(x.cast("double") * lit(1000000.0)).cast("long")))
-            .as(Seq("_i", "_mu")))
+      val rows = muRows(assignCells(emb, cents, vecCol), dims,
+        "writeIvfPqIndex", idCol, vecCol, Some("cell"))
       val codebook = pqCodebookLocal(rows, subDim)
       codebook.coalesce(1).write.mode("overwrite")
         .parquet(s"$dir/codebook")
@@ -951,6 +964,20 @@ object Similarity {
         .parquet(s"$dir/codes")
     }
   }
+
+  /** Per-row vector-dims guard for the index BUILD/APPEND paths: a
+    * wrong-length vector fails the job with the actual constraint
+    * instead of silently encoding garbage — `zip_with` pads the
+    * shorter side with nulls (null residuals → null codes) and the
+    * `_i` equi-join just drops extra dims. The serve side's
+    * `require(vec.length == dims)` discipline, applied per row in
+    * codegen with no extra probe job. */
+  private def vecDimsChecked(vecCol: String, dims: Int,
+      op: String): Column =
+    when(size(col(vecCol)) === dims, col(vecCol))
+      .otherwise(raise_error(concat(
+        lit(s"$op: vector has "), size(col(vecCol)).cast("string"),
+        lit(s" dims, index has $dims"))))
 
   /** RESIDUAL encoding for the composed index — full IVFADC (Jégou et
     * al. 2011 §IV.A): PQ codes quantize the residual x − centroid(cell)
@@ -969,10 +996,11 @@ object Similarity {
     * rebuilds), and both ADC terms are BIGINT sums — the repo-wide
     * cross-engine discipline even though this index has no SQL face. */
   private def residualSubRows(emb: DataFrame, cents: Seq[Seq[Double]],
-      m: Int, subDim: Int, idCol: String, vecCol: String): DataFrame = {
+      m: Int, subDim: Int, idCol: String, vecCol: String,
+      op: String): DataFrame = {
     val centMuLit = array(cents.map(c =>
       lit(c.map(x => math.floor(x * 1000000.0).toLong).toArray)): _*)
-    val muArr = transform(col(vecCol), x =>
+    val muArr = transform(vecDimsChecked(vecCol, m * subDim, op), x =>
       floor(x.cast("double") * lit(1000000.0)).cast("long"))
     val resid = zip_with(muArr,
       element_at(centMuLit, col("cell") + 1), (a, b) => a - b)
@@ -1087,7 +1115,8 @@ object Similarity {
           bySub(s).groupBy(_._2).toSeq.sortBy(_._1)
             .map { case (_, rs) => rs.sortBy(_._1).map(_._4) }
         }
-        residualSubRows(newEmb, cents, m, subDim, idCol, vecCol)
+        residualSubRows(newEmb, cents, m, subDim, idCol, vecCol,
+          "appendToIvfPqIndex")
           .withColumn("_c", residualCodeExpr(cbArr))
           .select(col("_vcell").as("cell"), col("_vid"), col("_sub"),
             col("_c").as("_cell"))
@@ -1099,11 +1128,8 @@ object Similarity {
         val cb0 = spark.read.parquet(s"$dir/codebook")
         val codebook = spark.createDataFrame(
           java.util.Arrays.asList(cb0.collect(): _*), cb0.schema)
-        val rows = assignCells(newEmb, cents, vecCol)
-          .select(col(idCol).as("_vid"), col("cell").as("_vcell"),
-            posexplode(transform(col(vecCol), x =>
-              floor(x.cast("double") * lit(1000000.0)).cast("long")))
-              .as(Seq("_i", "_mu")))
+        val rows = muRows(assignCells(newEmb, cents, vecCol), dims,
+          "appendToIvfPqIndex", idCol, vecCol, Some("cell"))
         pqCodesWithCoarseCell(rows, codebook)
       }
     codes.repartition(col("cell"))

@@ -276,14 +276,16 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("Join"), p)
   }
 
-  test("gopher signals are row-local sorted-run scans — exactly the " +
-      "one spread exchange, no join, no aggregate, one scan") {
+  test("gopher signals are one compiled projection — at most the one " +
+      "spread exchange, no join, no aggregate, one scan") {
     val p = SparkEntry.queries("t_quality_gopher")(spark, sfDir)
       .queryExecution.executedPlan.toString
-    // exactly ONE hash exchange: Spread.ensure widening the narrow
-    // scan to cluster parallelism before the interpreted HOF stages
+    // AT MOST one hash exchange: Spread.ensure widening the narrow
+    // scan to cluster parallelism before the native GopherSignals
+    // projection — and legitimately ZERO when the scan already
+    // arrives with cluster-parallel splits (Spread's probe contract)
     assert(p.sliding("Exchange hashpartitioning".length)
-      .count(_ == "Exchange hashpartitioning") == 1, p)
+      .count(_ == "Exchange hashpartitioning") <= 1, p)
     assert(!p.contains("HashAggregate"), p)
     assert(!p.contains("Join"), p)
     assert(!p.contains("Generate"), p) // no explode — per-row arrays
