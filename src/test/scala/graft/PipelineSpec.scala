@@ -389,6 +389,18 @@ class PipelineSpec extends AnyFunSuite {
       assert(served.count() >= 2, s"residual=$residual")
       assert("""PartitionFilters: \[[^\]]*cell""".r
         .findFirstIn(plan).isDefined, s"residual=$residual:\n$plan")
+      // wrong-dims vectors FAIL the append loudly (per-row guard) —
+      // they must never silently encode as null/truncated codes
+      val bad = Seq((99L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
+      val e = intercept[Exception] {
+        Similarity.appendToIvfPqIndex(bad, dirA)
+      }
+      def rootMsg(t: Throwable): String =
+        (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(x => Option(x.getMessage).getOrElse(""))
+          .mkString(" | "))
+      assert(rootMsg(e).contains("dims"),
+        s"residual=$residual: ${rootMsg(e)}")
     }
   }
 
