@@ -680,6 +680,30 @@ object SparkEntry {
       Dedup.removeSharedPassages(Tables.load(s, dir, "documents"), w = 8)
         .orderBy("doc_id")),
 
+    "d_line_boilerplate" -> ((s, dir) => {
+      // corpus-level boilerplate-line removal (the CCNet/RefinedWeb
+      // line-frequency rule): drop every occurrence of a segment
+      // present in > 3/4 of the documents. The synthetic docs are
+      // single-line, so the registry face runs at WORD granularity
+      // (lineSep = " ") — same machinery, non-degenerate df spread;
+      // the real multi-line face is spec-pinned in PipelineSpec. The
+      // threshold is corpus-derived (one count — control-plane) so
+      // the entry is scale-free across sf.
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.removeBoilerplateLines(docs,
+          maxDocFreq = docs.count() * 3L / 4L, lineSep = " ")
+        .orderBy("doc_id")
+    }),
+
+    "d_line_dedup" -> ((s, dir) =>
+      // corpus-GLOBAL line dedup (CCNet's hashed-line dedup): every
+      // duplicated segment keeps exactly its first (doc, pos)
+      // occurrence corpus-wide; word granularity for the synthetic
+      // single-line docs (see d_line_boilerplate)
+      Dedup.dedupLinesGlobal(Tables.load(s, dir, "documents"),
+          lineSep = " ")
+        .orderBy("doc_id")),
+
     "d_embed_neardup" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(Tables.load(s, dir, "embeddings"),
         threshold = 0.3, cellCol = Some("label"))
@@ -2310,6 +2334,71 @@ object SparkEntry {
         |  coalesce(r.text_dedup, '') AS text_dedup
         |FROM t LEFT JOIN covagg ca USING (doc_id)
         |  LEFT JOIN rec r USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // corpus-level boilerplate-line removal at word granularity
+    // (lineSep = ' '): drop every occurrence of a trimmed segment
+    // present in > 3/4 of the documents; whitespace-only segments
+    // always kept; text rebuilt in original order with original
+    // bytes (string_agg ORDER BY pos ≡ the sorted-collect rebuild)
+    "d_line_boilerplate" ->
+      """WITH p AS MATERIALIZED (
+        |  SELECT doc_id, string_split(text, ' ') AS parts
+        |  FROM documents),
+        | k AS MATERIALIZED (
+        |  SELECT doc_id, unnest(range(1, len(parts) + 1)) AS pos,
+        |    unnest(parts) AS line, unnest(
+        |      list_transform(parts, x -> trim(x))) AS key
+        |  FROM p),
+        | hot AS (
+        |  SELECT key FROM k WHERE key <> '' GROUP BY key
+        |  HAVING count(DISTINCT doc_id) >
+        |    (SELECT 3 * count(*) // 4 FROM documents)),
+        | kept AS (
+        |  SELECT doc_id, pos, line FROM k ANTI JOIN hot USING (key)),
+        | reb AS (
+        |  SELECT doc_id, string_agg(line, ' ' ORDER BY pos)
+        |    AS text_kept, count(*) AS n
+        |  FROM kept GROUP BY doc_id)
+        |SELECT p.doc_id,
+        |  coalesce(r.text_kept, '') AS text_kept,
+        |  CAST(coalesce(r.n, 0) AS BIGINT) AS n_lines_kept,
+        |  CAST(len(p.parts) - coalesce(r.n, 0) AS BIGINT)
+        |    AS n_lines_removed
+        |FROM p LEFT JOIN reb r USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // corpus-GLOBAL line dedup at word granularity: every duplicated
+    // trimmed segment keeps exactly its first (doc, pos) occurrence
+    // corpus-wide (row_number ≡ Spark's min(struct(id, pos)));
+    // whitespace-only segments always survive
+    "d_line_dedup" ->
+      """WITH p AS MATERIALIZED (
+        |  SELECT doc_id, string_split(text, ' ') AS parts
+        |  FROM documents),
+        | k AS MATERIALIZED (
+        |  SELECT doc_id, unnest(range(1, len(parts) + 1)) AS pos,
+        |    unnest(parts) AS line, unnest(
+        |      list_transform(parts, x -> trim(x))) AS key
+        |  FROM p),
+        | win AS (
+        |  SELECT doc_id, pos, line, row_number() OVER (
+        |    PARTITION BY key ORDER BY doc_id, pos) AS rn
+        |  FROM k WHERE key <> ''),
+        | kept AS (
+        |  SELECT doc_id, pos, line FROM win WHERE rn = 1
+        |  UNION ALL
+        |  SELECT doc_id, pos, line FROM k WHERE key = ''),
+        | reb AS (
+        |  SELECT doc_id, string_agg(line, ' ' ORDER BY pos)
+        |    AS text_kept, count(*) AS n
+        |  FROM kept GROUP BY doc_id)
+        |SELECT p.doc_id,
+        |  coalesce(r.text_kept, '') AS text_kept,
+        |  CAST(coalesce(r.n, 0) AS BIGINT) AS n_lines_kept,
+        |  CAST(len(p.parts) - coalesce(r.n, 0) AS BIGINT)
+        |    AS n_lines_removed
+        |FROM p LEFT JOIN reb r USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
     // same polynomial fold as t_rolling_fp at w=8, distinct per doc,

@@ -801,6 +801,97 @@ object Dedup {
           i => element_at(col("_toks"), i + lit(1)))).as("text_dedup"))
   }
 
+  /** (id, pos, line, key) rows for the line-granular corpus editors:
+    * `lineSep` segments of the RAW text in document order, keyed by
+    * their Spark-`trim`med value (the df/dedup identity — leading and
+    * trailing ' ' never makes two lines distinct). Trailing empties
+    * survive the split (`limit = -1`) so reconstruction is exact. */
+  private def lineRows(df: DataFrame, lineSep: String, idCol: String,
+      textCol: String): DataFrame = {
+    val sepRe = java.util.regex.Pattern.quote(lineSep)
+    spread(df.select(col(idCol).as("_id"), col(textCol)), "_id")
+      .select(col("_id"),
+        posexplode(split(col(textCol), sepRe, -1))
+          .as(Seq("_pos", "_line")))
+      .withColumn("_key", trim(col("_line")))
+  }
+
+  /** rebuild (idCol, text_kept, n_lines_kept, n_lines_removed) from
+    * the surviving line rows — original order, original bytes,
+    * rejoined with `lineSep`; docs whose every line was removed come
+    * back as empty text, never dropped rows */
+  private def rebuildLines(df: DataFrame, kept: DataFrame,
+      lineSep: String, idCol: String, textCol: String): DataFrame = {
+    val sepRe = java.util.regex.Pattern.quote(lineSep)
+    val rebuilt = kept.groupBy(col("_id"))
+      .agg(concat_ws(lineSep, transform(
+          array_sort(collect_list(struct(col("_pos"), col("_line")))),
+          s => s.getField("_line"))).as("text_kept"),
+        count(lit(1)).as("n_lines_kept"))
+    df.select(col(idCol).as("_id"),
+        size(split(col(textCol), sepRe, -1)).cast("long").as("_nt"))
+      .join(rebuilt, Seq("_id"), "left")
+      .select(col("_id").as(idCol),
+        coalesce(col("text_kept"), lit("")).as("text_kept"),
+        coalesce(col("n_lines_kept"), lit(0L)).as("n_lines_kept"),
+        (col("_nt") - coalesce(col("n_lines_kept"), lit(0L)))
+          .as("n_lines_removed"))
+  }
+
+  /** Corpus-level boilerplate-line removal — the CCNet/RefinedWeb
+    * line-frequency rule (Wenzek et al. 2020; Penedo et al. 2023):
+    * a line whose trimmed value occurs in MORE than `maxDocFreq`
+    * distinct documents is navigation/header/license furniture, not
+    * content, and every occurrence is dropped; whitespace-only lines
+    * are structure and always kept. Returns one row per input doc:
+    * (idCol, text_kept, n_lines_kept, n_lines_removed), text rebuilt
+    * in original order with original bytes.
+    *
+    * 100 TB shape: one explode, one map-side-combined distinct-doc
+    * count per line key, one hash ANTI-join back on the key (the hot
+    * set is NOT broadcast — its size is bounded only by
+    * total-lines / maxDocFreq, corpus-proportional in the worst
+    * case; AQE's skew handling covers hot boilerplate keys), one
+    * per-doc rebuild aggregation. No pair join, no quadratic guard
+    * needed — the df count is linear in line occurrences. */
+  def removeBoilerplateLines(docs: DataFrame, maxDocFreq: Long,
+      lineSep: String = "\n", idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(maxDocFreq >= 1, s"maxDocFreq >= 1: $maxDocFreq")
+    val rows = lineRows(docs, lineSep, idCol, textCol)
+    val hot = rows.where(col("_key") =!= "")
+      .groupBy(col("_key"))
+      .agg(count_distinct(col("_id")).as("_df"))
+      .where(col("_df") > maxDocFreq)
+      .select(col("_key"))
+    rebuildLines(docs, rows.join(hot, Seq("_key"), "left_anti"),
+      lineSep, idCol, textCol)
+  }
+
+  /** Corpus-GLOBAL line dedup — CCNet's hashed-line dedup proper:
+    * every duplicated line keeps exactly its FIRST occurrence in the
+    * corpus order (min (doc, pos), the [[removeSharedPassages]]
+    * convention) and is dropped everywhere else, including repeats
+    * INSIDE one document; whitespace-only lines always survive.
+    * Same output shape as [[removeBoilerplateLines]].
+    *
+    * 100 TB shape: the winner per line key is a map-side-combined
+    * `min(struct(id, pos))` aggregate — skew-safe where a
+    * row_number window would pile a hot boilerplate key into one
+    * partition — joined back on the key (each row meets exactly one
+    * winner row). */
+  def dedupLinesGlobal(docs: DataFrame, lineSep: String = "\n",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val rows = lineRows(docs, lineSep, idCol, textCol)
+    val winners = rows.where(col("_key") =!= "")
+      .groupBy(col("_key"))
+      .agg(min(struct(col("_id"), col("_pos"))).as("_w"))
+    val kept = rows.join(winners, Seq("_key"), "left")
+      .where(col("_key") === "" ||
+        (struct(col("_id"), col("_pos")) === col("_w")))
+    rebuildLines(docs, kept, lineSep, idCol, textCol)
+  }
+
   /** Ownership handle for pinned cache blocks. Returned by the
     * `*Owned` variants so a library caller can free the blocks the
     * moment the result is consumed, instead of relying on a global

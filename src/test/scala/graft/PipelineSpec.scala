@@ -404,6 +404,42 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("line dedup: boilerplate df rule and global keep-first over " +
+      "real multi-line docs — trimmed keys, original bytes, empty " +
+      "lines survive") {
+    val docs = Seq(
+      (1L, "breaking news\nshare this article\n\nweather today"),
+      (2L, "share this article\nsports recap"),
+      (3L, "  share this article  \nlocal notes\nshare this article"),
+      (4L, ""),
+      (5L, "x\nx")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3))).toSeq
+    // df rule: "share this article" (trimmed — doc 3's padded copy
+    // counts) sits in 3 distinct docs > maxDocFreq 2 → every
+    // occurrence dropped; "x" repeats only WITHIN doc 5 (df 1) → kept
+    val boiler = rows(Dedup.removeBoilerplateLines(docs, maxDocFreq = 2))
+    assert(boiler == Seq(
+      (1L, "breaking news\n\nweather today", 3L, 1L),
+      (2L, "sports recap", 1L, 1L),
+      (3L, "local notes", 1L, 2L),
+      (4L, "", 1L, 0L),
+      (5L, "x\nx", 2L, 0L)))
+    // global keep-first: one occurrence per distinct trimmed value
+    // corpus-wide — (1,1) wins "share this article"; doc 5's second
+    // "x" (a WITHIN-doc dup) also drops; empties always survive
+    val first = rows(Dedup.dedupLinesGlobal(docs))
+    assert(first == Seq(
+      (1L, "breaking news\nshare this article\n\nweather today",
+        4L, 0L),
+      (2L, "sports recap", 1L, 1L),
+      (3L, "local notes", 1L, 2L),
+      (4L, "", 1L, 0L),
+      (5L, "x", 1L, 1L)))
+  }
+
   test("minhash lsh candidates include exact and near dups") {
     val pairs = Dedup.minhashLshCandidates(docs, k = 3, numHashes = 8,
       bands = 4).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
