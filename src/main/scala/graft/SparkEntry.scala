@@ -921,6 +921,15 @@ object SparkEntry {
       TextOps.gopherSignals(Tables.load(s, dir, "documents"))
         .orderBy("doc_id")),
 
+    "t_gopher_quality" -> ((s, dir) =>
+      // the Gopher QUALITY rules (the non-repetition half of Rae et
+      // al. Table A1): word count, mean word length, symbol/bullet/
+      // ellipsis ratios, alphabetic-word fraction, stopword presence,
+      // and the published composite keep decision — row-local,
+      // integer micro-unit ratios
+      TextOps.gopherQualitySignals(Tables.load(s, dir, "documents"))
+        .orderBy("doc_id")),
+
     "t_pack" -> ((s, dir) => {
       // token-budget shard packing: per-hash-bucket running sums, docs
       // never split; deterministic order = (hash, id) so the shards
@@ -3270,6 +3279,64 @@ object SparkEntry {
     // the Gopher repetition suite — generated CTE chain (9 gram
     // sizes), see gopherOracleSql
     "t_quality_gopher" -> gopherOracleSql,
+
+    // the Gopher QUALITY half: same token/line conventions as the
+    // repetition suite; occurrence counts via the replace-length
+    // trick ('…' is one code point to length() on both engines);
+    // left/right (not negative-pos substring) so short lines never
+    // false-match an ellipsis
+    "t_gopher_quality" -> {
+      val stopSum = graft.pipeline.TextOps.gopherStopwords.map(w =>
+        s"(CASE WHEN list_contains(toks, '$w') THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      def micro(num: String, den: String) =
+        s"CASE WHEN ($den) <= 0 THEN 0 ELSE " +
+          s"(($num) * 2000000 + ($den)) // (($den) * 2) END"
+      s"""WITH t AS MATERIALIZED (
+         |  SELECT doc_id, text,
+         |    list_filter(string_split_regex(lower(text), '\\s+'),
+         |      x -> x <> '') AS toks,
+         |    list_filter(list_transform(string_split(text, chr(10)),
+         |      x -> trim(x)), x -> x <> '') AS lns
+         |  FROM documents),
+         | m AS (
+         |  SELECT doc_id, len(toks) AS n_words,
+         |    length(array_to_string(toks, ' ')) AS charlen,
+         |    (length(text) - length(replace(text, '#', '')))
+         |      + (length(text) - length(replace(text, '…', '')))
+         |      + (length(text) - length(replace(text, '...', ''))) // 3
+         |      AS nsym,
+         |    len(lns) AS nlines,
+         |    len(list_filter(lns,
+         |      x -> left(x, 1) IN ('-', '*', '•'))) AS nbullet,
+         |    len(list_filter(lns, x -> right(x, 1) = '…'
+         |      OR right(x, 3) = '...')) AS nell,
+         |    len(list_filter(toks,
+         |      x -> regexp_matches(x, '[a-z]'))) AS nalpha,
+         |    $stopSum AS n_stop_hits
+         |  FROM t)
+         |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+         |  CAST(${micro("charlen - (n_words - 1)", "n_words")}
+         |    AS BIGINT) AS mean_word_len_micro6,
+         |  CAST(${micro("nsym", "n_words")} AS BIGINT)
+         |    AS symbol_ratio_micro6,
+         |  CAST(${micro("nbullet", "nlines")} AS BIGINT)
+         |    AS bullet_frac_micro6,
+         |  CAST(${micro("nell", "nlines")} AS BIGINT)
+         |    AS ellipsis_frac_micro6,
+         |  CAST(${micro("nalpha", "n_words")} AS BIGINT)
+         |    AS alpha_frac_micro6,
+         |  CAST(n_stop_hits AS BIGINT) AS n_stop_hits,
+         |  (n_words >= 50 AND n_words <= 100000
+         |    AND ${micro("charlen - (n_words - 1)", "n_words")}
+         |      BETWEEN 3000000 AND 10000000
+         |    AND ${micro("nsym", "n_words")} < 100000
+         |    AND ${micro("nbullet", "nlines")} < 900000
+         |    AND ${micro("nell", "nlines")} < 300000
+         |    AND ${micro("nalpha", "n_words")} >= 800000
+         |    AND n_stop_hits >= 2) AS gopher_keep
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
 
     // per-bucket running sums over the identical (hash, id) order;
     // shard = the budget window the doc's cumulative count STARTS in

@@ -461,6 +461,86 @@ object TextOps {
         .map(f => col(s"_g.$f").as(f)): _*)
   }
 
+  /** The 8 stopwords Gopher's "must contain ≥ 2" rule checks (Rae et
+    * al. 2021, Table A1) — shared with the DuckDB oracle generator */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style QUALITY signals — the non-repetition half of Rae et
+    * al. Table A1 ([[gopherSignals]] covers the repetition half):
+    *
+    *   - `n_words`, `mean_word_len_micro6`: whitespace-regex words of
+    *     the lowercased text (the [[gopherSignals]] token convention);
+    *   - `symbol_ratio_micro6`: '#' and ellipsis ('…' or '...')
+    *     occurrences over words ("symbol-to-word ratio");
+    *   - `bullet_frac_micro6` / `ellipsis_frac_micro6`: fraction of
+    *     trimmed non-empty lines starting with a bullet ('-', '*',
+    *     '•') / ending with an ellipsis;
+    *   - `alpha_frac_micro6`: fraction of words containing at least
+    *     one [a-z] after lowercasing;
+    *   - `n_stop_hits`: how many of the 8 canonical stopwords occur;
+    *   - `gopher_keep`: the published composite — 50 ≤ words ≤ 100k,
+    *     mean word length in [3, 10], symbol ratio < 0.1, bullet
+    *     lines < 0.9, ellipsis lines < 0.3, ≥ 80% alphabetic words,
+    *     ≥ 2 stopword hits.
+    *
+    * Ratios are exact half-up integer micro-units; every count is an
+    * integer both engines agree on (occurrence counts via the
+    * replace-length trick; '…' is one code point to `length` on both
+    * engines). Row-local and shuffle-free past the input spread;
+    * per-row work is a handful of small-array lambdas, far below the
+    * repetition suite's sorted-lane walks — measured fine without a
+    * native expression. */
+  def gopherQualitySignals(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", lineSep: String = "\n"): DataFrame = {
+    val sepRe = java.util.regex.Pattern.quote(lineSep)
+    val s1 = graft.util.Spread.ensure(df, Seq(col(idCol)))
+      .select(col(idCol), col(textCol),
+        filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")
+          .as("_toks"),
+        filter(transform(split(col(textCol), sepRe), x => trim(x)),
+          x => x =!= "").as("_lns"))
+    val s2 = s1.select(col(idCol),
+      size(col("_toks")).cast("long").as("n_words"),
+      length(concat_ws(" ", col("_toks"))).cast("long").as("_charlen"),
+      (occurrences(col(textCol), "#") + occurrences(col(textCol), "…")
+        + occurrences(col(textCol), "...")).as("_nsym"),
+      size(col("_lns")).cast("long").as("_nlines"),
+      // left/right (not substring with negative pos): both engines
+      // return the whole string when it is shorter than the ask, so
+      // 1-2 char lines can never false-match an ellipsis
+      expr("""size(filter(_lns, x -> left(x, 1) IN ('-', '*', '•')))""")
+        .cast("long").as("_nbullet"),
+      expr("""size(filter(_lns,
+          x -> right(x, 1) = '…' OR right(x, 3) = '...'))""")
+        .cast("long").as("_nell"),
+      expr("""size(filter(_toks, t -> t rlike '[a-z]'))""").cast("long")
+        .as("_nalpha"),
+      gopherStopwords.map(w =>
+        when(array_contains(col("_toks"), w), lit(1L)).otherwise(lit(0L)))
+        .reduce(_ + _).as("n_stop_hits"))
+    def micro(num: String, den: String) = expr(
+      s"""case when ($den) <= 0L then 0L
+          else (($num) * 2000000L + ($den)) div (($den) * 2L) end""")
+    s2.select(col(idCol), col("n_words"),
+      micro("_charlen - (n_words - 1)", "n_words")
+        .as("mean_word_len_micro6"),
+      micro("_nsym", "n_words").as("symbol_ratio_micro6"),
+      micro("_nbullet", "_nlines").as("bullet_frac_micro6"),
+      micro("_nell", "_nlines").as("ellipsis_frac_micro6"),
+      micro("_nalpha", "n_words").as("alpha_frac_micro6"),
+      col("n_stop_hits"))
+      .withColumn("gopher_keep",
+        col("n_words") >= 50L && col("n_words") <= 100000L &&
+        col("mean_word_len_micro6") >= 3000000L &&
+        col("mean_word_len_micro6") <= 10000000L &&
+        col("symbol_ratio_micro6") < 100000L &&
+        col("bullet_frac_micro6") < 900000L &&
+        col("ellipsis_frac_micro6") < 300000L &&
+        col("alpha_frac_micro6") >= 800000L &&
+        col("n_stop_hits") >= 2L)
+  }
+
   /** Corpus-wide top-k n-gram counts (word n-grams). One explode + one
     * agg; at 100 TB this is the canonical map-side-combine shape. */
   /** Bigram language-model fluency scoring — the CCNet/KenLM-style

@@ -1232,6 +1232,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(3L) == ((0L, 0L, 0L)))
   }
 
+  test("gopherQualitySignals: bullets, ellipses, symbols, alpha " +
+      "fraction, stopword hits, and the composite keep decision") {
+    val keepText = Seq.fill(15)("the tree of life").mkString(" ")
+    val docs = Seq(
+      // toks: [-,buy,milk,-,sell,#,stock…,ok,then...] → 9 words,
+      // charlen 37; 3 lines, 2 bullets, 2 ellipsis-enders; 3 symbol
+      // hits; 6 alphabetic words; 0 of the 8 stopwords
+      (1L, "- buy milk\n- sell # stock…\nok then..."),
+      (2L, ""),
+      (3L, keepText) // 60 words, mean 3.25, 'the'+'of' → keep
+    ).toDF("doc_id", "text")
+    val got = TextOps.gopherQualitySignals(docs).orderBy("doc_id")
+      .collect()
+    def row(r: org.apache.spark.sql.Row) =
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7), r.getBoolean(8))
+    assert(row(got(0)) == ((9L,
+      (29L * 2000000L + 9L) / 18L,    // mean word len 29/9
+      (3L * 2000000L + 9L) / 18L,     // symbols 3/9
+      (2L * 2000000L + 3L) / 6L,      // bullets 2/3
+      (2L * 2000000L + 3L) / 6L,      // ellipsis enders 2/3
+      (6L * 2000000L + 9L) / 18L,     // alpha 6/9
+      0L, false)))
+    assert(row(got(1)) == ((0L, 0L, 0L, 0L, 0L, 0L, 0L, false)))
+    val d3 = row(got(2))
+    assert(d3._1 == 60L && d3._2 == 3250000L && d3._7 == 2L && d3._8,
+      d3.toString)
+  }
+
   test("gopherSignals: dup lines, top-gram tie-break, dup-gram " +
       "coverage, degenerate inputs") {
     val docs = Seq(
