@@ -2357,7 +2357,8 @@ object SparkEntry {
         | k AS MATERIALIZED (
         |  SELECT doc_id, unnest(range(1, len(parts) + 1)) AS pos,
         |    unnest(parts) AS line, unnest(
-        |      list_transform(parts, x -> trim(x))) AS key
+        |      list_transform(parts,
+        |        x -> regexp_replace(x, '^\s+|\s+$', '', 'g'))) AS key
         |  FROM p),
         | hot AS (
         |  SELECT key FROM k WHERE key <> '' GROUP BY key
@@ -2388,7 +2389,8 @@ object SparkEntry {
         | k AS MATERIALIZED (
         |  SELECT doc_id, unnest(range(1, len(parts) + 1)) AS pos,
         |    unnest(parts) AS line, unnest(
-        |      list_transform(parts, x -> trim(x))) AS key
+        |      list_transform(parts,
+        |        x -> regexp_replace(x, '^\s+|\s+$', '', 'g'))) AS key
         |  FROM p),
         | win AS (
         |  SELECT doc_id, pos, line, row_number() OVER (
@@ -3303,9 +3305,10 @@ object SparkEntry {
          |  SELECT doc_id, len(toks) AS n_words,
          |    length(array_to_string(toks, ' ')) AS charlen,
          |    (length(text) - length(replace(text, '#', '')))
-         |      + (length(text) - length(replace(text, '…', '')))
+         |      AS nhash,
+         |    (length(text) - length(replace(text, '…', '')))
          |      + (length(text) - length(replace(text, '...', ''))) // 3
-         |      AS nsym,
+         |      AS nellsym,
          |    len(lns) AS nlines,
          |    len(list_filter(lns,
          |      x -> left(x, 1) IN ('-', '*', '•'))) AS nbullet,
@@ -3318,8 +3321,10 @@ object SparkEntry {
          |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
          |  CAST(${micro("charlen - (n_words - 1)", "n_words")}
          |    AS BIGINT) AS mean_word_len_micro6,
-         |  CAST(${micro("nsym", "n_words")} AS BIGINT)
-         |    AS symbol_ratio_micro6,
+         |  CAST(${micro("nhash", "n_words")} AS BIGINT)
+         |    AS hash_word_ratio_micro6,
+         |  CAST(${micro("nellsym", "n_words")} AS BIGINT)
+         |    AS ellipsis_word_ratio_micro6,
          |  CAST(${micro("nbullet", "nlines")} AS BIGINT)
          |    AS bullet_frac_micro6,
          |  CAST(${micro("nell", "nlines")} AS BIGINT)
@@ -3328,12 +3333,13 @@ object SparkEntry {
          |    AS alpha_frac_micro6,
          |  CAST(n_stop_hits AS BIGINT) AS n_stop_hits,
          |  (n_words >= 50 AND n_words <= 100000
-         |    AND ${micro("charlen - (n_words - 1)", "n_words")}
-         |      BETWEEN 3000000 AND 10000000
-         |    AND ${micro("nsym", "n_words")} < 100000
-         |    AND ${micro("nbullet", "nlines")} < 900000
-         |    AND ${micro("nell", "nlines")} < 300000
-         |    AND ${micro("nalpha", "n_words")} >= 800000
+         |    AND charlen - (n_words - 1) >= 3 * n_words
+         |    AND charlen - (n_words - 1) <= 10 * n_words
+         |    AND nhash * 10 <= n_words
+         |    AND nellsym * 10 <= n_words
+         |    AND nbullet * 10 <= 9 * nlines
+         |    AND nell * 10 <= 3 * nlines
+         |    AND nalpha * 5 >= 4 * n_words
          |    AND n_stop_hits >= 2) AS gopher_keep
          |FROM m ORDER BY doc_id""".stripMargin
     },

@@ -803,8 +803,11 @@ object Dedup {
 
   /** (id, pos, line, key) rows for the line-granular corpus editors:
     * `lineSep` segments of the RAW text in document order, keyed by
-    * their Spark-`trim`med value (the df/dedup identity — leading and
-    * trailing ' ' never makes two lines distinct). Trailing empties
+    * their value stripped of leading/trailing WHITESPACE — `\s`-class,
+    * not just ' ': with lineSep = "\n" a CRLF corpus leaves '\r' on
+    * every line and tab-indented boilerplate never matches its clean
+    * twin under a space-only trim, so the furniture survives exactly
+    * where the operator is sold to remove it. Trailing empties
     * survive the split (`limit = -1`) so reconstruction is exact. */
   private def lineRows(df: DataFrame, lineSep: String, idCol: String,
       textCol: String): DataFrame = {
@@ -813,7 +816,8 @@ object Dedup {
       .select(col("_id"),
         posexplode(split(col(textCol), sepRe, -1))
           .as(Seq("_pos", "_line")))
-      .withColumn("_key", trim(col("_line")))
+      .withColumn("_key",
+        regexp_replace(col("_line"), "^\\s+|\\s+$", ""))
   }
 
   /** rebuild (idCol, text_kept, n_lines_kept, n_lines_removed) from
@@ -859,13 +863,22 @@ object Dedup {
       textCol: String = "text"): DataFrame = {
     require(maxDocFreq >= 1, s"maxDocFreq >= 1: $maxDocFreq")
     val rows = lineRows(docs, lineSep, idCol, textCol)
-    val hot = rows.where(col("_key") =!= "")
+    // blank lines bypass the key join entirely: they can never match
+    // (the hot/winner side filters them) but hash to the ONE ''
+    // partition — at corpus scale every paragraph separator would
+    // pile onto a single straggler reducer
+    val content = rows.where(col("_key") =!= "")
+    val blanks = rows.where(col("_key") === "")
+      .select(col("_id"), col("_pos"), col("_line"))
+    val hot = content
       .groupBy(col("_key"))
       .agg(count_distinct(col("_id")).as("_df"))
       .where(col("_df") > maxDocFreq)
       .select(col("_key"))
-    rebuildLines(docs, rows.join(hot, Seq("_key"), "left_anti"),
-      lineSep, idCol, textCol)
+    val kept = content.join(hot, Seq("_key"), "left_anti")
+      .select(col("_id"), col("_pos"), col("_line"))
+      .unionByName(blanks)
+    rebuildLines(docs, kept, lineSep, idCol, textCol)
   }
 
   /** Corpus-GLOBAL line dedup — CCNet's hashed-line dedup proper:
@@ -883,12 +896,18 @@ object Dedup {
   def dedupLinesGlobal(docs: DataFrame, lineSep: String = "\n",
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val rows = lineRows(docs, lineSep, idCol, textCol)
-    val winners = rows.where(col("_key") =!= "")
+    // blank lines bypass the key join (the removeBoilerplateLines
+    // skew note)
+    val content = rows.where(col("_key") =!= "")
+    val blanks = rows.where(col("_key") === "")
+      .select(col("_id"), col("_pos"), col("_line"))
+    val winners = content
       .groupBy(col("_key"))
       .agg(min(struct(col("_id"), col("_pos"))).as("_w"))
-    val kept = rows.join(winners, Seq("_key"), "left")
-      .where(col("_key") === "" ||
-        (struct(col("_id"), col("_pos")) === col("_w")))
+    val kept = content.join(winners, Seq("_key"), "left")
+      .where(struct(col("_id"), col("_pos")) === col("_w"))
+      .select(col("_id"), col("_pos"), col("_line"))
+      .unionByName(blanks)
     rebuildLines(docs, kept, lineSep, idCol, textCol)
   }
 

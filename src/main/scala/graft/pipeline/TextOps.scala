@@ -48,6 +48,14 @@ object TextOps {
   private def microUnits(num: String, den: String): Column =
     expr(s"(($num) * 2000000L + $den) div ($den * 2L)")
 
+  /** [[microUnits]] with the zero/negative-denominator guard — the
+    * one definition newer operators share (a rounding-rule change
+    * lands here once, the HALF_UP/HALF_EVEN lesson) */
+  private[pipeline] def microUnitsGuarded(num: String,
+      den: String): Column = expr(
+    s"""case when ($den) <= 0L then 0L
+        else (($num) * 2000000L + ($den)) div (($den) * 2L) end""")
+
   /** Quality-scoring features: length, token count, average token
     * length, stopword ratio. Ratios come in two forms: `_micro6` exact
     * integer micro-units (cross-engine hashable) and the derived double
@@ -471,8 +479,12 @@ object TextOps {
     *
     *   - `n_words`, `mean_word_len_micro6`: whitespace-regex words of
     *     the lowercased text (the [[gopherSignals]] token convention);
-    *   - `symbol_ratio_micro6`: '#' and ellipsis ('…' or '...')
-    *     occurrences over words ("symbol-to-word ratio");
+    *   - `hash_word_ratio_micro6` / `ellipsis_word_ratio_micro6`:
+    *     '#' occurrences over words, and ellipsis ('…' or '...')
+    *     occurrences over words — TWO ratios, because the published
+    *     rule removes on "a symbol-to-word ratio greater than 0.1
+    *     for EITHER the hash symbol or the ellipsis" (a combined sum
+    *     wrongly filters a doc at 0.08 + 0.08);
     *   - `bullet_frac_micro6` / `ellipsis_frac_micro6`: fraction of
     *     trimmed non-empty lines starting with a bullet ('-', '*',
     *     '•') / ending with an ellipsis;
@@ -480,9 +492,15 @@ object TextOps {
     *     one [a-z] after lowercasing;
     *   - `n_stop_hits`: how many of the 8 canonical stopwords occur;
     *   - `gopher_keep`: the published composite — 50 ≤ words ≤ 100k,
-    *     mean word length in [3, 10], symbol ratio < 0.1, bullet
-    *     lines < 0.9, ellipsis lines < 0.3, ≥ 80% alphabetic words,
-    *     ≥ 2 stopword hits.
+    *     mean word length in [3, 10], each symbol ratio ≤ 0.1,
+    *     bullet lines ≤ 0.9, ellipsis lines ≤ 0.3, ≥ 80% alphabetic
+    *     words, ≥ 2 stopword hits. The paper REMOVES on strictly
+    *     GREATER than each threshold, so a value exactly AT one is
+    *     kept — and the decision compares EXACT integer
+    *     cross-products (10·count vs words), not the rounded micro
+    *     columns: half-up quantization maps ratios in
+    *     (0.0999995, 0.1000005) onto the same micro value, which
+    *     would misdecide true ratios a hair past the line.
     *
     * Ratios are exact half-up integer micro-units; every count is an
     * integer both engines agree on (occurrence counts via the
@@ -503,8 +521,9 @@ object TextOps {
     val s2 = s1.select(col(idCol),
       size(col("_toks")).cast("long").as("n_words"),
       length(concat_ws(" ", col("_toks"))).cast("long").as("_charlen"),
-      (occurrences(col(textCol), "#") + occurrences(col(textCol), "…")
-        + occurrences(col(textCol), "...")).as("_nsym"),
+      occurrences(col(textCol), "#").as("_nhash"),
+      (occurrences(col(textCol), "…")
+        + occurrences(col(textCol), "...")).as("_nellsym"),
       size(col("_lns")).cast("long").as("_nlines"),
       // left/right (not substring with negative pos): both engines
       // return the whole string when it is shorter than the ask, so
@@ -519,26 +538,30 @@ object TextOps {
       gopherStopwords.map(w =>
         when(array_contains(col("_toks"), w), lit(1L)).otherwise(lit(0L)))
         .reduce(_ + _).as("n_stop_hits"))
-    def micro(num: String, den: String) = expr(
-      s"""case when ($den) <= 0L then 0L
-          else (($num) * 2000000L + ($den)) div (($den) * 2L) end""")
     s2.select(col(idCol), col("n_words"),
-      micro("_charlen - (n_words - 1)", "n_words")
+      microUnitsGuarded("_charlen - (n_words - 1)", "n_words")
         .as("mean_word_len_micro6"),
-      micro("_nsym", "n_words").as("symbol_ratio_micro6"),
-      micro("_nbullet", "_nlines").as("bullet_frac_micro6"),
-      micro("_nell", "_nlines").as("ellipsis_frac_micro6"),
-      micro("_nalpha", "n_words").as("alpha_frac_micro6"),
-      col("n_stop_hits"))
-      .withColumn("gopher_keep",
-        col("n_words") >= 50L && col("n_words") <= 100000L &&
-        col("mean_word_len_micro6") >= 3000000L &&
-        col("mean_word_len_micro6") <= 10000000L &&
-        col("symbol_ratio_micro6") < 100000L &&
-        col("bullet_frac_micro6") < 900000L &&
-        col("ellipsis_frac_micro6") < 300000L &&
-        col("alpha_frac_micro6") >= 800000L &&
-        col("n_stop_hits") >= 2L)
+      microUnitsGuarded("_nhash", "n_words")
+        .as("hash_word_ratio_micro6"),
+      microUnitsGuarded("_nellsym", "n_words")
+        .as("ellipsis_word_ratio_micro6"),
+      microUnitsGuarded("_nbullet", "_nlines").as("bullet_frac_micro6"),
+      microUnitsGuarded("_nell", "_nlines").as("ellipsis_frac_micro6"),
+      microUnitsGuarded("_nalpha", "n_words").as("alpha_frac_micro6"),
+      col("n_stop_hits"),
+      // exact integer cross-products — mean word length is
+      // (charlen - (words-1)) / words in [3, 10]
+      (col("n_words") >= 50L && col("n_words") <= 100000L &&
+        (col("_charlen") - (col("n_words") - 1L))
+          >= lit(3L) * col("n_words") &&
+        (col("_charlen") - (col("n_words") - 1L))
+          <= lit(10L) * col("n_words") &&
+        col("_nhash") * 10L <= col("n_words") &&
+        col("_nellsym") * 10L <= col("n_words") &&
+        col("_nbullet") * 10L <= lit(9L) * col("_nlines") &&
+        col("_nell") * 10L <= lit(3L) * col("_nlines") &&
+        col("_nalpha") * 5L >= lit(4L) * col("n_words") &&
+        col("n_stop_hits") >= 2L).as("gopher_keep"))
   }
 
   /** Corpus-wide top-k n-gram counts (word n-grams). One explode + one

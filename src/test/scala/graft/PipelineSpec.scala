@@ -410,16 +410,19 @@ class PipelineSpec extends AnyFunSuite {
     val docs = Seq(
       (1L, "breaking news\nshare this article\n\nweather today"),
       (2L, "share this article\nsports recap"),
-      (3L, "  share this article  \nlocal notes\nshare this article"),
+      // tab-indented + CRLF copy: the key strips WHITESPACE, not just
+      // spaces — a space-only trim would let this furniture survive
+      (3L, "\tshare this article\r\nlocal notes\nshare this article"),
       (4L, ""),
       (5L, "x\nx")).toDF("doc_id", "text")
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.orderBy("doc_id").collect()
         .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
           r.getLong(3))).toSeq
-    // df rule: "share this article" (trimmed — doc 3's padded copy
-    // counts) sits in 3 distinct docs > maxDocFreq 2 → every
-    // occurrence dropped; "x" repeats only WITHIN doc 5 (df 1) → kept
+    // df rule: "share this article" (whitespace-stripped — doc 3's
+    // tab/CR-padded copy counts) sits in 3 distinct docs >
+    // maxDocFreq 2 → every occurrence dropped; "x" repeats only
+    // WITHIN doc 5 (df 1) → kept
     val boiler = rows(Dedup.removeBoilerplateLines(docs, maxDocFreq = 2))
     assert(boiler == Seq(
       (1L, "breaking news\n\nweather today", 3L, 1L),
@@ -1247,18 +1250,34 @@ class PipelineSpec extends AnyFunSuite {
       .collect()
     def row(r: org.apache.spark.sql.Row) =
       (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
-        r.getLong(5), r.getLong(6), r.getLong(7), r.getBoolean(8))
+        r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8),
+        r.getBoolean(9))
     assert(row(got(0)) == ((9L,
       (29L * 2000000L + 9L) / 18L,    // mean word len 29/9
-      (3L * 2000000L + 9L) / 18L,     // symbols 3/9
-      (2L * 2000000L + 3L) / 6L,      // bullets 2/3
-      (2L * 2000000L + 3L) / 6L,      // ellipsis enders 2/3
+      (1L * 2000000L + 9L) / 18L,     // hash symbols 1/9
+      (2L * 2000000L + 9L) / 18L,     // ellipsis symbols 2/9
+      (2L * 2000000L + 3L) / 6L,      // bullet lines 2/3
+      (2L * 2000000L + 3L) / 6L,      // ellipsis-ending lines 2/3
       (6L * 2000000L + 9L) / 18L,     // alpha 6/9
       0L, false)))
-    assert(row(got(1)) == ((0L, 0L, 0L, 0L, 0L, 0L, 0L, false)))
+    assert(row(got(1)) == ((0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, false)))
     val d3 = row(got(2))
-    assert(d3._1 == 60L && d3._2 == 3250000L && d3._7 == 2L && d3._8,
+    assert(d3._1 == 60L && d3._2 == 3250000L && d3._8 == 2L && d3._9,
       d3.toString)
+    // the keep decision is exact cross-multiplication, not the
+    // rounded micro columns: 5 hashes in exactly 50 words sits ON
+    // the 0.1 boundary — the paper removes only STRICTLY greater,
+    // so keep; one more hash (6/51 > 0.1) flips it
+    val boundary = Seq(
+      (9L, Seq.fill(11)("the tree of life").mkString(" ")
+        + " the # # # # #"),
+      (10L, Seq.fill(11)("the tree of life").mkString(" ")
+        + " the # # # # # #")
+    ).toDF("doc_id", "text")
+    val b = TextOps.gopherQualitySignals(boundary).orderBy("doc_id")
+      .collect()
+    assert(b(0).getBoolean(9), b(0).toString)  // exactly 0.1: keep
+    assert(!b(1).getBoolean(9), b(1).toString) // past 0.1: remove
   }
 
   test("gopherSignals: dup lines, top-gram tie-break, dup-gram " +
