@@ -1036,13 +1036,24 @@ object Similarity {
     * (standard Lloyd's, the [[trainIvfCentroids]] contract). */
   private def trainResidualCodebook(subRows: DataFrame, m: Int,
       kSub: Int, iters: Int): Seq[Seq[Array[Long]]] = {
-    import org.apache.spark.sql.expressions.Window
-    // init: the kSub lowest-id residual subvectors per subspace
-    val w = Window.partitionBy(col("_sub")).orderBy(col("_vid"))
-    val init = subRows.withColumn("_rn", row_number().over(w))
-      .where(col("_rn") <= kSub)
-      .select(col("_sub"), col("_rn"), col("_rv"))
-      .collect().map(r => (r.getInt(0), r.getInt(1),
+    // init: the kSub lowest-id residual subvectors per subspace. The
+    // per-subspace seed set is the SAME kSub lowest _vids for every
+    // subspace (each vector explodes into all m subspaces), so the
+    // seeds come from a sorted-limit probe of ONE subspace — a
+    // TakeOrdered top-k (per-partition top-k + driver merge), never a
+    // row_number window that would funnel the whole exploded corpus
+    // through m reducers just to pick kSub rows (the hot-key window
+    // shape the repo's scale notes forbid; PipelineSpec gates the
+    // build plan window-free). The probed ids come back in ascending
+    // engine order — the seed RANK reuses it, no driver re-sort whose
+    // comparator could disagree with Spark's on exotic id types.
+    val lowIds = subRows.where(col("_sub") === 0)
+      .select(col("_vid")).orderBy(col("_vid")).limit(kSub)
+      .collect().map(_.get(0))
+    val seedRank = lowIds.zipWithIndex.toMap
+    val init = subRows.where(col("_vid").isin(lowIds: _*))
+      .select(col("_sub"), col("_vid"), col("_rv"))
+      .collect().map(r => (r.getInt(0), seedRank(r.get(1)),
         r.getSeq[Long](2).toArray))
       .groupBy(_._1)
     var cb: Seq[Seq[Array[Long]]] = (0 until m).map(s =>

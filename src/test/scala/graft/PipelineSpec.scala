@@ -404,6 +404,54 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("residual ivf-pq build runs window-free: the codebook init is " +
+      "a sorted-limit seed probe, never a row_number over the " +
+      "exploded subvector corpus") {
+    // a Window.partitionBy(_sub) has only m distinct keys — every
+    // subvector row of each subspace would funnel through ONE reducer
+    // just to pick kSub seeds. Gate the whole build's executed plans.
+    val plans = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val emb = Seq(
+        (0L, Array(1.0f, 0.9f, 0.0f, 0.1f)),
+        (1L, Array(0.9f, 1.0f, 0.1f, 0.0f)),
+        (2L, Array(0.0f, 0.1f, 1.0f, 0.9f)),
+        (3L, Array(0.1f, 0.0f, 0.9f, 1.0f))
+      ).toDF("vec_id", "embedding")
+      val dir = java.nio.file.Files.createTempDirectory("ivfpqwf")
+        .toString
+      Similarity.writeIvfPqIndex(emb, dir, kCells = 2, dims = 4, m = 2,
+        iters = 2, residual = true, kSub = 2)
+      // fence: listener delivery is async but FIFO — once the marker
+      // query's plan arrives, every build plan has been delivered
+      spark.range(0L, 424243L).agg(count(lit(1))).collect()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      def snapshot() = {
+        import scala.jdk.CollectionConverters._
+        plans.synchronized { plans.asScala.toList }
+      }
+      while (!snapshot().exists(_.contains("424243"))
+          && System.nanoTime() < deadline) Thread.sleep(50)
+      val seen = snapshot()
+      assert(seen.exists(_.contains("424243")), "listener fence timed out")
+      val windowed = seen.filter(p =>
+        p.contains("Window") && !p.contains("424243"))
+      assert(windowed.isEmpty,
+        s"residual build executed a Window:\n${windowed.mkString("\n---\n")}")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("line dedup: boilerplate df rule and global keep-first over " +
       "real multi-line docs — trimmed keys, original bytes, empty " +
       "lines survive") {
