@@ -1147,6 +1147,94 @@ object Similarity {
       .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
   }
 
+  /** Compact a [[writeIvfPqIndex]] codes table after replayed appends —
+    * the composed-index face of [[compactIvfVectors]]. Both encodings
+    * are pure functions of the STORED control-plane tables, so a
+    * crash-retried [[appendToIvfPqIndex]] that half-committed writes
+    * full-row-identical duplicate (cell, _vid, _sub) rows — and unlike
+    * raw-vector duplication these are NOT mere bloat: the ADC serve
+    * sums one LUT row per CODE ROW, so a duplicated vector's
+    * ⟨q,decode⟩ term doubles and rankings shift silently. Any-copy
+    * dedup is exact (duplicates are bit-identical by construction);
+    * the rewrite lands fully under a temp sibling before two renames
+    * flip it live ([[compactIvfVectors]]'s write-new-then-flip
+    * contract: the swap window fails a concurrent read loudly, never
+    * serves half an index; single-writer discipline). */
+  def compactIvfPqCodes(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val live = new Path(s"$dir/codes")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(live)) return
+    val tmp = new Path(s"$dir/.codes-compact")
+    val trash = new Path(s"$dir/.codes-trash")
+    fs.delete(tmp, true); fs.delete(trash, true)
+    // repartition WITHOUT a count (the build path's file-count rule):
+    // AQE merges small cells into shared tasks; partitionBy still lays
+    // each cell in its own prunable directory
+    spark.read.parquet(live.toString)
+      .dropDuplicates("cell", "_vid", "_sub")
+      .repartition(col("cell"))
+      .write.partitionBy("cell").parquet(tmp.toString)
+    if (!fs.rename(live, trash))
+      throw new java.io.IOException(s"compactIvfPqCodes: rename $live")
+    if (!fs.rename(tmp, live)) {
+      fs.rename(trash, live) // restore — the old tree is intact
+      throw new java.io.IOException(s"compactIvfPqCodes: rename $tmp")
+    }
+    fs.delete(trash, true)
+    ()
+  }
+
+  /** Retrain a composed [[writeIvfPqIndex]] index under distribution
+    * drift — [[retrainIvfIndex]]'s discipline for the IVFADC layout.
+    * Coarse quantizer and PQ sub-codebooks retrain TOGETHER from the
+    * provided embedding frame: the index stores only codes (PQ
+    * compression is lossy by design), so retraining needs the corpus —
+    * unlike the raw-IVF face, whose index IS the vectors. The encoding
+    * contract (raw/residual, m, kSub) carries over from the stored
+    * index so a retrain can never silently switch encodings;
+    * `kCells`/`iters` are the caller's drift response. The ENTIRE new
+    * index is built under a temp sibling and the whole dir flips at
+    * once: [[writeIvfPqIndex]] writes its four subtrees sequentially,
+    * so an in-place rebuild would let a concurrent reader pair a fresh
+    * quantizer with stale codes and probe wrong directories silently.
+    * Replay duplication in the old codes never carries over (codes
+    * rebuild from `emb`); healing a live index WITHOUT retraining is
+    * [[compactIvfPqCodes]]. No RNG anywhere: retrain ≡ a fresh
+    * [[writeIvfPqIndex]] over the same rows, bit for bit
+    * (spec-pinned). */
+  def retrainIvfPqIndex(emb: DataFrame, dir: String, kCells: Int,
+      iters: Int = 5, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = emb.sparkSession
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new Path(s"$dir/codes")),
+      s"retrainIvfPqIndex: no index at $dir")
+    val cb = readPqCodebookLocal(spark, dir)
+    val residual = readIvfPqMeta(spark, dir)
+    val dims = cb.map(_._1).max + 1
+    val m = cb.map(_._3).max + 1
+    // kSub = dense code ids per subspace (residual); the raw branch
+    // trains per-coarse-cell means and ignores it
+    val kSub = cb.map(_._2).max.toInt + 1
+    val tmp = new Path(s"$dir.retrain")
+    val trash = new Path(s"$dir.trash")
+    fs.delete(tmp, true); fs.delete(trash, true)
+    writeIvfPqIndex(emb, tmp.toString, kCells, dims, m, iters, idCol,
+      vecCol, residual, kSub)
+    if (!fs.rename(root, trash))
+      throw new java.io.IOException(s"retrainIvfPqIndex: rename $root")
+    if (!fs.rename(tmp, root)) {
+      fs.rename(trash, root) // restore — the old index is intact
+      throw new java.io.IOException(s"retrainIvfPqIndex: rename $tmp")
+    }
+    fs.delete(trash, true)
+    ()
+  }
+
   /** Serve ADC top-k from a [[writeIvfPqIndex]] index: driver probe
     * selection against the stored coarse quantizer (per query: the
     * `nprobe` best cells, the [[ivfTopKFromIndex]] ranking), ONE

@@ -404,6 +404,77 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("ivf-pq lifecycle: codes compaction heals replayed appends " +
+      "back to the exact pre-duplicate serve at every nprobe, and " +
+      "retrain rebuilds bit-for-bit behind a whole-dir flip — both " +
+      "encodings") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.9f, 0.0f, 0.1f)),
+      (1L, Array(0.9f, 1.0f, 0.1f, 0.0f)),
+      (2L, Array(1.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 0.1f, 1.0f, 0.9f)),
+      (4L, Array(0.1f, 0.0f, 0.9f, 1.0f)),
+      (5L, Array(0.0f, 0.0f, 1.0f, 1.0f)),
+      (6L, Array(0.5f, 0.5f, 0.5f, 0.5f)),
+      (7L, Array(0.4f, 0.6f, 0.5f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val queries = Seq(
+      900L -> Seq(1.0f, 0.9f, 0.0f, 0.1f),
+      901L -> Seq(0.0f, 0.1f, 1.0f, 0.9f))
+    def serveAll(d: String): Seq[Seq[(Long, Long, Long)]] =
+      (1 to 2).map(np =>
+        Similarity.ivfPqTopKFromIndex(spark, d, queries, k = 4,
+            nprobe = np)
+          .orderBy(col("query_id"), col("adc_mu2").desc, col("vec_id"))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
+    def codeRows(d: String): Seq[String] =
+      spark.read.parquet(s"$d/codes")
+        .select(col("_vid"), col("_sub").cast("int"),
+          col("_cell").cast("long"), col("cell").cast("int"))
+        .collect().map(_.toString).sorted.toSeq
+    for (residual <- Seq(false, true)) {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"ivfpql$residual").toString
+      Similarity.writeIvfPqIndex(emb, dir, kCells = 2, dims = 4, m = 2,
+        iters = 2, residual = residual, kSub = 2)
+      val before = serveAll(dir)
+      val codesBefore = codeRows(dir)
+      // a crash-replayed append: the same batch commits twice —
+      // duplicate code rows double the duplicated vectors' ADC sums
+      Similarity.appendToIvfPqIndex(emb.where(col("vec_id") >= 4), dir)
+      assert(codeRows(dir).size == codesBefore.size + 8,
+        s"residual=$residual: replay must have duplicated code rows")
+      Similarity.compactIvfPqCodes(spark, dir)
+      assert(codeRows(dir) == codesBefore,
+        s"residual=$residual: compaction must restore the exact rows")
+      assert(serveAll(dir) == before,
+        s"residual=$residual: healed serve must equal pre-duplicate")
+      // compaction is idempotent on a clean index
+      Similarity.compactIvfPqCodes(spark, dir)
+      assert(codeRows(dir) == codesBefore && serveAll(dir) == before,
+        s"residual=$residual: compaction must be a no-op when clean")
+      // retrain (new kCells) == a fresh writeIvfPqIndex over the same
+      // rows, every subtree bit-for-bit; encoding params carry over
+      // from the stored index, never from the caller
+      Similarity.retrainIvfPqIndex(emb, dir, kCells = 3, iters = 2)
+      val fresh = java.nio.file.Files
+        .createTempDirectory(s"ivfpqf$residual").toString
+      Similarity.writeIvfPqIndex(emb, fresh, kCells = 3, dims = 4,
+        m = 2, iters = 2, residual = residual, kSub = 2)
+      for (part <- Seq("centroids", "codebook", "meta")) {
+        def all(d: String) = spark.read.parquet(s"$d/$part")
+          .collect().map(_.toString).sorted.toSeq
+        assert(all(dir) == all(fresh),
+          s"residual=$residual: retrain $part diverged from fresh build")
+      }
+      assert(codeRows(dir) == codeRows(fresh),
+        s"residual=$residual: retrain codes diverged from fresh build")
+      assert(serveAll(dir) == serveAll(fresh),
+        s"residual=$residual: retrain serve diverged from fresh build")
+    }
+  }
+
   test("residual ivf-pq build runs window-free: the codebook init is " +
       "a sorted-limit seed probe, never a row_number over the " +
       "exploded subvector corpus") {
