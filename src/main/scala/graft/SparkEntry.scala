@@ -704,6 +704,34 @@ object SparkEntry {
           lineSep = " ")
         .orderBy("doc_id")),
 
+    "d_line_boilerplate_nl" -> ((s, dir) => {
+      // the REAL-separator face: rewrite the synthetic docs' token
+      // boundaries to CRLF with a whitespace-only line between every
+      // pair of tokens (each ' ' -> ' \t ' -> '\r\n\t\r\n' — the
+      // identical derivation in the oracle SQL), then run the
+      // lineSep = "\n" path proper: every line carries a trailing
+      // '\r' the explicit-class trim must strip, and the '\t\r'
+      // lines exercise the blank-line bypass end to end
+      val docs = Tables.load(s, dir, "documents")
+      val multi = docs.select(col("doc_id"),
+        replace(replace(col("text"), lit(" "), lit(" \t ")),
+          lit(" "), lit("\r\n")).as("text"))
+      Dedup.removeBoilerplateLines(multi,
+          maxDocFreq = docs.count() * 3L / 4L, lineSep = "\n")
+        .orderBy("doc_id")
+    }),
+
+    "d_line_dedup_nl" -> ((s, dir) => {
+      // global keep-first over the same CRLF + blank-line rewrite
+      // (see d_line_boilerplate_nl)
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.dedupLinesGlobal(docs.select(col("doc_id"),
+          replace(replace(col("text"), lit(" "), lit(" \t ")),
+            lit(" "), lit("\r\n")).as("text")),
+          lineSep = "\n")
+        .orderBy("doc_id")
+    }),
+
     "d_embed_neardup" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(Tables.load(s, dir, "embeddings"),
         threshold = 0.3, cellCol = Some("label"))
@@ -2358,7 +2386,7 @@ object SparkEntry {
         |  SELECT doc_id, unnest(range(1, len(parts) + 1)) AS pos,
         |    unnest(parts) AS line, unnest(
         |      list_transform(parts,
-        |        x -> regexp_replace(x, '^\s+|\s+$', '', 'g'))) AS key
+        |        x -> regexp_replace(x, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'))) AS key
         |  FROM p),
         | hot AS (
         |  SELECT key FROM k WHERE key <> '' GROUP BY key
@@ -2390,7 +2418,7 @@ object SparkEntry {
         |  SELECT doc_id, unnest(range(1, len(parts) + 1)) AS pos,
         |    unnest(parts) AS line, unnest(
         |      list_transform(parts,
-        |        x -> regexp_replace(x, '^\s+|\s+$', '', 'g'))) AS key
+        |        x -> regexp_replace(x, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'))) AS key
         |  FROM p),
         | win AS (
         |  SELECT doc_id, pos, line, row_number() OVER (
@@ -2402,6 +2430,78 @@ object SparkEntry {
         |  SELECT doc_id, pos, line FROM k WHERE key = ''),
         | reb AS (
         |  SELECT doc_id, string_agg(line, ' ' ORDER BY pos)
+        |    AS text_kept, count(*) AS n
+        |  FROM kept GROUP BY doc_id)
+        |SELECT p.doc_id,
+        |  coalesce(r.text_kept, '') AS text_kept,
+        |  CAST(coalesce(r.n, 0) AS BIGINT) AS n_lines_kept,
+        |  CAST(len(p.parts) - coalesce(r.n, 0) AS BIGINT)
+        |    AS n_lines_removed
+        |FROM p LEFT JOIN reb r USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // real-separator face: token boundaries rewritten to
+    // '\r\n\t\r\n' (CRLF lines + a whitespace-only '\t\r' line
+    // between every token pair), then the lineSep = '\n' rule
+    // proper — keys are the explicit-class trim of each '\n'
+    // segment, '\t\r' segments key to '' and always survive
+    "d_line_boilerplate_nl" ->
+      """WITH p AS MATERIALIZED (
+        |  SELECT doc_id, string_split(
+        |    replace(replace(text, ' ', ' ' || chr(9) || ' '),
+        |            ' ', chr(13) || chr(10)), chr(10)) AS parts
+        |  FROM documents),
+        | k AS MATERIALIZED (
+        |  SELECT doc_id, unnest(range(1, len(parts) + 1)) AS pos,
+        |    unnest(parts) AS line, unnest(
+        |      list_transform(parts,
+        |        x -> regexp_replace(x,
+        |          '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g')))
+        |      AS key
+        |  FROM p),
+        | hot AS (
+        |  SELECT key FROM k WHERE key <> '' GROUP BY key
+        |  HAVING count(DISTINCT doc_id) >
+        |    (SELECT 3 * count(*) // 4 FROM documents)),
+        | kept AS (
+        |  SELECT doc_id, pos, line FROM k ANTI JOIN hot USING (key)),
+        | reb AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos)
+        |    AS text_kept, count(*) AS n
+        |  FROM kept GROUP BY doc_id)
+        |SELECT p.doc_id,
+        |  coalesce(r.text_kept, '') AS text_kept,
+        |  CAST(coalesce(r.n, 0) AS BIGINT) AS n_lines_kept,
+        |  CAST(len(p.parts) - coalesce(r.n, 0) AS BIGINT)
+        |    AS n_lines_removed
+        |FROM p LEFT JOIN reb r USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // global keep-first over the same CRLF + blank-line rewrite
+    "d_line_dedup_nl" ->
+      """WITH p AS MATERIALIZED (
+        |  SELECT doc_id, string_split(
+        |    replace(replace(text, ' ', ' ' || chr(9) || ' '),
+        |            ' ', chr(13) || chr(10)), chr(10)) AS parts
+        |  FROM documents),
+        | k AS MATERIALIZED (
+        |  SELECT doc_id, unnest(range(1, len(parts) + 1)) AS pos,
+        |    unnest(parts) AS line, unnest(
+        |      list_transform(parts,
+        |        x -> regexp_replace(x,
+        |          '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g')))
+        |      AS key
+        |  FROM p),
+        | win AS (
+        |  SELECT doc_id, pos, line, row_number() OVER (
+        |    PARTITION BY key ORDER BY doc_id, pos) AS rn
+        |  FROM k WHERE key <> ''),
+        | kept AS (
+        |  SELECT doc_id, pos, line FROM win WHERE rn = 1
+        |  UNION ALL
+        |  SELECT doc_id, pos, line FROM k WHERE key = ''),
+        | reb AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos)
         |    AS text_kept, count(*) AS n
         |  FROM kept GROUP BY doc_id)
         |SELECT p.doc_id,

@@ -803,21 +803,27 @@ object Dedup {
 
   /** (id, pos, line, key) rows for the line-granular corpus editors:
     * `lineSep` segments of the RAW text in document order, keyed by
-    * their value stripped of leading/trailing WHITESPACE — `\s`-class,
-    * not just ' ': with lineSep = "\n" a CRLF corpus leaves '\r' on
-    * every line and tab-indented boilerplate never matches its clean
-    * twin under a space-only trim, so the furniture survives exactly
-    * where the operator is sold to remove it. Trailing empties
-    * survive the split (`limit = -1`) so reconstruction is exact. */
+    * their value stripped of leading/trailing WHITESPACE — not just
+    * ' ': with lineSep = "\n" a CRLF corpus leaves '\r' on every line
+    * and tab-indented boilerplate never matches its clean twin under a
+    * space-only trim, so the furniture survives exactly where the
+    * operator is sold to remove it. The class is the EXPLICIT set
+    * `[ \t\n\x0B\f\r]`, never a bare `\s`: Java's `\s` includes
+    * U+000B (vertical tab) while RE2's — the oracle engine's — does
+    * not, so a `\s` trim gives a \x0B-padded line different keys on
+    * the two engines (the oracle SQL embeds the identical explicit
+    * class). Trailing empties survive the split (`limit = -1`) so
+    * reconstruction is exact. */
   private def lineRows(df: DataFrame, lineSep: String, idCol: String,
       textCol: String): DataFrame = {
     val sepRe = java.util.regex.Pattern.quote(lineSep)
+    val ws = "[ \\t\\n\\x0B\\f\\r]"
     spread(df.select(col(idCol).as("_id"), col(textCol)), "_id")
       .select(col("_id"),
         posexplode(split(col(textCol), sepRe, -1))
           .as(Seq("_pos", "_line")))
       .withColumn("_key",
-        regexp_replace(col("_line"), "^\\s+|\\s+$", ""))
+        regexp_replace(col("_line"), s"^$ws+|$ws+$$", ""))
   }
 
   /** rebuild (idCol, text_kept, n_lines_kept, n_lines_removed) from
