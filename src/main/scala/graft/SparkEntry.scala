@@ -1011,6 +1011,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "t_bpe_ids" -> ((s, dir) => {
+      // the SEQUENCE face of t_tokens_bpe: per-document vocab ids in
+      // document order (base symbols in UTF-8 byte order, then merge
+      // outputs by rank — Bpe.vocab), the honest input for
+      // sequence-length-exact packing. The array rides the oracle as
+      // a csv string (cross-engine array serialization is not
+      // hash-stable; a comma-joined decimal string is); n_ids is the
+      // length — by construction equal to t_tokens_bpe's count
+      // (BpeSpec pins that identity too).
+      val docs = Tables.load(s, dir, "documents")
+      val merges = Bpe.train(docs, nMerges = BpeMerges)
+      Bpe.encodeIds(docs, merges, Bpe.vocab(docs, merges))
+        .select(col("doc_id"),
+          size(col("bpe_ids")).cast("long").as("n_ids"),
+          array_join(transform(col("bpe_ids"), x => x.cast("string")),
+            ",").as("ids_csv"))
+        .orderBy("doc_id")
+    }),
+
     "t_ngrams" -> ((s, dir) =>
       TextOps.topNgrams(Tables.load(s, dir, "documents"), n = 2, k = 20)),
 
@@ -3546,6 +3565,93 @@ object SparkEntry {
          |SELECT doc_id, CAST(coalesce(wt, 0) + np AS BIGINT)
          |  AS bpe_tokens
          |FROM np LEFT JOIN wsum USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    // the SEQUENCE face: same unrolled training stages, then a vocab
+    // (base = distinct non-whitespace code points of the lowercased
+    // corpus in binary order — DuckDB's default string ORDER BY is
+    // byte order, Spark's driver sort compares UTF-8 bytes unsigned;
+    // merge outputs follow by rank, first production winning) and the
+    // per-doc id csv assembled in (token pos, symbol pos) order
+    "t_bpe_ids" -> {
+      val stages = (1 to BpeMerges).map { n =>
+        s"""b$n AS MATERIALIZED (
+           |  SELECT a, b FROM (
+           |    SELECT s[i] AS a, s[i + 1] AS b, sum(f) AS c
+           |    FROM (SELECT f, s, unnest(generate_series(1, len(s) - 1))
+           |            AS i
+           |          FROM (SELECT f, string_split(trim(enc), '  ') AS s
+           |                FROM wf${n - 1}))
+           |    GROUP BY 1, 2)
+           |  ORDER BY c DESC, a ASC, b ASC LIMIT 1),
+           |wf$n AS MATERIALIZED (
+           |  SELECT w, f, CASE WHEN m.a IS NULL THEN enc ELSE
+           |    replace(enc, ' ' || m.a || '  ' || m.b || ' ',
+           |            ' ' || m.a || m.b || ' ') END AS enc
+           |  FROM wf${n - 1} LEFT JOIN b$n m ON TRUE)""".stripMargin
+      }.mkString(",\n")
+      val mseq = (1 to BpeMerges).map { n =>
+        s"SELECT $n AS rnk, a || b AS sym FROM b$n"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH dw AS MATERIALIZED (
+         |  SELECT doc_id, unnest(regexp_extract_all(lower(text),
+         |    '[a-z0-9_]+')) AS w FROM documents),
+         |wf0 AS MATERIALIZED (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS f,
+         |    ' ' || rtrim(regexp_replace(w, '(.)', '\\1  ', 'g'))
+         |      || ' ' AS enc
+         |  FROM dw GROUP BY w),
+         |$stages,
+         |base AS MATERIALIZED (
+         |  SELECT c, CAST(row_number() OVER (ORDER BY c) - 1 AS BIGINT)
+         |    AS id
+         |  FROM (SELECT DISTINCT unnest(regexp_extract_all(lower(text),
+         |    '[^ \\t\\n\\x0B\\f\\r]')) AS c FROM documents)),
+         |mseq AS MATERIALIZED (
+         |  $mseq),
+         |mv AS (SELECT sym, min(rnk) AS r0 FROM mseq GROUP BY sym),
+         |mvocab AS (
+         |  SELECT sym, (SELECT count(*) FROM base)
+         |    + row_number() OVER (ORDER BY r0) - 1 AS id FROM mv),
+         |vocab AS MATERIALIZED (
+         |  SELECT c AS tok, id FROM base
+         |  UNION ALL SELECT sym AS tok, id FROM mvocab),
+         |wsyms AS MATERIALIZED (
+         |  SELECT w,
+         |    unnest(string_split(trim(enc), '  ')) AS sym,
+         |    generate_subscripts(string_split(trim(enc), '  '), 1)
+         |      AS spos
+         |  FROM wf$BpeMerges),
+         |wids AS MATERIALIZED (
+         |  SELECT w,
+         |    string_agg(CAST(coalesce(v.id, -1) AS VARCHAR), ','
+         |      ORDER BY spos) AS idcsv,
+         |    CAST(count(*) AS BIGINT) AS nid
+         |  FROM wsyms LEFT JOIN vocab v ON v.tok = wsyms.sym
+         |  GROUP BY w),
+         |toks AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    unnest(regexp_extract_all(lower(text),
+         |      '[a-z0-9_]+|[^a-z0-9_\\s]')) AS t,
+         |    generate_subscripts(regexp_extract_all(lower(text),
+         |      '[a-z0-9_]+|[^a-z0-9_\\s]'), 1) AS pos
+         |  FROM documents),
+         |tids AS (
+         |  SELECT doc_id, pos,
+         |    CASE WHEN regexp_matches(t, '^[a-z0-9_]') THEN wi.idcsv
+         |         ELSE CAST(coalesce(bv.id, -1) AS VARCHAR) END AS csv,
+         |    CASE WHEN regexp_matches(t, '^[a-z0-9_]') THEN wi.nid
+         |         ELSE 1 END AS nid
+         |  FROM toks LEFT JOIN wids wi ON wi.w = toks.t
+         |    LEFT JOIN vocab bv ON bv.tok = toks.t),
+         |agg AS (
+         |  SELECT doc_id, string_agg(csv, ',' ORDER BY pos) AS ids_csv,
+         |    CAST(sum(nid) AS BIGINT) AS n_ids
+         |  FROM tids GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(coalesce(a.n_ids, 0) AS BIGINT) AS n_ids,
+         |  coalesce(a.ids_csv, '') AS ids_csv
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
          |ORDER BY doc_id""".stripMargin
     },
 

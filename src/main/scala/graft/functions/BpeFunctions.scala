@@ -20,6 +20,39 @@ import org.apache.spark.unsafe.types.UTF8String
   * [[graft.pipeline.Bpe.WordRe]] words (no NUL can appear in a
   * symbol), so the key is injective. */
 final class BpeTable(merges: Seq[(String, String)]) extends Serializable {
+  // Validate the SELF-TRAINED-TABLE precondition at construction: the
+  // lowest-present-rank encode loop equals rank-order replace
+  // application only when no pair references a multi-character symbol
+  // that is first produced by a LATER (or equal-rank) merge — e.g.
+  // [(ab,c), (a,b)] on "abc": the loop merges (a,b) then takes the
+  // now-present rank-0 pair (ab,c), while the rank-order chain's
+  // rank-0 replace had already run and found nothing. Tables trained
+  // by [[graft.pipeline.Bpe.train]] satisfy this by construction (a
+  // merge's output exists only after its rank); a hand-supplied table
+  // violating it would SILENTLY count differently than the documented
+  // replace-chain semantics, so fail loudly here instead. A
+  // multi-character element no merge ever produces is a harmless
+  // no-op pair (it can never be present) and stays allowed.
+  locally {
+    val firstProd = new java.util.HashMap[String, Integer]()
+    merges.zipWithIndex.foreach { case ((a, b), r) =>
+      firstProd.putIfAbsent(a + b, Integer.valueOf(r))
+    }
+    merges.zipWithIndex.foreach { case ((a, b), r) =>
+      Seq(a, b).foreach { s =>
+        if (s.codePointCount(0, s.length) > 1) {
+          val p = firstProd.get(s)
+          require(p == null || p.intValue() < r,
+            s"BpeTable: the pair at rank $r references symbol '$s' " +
+              s"first produced at rank $p — lowest-rank-first " +
+              "encoding would diverge from rank-order replace " +
+              "application; BPE merge tables must be self-trained " +
+              "(every pair's symbols exist before the pair's rank)")
+        }
+      }
+    }
+  }
+
   @transient private lazy val ranks: java.util.HashMap[String, Integer] = {
     val m = new java.util.HashMap[String, Integer](merges.size * 2)
     var r = 0
@@ -167,6 +200,129 @@ object BpeTokenCount {
     encode(word.toString, table).length.toLong
 }
 
+/** A BPE vocabulary in the form the id-encode consumes: token string →
+  * dense id by position in `tokens` (first occurrence wins — a
+  * well-formed vocab never repeats). Built by
+  * [[graft.pipeline.Bpe.vocab]] (base symbols in UTF-8 byte order,
+  * then merge outputs in rank order); a few MB of strings at
+  * production vocab sizes, control-plane scale like [[BpeTable]]. */
+final class BpeVocab(val tokens: Seq[String]) extends Serializable {
+  @transient private lazy val ids: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](tokens.size * 2)
+    var i = 0
+    tokens.foreach { t =>
+      m.putIfAbsent(t, Integer.valueOf(i))
+      i += 1
+    }
+    m
+  }
+
+  /** dense id, or -1 for an out-of-vocabulary token (a vocab built on
+    * the encoded corpus never misses — see Bpe.vocab) */
+  def idOf(tok: String): Int = {
+    val got = ids.get(tok)
+    if (got == null) -1 else got.intValue()
+  }
+  def size: Int = tokens.size
+
+  /** content fingerprint — identifies this vocab in the session
+    * function registry ([[BpeFunctions.idsNameFor]]) */
+  lazy val fingerprint: String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    tokens.foreach { t =>
+      md.update(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      md.update(0.toByte)
+    }
+    md.digest().take(6).map(x => f"${x & 0xff}%02x").mkString
+  }
+}
+
+/** Native per-document BPE token IDS — the sequence face of
+  * [[BpeTokenCount]] (whose count equals this array's length, summed
+  * over the document — spec-pinned). One compiled pass per document:
+  * pre-tokenize the lowercased text with the
+  * [[graft.pipeline.Bpe.WordRe]]|[[graft.pipeline.Bpe.PunctRe]]
+  * alternation (document order preserved — Java regex alternation is
+  * leftmost-first, the same contract as Spark's `regexp_extract_all`
+  * the word/punct counting faces use), run the reference encode loop
+  * per word token, and map every symbol (and every punctuation
+  * one-char token) through the broadcast vocab. Out-of-vocabulary
+  * symbols emit -1 rather than failing: the id face must stay total
+  * for vocab/corpus mismatches a curation pipeline can produce.
+  *
+  * Scale shape: row-local and shuffle-free — the id sequence is the
+  * OUTPUT (corpus × tokens sized), so re-encoding each word
+  * occurrence in place beats the distinct-word-join alternative,
+  * which would pay a join plus a per-doc sorted collect + flatten
+  * (two extra exchanges) only to avoid the cheap native re-encode.
+  * Mirrors Spark's engine semantics, not Java's:
+  * `UTF8String.toLowerCase` for lower(), code-point tokens. */
+case class BpeEncodeIds(child: Expression, table: BpeTable,
+    vocab: BpeVocab) extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(
+        s"${BpeFunctions.idsName} expects string, got ${child.dataType}")
+
+  override def nullSafeEval(s: Any): Any =
+    BpeEncodeIds.ids(s.asInstanceOf[UTF8String], table, vocab)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val tableRef = ctx.addReferenceObj("bpeTable", table,
+      classOf[BpeTable].getName)
+    val vocabRef = ctx.addReferenceObj("bpeVocab", vocab,
+      classOf[BpeVocab].getName)
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.BpeEncodeIds.ids($c, $tableRef, $vocabRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+object BpeEncodeIds {
+
+  /** word-or-punct pre-tokenizer — the same alternation the counting
+    * faces feed `regexp_extract_all` (leftmost-alternative-first on
+    * both paths; a word token always starts with a word char) */
+  private val TokenRe = java.util.regex.Pattern.compile(
+    graft.pipeline.Bpe.WordRe + "|" + graft.pipeline.Bpe.PunctRe)
+
+  private def isWordStart(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '_'
+
+  /** Called from generated code. */
+  def ids(text: UTF8String, table: BpeTable, vocab: BpeVocab)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val lower = text.toLowerCase.toString // Spark lower(), not Java's
+    val m = TokenRe.matcher(lower)
+    val buf = new scala.collection.mutable.ArrayBuilder.ofInt
+    while (m.find()) {
+      val tok = m.group()
+      if (isWordStart(tok.charAt(0))) {
+        val syms = BpeTokenCount.encode(tok, table)
+        var i = 0
+        while (i < syms.length) {
+          buf += vocab.idOf(syms(i))
+          i += 1
+        }
+      } else buf += vocab.idOf(tok)
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      buf.result())
+  }
+}
+
 /** Registration + Column-level API. The merges table travels in the
   * BUILDER closure, so the registered name must IDENTIFY the table:
   * a fixed name would make the last registration win for any later
@@ -187,7 +343,18 @@ object BpeFunctions {
   def register(spark: SparkSession, table: BpeTable): String = {
     val name = countNameFor(table)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name, exprs => BpeTokenCount(exprs.head, table), "scala_udf")
+      name, exprs => {
+        // validate arity with a real message (the GopherFunctions.build
+        // discipline): a SQL-text caller with the wrong argument count
+        // must get an analysis-time complaint, never an internal
+        // NoSuchElementException from a bare exprs.head (the child's
+        // string type is checked by checkInputDataTypes)
+        if (exprs.length != 1)
+          throw new IllegalArgumentException(
+            s"$name expects exactly one argument (word), " +
+              s"got ${exprs.length}")
+        BpeTokenCount(exprs.head, table)
+      }, "scala_udf")
     name
   }
 
@@ -196,5 +363,34 @@ object BpeFunctions {
   def bpeCount(word: Column, merges: Seq[(String, String)]): Column = {
     val name = register(SparkSession.active, new BpeTable(merges))
     call_function(name, word)
+  }
+
+  val idsName = "graft_bpe_ids"
+
+  /** the session-registry name for this exact (merges, vocab) pair */
+  def idsNameFor(table: BpeTable, vocab: BpeVocab): String =
+    idsName + "_" + table.fingerprint + "_" + vocab.fingerprint
+
+  def registerIds(spark: SparkSession, table: BpeTable,
+      vocab: BpeVocab): String = {
+    val name = idsNameFor(table, vocab)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => {
+        if (exprs.length != 1)
+          throw new IllegalArgumentException(
+            s"$name expects exactly one argument (text), " +
+              s"got ${exprs.length}")
+        BpeEncodeIds(exprs.head, table, vocab)
+      }, "scala_udf")
+    name
+  }
+
+  /** BPE token-id sequence of one document under (merges, vocab),
+    * codegen'd — see [[BpeEncodeIds]]. */
+  def bpeIds(text: Column, merges: Seq[(String, String)],
+      vocabTokens: Seq[String]): Column = {
+    val name = registerIds(SparkSession.active, new BpeTable(merges),
+      new BpeVocab(vocabTokens))
+    call_function(name, text)
   }
 }

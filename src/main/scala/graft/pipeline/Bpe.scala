@@ -179,13 +179,17 @@ object Bpe {
     * never matters: the argmax comparator (count desc, then a, then b
     * by unsigned UTF-8 bytes — the engines' binary string order) is
     * total. */
+  /** UTF-8 unsigned byte order — the engines' binary string order
+    * (Java's `String.compareTo` orders UTF-16 units and disagrees on
+    * supplementary-plane text, so it is never used for parity) */
+  private def byteLt(x: String, y: String): Boolean =
+    java.util.Arrays.compareUnsigned(
+      x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      y.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+
   private def trainLocal(rows: Array[(String, Long)], nMerges: Int)
       : Seq[(String, String)] = {
     import scala.collection.mutable
-    def byteLt(x: String, y: String): Boolean =
-      java.util.Arrays.compareUnsigned(
-        x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
-        y.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
     var encs = rows
     val merges = mutable.ArrayBuffer.empty[(String, String)]
     var done = false
@@ -222,11 +226,66 @@ object Bpe {
     merges.toSeq
   }
 
+  /** Vocabulary for [[encodeIds]]: base symbols first — every distinct
+    * non-whitespace code point of the lowercased corpus (the explicit
+    * class `[^ \t\n\x0B\f\r]`, pinned identically in the oracle SQL —
+    * Java's `\s` and RE2's disagree on U+000B), in UTF-8 byte order —
+    * then each merge's output symbol in rank order (first production
+    * wins when two merge paths emit the same symbol, e.g. (a,bc) and
+    * (ab,c)). A token's id is its position. Deterministic end to end:
+    * the char set is a distinct-collect (control-plane — distinct
+    * code points are bounded by Unicode, not the corpus), the driver
+    * sort compares UTF-8 bytes unsigned (the engines' binary order),
+    * and merges are already ranked. Persist alongside the merges
+    * table like IVF centroids. */
+  def vocab(docs: DataFrame, merges: Seq[(String, String)],
+      textCol: String = "text"): Seq[String] = {
+    val base = docs.select(explode(regexp_extract_all(lower(col(textCol)),
+        lit("[^ \\t\\n\\x0B\\f\\r]"), lit(0))).as("c"))
+      .distinct().collect().map(_.getString(0))
+      .sortWith(byteLt).toSeq
+    val seen = scala.collection.mutable.LinkedHashSet[String](base: _*)
+    merges.foreach { case (a, b) => seen += (a + b) }
+    seen.toSeq
+  }
+
+  /** Per-document BPE token IDS under a trained (merges, vocab) pair —
+    * the sequence face of [[tokenCounts]] and the honest input for
+    * sequence-length-exact packing ([[Sampling.chunk]]/`packBudget`
+    * consume real subword sequences, not whitespace proxies). Output:
+    * (idCol, bpe_ids array<int>), tokens in document order — word
+    * tokens expand to their subword-symbol ids, punctuation chars map
+    * directly; sum(size) ≡ [[tokenCounts]]' bpe_tokens (spec-pinned).
+    * Out-of-vocabulary symbols (a vocab not built on this corpus)
+    * emit -1. Same self-trained-table precondition as [[tokenCounts]].
+    *
+    * Scale shape: ONE row-local compiled projection
+    * ([[graft.functions.BpeEncodeIds]]), zero shuffle — the output is
+    * already corpus × tokens sized, so re-encoding occurrences in
+    * place beats a distinct-word join that would need a per-doc
+    * sorted collect + flatten (two extra exchanges) to restore
+    * document order. */
+  def encodeIds(docs: DataFrame, merges: Seq[(String, String)],
+      vocabTokens: Seq[String], idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+      graft.functions.BpeFunctions.bpeIds(col(textCol), merges,
+        vocabTokens).as("bpe_ids"))
+
   /** BPE token count per document under a trained merges table:
     * sum over the document's word occurrences of the word's subword
     * count, plus one per non-word (punctuation) character. The encode
     * runs once per DISTINCT word; occurrences attach through one join
     * on the word key. Output: (idCol, bpe_tokens).
+    *
+    * PRECONDITION: `merges` must be a SELF-TRAINED table ([[train]]'s
+    * output, where every pair's symbols exist before the pair's rank).
+    * The native encode applies the lowest-PRESENT-rank pair first,
+    * which equals the documented rank-order replace chain only under
+    * that property — a hand-supplied table where a later merge first
+    * produces a symbol an earlier pair references would diverge, so
+    * [[graft.functions.BpeTable]] rejects such tables at
+    * construction.
     *
     * The per-word encode is the NATIVE loop
     * ([[graft.functions.BpeTokenCount]]): the [[applyMerges]] replace

@@ -180,6 +180,88 @@ class BpeSpec extends AnyFunSuite {
       .foreach(_.unpersist(blocking = true))
   }
 
+  test("encodeIds emits vocab ids in document order, matching a " +
+      "driver reference encode token for token, with sum(len) == " +
+      "tokenCounts") {
+    val docs = Seq(
+      (1L, "low lower, low! the theatre"),
+      (2L, "banana bandana: the lowest..."),
+      (3L, "..."),
+      (4L, "")).toDF("doc_id", "text")
+    val merges = Bpe.train(docs, nMerges = 6)
+    assert(merges.nonEmpty)
+    val vv = Bpe.vocab(docs, merges)
+    // vocab structure: base single-code-point symbols in UTF-8 byte
+    // order, then merge outputs in rank order
+    val nBase = vv.indexWhere(s => s.codePointCount(0, s.length) > 1)
+    val base = vv.take(nBase)
+    assert(base == base.sorted, s"base not byte-ordered: $base")
+    assert(vv.drop(nBase) == merges.map { case (a, b) => a + b }.distinct)
+    val idOf = vv.zipWithIndex.toMap
+    // driver reference: same word|punct pre-tokenization, reference
+    // encode per word, direct vocab lookup per punct char
+    val tokRe = java.util.regex.Pattern.compile(
+      Bpe.WordRe + "|" + Bpe.PunctRe)
+    def refIds(text: String): Seq[Int] = {
+      val m = tokRe.matcher(text.toLowerCase)
+      val out = Seq.newBuilder[Int]
+      while (m.find()) {
+        val t = m.group()
+        if ((t.head >= 'a' && t.head <= 'z')
+            || (t.head >= '0' && t.head <= '9') || t.head == '_')
+          referenceEncode(t, merges).foreach(s => out += idOf(s))
+        else out += idOf(t)
+      }
+      out.result()
+    }
+    val got = Bpe.encodeIds(docs, merges, vv)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1))
+    texts.foreach { case (id, text) =>
+      assert(got(id) == refIds(text), s"doc $id")
+      assert(got(id).forall(_ >= 0),
+        s"doc $id: corpus-built vocab must never emit OOV")
+    }
+    // the id sequence's length IS the bpe token count
+    val counts = Bpe.tokenCounts(docs, merges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    texts.foreach { case (id, _) =>
+      assert(got(id).length.toLong == counts(id), s"doc $id")
+    }
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+  }
+
+  test("BpeTable rejects non-self-trained merge tables at " +
+      "construction and the registered builders validate arity") {
+    import graft.functions.{BpeFunctions, BpeTable, BpeVocab}
+    // the ADVICE counter-example: rank 0 references 'ab', first
+    // produced at rank 1 — lowest-rank-first would diverge from the
+    // rank-order replace chain on 'abc'
+    val e = intercept[IllegalArgumentException] {
+      new BpeTable(Seq(("ab", "c"), ("a", "b")))
+    }
+    assert(e.getMessage.contains("self-trained"), e.getMessage)
+    // a multi-char element NO merge produces is a harmless no-op pair
+    new BpeTable(Seq(("zz", "q"), ("a", "b")))
+    // self-trained order is accepted
+    new BpeTable(Seq(("a", "b"), ("ab", "c")))
+    // SQL-text arity errors are analysis-time messages, not internal
+    // NoSuchElementExceptions
+    val table = new BpeTable(Seq(("a", "b")))
+    val cname = BpeFunctions.register(spark, table)
+    val a1 = intercept[Exception] {
+      spark.sql(s"SELECT $cname()").collect()
+    }
+    assert(a1.getMessage.contains("argument"), a1.getMessage)
+    val iname = BpeFunctions.registerIds(spark, table,
+      new BpeVocab(Seq("a", "b", "ab")))
+    val a2 = intercept[Exception] {
+      spark.sql(s"SELECT $iname('x', 'y')").collect()
+    }
+    assert(a2.getMessage.contains("argument"), a2.getMessage)
+  }
+
   test("trained naive-Bayes language ID separates languages with real " +
       "character signal, including on held-out text") {
     // NB: the testdata documents table draws the SAME vocabulary for
