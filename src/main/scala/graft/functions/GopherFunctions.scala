@@ -118,7 +118,53 @@ object GopherSignals {
 
   /** Called from generated code — one pass per document. */
   def compute(text: UTF8String, lineSep: String): InternalRow = {
+    val c = counts(text, lineSep)
     val out = new Array[Long](12)
+    out(0) = c(0)
+    out(1) = micro(c(1), c(0))
+    out(2) = micro(c(3), c(2))
+    var n = 2
+    while (n <= 10) {
+      out(1 + n) = micro(c(3 + n), c(4))
+      n += 1
+    }
+    new GenericInternalRow(out.map(v => v: Any))
+  }
+
+  /** The published REMOVAL decision over the same counts — Rae et al.
+    * Table A1's repetition half, removal on STRICTLY greater than each
+    * threshold, decided on EXACT integer cross-products, never the
+    * half-up micro columns ([[compute]]'s quantization maps true
+    * ratios a hair past a boundary onto the boundary value — the
+    * gopher_keep fidelity rule from the quality half). Lines stand in
+    * for paragraphs at the chosen `lineSep` granularity (the 12
+    * signals carry no separate paragraph lane). Zero denominators
+    * keep (0/0 ratios have nothing to remove on). Called from
+    * generated code. */
+  def repKeep(text: UTF8String, lineSep: String): Boolean = {
+    val c = counts(text, lineSep)
+    val nLines = c(0); val dupLines = c(1)
+    val lChars = c(2); val dupLineChars = c(3)
+    val charLen = c(4)
+    dupLines * 10L <= nLines * 3L && // dup line frac      <= 0.30
+    dupLineChars * 5L <= lChars &&   // dup line char frac <= 0.20
+    c(5) * 5L <= charLen &&          // top 2-gram         <= 0.20
+    c(6) * 50L <= charLen * 9L &&    // top 3-gram         <= 0.18
+    c(7) * 25L <= charLen * 4L &&    // top 4-gram         <= 0.16
+    c(8) * 20L <= charLen * 3L &&    // dup 5-gram chars   <= 0.15
+    c(9) * 50L <= charLen * 7L &&    // dup 6-gram chars   <= 0.14
+    c(10) * 100L <= charLen * 13L && // dup 7-gram chars   <= 0.13
+    c(11) * 25L <= charLen * 3L &&   // dup 8-gram chars   <= 0.12
+    c(12) * 100L <= charLen * 11L && // dup 9-gram chars   <= 0.11
+    c(13) * 10L <= charLen           // dup 10-gram chars  <= 0.10
+  }
+
+  /** raw numerators/denominators of the 12 signals, one pass:
+    * [0]=nLines [1]=dupLines [2]=lineChars [3]=dupLineChars
+    * [4]=charLen [3+n]=top-n-gram char mass (n=2..4) / duplicated
+    * n-gram char mass (n=5..10) */
+  private def counts(text: UTF8String, lineSep: String): Array[Long] = {
+    val out = new Array[Long](14)
 
     // --- lines ---------------------------------------------------------
     val rawParts = sepPattern(lineSep).split(text.toString, -1)
@@ -148,8 +194,9 @@ object GopherSignals {
       }
     }
     out(0) = nLines
-    out(1) = micro(dupLines, nLines)
-    out(2) = micro(dupLineChars, lChars)
+    out(1) = dupLines
+    out(2) = lChars
+    out(3) = dupLineChars
 
     // --- tokens ----------------------------------------------------------
     val lowParts = Ws.split(text.toLowerCase.toString, -1)
@@ -174,6 +221,7 @@ object GopherSignals {
       t += 1
     }
     if (nToks > 0) charLen += (nToks - 1).toLong
+    out(4) = charLen
 
     // --- per-n gram counting ---------------------------------------------
     // slot = (count, gram code-point length); gram identity is the
@@ -218,7 +266,7 @@ object GopherSignals {
               bestLen = e.getValue()(1)
             }
           }
-          out(1 + n) = micro(bestCnt * bestLen, charLen)
+          out(3 + n) = bestCnt * bestLen
         } else {
           var dupChars = 0L
           val it = counts.values().iterator()
@@ -226,13 +274,50 @@ object GopherSignals {
             val slot = it.next()
             if (slot(0) > 1L) dupChars += slot(0) * slot(1)
           }
-          out(1 + n) = micro(dupChars, charLen)
+          out(3 + n) = dupChars
         }
       }
       n += 1
     }
-    new GenericInternalRow(out.map(v => v: Any))
+    out
   }
+}
+
+/** The composite Gopher repetition KEEP decision as one native
+  * boolean — [[GopherSignals]]' counting pass feeding the exact
+  * integer cross-product thresholds ([[GopherSignals.repKeep]])
+  * instead of the quantized micro ratios. This is the inline-gate
+  * face [[graft.pipeline.Curate.curate]] composes into its quality
+  * stage: row-local, one compiled pass, no struct materialized. */
+case class GopherRepKeep(child: Expression, lineSep: String)
+    extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(
+        s"${GopherFunctions.repKeepName} expects string, " +
+          s"got ${child.dataType}")
+
+  override def nullSafeEval(s: Any): Any =
+    GopherSignals.repKeep(s.asInstanceOf[UTF8String], lineSep)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val sepRef = ctx.addReferenceObj("gopherLineSep", lineSep,
+      "java.lang.String")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.GopherSignals.repKeep($c, $sepRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
 }
 
 /** Registration + Column-level API (the [[TextFunctions]] pattern). */
@@ -264,13 +349,43 @@ object GopherFunctions {
       sepVal.asInstanceOf[UTF8String].toString)
   }
 
-  def register(spark: SparkSession): Unit =
+  val repKeepName = "graft_gopher_rep_keep"
+
+  /** [[build]]'s validation for the boolean keep face */
+  def buildRepKeep(exprs: Seq[Expression]): Expression = {
+    if (exprs.length != 2)
+      throw new IllegalArgumentException(
+        s"$repKeepName expects (text, lineSep), got ${exprs.length} " +
+          s"argument${if (exprs.length == 1) "" else "s"}")
+    val sep = exprs(1)
+    if (sep.dataType != org.apache.spark.sql.types.StringType
+        || !sep.foldable)
+      throw new IllegalArgumentException(
+        s"$repKeepName: lineSep must be a string literal, got $sep")
+    val sepVal = sep.eval(InternalRow.empty)
+    if (sepVal == null)
+      throw new IllegalArgumentException(s"$repKeepName: lineSep is null")
+    GopherRepKeep(exprs.head,
+      sepVal.asInstanceOf[UTF8String].toString)
+  }
+
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, build, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      repKeepName, buildRepKeep, "scala_udf")
+  }
 
   /** struct of all 12 Gopher repetition signals, codegen'd */
   def gopherSignals(text: Column, lineSep: String): Column = {
     register(SparkSession.active)
     call_function(name, text, lit(lineSep))
+  }
+
+  /** the composite repetition keep, codegen'd — exact integer
+    * thresholds over the same one-pass counts */
+  def gopherRepKeep(text: Column, lineSep: String): Column = {
+    register(SparkSession.active)
+    call_function(repKeepName, text, lit(lineSep))
   }
 }

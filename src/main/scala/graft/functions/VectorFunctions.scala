@@ -217,5 +217,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[GopherSignals].getName,
         GopherFunctions.name),
       (exprs: Seq[Expression]) => GopherFunctions.build(exprs)))
+    e.injectFunction((FunctionIdentifier(GopherFunctions.repKeepName),
+      new ExpressionInfo(classOf[GopherRepKeep].getName,
+        GopherFunctions.repKeepName),
+      (exprs: Seq[Expression]) => GopherFunctions.buildRepKeep(exprs)))
   }
 }

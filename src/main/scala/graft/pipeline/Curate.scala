@@ -26,12 +26,20 @@ object Curate {
     * ratio ([[TextOps.repetitionFeatures]] at n = 3) — the degenerate-
     * text filter; the default (1 000 000 = every ratio) disables it
     * without costing the n-gram projection a thing when Catalyst
-    * prunes the constant-true predicate.
+    * prunes the constant-true predicate. `gopherGate = true` composes
+    * the FULL published Gopher rule set into the same stage — the
+    * quality half's composite keep ([[TextOps.gopherQualityKeep]],
+    * exact integer cross-products) AND the repetition half's native
+    * one-pass keep ([[graft.functions.GopherRepKeep]]) — as row-local
+    * column math: the whole rule set rides stage 1's projection and
+    * the pipeline keeps its one-shuffle contract (PlanShapeSpec pins
+    * the exchange count; lines split on `lineSep`).
     */
   def curate(docs: DataFrame, minTokens: Long,
       maxStopwordRatioMicro6: Long, strataCol: String,
       rates: Seq[(String, Double)], default: Double = 1.0,
       maxDupRatioMicro6: Long = 1000000L,
+      gopherGate: Boolean = false, lineSep: String = "\n",
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val gated0 = TextOps.qualityFeatures(docs, textCol)
       .where(col("n_tokens") >= minTokens &&
@@ -54,7 +62,18 @@ object Curate {
               "* 2000000L + size(_rgrams)) div (size(_rgrams) * 2L)")))
         .where(col("_rdup") <= maxDupRatioMicro6)
         .drop("_rtoks", "_rgrams", "_rdup")
-    val deduped = quality
+    // the Gopher gate is the same inline discipline: counts project
+    // into named _gq_* columns, the composite keep filters, helpers
+    // drop — no join, no exchange, and the repetition half is ONE
+    // compiled native pass per row
+    val gated =
+      if (!gopherGate) quality
+      else TextOps.gopherQualityCounts(quality, textCol, lineSep)
+        .where(TextOps.gopherQualityKeep &&
+          graft.functions.GopherFunctions.gopherRepKeep(col(textCol),
+            lineSep))
+        .drop(TextOps.gopherQualityCountCols: _*)
+    val deduped = gated
       .withColumn("_fp", TextOps.fingerprint(col(textCol)))
       .withColumn("_keep",
         min(col(idCol)).over(Window.partitionBy(col("_fp"))))

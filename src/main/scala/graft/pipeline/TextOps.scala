@@ -511,58 +511,91 @@ object TextOps {
     * native expression. */
   def gopherQualitySignals(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", lineSep: String = "\n"): DataFrame = {
+    val c = gopherQualityCounts(
+      graft.util.Spread.ensure(df, Seq(col(idCol))), textCol, lineSep)
+    c.select(col(idCol), col("_gq_nw").as("n_words"),
+      microUnitsGuarded("_gq_charlen - (_gq_nw - 1)", "_gq_nw")
+        .as("mean_word_len_micro6"),
+      microUnitsGuarded("_gq_nhash", "_gq_nw")
+        .as("hash_word_ratio_micro6"),
+      microUnitsGuarded("_gq_nellsym", "_gq_nw")
+        .as("ellipsis_word_ratio_micro6"),
+      microUnitsGuarded("_gq_nbullet", "_gq_nlines")
+        .as("bullet_frac_micro6"),
+      microUnitsGuarded("_gq_nell", "_gq_nlines")
+        .as("ellipsis_frac_micro6"),
+      microUnitsGuarded("_gq_nalpha", "_gq_nw").as("alpha_frac_micro6"),
+      col("_gq_nstop").as("n_stop_hits"),
+      gopherQualityKeep.as("gopher_keep"))
+  }
+
+  /** the [[gopherQualitySignals]] counting stages as ADDED `_gq_*`
+    * columns, input columns preserved — shared with
+    * [[Curate.curate]]'s inline Gopher gate so the decision logic has
+    * exactly one source. Two projection stages: the token/line arrays
+    * bind in their own named columns FIRST (the lambda-CSE rule: a
+    * split referenced from several lambdas re-evaluates per reference
+    * unless projected). */
+  private[pipeline] def gopherQualityCounts(df: DataFrame,
+      textCol: String, lineSep: String): DataFrame = {
     val sepRe = java.util.regex.Pattern.quote(lineSep)
-    val s1 = graft.util.Spread.ensure(df, Seq(col(idCol)))
-      .select(col(idCol), col(textCol),
-        filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")
-          .as("_toks"),
+    val s1 = df
+      .withColumn("_gq_toks",
+        filter(split(lower(col(textCol)), "\\s+"), t => t =!= ""))
+      .withColumn("_gq_lns",
         filter(transform(split(col(textCol), sepRe), x => trim(x)),
-          x => x =!= "").as("_lns"))
-    val s2 = s1.select(col(idCol),
-      size(col("_toks")).cast("long").as("n_words"),
-      length(concat_ws(" ", col("_toks"))).cast("long").as("_charlen"),
-      occurrences(col(textCol), "#").as("_nhash"),
-      (occurrences(col(textCol), "…")
-        + occurrences(col(textCol), "...")).as("_nellsym"),
-      size(col("_lns")).cast("long").as("_nlines"),
+          x => x =!= ""))
+    s1.withColumn("_gq_nw", size(col("_gq_toks")).cast("long"))
+      .withColumn("_gq_charlen",
+        length(concat_ws(" ", col("_gq_toks"))).cast("long"))
+      .withColumn("_gq_nhash", occurrences(col(textCol), "#"))
+      .withColumn("_gq_nellsym",
+        occurrences(col(textCol), "…") + occurrences(col(textCol), "..."))
+      .withColumn("_gq_nlines", size(col("_gq_lns")).cast("long"))
       // left/right (not substring with negative pos): both engines
       // return the whole string when it is shorter than the ask, so
       // 1-2 char lines can never false-match an ellipsis
-      expr("""size(filter(_lns, x -> left(x, 1) IN ('-', '*', '•')))""")
-        .cast("long").as("_nbullet"),
-      expr("""size(filter(_lns,
-          x -> right(x, 1) = '…' OR right(x, 3) = '...'))""")
-        .cast("long").as("_nell"),
-      expr("""size(filter(_toks, t -> t rlike '[a-z]'))""").cast("long")
-        .as("_nalpha"),
-      gopherStopwords.map(w =>
-        when(array_contains(col("_toks"), w), lit(1L)).otherwise(lit(0L)))
-        .reduce(_ + _).as("n_stop_hits"))
-    s2.select(col(idCol), col("n_words"),
-      microUnitsGuarded("_charlen - (n_words - 1)", "n_words")
-        .as("mean_word_len_micro6"),
-      microUnitsGuarded("_nhash", "n_words")
-        .as("hash_word_ratio_micro6"),
-      microUnitsGuarded("_nellsym", "n_words")
-        .as("ellipsis_word_ratio_micro6"),
-      microUnitsGuarded("_nbullet", "_nlines").as("bullet_frac_micro6"),
-      microUnitsGuarded("_nell", "_nlines").as("ellipsis_frac_micro6"),
-      microUnitsGuarded("_nalpha", "n_words").as("alpha_frac_micro6"),
-      col("n_stop_hits"),
-      // exact integer cross-products — mean word length is
-      // (charlen - (words-1)) / words in [3, 10]
-      (col("n_words") >= 50L && col("n_words") <= 100000L &&
-        (col("_charlen") - (col("n_words") - 1L))
-          >= lit(3L) * col("n_words") &&
-        (col("_charlen") - (col("n_words") - 1L))
-          <= lit(10L) * col("n_words") &&
-        col("_nhash") * 10L <= col("n_words") &&
-        col("_nellsym") * 10L <= col("n_words") &&
-        col("_nbullet") * 10L <= lit(9L) * col("_nlines") &&
-        col("_nell") * 10L <= lit(3L) * col("_nlines") &&
-        col("_nalpha") * 5L >= lit(4L) * col("n_words") &&
-        col("n_stop_hits") >= 2L).as("gopher_keep"))
+      .withColumn("_gq_nbullet",
+        expr("""size(filter(_gq_lns, x -> left(x, 1) IN ('-', '*', '•')))""")
+          .cast("long"))
+      .withColumn("_gq_nell",
+        expr("""size(filter(_gq_lns,
+            x -> right(x, 1) = '…' OR right(x, 3) = '...'))""")
+          .cast("long"))
+      .withColumn("_gq_nalpha",
+        expr("""size(filter(_gq_toks, t -> t rlike '[a-z]'))""")
+          .cast("long"))
+      .withColumn("_gq_nstop", gopherStopwords.map(w =>
+        when(array_contains(col("_gq_toks"), w), lit(1L))
+          .otherwise(lit(0L))).reduce(_ + _))
+      .drop("_gq_toks", "_gq_lns")
   }
+
+  /** every `_gq_*` column [[gopherQualityCounts]] adds (gate callers
+    * drop them after filtering) */
+  private[pipeline] val gopherQualityCountCols: Seq[String] =
+    Seq("_gq_nw", "_gq_charlen", "_gq_nhash", "_gq_nellsym",
+      "_gq_nlines", "_gq_nbullet", "_gq_nell", "_gq_nalpha", "_gq_nstop")
+
+  /** the published quality-composite KEEP over the `_gq_*` counts —
+    * removal on strictly GREATER than each threshold, decided on EXACT
+    * integer cross-products, never the rounded micro columns: half-up
+    * quantization maps ratios in (0.0999995, 0.1000005) onto the same
+    * micro value, which would misdecide true ratios a hair past the
+    * line. Mean word length is (charlen - (words-1)) / words in
+    * [3, 10]. */
+  private[pipeline] def gopherQualityKeep: Column =
+    (col("_gq_nw") >= 50L && col("_gq_nw") <= 100000L &&
+      (col("_gq_charlen") - (col("_gq_nw") - 1L))
+        >= lit(3L) * col("_gq_nw") &&
+      (col("_gq_charlen") - (col("_gq_nw") - 1L))
+        <= lit(10L) * col("_gq_nw") &&
+      col("_gq_nhash") * 10L <= col("_gq_nw") &&
+      col("_gq_nellsym") * 10L <= col("_gq_nw") &&
+      col("_gq_nbullet") * 10L <= lit(9L) * col("_gq_nlines") &&
+      col("_gq_nell") * 10L <= lit(3L) * col("_gq_nlines") &&
+      col("_gq_nalpha") * 5L >= lit(4L) * col("_gq_nw") &&
+      col("_gq_nstop") >= 2L)
 
   /** Corpus-wide top-k n-gram counts (word n-grams). One explode + one
     * agg; at 100 TB this is the canonical map-side-combine shape. */

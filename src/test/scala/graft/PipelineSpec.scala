@@ -1513,6 +1513,97 @@ class PipelineSpec extends AnyFunSuite {
     assert(run(500000L) == Set(0L))      // loop exceeds 50% dup ratio
   }
 
+  test("gopher repetition keep: exact integer thresholds, " +
+      "strictly-greater removes, at-threshold kept") {
+    import graft.functions.GopherFunctions
+    def keep(text: String): Boolean =
+      Seq((0L, text)).toDF("doc_id", "text")
+        .select(GopherFunctions.gopherRepKeep(col("text"), "\n").as("k"))
+        .collect()(0).getBoolean(0)
+    def uline(i: Int) = (0 until 8).map(j => s"u${i}w$j").mkString(" ")
+    // nothing repeats: every lane zero -> keep (and empty text keeps —
+    // zero denominators have nothing to remove on)
+    assert(keep((1 to 10).map(uline).mkString("\n")))
+    assert(keep(""))
+    // dup-line BOUNDARY: 3 of 10 lines share a value — dup_line_frac
+    // exactly 0.30, and the paper removes on STRICTLY greater, so this
+    // doc is kept; the dup value is kept short so the 0.20 char lane
+    // stays clear (3*5 = 15 chars of ~345)
+    val boundary = (Seq(uline(1), "aa bb", uline(2), "aa bb", uline(3),
+      "aa bb") ++ (4 to 7).map(uline)).mkString("\n")
+    assert(keep(boundary), "dup_line_frac exactly 0.30 must be kept")
+    // one more duplicate line: 4 of 10 = 0.40 > 0.30 -> removed
+    val over = (Seq(uline(1), "aa bb", uline(2), "aa bb", uline(3),
+      "aa bb", "aa bb") ++ (4 to 6).map(uline)).mkString("\n")
+    assert(!keep(over), "dup_line_frac 0.40 must be removed")
+    // top-2-gram coverage: 'x y' repeated 40 times covers ~75% of the
+    // char mass (far over 0.20) -> removed, even with zero dup lines
+    assert(!keep(("x y " * 40).trim))
+    // duplicated 10-gram char mass: two long identical word runs in
+    // otherwise-distinct text
+    val run10 = (1 to 10).map(i => s"r${i}w").mkString(" ")
+    assert(!keep(Seq(run10, uline(1), run10).mkString(" ")))
+  }
+
+  test("curate gopherGate: the full Gopher rule set gates inline — " +
+      "same rows as the pre-filtered composition, no added exchange") {
+    import graft.functions.GopherFunctions
+    import graft.pipeline.TextOps
+    val rnd = new scala.util.Random(17)
+    // 60-word docs that PASS the quality half: >= 2 canonical
+    // stopwords, 4-7 char alpha words (mean length in [3, 10]), no
+    // bullets/ellipses/hashes
+    def goodText(d: Int): String =
+      (TextOps.gopherStopwords ++ (0 until 52).map(j =>
+        s"tok${d}x$j${('a' + rnd.nextInt(26)).toChar}")).mkString(" ")
+    // trips ONLY the repetition half: 4 of 10 lines identical (0.40 >
+    // 0.30) while the quality half passes (60 words, stopwords in the
+    // unique lines, healthy word lengths)
+    val repTrip = (Seq.fill(4)(
+      "therefore bandana cascade muffin velvet lantern") ++
+      (1 to 6).map(i => s"the canyon${i} and river${i} with stone${i}"))
+      .mkString("\n")
+    // trips ONLY the quality half: 60 distinct words, zero stopwords
+    val qualityTrip = (0 until 60).map(j => s"zword${j}q").mkString(" ")
+    val g0 = goodText(0) // materialized once: doc 5 must be an EXACT dup
+    val corpus = Seq(
+      (0L, g0, "a"),
+      (1L, goodText(1), "a"),
+      (2L, goodText(2), "a"),
+      (3L, repTrip, "a"),
+      (4L, qualityTrip, "a"),
+      (5L, g0, "a") // exact dup of 0: dedup drops it
+    ).toDF("doc_id", "text", "source")
+    def run(df: org.apache.spark.sql.DataFrame, gate: Boolean) =
+      Curate.curate(df, minTokens = 25L,
+        maxStopwordRatioMicro6 = 300000L, strataCol = "source",
+        rates = Nil, default = 1.0, gopherGate = gate)
+    val got = run(corpus, gate = true)
+    assert(got.collect().map(_.getAs[Long]("doc_id")).toSet
+      == Set(0L, 1L, 2L),
+      "rep trip, quality trip and the dup must all drop")
+    // inline gate == filtering the corpus by the two keeps FIRST and
+    // curating without the gate (both stages are row-local, so the
+    // gate commutes with the quality features)
+    val preIds = corpus
+      .where(GopherFunctions.gopherRepKeep(col("text"), "\n"))
+      .join(TextOps.gopherQualitySignals(corpus)
+        .where(col("gopher_keep")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      .select("doc_id")
+    val ref = run(corpus.join(preIds, Seq("doc_id"), "left_semi"),
+      gate = false)
+    assert(got.collect().map(_.toString).sorted.toSeq
+      == ref.collect().map(_.toString).sorted.toSeq)
+    // the one-shuffle contract holds: the gate adds projections and a
+    // filter, never an exchange
+    def nExchanges(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.toString
+        .linesIterator.count(_.contains("Exchange"))
+    assert(nExchanges(run(corpus, gate = true))
+      == nExchanges(run(corpus, gate = false)))
+  }
+
   test("cell centroids: exact micro-unit sums and means per dimension") {
     val emb = Seq(
       (0L, Array(1.0f, -0.5f), 1),
