@@ -283,7 +283,11 @@ object Bench {
     // start/end samples) — divide two rounds' totals by BOTH canaries
     // to separate host drift from code drift: cpu-flat + io-slow means
     // filesystem/scheduler state, not a regression (the r13-vs-r14
-    // lesson: +17% on byte-identical code at a LOWER cpu canary).
+    // lesson: +17% on byte-identical code at a LOWER cpu canary). The
+    // decision procedure is WRITTEN DOWN as SURVEY §6's
+    // canary-normalization rule (>1.3x drift on either canary =
+    // host-dominated, attribute nothing to code without normalizing);
+    // BenchLineSpec pins both fields present and positive.
     // -1 when not measured
     f"""{"queries":$qs,"spread_max":$spMax%.0f,"hot":$p,"canary":$canarySec%.2f,"canary_io":$canaryIoSec%.2f,"sf":"$sf","metric":"total","unit":"sec","value":$total%.2f}"""
   }

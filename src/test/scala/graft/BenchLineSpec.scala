@@ -114,6 +114,22 @@ class BenchLineSpec extends AnyFunSuite {
       s"total must close the line: ${line.takeRight(40)}")
   }
 
+  test("both canaries are present and positive — the normalization " +
+      "rule's inputs (SURVEY §6) can never drop out of a round record") {
+    // cross-round total comparisons divide by BOTH canaries (>1.3x
+    // drift on either = host-dominated, not code); a line missing or
+    // zeroing a canary silently re-opens the r12/r14 ambiguity where
+    // nothing could prove the machine (not the code) moved
+    val line = Bench.formatLine(Seq(("q", 1.0, 1.0)), "sf0.1",
+      canarySec = 0.123, canaryIoSec = 0.456)
+    val cpu = """"canary":(-?\d+\.\d+)""".r
+      .findFirstMatchIn(line).get.group(1).toDouble
+    val io = """"canary_io":(-?\d+\.\d+)""".r
+      .findFirstMatchIn(line).get.group(1).toDouble
+    assert(cpu > 0.0 && io > 0.0, s"canaries must be positive: $line")
+    assert(cpu == 0.12 && io == 0.46) // 2-decimal wire resolution
+  }
+
   test("failed-query sentinel (-1) survives the compact format") {
     val line = lineAt(-1.0)
     assert(line.contains("[-1,") || line.contains(",-1,")
