@@ -31,6 +31,13 @@ object SparkEntry {
     * small here; the library (graft.pipeline.Bpe) takes any size. */
   private val BpeMerges = 12
 
+  /** deterministic stopword-rich prefix for t_curate_gopher (the
+    * t_pii planting discipline): the synthetic corpus contains none
+    * of Gopher's 8 canonical stopwords, so even doc_ids get this
+    * prefix in BOTH engines and the stopword rule differentiates */
+  private val GopherAug =
+    "the data and the model with that have to be of use. "
+
   private val NS_0108 = 1704672000000000000L // 2024-01-08T00:00:00Z
   private val NS_0115 = 1705276800000000000L // 2024-01-15T00:00:00Z
 
@@ -852,6 +859,27 @@ object SparkEntry {
         .select("doc_id", "source", "n_tokens")
         .orderBy("doc_id")),
 
+    "t_curate_gopher" -> ((s, dir) => {
+      // the FULL Gopher rule set composed inline with dedup + mixture
+      // (Curate.curate's gopherGate). The synthetic corpus carries
+      // NONE of the 8 canonical stopwords, so (the t_pii planting
+      // discipline) a deterministic stopword-rich prefix lands on
+      // even doc_ids in BOTH engines — the quality half then
+      // differentiates on the stopword rule while the repetition half
+      // prunes the corpus's own top-2-gram outliers
+      val d = Tables.load(s, dir, "documents")
+        .withColumn("text", concat(
+          when(col("doc_id") % 2 === 0, lit(GopherAug))
+            .otherwise(lit("")),
+          col("text")))
+      Curate.curate(d, minTokens = 25L,
+        maxStopwordRatioMicro6 = 300000L, strataCol = "source",
+        rates = Seq("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.0),
+        default = 0.75, gopherGate = true)
+        .select("doc_id", "source", "n_tokens")
+        .orderBy("doc_id")
+    }),
+
     // mixture re-weighting: keep 50% of src0, 25% of src1, drop src2
     // entirely (rate-0 edge), 75% of everything else
     "t_stratified" -> ((s, dir) =>
@@ -1617,6 +1645,155 @@ object SparkEntry {
        |FROM b
        |LEFT JOIN ls USING (doc_id)
        |$joins
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** DuckDB oracle for `t_curate_gopher`: the t_curate pipeline with
+    * the full Gopher gate composed in — the quality half as
+    * t_gopher_quality's exact integer composite, the repetition half
+    * as [[gopherOracleSql]]'s raw per-doc counts compared through the
+    * SAME exact cross-products `GopherSignals.repKeep` evaluates —
+    * over the stopword-augmented corpus (even doc_ids get
+    * [[GopherAug]], both engines). */
+  private def curateGopherOracleSql: String = {
+    val stops = TextOpsOracle.stopList
+    val stopSum = graft.pipeline.TextOps.gopherStopwords.map(w =>
+      s"(CASE WHEN list_contains(toks, '$w') THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    val topNs = Seq(2, 3, 4)
+    val dupNs = Seq(5, 6, 7, 8, 9, 10)
+    def gramExpr(n: Int) =
+      (0 until n).map(j => s"toks[i + $j]").mkString(" || ' ' || ")
+    val gramCtes = (topNs ++ dupNs).map { n =>
+      s""" g$n AS (
+         |  SELECT doc_id, unnest(CASE WHEN len(toks) >= $n THEN
+         |    list_transform(generate_series(1, len(toks) - ${n - 1}),
+         |      i -> ${gramExpr(n)})
+         |    ELSE [] END) AS g FROM t),
+         | c$n AS (
+         |  SELECT doc_id, g, count(*) AS c FROM g$n GROUP BY 1, 2)"""
+        .stripMargin
+    }
+    val topCtes = topNs.map { n =>
+      s""" top$n AS (
+         |  SELECT doc_id, c * length(g) AS cover FROM (
+         |    SELECT doc_id, g, c, row_number() OVER (
+         |      PARTITION BY doc_id ORDER BY c DESC, g DESC) AS rn
+         |    FROM c$n) WHERE rn = 1)""".stripMargin
+    }
+    val dupCtes = dupNs.map { n =>
+      s""" dup$n AS (
+         |  SELECT doc_id, sum(c * length(g)) AS cover
+         |  FROM c$n WHERE c > 1 GROUP BY 1)""".stripMargin
+    }
+    val repJoins = (topNs.map(n => s"top$n") ++ dupNs.map(n => s"dup$n"))
+      .map(c => s"LEFT JOIN $c USING (doc_id)").mkString("\n  ")
+    // the exact cross-products GopherSignals.repKeep evaluates —
+    // strictly-greater removes, zero denominators keep
+    val repCond = Seq(
+      "coalesce(ls.dl, 0) * 10 <= coalesce(ls.nl, 0) * 3",
+      "coalesce(ls.dc, 0) * 5 <= coalesce(ls.tc, 0)",
+      "coalesce(top2.cover, 0) * 5 <= b.charlen",
+      "coalesce(top3.cover, 0) * 50 <= b.charlen * 9",
+      "coalesce(top4.cover, 0) * 25 <= b.charlen * 4",
+      "coalesce(dup5.cover, 0) * 20 <= b.charlen * 3",
+      "coalesce(dup6.cover, 0) * 50 <= b.charlen * 7",
+      "coalesce(dup7.cover, 0) * 100 <= b.charlen * 13",
+      "coalesce(dup8.cover, 0) * 25 <= b.charlen * 3",
+      "coalesce(dup9.cover, 0) * 100 <= b.charlen * 11",
+      "coalesce(dup10.cover, 0) * 10 <= b.charlen"
+    ).mkString("\n    AND ")
+    s"""WITH d AS MATERIALIZED (
+       |  SELECT doc_id, source,
+       |    CASE WHEN doc_id % 2 = 0 THEN '$GopherAug' ELSE '' END
+       |      || text AS text
+       |  FROM documents),
+       | t AS MATERIALIZED (
+       |  SELECT doc_id, text,
+       |    list_filter(string_split_regex(lower(text), '\\s+'),
+       |      x -> x <> '') AS toks,
+       |    list_filter(list_transform(string_split(text, chr(10)),
+       |      x -> trim(x)), x -> x <> '') AS lns
+       |  FROM d),
+       | b AS (
+       |  SELECT doc_id, length(array_to_string(toks, ' ')) AS charlen
+       |  FROM t),
+       | m AS (
+       |  SELECT doc_id, len(toks) AS n_words,
+       |    length(array_to_string(toks, ' ')) AS charlen,
+       |    (length(text) - length(replace(text, '#', '')))
+       |      AS nhash,
+       |    (length(text) - length(replace(text, '…', '')))
+       |      + (length(text) - length(replace(text, '...', ''))) // 3
+       |      AS nellsym,
+       |    len(lns) AS nlines,
+       |    len(list_filter(lns,
+       |      x -> left(x, 1) IN ('-', '*', '•'))) AS nbullet,
+       |    len(list_filter(lns, x -> right(x, 1) = '…'
+       |      OR right(x, 3) = '...')) AS nell,
+       |    len(list_filter(toks,
+       |      x -> regexp_matches(x, '[a-z]'))) AS nalpha,
+       |    $stopSum AS n_stop_hits
+       |  FROM t),
+       | keepq AS (
+       |  SELECT doc_id FROM m
+       |  WHERE n_words >= 50 AND n_words <= 100000
+       |    AND charlen - (n_words - 1) >= 3 * n_words
+       |    AND charlen - (n_words - 1) <= 10 * n_words
+       |    AND nhash * 10 <= n_words
+       |    AND nellsym * 10 <= n_words
+       |    AND nbullet * 10 <= 9 * nlines
+       |    AND nell * 10 <= 3 * nlines
+       |    AND nalpha * 5 >= 4 * n_words
+       |    AND n_stop_hits >= 2),
+       | lx AS (SELECT doc_id, unnest(lns) AS line FROM t),
+       | lc AS (
+       |  SELECT doc_id, line, count(*) AS c FROM lx GROUP BY 1, 2),
+       | ls AS (
+       |  SELECT doc_id, sum(c) AS nl,
+       |    sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dl,
+       |    sum(c * length(line)) AS tc,
+       |    sum(CASE WHEN c > 1 THEN c * length(line) ELSE 0 END) AS dc
+       |  FROM lc GROUP BY 1),
+       |${gramCtes.mkString(",\n")},
+       |${topCtes.mkString(",\n")},
+       |${dupCtes.mkString(",\n")},
+       | keepr AS (
+       |  SELECT b.doc_id FROM b
+       |  LEFT JOIN ls USING (doc_id)
+       |  $repJoins
+       |  WHERE $repCond),
+       | raw AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM d),
+       | tok AS (SELECT doc_id, w FROM raw WHERE w <> ''),
+       | agg AS (
+       |  SELECT doc_id, count(*) AS n_tokens,
+       |    CAST(sum(CASE WHEN w IN ($stops) THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_stopwords
+       |  FROM tok GROUP BY doc_id),
+       | q AS (
+       |  SELECT d.doc_id, d.source, d.text,
+       |    CAST(a.n_tokens AS BIGINT) AS n_tokens
+       |  FROM d JOIN agg a USING (doc_id)
+       |  WHERE a.n_tokens >= 25
+       |    AND CAST((a.n_stopwords * 2000000 + a.n_tokens)
+       |      // (a.n_tokens * 2) AS BIGINT) <= 300000),
+       | gated AS (
+       |  SELECT q.* FROM q
+       |  JOIN keepq USING (doc_id)
+       |  JOIN keepr USING (doc_id)),
+       | dd AS (
+       |  SELECT *, min(doc_id) OVER (
+       |    PARTITION BY md5(lower(trim(text)))) AS keep
+       |  FROM gated)
+       |SELECT doc_id, source, n_tokens FROM dd
+       |WHERE doc_id = keep
+       |  AND substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 8)
+       |    < CASE source
+       |        WHEN 'src0' THEN '${Sampling.hexCutoff(0.5)}'
+       |        WHEN 'src1' THEN '${Sampling.hexCutoff(0.25)}'
+       |        WHEN 'src2' THEN '${Sampling.hexCutoff(0.0)}'
+       |        ELSE '${Sampling.hexCutoff(0.75)}' END
        |ORDER BY doc_id""".stripMargin
   }
 
@@ -3251,6 +3428,11 @@ object SparkEntry {
          |        ELSE '${Sampling.hexCutoff(0.75)}' END
          |ORDER BY doc_id""".stripMargin
     },
+
+    // the full-Gopher-gated curation pass over the stopword-augmented
+    // corpus — quality composite + exact-cross-product repetition keep
+    // composed with dedup and mixture, see curateGopherOracleSql
+    "t_curate_gopher" -> curateGopherOracleSql,
 
     "t_stratified" ->
       s"""SELECT doc_id, source FROM documents
