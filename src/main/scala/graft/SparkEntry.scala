@@ -1058,6 +1058,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "t_chunk_ids" -> ((s, dir) => {
+      // fixed-length training windows (maxLen 64, stride 48) over the
+      // REAL subword id sequences — the sequence-shaping step a
+      // pretraining batcher consumes; the oracle re-derives training,
+      // vocab, per-doc ids AND the start-window rule
+      val docs = Tables.load(s, dir, "documents")
+      val merges = Bpe.train(docs, nMerges = BpeMerges)
+      Sampling.chunkIds(
+          Bpe.encodeIds(docs, merges, Bpe.vocab(docs, merges)),
+          maxLen = 64, stride = 48)
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     "t_ngrams" -> ((s, dir) =>
       TextOps.topNgrams(Tables.load(s, dir, "documents"), n = 2, k = 20)),
 
@@ -1646,6 +1659,87 @@ object SparkEntry {
        |LEFT JOIN ls USING (doc_id)
        |$joins
        |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Shared CTE chain for the BPE id-sequence oracles (`t_bpe_ids`,
+    * `t_chunk_ids`): unrolled training stages, the vocab (base code
+    * points in binary order + merge outputs by rank, first production
+    * winning), and per-doc (ids_csv, n_ids) in `agg`. */
+  private def bpeIdsOracleCtes: String = {
+    val stages = (1 to BpeMerges).map { n =>
+      s"""b$n AS MATERIALIZED (
+         |  SELECT a, b FROM (
+         |    SELECT s[i] AS a, s[i + 1] AS b, sum(f) AS c
+         |    FROM (SELECT f, s, unnest(generate_series(1, len(s) - 1))
+         |            AS i
+         |          FROM (SELECT f, string_split(trim(enc), '  ') AS s
+         |                FROM wf${n - 1}))
+         |    GROUP BY 1, 2)
+         |  ORDER BY c DESC, a ASC, b ASC LIMIT 1),
+         |wf$n AS MATERIALIZED (
+         |  SELECT w, f, CASE WHEN m.a IS NULL THEN enc ELSE
+         |    replace(enc, ' ' || m.a || '  ' || m.b || ' ',
+         |            ' ' || m.a || m.b || ' ') END AS enc
+         |  FROM wf${n - 1} LEFT JOIN b$n m ON TRUE)""".stripMargin
+    }.mkString(",\n")
+    val mseq = (1 to BpeMerges).map { n =>
+      s"SELECT $n AS rnk, a || b AS sym FROM b$n"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH dw AS MATERIALIZED (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text),
+       |    '[a-z0-9_]+')) AS w FROM documents),
+       |wf0 AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS f,
+       |    ' ' || rtrim(regexp_replace(w, '(.)', '\\1  ', 'g'))
+       |      || ' ' AS enc
+       |  FROM dw GROUP BY w),
+       |$stages,
+       |base AS MATERIALIZED (
+       |  SELECT c, CAST(row_number() OVER (ORDER BY c) - 1 AS BIGINT)
+       |    AS id
+       |  FROM (SELECT DISTINCT unnest(regexp_extract_all(lower(text),
+       |    '[^ \\t\\n\\x0B\\f\\r]')) AS c FROM documents)),
+       |mseq AS MATERIALIZED (
+       |  $mseq),
+       |mv AS (SELECT sym, min(rnk) AS r0 FROM mseq GROUP BY sym),
+       |mvocab AS (
+       |  SELECT sym, (SELECT count(*) FROM base)
+       |    + row_number() OVER (ORDER BY r0) - 1 AS id FROM mv),
+       |vocab AS MATERIALIZED (
+       |  SELECT c AS tok, id FROM base
+       |  UNION ALL SELECT sym AS tok, id FROM mvocab),
+       |wsyms AS MATERIALIZED (
+       |  SELECT w,
+       |    unnest(string_split(trim(enc), '  ')) AS sym,
+       |    generate_subscripts(string_split(trim(enc), '  '), 1)
+       |      AS spos
+       |  FROM wf$BpeMerges),
+       |wids AS MATERIALIZED (
+       |  SELECT w,
+       |    string_agg(CAST(coalesce(v.id, -1) AS VARCHAR), ','
+       |      ORDER BY spos) AS idcsv,
+       |    CAST(count(*) AS BIGINT) AS nid
+       |  FROM wsyms LEFT JOIN vocab v ON v.tok = wsyms.sym
+       |  GROUP BY w),
+       |toks AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    unnest(regexp_extract_all(lower(text),
+       |      '[a-z0-9_]+|[^a-z0-9_\\s]')) AS t,
+       |    generate_subscripts(regexp_extract_all(lower(text),
+       |      '[a-z0-9_]+|[^a-z0-9_\\s]'), 1) AS pos
+       |  FROM documents),
+       |tids AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN regexp_matches(t, '^[a-z0-9_]') THEN wi.idcsv
+       |         ELSE CAST(coalesce(bv.id, -1) AS VARCHAR) END AS csv,
+       |    CASE WHEN regexp_matches(t, '^[a-z0-9_]') THEN wi.nid
+       |         ELSE 1 END AS nid
+       |  FROM toks LEFT JOIN wids wi ON wi.w = toks.t
+       |    LEFT JOIN vocab bv ON bv.tok = toks.t),
+       |agg AS MATERIALIZED (
+       |  SELECT doc_id, string_agg(csv, ',' ORDER BY pos) AS ids_csv,
+       |    CAST(sum(nid) AS BIGINT) AS n_ids
+       |  FROM tids GROUP BY doc_id)""".stripMargin
   }
 
   /** DuckDB oracle for `t_curate_gopher`: the t_curate pipeline with
@@ -3756,86 +3850,37 @@ object SparkEntry {
     // byte order, Spark's driver sort compares UTF-8 bytes unsigned;
     // merge outputs follow by rank, first production winning) and the
     // per-doc id csv assembled in (token pos, symbol pos) order
-    "t_bpe_ids" -> {
-      val stages = (1 to BpeMerges).map { n =>
-        s"""b$n AS MATERIALIZED (
-           |  SELECT a, b FROM (
-           |    SELECT s[i] AS a, s[i + 1] AS b, sum(f) AS c
-           |    FROM (SELECT f, s, unnest(generate_series(1, len(s) - 1))
-           |            AS i
-           |          FROM (SELECT f, string_split(trim(enc), '  ') AS s
-           |                FROM wf${n - 1}))
-           |    GROUP BY 1, 2)
-           |  ORDER BY c DESC, a ASC, b ASC LIMIT 1),
-           |wf$n AS MATERIALIZED (
-           |  SELECT w, f, CASE WHEN m.a IS NULL THEN enc ELSE
-           |    replace(enc, ' ' || m.a || '  ' || m.b || ' ',
-           |            ' ' || m.a || m.b || ' ') END AS enc
-           |  FROM wf${n - 1} LEFT JOIN b$n m ON TRUE)""".stripMargin
-      }.mkString(",\n")
-      val mseq = (1 to BpeMerges).map { n =>
-        s"SELECT $n AS rnk, a || b AS sym FROM b$n"
-      }.mkString("\n  UNION ALL ")
-      s"""WITH dw AS MATERIALIZED (
-         |  SELECT doc_id, unnest(regexp_extract_all(lower(text),
-         |    '[a-z0-9_]+')) AS w FROM documents),
-         |wf0 AS MATERIALIZED (
-         |  SELECT w, CAST(count(*) AS BIGINT) AS f,
-         |    ' ' || rtrim(regexp_replace(w, '(.)', '\\1  ', 'g'))
-         |      || ' ' AS enc
-         |  FROM dw GROUP BY w),
-         |$stages,
-         |base AS MATERIALIZED (
-         |  SELECT c, CAST(row_number() OVER (ORDER BY c) - 1 AS BIGINT)
-         |    AS id
-         |  FROM (SELECT DISTINCT unnest(regexp_extract_all(lower(text),
-         |    '[^ \\t\\n\\x0B\\f\\r]')) AS c FROM documents)),
-         |mseq AS MATERIALIZED (
-         |  $mseq),
-         |mv AS (SELECT sym, min(rnk) AS r0 FROM mseq GROUP BY sym),
-         |mvocab AS (
-         |  SELECT sym, (SELECT count(*) FROM base)
-         |    + row_number() OVER (ORDER BY r0) - 1 AS id FROM mv),
-         |vocab AS MATERIALIZED (
-         |  SELECT c AS tok, id FROM base
-         |  UNION ALL SELECT sym AS tok, id FROM mvocab),
-         |wsyms AS MATERIALIZED (
-         |  SELECT w,
-         |    unnest(string_split(trim(enc), '  ')) AS sym,
-         |    generate_subscripts(string_split(trim(enc), '  '), 1)
-         |      AS spos
-         |  FROM wf$BpeMerges),
-         |wids AS MATERIALIZED (
-         |  SELECT w,
-         |    string_agg(CAST(coalesce(v.id, -1) AS VARCHAR), ','
-         |      ORDER BY spos) AS idcsv,
-         |    CAST(count(*) AS BIGINT) AS nid
-         |  FROM wsyms LEFT JOIN vocab v ON v.tok = wsyms.sym
-         |  GROUP BY w),
-         |toks AS MATERIALIZED (
-         |  SELECT doc_id,
-         |    unnest(regexp_extract_all(lower(text),
-         |      '[a-z0-9_]+|[^a-z0-9_\\s]')) AS t,
-         |    generate_subscripts(regexp_extract_all(lower(text),
-         |      '[a-z0-9_]+|[^a-z0-9_\\s]'), 1) AS pos
-         |  FROM documents),
-         |tids AS (
-         |  SELECT doc_id, pos,
-         |    CASE WHEN regexp_matches(t, '^[a-z0-9_]') THEN wi.idcsv
-         |         ELSE CAST(coalesce(bv.id, -1) AS VARCHAR) END AS csv,
-         |    CASE WHEN regexp_matches(t, '^[a-z0-9_]') THEN wi.nid
-         |         ELSE 1 END AS nid
-         |  FROM toks LEFT JOIN wids wi ON wi.w = toks.t
-         |    LEFT JOIN vocab bv ON bv.tok = toks.t),
-         |agg AS (
-         |  SELECT doc_id, string_agg(csv, ',' ORDER BY pos) AS ids_csv,
-         |    CAST(sum(nid) AS BIGINT) AS n_ids
-         |  FROM tids GROUP BY doc_id)
-         |SELECT d.doc_id, CAST(coalesce(a.n_ids, 0) AS BIGINT) AS n_ids,
-         |  coalesce(a.ids_csv, '') AS ids_csv
-         |FROM documents d LEFT JOIN agg a USING (doc_id)
-         |ORDER BY doc_id""".stripMargin
-    },
+    // the helper is already margin-stripped — concatenate, never
+    // re-interpolate into another stripMargin (a second pass eats one
+    // '|' of every '||' concat in the SQL)
+    "t_bpe_ids" ->
+      (bpeIdsOracleCtes + "\n" +
+        """SELECT d.doc_id, CAST(coalesce(a.n_ids, 0) AS BIGINT) AS n_ids,
+          |  coalesce(a.ids_csv, '') AS ids_csv
+          |FROM documents d LEFT JOIN agg a USING (doc_id)
+          |ORDER BY doc_id""".stripMargin),
+
+    // fixed-length training windows over the per-doc id sequences
+    // (maxLen 64, stride 48 — the chunkIds start-window rule: a
+    // window is kept iff it is the first or the previous window did
+    // not already reach the sequence's end, s + (maxLen-stride) < n)
+    "t_chunk_ids" ->
+      (bpeIdsOracleCtes + ",\n" +
+        """ids0 AS (
+          |  SELECT doc_id, string_split(ids_csv, ',') AS ids, n_ids
+          |  FROM agg WHERE n_ids >= 1),
+          |ch AS (
+          |  SELECT doc_id, unnest(generate_series(0, n_ids - 1, 48))
+          |    AS s, ids, n_ids
+          |  FROM ids0),
+          |win AS (
+          |  SELECT doc_id, s, ids[s + 1 : s + 64] AS w
+          |  FROM ch WHERE s = 0 OR s + 16 < n_ids)
+          |SELECT doc_id, CAST(s // 48 AS BIGINT) AS chunk_idx,
+          |  CAST(s AS BIGINT) AS chunk_start,
+          |  CAST(len(w) AS BIGINT) AS n_ids,
+          |  array_to_string(w, ',') AS ids_csv
+          |FROM win ORDER BY doc_id, chunk_idx""".stripMargin),
 
     "t_ngrams" ->
       """WITH raw AS (

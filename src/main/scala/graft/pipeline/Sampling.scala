@@ -182,6 +182,39 @@ object Sampling {
         md5(concat_ws(" ", col("_chunk"))).as("chunk_md5"))
   }
 
+  /** [[chunk]] over a pre-tokenized ID-SEQUENCE column — the subword
+    * face: window boundaries measured in REAL model tokens
+    * ([[Bpe.encodeIds]]' `bpe_ids`), not whitespace words, which is
+    * what a pretraining batcher actually consumes (whitespace windows
+    * misplace boundaries 2-4× on code/CJK exactly like the counts
+    * do). Same start-window rule as [[chunk]] (starts at 0, stride,
+    * …; a window is kept iff it is the first or the previous window
+    * did not already reach the sequence's end); emits the WINDOW
+    * PAYLOAD — (idCol, chunk_idx, chunk_start, n_ids, ids_csv), the
+    * csv face so the cross-engine oracle hashes stably. Empty
+    * sequences emit no windows. Shuffle-free map-only stage, output
+    * ∝ corpus tokens — composes with [[packBudget]] on `n_ids`. */
+  def chunkIds(df: DataFrame, maxLen: Int, stride: Int,
+      idCol: String = "doc_id", idsCol: String = "bpe_ids"): DataFrame = {
+    require(maxLen >= 1, s"maxLen must be >= 1: $maxLen")
+    require(stride >= 1 && stride <= maxLen,
+      s"stride must be in [1, maxLen]: $stride")
+    df.select(col(idCol), col(idsCol).as("_ids"))
+      .where(size(col("_ids")) >= 1)
+      .withColumn("_start", explode(
+        sequence(lit(0), size(col("_ids")) - 1, lit(stride))))
+      .where(col("_start") === 0 ||
+        col("_start") + lit(maxLen - stride) < size(col("_ids")))
+      .withColumn("_chunk",
+        slice(col("_ids"), col("_start") + 1, lit(maxLen)))
+      .select(col(idCol),
+        expr(s"CAST(_start div $stride AS BIGINT)").as("chunk_idx"),
+        col("_start").cast("long").as("chunk_start"),
+        size(col("_chunk")).cast("long").as("n_ids"),
+        array_join(transform(col("_chunk"), x => x.cast("string")),
+          ",").as("ids_csv"))
+  }
+
   /** Rebalance a corpus to a TARGET mixture (DoReMi-style domain
     * weighting): keep the largest corpus whose per-stratum composition
     * matches `weights` (integer proportions, e.g. web 7 : code 2 :

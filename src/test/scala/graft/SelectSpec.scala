@@ -99,6 +99,40 @@ class SelectSpec extends AnyFunSuite {
     assert(part.forall(_.getAs[Long]("n_tokens") == 2L))
   }
 
+  test("chunkIds mirrors chunk's start-window rule over id sequences " +
+      "and carries the window payload verbatim") {
+    // 10 ids, maxLen 8, stride 4: windows [0,8) and [4,10) — the
+    // start-8 window is a pure suffix of [4,10) and must not emit
+    val doc = Seq(
+      (1L, (100 until 110).toArray),
+      (2L, Array(7, 8, 9)),      // short: one ragged window
+      (3L, Array.empty[Int])     // empty: no windows
+    ).toDF("doc_id", "bpe_ids")
+    val ch = Sampling.chunkIds(doc.where($"doc_id" === 1),
+        maxLen = 8, stride = 4)
+      .orderBy("chunk_idx").collect()
+    assert(ch.map(_.getAs[Long]("chunk_start")).toSeq == Seq(0L, 4L))
+    assert(ch.map(_.getAs[Long]("n_ids")).toSeq == Seq(8L, 6L))
+    assert(ch.map(_.getAs[String]("ids_csv")).toSeq == Seq(
+      (100 until 108).mkString(","), (104 until 110).mkString(",")))
+    val rest = Sampling.chunkIds(doc.where($"doc_id" > 1), 8, 4)
+      .collect()
+    assert(rest.length == 1 && rest.head.getAs[Long]("doc_id") == 2L
+      && rest.head.getAs[String]("ids_csv") == "7,8,9")
+    // the subword face agrees with the word face on window GEOMETRY
+    // when the id sequence is the word sequence's length
+    val text = Seq((9L, (0 until 10).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val words = Sampling.chunk(text, 8, 4).orderBy("chunk_idx")
+      .collect().map(r => (r.getAs[Long]("chunk_start"),
+        r.getAs[Long]("n_tokens"))).toSeq
+    val ids = Sampling.chunkIds(Seq((9L, (0 until 10).toArray))
+        .toDF("doc_id", "bpe_ids"), 8, 4).orderBy("chunk_idx")
+      .collect().map(r => (r.getAs[Long]("chunk_start"),
+        r.getAs[Long]("n_ids"))).toSeq
+    assert(words == ids)
+  }
+
   test("scale shape: dsirSelect joins raw against MATERIALIZED winners " +
       "(no second scoring pipeline in the broadcast build)") {
     val plan = Select.dsirSelect(docs, target, buckets = 64, k = 2)
