@@ -1626,7 +1626,8 @@ object SparkEntry {
       .map(c => s"LEFT JOIN $c USING (doc_id)").mkString("\n")
     s"""WITH t AS MATERIALIZED (
        |  SELECT doc_id,
-       |    list_filter(string_split_regex(lower(text), '\\s+'),
+       |    list_filter(string_split_regex(lower(text),
+       |      '[ \\t\\n\\x0B\\f\\r]+'),
        |      x -> x <> '') AS toks
        |  FROM documents),
        | b AS (
@@ -1724,9 +1725,9 @@ object SparkEntry {
        |toks AS MATERIALIZED (
        |  SELECT doc_id,
        |    unnest(regexp_extract_all(lower(text),
-       |      '[a-z0-9_]+|[^a-z0-9_\\s]')) AS t,
+       |      '[a-z0-9_]+|[^a-z0-9_ \\t\\n\\x0B\\f\\r]')) AS t,
        |    generate_subscripts(regexp_extract_all(lower(text),
-       |      '[a-z0-9_]+|[^a-z0-9_\\s]'), 1) AS pos
+       |      '[a-z0-9_]+|[^a-z0-9_ \\t\\n\\x0B\\f\\r]'), 1) AS pos
        |  FROM documents),
        |tids AS (
        |  SELECT doc_id, pos,
@@ -1804,7 +1805,8 @@ object SparkEntry {
        |  FROM documents),
        | t AS MATERIALIZED (
        |  SELECT doc_id, text,
-       |    list_filter(string_split_regex(lower(text), '\\s+'),
+       |    list_filter(string_split_regex(lower(text),
+       |      '[ \\t\\n\\x0B\\f\\r]+'),
        |      x -> x <> '') AS toks,
        |    list_filter(list_transform(string_split(text, chr(10)),
        |      x -> trim(x)), x -> x <> '') AS lns
@@ -3691,7 +3693,8 @@ object SparkEntry {
           s"(($num) * 2000000 + ($den)) // (($den) * 2) END"
       s"""WITH t AS MATERIALIZED (
          |  SELECT doc_id, text,
-         |    list_filter(string_split_regex(lower(text), '\\s+'),
+         |    list_filter(string_split_regex(lower(text),
+       |      '[ \\t\\n\\x0B\\f\\r]+'),
          |      x -> x <> '') AS toks,
          |    list_filter(list_transform(string_split(text, chr(10)),
          |      x -> trim(x)), x -> x <> '') AS lns
@@ -3790,7 +3793,7 @@ object SparkEntry {
         |  (SELECT count(*) FROM raw r
         |   WHERE r.doc_id = d.doc_id AND r.w <> '') AS n_ws,
         |  CAST(len(regexp_extract_all(d.text,
-        |    '[a-zA-Z0-9_]+|[^a-zA-Z0-9_\s]')) AS BIGINT) AS n_re
+        |    '[a-zA-Z0-9_]+|[^a-zA-Z0-9_ \t\n\x0B\f\r]')) AS BIGINT) AS n_re
         |FROM documents d ORDER BY doc_id""".stripMargin,
 
     // BPE training unrolled as one chained CTE stage per merge rank
@@ -3825,7 +3828,7 @@ object SparkEntry {
          |    '[a-z0-9_]+')) AS w FROM documents),
          |np AS MATERIALIZED (
          |  SELECT doc_id, CAST(len(regexp_extract_all(lower(text),
-         |    '[^a-z0-9_\\s]')) AS BIGINT) AS np FROM documents),
+         |    '[^a-z0-9_ \\t\\n\\x0B\\f\\r]')) AS BIGINT) AS np FROM documents),
          |wf0 AS MATERIALIZED (
          |  SELECT w, CAST(count(*) AS BIGINT) AS f,
          |    ' ' || rtrim(regexp_replace(w, '(.)', '\\1  ', 'g'))

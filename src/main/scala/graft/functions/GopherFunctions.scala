@@ -31,8 +31,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Semantics mirror the SQL composition (and the DuckDB oracle)
   * exactly:
-  *   - tokens: `\s+` splits of `UTF8String.toLowerCase` (Spark's
-  *     `lower`), empties dropped;
+  *   - tokens: explicit-whitespace-class (`[ \t\n\x0B\f\r]+`) splits
+  *     of `UTF8String.toLowerCase` (Spark's `lower`), empties
+  *     dropped — never `\s`, whose Java and RE2 readings disagree on
+  *     U+000B;
   *   - lines: `lineSep` splits of the RAW text, trimmed of ' ' only
   *     (Spark `trim`), empties dropped;
   *   - `length` counts CODE POINTS (Spark/DuckDB `length`);
@@ -82,7 +84,11 @@ object GopherSignals {
   val schema: StructType =
     StructType(fieldNames.map(StructField(_, LongType, nullable = false)))
 
-  private val Ws = Pattern.compile("\\s+")
+  // the explicit whitespace class, not `\s`: Java's `\s` equals this
+  // set exactly, but the DuckDB oracle's RE2 `\s` lacks U+000B — both
+  // faces embed the identical explicit class (the line-key pinning
+  // rule applied to tokenization)
+  private val Ws = Pattern.compile("[ \\t\\n\\x0B\\f\\r]+")
 
   /** line separators are per-operator constants — one compiled pattern
     * each, shared across tasks */

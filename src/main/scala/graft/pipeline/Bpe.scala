@@ -55,9 +55,14 @@ object Bpe {
 
   /** lowercase word tokens that BPE merges operate over; anything
     * matching [[PunctRe]] stays a single token (the usual
-    * pre-tokenization split, cf. [[TextOps.TokenRegex]]) */
+    * pre-tokenization split, cf. [[TextOps.TokenRegex]]). The
+    * whitespace exclusion is the EXPLICIT class, never `\s` — Java's
+    * `\s` includes U+000B where RE2's (the oracle engine's) does not,
+    * so a bare `\s` would tokenize a vertical tab differently per
+    * engine (identical semantics to `\s` under Java, so this is a
+    * pinning, not a behavior change). */
   val WordRe = "[a-z0-9_]+"
-  val PunctRe = "[^a-z0-9_\\s]"
+  val PunctRe = "[^a-z0-9_ \\t\\n\\x0B\\f\\r]"
 
   /** a word as its initial wrapped symbol sequence: every character a
     * symbol — `"abc"` → `" a  b  c "` */

@@ -20,8 +20,10 @@ object TextOps {
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** BPE-ish regex tokenizer: maximal runs of word chars, or single
-    * non-space punctuation — the usual pre-tokenization split. */
-  val TokenRegex = "[a-zA-Z0-9_]+|[^a-zA-Z0-9_\\s]"
+    * non-space punctuation — the usual pre-tokenization split. The
+    * whitespace exclusion is the explicit class (the [[Bpe.PunctRe]]
+    * pinning: Java `\s` and RE2 `\s` disagree on U+000B). */
+  val TokenRegex = "[a-zA-Z0-9_]+|[^a-zA-Z0-9_ \\t\\n\\x0B\\f\\r]"
 
   def regexTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(TokenRegex), lit(0)))
@@ -541,7 +543,8 @@ object TextOps {
     val sepRe = java.util.regex.Pattern.quote(lineSep)
     val s1 = df
       .withColumn("_gq_toks",
-        filter(split(lower(col(textCol)), "\\s+"), t => t =!= ""))
+        filter(split(lower(col(textCol)), "[ \\t\\n\\x0B\\f\\r]+"),
+          t => t =!= ""))
       .withColumn("_gq_lns",
         filter(transform(split(col(textCol), sepRe), x => trim(x)),
           x => x =!= ""))
