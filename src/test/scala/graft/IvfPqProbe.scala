@@ -75,6 +75,33 @@ object IvfPqProbe {
       }
       println(f"== $label: build $tBuild%.1f s")
       lines.foreach(println)
+      // lifecycle at scale: a crash-replayed append (half the corpus
+      // lands twice), the compaction heal, and a retrain — walls plus
+      // the serve-restoration check the PipelineSpec pins at toy size
+      val half = emb.where(col("vec_id") % 2 === 0)
+      val np = math.min(2, kCells)
+      def serveSet(): Map[Long, Set[Long]] =
+        Similarity.ivfPqTopKFromIndex(spark, dir, queries, k,
+            nprobe = np)
+          .collect().map(r => r.getLong(0) -> r.getLong(1))
+          .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+      val clean = serveSet()
+      var t = System.nanoTime()
+      Similarity.appendToIvfPqIndex(half, dir)
+      val tAppend = (System.nanoTime() - t) / 1e9
+      t = System.nanoTime()
+      Similarity.compactIvfPqCodes(spark, dir)
+      val tCompact = (System.nanoTime() - t) / 1e9
+      require(serveSet() == clean,
+        s"$label: compaction must restore the pre-replay serve")
+      t = System.nanoTime()
+      Similarity.retrainIvfPqIndex(emb, dir, kCells = kCells, iters = 3)
+      val tRetrain = (System.nanoTime() - t) / 1e9
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      println(f"  lifecycle: replay-append $tAppend%.1f s, " +
+        f"compact $tCompact%.1f s (serve restored), " +
+        f"retrain $tRetrain%.1f s")
     }
     buildAndMeasure("raw", residual = false)
     buildAndMeasure("residual", residual = true)
