@@ -1662,11 +1662,12 @@ object SparkEntry {
        |ORDER BY doc_id""".stripMargin
   }
 
-  /** Shared CTE chain for the BPE id-sequence oracles (`t_bpe_ids`,
-    * `t_chunk_ids`): unrolled training stages, the vocab (base code
-    * points in binary order + merge outputs by rank, first production
-    * winning), and per-doc (ids_csv, n_ids) in `agg`. */
-  private def bpeIdsOracleCtes: String = {
+  /** The unrolled BPE TRAINING chain (dw → wf0 → b1/wf1 … bR/wfR) —
+    * the ONE source the t_tokens_bpe and id-sequence oracles build
+    * on, so the spec-pinned identity sum(t_bpe_ids.n_ids) ==
+    * t_tokens_bpe.bpe_tokens can never drift between two copies of
+    * the stage SQL. */
+  private def bpeTrainOracleCtes: String = {
     val stages = (1 to BpeMerges).map { n =>
       s"""b$n AS MATERIALIZED (
          |  SELECT a, b FROM (
@@ -1683,9 +1684,6 @@ object SparkEntry {
          |            ' ' || m.a || m.b || ' ') END AS enc
          |  FROM wf${n - 1} LEFT JOIN b$n m ON TRUE)""".stripMargin
     }.mkString(",\n")
-    val mseq = (1 to BpeMerges).map { n =>
-      s"SELECT $n AS rnk, a || b AS sym FROM b$n"
-    }.mkString("\n  UNION ALL ")
     s"""WITH dw AS MATERIALIZED (
        |  SELECT doc_id, unnest(regexp_extract_all(lower(text),
        |    '[a-z0-9_]+')) AS w FROM documents),
@@ -1694,8 +1692,18 @@ object SparkEntry {
        |    ' ' || rtrim(regexp_replace(w, '(.)', '\\1  ', 'g'))
        |      || ' ' AS enc
        |  FROM dw GROUP BY w),
-       |$stages,
-       |base AS MATERIALIZED (
+       |$stages""".stripMargin
+  }
+
+  /** Shared CTE chain for the BPE id-sequence oracles (`t_bpe_ids`,
+    * `t_chunk_ids`): unrolled training stages, the vocab (base code
+    * points in binary order + merge outputs by rank, first production
+    * winning), and per-doc (ids_csv, n_ids) in `agg`. */
+  private def bpeIdsOracleCtes: String = {
+    val mseq = (1 to BpeMerges).map { n =>
+      s"SELECT $n AS rnk, a || b AS sym FROM b$n"
+    }.mkString("\n  UNION ALL ")
+    bpeTrainOracleCtes + ",\n" + s"""base AS MATERIALIZED (
        |  SELECT c, CAST(row_number() OVER (ORDER BY c) - 1 AS BIGINT)
        |    AS id
        |  FROM (SELECT DISTINCT unnest(regexp_extract_all(lower(text),
@@ -3806,35 +3814,11 @@ object SparkEntry {
     // reference and each wf stage is referenced twice (argmax +
     // apply). LEFT JOIN ON TRUE keeps words intact at stages where
     // no pair remains, mirroring Bpe.train's early stop.
-    "t_tokens_bpe" -> {
-      val stages = (1 to BpeMerges).map { n =>
-        s"""b$n AS MATERIALIZED (
-           |  SELECT a, b FROM (
-           |    SELECT s[i] AS a, s[i + 1] AS b, sum(f) AS c
-           |    FROM (SELECT f, s, unnest(generate_series(1, len(s) - 1))
-           |            AS i
-           |          FROM (SELECT f, string_split(trim(enc), '  ') AS s
-           |                FROM wf${n - 1}))
-           |    GROUP BY 1, 2)
-           |  ORDER BY c DESC, a ASC, b ASC LIMIT 1),
-           |wf$n AS MATERIALIZED (
-           |  SELECT w, f, CASE WHEN m.a IS NULL THEN enc ELSE
-           |    replace(enc, ' ' || m.a || '  ' || m.b || ' ',
-           |            ' ' || m.a || m.b || ' ') END AS enc
-           |  FROM wf${n - 1} LEFT JOIN b$n m ON TRUE)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH dw AS MATERIALIZED (
-         |  SELECT doc_id, unnest(regexp_extract_all(lower(text),
-         |    '[a-z0-9_]+')) AS w FROM documents),
-         |np AS MATERIALIZED (
+    "t_tokens_bpe" ->
+      (bpeTrainOracleCtes + ",\n" + s"""np AS MATERIALIZED (
          |  SELECT doc_id, CAST(len(regexp_extract_all(lower(text),
-         |    '[^a-z0-9_ \\t\\n\\x0B\\f\\r]')) AS BIGINT) AS np FROM documents),
-         |wf0 AS MATERIALIZED (
-         |  SELECT w, CAST(count(*) AS BIGINT) AS f,
-         |    ' ' || rtrim(regexp_replace(w, '(.)', '\\1  ', 'g'))
-         |      || ' ' AS enc
-         |  FROM dw GROUP BY w),
-         |$stages,
+         |    '[^a-z0-9_ \\t\\n\\x0B\\f\\r]')) AS BIGINT) AS np
+         |  FROM documents),
          |wtok AS MATERIALIZED (
          |  SELECT w, CAST(len(string_split(trim(enc), '  ')) AS BIGINT)
          |    AS nt FROM wf$BpeMerges),
@@ -3844,8 +3828,7 @@ object SparkEntry {
          |SELECT doc_id, CAST(coalesce(wt, 0) + np AS BIGINT)
          |  AS bpe_tokens
          |FROM np LEFT JOIN wsum USING (doc_id)
-         |ORDER BY doc_id""".stripMargin
-    },
+         |ORDER BY doc_id""".stripMargin),
 
     // the SEQUENCE face: same unrolled training stages, then a vocab
     // (base = distinct non-whitespace code points of the lowercased

@@ -381,7 +381,15 @@ object Similarity {
     import org.apache.hadoop.fs.Path
     val live = new Path(s"$dir/vectors")
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(live)) return
+    // fail LOUDLY on a missing vectors tree: the absent-live state is
+    // exactly what a crash between this function's own two renames
+    // leaves behind (original in .vectors-trash, compacted tree in
+    // .vectors-compact) — a silent no-op would report a 'successful'
+    // heal over a broken index (and mask a typo'd dir)
+    require(fs.exists(live),
+      s"compactIvfVectors: no vectors tree at $live — if a prior " +
+        "compaction crashed mid-swap, recover from the .vectors-trash" +
+        "/.vectors-compact siblings")
     val tmp = new Path(s"$dir/.vectors-compact")
     val trash = new Path(s"$dir/.vectors-trash")
     fs.delete(tmp, true); fs.delete(trash, true)
@@ -421,12 +429,16 @@ object Similarity {
       dir: String, kCells: Int, iters: Int = 5,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     import org.apache.hadoop.fs.Path
+    // Path normalizes a trailing slash; SUFFIX the normalized path
+    // rather than string-concatenating dir — "/data/idx/.retrain"
+    // from "/data/idx/" would nest the temp tree INSIDE the index and
+    // the root rename would carry it along
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(new Path(s"$dir/vectors")),
-      s"retrainIvfIndex: no index at $dir")
-    val tmp = new Path(s"$dir.retrain")
-    val trash = new Path(s"$dir.trash")
+    require(fs.exists(new Path(root, "vectors")),
+      s"retrainIvfIndex: no index at $root")
+    val tmp = root.suffix(".retrain")
+    val trash = root.suffix(".trash")
     fs.delete(tmp, true); fs.delete(trash, true)
     // pin the healed frame: the k-means trainer takes one action for
     // the seed plus one per iteration and the rewrite is one more —
@@ -1165,7 +1177,13 @@ object Similarity {
     import org.apache.hadoop.fs.Path
     val live = new Path(s"$dir/codes")
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(live)) return
+    // loud on missing codes — the [[compactIvfVectors]] rationale: an
+    // absent live tree is the mid-swap crash state this heal would
+    // otherwise 'succeed' over silently
+    require(fs.exists(live),
+      s"compactIvfPqCodes: no codes tree at $live — if a prior " +
+        "compaction crashed mid-swap, recover from the .codes-trash" +
+        "/.codes-compact siblings")
     val tmp = new Path(s"$dir/.codes-compact")
     val trash = new Path(s"$dir/.codes-trash")
     fs.delete(tmp, true); fs.delete(trash, true)
@@ -1209,10 +1227,13 @@ object Similarity {
       vecCol: String = "embedding"): Unit = {
     import org.apache.hadoop.fs.Path
     val spark = emb.sparkSession
+    // normalized-then-suffixed temp paths (the retrainIvfIndex
+    // trailing-slash note: a string-concatenated "$dir.retrain" nests
+    // inside the index when dir ends in '/')
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(new Path(s"$dir/codes")),
-      s"retrainIvfPqIndex: no index at $dir")
+    require(fs.exists(new Path(root, "codes")),
+      s"retrainIvfPqIndex: no index at $root")
     val cb = readPqCodebookLocal(spark, dir)
     val residual = readIvfPqMeta(spark, dir)
     val dims = cb.map(_._1).max + 1
@@ -1220,8 +1241,8 @@ object Similarity {
     // kSub = dense code ids per subspace (residual); the raw branch
     // trains per-coarse-cell means and ignores it
     val kSub = cb.map(_._2).max.toInt + 1
-    val tmp = new Path(s"$dir.retrain")
-    val trash = new Path(s"$dir.trash")
+    val tmp = root.suffix(".retrain")
+    val trash = root.suffix(".trash")
     fs.delete(tmp, true); fs.delete(trash, true)
     writeIvfPqIndex(emb, tmp.toString, kCells, dims, m, iters, idCol,
       vecCol, residual, kSub)

@@ -86,12 +86,23 @@ object IvfPqProbe {
           .collect().map(r => r.getLong(0) -> r.getLong(1))
           .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
       val clean = serveSet()
+      def codeRows(): Long =
+        spark.read.parquet(s"$dir/codes").count()
+      val rowsClean = codeRows()
+      val nHalf = half.count()
       var t = System.nanoTime()
       Similarity.appendToIvfPqIndex(half, dir)
       val tAppend = (System.nanoTime() - t) / 1e9
+      // the replay must have actually duplicated rows, or the heal
+      // check below passes vacuously (the PipelineSpec contract at
+      // probe scale)
+      require(codeRows() == rowsClean + nHalf * m,
+        s"$label: replay append did not duplicate code rows")
       t = System.nanoTime()
       Similarity.compactIvfPqCodes(spark, dir)
       val tCompact = (System.nanoTime() - t) / 1e9
+      require(codeRows() == rowsClean,
+        s"$label: compaction must restore the exact code-row count")
       require(serveSet() == clean,
         s"$label: compaction must restore the pre-replay serve")
       t = System.nanoTime()

@@ -454,6 +454,17 @@ class PipelineSpec extends AnyFunSuite {
       Similarity.compactIvfPqCodes(spark, dir)
       assert(codeRows(dir) == codesBefore && serveAll(dir) == before,
         s"residual=$residual: compaction must be a no-op when clean")
+      // a missing live tree fails LOUDLY — absent codes/vectors is the
+      // mid-swap crash state, and a silent no-op would report a
+      // 'successful' heal over a broken index
+      val eNoCodes = intercept[IllegalArgumentException] {
+        Similarity.compactIvfPqCodes(spark, s"$dir/definitely-missing")
+      }
+      assert(eNoCodes.getMessage.contains("no codes tree"))
+      val eNoVecs = intercept[IllegalArgumentException] {
+        Similarity.compactIvfVectors(spark, s"$dir/definitely-missing")
+      }
+      assert(eNoVecs.getMessage.contains("no vectors tree"))
       // retrain (new kCells) == a fresh writeIvfPqIndex over the same
       // rows, every subtree bit-for-bit; encoding params carry over
       // from the stored index, never from the caller
