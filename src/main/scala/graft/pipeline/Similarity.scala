@@ -1029,17 +1029,18 @@ object Similarity {
         col("_sv").getField("_rv").as("_rv"))
   }
 
-  /** argmin-L2 code id for `_rv` against per-subspace centroid
-    * literals (array indexed [sub][code][pos]); first min wins —
-    * ties to the lower code id */
-  private def residualCodeExpr(cb: Seq[Seq[Array[Long]]]): Column = {
-    val cbLit = array(cb.map(subCents =>
-      array(subCents.map(c => lit(c)): _*)): _*)
-    val dists = transform(element_at(cbLit, col("_sub") + 1), c =>
-      aggregate(zip_with(col("_rv"), c, (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x))
-    (array_position(dists, array_min(dists)) - 1).cast("long")
-  }
+  /** argmin-L2 code id for `_rv` against the per-subspace codebook
+    * (indexed [sub][code][pos]); first min wins — ties to the lower
+    * code id. Since round 16 this is the NATIVE
+    * [[graft.functions.ResidualCode]] expression: the
+    * transform/aggregate/array_position HOF composition it replaces
+    * ran interpreted on the build/append hot path (r15 measured the
+    * residual sf1 build 50 s vs 29 s raw, the tax scaling with
+    * kSub × subDim per row per training iteration), identical
+    * integer math term for term. */
+  private def residualCodeExpr(cb: Seq[Seq[Array[Long]]]): Column =
+    graft.functions.VectorFunctions.residualCode(col("_sub"),
+      col("_rv"), cb)
 
   /** Deterministic integer-L2 k-means per subspace, all `m` subspaces
     * trained in one frame (the `_sub` column rides the group keys).
