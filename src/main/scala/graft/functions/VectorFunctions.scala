@@ -171,19 +171,32 @@ case class DotQuantized(left: Expression, right: Expression)
   * sub-centroids as an expression reference object (kSub × m × subDim
   * longs: control-plane kilobytes, the [[graft.functions.BpeTable]]
   * discipline). */
-final class ResidualCodebook(val cb: Array[Array[Array[Long]]])
-    extends Serializable {
+final class ResidualCodebook(val cb: Array[Array[Array[Long]]],
+    val ids: Array[Array[Long]]) extends Serializable {
+
+  /** dense ids 0..k-1 per subspace — the residual trainer's layout
+    * (code ids dense from 0 by construction); the explicit-ids
+    * constructor serves the raw coarse-cell codebook, whose code ids
+    * are the PRESENT cells and may have gaps */
+  def this(cb: Array[Array[Array[Long]]]) =
+    this(cb, cb.map(sub => Array.tabulate(sub.length)(_.toLong)))
+
+  require(cb.length == ids.length &&
+    cb.indices.forall(s => cb(s).length == ids(s).length),
+    "ResidualCodebook: ids must parallel the centroid arrays")
 
   /** content fingerprint — identifies this codebook in the session
     * function registry */
   lazy val fingerprint: String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val buf = java.nio.ByteBuffer.allocate(8)
-    cb.foreach { sub =>
-      sub.foreach { c =>
-        c.foreach { v =>
-          buf.clear(); buf.putLong(v); md.update(buf.array())
-        }
+    def put(v: Long): Unit = {
+      buf.clear(); buf.putLong(v); md.update(buf.array())
+    }
+    cb.indices.foreach { s =>
+      cb(s).indices.foreach { j =>
+        cb(s)(j).foreach(put)
+        put(ids(s)(j))
         md.update(0.toByte)
       }
       md.update(1.toByte)
@@ -252,7 +265,8 @@ case class ResidualCode(left: Expression, right: Expression,
 
 object ResidualCode {
 
-  /** Called from generated code. */
+  /** Called from generated code. Centroids ride in ascending-id
+    * order, so the strict `<` keeps the FIRST (lowest-id) minimum. */
   def code(sub: Int, rv: ArrayData, table: ResidualCodebook): Long = {
     val cents = table.cb(sub)
     var best = 0
@@ -270,7 +284,7 @@ object ResidualCode {
       if (d < bestD) { bestD = d; best = j }
       j += 1
     }
-    best.toLong
+    table.ids(sub)(best)
   }
 }
 
@@ -325,11 +339,17 @@ object VectorFunctions {
   }
 
   /** argmin-L2 residual code id under `cb` ([sub][code][pos] µ-unit
-    * sub-centroids), codegen'd — see [[ResidualCode]] */
+    * sub-centroids, dense ids), codegen'd — see [[ResidualCode]] */
   def residualCode(sub: Column, rv: Column,
-      cb: Seq[Seq[Array[Long]]]): Column = {
-    val fname = registerResidualCode(SparkSession.active,
+      cb: Seq[Seq[Array[Long]]]): Column =
+    residualCodeWith(sub, rv,
       new ResidualCodebook(cb.map(_.toArray).toArray))
+
+  /** [[residualCode]] with an explicit [[ResidualCodebook]] — the raw
+    * coarse-cell face, whose code ids are the PRESENT cells */
+  def residualCodeWith(sub: Column, rv: Column,
+      table: ResidualCodebook): Column = {
+    val fname = registerResidualCode(SparkSession.active, table)
     call_function(fname, sub, rv)
   }
 }

@@ -886,21 +886,43 @@ object Similarity {
     }.sortBy { case (ci, s) => (-s, ci) }.take(nprobe).map(_._1)
   }
 
-  /** [[pqCodesOf]] carrying the vector's COARSE cell through both
-    * aggregates (functionally dependent on `_vid` — the extra group
-    * key changes nothing but keeps the column without a second pass
-    * over the corpus): (cell, _vid, _sub, _cell) where `cell` is the
-    * coarse IVF cell and `_cell` the PQ code. */
-  private def pqCodesWithCoarseCell(rows: DataFrame, codebook: DataFrame)
-      : DataFrame =
-    rows.join(broadcast(codebook), "_i")
-      .groupBy(col("_vid"), col("_vcell"), col("_sub"), col("_cell"))
-      .agg(sum((col("_mu") - col("_cmu")) * (col("_mu") - col("_cmu")))
-        .as("_d"))
-      .groupBy(col("_vid"), col("_vcell"), col("_sub"))
-      .agg(min(struct(col("_d"), col("_cell"))).as("_best"))
-      .select(col("_vcell").as("cell"), col("_vid"), col("_sub"),
-        col("_best").getField("_cell").as("_cell"))
+  /** The raw coarse-cell codebook as the native encoder's
+    * [sub][k][pos] centroid arrays plus parallel PRESENT-cell id
+    * lists (ascending — the encoder's first-minimum then equals the
+    * lower-cell-id tie of [[pqCodesOf]]'s `min(struct)`). Replaces
+    * the former join + two-aggregation encode, which expanded the
+    * exploded per-dim corpus by the cell count before reducing —
+    * the map-only argmin is the shape the residual face proved out
+    * (sf1: raw build 13.9 s under the join vs 9.4 s residual
+    * map-only on the same corpus). */
+  private def rawCodebookArrays(cb: Array[(Int, Long, Int, Long)],
+      m: Int): graft.functions.ResidualCodebook = {
+    val bySub = cb.groupBy(_._3)
+    val empty = Array.empty[(Int, Long, Int, Long)]
+    val cbArr = (0 until m).map { s =>
+      bySub.getOrElse(s, empty).groupBy(_._2).toSeq.sortBy(_._1)
+        .map { case (_, rs) => rs.sortBy(_._1).map(_._4) }.toArray
+    }.toArray
+    val idsArr = (0 until m).map { s =>
+      bySub.getOrElse(s, empty).map(_._2).distinct.sorted
+    }.toArray
+    new graft.functions.ResidualCodebook(cbArr, idsArr)
+  }
+
+  /** [[rawCodebookArrays]]' encode applied to the µ subvector frame —
+    * (cell, _vid, _sub, _cell) in the raw layout's on-disk types
+    * (_sub BIGINT, _cell INT: the columns appended files must match
+    * byte-for-byte against pre-existing part files). */
+  private def rawCodesOf(emb: DataFrame, cents: Seq[Seq[Double]],
+      m: Int, subDim: Int, idCol: String, vecCol: String, op: String,
+      table: graft.functions.ResidualCodebook): DataFrame =
+    residualSubRows(emb, cents, m, subDim, idCol, vecCol, op,
+        subtract = false)
+      .withColumn("_c", graft.functions.VectorFunctions
+        .residualCodeWith(col("_sub"), col("_rv"), table))
+      .select(col("_vcell").as("cell"), col("_vid"),
+        col("_sub").cast("long").as("_sub"),
+        col("_c").cast("int").as("_cell"))
 
   /** Persist the COMPOSED IVF-PQ index — IVFADC (Jégou et al.,
     * TPAMI 2011 §IV): the production serve shape at 100 TB, where
@@ -962,15 +984,27 @@ object Similarity {
           .parquet(s"$dir/codes")
       } finally pin.release()
     } else {
+      // raw µ encoding: the codebook trains from the per-dim frame
+      // (one map-side-combined agg) and codes assign MAP-ONLY via the
+      // same native argmin as the residual face
       val rows = muRows(assignCells(emb, cents, vecCol), dims,
         "writeIvfPqIndex", idCol, vecCol, Some("cell"))
       val codebook = pqCodebookLocal(rows, subDim)
       codebook.coalesce(1).write.mode("overwrite")
         .parquet(s"$dir/codebook")
+      // the codebook frame is already a LOCAL relation — this collect
+      // is control-plane; normalize types like readPqCodebookLocal so
+      // build and append share one array builder
+      val table = rawCodebookArrays(codebook
+        .select(col("_i").cast("int"), col("_cell").cast("long"),
+          col("_sub").cast("int"), col("_cmu").cast("long"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2),
+          r.getLong(3))), m)
       // repartition WITHOUT a count: AQE merges small cells into shared
       // tasks (file-count control rule); partitionBy still lays each
       // cell in its own directory
-      pqCodesWithCoarseCell(rows, codebook)
+      rawCodesOf(emb, cents, m, subDim, idCol, vecCol,
+          "writeIvfPqIndex", table)
         .repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell")
         .parquet(s"$dir/codes")
@@ -1009,13 +1043,21 @@ object Similarity {
     * cross-engine discipline even though this index has no SQL face. */
   private def residualSubRows(emb: DataFrame, cents: Seq[Seq[Double]],
       m: Int, subDim: Int, idCol: String, vecCol: String,
-      op: String): DataFrame = {
-    val centMuLit = array(cents.map(c =>
-      lit(c.map(x => math.floor(x * 1000000.0).toLong).toArray)): _*)
+      op: String, subtract: Boolean = true): DataFrame = {
     val muArr = transform(vecDimsChecked(vecCol, m * subDim, op), x =>
       floor(x.cast("double") * lit(1000000.0)).cast("long"))
-    val resid = zip_with(muArr,
-      element_at(centMuLit, col("cell") + 1), (a, b) => a - b)
+    // subtract = false is the RAW face: the same (vid, vcell, sub,
+    // subvector) frame over plain µ components, feeding the identical
+    // native argmin — one builder so the quantization and dims guard
+    // can never fork between encodings
+    val resid =
+      if (!subtract) muArr
+      else {
+        val centMuLit = array(cents.map(c =>
+          lit(c.map(x => math.floor(x * 1000000.0).toLong).toArray)): _*)
+        zip_with(muArr,
+          element_at(centMuLit, col("cell") + 1), (a, b) => a - b)
+      }
     val subCols = (0 until m).map(s =>
       struct(lit(s).as("_sub"),
         expr(s"slice(_r, ${s * subDim + 1}, $subDim)").as("_rv")))
@@ -1144,18 +1186,13 @@ object Similarity {
           .withColumn("_c", residualCodeExpr(cbArr))
           .select(col("_vcell").as("cell"), col("_vid"), col("_sub"),
             col("_c").as("_cell"))
-      } else {
-        // collect the codebook PRESERVING its on-disk types (the
-        // appendToPqIndex discipline): appended code rows must carry
-        // the exact column types the build wrote, or the parquet
-        // union of old and new part files stops reading
-        val cb0 = spark.read.parquet(s"$dir/codebook")
-        val codebook = spark.createDataFrame(
-          java.util.Arrays.asList(cb0.collect(): _*), cb0.schema)
-        val rows = muRows(assignCells(newEmb, cents, vecCol), dims,
-          "appendToIvfPqIndex", idCol, vecCol, Some("cell"))
-        pqCodesWithCoarseCell(rows, codebook)
-      }
+      } else
+        // the same map-only native-argmin encode as the build;
+        // rawCodesOf emits the raw layout's exact on-disk column
+        // types, so the parquet union of old and new part files keeps
+        // reading (the appendToPqIndex discipline)
+        rawCodesOf(newEmb, cents, m, subDim, idCol, vecCol,
+          "appendToIvfPqIndex", rawCodebookArrays(cb, m))
     codes.repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
   }

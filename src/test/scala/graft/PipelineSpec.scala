@@ -175,6 +175,39 @@ class PipelineSpec extends AnyFunSuite {
     val cellOf = spark.read.parquet(s"$dir/codes")
       .select(col("_vid"), col("cell").cast("int")).distinct()
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // RAW encode driver oracle (the residual test's discipline): every
+    // stored code is the argmin integer-L2 PRESENT-cell sub-centroid
+    // of the vector's µ subvector, ties to the lower cell id — pins
+    // the native map-only encode against first principles, not just
+    // self-consistency
+    locally {
+      def mu(x: Float): Long = math.floor(x.toDouble * 1000000.0).toLong
+      val cbRows = spark.read.parquet(s"$dir/codebook")
+        .select(col("_i").cast("int"), col("_cell").cast("long"),
+          col("_sub").cast("int"), col("_cmu").cast("long"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2),
+          r.getLong(3)))
+      val bySub = cbRows.groupBy(_._3).map { case (s, rs) =>
+        s -> rs.groupBy(_._2).toSeq.sortBy(_._1).map { case (cid, cs) =>
+          cid -> cs.sortBy(_._1).map(_._4) } }
+      val stored = spark.read.parquet(s"$dir/codes")
+        .select(col("_vid"), col("_sub").cast("int"),
+          col("_cell").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2))
+        .toMap
+      val vecs = emb.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+      for ((vid, v) <- vecs; s <- 0 until 2) {
+        val muv = (0 until 2).map(p => mu(v(s * 2 + p)))
+        val best = bySub(s).map { case (cid, c) =>
+          (cid, muv.zip(c).map { case (a, b) =>
+            (a - b) * (a - b) }.sum) }
+          .minBy { case (cid, d2) => (d2, cid) }._1
+        assert(stored((vid, s)) == best,
+          s"raw code vid=$vid sub=$s: stored ${stored((vid, s))} " +
+            s"vs argmin $best")
+      }
+    }
     def rows(df: org.apache.spark.sql.DataFrame) = df
       .orderBy(col("query_id"), col("adc_mu2").desc, col("vec_id"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
