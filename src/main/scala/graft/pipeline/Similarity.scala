@@ -725,7 +725,14 @@ object Similarity {
   }
 
   /** encode: nearest sub-centroid per (vector, subspace) by integer
-    * squared distance; min(struct) ties to the lower cell id */
+    * squared distance; min(struct) ties to the lower cell id.
+    * Deliberately the JOIN shape (it expands the per-dim rows by the
+    * cell count before reducing): these label-cell faces accept an
+    * ARBITRARY `cellCol` type — string domains included — which the
+    * integral-id native argmin ([[rawCodesOf]], the IVF-PQ faces'
+    * map-only encode) cannot carry without narrowing the contract;
+    * label-cell counts are small by construction, so the expansion is
+    * bounded where the coarse-cell faces' was not. */
   private def pqCodesOf(rows: DataFrame, codebook: DataFrame)
       : DataFrame =
     rows.join(broadcast(codebook), "_i")
