@@ -500,8 +500,12 @@ class PipelineSpec extends AnyFunSuite {
       assert(eNoVecs.getMessage.contains("no vectors tree"))
       // retrain (new kCells) == a fresh writeIvfPqIndex over the same
       // rows, every subtree bit-for-bit; encoding params carry over
-      // from the stored index, never from the caller
-      Similarity.retrainIvfPqIndex(emb, dir, kCells = 3, iters = 2)
+      // from the stored index, never from the caller. The dir rides
+      // with a TRAILING SLASH: the temp siblings must normalize to
+      // true siblings, not nest inside the index (where the root
+      // rename would carry them along and every retrain would fail)
+      Similarity.retrainIvfPqIndex(emb, dir + "/", kCells = 3,
+        iters = 2)
       val fresh = java.nio.file.Files
         .createTempDirectory(s"ivfpqf$residual").toString
       Similarity.writeIvfPqIndex(emb, fresh, kCells = 3, dims = 4,
