@@ -1000,6 +1000,31 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "t_pack_ids" -> ((s, dir) => {
+      // the honest-tokens loop closed end to end: REAL subword id
+      // sequences (Bpe.encodeIds over the self-trained merges) →
+      // fixed-length training windows (chunkIds, the batcher's unit)
+      // → budget packing where the shard budget is measured in
+      // SUBWORD ids (n_ids), never whitespace proxies (which misplace
+      // counts 2-4× on code/CJK). The packing unit is the CHUNK, so
+      // the pack key is the unique doc:window composite string — both
+      // engines hash and tie-order it bytewise, keeping shards a pure
+      // function of (salt, keys, id counts).
+      val docs = Tables.load(s, dir, "documents")
+      val merges = Bpe.train(docs, nMerges = BpeMerges)
+      val chunks = Sampling.chunkIds(
+          Bpe.encodeIds(docs, merges, Bpe.vocab(docs, merges)),
+          maxLen = 64, stride = 48)
+        .withColumn("chunk_key",
+          concat(col("doc_id").cast("string"), lit(":"),
+            col("chunk_idx").cast("string")))
+      Sampling.packBudget(chunks, budget = 512L, nBuckets = 8,
+          tokensCol = "n_ids", idCol = "chunk_key")
+        .select(col("doc_id"), col("chunk_idx"), col("pack_bucket"),
+          col("pack_shard"), col("n_ids"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     "t_rolling_fp" -> ((s, dir) =>
       // rolling (Rabin-style) window fingerprints: token hashes are
       // projected into a named column FIRST (md5 per token; inlining
@@ -3867,6 +3892,44 @@ object SparkEntry {
           |  CAST(len(w) AS BIGINT) AS n_ids,
           |  array_to_string(w, ',') AS ids_csv
           |FROM win ORDER BY doc_id, chunk_idx""".stripMargin),
+
+    // chunk-granular budget packing on REAL subword counts: the same
+    // unrolled training + vocab + id-sequence CTEs, the same
+    // start-window rule, then t_pack's running-sum discipline keyed on
+    // the doc:window composite (md5 tie order = bytewise VARCHAR on
+    // both engines)
+    "t_pack_ids" ->
+      (bpeIdsOracleCtes + ",\n" +
+        """ids0 AS (
+          |  SELECT doc_id, string_split(ids_csv, ',') AS ids, n_ids
+          |  FROM agg WHERE n_ids >= 1),
+          |ch AS (
+          |  SELECT doc_id, unnest(generate_series(0, n_ids - 1, 48))
+          |    AS s, ids, n_ids
+          |  FROM ids0),
+          |win AS (
+          |  SELECT doc_id, CAST(s // 48 AS BIGINT) AS chunk_idx,
+          |    CAST(len(ids[s + 1 : s + 64]) AS BIGINT) AS n_ids
+          |  FROM ch WHERE s = 0 OR s + 16 < n_ids),
+          |wk AS (
+          |  SELECT doc_id, chunk_idx, n_ids,
+          |    CAST(doc_id AS VARCHAR) || ':'
+          |      || CAST(chunk_idx AS VARCHAR) AS ck,
+          |    substr(md5('graft:' || CAST(doc_id AS VARCHAR) || ':'
+          |      || CAST(chunk_idx AS VARCHAR)), 1, 8) AS pk
+          |  FROM win),
+          |wb AS (
+          |  SELECT *, CAST(('0x' || pk) AS BIGINT) % 8 AS pack_bucket
+          |  FROM wk),
+          |wc AS (
+          |  SELECT *, sum(n_ids) OVER (PARTITION BY pack_bucket
+          |    ORDER BY pk, ck
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          |  FROM wb)
+          |SELECT doc_id, chunk_idx, pack_bucket,
+          |  CAST((cum - n_ids) // 512 AS BIGINT) AS pack_shard,
+          |  n_ids
+          |FROM wc ORDER BY doc_id, chunk_idx""".stripMargin),
 
     "t_ngrams" ->
       """WITH raw AS (

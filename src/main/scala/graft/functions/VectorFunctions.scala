@@ -185,6 +185,14 @@ final class ResidualCodebook(val cb: Array[Array[Array[Long]]],
     cb.indices.forall(s => cb(s).length == ids(s).length),
     "ResidualCodebook: ids must parallel the centroid arrays")
 
+  // fail-loudly at construction, not as an opaque index error inside
+  // generated code: a subspace with zero centroids means the stored
+  // codebook is corrupt (or the training corpus was empty) — the
+  // control-plane-table discipline every builder shares
+  require(cb.indices.forall(s => cb(s).nonEmpty),
+    s"ResidualCodebook: subspace(s) ${cb.indices.filter(cb(_).isEmpty)
+      .mkString(",")} have no centroids — corrupt or empty codebook")
+
   /** content fingerprint — identifies this codebook in the session
     * function registry */
   lazy val fingerprint: String = {

@@ -12,10 +12,16 @@ import org.apache.spark.sql.functions._
   *                      the deterministic "canonical copy" rule)
   *   3. mixture shaping ([[Sampling.stratified]] per-stratum rates)
   *
-  * Scale shape: stage 1 is shuffle-free column math; stage 2 is ONE
-  * hash shuffle on the 16-byte fingerprint (window-min, no join);
-  * stage 3 is a row-local filter that composes into stage 2's output
-  * without another exchange. Total: one shuffle end to end, nothing
+  * Scale shape: stage 1 is shuffle-free column math; stage 2 is the
+  * skew-safe agg-then-semi-join (a narrow (fp, id) map-side-combined
+  * groupBy-min picks winners, a semi-join keeps them — the
+  * [[Dedup.exact]] discipline, NEVER a window over the fingerprint:
+  * windows get no AQE skew handling, and on the duplicate-heavy
+  * corpora curation exists for, a mega-duplicate fingerprint — empty
+  * docs, template pages — would funnel every full-text copy through
+  * ONE task's sort; the join is AQE-skew-splittable and the agg
+  * combines map-side). Stage 3 is a row-local filter that composes
+  * into stage 2's output without another exchange. Nothing
   * driver-side.
   */
 object Curate {
@@ -73,12 +79,19 @@ object Curate {
           graft.functions.GopherFunctions.gopherRepKeep(col(textCol),
             lineSep))
         .drop(TextOps.gopherQualityCountCols: _*)
-    val deduped = gated
-      .withColumn("_fp", TextOps.fingerprint(col(textCol)))
-      .withColumn("_keep",
-        min(col(idCol)).over(Window.partitionBy(col("_fp"))))
-      .where(col(idCol) === col("_keep"))
-      .drop("_fp", "_keep")
+    // exact dedup, skew-safe (see the object doc): winners compute on
+    // a NARROW (fp, id) projection — fresh aliases so the self-join
+    // lineage can't alias-collide — and the semi-join brings only the
+    // canonical copies' full rows through. Null text never reaches
+    // here (the n_tokens gate filters it), so plain equi-join keys
+    // are safe.
+    val fp = gated.withColumn("_fp", TextOps.fingerprint(col(textCol)))
+    val winners = fp.select(col("_fp").as("_wfp"), col(idCol).as("_wid"))
+      .groupBy(col("_wfp")).agg(min(col("_wid")).as("_keep"))
+    val deduped = fp.join(winners,
+        col("_fp") === col("_wfp") && col(idCol) === col("_keep"),
+        "left_semi")
+      .drop("_fp")
     Sampling.stratified(deduped, strataCol, rates, default, idCol)
   }
 

@@ -1358,10 +1358,11 @@ object Dedup {
     * weight_ppm = floor(1e6 / |cluster|), so each duplicate cluster
     * contributes ~one document's worth of sampling mass in total (the
     * "repetition discounting" alternative to hard dedup when
-    * borderline near-dups carry signal). Composes [[clusters]] with
-    * ONE extra exchange: a window count per cluster label over the
-    * final pinned label frame (no join back to the corpus — the label
-    * frame already has one row per doc). Weights are integer ppm
+    * borderline near-dups carry signal). Composes [[clusters]] with a
+    * map-side-combined groupBy-count per cluster label joined back to
+    * the final pinned label frame (no join back to the CORPUS — the
+    * label frame already has one row per doc, and rows stay narrow).
+    * Weights are integer ppm
     * (working-notes rule: no cross-engine float on the hash), ready
     * to divide into [[Sampling.weighted]]'s keep-probability or to
     * scale a loss/sampling prior downstream.
@@ -1376,10 +1377,19 @@ object Dedup {
     * label blocks: consume the frame, then `release()`. */
   def softDedupWeightsOwned(ids: DataFrame, pairs: DataFrame,
       idCol: String = "doc_id"): (DataFrame, PinHandle) = {
-    import org.apache.spark.sql.expressions.Window
     val (labels, handle) = clustersOwned(ids, pairs, idCol)
-    val n = count(lit(1)).over(Window.partitionBy(col("cluster")))
-    (labels.withColumn("n_dups", n)
+    // groupBy-count + equi-join, NEVER a window over the cluster
+    // label: a viral near-dup mega-cluster is this operator's hot key
+    // by construction, and a window funnels all its rows through one
+    // task's sort with no AQE skew handling — the agg combines
+    // map-side and the join is AQE-skew-splittable. No broadcast
+    // hint: the counts side has one row per CLUSTER (≈ corpus-sized
+    // on a mostly-unique corpus) — not provably small, and the
+    // pinned-leaf rule licenses hints only for provably-small sides.
+    val counts = labels.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_dups"))
+    (labels.join(counts, Seq("cluster"))
+      .select(col(idCol), col("cluster"), col("n_dups"))
       .withColumn("weight_ppm", expr("1000000L div n_dups")),
       handle)
   }

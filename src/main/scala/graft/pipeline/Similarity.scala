@@ -779,16 +779,70 @@ object Similarity {
     val codebook = pqCodebookLocal(rows, subDim)
     codebook.coalesce(1).write.mode("overwrite")
       .parquet(s"$dir/codebook")
-    pqCodesOf(rows, codebook)
+    pqEncode(emb, rows, codebook, m, subDim, idCol, vecCol,
+        "writePqIndex")
       .repartition(col("_vid"))
       .write.mode("overwrite").parquet(s"$dir/codes")
+  }
+
+  /** (_vid, _sub, _rv) µ subvector frame for the plain-PQ native
+    * encode — [[residualSubRows]] minus the coarse quantizer: no cell
+    * assignment, no residual subtraction (a plain PQ code is a pure
+    * function of the vector and the label-cell codebook). */
+  private def pqSubRows(emb: DataFrame, m: Int, subDim: Int,
+      idCol: String, vecCol: String, op: String): DataFrame = {
+    val muArr = transform(vecDimsChecked(vecCol, m * subDim, op), x =>
+      floor(x.cast("double") * lit(1000000.0)).cast("long"))
+    val subCols = (0 until m).map(s =>
+      struct(lit(s).as("_sub"),
+        expr(s"slice(_r, ${s * subDim + 1}, $subDim)").as("_rv")))
+    emb.select(col(idCol).as("_vid"), muArr.as("_r"))
+      .select(col("_vid"), explode(array(subCols: _*)).as("_sv"))
+      .select(col("_vid"), col("_sv").getField("_sub").as("_sub"),
+        col("_sv").getField("_rv").as("_rv"))
+  }
+
+  /** Plain-PQ encode dispatch: INTEGRAL cell domains run the native
+    * map-only compiled argmin (the shape the r16 raw-IVF-PQ fix
+    * measured at 13.9 → 10.4 s sf1 over the join-then-aggregate
+    * encode, which expands the exploded per-dim corpus by the cell
+    * count before reducing); generic (e.g. string) cell domains keep
+    * [[pqCodesOf]]'s join face — the documented bounded trade-off,
+    * the native argmin's id table being Long-keyed. Present-cell ids
+    * ride ascending in the table, so the compiled first-minimum
+    * equals the join face's min(struct) lower-cell-id tie — the two
+    * faces emit bit-identical codes on integral domains (spec-pinned
+    * via a numeric-string twin build). Output carries the codebook's
+    * exact _sub/_cell types so appended part files always match the
+    * build's (the append-layout rule). */
+  private def pqEncode(emb: DataFrame, rows: DataFrame,
+      codebook: DataFrame, m: Int, subDim: Int, idCol: String,
+      vecCol: String, op: String): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, ShortType,
+      IntegerType, LongType}
+    codebook.schema("_cell").dataType match {
+      case cellType @ (ByteType | ShortType | IntegerType
+          | LongType) =>
+        val table = rawCodebookArrays(codebook
+          .select(col("_i").cast("int"), col("_cell").cast("long"),
+            col("_sub").cast("int"), col("_cmu").cast("long"))
+          .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2),
+            r.getLong(3))), m)
+        pqSubRows(emb, m, subDim, idCol, vecCol, op)
+          .withColumn("_c", graft.functions.VectorFunctions
+            .residualCodeWith(col("_sub"), col("_rv"), table))
+          .select(col("_vid"), col("_sub").cast("long").as("_sub"),
+            col("_c").cast(cellType).as("_cell"))
+      case _ => pqCodesOf(rows, codebook)
+    }
   }
 
   /** Incrementally add vectors to a persisted PQ index: encode the
     * new vectors against the STORED codebook (the quantization is a
     * pure function of (codebook, vector), so append ≡ same-codebook
-    * rebuild) and append their code rows. Retrain ([[writePqIndex]])
-    * when distribution drift degrades the codebook — the
+    * rebuild) and append their code rows. Retrain
+    * ([[retrainPqIndex]]) when distribution drift degrades the
+    * codebook; heal replayed appends with [[compactPqCodes]] — the
     * [[appendToIvfIndex]] discipline. */
   def appendToPqIndex(newEmb: DataFrame, dir: String,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
@@ -799,13 +853,101 @@ object Similarity {
       java.util.Arrays.asList(cbRows: _*), cb0.schema)
     val dims = cbRows
       .map(_.getAs[Number]("_i").intValue()).max + 1
+    val m = cbRows
+      .map(_.getAs[Number]("_sub").intValue()).max + 1
     // no cell column needed: encoding is a pure function of
     // (codebook, vector)
     val rows = muRows(newEmb, dims, "appendToPqIndex", idCol, vecCol,
       None)
-    pqCodesOf(rows, codebook)
+    pqEncode(newEmb, rows, codebook, m, dims / m, idCol, vecCol,
+        "appendToPqIndex")
       .repartition(col("_vid"))
       .write.mode("append").parquet(s"$dir/codes")
+  }
+
+  /** Compact a [[writePqIndex]] codes table after replayed appends —
+    * the plain-PQ face of [[compactIvfPqCodes]], minus the cell
+    * partitioning (this layout has none to preserve). The encode is a
+    * pure function of (stored codebook, vector), so a crash-retried
+    * [[appendToPqIndex]] that half-committed writes full-row-identical
+    * duplicate (_vid, _sub) rows — and [[pqAdcServe]] sums one LUT row
+    * per CODE ROW, so the duplicated vector's ADC score doubles and
+    * rankings shift silently. Any-copy dedup is exact (duplicates are
+    * bit-identical by construction); the rewrite lands fully under a
+    * temp sibling before two renames flip it live (write-new-then-flip:
+    * the swap window fails a concurrent read loudly, never serves half
+    * an index; single-writer discipline). */
+  def compactPqCodes(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val live = new Path(s"$dir/codes")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // loud on missing codes — an absent live tree is the mid-swap
+    // crash state this heal would otherwise 'succeed' over silently
+    require(fs.exists(live),
+      s"compactPqCodes: no codes tree at $live — if a prior " +
+        "compaction crashed mid-swap, recover from the .codes-trash" +
+        "/.codes-compact siblings")
+    val tmp = new Path(s"$dir/.codes-compact")
+    val trash = new Path(s"$dir/.codes-trash")
+    fs.delete(tmp, true); fs.delete(trash, true)
+    spark.read.parquet(live.toString)
+      .dropDuplicates("_vid", "_sub")
+      .repartition(col("_vid"))
+      .write.parquet(tmp.toString)
+    if (!fs.rename(live, trash))
+      throw new java.io.IOException(s"compactPqCodes: rename $live")
+    if (!fs.rename(tmp, live)) {
+      fs.rename(trash, live) // restore — the old tree is intact
+      throw new java.io.IOException(s"compactPqCodes: rename $tmp")
+    }
+    fs.delete(trash, true)
+    ()
+  }
+
+  /** Retrain a plain [[writePqIndex]] index under distribution drift —
+    * [[retrainIvfPqIndex]]'s discipline for the flat layout: codebook
+    * AND codes rebuild from the provided embedding frame (the index
+    * stores only lossy codes, so retraining needs the corpus), with
+    * the geometry (dims, m) carried over from the STORED codebook so a
+    * retrain can never silently change the code budget. The entire new
+    * index lands under a temp sibling and the whole dir flips at once
+    * ([[writePqIndex]] writes codebook then codes sequentially — an
+    * in-place rebuild would let a concurrent reader pair a fresh
+    * codebook with stale codes). Replay duplication in the old codes
+    * never carries over; healing WITHOUT retraining is
+    * [[compactPqCodes]]. Deterministic end to end: retrain ≡ a fresh
+    * [[writePqIndex]] over the same rows, bit for bit (spec-pinned). */
+  def retrainPqIndex(emb: DataFrame, dir: String,
+      cellCol: String = "label", idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = emb.sparkSession
+    // normalized-then-suffixed temp paths (the trailing-slash rule)
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new Path(root, "codes")),
+      s"retrainPqIndex: no index at $root")
+    // geometry only — _cell stays un-cast so generic label domains
+    // (the join-face encode) retrain too
+    val mm = spark.read.parquet(s"$dir/codebook")
+      .agg(max(col("_i").cast("int")).as("_mi"),
+        max(col("_sub").cast("int")).as("_ms"))
+      .collect()(0)
+    val dims = mm.getInt(0) + 1
+    val m = mm.getInt(1) + 1
+    val tmp = root.suffix(".retrain")
+    val trash = root.suffix(".trash")
+    fs.delete(tmp, true); fs.delete(trash, true)
+    writePqIndex(emb, tmp.toString, dims, m, cellCol, idCol, vecCol)
+    if (!fs.rename(root, trash))
+      throw new java.io.IOException(s"retrainPqIndex: rename $root")
+    if (!fs.rename(tmp, root)) {
+      fs.rename(trash, root) // restore — the old index is intact
+      throw new java.io.IOException(s"retrainPqIndex: rename $tmp")
+    }
+    fs.delete(trash, true)
+    ()
   }
 
   /** Serve ADC top-k from a [[writePqIndex]] index with EXPLICIT
@@ -1112,6 +1254,16 @@ object Similarity {
     val lowIds = subRows.where(col("_sub") === 0)
       .select(col("_vid")).orderBy(col("_vid")).limit(kSub)
       .collect().map(_.get(0))
+    require(lowIds.nonEmpty,
+      "trainResidualCodebook: empty training corpus")
+    // duplicate ids would silently collapse the seed set (zipWithIndex
+    // .toMap keeps ONE rank per repeated id → fewer than kSub distinct
+    // seeds → a degenerate codebook): fail with the actual constraint
+    // instead — every id column this library keys on must be unique
+    require(lowIds.distinct.length == lowIds.length,
+      s"trainResidualCodebook: duplicate vec ids in the seed probe " +
+        s"(${lowIds.diff(lowIds.distinct).distinct.take(3)
+          .mkString(", ")}) — the id column must be unique")
     val seedRank = lowIds.zipWithIndex.toMap
     val init = subRows.where(col("_vid").isin(lowIds: _*))
       .select(col("_sub"), col("_vid"), col("_rv"))
@@ -1283,9 +1435,12 @@ object Similarity {
     val residual = readIvfPqMeta(spark, dir)
     val dims = cb.map(_._1).max + 1
     val m = cb.map(_._3).max + 1
-    // kSub = dense code ids per subspace (residual); the raw branch
-    // trains per-coarse-cell means and ignores it
-    val kSub = cb.map(_._2).max.toInt + 1
+    // kSub = dense code ids per subspace — meaningful ONLY under the
+    // residual layout; a raw codebook's _cell values are coarse-cell
+    // ids, so max+1 there would be a bogus kCells-shaped number. The
+    // raw branch of writeIvfPqIndex ignores kSub, but never hand it
+    // one that LOOKS meaningful (latent trap if raw ever consumes it).
+    val kSub = if (residual) cb.map(_._2).max.toInt + 1 else 1
     val tmp = root.suffix(".retrain")
     val trash = root.suffix(".trash")
     fs.delete(tmp, true); fs.delete(trash, true)

@@ -140,6 +140,95 @@ class PipelineSpec extends AnyFunSuite {
       == codes3, "append must encode exactly as a same-codebook build")
   }
 
+  test("plain pq lifecycle: compaction heals replayed appends back to " +
+      "the exact pre-duplicate serve, retrain rebuilds bit-for-bit " +
+      "behind a whole-dir flip, and the native integral-cell encode " +
+      "matches the generic join face code-for-code") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.9f, 0.0f, 0.1f), 0),
+      (1L, Array(0.9f, 1.0f, 0.1f, 0.0f), 0),
+      (2L, Array(1.0f, 1.0f, 0.0f, 0.0f), 0),
+      (3L, Array(0.0f, 0.1f, 1.0f, 0.9f), 1),
+      (4L, Array(0.1f, 0.0f, 0.9f, 1.0f), 1),
+      (5L, Array(0.0f, 0.0f, 1.0f, 1.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val queries = Seq(
+      900L -> Seq(1.0f, 0.9f, 0.0f, 0.1f),
+      901L -> Seq(0.0f, 0.1f, 1.0f, 0.9f))
+    def serve(d: String): Seq[(Long, Long, Long)] =
+      Similarity.pqTopKFromIndex(spark, d, queries, k = 4)
+        .orderBy(col("query_id"), col("adc_mu2").desc, col("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq
+    def codeRows(d: String): Seq[String] =
+      spark.read.parquet(s"$d/codes")
+        .select(col("_vid"), col("_sub").cast("int"),
+          col("_cell").cast("long"))
+        .collect().map(_.toString).sorted.toSeq
+    val dir = java.nio.file.Files.createTempDirectory("pqlife").toString
+    Similarity.writePqIndex(emb, dir, dims = 4, m = 2)
+    val before = serve(dir)
+    val codesBefore = codeRows(dir)
+    // a crash-replayed append: the same batch commits twice —
+    // duplicate (_vid, _sub) rows double those vectors' ADC sums
+    Similarity.appendToPqIndex(emb.where(col("vec_id") >= 4), dir)
+    assert(codeRows(dir).size == codesBefore.size + 4,
+      "replay must have duplicated code rows")
+    assert(serve(dir) != before,
+      "duplicated code rows must shift the ADC scores — if they " +
+        "don't, this spec guards nothing")
+    Similarity.compactPqCodes(spark, dir)
+    assert(codeRows(dir) == codesBefore,
+      "compaction must restore the exact rows")
+    assert(serve(dir) == before,
+      "healed serve must equal pre-duplicate")
+    // idempotent on a clean index; a missing live tree fails LOUDLY
+    // (absent codes is the mid-swap crash state — a silent no-op would
+    // report a 'successful' heal over a broken index)
+    Similarity.compactPqCodes(spark, dir)
+    assert(codeRows(dir) == codesBefore && serve(dir) == before,
+      "compaction must be a no-op when clean")
+    val eNoCodes = intercept[IllegalArgumentException] {
+      Similarity.compactPqCodes(spark, s"$dir/definitely-missing")
+    }
+    assert(eNoCodes.getMessage.contains("no codes tree"))
+    // retrain == a fresh writePqIndex over the same rows, bit for bit;
+    // geometry (dims, m) carries over from the STORED codebook, and
+    // the trailing-slash dir pins the sibling-path normalization
+    Similarity.retrainPqIndex(emb, dir + "/")
+    val fresh = java.nio.file.Files.createTempDirectory("pqfresh")
+      .toString
+    Similarity.writePqIndex(emb, fresh, dims = 4, m = 2)
+    def cbRows(d: String) = spark.read.parquet(s"$d/codebook")
+      .collect().map(_.toString).sorted.toSeq
+    assert(cbRows(dir) == cbRows(fresh),
+      "retrain codebook diverged from fresh build")
+    assert(codeRows(dir) == codeRows(fresh),
+      "retrain codes diverged from fresh build")
+    assert(serve(dir) == serve(fresh),
+      "retrain serve diverged from fresh build")
+    val eNoIdx = intercept[IllegalArgumentException] {
+      Similarity.retrainPqIndex(emb, s"$dir/definitely-missing")
+    }
+    assert(eNoIdx.getMessage.contains("no index"))
+    // cross-face pin: numeric-STRING labels route the generic join
+    // face; its codes must match the native integral face value for
+    // value (ascending present-ids make the compiled first-minimum
+    // equal min(struct)'s lower-cell tie)
+    val dirS = java.nio.file.Files.createTempDirectory("pqstr").toString
+    Similarity.writePqIndex(
+      emb.withColumn("label", col("label").cast("string")), dirS,
+      dims = 4, m = 2)
+    assert(spark.read.parquet(s"$dirS/codebook").schema("_cell")
+      .dataType.typeName == "string",
+      "string labels must persist a string-cell codebook (join face)")
+    assert(codeRows(dirS) == codeRows(dir),
+      "join-face (string cells) and native-face (int cells) codes " +
+        "must be value-identical")
+    assert(serve(dirS) == serve(dir),
+      "join-face serve diverged from native-face serve")
+  }
+
   test("composed ivf-pq index: stored serve equals inline " +
       "probe-then-ADC at every nprobe, scans only probed cell " +
       "partitions of the codes table") {
@@ -741,7 +830,15 @@ class PipelineSpec extends AnyFunSuite {
   test("soft-dedup weights: floor'd ppm of the cluster size, every doc kept") {
     val ids = Seq(0L, 1L, 2L, 3L, 4L, 5L).toDF("doc_id")
     val pairs = Seq((0L, 1L), (1L, 3L), (4L, 5L)).toDF("id_a", "id_b")
-    val got = Dedup.softDedupWeights(ids, pairs).collect()
+    val frame = Dedup.softDedupWeights(ids, pairs)
+    // plan gate: the per-cluster count is a groupBy + join, never a
+    // window over the cluster label — a viral mega-cluster is this
+    // operator's hot key by construction, and a window would funnel
+    // all its rows through ONE task's sort with no AQE skew handling
+    val plan = frame.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"softDedupWeights must not window over the cluster label:\n$plan")
+    val got = frame.collect()
       .map(r => r.getAs[Long]("doc_id") ->
         (r.getAs[Long]("cluster"), r.getAs[Long]("n_dups"),
           r.getAs[Long]("weight_ppm"))).toMap
@@ -1650,6 +1747,27 @@ class PipelineSpec extends AnyFunSuite {
         .linesIterator.count(_.contains("Exchange"))
     assert(nExchanges(run(corpus, gate = true))
       == nExchanges(run(corpus, gate = false)))
+  }
+
+  test("curate dedup is the skew-safe agg+semi-join: no window over " +
+      "the corpus fingerprint anywhere in the curate plan") {
+    // a window over a CONTENT key with the doc text still in the row
+    // is the hot-key single-task shape the repo forbids: on a
+    // duplicate-heavy corpus (exactly what curate is for) one
+    // mega-duplicate fingerprint funnels every full-text copy through
+    // one task's sort, and windows get no AQE skew handling
+    val body = (1 to 30).map(i => s"w$i").mkString(" ")
+    val corpus = Seq((0L, body, "a"), (1L, body, "a"),
+      (2L, body + " tail", "b")).toDF("doc_id", "text", "source")
+    for (gate <- Seq(false, true)) {
+      val df = Curate.curate(corpus, minTokens = 25L,
+        maxStopwordRatioMicro6 = 300000L, strataCol = "source",
+        rates = Nil, default = 1.0, gopherGate = gate)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"),
+        s"curate (gopherGate=$gate) must not window over the corpus:" +
+          s"\n$plan")
+    }
   }
 
   test("cell centroids: exact micro-unit sums and means per dimension") {
