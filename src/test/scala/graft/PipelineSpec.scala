@@ -2068,6 +2068,18 @@ class PipelineSpec extends AnyFunSuite {
     val out2 = Curate.capPerKey(d.repartition(7), "key", cap = 3)
       .collect().map(_.getLong(0)).toSet
     assert(out2 == byKey("a") ++ byKey("b"))
+    // plan gate for the over-cap-keys-only claim: exactly ONE window
+    // node, fed by the over-cap SEMI join (never the whole corpus),
+    // with the under-cap rows passing through the ANTI join untouched
+    // — the corpus must not all flow through a window. The OPTIMIZED
+    // logical plan is the stable surface (the executed plan prints
+    // AQE initial+final twins plus WindowGroupLimit helpers).
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert(plan.linesIterator.count(_.contains("Window [")) == 1,
+      s"capPerKey must rank through exactly one window:\n$plan")
+    assert(plan.contains("LeftSemi") && plan.contains("LeftAnti"),
+      s"capPerKey must split over-/under-cap legs by semi/anti join:" +
+        s"\n$plan")
   }
 
   test("decontaminateSemantic flags train vectors near eval, respects " +
