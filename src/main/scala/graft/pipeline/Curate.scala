@@ -12,17 +12,17 @@ import org.apache.spark.sql.functions._
   *                      the deterministic "canonical copy" rule)
   *   3. mixture shaping ([[Sampling.stratified]] per-stratum rates)
   *
-  * Scale shape: stage 1 is shuffle-free column math; stage 2 is the
-  * skew-safe agg-then-semi-join (a narrow (fp, id) map-side-combined
-  * groupBy-min picks winners, a semi-join keeps them — the
-  * [[Dedup.exact]] discipline, NEVER a window over the fingerprint:
-  * windows get no AQE skew handling, and on the duplicate-heavy
-  * corpora curation exists for, a mega-duplicate fingerprint — empty
-  * docs, template pages — would funnel every full-text copy through
-  * ONE task's sort; the join is AQE-skew-splittable and the agg
-  * combines map-side). Stage 3 is a row-local filter that composes
-  * into stage 2's output without another exchange. Nothing
-  * driver-side.
+  * Scale shape: stage 1 is shuffle-free column math; stage 2 is ONE
+  * map-side-combined grouped min over the full-row struct (id
+  * leading) keyed on the 16-byte fingerprint — NEVER a window over
+  * the fingerprint: windows get no AQE skew handling nor partial
+  * aggregation, and on the duplicate-heavy corpora curation exists
+  * for, a mega-duplicate fingerprint — empty docs, template pages —
+  * would funnel every full-text copy through ONE task's sort, where
+  * the agg's map-side combine reduces that key to one row per input
+  * partition before the exchange. Stage 3 is a row-local filter that
+  * composes into stage 2's output without another exchange. Total:
+  * one shuffle end to end, nothing driver-side.
   */
 object Curate {
 
@@ -79,19 +79,25 @@ object Curate {
           graft.functions.GopherFunctions.gopherRepKeep(col(textCol),
             lineSep))
         .drop(TextOps.gopherQualityCountCols: _*)
-    // exact dedup, skew-safe (see the object doc): winners compute on
-    // a NARROW (fp, id) projection — fresh aliases so the self-join
-    // lineage can't alias-collide — and the semi-join brings only the
-    // canonical copies' full rows through. Null text never reaches
-    // here (the n_tokens gate filters it), so plain equi-join keys
-    // are safe.
-    val fp = gated.withColumn("_fp", TextOps.fingerprint(col(textCol)))
-    val winners = fp.select(col("_fp").as("_wfp"), col(idCol).as("_wid"))
-      .groupBy(col("_wfp")).agg(min(col("_wid")).as("_keep"))
-    val deduped = fp.join(winners,
-        col("_fp") === col("_wfp") && col(idCol) === col("_keep"),
-        "left_semi")
-      .drop("_fp")
+    // exact dedup, skew-safe AND single-pass (see the object doc):
+    // one grouped MIN over the full-row struct with the id leading
+    // (fields compare left to right, so the unique id decides; every
+    // other field is a pure function of the identical text anyway).
+    // Partial aggregation collapses a mega-duplicate fingerprint
+    // MAP-SIDE — the hot key reaches the exchange as at most one row
+    // per input partition — and the expensive gate stages above
+    // evaluate ONCE: the first cut of this fix was an agg+semi-join,
+    // which re-executed the whole gated subtree per consumer (the
+    // multi-consumer-subtree rule; measured 2.5× on the gopher-gated
+    // face at sf0.1).
+    val cols = gated.columns
+    val deduped = gated
+      .withColumn("_fp", TextOps.fingerprint(col(textCol)))
+      .groupBy(col("_fp"))
+      .agg(min(struct(
+        (col(idCol) +: cols.filterNot(_ == idCol).map(col)): _*))
+        .as("_row"))
+      .select(cols.map(c => col("_row").getField(c).as(c)): _*)
     Sampling.stratified(deduped, strataCol, rates, default, idCol)
   }
 

@@ -1749,8 +1749,8 @@ class PipelineSpec extends AnyFunSuite {
       == nExchanges(run(corpus, gate = false)))
   }
 
-  test("curate dedup is the skew-safe agg+semi-join: no window over " +
-      "the corpus fingerprint anywhere in the curate plan") {
+  test("curate dedup is the skew-safe single-pass grouped min: no " +
+      "window over the corpus fingerprint anywhere in the curate plan") {
     // a window over a CONTENT key with the doc text still in the row
     // is the hot-key single-task shape the repo forbids: on a
     // duplicate-heavy corpus (exactly what curate is for) one
