@@ -1,7 +1,6 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -101,12 +100,21 @@ object CorpusDedup {
       nBuckets: Int = 1024, nWords: Int = 4, kHashes: Int = 4,
       idCol: String = "doc_id", textCol: String = "text"): Long = {
     // in-batch exact dedup: deterministic canonical copy (min id per
-    // fingerprint) — the same discipline as Curate.curate's dedup step
-    val w = Window.partitionBy(col("_fp")).orderBy(col(idCol).asc)
+    // fingerprint) — the same single-pass grouped MIN over the
+    // full-row struct as Curate.curate's dedup step, id leading so
+    // the unique id decides: a window over a content key with the doc
+    // TEXT still in the row funnels a duplicate-heavy import batch's
+    // hot fingerprint through ONE task's sort, where the agg's
+    // map-side combine collapses it per input partition (groupBy
+    // keeps a null-text group like the window did)
+    val bCols = batch0.columns
     val batch = batch0
       .withColumn("_fp", TextOps.fingerprint(col(textCol)))
-      .withColumn("_rk", row_number().over(w))
-      .where(col("_rk") === 1).drop("_rk")
+      .groupBy(col("_fp"))
+      .agg(min(struct(
+        (col(idCol) +: bCols.filterNot(_ == idCol).map(col)): _*))
+        .as("_row"))
+      .select(bCols.map(c => col("_row").getField(c).as(c)): _*)
     val (survivors, tierPin) =
       if (exists(spark, tierDir)) {
         val tier = spark.read.parquet(tierDir)
@@ -115,10 +123,10 @@ object CorpusDedup {
             (0 until nWords).map(n => col(s"bloom_w$n")): _*)
         val fps = spark.read.parquet(fpDir)
           .where(col("version") < version).select(col("_fp"))
-        val (s, p) = Bloom.dedupAgainstTierOwned(batch.drop("_fp"),
+        val (s, p) = Bloom.dedupAgainstTierOwned(batch,
           tier, fps, nBuckets, nWords, kHashes, textCol)
         (s, Some(p))
-      } else (batch.drop("_fp"), None)
+      } else (batch, None)
     // one computation of the accepted set feeds all three writes; the
     // pin severs lineage to the sidecar reads, so the overwrites
     // below never write a path their own plan is reading. Lazy pin:
