@@ -97,12 +97,56 @@ object Ingest {
   /** Append one ingest version: data rows, base-tier stat partials,
     * and the control-table row all stamped with `version` — the shared
     * body of the streaming micro-batch path and the batch /import
-    * verb. `batch` must carry the canonical columns + `day`. */
-  private def appendVersion(batch: DataFrame, version: Long,
+    * verb. `batch` must carry the canonical columns + `day`.
+    *
+    * REPLAY-SAFE: `foreachBatch` is at-least-once, so a crash between
+    * any write below and the checkpoint commit re-delivers this
+    * version — plain appends would silently duplicate data rows,
+    * DOUBLE the stat partials, and double-count the control registry.
+    * The protocol (the [[CorpusDedup.appendBatch]] discipline, without
+    * re-partitioning the data tree by version):
+    *
+    *   1. an INTENT marker (`_ingest_intent_v<N>` under the data root,
+    *      a metadata-only touch) brackets the writes — created first,
+    *      deleted after the LAST write;
+    *   2. on entry, a surviving intent marks a half-committed prior
+    *      attempt: [[scrubVersion]] removes every row of this version
+    *      from all trees, then the writes rerun cleanly;
+    *   3. no intent + the version already present in the commit ledger
+    *      (the kilobyte-scale control table when kept, else the stat
+    *      partials — both written after the data) = the prior attempt
+    *      fully committed and only the checkpoint commit was lost:
+    *      skip, the replay is a no-op.
+    *
+    * The ledger probe only fires for the FIRST version after a
+    * (re)start: within one process, batch N's checkpoint commits
+    * before batch N+1 starts, so later versions are provably fresh
+    * (tracked per data root in [[appendedHighWater]]) and the happy
+    * path costs two filesystem metadata calls. */
+  private[graft] def appendVersion(batch: DataFrame, version: Long,
       outDir: String, statsDir: String,
       controlDir: Option[String],
       fieldStats: Option[(String, Seq[String], Seq[String])] = None)
       : Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = batch.sparkSession
+    val intent = new Path(new Path(outDir), s"_ingest_intent_v$version")
+    val fs = intent.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val provenFresh = appendedHighWater.synchronized {
+      appendedHighWater.get(outDir).exists(_ < version)
+    }
+    if (!provenFresh) {
+      if (fs.exists(intent))
+        scrubVersion(spark, version, outDir, statsDir, controlDir,
+          fieldStats.map(_._1))
+      else if (hasVersion(spark, controlDir.getOrElse(statsDir),
+          version)) {
+        appendedHighWater.synchronized {
+          appendedHighWater(outDir) = version }
+        return // fully committed — the replay is a no-op
+      }
+    }
+    fs.mkdirs(intent)
     val b = batch.withColumn("ingest_version", lit(version))
     b.persist()
     b.write.mode("append").partitionBy("topic", "day")
@@ -140,6 +184,109 @@ object Ingest {
         .write.mode("append").parquet(cd)
     }
     b.unpersist()
+    fs.delete(intent, true) // commit point for the replay protocol
+    appendedHighWater.synchronized {
+      appendedHighWater(outDir) = version }
+    ()
+  }
+
+  /** per-process append high-water per data root — see the replay
+    * protocol in [[appendVersion]] */
+  private val appendedHighWater =
+    scala.collection.mutable.Map[String, Long]()
+
+  /** True iff any row stamped `version` exists under `dir` (absent
+    * tree = absent version) — the commit-ledger probe. */
+  private def hasVersion(spark: SparkSession, dir: String,
+      version: Long): Boolean =
+    try {
+      !spark.read.parquet(dir)
+        .where(col("ingest_version") === version).isEmpty
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException => false
+    }
+
+  /** Heal a half-committed ingest attempt: remove EVERY row stamped
+    * `version` from the data tree and each present sidecar, leaving
+    * the store exactly as if the attempt never ran. Idempotent (a
+    * crash mid-scrub re-scrubs on the next replay); single-writer
+    * discipline assumed, like [[optimize]]. */
+  def scrubVersion(spark: SparkSession, version: Long, outDir: String,
+      statsDir: String, controlDir: Option[String],
+      fieldStatsDir: Option[String]): Unit = {
+    scrubPartitionedVersion(spark, outDir, version)
+    scrubSidecarVersion(spark, statsDir, version)
+    fieldStatsDir.foreach(scrubSidecarVersion(spark, _, version))
+    controlDir.foreach(scrubSidecarVersion(spark, _, version))
+  }
+
+  /** Remove `version` rows from the (topic, day)-partitioned data
+    * tree. Affected partition DIRECTORIES enumerate from the dirty
+    * files' own paths (`input_file_name` — never hand-built: topic
+    * values escape in dir names, and dp3 topics carry '/'), the
+    * pushed version filter prunes the probe to the replay's own files
+    * via row-group stats, and each affected partition rewrites under
+    * a temp tree then swaps via metadata renames ([[optimize]]'s
+    * write-new-then-flip; untouched partitions keep their files). A
+    * partition the version wholly owned has no rewritten remainder
+    * and deletes outright. */
+  private def scrubPartitionedVersion(spark: SparkSession, dir: String,
+      version: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val dirtyDirs = spark.read.parquet(dir)
+      .where(col("ingest_version") === version)
+      .select(input_file_name().as("_f")).distinct()
+      .collect().map(r => new Path(
+        new java.net.URI(r.getString(0))).getParent)
+      .distinct.toSeq
+    if (dirtyDirs.isEmpty) return
+    val tmp = new Path(root, ".scrub_tmp")
+    fs.delete(tmp, true)
+    // basePath keeps the partition columns while reading ONLY the
+    // affected partition directories
+    spark.read.option("basePath", dir)
+      .parquet(dirtyDirs.map(_.toString): _*)
+      .where(col("ingest_version") =!= version)
+      .write.partitionBy("topic", "day").parquet(tmp.toString)
+    for (d <- dirtyDirs) {
+      // tmp mirrors the live layout with Spark's OWN escaping — match
+      // the rewritten counterpart by the (topic=..., day=...) dir names
+      val src = new Path(new Path(tmp, d.getParent.getName), d.getName)
+      fs.delete(d, true)
+      if (fs.exists(src) && !fs.rename(src, d))
+        throw new java.io.IOException(s"scrubVersion: rename $src -> $d")
+    }
+    fs.delete(tmp, true)
+    ()
+  }
+
+  /** Remove `version` rows from one unpartitioned sidecar tree (stat
+    * partials, field partials, control): filter-rewrite under a temp
+    * sibling, then flip — sidecars are versions × buckets, small next
+    * to data, and Spark refuses to overwrite a path its own plan
+    * reads. No-op on an absent tree. */
+  private def scrubSidecarVersion(spark: SparkSession, dir: String,
+      version: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val tmp = root.suffix(".scrub")
+    val trash = root.suffix(".scrub-trash")
+    fs.delete(tmp, true); fs.delete(trash, true)
+    spark.read.parquet(dir)
+      .where(col("ingest_version") =!= version)
+      .write.parquet(tmp.toString)
+    if (!fs.rename(root, trash))
+      throw new java.io.IOException(s"scrubVersion: rename $root")
+    if (!fs.rename(tmp, root)) {
+      fs.rename(trash, root) // restore — the old tree is intact
+      throw new java.io.IOException(s"scrubVersion: rename $tmp")
+    }
+    fs.delete(trash, true)
     ()
   }
 

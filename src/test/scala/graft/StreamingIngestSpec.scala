@@ -161,6 +161,64 @@ class StreamingIngestSpec extends AnyFunSuite {
     assert(key(served) == key(bare) && served.count() > 0)
   }
 
+  test("replayed ingest version is exactly-once: a half-committed " +
+      "attempt scrubs and rewrites, a committed one no-ops — slashy " +
+      "topics included") {
+    val base = Files.createTempDirectory("graft-replay").toString
+    val (out, stats, control) =
+      (s"$base/out", s"$base/stats", s"$base/control")
+    def batchDf(seqBase: Long) = Seq(
+      ("p0", "click", 10L * 1000000000L, seqBase, 1.0),
+      // a topic with '/' — partition-dir escaping must round-trip
+      // through the scrub's input_file_name-derived directory paths
+      ("p0", "/veh/pose", 20L * 1000000000L, seqBase + 1, 3.0),
+      ("p0", "/veh/pose", 100000L * 1000000000L, seqBase + 2, 5.0)
+    ).toDF("producer", "topic", "time", "seq", "value")
+      .withColumn("day", expr("time div 86400000000000"))
+    Ingest.appendVersion(batchDf(1L), 1L, out, stats, Some(control))
+    Ingest.appendVersion(batchDf(10L), 2L, out, stats, Some(control))
+    def snapshot() = (
+      spark.read.parquet(out)
+        .select("producer", "topic", "time", "seq", "ingest_version")
+        .collect().map(_.toString).sorted.toSeq,
+      spark.read.parquet(stats).collect().map(_.toString).sorted.toSeq,
+      spark.read.parquet(control)
+        .drop("ingest_time_ns") // wall-clock stamp, legitimately varies
+        .collect().map(_.toString).sorted.toSeq)
+    val committed = snapshot()
+    assert(committed._1.size == 6)
+    // committed replay (crash AFTER the commit point, before the
+    // checkpoint commit): intent gone, ledger has v2 — must no-op
+    Ingest.appendVersion(batchDf(10L), 2L, out, stats, Some(control))
+    assert(snapshot() == committed,
+      "a committed replay must change nothing")
+    // half-committed replay: resurrect the intent marker — as if the
+    // attempt crashed between its writes and the commit point — and
+    // re-deliver. The scrub must remove BOTH versions' duplicates of
+    // v2 rows (data, stat partials, control) before rewriting, ending
+    // at exactly one copy; the day=1 partition of /veh/pose is wholly
+    // owned by v2, exercising the delete-outright branch
+    val fs = new org.apache.hadoop.fs.Path(out).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // plant the debris a real crash leaves: the replayed attempt's
+    // DATA write landed (duplicate v2 rows on disk), sidecars did not
+    batchDf(10L).withColumn("ingest_version", lit(2L))
+      .write.mode("append").partitionBy("topic", "day").parquet(out)
+    assert(spark.read.parquet(out).count() == 9,
+      "the planted duplicates must be visible before the heal")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(out), "_ingest_intent_v2"))
+    Ingest.appendVersion(batchDf(10L), 2L, out, stats, Some(control))
+    assert(snapshot() == committed,
+      "a half-committed replay must scrub then rewrite to one copy")
+    // a scrub of a version with no rows is a no-op (idempotence face)
+    Ingest.scrubVersion(spark, 99L, out, stats, Some(control), None)
+    assert(snapshot() == committed)
+    // and the store still answers correctly through the catalog path
+    assert(spark.read.parquet(out)
+      .where(col("topic") === "/veh/pose").count() == 4)
+  }
+
   test("import into a fieldStats store pads missing fields with typed " +
       "nulls: coverage provable, pruning exact") {
     val base = Files.createTempDirectory("graft-fpad").toString
