@@ -1025,6 +1025,54 @@ object SparkEntry {
         .orderBy("doc_id", "chunk_idx")
     }),
 
+    "t_pack_seqs" -> ((s, dir) => {
+      // the FINAL dataloader step: per-lane concat of real subword id
+      // streams with an EOS separator (id = vocab size, the standard
+      // append-a-special-token slot), split into exactly-128-id
+      // training sequences — sequences span document boundaries,
+      // which neither chunkIds (within-doc windows) nor packBudget
+      // (whole-doc shards) can express; each lane's trailing partial
+      // is dropped. The oracle re-derives training, vocab, per-doc
+      // ids AND the stream assembly (offsets, slices, EOS, partial
+      // drop) from scratch in DuckDB.
+      val docs = Tables.load(s, dir, "documents")
+      val merges = Bpe.train(docs, nMerges = BpeMerges)
+      val vocab = Bpe.vocab(docs, merges)
+      Sampling.packSequences(
+          Bpe.encodeIds(docs, merges, vocab),
+          seqLen = 128, nBuckets = 8, eosId = vocab.length.toLong)
+        .orderBy("pack_bucket", "seq_idx")
+    }),
+
+    "t_bpe_roundtrip" -> ((s, dir) => {
+      // decode ∘ encode pinned per document: the decoded id sequence
+      // must equal the whitespace-stripped lowercased token concat
+      // (whitespace is not represented in the id space), with the
+      // decoded string itself hash-compared via md5. roundtrip_ok
+      // rides as 0/1 BIGINT (cross-engine boolean rendering is not
+      // part of the hash contract); a self-trained vocab makes every
+      // row 1.
+      val docs = Tables.load(s, dir, "documents")
+      val merges = Bpe.train(docs, nMerges = BpeMerges)
+      val vocab = Bpe.vocab(docs, merges)
+      docs.select(col("doc_id"),
+          graft.functions.BpeFunctions.bpeIds(col("text"), merges,
+            vocab).as("_ids"),
+          array_join(regexp_extract_all(lower(col("text")),
+            lit(Bpe.WordRe + "|" + Bpe.PunctRe), lit(0)), "")
+            .as("_norm"))
+        .select(col("doc_id"),
+          size(col("_ids")).cast("long").as("n_ids"),
+          graft.functions.BpeFunctions.bpeDecode(col("_ids"),
+            vocab).as("_dec"),
+          col("_norm"))
+        .select(col("doc_id"), col("n_ids"),
+          md5(col("_dec")).as("decoded_md5"),
+          when(col("_dec") === col("_norm"), lit(1L)).otherwise(lit(0L))
+            .as("roundtrip_ok"))
+        .orderBy("doc_id")
+    }),
+
     "t_rolling_fp" -> ((s, dir) =>
       // rolling (Rabin-style) window fingerprints: token hashes are
       // projected into a named column FIRST (md5 per token; inlining
@@ -3930,6 +3978,88 @@ object SparkEntry {
           |  CAST((cum - n_ids) // 512 AS BIGINT) AS pack_shard,
           |  n_ids
           |FROM wc ORDER BY doc_id, chunk_idx""".stripMargin),
+
+    // concat-and-chunk sequence assembly: per-lane (md5 bucket) doc
+    // streams in (pk, id) order, one EOS (= vocab size) after every
+    // doc, exact 128-id sequences, trailing partial dropped. Slices
+    // re-derive from each doc's stream offset o: positions [o, o+n]
+    // are its ids plus EOS at o+n; DuckDB list slices are 1-based
+    // inclusive, mirroring Spark's slice(arr, start, length).
+    "t_pack_seqs" ->
+      (bpeIdsOracleCtes + ",\n" +
+        """ids0 AS (
+          |  SELECT doc_id, string_split(ids_csv, ',') AS ids,
+          |    n_ids AS n
+          |  FROM agg WHERE n_ids >= 1),
+          |eosv AS (SELECT CAST(count(*) AS VARCHAR) AS e FROM vocab),
+          |bk AS (
+          |  SELECT doc_id, ids, n,
+          |    substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 8)
+          |      AS pk
+          |  FROM ids0),
+          |bb AS (
+          |  SELECT *, CAST(('0x' || pk) AS BIGINT) % 8 AS bkt FROM bk),
+          |off AS (
+          |  SELECT *,
+          |    CAST(sum(n + 1) OVER (PARTITION BY bkt
+          |      ORDER BY pk, doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |      AS BIGINT) - (n + 1) AS o,
+          |    CAST(sum(n + 1) OVER (PARTITION BY bkt) AS BIGINT)
+          |      AS tot
+          |  FROM bb),
+          |seg AS (
+          |  SELECT bkt, ids, n, o, tot,
+          |    unnest(generate_series(o // 128, (o + n) // 128)) AS s
+          |  FROM off),
+          |frag AS (
+          |  SELECT bkt, s, greatest(o, s * 128) AS lo,
+          |    least(o + n, s * 128 + 127) AS hi, o, n, ids
+          |  FROM seg WHERE s * 128 + 128 <= tot),
+          |fcsv AS (
+          |  SELECT bkt, s, lo,
+          |    CASE WHEN hi < o + n THEN
+          |      array_to_string(ids[lo - o + 1 : hi - o + 1], ',')
+          |    WHEN hi > lo THEN
+          |      array_to_string(ids[lo - o + 1 : hi - o], ',') || ','
+          |        || (SELECT e FROM eosv)
+          |    ELSE (SELECT e FROM eosv) END AS csv
+          |  FROM frag)
+          |SELECT bkt AS pack_bucket, CAST(s AS BIGINT) AS seq_idx,
+          |  CAST(count(*) AS BIGINT) AS n_docs,
+          |  string_agg(csv, ',' ORDER BY lo) AS ids_csv
+          |FROM fcsv GROUP BY 1, 2
+          |ORDER BY 1, 2""".stripMargin),
+
+    // decode ∘ encode: per-doc ids map back through the vocab (id →
+    // token, out-of-range → U+FFFD) and concatenate in position
+    // order; the result must equal the whitespace-stripped lowercased
+    // token concat. Empty docs decode to '' and trivially round-trip.
+    "t_bpe_roundtrip" ->
+      (bpeIdsOracleCtes + ",\n" +
+        """u AS (
+          |  SELECT doc_id, unnest(string_split(ids_csv, ',')) AS sid,
+          |    generate_subscripts(string_split(ids_csv, ','), 1) AS pos
+          |  FROM agg WHERE ids_csv <> ''),
+          |dec AS (
+          |  SELECT doc_id, string_agg(coalesce(v.tok, chr(65533)), ''
+          |    ORDER BY pos) AS dec
+          |  FROM u LEFT JOIN vocab v ON v.id = CAST(u.sid AS BIGINT)
+          |  GROUP BY doc_id),
+          |nrm AS (
+          |  SELECT doc_id, array_to_string(regexp_extract_all(
+          |    lower(text), '[a-z0-9_]+|[^a-z0-9_ \t\n\x0B\f\r]'), '')
+          |    AS norm
+          |  FROM documents)
+          |SELECT d.doc_id,
+          |  CAST(coalesce(a.n_ids, 0) AS BIGINT) AS n_ids,
+          |  md5(coalesce(dc.dec, '')) AS decoded_md5,
+          |  CAST(CASE WHEN coalesce(dc.dec, '') = n.norm
+          |    THEN 1 ELSE 0 END AS BIGINT) AS roundtrip_ok
+          |FROM documents d LEFT JOIN agg a USING (doc_id)
+          |LEFT JOIN dec dc USING (doc_id)
+          |JOIN nrm n USING (doc_id)
+          |ORDER BY doc_id""".stripMargin),
 
     "t_ngrams" ->
       """WITH raw AS (

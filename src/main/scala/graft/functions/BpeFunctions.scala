@@ -223,7 +223,14 @@ final class BpeVocab(val tokens: Seq[String]) extends Serializable {
     val got = ids.get(tok)
     if (got == null) -1 else got.intValue()
   }
-  def size: Int = tokens.size
+
+  @transient private lazy val arr: Array[String] = tokens.toArray
+  /** vocab size off the materialized array — `tokens` may be
+    * List-backed, where per-call `.size` is an O(vocab) traversal
+    * (a per-id bounds check in the decode loop would go quadratic) */
+  def size: Int = arr.length
+  /** token string for a dense id — the decode direction */
+  def tokenAt(id: Int): String = arr(id)
 
   /** content fingerprint — identifies this vocab in the session
     * function registry ([[BpeFunctions.idsNameFor]]) */
@@ -323,6 +330,78 @@ object BpeEncodeIds {
   }
 }
 
+/** Native BPE id-sequence DECODE — the inverse of [[BpeEncodeIds]]:
+  * map every id through the broadcast vocab and concatenate the token
+  * strings. Whitespace is not represented in the id space (the
+  * pre-tokenizer extracts word/punct tokens), so the decode
+  * reconstructs the WHITESPACE-STRIPPED lowercased normal form —
+  * exactly `array_join(regexp_extract_all(lower(text), WordRe "|"
+  * PunctRe), "")`, the pinned roundtrip identity (t_bpe_roundtrip; an
+  * inspection/debugging face for packed sequences, not a text
+  * restorer). Total function: out-of-range ids (OOV's -1, a foreign
+  * vocab, a special token like packSequences' EOS) decode to U+FFFD
+  * REPLACEMENT CHARACTER rather than failing — decode must stay total
+  * on streams a curation pipeline can produce. Row-local, zero
+  * shuffle, same reference-object state discipline as the encode
+  * (a vocab-sized lookup table never belongs in the expression tree —
+  * the depth rule). */
+case class BpeDecodeIds(child: Expression, vocab: BpeVocab)
+    extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(IntegerType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(
+            s"${BpeFunctions.decodeName} expects array<int>, got $other")
+    }
+
+  override def nullSafeEval(ids: Any): Any =
+    BpeDecodeIds.decode(
+      ids.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      vocab)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val vocabRef = ctx.addReferenceObj("bpeVocab", vocab,
+      classOf[BpeVocab].getName)
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.BpeDecodeIds.decode($c, $vocabRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+object BpeDecodeIds {
+
+  /** Called from generated code. */
+  def decode(ids: org.apache.spark.sql.catalyst.util.ArrayData,
+      vocab: BpeVocab): UTF8String = {
+    val n = ids.numElements()
+    val sz = vocab.size // hoisted: never a per-id accessor call
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < n) {
+      if (ids.isNullAt(i)) sb.append('\uFFFD')
+      else {
+        val id = ids.getInt(i)
+        if (id >= 0 && id < sz) sb.append(vocab.tokenAt(id))
+        else sb.append('\uFFFD')
+      }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+}
+
 /** Registration + Column-level API. The merges table travels in the
   * BUILDER closure, so the registered name must IDENTIFY the table:
   * a fixed name would make the last registration win for any later
@@ -392,5 +471,32 @@ object BpeFunctions {
     val name = registerIds(SparkSession.active, new BpeTable(merges),
       new BpeVocab(vocabTokens))
     call_function(name, text)
+  }
+
+  val decodeName = "graft_bpe_decode"
+
+  /** the session-registry name for this exact vocab */
+  def decodeNameFor(vocab: BpeVocab): String =
+    decodeName + "_" + vocab.fingerprint
+
+  def registerDecode(spark: SparkSession, vocab: BpeVocab): String = {
+    val name = decodeNameFor(vocab)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => {
+        if (exprs.length != 1)
+          throw new IllegalArgumentException(
+            s"$name expects exactly one argument (ids array), " +
+              s"got ${exprs.length}")
+        BpeDecodeIds(exprs.head, vocab)
+      }, "scala_udf")
+    name
+  }
+
+  /** Decoded token string of one id sequence under `vocabTokens`,
+    * codegen'd — see [[BpeDecodeIds]]. */
+  def bpeDecode(ids: Column, vocabTokens: Seq[String]): Column = {
+    val name = registerDecode(SparkSession.active,
+      new BpeVocab(vocabTokens))
+    call_function(name, ids)
   }
 }

@@ -277,6 +277,24 @@ object Bpe {
       graft.functions.BpeFunctions.bpeIds(col(textCol), merges,
         vocabTokens).as("bpe_ids"))
 
+  /** Decode per-document id sequences back to token strings under a
+    * trained vocab — the inverse of [[encodeIds]] and the inspection
+    * face for packed sequences ([[Sampling.packSequences]] output is
+    * opaque id csv without it). Whitespace is not represented in the
+    * id space, so the decode reconstructs the WHITESPACE-STRIPPED
+    * lowercased normal form; the pinned roundtrip identity is
+    * decode(encode(text)) == array_join(regexp_extract_all(
+    * lower(text), WordRe|PunctRe), "") (t_bpe_roundtrip hashes it
+    * cross-engine). Out-of-range ids (OOV -1, special tokens like an
+    * EOS) decode to U+FFFD — decode stays total. Output:
+    * (idCol, decoded string). Row-local compiled projection
+    * ([[graft.functions.BpeDecodeIds]]), zero shuffle. */
+  def decodeIds(df: DataFrame, vocabTokens: Seq[String],
+      idCol: String = "doc_id", idsCol: String = "bpe_ids"): DataFrame =
+    df.select(col(idCol),
+      graft.functions.BpeFunctions.bpeDecode(col(idsCol), vocabTokens)
+        .as("decoded"))
+
   /** BPE token count per document under a trained merges table:
     * sum over the document's word occurrences of the word's subword
     * count, plus one per non-word (punctuation) character. The encode

@@ -30,6 +30,20 @@ object Sampling {
   def hashBucket(id: Column, salt: String): Column =
     substring(md5(concat(lit(salt + ":"), id.cast("string"))), 1, 8)
 
+  /** Stamp the packing-lane columns shared by [[packBudget]] and
+    * [[packSequences]]: `_pk` (the 8-hex hash-order key) and
+    * `pack_bucket` = pk mod nBuckets. ONE copy of the lane contract —
+    * the two packers (and their SQL oracles) must agree bit-for-bit
+    * on lane membership forever, so the formula lives here only.
+    * ([[hashBucket]] already returns exactly 8 hex chars, so no
+    * substring before the base conversion.) */
+  private def withLane(df: DataFrame, nBuckets: Int, idCol: String,
+      salt: String): DataFrame =
+    df.withColumn("_pk", hashBucket(col(idCol), salt))
+      .withColumn("pack_bucket",
+        pmod(conv(col("_pk"), 16, 10).cast("long"),
+          lit(nBuckets.toLong)))
+
   /** Cutoff hex literal covering `fraction` of the 32-bit space.
     * Exposed so SQL oracles embed the IDENTICAL literal. */
   def hexCutoff(fraction: Double): String = {
@@ -129,10 +143,7 @@ object Sampling {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("pack_bucket"))
       .orderBy(col("_pk"), col(idCol))
-    df.withColumn("_pk", hashBucket(col(idCol), salt))
-      .withColumn("pack_bucket",
-        pmod(conv(substring(col("_pk"), 1, 8), 16, 10).cast("long"),
-          lit(nBuckets.toLong)))
+    withLane(df, nBuckets, idCol, salt)
       .withColumn("_cum", sum(col(tokensCol)).over(
         w.rowsBetween(org.apache.spark.sql.expressions.Window
           .unboundedPreceding, org.apache.spark.sql.expressions.Window
@@ -213,6 +224,104 @@ object Sampling {
         size(col("_chunk")).cast("long").as("n_ids"),
         array_join(transform(col("_chunk"), x => x.cast("string")),
           ",").as("ids_csv"))
+  }
+
+  /** Pack per-document token-id sequences into fixed-length training
+    * sequences — the final dataloader step of a pretraining pipeline
+    * (GPT-style "concatenate and chunk"): within each of `nBuckets`
+    * hash lanes, documents concatenate in deterministic (hash, id)
+    * order into one token stream with `eosId` appended after every
+    * document (the boundary token the model learns to attend across),
+    * and the stream splits into back-to-back sequences of EXACTLY
+    * `seqLen` ids — sequences routinely span document boundaries,
+    * which is precisely what [[chunkIds]] (within-doc windows) and
+    * [[packBudget]] (whole-doc shards) cannot express. Each lane's
+    * trailing partial sequence is dropped (a fixed-shape batch can't
+    * consume it); documents with empty id sequences are dropped
+    * (nothing to emit — they would contribute a bare EOS no model
+    * sees a document behind). Output: (pack_bucket, seq_idx — 0-based
+    * within lane, n_docs — documents contributing ≥1 token including
+    * EOS-only tails, ids_csv — the seqLen ids comma-joined, the
+    * cross-engine-stable array face).
+    *
+    * Deterministic: lane = hash(salt, id) mod nBuckets, order within
+    * a lane = (hash, id) — a pure function of (salt, ids, id
+    * sequences) on any engine, any partitioning ([[packBudget]]'s
+    * guarantee, extended to token granularity).
+    *
+    * 100 TB shape: a GLOBAL stream would serialize the corpus through
+    * one cumsum; instead each lane packs independently (the
+    * [[packBudget]] lane discipline — nBuckets scales with the
+    * cluster). One window computes per-doc stream offsets from doc
+    * LENGTHS (the id arrays ride through the lane sort once — the
+    * same volume any shuffle of the encoded corpus moves, and
+    * carrying them beats a narrow-frame offset pass that would
+    * re-execute the upstream encode per consumer, the
+    * multi-consumer-subtree rule); a bounded explode emits one
+    * SLICE per (document × overlapped sequence) — total work and
+    * volume ∝ corpus tokens, never quadratic; and the final assembly
+    * groups by (lane, seq_idx), where every group is exactly seqLen
+    * tokens — skew-free by construction (no mega-key exists: the
+    * hot-key shape dedup guards against cannot occur here). ONE
+    * shuffle end to end: the assembly's grouping keys are clustered
+    * by the lane window's hashpartitioning(pack_bucket), so
+    * EnsureRequirements reuses the lane exchange (spec-gated). */
+  def packSequences(df: DataFrame, seqLen: Int, nBuckets: Int,
+      eosId: Long, idCol: String = "doc_id", idsCol: String = "bpe_ids",
+      salt: String = "graft"): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1: $seqLen")
+    require(nBuckets >= 1, s"nBuckets >= 1: $nBuckets")
+    require(eosId >= 0, s"eosId must be a vocab id (>= 0): $eosId")
+    import org.apache.spark.sql.expressions.Window
+    val ow = Window.partitionBy(col("pack_bucket"))
+      .orderBy(col("_pk"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val L = lit(seqLen.toLong)
+    val eos = lit(eosId.toString)
+    val offsets = withLane(
+        df.select(col(idCol), col(idsCol).as("_ids"))
+          .where(size(col("_ids")) >= 1),
+        nBuckets, idCol, salt)
+      .withColumn("_n", size(col("_ids")).cast("long"))
+      // running end-of-doc position in the lane's stream (each doc
+      // occupies _n ids + 1 EOS); _tot rides the SAME lane window
+      // shuffle+sort (unbounded max over the ordered partition), so
+      // the trailing-partial filter costs no extra exchange
+      .withColumn("_end", sum(col("_n") + lit(1L)).over(ow))
+      .withColumn("_tot", max(col("_end")).over(
+        Window.partitionBy(col("pack_bucket"))))
+      .withColumn("_o", col("_end") - col("_n") - lit(1L))
+    // positions [_o, _o + _n] are this doc's tokens (_o + _n = EOS);
+    // it overlaps sequences _o div L .. (_o + _n) div L — at most
+    // n/L + 2 slices per doc, total ∝ corpus tokens
+    val segs = offsets
+      .withColumn("_s", explode(expr(
+        s"sequence(_o div ${seqLen}L, (_o + _n) div ${seqLen}L)")))
+      .where(col("_s") * L + L <= col("_tot"))
+      .withColumn("_lo", greatest(col("_o"), col("_s") * L))
+      .withColumn("_hi", least(col("_o") + col("_n"),
+        col("_s") * L + L - lit(1L)))
+    def sliceCsv(len: Column): Column = array_join(transform(
+      slice(col("_ids"), (col("_lo") - col("_o") + lit(1L)).cast("int"),
+        len.cast("int")), x => x.cast("string")), ",")
+    segs
+      .withColumn("_frag",
+        when(col("_hi") < col("_o") + col("_n"),
+          sliceCsv(col("_hi") - col("_lo") + lit(1L)))
+          // _hi == _o + _n: the slice covers _lo .. EOS-1, then EOS
+          .when(col("_hi") > col("_lo"),
+            concat(sliceCsv(col("_hi") - col("_lo")), lit(","), eos))
+          .otherwise(eos)) // EOS alone landed on a sequence boundary
+      .groupBy(col("pack_bucket"), col("_s"))
+      .agg(count(lit(1)).as("n_docs"),
+        // fragments reassemble in stream order: array_sort on the
+        // (_lo, _frag) struct orders by _lo (distinct within a
+        // sequence), the collect is bounded at seqLen ids per group
+        array_join(transform(
+          array_sort(collect_list(struct(col("_lo"), col("_frag")))),
+          x => x.getField("_frag")), ",").as("ids_csv"))
+      .select(col("pack_bucket"), col("_s").cast("long").as("seq_idx"),
+        col("n_docs"), col("ids_csv"))
   }
 
   /** Rebalance a corpus to a TARGET mixture (DoReMi-style domain

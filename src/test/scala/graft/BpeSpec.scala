@@ -232,6 +232,33 @@ class BpeSpec extends AnyFunSuite {
       .foreach(_.unpersist(blocking = true))
   }
 
+  test("decodeIds inverts encodeIds to the whitespace-stripped " +
+      "lowercased normal form; out-of-range ids decode to U+FFFD") {
+    val docs = Seq(
+      (1L, "Hello, World!  Mixed\tWS\nand CASE."),
+      (2L, ""),
+      (3L, "banana bandana band"),
+      (4L, "...!!  ")).toDF("doc_id", "text")
+    val merges = Bpe.train(docs, nMerges = 6)
+    val vv = Bpe.vocab(docs, merges)
+    val dec = Bpe.decodeIds(Bpe.encodeIds(docs, merges, vv), vv)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val norm = docs.select(col("doc_id"),
+        array_join(regexp_extract_all(lower(col("text")),
+          lit(Bpe.WordRe + "|" + Bpe.PunctRe), lit(0)), "").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(dec == norm)
+    assert(dec(2L) == "") // empty doc round-trips to empty
+    // decode is TOTAL: OOV (-1), a special token (vocab size — e.g.
+    // packSequences' EOS), and any out-of-range id map to U+FFFD
+    val weird = Seq((9L, Array(-1, 0, vv.length, 1 << 20)))
+      .toDF("doc_id", "bpe_ids")
+    val d = Bpe.decodeIds(weird, vv).collect()(0).getString(1)
+    assert(d == "\uFFFD" + vv.head + "\uFFFD\uFFFD")
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+  }
+
   test("BpeTable rejects non-self-trained merge tables at " +
       "construction and the registered builders validate arity") {
     import graft.functions.{BpeFunctions, BpeTable, BpeVocab}

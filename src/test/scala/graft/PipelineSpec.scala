@@ -1608,6 +1608,72 @@ class PipelineSpec extends AnyFunSuite {
     assert(again == rows.map(r => (r._1, r._3)).toSet)
   }
 
+  test("packSequences: exact-L sequences, EOS at doc boundaries, " +
+      "trailing partial dropped, deterministic, one-shuffle plan") {
+    // mirror hashBucket's ordering key locally (md5 first 8 hex)
+    def pk(id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s"graft:$id".getBytes("UTF-8")).take(4)
+        .map(b => f"${b & 0xff}%02x").mkString
+    }
+    val corpus = Seq(
+      (1L, Array(10, 11, 12)),
+      (2L, Array.range(100, 107)),
+      (3L, Array.empty[Int]), // empty sequence: contributes nothing
+      (4L, Array(40)),
+      (5L, Array.range(500, 511)))
+    val docs = corpus.toDF("doc_id", "bpe_ids")
+    val L = 5
+    val eos = 999L
+    val packed = Sampling.packSequences(docs, seqLen = L, nBuckets = 1,
+      eosId = eos)
+    // ONE shuffle end to end: the sequence assembly's aggregate keys
+    // (pack_bucket, _s) are clustered by the lane window's
+    // hashpartitioning(pack_bucket), so EnsureRequirements reuses the
+    // lane exchange (executedPlan string pre-run — sparkPlan is
+    // pre-EnsureRequirements and carries no exchanges at all)
+    val planStr = packed.queryExecution.executedPlan.toString
+    val nShuffles = "Exchange hashpartitioning".r
+      .findAllIn(planStr).length
+    assert(nShuffles == 1, s"expected 1 shuffle, got $nShuffles in\n" +
+      planStr)
+    val got = packed.collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1)
+    // expected stream: non-empty docs in (pk, id) order, each + EOS
+    val ordered = corpus.filter(_._2.nonEmpty)
+      .sortBy { case (id, _) => (pk(id), id) }
+    val stream = ordered.flatMap { case (_, ids) =>
+      ids.map(_.toLong) :+ eos }
+    val nSeqs = stream.length / L // trailing partial dropped
+    assert(got.length == nSeqs && nSeqs >= 3)
+    got.foreach { case (s, _, csv) =>
+      assert(csv.split(",").length == L) // EXACTLY seqLen ids each
+      assert(csv == stream.slice(s.toInt * L, s.toInt * L + L)
+        .mkString(","))
+    }
+    // n_docs = docs whose [o, o+n] token span intersects the sequence
+    val offsets = ordered.map(_._2.length + 1)
+      .scanLeft(0)(_ + _).init.zip(ordered)
+    got.foreach { case (s, nDocs, _) =>
+      val lo = s.toInt * L
+      val hi = lo + L - 1
+      val expect = offsets.count { case (o, (_, ids)) =>
+        o <= hi && o + ids.length >= lo }
+      assert(nDocs == expect, s"seq $s: n_docs $nDocs != $expect")
+    }
+    // pure function of (salt, ids): identical on a re-run
+    val again = Sampling.packSequences(docs, seqLen = L, nBuckets = 1,
+      eosId = eos).collect()
+      .map(r => (r.getLong(1), r.getString(3))).toSet
+    assert(again == got.map(g => (g._1, g._3)).toSet)
+    // lanes partition the work: every lane emits exact-L sequences
+    // from its own stream and empty docs still contribute nothing
+    val multi = Sampling.packSequences(docs, seqLen = 3, nBuckets = 4,
+      eosId = eos).collect()
+    multi.foreach(r => assert(r.getString(3).split(",").length == 3))
+  }
+
   test("curate: quality gate, canonical-copy dedup, stratified rates") {
     val body = (1 to 30).map(i => s"w$i").mkString(" ") // 30 tokens, 0 stops
     val corpus = Seq(
