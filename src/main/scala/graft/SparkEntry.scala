@@ -4027,6 +4027,8 @@ object SparkEntry {
           |  FROM frag)
           |SELECT bkt AS pack_bucket, CAST(s AS BIGINT) AS seq_idx,
           |  CAST(count(*) AS BIGINT) AS n_docs,
+          |  string_agg(CAST(lo - s * 128 AS VARCHAR), ','
+          |    ORDER BY lo) AS starts_csv,
           |  string_agg(csv, ',' ORDER BY lo) AS ids_csv
           |FROM fcsv GROUP BY 1, 2
           |ORDER BY 1, 2""".stripMargin),

@@ -241,8 +241,16 @@ object Sampling {
     * (nothing to emit — they would contribute a bare EOS no model
     * sees a document behind). Output: (pack_bucket, seq_idx — 0-based
     * within lane, n_docs — documents contributing ≥1 token including
-    * EOS-only tails, ids_csv — the seqLen ids comma-joined, the
-    * cross-engine-stable array face).
+    * EOS-only tails, starts_csv — each contributing document
+    * fragment's start offset WITHIN the sequence in stream order (a
+    * carried-over head reads 0; an EOS-only tail reads its EOS
+    * position): together with the in-stream EOS ids these are the
+    * boundaries an attention-mask-reset / loss-mask consumer needs,
+    * cf. the `reset_attention_mask` option of published pretraining
+    * dataloaders, ids_csv — the seqLen ids comma-joined, the
+    * cross-engine-stable array face). starts_csv falls out of the
+    * same fragment sort that assembles ids_csv — zero extra
+    * exchanges or passes.
     *
     * Deterministic: lane = hash(salt, id) mod nBuckets, order within
     * a lane = (hash, id) — a pure function of (salt, ids, id
@@ -316,12 +324,20 @@ object Sampling {
       .agg(count(lit(1)).as("n_docs"),
         // fragments reassemble in stream order: array_sort on the
         // (_lo, _frag) struct orders by _lo (distinct within a
-        // sequence), the collect is bounded at seqLen ids per group
-        array_join(transform(
-          array_sort(collect_list(struct(col("_lo"), col("_frag")))),
-          x => x.getField("_frag")), ",").as("ids_csv"))
+        // sequence); ONE collect buffer (bounded at seqLen ids per
+        // group), both output faces derive from it row-locally below
+        array_sort(collect_list(struct(col("_lo"), col("_frag"))))
+          .as("_frags"))
       .select(col("pack_bucket"), col("_s").cast("long").as("seq_idx"),
-        col("n_docs"), col("ids_csv"))
+        col("n_docs"),
+        // the sorted _lo values double as the in-sequence document
+        // start offsets (_lo = max(o, s*L), so a carried-over head
+        // reads 0)
+        array_join(transform(col("_frags"),
+          x => (x.getField("_lo") - col("_s") * L).cast("string")),
+          ",").as("starts_csv"),
+        array_join(transform(col("_frags"),
+          x => x.getField("_frag")), ",").as("ids_csv"))
   }
 
   /** Rebalance a corpus to a TARGET mixture (DoReMi-style domain

@@ -1638,7 +1638,8 @@ class PipelineSpec extends AnyFunSuite {
     assert(nShuffles == 1, s"expected 1 shuffle, got $nShuffles in\n" +
       planStr)
     val got = packed.collect()
-      .map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+      .map(r => (r.getLong(1), r.getLong(2), r.getString(3),
+        r.getString(4)))
       .sortBy(_._1)
     // expected stream: non-empty docs in (pk, id) order, each + EOS
     val ordered = corpus.filter(_._2.nonEmpty)
@@ -1647,31 +1648,39 @@ class PipelineSpec extends AnyFunSuite {
       ids.map(_.toLong) :+ eos }
     val nSeqs = stream.length / L // trailing partial dropped
     assert(got.length == nSeqs && nSeqs >= 3)
-    got.foreach { case (s, _, csv) =>
+    got.foreach { case (s, _, _, csv) =>
       assert(csv.split(",").length == L) // EXACTLY seqLen ids each
       assert(csv == stream.slice(s.toInt * L, s.toInt * L + L)
         .mkString(","))
     }
-    // n_docs = docs whose [o, o+n] token span intersects the sequence
+    // n_docs = docs whose [o, o+n] token span intersects the
+    // sequence, and starts_csv = those docs' in-sequence start
+    // offsets (carried-over heads clamp to 0) in stream order — the
+    // attention-mask-reset boundaries
     val offsets = ordered.map(_._2.length + 1)
       .scanLeft(0)(_ + _).init.zip(ordered)
-    got.foreach { case (s, nDocs, _) =>
+    got.foreach { case (s, nDocs, starts, _) =>
       val lo = s.toInt * L
       val hi = lo + L - 1
-      val expect = offsets.count { case (o, (_, ids)) =>
+      val overlapping = offsets.filter { case (o, (_, ids)) =>
         o <= hi && o + ids.length >= lo }
-      assert(nDocs == expect, s"seq $s: n_docs $nDocs != $expect")
+      assert(nDocs == overlapping.length,
+        s"seq $s: n_docs $nDocs != ${overlapping.length}")
+      val wantStarts = overlapping
+        .map { case (o, _) => math.max(o - lo, 0) }.sorted
+      assert(starts == wantStarts.mkString(","),
+        s"seq $s: starts $starts != $wantStarts")
     }
     // pure function of (salt, ids): identical on a re-run
     val again = Sampling.packSequences(docs, seqLen = L, nBuckets = 1,
       eosId = eos).collect()
-      .map(r => (r.getLong(1), r.getString(3))).toSet
-    assert(again == got.map(g => (g._1, g._3)).toSet)
+      .map(r => (r.getLong(1), r.getString(4))).toSet
+    assert(again == got.map(g => (g._1, g._4)).toSet)
     // lanes partition the work: every lane emits exact-L sequences
     // from its own stream and empty docs still contribute nothing
     val multi = Sampling.packSequences(docs, seqLen = 3, nBuckets = 4,
       eosId = eos).collect()
-    multi.foreach(r => assert(r.getString(3).split(",").length == 3))
+    multi.foreach(r => assert(r.getString(4).split(",").length == 3))
   }
 
   test("curate: quality gate, canonical-copy dedup, stratified rates") {
