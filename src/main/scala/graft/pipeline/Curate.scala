@@ -79,25 +79,17 @@ object Curate {
           graft.functions.GopherFunctions.gopherRepKeep(col(textCol),
             lineSep))
         .drop(TextOps.gopherQualityCountCols: _*)
-    // exact dedup, skew-safe AND single-pass (see the object doc):
-    // one grouped MIN over the full-row struct with the id leading
-    // (fields compare left to right, so the unique id decides; every
-    // other field is a pure function of the identical text anyway).
-    // Partial aggregation collapses a mega-duplicate fingerprint
-    // MAP-SIDE — the hot key reaches the exchange as at most one row
-    // per input partition — and the expensive gate stages above
-    // evaluate ONCE: the first cut of this fix was an agg+semi-join,
+    // exact dedup, skew-safe AND single-pass (see the object doc and
+    // Dedup.canonicalPerFingerprint — the ONE copy of the canonical-
+    // copy contract this and CorpusDedup.appendBatch share): the
+    // grouped argmin's partial aggregation collapses a mega-duplicate
+    // fingerprint MAP-SIDE, and the expensive gate stages above
+    // evaluate ONCE — the first cut of this fix was an agg+semi-join,
     // which re-executed the whole gated subtree per consumer (the
     // multi-consumer-subtree rule; measured 2.5× on the gopher-gated
     // face at sf0.1).
-    val cols = gated.columns
-    val deduped = gated
-      .withColumn("_fp", TextOps.fingerprint(col(textCol)))
-      .groupBy(col("_fp"))
-      .agg(min(struct(
-        (col(idCol) +: cols.filterNot(_ == idCol).map(col)): _*))
-        .as("_row"))
-      .select(cols.map(c => col("_row").getField(c).as(c)): _*)
+    val deduped = Dedup.canonicalPerFingerprint(gated,
+      TextOps.fingerprint(col(textCol)), idCol)
     Sampling.stratified(deduped, strataCol, rates, default, idCol)
   }
 

@@ -31,6 +31,33 @@ object Dedup {
       .groupBy("fp")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** In-place exact dedup keeping the FULL canonical row (minimum id)
+    * per content fingerprint — the single-pass shape Curate.curate and
+    * CorpusDedup.appendBatch share (one copy of the contract: the
+    * canonical row is decided by the id alone, and the two faces can
+    * never drift). ONE map-side-combined grouped `min_by(struct(all
+    * columns), id)` keyed on the fingerprint, NEVER a window over the
+    * content key (a mega-duplicate fingerprint — empty docs, template
+    * pages — funnels every full-text copy through one task's sort,
+    * where the agg's partial aggregation collapses it to ≤ one row per
+    * input partition before the exchange) and NEVER a semi-join back
+    * (a second consumer re-executes the whole upstream subtree — the
+    * measured 2.5× double-gate wrong turn). `min_by` rather than
+    * `min(struct(id leading))`: the ordering constraint then sits on
+    * the ID ALONE, so rows may carry unorderable columns (maps) that a
+    * whole-row struct min rejects at analysis. Requires unique
+    * non-null ids (`min_by` skips null orderings; ties would break
+    * arbitrarily). A null-fingerprint group (null text) is kept,
+    * matching the window shape this replaced. */
+  def canonicalPerFingerprint(df: DataFrame, fp: Column,
+      idCol: String = "doc_id"): DataFrame = {
+    val cols = df.columns
+    df.withColumn("_fp", fp)
+      .groupBy(col("_fp"))
+      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("_row"))
+      .select(cols.map(c => col("_row").getField(c).as(c)): _*)
+  }
+
   /** Word k-shingles of an already-materialized token array, distinct.
     * Takes the TOKEN COLUMN, not the text: inlining the tokenizer here
     * would re-evaluate the split+filter subtree in `size(toks)` AND

@@ -100,21 +100,12 @@ object CorpusDedup {
       nBuckets: Int = 1024, nWords: Int = 4, kHashes: Int = 4,
       idCol: String = "doc_id", textCol: String = "text"): Long = {
     // in-batch exact dedup: deterministic canonical copy (min id per
-    // fingerprint) — the same single-pass grouped MIN over the
-    // full-row struct as Curate.curate's dedup step, id leading so
-    // the unique id decides: a window over a content key with the doc
-    // TEXT still in the row funnels a duplicate-heavy import batch's
-    // hot fingerprint through ONE task's sort, where the agg's
-    // map-side combine collapses it per input partition (groupBy
-    // keeps a null-text group like the window did)
-    val bCols = batch0.columns
-    val batch = batch0
-      .withColumn("_fp", TextOps.fingerprint(col(textCol)))
-      .groupBy(col("_fp"))
-      .agg(min(struct(
-        (col(idCol) +: bCols.filterNot(_ == idCol).map(col)): _*))
-        .as("_row"))
-      .select(bCols.map(c => col("_row").getField(c).as(c)): _*)
+    // fingerprint) — Dedup.canonicalPerFingerprint, the ONE copy of
+    // the contract this and Curate.curate share (skew-safe grouped
+    // argmin, never a window over the content key, never a semi-join
+    // back; see the helper's doc)
+    val batch = graft.pipeline.Dedup.canonicalPerFingerprint(batch0,
+      TextOps.fingerprint(col(textCol)), idCol)
     val (survivors, tierPin) =
       if (exists(spark, tierDir)) {
         val tier = spark.read.parquet(tierDir)

@@ -228,23 +228,61 @@ object Ingest {
     * via row-group stats, and each affected partition rewrites under
     * a temp tree then swaps via metadata renames ([[optimize]]'s
     * write-new-then-flip; untouched partitions keep their files). A
-    * partition the version wholly owned has no rewritten remainder
-    * and deletes outright. */
+    * partition the version wholly owned has no rewritten remainder:
+    * its original just stays parked until the commit delete.
+    *
+    * Crash-safe: an original partition dir is NEVER deleted before
+    * the scrub commits — each swap renames it under `.scrub_old`
+    * (delete-then-rename was unrecoverable: a crash between the two
+    * left the remainder's only copy in a tmp tree the next attempt's
+    * entry delete destroys). Entry recovery restores any original
+    * whose live dir went missing mid-swap, so every crash window
+    * replays from a complete tree. */
   private def scrubPartitionedVersion(spark: SparkSession, dir: String,
       version: Long): Unit = {
     import org.apache.hadoop.fs.Path
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return
-    val dirtyDirs = spark.read.parquet(dir)
-      .where(col("ingest_version") === version)
-      .select(input_file_name().as("_f")).distinct()
-      .collect().map(r => new Path(
-        new java.net.URI(r.getString(0))).getParent)
-      .distinct.toSeq
-    if (dirtyDirs.isEmpty) return
     val tmp = new Path(root, ".scrub_tmp")
+    val trashRoot = new Path(root, ".scrub_old")
+    // heal a prior crashed scrub BEFORE touching tmp: every dir under
+    // .scrub_old is an original renamed away mid-swap — if its live
+    // counterpart exists the swap completed (disposable), if not the
+    // original (version rows included) goes back and the re-probe
+    // below finds it dirty again
+    if (fs.exists(trashRoot)) {
+      for (t <- fs.listStatus(trashRoot) if t.isDirectory;
+           o <- fs.listStatus(t.getPath) if o.isDirectory) {
+        val live = new Path(new Path(root, t.getPath.getName),
+          o.getPath.getName)
+        if (!fs.exists(live)) {
+          fs.mkdirs(live.getParent)
+          if (!fs.rename(o.getPath, live))
+            throw new java.io.IOException(
+              s"scrubVersion: heal ${o.getPath} -> $live")
+        }
+      }
+      fs.delete(trashRoot, true)
+    }
     fs.delete(tmp, true)
+    val dirtyDirs =
+      try {
+        spark.read.parquet(dir)
+          .where(col("ingest_version") === version)
+          .select(input_file_name().as("_f")).distinct()
+          .collect().map(r => new Path(
+            new java.net.URI(r.getString(0))).getParent)
+          .distinct.toSeq
+      } catch {
+        // zero readable parquet files under a root the intent marker
+        // itself created (first-version crash before any data commit):
+        // nothing to scrub — an uncaught UNABLE_TO_INFER_SCHEMA here
+        // crash-looped the stream on replay
+        case _: org.apache.spark.sql.AnalysisException =>
+          return
+      }
+    if (dirtyDirs.isEmpty) return
     // basePath keeps the partition columns while reading ONLY the
     // affected partition directories
     spark.read.option("basePath", dir)
@@ -255,10 +293,15 @@ object Ingest {
       // tmp mirrors the live layout with Spark's OWN escaping — match
       // the rewritten counterpart by the (topic=..., day=...) dir names
       val src = new Path(new Path(tmp, d.getParent.getName), d.getName)
-      fs.delete(d, true)
+      val keep = new Path(new Path(trashRoot, d.getParent.getName),
+        d.getName)
+      fs.mkdirs(keep.getParent)
+      if (!fs.rename(d, keep))
+        throw new java.io.IOException(s"scrubVersion: rename $d -> $keep")
       if (fs.exists(src) && !fs.rename(src, d))
         throw new java.io.IOException(s"scrubVersion: rename $src -> $d")
     }
+    fs.delete(trashRoot, true) // commit: originals now disposable
     fs.delete(tmp, true)
     ()
   }
@@ -267,15 +310,37 @@ object Ingest {
     * partials, field partials, control): filter-rewrite under a temp
     * sibling, then flip — sidecars are versions × buckets, small next
     * to data, and Spark refuses to overwrite a path its own plan
-    * reads. No-op on an absent tree. */
+    * reads. No-op only on a sidecar that was genuinely never written:
+    * an absent live tree WITH a surviving sibling is this verb's own
+    * mid-swap crash state (the fail-loudly/heal rule for
+    * write-new-then-flip verbs — a bare return there reported a
+    * successful heal while every prior version's history sat stranded
+    * in the trash sibling forever, and the rerun recreated the
+    * sidecar with only the current version's rows). live absent + tmp
+    * present ⇒ the filter-rewrite had finished (the live→trash rename
+    * runs only after the write returns), so completing the flip IS
+    * the scrub; live absent + only trash ⇒ restore and re-filter. */
   private def scrubSidecarVersion(spark: SparkSession, dir: String,
       version: Long): Unit = {
     import org.apache.hadoop.fs.Path
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return
     val tmp = root.suffix(".scrub")
     val trash = root.suffix(".scrub-trash")
+    if (!fs.exists(root)) {
+      if (fs.exists(tmp)) {
+        if (!fs.rename(tmp, root))
+          throw new java.io.IOException(
+            s"scrubVersion: heal $tmp -> $root")
+        fs.delete(trash, true)
+        return // the completed flip is already the filtered tree
+      } else if (fs.exists(trash)) {
+        if (!fs.rename(trash, root))
+          throw new java.io.IOException(
+            s"scrubVersion: heal $trash -> $root")
+        // fall through: original restored, re-run the filter-rewrite
+      } else return // never written — nothing to scrub
+    }
     fs.delete(tmp, true); fs.delete(trash, true)
     spark.read.parquet(dir)
       .where(col("ingest_version") =!= version)

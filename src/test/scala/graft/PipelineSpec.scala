@@ -1683,6 +1683,28 @@ class PipelineSpec extends AnyFunSuite {
     multi.foreach(r => assert(r.getString(4).split(",").length == 3))
   }
 
+  test("canonical-per-fingerprint dedup orders on the id ALONE: rows " +
+      "carrying unorderable (map) columns dedup fine, null text keeps " +
+      "its group") {
+    // the min(struct(all columns)) shape this replaced required every
+    // column to be orderable — a map-typed metadata column failed
+    // analysis; min_by constrains only the id
+    val df = Seq((2L, "a"), (1L, "a"), (3L, "b"))
+      .toDF("doc_id", "text")
+      .withColumn("meta", map(lit("k"), col("text")))
+    val got = Dedup.canonicalPerFingerprint(df,
+      TextOps.fingerprint(col("text")))
+    assert(got.columns.toSeq == Seq("doc_id", "text", "meta"))
+    val ids = got.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 3L)) // min id per fingerprint
+    assert(got.where(col("doc_id") === 1L)
+      .select(expr("meta['k']")).collect()(0).getString(0) == "a")
+    val withNull = Seq((5L, null.asInstanceOf[String]), (6L, "x"))
+      .toDF("doc_id", "text")
+    assert(Dedup.canonicalPerFingerprint(withNull,
+      TextOps.fingerprint(col("text"))).count() == 2)
+  }
+
   test("curate: quality gate, canonical-copy dedup, stratified rates") {
     val body = (1 to 30).map(i => s"w$i").mkString(" ") // 30 tokens, 0 stops
     val corpus = Seq(

@@ -219,6 +219,92 @@ class StreamingIngestSpec extends AnyFunSuite {
       .where(col("topic") === "/veh/pose").count() == 4)
   }
 
+  test("scrub crash windows heal: a stranded sidecar trash sibling, a " +
+      "completed-but-unflipped sidecar tmp, a half-swapped partition " +
+      "dir, and an empty first-version root — no silent history " +
+      "loss, no crash loop") {
+    import org.apache.hadoop.fs.Path
+    val base = Files.createTempDirectory("graft-scrubheal").toString
+    val (out, stats, control) =
+      (s"$base/out", s"$base/stats", s"$base/control")
+    def batchDf(seqBase: Long) = Seq(
+      ("p0", "click", 10L * 1000000000L, seqBase, 1.0),
+      ("p0", "/veh/pose", 20L * 1000000000L, seqBase + 1, 3.0),
+      ("p0", "/veh/pose", 100000L * 1000000000L, seqBase + 2, 5.0)
+    ).toDF("producer", "topic", "time", "seq", "value")
+      .withColumn("day", expr("time div 86400000000000"))
+    Ingest.appendVersion(batchDf(1L), 1L, out, stats, Some(control))
+    Ingest.appendVersion(batchDf(10L), 2L, out, stats, Some(control))
+    def snapshot() = (
+      spark.read.parquet(out)
+        .select("producer", "topic", "time", "seq", "ingest_version")
+        .collect().map(_.toString).sorted.toSeq,
+      spark.read.parquet(stats).collect().map(_.toString).sorted.toSeq,
+      spark.read.parquet(control).drop("ingest_time_ns")
+        .collect().map(_.toString).sorted.toSeq)
+    val committed = snapshot()
+    val fs = new Path(out).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def resurrectIntent(): Unit = fs.mkdirs(
+      new Path(new Path(out), "_ingest_intent_v2"))
+
+    // (1) sidecar mid-swap, tmp lost: live stats sit ONLY in the trash
+    // sibling (the crash between the flip's two renames). A bare
+    // absent-root return here permanently stranded v1's partials and
+    // rebuilt the sidecar with only v2's.
+    assert(fs.rename(new Path(stats), new Path(stats + ".scrub-trash")))
+    resurrectIntent()
+    Ingest.appendVersion(batchDf(10L), 2L, out, stats, Some(control))
+    assert(snapshot() == committed,
+      "trash-sibling heal must restore every version's sidecar history")
+    assert(!fs.exists(new Path(stats + ".scrub-trash")))
+
+    // (2) sidecar mid-swap, tmp present: the filter-rewrite finished
+    // (tmp = stats minus v2), live renamed away — completing the flip
+    // IS the scrub, then the rewrite restores exactly one v2 copy.
+    spark.read.parquet(stats).where(col("ingest_version") =!= 2L)
+      .write.parquet(stats + ".scrub")
+    assert(fs.rename(new Path(stats), new Path(stats + ".scrub-trash")))
+    resurrectIntent()
+    Ingest.appendVersion(batchDf(10L), 2L, out, stats, Some(control))
+    assert(snapshot() == committed,
+      "tmp-complete heal must finish the flip, never re-strand")
+    assert(!fs.exists(new Path(stats + ".scrub")) &&
+      !fs.exists(new Path(stats + ".scrub-trash")))
+
+    // (3) data-tree mid-swap: one live partition dir sits ONLY under
+    // .scrub_old (the crash between original->trash and rewritten->
+    // live). The old delete-then-rename shape lost the remainder here.
+    val topicDir = fs.listStatus(new Path(out))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("topic="))
+      .head.getPath
+    val dayDir = fs.listStatus(topicDir)
+      .filter(_.getPath.getName.startsWith("day=")).head.getPath
+    val parked = new Path(new Path(new Path(out), ".scrub_old"),
+      s"${topicDir.getName}/${dayDir.getName}")
+    fs.mkdirs(parked.getParent)
+    assert(fs.rename(dayDir, parked))
+    resurrectIntent()
+    Ingest.appendVersion(batchDf(10L), 2L, out, stats, Some(control))
+    assert(snapshot() == committed,
+      "a half-swapped partition must heal from .scrub_old, then re-scrub")
+    assert(!fs.exists(new Path(new Path(out), ".scrub_old")))
+
+    // (4) first-version crash before any data committed: the root
+    // holds ONLY the intent marker — the scrub must treat the
+    // unreadable tree as nothing-to-scrub (an uncaught
+    // UNABLE_TO_INFER_SCHEMA here crash-looped the stream), and the
+    // rewrite must land v1 exactly once
+    val (out2, stats2, control2) =
+      (s"$base/out2", s"$base/stats2", s"$base/control2")
+    fs.mkdirs(new Path(new Path(out2), "_ingest_intent_v1"))
+    Ingest.appendVersion(batchDf(1L), 1L, out2, stats2, Some(control2))
+    assert(spark.read.parquet(out2).count() == 3)
+    assert(spark.read.parquet(control2)
+      .select("ingest_version").distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("import into a fieldStats store pads missing fields with typed " +
       "nulls: coverage provable, pruning exact") {
     val base = Files.createTempDirectory("graft-fpad").toString
