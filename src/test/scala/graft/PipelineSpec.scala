@@ -1681,6 +1681,15 @@ class PipelineSpec extends AnyFunSuite {
     val multi = Sampling.packSequences(docs, seqLen = 3, nBuckets = 4,
       eosId = eos).collect()
     multi.foreach(r => assert(r.getString(4).split(",").length == 3))
+    // degenerate inputs: a lane stream shorter than seqLen is all
+    // trailing-partial (zero sequences), and an all-empty corpus
+    // emits nothing rather than failing
+    val tiny = Seq((1L, Array(7, 8))).toDF("doc_id", "bpe_ids")
+    assert(Sampling.packSequences(tiny, seqLen = 10, nBuckets = 1,
+      eosId = eos).count() == 0)
+    val empty = Seq((1L, Array.empty[Int])).toDF("doc_id", "bpe_ids")
+    assert(Sampling.packSequences(empty, seqLen = 4, nBuckets = 2,
+      eosId = eos).count() == 0)
   }
 
   test("canonical-per-fingerprint dedup orders on the id ALONE: rows " +
