@@ -609,11 +609,26 @@ object CorpusDedup {
       cents: Seq[Seq[Double]]): Unit = {
     import graft.pipeline.Similarity
     require(cents.nonEmpty, "requantizeVectors needs a quantizer")
-    if (!exists(spark, vecDir)) return
     val root = new org.apache.hadoop.fs.Path(vecDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(s"$vecDir.requantize")
     val trash = new org.apache.hadoop.fs.Path(s"$vecDir.trash")
+    if (!exists(spark, vecDir)) {
+      // an absent live sidecar WITH a surviving trash sibling is this
+      // verb's own mid-swap crash state — a bare return would report
+      // a 'successful' requantize while every accepted vector sat
+      // stranded in the trash forever (membership candidate joins go
+      // silently empty). Restore the ORIGINAL and re-run under THIS
+      // call's quantizer — never complete the flip from a crashed
+      // attempt's tmp, which may have been built under a different
+      // one.
+      if (fs.exists(trash)) {
+        if (!fs.rename(trash, root))
+          throw new java.io.IOException(
+            s"requantizeVectors: heal $trash -> $root")
+        // fall through: original restored, re-quantize below
+      } else return // never written — nothing to requantize
+    }
     fs.delete(tmp, true); fs.delete(trash, true)
     Similarity.assignCells(
         spark.read.parquet(vecDir).drop("cell"), cents, "_rv")

@@ -245,26 +245,12 @@ object Ingest {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return
     val tmp = new Path(root, ".scrub_tmp")
-    val trashRoot = new Path(root, ".scrub_old")
-    // heal a prior crashed scrub BEFORE touching tmp: every dir under
-    // .scrub_old is an original renamed away mid-swap — if its live
-    // counterpart exists the swap completed (disposable), if not the
-    // original (version rows included) goes back and the re-probe
-    // below finds it dirty again
-    if (fs.exists(trashRoot)) {
-      for (t <- fs.listStatus(trashRoot) if t.isDirectory;
-           o <- fs.listStatus(t.getPath) if o.isDirectory) {
-        val live = new Path(new Path(root, t.getPath.getName),
-          o.getPath.getName)
-        if (!fs.exists(live)) {
-          fs.mkdirs(live.getParent)
-          if (!fs.rename(o.getPath, live))
-            throw new java.io.IOException(
-              s"scrubVersion: heal ${o.getPath} -> $live")
-        }
-      }
-      fs.delete(trashRoot, true)
-    }
+    val trashRoot = new Path(root, SwapOldDir)
+    // heal a prior crashed swap (this verb's OR optimize's — both
+    // park under the shared .swap_old) BEFORE touching tmp: a parked
+    // original whose live counterpart is missing goes back (version
+    // rows included — the re-probe below finds them dirty again)
+    healParkedPartitions(fs, root, trashRoot)
     fs.delete(tmp, true)
     val dirtyDirs =
       try {
@@ -304,6 +290,40 @@ object Ingest {
     fs.delete(trashRoot, true) // commit: originals now disposable
     fs.delete(tmp, true)
     ()
+  }
+
+  /** Parked-original directory shared by the partition-swapping
+    * maintenance verbs ([[scrubVersion]]'s data-tree face,
+    * [[optimize]]): an original partition dir is NEVER deleted before
+    * its verb commits — it parks here, and [[healParkedPartitions]]
+    * at either verb's entry restores any original whose live dir went
+    * missing mid-swap. One shared name so each verb heals the other's
+    * crashes too (single-maintainer discipline — the verbs never run
+    * concurrently). */
+  private val SwapOldDir = ".swap_old"
+
+  /** Restore the recoverable state after a crashed partition swap:
+    * every dir under `trashRoot` is an original renamed away mid-swap
+    * — if its live counterpart exists the swap completed (the parked
+    * copy is disposable), if not the original goes back. Deletes the
+    * park root after healing. */
+  private def healParkedPartitions(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      trashRoot: org.apache.hadoop.fs.Path): Unit = {
+    import org.apache.hadoop.fs.Path
+    if (!fs.exists(trashRoot)) return
+    for (t <- fs.listStatus(trashRoot) if t.isDirectory;
+         o <- fs.listStatus(t.getPath) if o.isDirectory) {
+      val live = new Path(new Path(root, t.getPath.getName),
+        o.getPath.getName)
+      if (!fs.exists(live)) {
+        fs.mkdirs(live.getParent)
+        if (!fs.rename(o.getPath, live))
+          throw new java.io.IOException(
+            s"healParkedPartitions: ${o.getPath} -> $live")
+      }
+    }
+    fs.delete(trashRoot, true)
   }
 
   /** Remove `version` rows from one unpartitioned sidecar tree (stat
@@ -452,6 +472,10 @@ object Ingest {
     import org.apache.hadoop.fs.Path
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // heal a prior crashed swap (this verb's or the scrub's — shared
+    // park root) BEFORE the listing, so the stats see a complete tree
+    healParkedPartitions(fs, root, new Path(root, SwapOldDir))
+    val rootPrefix = fs.makeQualified(root).toString
     val it = fs.listFiles(root, true)
     val parts = scala.collection.mutable.Map[(String, Long),
       (Int, Long)]().withDefaultValue((0, 0L))
@@ -459,8 +483,13 @@ object Ingest {
       val s = it.next()
       val p = s.getPath.toString
       val name = s.getPath.getName
+      // skip hidden files AND anything under a hidden dir BELOW the
+      // root (.swap_old, a crashed pass's .scrub_tmp/.optimize_tmp) —
+      // Spark's reads ignore those trees, so the stats must too (the
+      // prefix strip keeps a dotted PARENT of the store path benign)
       if (name.endsWith(".parquet") && !name.startsWith("_")
-          && !name.startsWith(".")) {
+          && !name.startsWith(".")
+          && !p.stripPrefix(rootPrefix).contains("/.")) {
         for {
           t <- "topic=([^/]+)/".r.findFirstMatchIn(p).map(_.group(1))
           d <- "day=(-?\\d+)/".r.findFirstMatchIn(p).map(_.group(1).toLong)
@@ -531,17 +560,28 @@ object Ingest {
         .partitionBy("topic", "day")
         .parquet(tmp.toString)
       // mirror whatever partition dirs Spark wrote under tmp back into
-      // the store (no hand-built path escaping)
+      // the store (no hand-built path escaping). PARK the original,
+      // never delete-then-rename: a crash between the two would leave
+      // the partition's only copy in a tmp tree the next pass's entry
+      // delete destroys — parked originals survive until the commit
+      // delete, and healParkedPartitions restores any mid-swap loss
+      val trashRoot = new Path(root, SwapOldDir)
       for (topicDir <- fs.listStatus(tmp) if topicDir.isDirectory;
            dayDir <- fs.listStatus(topicDir.getPath)
              if dayDir.isDirectory) {
         val dst = new Path(new Path(root, topicDir.getPath.getName),
           dayDir.getPath.getName)
-        fs.delete(dst, true)
+        val keep = new Path(new Path(trashRoot,
+          topicDir.getPath.getName), dayDir.getPath.getName)
+        fs.mkdirs(keep.getParent)
+        if (fs.exists(dst) && !fs.rename(dst, keep))
+          throw new java.io.IOException(s"optimize: rename " +
+            s"$dst -> $keep failed")
         if (!fs.rename(dayDir.getPath, dst))
           throw new java.io.IOException(s"optimize: rename " +
             s"${dayDir.getPath} -> $dst failed")
       }
+      fs.delete(trashRoot, true) // commit: originals now disposable
       fs.delete(tmp, true)
     }
     targets

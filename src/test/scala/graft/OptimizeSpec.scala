@@ -77,6 +77,41 @@ class OptimizeSpec extends AnyFunSuite {
     assert(Ingest.optimize(spark, out, maxFilesPerPartition = 4).isEmpty)
   }
 
+  test("optimize swap crash windows heal: a partition parked under " +
+      ".swap_old restores at the next pass, the stats ignore hidden " +
+      "debris trees, and no data is ever lost") {
+    import org.apache.hadoop.fs.Path
+    val out = Files.createTempDirectory("graft-optheal").toString
+    for (i <- 0 until 6)
+      Seq(("p0", "click", 1L * day + i * (day / 8) + 1L, i.toLong, i * 1.0))
+        .toDF("producer", "topic", "time", "seq", "value")
+        .withColumn("day", expr("time div 86400000000000"))
+        .write.mode("append").partitionBy("topic", "day").parquet(out)
+    val before = spark.read.parquet(out).collect().toSet
+    val fs = new Path(out).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // simulate the mid-swap crash: the live partition was parked
+    // (original -> .swap_old) but the optimized copy never renamed in
+    // — the old delete-then-rename shape lost this partition outright
+    val live = new Path(s"$out/topic=click/day=1")
+    val parked = new Path(s"$out/.swap_old/topic=click/day=1")
+    fs.mkdirs(parked.getParent)
+    assert(fs.rename(live, parked))
+    // plus crashed-pass debris the stats must not count
+    val debris = new Path(s"$out/.optimize_tmp/topic=click/day=1")
+    fs.mkdirs(debris.getParent)
+    Seq(("p9", "click", 1L * day + 5L, 7L, 0.0))
+      .toDF("producer", "topic", "time", "seq", "value")
+      .write.parquet(debris.toString)
+    val report = Ingest.optimize(spark, out, maxFilesPerPartition = 4)
+    // healed first, then optimized the restored 6-file partition;
+    // the debris rows never entered the stats or the store
+    assert(report.map(r => (r.topic, r.day, r.filesBefore))
+      == Seq(("click", 1L, 6)))
+    assert(spark.read.parquet(out).collect().toSet == before)
+    assert(!fs.exists(new Path(s"$out/.swap_old")))
+  }
+
   test("property: random append histories optimize to the same data, " +
       "idempotently, cold partitions untouched") {
     val rnd = new scala.util.Random(20260813L)

@@ -273,22 +273,23 @@ class StreamingIngestSpec extends AnyFunSuite {
       !fs.exists(new Path(stats + ".scrub-trash")))
 
     // (3) data-tree mid-swap: one live partition dir sits ONLY under
-    // .scrub_old (the crash between original->trash and rewritten->
-    // live). The old delete-then-rename shape lost the remainder here.
+    // the shared .swap_old park root (the crash between original->
+    // park and rewritten->live). The old delete-then-rename shape
+    // lost the remainder here.
     val topicDir = fs.listStatus(new Path(out))
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("topic="))
       .head.getPath
     val dayDir = fs.listStatus(topicDir)
       .filter(_.getPath.getName.startsWith("day=")).head.getPath
-    val parked = new Path(new Path(new Path(out), ".scrub_old"),
+    val parked = new Path(new Path(new Path(out), ".swap_old"),
       s"${topicDir.getName}/${dayDir.getName}")
     fs.mkdirs(parked.getParent)
     assert(fs.rename(dayDir, parked))
     resurrectIntent()
     Ingest.appendVersion(batchDf(10L), 2L, out, stats, Some(control))
     assert(snapshot() == committed,
-      "a half-swapped partition must heal from .scrub_old, then re-scrub")
-    assert(!fs.exists(new Path(new Path(out), ".scrub_old")))
+      "a half-swapped partition must heal from .swap_old, then re-scrub")
+    assert(!fs.exists(new Path(new Path(out), ".swap_old")))
 
     // (4) first-version crash before any data committed: the root
     // holds ONLY the intent marker — the scrub must treat the

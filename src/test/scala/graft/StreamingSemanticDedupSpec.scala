@@ -154,6 +154,42 @@ class StreamingSemanticDedupSpec extends AnyFunSuite {
     sweep()
   }
 
+  test("requantizeVectors heals its own mid-swap crash state: a " +
+      "sidecar stranded in the trash sibling restores, then " +
+      "requantizes under the CALLER's quantizer") {
+    val (corpus, vecs) = dirs()
+    CorpusDedup.appendBatchSemantic(spark,
+      Seq((1L, famVec(0, 0)), (2L, famVec(2, 0)))
+        .toDF("vec_id", "embedding"),
+      1L, corpus, vecs, cents, Threshold)
+    val before = spark.read.parquet(vecs)
+      .select(col("_rv"), col("_rnrm"), col("version"))
+      .collect().map(_.toString).sorted.toSeq
+    // simulate the crash between the flip's two renames: live sidecar
+    // gone, everything in the trash sibling — the old bare return
+    // reported success while every accepted vector sat stranded
+    // forever (candidate joins silently empty)
+    val root = new org.apache.hadoop.fs.Path(vecs)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(root, new org.apache.hadoop.fs.Path(s"$vecs.trash")))
+    val cents2 = Similarity.trainIvfCentroids(
+      (0 until 8).map(f => (f.toLong, famVec(f, 0)))
+        .toDF("vec_id", "embedding"), k = 4, iters = 3)
+    CorpusDedup.requantizeVectors(spark, vecs, cents2)
+    val side = spark.read.parquet(vecs)
+    assert(side.select(col("_rv"), col("_rnrm"), col("version"))
+      .collect().map(_.toString).sorted.toSeq == before,
+      "every accepted vector must survive the heal")
+    assert(Similarity.assignCells(
+        side.withColumnRenamed("cell", "cell_old"), cents2, "_rv")
+      .where(col("cell") =!= col("cell_old")).count() == 0,
+      "cells must reflect the caller's quantizer, not a crashed tmp's")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$vecs.trash")))
+    // an absent sidecar with NO siblings stays a genuine no-op
+    CorpusDedup.requantizeVectors(spark, s"$vecs-nonexistent", cents2)
+    sweep()
+  }
+
   test("appendBatchSemantic replay with the same version is idempotent") {
     val (corpus, vecs) = dirs()
     val b1 = Seq((1L, famVec(0, 0)), (2L, famVec(2, 0)))
