@@ -46,15 +46,23 @@ object Dedup {
     * `min(struct(id leading))`: the ordering constraint then sits on
     * the ID ALONE, so rows may carry unorderable columns (maps) that a
     * whole-row struct min rejects at analysis. Requires unique
-    * non-null ids (`min_by` skips null orderings; ties would break
-    * arbitrarily). A null-fingerprint group (null text) is kept,
-    * matching the window shape this replaced. */
+    * non-null ids — ENFORCED, not just documented: `min_by` SKIPS
+    * null orderings, so a fingerprint group whose rows all carried a
+    * null id would silently collapse to an all-null row (the window
+    * shape this replaced kept a real row); a bad batch must fail, not
+    * corrupt. The guard is a short-circuiting `coalesce` around the
+    * ordering column — one null check per row, zero extra jobs. A
+    * null-FINGERPRINT group (null text) is still kept. */
   def canonicalPerFingerprint(df: DataFrame, fp: Column,
       idCol: String = "doc_id"): DataFrame = {
     val cols = df.columns
+    val guardedId = coalesce(col(idCol),
+      raise_error(lit(s"canonicalPerFingerprint: null $idCol — the " +
+        "canonical-copy contract needs non-null unique ids"))
+        .cast(df.schema(idCol).dataType))
     df.withColumn("_fp", fp)
       .groupBy(col("_fp"))
-      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("_row"))
+      .agg(min_by(struct(cols.map(col): _*), guardedId).as("_row"))
       .select(cols.map(c => col("_row").getField(c).as(c)): _*)
   }
 

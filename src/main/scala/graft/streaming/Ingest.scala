@@ -232,8 +232,9 @@ object Ingest {
     * its original just stays parked until the commit delete.
     *
     * Crash-safe: an original partition dir is NEVER deleted before
-    * the scrub commits — each swap renames it under `.scrub_old`
-    * (delete-then-rename was unrecoverable: a crash between the two
+    * the scrub commits — each swap renames it under [[SwapOldDir]]
+    * (`.swap_old`, shared with [[optimize]]; delete-then-rename was
+    * unrecoverable: a crash between the two
     * left the remainder's only copy in a tmp tree the next attempt's
     * entry delete destroys). Entry recovery restores any original
     * whose live dir went missing mid-swap, so every crash window
@@ -264,8 +265,14 @@ object Ingest {
         // zero readable parquet files under a root the intent marker
         // itself created (first-version crash before any data commit):
         // nothing to scrub — an uncaught UNABLE_TO_INFER_SCHEMA here
-        // crash-looped the stream on replay
-        case _: org.apache.spark.sql.AnalysisException =>
+        // crash-looped the stream on replay. ONLY that condition is
+        // benign: any other analysis failure (missing ingest_version
+        // column, schema-merge conflict) means the store is not in
+        // the shape the scrub assumes, and silently skipping it would
+        // let the subsequent append duplicate the replayed version's
+        // rows — rethrow.
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
           return
       }
     if (dirtyDirs.isEmpty) return
@@ -336,10 +343,16 @@ object Ingest {
     * write-new-then-flip verbs — a bare return there reported a
     * successful heal while every prior version's history sat stranded
     * in the trash sibling forever, and the rerun recreated the
-    * sidecar with only the current version's rows). live absent + tmp
-    * present ⇒ the filter-rewrite had finished (the live→trash rename
-    * runs only after the write returns), so completing the flip IS
-    * the scrub; live absent + only trash ⇒ restore and re-filter. */
+    * sidecar with only the current version's rows). Heal is uniform:
+    * live absent + trash present ⇒ restore trash → root, discard any
+    * tmp, and re-run THIS call's filter-rewrite. Never complete a
+    * crashed attempt's tmp — the rewrite is VERSION-parameterized, so
+    * a tmp built by a different version's crashed scrub is not this
+    * call's filtered tree (completing a crashed tmp is only safe for
+    * parameter-free rewrites; trash always holds the full original,
+    * so restore-and-rerun is always correct). live absent + tmp
+    * present + trash ABSENT is unreachable under this protocol (the
+    * trash outlives the tmp) ⇒ fail loudly rather than guess. */
   private def scrubSidecarVersion(spark: SparkSession, dir: String,
       version: Long): Unit = {
     import org.apache.hadoop.fs.Path
@@ -348,17 +361,19 @@ object Ingest {
     val tmp = root.suffix(".scrub")
     val trash = root.suffix(".scrub-trash")
     if (!fs.exists(root)) {
-      if (fs.exists(tmp)) {
-        if (!fs.rename(tmp, root))
-          throw new java.io.IOException(
-            s"scrubVersion: heal $tmp -> $root")
-        fs.delete(trash, true)
-        return // the completed flip is already the filtered tree
-      } else if (fs.exists(trash)) {
+      if (fs.exists(trash)) {
         if (!fs.rename(trash, root))
           throw new java.io.IOException(
             s"scrubVersion: heal $trash -> $root")
+        fs.delete(tmp, true) // a crashed attempt's tmp may carry a
+        // DIFFERENT version's rewrite — never complete it
         // fall through: original restored, re-run the filter-rewrite
+      } else if (fs.exists(tmp)) {
+        // unreachable under this verb's own protocol (trash outlives
+        // tmp); a tmp with neither live nor trash means external
+        // interference — fail loudly, never guess whose version it is
+        throw new java.io.IOException(
+          s"scrubVersion: orphan $tmp with no live tree and no $trash")
       } else return // never written — nothing to scrub
     }
     fs.delete(tmp, true); fs.delete(trash, true)

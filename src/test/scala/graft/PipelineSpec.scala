@@ -1712,6 +1712,19 @@ class PipelineSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
     assert(Dedup.canonicalPerFingerprint(withNull,
       TextOps.fingerprint(col("text"))).count() == 2)
+    // the non-null-id precondition is ENFORCED: min_by skips null
+    // orderings, so an unguarded all-null-id group would silently
+    // collapse to an all-null row — the guard fails the job instead
+    val nullId = Seq((java.lang.Long.valueOf(7L), "y"),
+      (null.asInstanceOf[java.lang.Long], "y"))
+      .toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      Dedup.canonicalPerFingerprint(nullId,
+        TextOps.fingerprint(col("text"))).collect()
+    }
+    assert(ex.getMessage.contains("canonicalPerFingerprint") ||
+      Option(ex.getCause).exists(
+        _.getMessage.contains("canonicalPerFingerprint")))
   }
 
   test("curate: quality gate, canonical-copy dedup, stratified rates") {

@@ -259,16 +259,22 @@ class StreamingIngestSpec extends AnyFunSuite {
       "trash-sibling heal must restore every version's sidecar history")
     assert(!fs.exists(new Path(stats + ".scrub-trash")))
 
-    // (2) sidecar mid-swap, tmp present: the filter-rewrite finished
-    // (tmp = stats minus v2), live renamed away — completing the flip
-    // IS the scrub, then the rewrite restores exactly one v2 copy.
-    spark.read.parquet(stats).where(col("ingest_version") =!= 2L)
+    // (2) sidecar mid-swap, tmp present: live renamed away with the
+    // rewrite's tmp still on disk. The heal restores the TRASH (the
+    // full original) and re-runs this call's filter-rewrite, never
+    // completing the tmp — the rewrite is version-parameterized, so a
+    // crashed attempt's tmp could carry a different version's filter.
+    // Here the tmp deliberately filters the WRONG version (1, not the
+    // replay's 2): a tmp-completing heal would strand v2's partials
+    // and keep v1's stale copy; restore-and-rerun is invariant to it.
+    spark.read.parquet(stats).where(col("ingest_version") =!= 1L)
       .write.parquet(stats + ".scrub")
     assert(fs.rename(new Path(stats), new Path(stats + ".scrub-trash")))
     resurrectIntent()
     Ingest.appendVersion(batchDf(10L), 2L, out, stats, Some(control))
     assert(snapshot() == committed,
-      "tmp-complete heal must finish the flip, never re-strand")
+      "trash-restore heal must re-run this call's rewrite, never " +
+        "complete a crashed tmp whose version may differ")
     assert(!fs.exists(new Path(stats + ".scrub")) &&
       !fs.exists(new Path(stats + ".scrub-trash")))
 
