@@ -226,9 +226,15 @@ object CorpusDedup {
         .withColumn("_na", size(col("_arr"))))
     try {
       val flagged: DataFrame =
-        if (!exists(spark, postingsDir))
+        if (!exists(spark, postingsDir)) {
+          // an absent index with a surviving maintenance sibling is a
+          // crashed compaction's mid-swap state, NOT an empty corpus —
+          // treating it as empty would accept every duplicate in the
+          // batch; heal via compactPostings first
+          requireNoMidSwap(spark, postingsDir,
+            Seq(".compact-trash", ".compact"), "compactPostings")
           arr.select(col("_id")).limit(0) // typed-empty: no corpus yet
-        else {
+        } else {
           // the batch's bucket set, collected driver-side (≤ nBuckets
           // ints off the pinned frame): pushed as a row predicate so
           // the (bucket, sh)-clustered postings files prune row
@@ -376,9 +382,15 @@ object CorpusDedup {
         .withColumn("_nrm", Similarity.norm(col("_v"))))
     try {
       val flagged: DataFrame =
-        if (!exists(spark, vecDir))
+        if (!exists(spark, vecDir)) {
+          // an absent sidecar with a surviving maintenance sibling is
+          // a crashed requantize's mid-swap state, NOT an empty corpus
+          // — treating it as empty would accept every paraphrase in
+          // the batch; re-run requantizeVectors (its entry heals) first
+          requireNoMidSwap(spark, vecDir,
+            Seq(".trash", ".requantize"), "requantizeVectors")
           arr.select(col("_id")).limit(0) // typed-empty: no corpus yet
-        else {
+        } else {
           // the batch's cell set, collected driver-side (≤ kCells
           // ints off the pinned frame): pushed as a row predicate so
           // the cell-clustered sidecar files prune row groups
@@ -588,6 +600,137 @@ object CorpusDedup {
     ()
   }
 
+  /** Compact the shingle-postings sidecar: [[appendBatchNearDup]]
+    * leaves one `version=N` partition per batch forever, so a
+    * ten-thousand-batch history pays file-listing and footer overhead
+    * proportional to history length on EVERY batch. Fold all postings
+    * of versions STRICTLY OLDER than the newest into the
+    * second-newest version's partition — the fold-only-committed rule
+    * shared with [[compactTier]]/[[compactFp]]: the newest version's
+    * stream batch may not have committed its checkpoint, and its
+    * replay re-reads `version < N`, which must still see every older
+    * posting. The rewrite re-clusters the keep partition by
+    * (`bucket`, `sh`), so the next batch's pushed bucket-IN predicate
+    * prunes row groups exactly as the append path's layout does.
+    *
+    * Protocol: whole-root write-new-then-FLIP (tmp sibling → rename
+    * root away → rename tmp in), NOT [[compactFp]]'s
+    * rename-parts-into-partition. The fingerprint fold tolerates its
+    * crash windows because duplicate fingerprint rows are harmless to
+    * a membership SEMI-join; duplicate POSTINGS rows are not — the
+    * candidate aggregate counts rows into the intersection size `_c`,
+    * so a crash that left a posting both in its old version dir and
+    * merged into the keep partition would inflate measured Jaccard
+    * and silently DROP documents that are not near-duplicates. The
+    * root flip has no such window: every state exposes either the
+    * complete old tree or the complete new one. Heal-at-entry is the
+    * scrubSidecarVersion discipline — live absent + trash present ⇒
+    * restore the original (the rewrite is parameter-free, but restore
+    * + rerun is uniformly correct and keeps one rule), discard tmp,
+    * re-run; live absent + only tmp ⇒ fail loudly. [[appendBatchNearDup]]
+    * guards the same state at ITS entry, so a crashed compaction can
+    * never make a batch mistake the mid-swap absence for an empty
+    * corpus and accept everything. Single-writer with respect to
+    * appendBatchNearDup, like every compaction here. */
+  def compactPostings(spark: SparkSession, postingsDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(postingsDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = root.suffix(".compact")
+    val trash = root.suffix(".compact-trash")
+    if (!exists(spark, postingsDir)) {
+      if (fs.exists(trash)) {
+        if (!fs.rename(trash, root))
+          throw new java.io.IOException(
+            s"compactPostings: heal $trash -> $root")
+        fs.delete(tmp, true)
+        // fall through: original restored, re-run the fold
+      } else if (fs.exists(tmp)) {
+        throw new java.io.IOException(
+          s"compactPostings: orphan $tmp with no live tree and no $trash")
+      } else return // never written — nothing to compact
+    }
+    fs.delete(tmp, true); fs.delete(trash, true)
+    val posts = spark.read.parquet(postingsDir)
+    val versions = posts.select(col("version").cast("long"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    if (versions.length <= 2) return // nothing strictly-older to fold
+    val maxV = versions.last
+    val keepV = versions.init.last
+    posts
+      .withColumn("version",
+        when(col("version").cast("long") < maxV, lit(keepV))
+          .otherwise(col("version").cast("long")))
+      // one exchange rebuilds the append path's exact layout: rows
+      // clustered by (bucket, sh) within each version's files so the
+      // next batch's pushed bucket-IN predicate keeps pruning
+      .repartition(col("version"), col("bucket"))
+      .sortWithinPartitions(col("version"), col("bucket"), col("sh"))
+      .write.partitionBy("version").parquet(tmp.toString)
+    if (!fs.rename(root, trash))
+      throw new java.io.IOException(s"compactPostings: rename $root")
+    if (!fs.rename(tmp, root)) {
+      fs.rename(trash, root) // restore — the old tree is intact
+      throw new java.io.IOException(s"compactPostings: rename $tmp")
+    }
+    fs.delete(trash, true)
+    ()
+  }
+
+  /** Compact the accepted-vector sidecar: fold all vectors of
+    * versions STRICTLY OLDER than the newest into the second-newest
+    * version's partition (the fold-only-committed rule — see
+    * [[compactTier]]) so long [[appendBatchSemantic]] histories keep
+    * flat per-batch listing overhead. The fold moves rows and
+    * re-clusters them by `cell`; it never drops or alters a vector,
+    * and `version` collapsing to `keepV` is invisible to the
+    * `version < N` reads.
+    *
+    * Protocol: [[compactFp]]'s rename-parts-into-partition — safe
+    * here, unlike the postings fold, because the semantic flag plan
+    * ends in `select(_id).distinct()`: a crash window that leaves a
+    * vector both in its old version dir and in the keep partition
+    * costs duplicate candidate rows the distinct collapses, never a
+    * changed answer. The root never vanishes, so no batch can
+    * mistake a mid-compaction state for an empty corpus. Superseded
+    * files delete only after the merged rows land. Single-writer
+    * with respect to appendBatchSemantic. */
+  def compactVectors(spark: SparkSession, vecDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    if (!exists(spark, vecDir)) return
+    val vecs = spark.read.parquet(vecDir)
+    val versions = vecs.select(col("version").cast("long"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    if (versions.length <= 2) return // nothing strictly-older to fold
+    val keepV = versions.init.last
+    val dataCols = vecs.columns.filterNot(_ == "version").map(col)
+    val merged = vecs.where(col("version") < versions.last)
+      .select(dataCols: _*)
+      // rebuild the append path's cell clustering so the pushed
+      // cell-IN predicate keeps pruning row groups after the fold
+      .repartition(col("cell"))
+      .sortWithinPartitions(col("cell"))
+    val root = new Path(vecDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val part = new Path(s"$vecDir/version=$keepV")
+    val superseded = fs.listStatus(part).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+    val tmp = new Path(s"$vecDir/.compact-tmp-$keepV")
+    fs.delete(tmp, true)
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    fs.listStatus(tmp).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+      .foreach { p =>
+        fs.rename(p, new Path(part, p.getName))
+      }
+    fs.delete(tmp, true)
+    versions.init.init.foreach { v =>
+      fs.delete(new Path(s"$vecDir/version=$v"), true)
+    }
+    superseded.foreach(fs.delete(_, false))
+    ()
+  }
+
   /** Re-quantize the accepted-vector sidecar under a NEW coarse
     * quantizer — the streaming face of
     * [[graft.pipeline.Similarity.retrainIvfIndex]], and the
@@ -643,6 +786,26 @@ object CorpusDedup {
     }
     fs.delete(trash, true)
     ()
+  }
+
+  /** Fail loudly when an ABSENT sidecar root has a surviving
+    * maintenance sibling (write-new-then-flip trash/tmp): that is a
+    * crashed maintenance verb's mid-swap state, and the append faces
+    * must never mistake it for an empty corpus — silently accepting a
+    * whole batch of duplicates is the one unrecoverable outcome. The
+    * named verb's own entry heal restores the root. */
+  private def requireNoMidSwap(spark: SparkSession, dir: String,
+      suffixes: Seq[String], healVerb: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    suffixes.foreach { s =>
+      val sib = p.suffix(s)
+      if (fs.exists(sib))
+        throw new java.io.IOException(
+          s"$dir is absent but $sib survives — a crashed maintenance " +
+            s"swap, not an empty corpus; run $healVerb to heal before " +
+            "appending")
+    }
   }
 
   private def exists(spark: SparkSession, dir: String): Boolean = {

@@ -435,6 +435,119 @@ class StreamingCorpusDedupSpec extends AnyFunSuite {
     sweep()
   }
 
+  test("compactPostings folds committed version partitions without " +
+      "changing membership, keeps replay idempotent, and preserves " +
+      "the no-shuffle plan shape") {
+    val (corpus, _, _, _) = dirs()
+    val postings = corpus + "-postings"
+    // four batches: each re-offers an earlier family so every
+    // membership path (bucket prune -> candidate join -> jaccard) does
+    // real work, and each brings a new family that must be accepted
+    (0 until 4).foreach { i =>
+      val b = Seq(
+        ((i * 10).toLong, famText(i, 0)),       // new family: accepted
+        ((i * 10 + 1).toLong, famText(0, i + 1))) // near-dup of doc 0
+        .toDF("doc_id", "text")
+      CorpusDedup.appendBatchNearDup(spark, b, i + 1L, corpus,
+        postings, k = 3, threshold = 0.5)
+    }
+    val acceptedBefore = spark.read.parquet(corpus)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // batch 0 accepted both its docs (empty corpus); later batches
+    // accepted only their new family
+    assert(acceptedBefore == Seq(0L, 1L, 10L, 20L, 30L))
+    def postingRows() = spark.read.parquet(postings)
+      .select("bucket", "sh", "ref_id", "nb")
+      .collect().map(_.toString).sorted.toSeq
+    val rowsBefore = postingRows()
+    CorpusDedup.compactPostings(spark, postings)
+    // versions 1-3 collapse into version=3; newest (4) stays for its
+    // possibly-uncommitted replay
+    assert(spark.read.parquet(postings)
+      .select(col("version").cast("long")).distinct()
+      .as[Long].collect().sorted.toSeq == Seq(3L, 4L))
+    // the fold moves postings rows, never drops, alters, or — the
+    // reason this verb flips the whole root — DUPLICATES one (a
+    // duplicated posting inflates the intersection count and silently
+    // drops non-near-dup documents)
+    assert(postingRows() == rowsBefore)
+    // membership answers unchanged: near-dups of every pre-fold
+    // family still drop, a new family still lands
+    assert(CorpusDedup.appendBatchNearDup(spark,
+      Seq((100L, famText(3, 5)), (101L, famText(7, 0)))
+        .toDF("doc_id", "text"),
+      5L, corpus, postings, k = 3, threshold = 0.5) == 1L)
+    // replay of the newest pre-fold version is still idempotent: its
+    // `version < 4` read sees the folded rows
+    val b4 = Seq((30L, famText(3, 0)), (31L, famText(0, 4)))
+      .toDF("doc_id", "text")
+    assert(CorpusDedup.appendBatchNearDup(spark, b4, 4L, corpus,
+      postings, k = 3, threshold = 0.5) == 1L)
+    // the compacted layout still satisfies the no-corpus-shuffle plan
+    // gate: postings only ever STREAM through BroadcastHashJoins
+    val batch = Seq((200L, famText(0, 5))).toDF("doc_id", "text")
+    val (arr, pin) = Dedup.pinNow(batch
+      .select(col("doc_id").as("_id"),
+        TextOps.tokens(lower(col("text"))).as("_toks"))
+      .select(col("_id"),
+        Dedup.shinglesOfTokens(col("_toks"), 3).as("_arr"))
+      .withColumn("_na", size(col("_arr"))))
+    try {
+      val posts = spark.read.parquet(postings)
+        .where(col("version") < 10)
+        .select(col("sh"), col("ref_id"), col("nb"))
+      val p = CorpusDedup.NearDupPlan
+        .flagged(arr, posts, Int.MaxValue, 0.5)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("SortMergeJoin") &&
+        !p.contains("ShuffledHashJoin") &&
+        p.contains("BroadcastHashJoin"), p)
+      assert(p.linesIterator.count(_.contains("FileScan")) == 1, p)
+    } finally pin.release()
+    sweep()
+  }
+
+  test("compactPostings is a no-op below three versions, survives a " +
+      "missing dir, and its mid-swap crash state is guarded at the " +
+      "append entry and healed at its own") {
+    import org.apache.hadoop.fs.Path
+    val (corpus, _, _, _) = dirs()
+    val postings = corpus + "-postings"
+    CorpusDedup.compactPostings(spark, postings) // no dir: must not throw
+    (0 until 2).foreach { i =>
+      CorpusDedup.appendBatchNearDup(spark,
+        Seq(((i * 10).toLong, famText(i, 0))).toDF("doc_id", "text"),
+        i + 1L, corpus, postings)
+    }
+    CorpusDedup.compactPostings(spark, postings)
+    assert(spark.read.parquet(postings)
+      .select(col("version").cast("long")).distinct()
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    // simulate the flip's crash window: live root renamed away, the
+    // full original surviving in the trash sibling. The APPEND face
+    // must fail loudly — treating the absence as an empty corpus
+    // would accept every duplicate in the batch
+    val fs = new Path(postings).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new Path(postings),
+      new Path(postings + ".compact-trash")))
+    val ex = intercept[java.io.IOException] {
+      CorpusDedup.appendBatchNearDup(spark,
+        Seq((50L, famText(0, 3))).toDF("doc_id", "text"),
+        3L, corpus, postings)
+    }
+    assert(ex.getMessage.contains("compactPostings"))
+    // the verb's own entry heals: original restored, fold re-runs
+    CorpusDedup.compactPostings(spark, postings)
+    assert(!fs.exists(new Path(postings + ".compact-trash")))
+    // and the healed index dedups again: a near-dup of doc 0 drops
+    assert(CorpusDedup.appendBatchNearDup(spark,
+      Seq((50L, famText(0, 3)), (51L, famText(5, 0)))
+        .toDF("doc_id", "text"),
+      3L, corpus, postings) == 1L)
+    sweep()
+  }
+
   test("appendBatchNearDup maxDf drops hot shingles from candidate " +
       "generation") {
     val (corpus, _, _, _) = dirs()

@@ -190,6 +190,74 @@ class StreamingSemanticDedupSpec extends AnyFunSuite {
     sweep()
   }
 
+  test("compactVectors folds committed version partitions without " +
+      "changing membership, and replay after a fold still works") {
+    val (corpus, vecs) = dirs()
+    // four batches: each brings one new family (accepted) and one
+    // paraphrase of family 0 (dropped after batch 1)
+    (0 until 4).foreach { i =>
+      val b = Seq(((i * 10).toLong, famVec(i, 0)),
+        ((i * 10 + 1).toLong, famVec(0, i + 1)))
+        .toDF("vec_id", "embedding")
+      CorpusDedup.appendBatchSemantic(spark, b, i + 1L, corpus, vecs,
+        cents, Threshold)
+    }
+    assert(spark.read.parquet(corpus).select("vec_id").as[Long]
+      .collect().sorted.toSeq == Seq(0L, 1L, 10L, 20L, 30L))
+    def sideRows() = spark.read.parquet(vecs)
+      .select("_rv", "_rnrm", "cell")
+      .collect().map(_.toString).sorted.toSeq
+    val rowsBefore = sideRows()
+    CorpusDedup.compactVectors(spark, vecs)
+    // versions 1-3 collapse into version=3; the newest (4) stays for
+    // its possibly-uncommitted replay
+    assert(spark.read.parquet(vecs)
+      .select(col("version").cast("long")).distinct()
+      .as[Long].collect().sorted.toSeq == Seq(3L, 4L))
+    assert(sideRows() == rowsBefore,
+      "the fold moves vectors, never drops or alters one")
+    // membership unchanged: paraphrases of every pre-fold family
+    // still drop, a new family still lands
+    assert(CorpusDedup.appendBatchSemantic(spark,
+      Seq((100L, famVec(3, 5)), (101L, famVec(6, 0)))
+        .toDF("vec_id", "embedding"),
+      5L, corpus, vecs, cents, Threshold) == 1L)
+    // replay of the newest pre-fold version: its `version < 4` read
+    // sees the folded rows, so the survivor set is unchanged
+    assert(CorpusDedup.appendBatchSemantic(spark,
+      Seq((30L, famVec(3, 0)), (31L, famVec(0, 4)))
+        .toDF("vec_id", "embedding"),
+      4L, corpus, vecs, cents, Threshold) == 1L)
+    // no-op below three versions and on a missing dir
+    CorpusDedup.compactVectors(spark, s"$vecs-nonexistent")
+    sweep()
+  }
+
+  test("appendBatchSemantic fails loudly on a crashed requantize's " +
+      "mid-swap state instead of treating it as an empty corpus") {
+    val (corpus, vecs) = dirs()
+    CorpusDedup.appendBatchSemantic(spark,
+      Seq((1L, famVec(0, 0))).toDF("vec_id", "embedding"),
+      1L, corpus, vecs, cents, Threshold)
+    val root = new org.apache.hadoop.fs.Path(vecs)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(root, new org.apache.hadoop.fs.Path(s"$vecs.trash")))
+    // an absent sidecar with a trash sibling must NOT be an empty
+    // corpus — that would accept every paraphrase in the batch
+    val ex = intercept[java.io.IOException] {
+      CorpusDedup.appendBatchSemantic(spark,
+        Seq((10L, famVec(0, 2))).toDF("vec_id", "embedding"),
+        2L, corpus, vecs, cents, Threshold)
+    }
+    assert(ex.getMessage.contains("requantizeVectors"))
+    // requantizeVectors' entry heal restores; the paraphrase then drops
+    CorpusDedup.requantizeVectors(spark, vecs, cents)
+    assert(CorpusDedup.appendBatchSemantic(spark,
+      Seq((10L, famVec(0, 2))).toDF("vec_id", "embedding"),
+      2L, corpus, vecs, cents, Threshold) == 0L)
+    sweep()
+  }
+
   test("appendBatchSemantic replay with the same version is idempotent") {
     val (corpus, vecs) = dirs()
     val b1 = Seq((1L, famVec(0, 0)), (2L, famVec(2, 0)))
