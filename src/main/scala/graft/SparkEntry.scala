@@ -181,6 +181,13 @@ object SparkEntry {
       succeeds = true)),
     "q_asof_unbounded" -> ((s, dir) => asofQuery(s, dir,
       immediate = false, succeeds = false, thresholdUs = 0L)),
+    // `neighbors` — nearest-left-on-either-side as-of; a documented
+    // extension past the reference, which parses the keyword but
+    // errors at compile (server/executor/executor.go:206-207)
+    "q_asof_neighbors" -> ((s, dir) =>
+      neighborsQuery(s, dir, immediate = false)),
+    "q_asof_neighbors_imm" -> ((s, dir) =>
+      neighborsQuery(s, dir, immediate = true)),
 
     // --- lifecycle (SURVEY §2.7) ----------------------------------------
     "q_dedup_ingest" -> ((s, dir) => {
@@ -1044,6 +1051,33 @@ object SparkEntry {
         .orderBy("pack_bucket", "seq_idx")
     }),
 
+    "t_e2e_dataloader" -> ((s, dir) => {
+      // the WHOLE dataloader chain hashed end to end — every stage is
+      // individually oracle-green, this entry pins the COMPOSITION
+      // (the integration face a real user runs): gated curate
+      // (quality gate + canonical-copy exact dedup + stratified
+      // mixture) → near-dup dedup (jaccard-0.5 clusters, canonical
+      // copy per cluster) → τ=2 temperature mixture over lang →
+      // self-trained BPE encode → exactly-128-id packed training
+      // sequences. The oracle re-derives all five stages in one
+      // DuckDB query (each stage's CTE chain parameterized by the
+      // previous stage's output).
+      val docs = Tables.load(s, dir, "documents")
+      val curated = Curate.curate(docs, minTokens = 25L,
+        maxStopwordRatioMicro6 = 300000L, strataCol = "source",
+        rates = Seq("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.0),
+        default = 0.75)
+        .select("doc_id", "text", "lang", "source")
+      val (kept, _) = Curate.dedupNearDup(curated, k = 3,
+        threshold = 0.5, maxDf = ShingleMaxDf) // caller-sweeps pin
+      val mixed = Sampling.temperatureSample(kept, "lang")
+      val merges = Bpe.train(mixed, nMerges = BpeMerges)
+      val vocab = Bpe.vocab(mixed, merges)
+      Sampling.packSequences(Bpe.encodeIds(mixed, merges, vocab),
+        seqLen = 128, nBuckets = 8, eosId = vocab.length.toLong)
+        .orderBy("pack_bucket", "seq_idx")
+    }),
+
     "t_bpe_roundtrip" -> ((s, dir) => {
       // decode ∘ encode pinned per document: the decoded id sequence
       // must equal the whitespace-stripped lowercased token concat
@@ -1451,6 +1485,25 @@ object SparkEntry {
       .orderBy(col("producer"), col("emit_us"), col("side"), col("seq"))
   }
 
+  /** `neighbors` face of [[asofQuery]]: each error row matches its
+    * nearest click in time on either side within the threshold. */
+  private def neighborsQuery(s: SparkSession, dir: String,
+      immediate: Boolean,
+      thresholdUs: Long = 21600000000L /* 6 h */): DataFrame = {
+    val m = msgs(s, dir)
+      .select("producer", "topic", "time_us", "seq", "value")
+    val click = m.where(col("topic") === "click")
+    val error = m.where(col("topic") === "error")
+    AsofJoin.neighbors(click, error, timeCol = "time_us",
+      keys = Seq("producer"),
+      thresholdNs = thresholdUs, // timeCol is µs here
+      immediate = immediate, tieCol = Some("seq"))
+      .select(col("producer"), col("emit_time").as("emit_us"),
+        col("emit_side").as("side"), col("topic"), col("time_us"),
+        col("seq"), col("value"))
+      .orderBy(col("producer"), col("emit_us"), col("side"), col("seq"))
+  }
+
   // ======================================================================
   // DuckDB oracles
   // ======================================================================
@@ -1505,6 +1558,77 @@ object SparkEntry {
        |ORDER BY producer, emit_us, side, seq""".stripMargin
   }
 
+  /** Oracle for [[neighborsQuery]] — the nearest-left-on-either-side
+    * automaton re-derived in SQL: per right, prev = last left
+    * at-or-before in (t, side, seq) merge order (a same-time left
+    * sorts first, so it is prev at distance 0), next = first left
+    * after; nearer wins, distance ties pick prev; match iff
+    * dist < threshold. Each matched left emits once at its own time;
+    * `immediate` keeps only the nearest right per left. */
+  private def neighborsOracle(immediate: Boolean,
+      thresholdUs: Long = 21600000000L): String = {
+    val inRange = if (thresholdUs == 0L) "" else s" AND dist < $thresholdUs"
+    val rightsFilter = if (immediate) "WHERE rn = 1" else ""
+    s"""$MSGS,
+       | u AS (
+       |  SELECT producer, time_us AS t, 0 AS side, seq, topic, value
+       |  FROM msgs WHERE topic = 'click'
+       |  UNION ALL
+       |  SELECT producer, time_us, 1, seq, topic, value
+       |  FROM msgs WHERE topic = 'error'),
+       | ann AS (
+       |  SELECT *,
+       |    sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) OVER wb AS left_seq,
+       |    last_value(CASE WHEN side = 0 THEN t END IGNORE NULLS)
+       |      OVER wb AS prev_t,
+       |    last_value(CASE WHEN side = 0 THEN seq END IGNORE NULLS)
+       |      OVER wb AS prev_seq,
+       |    last_value(CASE WHEN side = 0 THEN value END IGNORE NULLS)
+       |      OVER wb AS prev_val,
+       |    first_value(CASE WHEN side = 0 THEN t END IGNORE NULLS)
+       |      OVER wf AS next_t,
+       |    first_value(CASE WHEN side = 0 THEN seq END IGNORE NULLS)
+       |      OVER wf AS next_seq,
+       |    first_value(CASE WHEN side = 0 THEN value END IGNORE NULLS)
+       |      OVER wf AS next_val
+       |  FROM u
+       |  WINDOW wb AS (PARTITION BY producer ORDER BY t, side, seq
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       |   wf AS (PARTITION BY producer ORDER BY t, side, seq
+       |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+       | ch AS (
+       |  SELECT *, (prev_t IS NOT NULL AND
+       |     (next_t IS NULL OR t - prev_t <= next_t - t)) AS choose_prev
+       |  FROM ann WHERE side = 1
+       |    AND (prev_t IS NOT NULL OR next_t IS NOT NULL)),
+       | m AS (
+       |  SELECT producer, t, seq, topic, value,
+       |    CASE WHEN choose_prev THEN t - prev_t ELSE next_t - t END
+       |      AS dist,
+       |    CASE WHEN choose_prev THEN prev_t ELSE next_t END AS lt,
+       |    CASE WHEN choose_prev THEN prev_seq ELSE next_seq END AS lseq,
+       |    CASE WHEN choose_prev THEN prev_val ELSE next_val END AS lval,
+       |    CASE WHEN choose_prev THEN left_seq ELSE left_seq + 1 END
+       |      AS grp
+       |  FROM ch),
+       | mr AS (
+       |  SELECT *,
+       |    row_number() OVER (PARTITION BY producer, grp
+       |      ORDER BY dist, t, seq) AS rn
+       |  FROM m WHERE TRUE$inRange),
+       | lefts AS (
+       |  SELECT producer, min(lt) AS emit_us, 0 AS side,
+       |    'click' AS topic,
+       |    min(lt) AS time_us, min(lseq) AS seq, min(lval) AS value
+       |  FROM mr GROUP BY producer, grp),
+       | rights AS (
+       |  SELECT producer, t AS emit_us, 1 AS side, topic, t AS time_us,
+       |    seq, value
+       |  FROM mr $rightsFilter)
+       |SELECT * FROM (SELECT * FROM lefts UNION ALL SELECT * FROM rights)
+       |ORDER BY producer, emit_us, side, seq""".stripMargin
+  }
+
   /** The PII-augmented document text shared by `t_pii` and
     * `t_pii_profile`: the raw corpus carries no PII, so deterministic
     * synthetic email/IPv4/phone markers are appended per doc_id
@@ -1526,12 +1650,16 @@ object SparkEntry {
     * SHINGLES: object vals initialize in declaration order. */
   private val ShingleMaxDf = 100
 
-  private val SHINGLES =
-    """WITH raw AS (
+  /** [[SHINGLES]] parameterized by the source CTE/table name, for
+    * composed pipelines that shingle an intermediate stage. Emitted
+    * WITHOUT the leading `WITH ` so callers can prepend their own
+    * CTE chain; `SHINGLES` is the `documents` instance. */
+  private def shinglesFrom(src: String): String =
+    s"""raw AS (
       |  SELECT doc_id,
       |    generate_subscripts(string_split(lower(text), ' '), 1) AS pos0,
       |    unnest(string_split(lower(text), ' ')) AS w
-      |  FROM documents),
+      |  FROM $src),
       | tok AS (
       |  SELECT doc_id, w,
       |    row_number() OVER (PARTITION BY doc_id ORDER BY pos0) AS pos
@@ -1548,6 +1676,8 @@ object SparkEntry {
       |  JOIN shdf USING (sh) WHERE shdf.df <= """.stripMargin +
       s"$ShingleMaxDf)\n"
 
+  private val SHINGLES = "WITH " + shinglesFrom("documents")
+
   /** Per-doc lexical near-dup cluster label — min reachable id over
     * the jaccard >= 0.5 pair graph, the oracle-side mirror of
     * `Dedup.clusters(jaccardPairs(k=3, t=0.5, maxDf))`. Shared by the
@@ -1555,8 +1685,10 @@ object SparkEntry {
     * d_dedup_clusters/d_dedup_corpus entries keep their inline
     * copies). Ends with the `clusters(doc_id, cluster)` CTE ready to
     * select from. */
-  private val LEX_CLUSTERS =
-    s"""$SHINGLES,
+  /** [[LEX_CLUSTERS]] parameterized by source (no leading `WITH `):
+    * pair graph + recursive min-reachable-id labels over `src`. */
+  private def lexClustersFrom(src: String): String =
+    s"""${shinglesFrom(src)},
        | sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
        | inter AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
@@ -1579,9 +1711,11 @@ object SparkEntry {
        | clusters AS (
        |  SELECT d.doc_id,
        |    least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS cluster
-       |  FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+       |  FROM $src d LEFT JOIN reach r ON r.src = d.doc_id
        |  GROUP BY d.doc_id)
        |""".stripMargin
+
+  private val LEX_CLUSTERS = "WITH " + lexClustersFrom("documents")
 
   /** 32-bit SimHash signature per document — mirrors
     * [[graft.pipeline.Dedup.simhash]] bit for bit (bit b of token t =
@@ -1740,7 +1874,13 @@ object SparkEntry {
     * on, so the spec-pinned identity sum(t_bpe_ids.n_ids) ==
     * t_tokens_bpe.bpe_tokens can never drift between two copies of
     * the stage SQL. */
-  private def bpeTrainOracleCtes: String = {
+  private def bpeTrainOracleCtes: String =
+    "WITH " + bpeTrainOracleCtesFrom("documents")
+
+  /** [[bpeTrainOracleCtes]] parameterized by the training-corpus CTE
+    * name (no leading `WITH `), for composed pipelines that train the
+    * table on an intermediate stage. */
+  private def bpeTrainOracleCtesFrom(src: String): String = {
     val stages = (1 to BpeMerges).map { n =>
       s"""b$n AS MATERIALIZED (
          |  SELECT a, b FROM (
@@ -1757,9 +1897,9 @@ object SparkEntry {
          |            ' ' || m.a || m.b || ' ') END AS enc
          |  FROM wf${n - 1} LEFT JOIN b$n m ON TRUE)""".stripMargin
     }.mkString(",\n")
-    s"""WITH dw AS MATERIALIZED (
+    s"""dw AS MATERIALIZED (
        |  SELECT doc_id, unnest(regexp_extract_all(lower(text),
-       |    '[a-z0-9_]+')) AS w FROM documents),
+       |    '[a-z0-9_]+')) AS w FROM $src),
        |wf0 AS MATERIALIZED (
        |  SELECT w, CAST(count(*) AS BIGINT) AS f,
        |    ' ' || rtrim(regexp_replace(w, '(.)', '\\1  ', 'g'))
@@ -1772,15 +1912,134 @@ object SparkEntry {
     * `t_chunk_ids`): unrolled training stages, the vocab (base code
     * points in binary order + merge outputs by rank, first production
     * winning), and per-doc (ids_csv, n_ids) in `agg`. */
-  private def bpeIdsOracleCtes: String = {
+  /** The packSequences oracle TAIL (lane offsets, slices, EOS,
+    * partial drop) over the `agg`/`vocab` CTEs a bpeIds chain
+    * provides — shared verbatim by `t_pack_seqs` and the composed
+    * `t_e2e_dataloader`. */
+  private val packSeqsTailSql: String =
+    """ids0 AS (
+          |  SELECT doc_id, string_split(ids_csv, ',') AS ids,
+          |    n_ids AS n
+          |  FROM agg WHERE n_ids >= 1),
+          |eosv AS (SELECT CAST(count(*) AS VARCHAR) AS e FROM vocab),
+          |bk AS (
+          |  SELECT doc_id, ids, n,
+          |    substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 8)
+          |      AS pk
+          |  FROM ids0),
+          |bb AS (
+          |  SELECT *, CAST(('0x' || pk) AS BIGINT) % 8 AS bkt FROM bk),
+          |off AS (
+          |  SELECT *,
+          |    CAST(sum(n + 1) OVER (PARTITION BY bkt
+          |      ORDER BY pk, doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |      AS BIGINT) - (n + 1) AS o,
+          |    CAST(sum(n + 1) OVER (PARTITION BY bkt) AS BIGINT)
+          |      AS tot
+          |  FROM bb),
+          |seg AS (
+          |  SELECT bkt, ids, n, o, tot,
+          |    unnest(generate_series(o // 128, (o + n) // 128)) AS s
+          |  FROM off),
+          |frag AS (
+          |  SELECT bkt, s, greatest(o, s * 128) AS lo,
+          |    least(o + n, s * 128 + 127) AS hi, o, n, ids
+          |  FROM seg WHERE s * 128 + 128 <= tot),
+          |fcsv AS (
+          |  SELECT bkt, s, lo,
+          |    CASE WHEN hi < o + n THEN
+          |      array_to_string(ids[lo - o + 1 : hi - o + 1], ',')
+          |    WHEN hi > lo THEN
+          |      array_to_string(ids[lo - o + 1 : hi - o], ',') || ','
+          |        || (SELECT e FROM eosv)
+          |    ELSE (SELECT e FROM eosv) END AS csv
+          |  FROM frag)
+          |SELECT bkt AS pack_bucket, CAST(s AS BIGINT) AS seq_idx,
+          |  CAST(count(*) AS BIGINT) AS n_docs,
+          |  string_agg(CAST(lo - s * 128 AS VARCHAR), ','
+          |    ORDER BY lo) AS starts_csv,
+          |  string_agg(csv, ',' ORDER BY lo) AS ids_csv
+          |FROM fcsv GROUP BY 1, 2
+          |ORDER BY 1, 2""".stripMargin
+
+  /** Oracle for `t_e2e_dataloader` — the five-stage dataloader chain
+    * in ONE DuckDB query. Each stage is the individually-green oracle
+    * re-sourced from its predecessor's CTE (the `...From(src)`
+    * helpers): curate (t_curate) → near-dup canonical copies
+    * (LEX_CLUSTERS over `curated`) → τ=2 temperature mixture
+    * (t_temperature over `ndd`) → BPE ids trained on `mixed`
+    * (bpeIdsOracleCtesFrom) → the packSequences tail (t_pack_seqs).
+    * Shared stage frames are MATERIALIZED (the multi-consumer DuckDB
+    * CTE rule); parts concatenate with `+`, never re-interpolated
+    * (the double-stripMargin trap — the pack tail carries `||`). */
+  private def e2eDataloaderOracleSql: String = {
+    val stops = TextOpsOracle.stopList
+    val curateCtes = s"""craw AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |  FROM documents),
+       | ctok AS (SELECT doc_id, w FROM craw WHERE w <> ''),
+       | cagg AS (
+       |  SELECT doc_id, count(*) AS n_tokens,
+       |    CAST(sum(CASE WHEN w IN ($stops) THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_stopwords
+       |  FROM ctok GROUP BY doc_id),
+       | cq AS (
+       |  SELECT d.doc_id, d.source, d.lang, d.text
+       |  FROM documents d JOIN cagg a USING (doc_id)
+       |  WHERE a.n_tokens >= 25
+       |    AND CAST((a.n_stopwords * 2000000 + a.n_tokens)
+       |      // (a.n_tokens * 2) AS BIGINT) <= 300000),
+       | cdd AS (
+       |  SELECT *, min(doc_id) OVER (
+       |    PARTITION BY md5(lower(trim(text)))) AS keep
+       |  FROM cq),
+       | curated AS MATERIALIZED (
+       |  SELECT doc_id, text, lang FROM cdd
+       |  WHERE doc_id = keep
+       |    AND substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 8)
+       |      < CASE source
+       |          WHEN 'src0' THEN '${Sampling.hexCutoff(0.5)}'
+       |          WHEN 'src1' THEN '${Sampling.hexCutoff(0.25)}'
+       |          WHEN 'src2' THEN '${Sampling.hexCutoff(0.0)}'
+       |          ELSE '${Sampling.hexCutoff(0.75)}' END)""".stripMargin
+    val mixCtes = """ndd AS MATERIALIZED (
+       |  SELECT c.doc_id, c.text, c.lang FROM curated c
+       |  JOIN clusters x ON x.doc_id = c.doc_id
+       |  WHERE x.cluster = x.doc_id),
+       | tcnt AS (SELECT lang, count(*) AS n FROM ndd
+       |      WHERE lang IS NOT NULL GROUP BY lang),
+       | tmin AS (SELECT min(n) AS nmin FROM tcnt),
+       | tcut AS (
+       |  SELECT lang, CASE WHEN n = nmin THEN 4294967296
+       |    ELSE LEAST(CAST(floor(sqrt(CAST(nmin AS DOUBLE) / n)
+       |      * 4294967296.0) AS BIGINT), 4294967295) END AS cutoff
+       |  FROM tcnt, tmin),
+       | mixed AS MATERIALIZED (
+       |  SELECT d.doc_id, d.text FROM ndd d JOIN tcut USING (lang)
+       |  WHERE CAST(('0x' || substr(md5('graft:' ||
+       |      CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+       |    < cutoff)""".stripMargin
+    "WITH " + curateCtes + ",\n " +
+      lexClustersFrom("curated").stripSuffix("\n") + ",\n " +
+      mixCtes + ",\n" +
+      bpeIdsOracleCtesFrom("mixed") + ",\n" + packSeqsTailSql
+  }
+
+  private def bpeIdsOracleCtes: String =
+    "WITH " + bpeIdsOracleCtesFrom("documents")
+
+  /** [[bpeIdsOracleCtes]] parameterized by source (no leading
+    * `WITH `). */
+  private def bpeIdsOracleCtesFrom(src: String): String = {
     val mseq = (1 to BpeMerges).map { n =>
       s"SELECT $n AS rnk, a || b AS sym FROM b$n"
     }.mkString("\n  UNION ALL ")
-    bpeTrainOracleCtes + ",\n" + s"""base AS MATERIALIZED (
+    bpeTrainOracleCtesFrom(src) + ",\n" + s"""base AS MATERIALIZED (
        |  SELECT c, CAST(row_number() OVER (ORDER BY c) - 1 AS BIGINT)
        |    AS id
        |  FROM (SELECT DISTINCT unnest(regexp_extract_all(lower(text),
-       |    '[^ \\t\\n\\x0B\\f\\r]')) AS c FROM documents)),
+       |    '[^ \\t\\n\\x0B\\f\\r]')) AS c FROM $src)),
        |mseq AS MATERIALIZED (
        |  $mseq),
        |mv AS (SELECT sym, min(rnk) AS r0 FROM mseq GROUP BY sym),
@@ -1809,7 +2068,7 @@ object SparkEntry {
        |      '[a-z0-9_]+|[^a-z0-9_ \\t\\n\\x0B\\f\\r]')) AS t,
        |    generate_subscripts(regexp_extract_all(lower(text),
        |      '[a-z0-9_]+|[^a-z0-9_ \\t\\n\\x0B\\f\\r]'), 1) AS pos
-       |  FROM documents),
+       |  FROM $src),
        |tids AS (
        |  SELECT doc_id, pos,
        |    CASE WHEN regexp_matches(t, '^[a-z0-9_]') THEN wi.idcsv
@@ -2072,6 +2331,8 @@ object SparkEntry {
     "q_asof" -> asofOracle(immediate = false, succeeds = false),
     "q_asof_immediate" -> asofOracle(immediate = true, succeeds = false),
     "q_asof_succeeds" -> asofOracle(immediate = false, succeeds = true),
+    "q_asof_neighbors" -> neighborsOracle(immediate = false),
+    "q_asof_neighbors_imm" -> neighborsOracle(immediate = true),
     "q_asof_unbounded" -> asofOracle(immediate = false, succeeds = false,
       thresholdUs = 0L),
 
@@ -3986,52 +4247,13 @@ object SparkEntry {
     // are its ids plus EOS at o+n; DuckDB list slices are 1-based
     // inclusive, mirroring Spark's slice(arr, start, length).
     "t_pack_seqs" ->
-      (bpeIdsOracleCtes + ",\n" +
-        """ids0 AS (
-          |  SELECT doc_id, string_split(ids_csv, ',') AS ids,
-          |    n_ids AS n
-          |  FROM agg WHERE n_ids >= 1),
-          |eosv AS (SELECT CAST(count(*) AS VARCHAR) AS e FROM vocab),
-          |bk AS (
-          |  SELECT doc_id, ids, n,
-          |    substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 8)
-          |      AS pk
-          |  FROM ids0),
-          |bb AS (
-          |  SELECT *, CAST(('0x' || pk) AS BIGINT) % 8 AS bkt FROM bk),
-          |off AS (
-          |  SELECT *,
-          |    CAST(sum(n + 1) OVER (PARTITION BY bkt
-          |      ORDER BY pk, doc_id
-          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-          |      AS BIGINT) - (n + 1) AS o,
-          |    CAST(sum(n + 1) OVER (PARTITION BY bkt) AS BIGINT)
-          |      AS tot
-          |  FROM bb),
-          |seg AS (
-          |  SELECT bkt, ids, n, o, tot,
-          |    unnest(generate_series(o // 128, (o + n) // 128)) AS s
-          |  FROM off),
-          |frag AS (
-          |  SELECT bkt, s, greatest(o, s * 128) AS lo,
-          |    least(o + n, s * 128 + 127) AS hi, o, n, ids
-          |  FROM seg WHERE s * 128 + 128 <= tot),
-          |fcsv AS (
-          |  SELECT bkt, s, lo,
-          |    CASE WHEN hi < o + n THEN
-          |      array_to_string(ids[lo - o + 1 : hi - o + 1], ',')
-          |    WHEN hi > lo THEN
-          |      array_to_string(ids[lo - o + 1 : hi - o], ',') || ','
-          |        || (SELECT e FROM eosv)
-          |    ELSE (SELECT e FROM eosv) END AS csv
-          |  FROM frag)
-          |SELECT bkt AS pack_bucket, CAST(s AS BIGINT) AS seq_idx,
-          |  CAST(count(*) AS BIGINT) AS n_docs,
-          |  string_agg(CAST(lo - s * 128 AS VARCHAR), ','
-          |    ORDER BY lo) AS starts_csv,
-          |  string_agg(csv, ',' ORDER BY lo) AS ids_csv
-          |FROM fcsv GROUP BY 1, 2
-          |ORDER BY 1, 2""".stripMargin),
+      (bpeIdsOracleCtes + ",\n" + packSeqsTailSql),
+
+    // the five-stage dataloader composition — see the registry
+    // entry's comment; every stage CTE chain is the individually-
+    // green oracle parameterized by its predecessor's output
+    "t_e2e_dataloader" -> e2eDataloaderOracleSql,
+
 
     // decode ∘ encode: per-doc ids map back through the vocab (id →
     // token, out-of-range → U+FFFD) and concatenate in position

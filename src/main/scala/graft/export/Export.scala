@@ -223,6 +223,38 @@ object Export {
     * readable, byte-deterministic, and k-way re-mergeable, which is
     * how a 1000-executor export ships 100 TB without a driver
     * bottleneck). Returns the part paths. */
+  /** Training-shard writer for [[graft.pipeline.Sampling
+    * .packSequences]] output: the csv faces are the oracle surface,
+    * but a dataloader consumes packed int arrays — this emits one
+    * parquet shard PER PACK LANE, each row a fixed-length
+    * `array<int>` id sequence plus the parallel `array<int>` document
+    * start offsets, rows ordered by `seq_idx` within the shard.
+    *
+    * Deterministic placement with ZERO added exchange: packSequences'
+    * one hashpartitioning(pack_bucket) exchange leaves every lane
+    * wholly inside one task, so `partitionBy("pack_bucket")` lands
+    * each lane in its own `pack_bucket=<lane>` directory as exactly
+    * ONE part file — the directory name, not a task-placement
+    * accident, is the shard id (where Ingest.optimize needs salt ints
+    * to force injective task placement, the lane column here already
+    * IS the placement key). Rebuilds are bit-deterministic per shard:
+    * lane membership is a salted hash of the doc id and the
+    * within-shard order is (seq_idx), both pure functions of the
+    * input. ExportSpec gates the single-exchange plan, the
+    * one-file-per-lane layout, and the csv↔array round-trip. */
+  def writeSequenceShards(packed: DataFrame, outDir: String,
+      mode: String = "error"): Unit =
+    sequenceShardFrame(packed)
+      .write.mode(mode).partitionBy("pack_bucket").parquet(outDir)
+
+  /** The shard frame (plan-gateable without a filesystem write):
+    * csv faces → int arrays, row-local; local sort by seq_idx. */
+  def sequenceShardFrame(packed: DataFrame): DataFrame =
+    packed.select(col("pack_bucket"), col("seq_idx"), col("n_docs"),
+        split(col("starts_csv"), ",").cast("array<int>").as("starts"),
+        split(col("ids_csv"), ",").cast("array<int>").as("ids"))
+      .sortWithinPartitions(col("pack_bucket"), col("seq_idx"))
+
   def writeMcapParts(df: DataFrame, dataCols: Seq[String], outDir: String,
       numParts: Int): Seq[String] = {
     val schemaData = jsonSchemaFor(df, dataCols).getBytes(UTF_8)

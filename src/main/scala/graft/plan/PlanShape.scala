@@ -63,8 +63,9 @@ object PlanShape {
   private def renderAsof(q: Query, producer: String, a: AsofSel)
       : String = {
     val dir = a.dir match {
-      case Precedes => "precedes"
-      case Succeeds => "succeeds"
+      case Precedes  => "precedes"
+      case Succeeds  => "succeeds"
+      case Neighbors => "neighbors"
     }
     val mode = if (a.immediate) "immediate" else "full"
     val constraint = a.constraint

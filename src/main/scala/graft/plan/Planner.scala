@@ -191,16 +191,26 @@ final class Planner(catalog: MessageCatalog,
       // the reference's one-plan-per-producer trees, but one parallel
       // operator instead of N sequential streams.
       val (lSel, rSel) = a.dir match {
-        case Precedes => (a.left, a.right)
-        case Succeeds => (a.right, a.left)
+        case Precedes | Neighbors => (a.left, a.right)
+        case Succeeds             => (a.right, a.left)
       }
       val lFrame = stripOrder(buildSelect(spark, q, producers, lSel))
       val rFrame = stripOrder(buildSelect(spark, q, producers, rSel))
-      AsofJoin.join(lFrame, rFrame, timeCol = "time",
-        keys = Seq("producer"),
-        thresholdNs = a.thresholdNs, immediate = a.immediate,
-        tieCol = Some("seq"))
-        .withColumn("_mj", lit(0L))
+      val joined = a.dir match {
+        case Neighbors =>
+          // deliberate extension past the reference's surface — see
+          // Ast.scala's Neighbors doc and AsofJoin.neighbors
+          AsofJoin.neighbors(lFrame, rFrame, timeCol = "time",
+            keys = Seq("producer"),
+            thresholdNs = a.thresholdNs, immediate = a.immediate,
+            tieCol = Some("seq"))
+        case _ =>
+          AsofJoin.join(lFrame, rFrame, timeCol = "time",
+            keys = Seq("producer"),
+            thresholdNs = a.thresholdNs, immediate = a.immediate,
+            tieCol = Some("seq"))
+      }
+      joined.withColumn("_mj", lit(0L))
   }
 
   private def stripOrder(df: DataFrame): DataFrame =

@@ -44,6 +44,15 @@ final case class MergeSel(left: Select, right: Select) extends Select
 sealed trait AsofDir
 case object Precedes extends AsofDir
 case object Succeeds extends AsofDir
+/** `neighbors` — DELIBERATE EXTENSION: the reference parses the
+  * keyword (server/ql/grammar.go:172) but errors at compile
+  * (server/executor/executor.go:206-207). Here each right row matches
+  * its NEAREST left in time on either side (ties: the earlier left),
+  * within the threshold when one is given — the robotics ask the
+  * reference left open (nearest sensor sample to each event).
+  * `Parser.parse(_, strictParity = true)` restores the reference's
+  * error for exact-parity callers. */
+case object Neighbors extends AsofDir
 
 /** `precedes`/`succeeds [immediate] ... [by less than n <unit>]`.
   * thresholdNs == 0 means unbounded (reference:

@@ -104,10 +104,16 @@ object Parser {
       if (peekOp(op)) { i += 1; true } else false
   }
 
-  def parse(input: String): Statement = {
+  /** Parse one statement. `strictParity = true` restores the
+    * reference's compile-time error for `neighbors` joins
+    * (server/executor/executor.go:206-207); by default the engine
+    * implements them ([[graft.ops.AsofJoin.neighbors]]) — a
+    * documented extension beyond the reference's surface. */
+  def parse(input: String, strictParity: Boolean = false): Statement = {
     val p = new P(tokenize(input))
     val stmt =
-      if (p.eatWord("truncate")) parseTruncate(p) else parseQuery(p)
+      if (p.eatWord("truncate")) parseTruncate(p)
+      else parseQuery(p, strictParity)
     p.expectOp(";")
     stmt
   }
@@ -142,7 +148,7 @@ object Parser {
       inst.getNano.toLong)
   }
 
-  private def parseQuery(p: P): Query = {
+  private def parseQuery(p: P, strictParity: Boolean = false): Query = {
     val explain = p.eatWord("explain")
     if (!p.eatWord("from"))
       throw ParseError("expected 'from'", p.peek.map(_.pos).getOrElse(-1))
@@ -165,7 +171,7 @@ object Parser {
         val b = parseTimestamp(p)
         Some((a, b))
       } else None
-    val select = parseSelect(p)
+    val select = parseSelect(p, strictParity)
     val where = if (p.eatWord("where")) Some(parseExpr(p)) else None
     val desc = p.eatWord("desc")
     var limit: Option[Long] = None
@@ -194,20 +200,23 @@ object Parser {
 
   /** Select := entity [as alias] ( "," Select | asof Select )?   — right
     * nested, flattened later by the planner. */
-  private def parseSelect(p: P): Select = {
+  private def parseSelect(p: P, strictParity: Boolean = false)
+      : Select = {
     val topic = p.expectWord()
     val alias = if (p.eatWord("as")) Some(p.expectWord()) else None
     val ent = Entity(topic, alias)
-    if (p.eatOp(",")) MergeSel(ent, parseSelect(p))
+    if (p.eatOp(",")) MergeSel(ent, parseSelect(p, strictParity))
     else if (p.peekWord("precedes") || p.peekWord("succeeds")
              || p.peekWord("neighbors")) {
       val kw = p.expectWord()
-      if (kw == "neighbors")
-        // parsed but unimplemented in the reference too
-        // (server/executor/executor.go:206-207)
+      if (kw == "neighbors" && strictParity)
+        // the reference parses but errors at compile
+        // (server/executor/executor.go:206-207); strict-parity mode
+        // mirrors that — the default implements the join (Ast.scala
+        // Neighbors doc)
         throw ParseError("neighbors joins are not implemented", -1)
       val immediate = p.eatWord("immediate")
-      val right = parseSelect(p)
+      val right = parseSelect(p, strictParity)
       var thresholdNs = 0L
       var constraint: Option[(Long, String)] = None
       if (p.eatWord("by")) {
@@ -221,7 +230,11 @@ object Parser {
         thresholdNs = Math.multiplyExact(qty, mult)
         constraint = Some((qty, unit))
       }
-      val dir = if (kw == "precedes") Precedes else Succeeds
+      val dir = kw match {
+        case "precedes"  => Precedes
+        case "succeeds"  => Succeeds
+        case "neighbors" => Neighbors
+      }
       AsofSel(ent, right, dir, immediate, thresholdNs, constraint)
     } else ent
   }

@@ -54,6 +54,75 @@ class AsofPropertySpec extends AnyFunSuite {
     } yield (t, s))
   } yield rows.zipWithIndex.map { case ((t, s), i) => R(t, s, i.toLong) }
 
+  /** Sequential spec for the `neighbors` extension: each right picks
+    * the nearest left in time on either side (prev = last left
+    * at-or-before in (time, side, seq) merge order, so a same-time
+    * left has distance 0 and always wins; distance ties pick the
+    * earlier/prev left), matches iff distance < threshold
+    * (0 = unbounded). Each matched left emits once at its own time;
+    * rights emit at theirs, nearest-first defining `immediate`
+    * (distance ties: earlier right). */
+  private def sequentialNeighbors(rows: Seq[R], thresholdNs: Long,
+      immediate: Boolean): Seq[(Long, Long, Int)] = {
+    val lefts = rows.filter(_.side == 0).sortBy(r => (r.time, r.seq))
+    val rights = rows.filter(_.side == 1).sortBy(r => (r.time, r.seq))
+    def nearest(r: R): Option[R] = {
+      val prev = lefts.filter(_.time <= r.time).lastOption
+      val next = lefts.find(_.time > r.time)
+      val pick = (prev, next) match {
+        case (Some(p), Some(n)) =>
+          if (r.time - p.time <= n.time - r.time) Some(p) else Some(n)
+        case (p, n) => p.orElse(n)
+      }
+      pick.filter(l =>
+        thresholdNs == 0L || math.abs(r.time - l.time) < thresholdNs)
+    }
+    val out = Seq.newBuilder[(Long, Long, Int)]
+    rights.flatMap(r => nearest(r).map(_ -> r))
+      .groupBy(_._1).toSeq.sortBy(g => (g._1.time, g._1.seq))
+      .foreach { case (l, pairs) =>
+        val ordered = pairs.map(_._2)
+          .sortBy(r => (math.abs(r.time - l.time), r.time, r.seq))
+        out += ((l.seq, l.time, 0))
+        (if (immediate) ordered.take(1) else ordered)
+          .foreach(r => out += ((r.seq, r.time, 1)))
+      }
+    out.result()
+  }
+
+  test("neighbors equals its sequential spec on random dense streams") {
+    import spark.implicits._
+    val params = Gen.Parameters.default
+    var seed = Seed(20260816L)
+    var checked = 0
+    while (checked < 40) {
+      val rows = genRows.pureApply(params, seed)
+      seed = seed.next
+      val hasBoth = rows.exists(_.side == 0) && rows.exists(_.side == 1)
+      if (hasBoth) {
+        checked += 1
+        val threshold = if (checked % 2 == 0) 0L else 3L
+        val immediate = checked % 4 < 2
+        val df = rows.map(r => ("p", r.time, r.seq, r.side))
+          .toDF("producer", "time", "seq", "side")
+        val got = AsofJoin.neighbors(
+          df.where(col("side") === 0).drop("side"),
+          df.where(col("side") === 1).drop("side"),
+          timeCol = "time", keys = Seq("producer"),
+          thresholdNs = threshold, immediate = immediate,
+          tieCol = Some("seq"))
+          .select("seq", "emit_time", "emit_side")
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+          .sortBy(t => (t._2, t._3, t._1)).toSeq
+        val want = sequentialNeighbors(rows, threshold, immediate)
+          .sortBy(t => (t._2, t._3, t._1))
+        assert(got == want,
+          s"case $checked: rows=$rows thr=$threshold imm=$immediate")
+      }
+    }
+  }
+
   test("windowed as-of equals the sequential reference automaton") {
     import spark.implicits._
     val params = Gen.Parameters.default

@@ -73,19 +73,32 @@ class BenchLineSpec extends AnyFunSuite {
     assert(names == SparkEntry.queries.keys.toSeq.sorted)
   }
 
-  test("columnar queries decode losslessly: names zip seconds " +
+  test("columnar queries decode losslessly: names zip packed seconds " +
       "positionally") {
     val results = Seq(("alpha", 0.4, 1.0), ("beta", -1.0, -1.0),
-      ("gamma", 12.3, 1.1))
+      ("gamma", 12.34, 1.1))
     val line = Bench.formatLine(results, "sf0.1")
     val names = Bench.decodeNames(""""n":"([^"]*)"""".r
       .findFirstMatchIn(line).get.group(1))
-    val secs = """"s":\[([^\]]*)\]""".r
-      .findFirstMatchIn(line).get.group(1).split(',')
+    val secs = Bench.decodeSecs(""""s":"([^"]*)"""".r
+      .findFirstMatchIn(line).get.group(1))
     assert(names.length == secs.length && names.length == 3)
-    val decoded = names.zip(secs.map(_.toDouble)).toMap
+    val decoded = names.zip(secs).toMap
     assert(decoded("alpha") == 0.4 && decoded("beta") == -1.0
-      && decoded("gamma") == 12.0) // 100ms/1s display resolution
+      && decoded("gamma") == 12.3) // 100 ms wire resolution
+  }
+
+  test("packed seconds round-trip at 0.1 s resolution with the " +
+      "display cap and failure sentinel") {
+    val vs = Seq(0.0, 0.04, 0.05, 0.8, 9.94, 42.37, 99.6, 129.5,
+      129.6, 999.99, -1.0)
+    val coded = Bench.encodeSecs(vs)
+    assert(coded.length == vs.length * 2, coded)
+    assert(coded.matches("[0-9a-z-]*"), coded)
+    val back = Bench.decodeSecs(coded)
+    val want = Seq(0.0, 0.0, 0.1, 0.8, 9.9, 42.4, 99.6, 129.5,
+      129.5, 129.5, -1.0) // ties half-up; >=129.55 display-caps at zz
+    assert(back == want, s"$back vs $want")
   }
 
   test("front-coding round-trips the registry and adversarial names") {
@@ -130,19 +143,41 @@ class BenchLineSpec extends AnyFunSuite {
     assert(cpu == 0.12 && io == 0.46) // 2-decimal wire resolution
   }
 
-  test("failed-query sentinel (-1) survives the compact format") {
-    val line = lineAt(-1.0)
-    assert(line.contains("[-1,") || line.contains(",-1,")
-      || line.contains("[-1]") || line.contains(",-1]"))
+  test("per-entry spread digits + suspect count self-defend a " +
+      "contaminated run (r16/r17 phantom-regression lesson)") {
+    val results = Seq(("a", 1.0, 1.1), ("b", 2.0, 3.7),
+      ("c", -1.0, -1.0), ("d", 1.0, 9.9), ("e", 1.0, 12.0))
+    val line = Bench.formatLine(results, "sf0.1")
+    // digits zip positionally with the names: round(spread) capped at
+    // 9, '-' for unmeasured; >= round(bound) flags that entry
+    assert(line.contains(""""sp":"14-99""""), line)
+    // suspects: final spread >= bound (default 2.0) — b, d, e
+    assert(line.contains(""""suspects":3"""), line)
+    // a clean run self-certifies with zero suspects
+    val clean = Bench.formatLine(
+      Seq(("a", 1.0, 1.1), ("b", 2.0, 1.0)), "sf0.1")
+    assert(clean.contains(""""sp":"11"""") &&
+      clean.contains(""""suspects":0"""), clean)
+    // the digit string sits with the queries pair, before the summary
+    // tail, and has exactly one char per entry
+    val sp = """"sp":"([^"]*)"""".r.findFirstMatchIn(line).get.group(1)
+    assert(sp.length == results.size)
   }
 
-  test("per-query values never exceed 3 chars (line-budget invariant)") {
+  test("failed-query sentinel (-1) survives the compact format") {
+    val line = lineAt(-1.0)
+    val secs = Bench.decodeSecs(""""s":"([^"]*)"""".r
+      .findFirstMatchIn(line).get.group(1))
+    assert(secs.nonEmpty && secs.forall(_ == -1.0))
+  }
+
+  test("per-query values are exactly 2 packed chars (line-budget " +
+      "invariant)") {
     for (v <- Seq(0.04, 0.25, 1.0, 9.94, 9.96, 42.4, 99.4, 99.6, 100.0,
         998.0, 999.99, 12345.0, -1.0)) {
       val line = Bench.formatLine(Seq(("q", v, 1.0)), "sf")
-      val m = """"s":\[([^\]]*)\]""".r.findFirstMatchIn(line).get.group(1)
-      assert(m.length <= 3, s"value $v formatted as '$m' (>3 chars)")
-      assert(!m.contains("E") && !m.contains("e"), s"sci notation: $m")
+      val m = """"s":"([^"]*)"""".r.findFirstMatchIn(line).get.group(1)
+      assert(m.length == 2, s"value $v packed as '$m' (not 2 chars)")
     }
   }
 }

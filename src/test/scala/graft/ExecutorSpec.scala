@@ -128,6 +128,34 @@ class ExecutorSpec extends AnyFunSuite {
       "t0" -> 4L))
   }
 
+  test("neighbors joins pick the nearest left on either side " +
+      "(extension: the reference errors here)") {
+    // t8 lefts at 0,9,18,27,36; t1 rights at 0,2,4,6,8.
+    // r=0 -> same-time left 0 (d0); r=2 -> prev 0 (d2 vs next d7);
+    // r=4 -> prev 0 at d4, NOT < 4 -> dropped; r=6 -> NEXT left 9
+    // (d3 beats prev d6) — the case precedes/succeeds cannot express;
+    // r=8 -> next left 9 (d1). Lefts emit once at their own time.
+    assert(run("from device t8 neighbors t1 by less than 4 nanoseconds;")
+      == Seq("t8" -> 0L, "t1" -> 0L, "t1" -> 2L, "t1" -> 6L,
+        "t1" -> 8L, "t8" -> 9L))
+  }
+
+  test("neighbors immediate keeps only the NEAREST right per left") {
+    // left 0's rights by distance: 0 (d0), 2 (d2) -> keep r=0;
+    // left 9's: 8 (d1), 6 (d3) -> keep r=8
+    assert(run("from device t8 neighbors immediate t1 " +
+      "by less than 4 nanoseconds;")
+      == Seq("t8" -> 0L, "t1" -> 0L, "t1" -> 8L, "t8" -> 9L))
+  }
+
+  test("neighbors threshold zero is unbounded") {
+    // every t1 right matches its nearest t8 left: 0,2,4 -> left 0
+    // (r=4: prev d4 beats next d5); 6,8 -> left 9
+    assert(run("from device t8 neighbors t1;")
+      == Seq("t8" -> 0L, "t1" -> 0L, "t1" -> 2L, "t1" -> 4L,
+        "t1" -> 6L, "t1" -> 8L, "t8" -> 9L))
+  }
+
   test("asof threshold zero is unbounded") {
     // t1 precedes t8 with no constraint: every t8 matches the latest t1
     assert(run("from device t1 precedes t8;") ==

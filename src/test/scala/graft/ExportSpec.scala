@@ -144,4 +144,71 @@ class ExportSpec extends AnyFunSuite {
     assertThrows[NoSuchElementException](
       withReg.schemaFor(spark, "nope"))
   }
+
+  test("sequence shards: csv faces round-trip through the int arrays, " +
+      "one file per lane, deterministic rebuild, no exchange beyond " +
+      "packSequences' one") {
+    import spark.implicits._
+    import graft.pipeline.Sampling
+    val docs = (0L until 200L).map(i =>
+      (i, Array.tabulate((i % 7).toInt + 1)(j => (i * 10 + j).toInt)))
+      .toDF("doc_id", "bpe_ids")
+    val seqLen = 16
+    val packed = Sampling.packSequences(docs, seqLen = seqLen,
+      nBuckets = 4, eosId = 0L)
+    // plan gate on the WRITER frame: packSequences' single
+    // hashpartitioning exchange is the only one — the shard layout
+    // rides it (executedPlan pre-run prints the single initial tree)
+    val frame = Export.sequenceShardFrame(packed)
+    val plan = frame.queryExecution.executedPlan.toString
+    assert(plan.linesIterator
+      .count(_.contains("Exchange hashpartitioning")) == 1, plan)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-shards").toString
+    Export.writeSequenceShards(packed, s"$base/a")
+    // one parquet file per lane directory: lanes are task-atomic
+    // under the single hash exchange, so partitionBy can never split
+    // or merge one
+    val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val laneDirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/a"))
+      .filter(_.getPath.getName.startsWith("pack_bucket="))
+    assert(laneDirs.nonEmpty)
+    laneDirs.foreach { d =>
+      val files = fs.listStatus(d.getPath)
+        .filter(_.getPath.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"${d.getPath}: ${files.length} files")
+    }
+    // round-trip: decoded arrays ≡ the csv oracle faces, every
+    // sequence exactly seqLen ids, starts parallel to n_docs
+    val back = spark.read.parquet(s"$base/a")
+      .select(col("pack_bucket").cast("int"), col("seq_idx"),
+        col("n_docs"),
+        array_join(transform(col("starts"),
+          x => x.cast("string")), ",").as("starts_csv"),
+        array_join(transform(col("ids"),
+          x => x.cast("string")), ",").as("ids_csv"),
+        size(col("ids")).as("len"), size(col("starts")).as("nstarts"))
+    assert(back.where(col("len") =!= seqLen).count() == 0)
+    assert(back.where(col("nstarts") =!= col("n_docs")).count() == 0)
+    def snap(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("pack_bucket").cast("long"), col("seq_idx"),
+        col("n_docs"), col("starts_csv"), col("ids_csv"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(snap(back) == snap(packed
+      .select(col("pack_bucket"), col("seq_idx"), col("n_docs"),
+        col("starts_csv"), col("ids_csv"))))
+    // deterministic rebuild: a second write produces identical shard
+    // contents lane for lane
+    Export.writeSequenceShards(Sampling.packSequences(docs,
+      seqLen = seqLen, nBuckets = 4, eosId = 0L), s"$base/b")
+    val again = spark.read.parquet(s"$base/b")
+      .select(col("pack_bucket").cast("long"), col("seq_idx"),
+        col("n_docs"),
+        array_join(transform(col("starts"),
+          x => x.cast("string")), ",").as("starts_csv"),
+        array_join(transform(col("ids"),
+          x => x.cast("string")), ",").as("ids_csv"))
+    assert(snap(again) == snap(back))
+  }
 }

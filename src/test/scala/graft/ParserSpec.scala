@@ -113,9 +113,21 @@ class ParserSpec extends AnyFunSuite {
       Parser.parse("from d t0 where u8 = 1;"))
   }
 
-  test("neighbors is parsed but rejected like the reference") {
-    // reference errors at compile (server/executor/executor.go:206-207)
+  test("neighbors parses to an AsofSel by default; strict-parity " +
+      "mode restores the reference's error") {
+    // the reference parses the keyword but errors at compile
+    // (server/executor/executor.go:206-207); the engine implements it
+    // as a documented extension (Ast.scala Neighbors), with the
+    // error-parity path behind strictParity
+    val q = Parser.parse("from d t0 neighbors immediate t1 " +
+      "by less than 5 seconds;").asInstanceOf[Query]
+    q.select match {
+      case AsofSel(Entity("t0", None), Entity("t1", None), Neighbors,
+          true, ns, Some((5L, "seconds"))) =>
+        assert(ns == 5000000000L)
+      case other => fail(s"unexpected: $other")
+    }
     assertThrows[Parser.ParseError](
-      Parser.parse("from d t0 neighbors t1;"))
+      Parser.parse("from d t0 neighbors t1;", strictParity = true))
   }
 }

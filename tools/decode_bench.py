@@ -34,13 +34,27 @@ def decode_names(coded: str):
     return names
 
 
+def decode_secs(coded: str):
+    """r18+ packed seconds: two base-36 chars per entry (deciseconds,
+    display-capped at zz = 129.5 s), '--' for the failure sentinel."""
+    out = []
+    for i in range(0, len(coded), 2):
+        pair = coded[i:i + 2]
+        out.append(-1.0 if pair == "--"
+                   else (int(pair[0], 36) * 36 + int(pair[1], 36)) / 10.0)
+    return out
+
+
 def queries_map(line_obj):
     q = line_obj["queries"]
     if isinstance(q, dict) and "n" in q and "s" in q:  # columnar (r12+)
         names = q["n"]
         if isinstance(names, str):
             names = decode_names(names)
-        return dict(zip(names, q["s"]))
+        secs = q["s"]
+        if isinstance(secs, str):  # packed (r18+)
+            secs = decode_secs(secs)
+        return dict(zip(names, secs))
     return dict(q)  # legacy flat map
 
 
@@ -51,12 +65,20 @@ def main():
     if "parsed" in obj and obj.get("parsed"):  # driver BENCH_r*.json
         obj = obj["parsed"]
     qm = queries_map(obj)
+    # r18+: per-entry spread digit string, positional like the seconds
+    # ('-' unmeasured; a digit >= 2 marks a host-contaminated entry
+    # whose min survived up to three disagreeing runs)
+    sp = obj.get("sp", "")
+    spread = dict(zip(sorted(qm), sp)) if len(sp) == len(qm) else {}
     for name in sorted(qm):
-        print(f"{qm[name]:>6}  {name}")
+        mark = f"  spread~{spread[name]}" if spread.get(name, "1") not in (
+            "1", "-") else ""
+        print(f"{qm[name]:>6}  {name}{mark}")
     total = obj.get("value")
     if total is not None:
         print(f"{total:>6}  TOTAL ({obj.get('sf', '?')}, "
-              f"spread_max={obj.get('spread_max')}, hot={obj.get('hot')})")
+              f"spread_max={obj.get('spread_max')}, "
+              f"suspects={obj.get('suspects')}, hot={obj.get('hot')})")
 
 
 if __name__ == "__main__":
