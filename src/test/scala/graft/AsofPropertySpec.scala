@@ -123,6 +123,26 @@ class AsofPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("neighbors plans ONE hash exchange: the forward next-left " +
+      "frame merges into the backward pass's Window, and the " +
+      "group-local row_number rides the same partitioning") {
+    import spark.implicits._
+    val df = (0 until 50).map(i => ("p", i.toLong, i.toLong, i % 2))
+      .toDF("producer", "time", "seq", "side")
+    val p = AsofJoin.neighbors(
+        df.where(col("side") === 0).drop("side"),
+        df.where(col("side") === 1).drop("side"),
+        timeCol = "time", keys = Seq("producer"),
+        thresholdNs = 3L, immediate = false, tieCol = Some("seq"))
+      .queryExecution.executedPlan.toString
+    // pre-run executedPlan prints the single initial tree (the
+    // exchange-count gate rule) — hashpartitioning(producer) appears
+    // once; the second Window's (producer, _grp) clustering is
+    // satisfied by it (extra local Sort, no new shuffle)
+    assert(p.linesIterator
+      .count(_.contains("Exchange hashpartitioning")) == 1, p)
+  }
+
   test("windowed as-of equals the sequential reference automaton") {
     import spark.implicits._
     val params = Gen.Parameters.default

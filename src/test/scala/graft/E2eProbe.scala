@@ -1,0 +1,52 @@
+package graft
+
+/** Scale probe for the composed dataloader entry: times the WHOLE
+  * registry fn (eager control-plane stages INCLUDED — PlanProbe calls
+  * fn outside its clock, so its number misses the BPE training and
+  * pin materialization jobs) at two corpus scales. Probe tool only.
+  *
+  * Usage: Test/runMain graft.E2eProbe [refDir] [bigDir]
+  */
+object E2eProbe {
+  def main(args: Array[String]): Unit = {
+    val ref = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val big = if (args.length > 1) args(1) else "/tmp/sf1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val fn = SparkEntry.queries("t_e2e_dataloader")
+    def sweep(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      spark.sharedState.cacheManager.clearCache()
+    }
+    def once(dir: String): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val out = fn(spark, dir)
+      val n = out.count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      // integrity: every packed sequence is exactly 128 ids
+      val bad = out.where(org.apache.spark.sql.functions
+        .expr("size(split(ids_csv, ',')) != 128")).count()
+      require(bad == 0, s"$bad sequences not exactly 128 ids")
+      sweep()
+      (dt, n)
+    }
+    once(ref) // warm: codegen, file listings
+    val (r1, n1) = once(ref)
+    val (r2, n2) = once(ref)
+    val (b1, m1) = once(big)
+    val (b2, m2) = once(big)
+    println(f"[e2e-probe] ref($ref): ${math.min(r1, r2)}%.2f s " +
+      f"($n1%d seqs)  big($big): ${math.min(b1, b2)}%.2f s ($m1%d seqs)" +
+      f"  ratio=${math.min(b1, b2) / math.min(r1, r2)}%.2f")
+    require(n1 == n2 && m1 == m2, "nondeterministic output size")
+    spark.stop()
+  }
+}
