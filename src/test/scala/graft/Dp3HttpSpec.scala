@@ -57,6 +57,27 @@ class Dp3HttpSpec extends AnyFunSuite {
     assert(skLines.forall(l => !l.contains("\"k\"") && l.contains("\"seq\"")))
   }
 
+  test("neighbors joins run end to end through the query route " +
+      "(extension: the reference parses the keyword but errors)") {
+    val r = post("/databases/default/query",
+      """{"query": "from p3 click neighbors error;"}""")
+    assert(r.statusCode() == 200, r.body())
+    val lines = r.body().linesIterator.toSeq
+    assert(lines.nonEmpty)
+    // both sides emit: every matched error carries its nearest click
+    assert(lines.exists(_.contains("\"click\"")) &&
+      lines.exists(_.contains("\"error\"")), lines.take(3).toString)
+    // explain executes (physical plan rows; the dp3 sexp below)
+    val ex = post("/databases/default/query",
+      """{"query": "explain from p3 click neighbors error;"}""")
+    assert(ex.statusCode() == 200, ex.body())
+    // the dp3-style plan sexp renders the dir like precedes/succeeds
+    val q = graft.ql.Parser.parse("from p3 click neighbors error;")
+      .asInstanceOf[graft.ql.Query]
+    val sexp = graft.plan.PlanShape.render(q, Seq("p3"))
+    assert(sexp.contains("[asof (neighbors full)"), sexp)
+  }
+
   test("explain request answers in-band exec stats read back from " +
       "the result MCAP (query.go:53-90 round trip)") {
     val r = post("/databases/default/query",

@@ -47,6 +47,27 @@ object E2eProbe {
       f"($n1%d seqs)  big($big): ${math.min(b1, b2)}%.2f s ($m1%d seqs)" +
       f"  ratio=${math.min(b1, b2) / math.min(r1, r2)}%.2f")
     require(n1 == n2 && m1 == m2, "nondeterministic output size")
+    // shard-writer leg: the big corpus's packed output lands as one
+    // parquet shard per lane (the chain re-executes into the write —
+    // total = chain + shard write, so the writer's own cost is the
+    // delta vs the timed chain above)
+    val shardDir = s"/tmp/graft_e2e_shards_${System.nanoTime()}"
+    val t0 = System.nanoTime()
+    graft.export.Export.writeSequenceShards(fn(spark, big), shardDir)
+    val wdt = (System.nanoTime() - t0) / 1e9
+    sweep()
+    val fs = new org.apache.hadoop.fs.Path(shardDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val lanes = fs.listStatus(new org.apache.hadoop.fs.Path(shardDir))
+      .filter(_.getPath.getName.startsWith("pack_bucket="))
+    val filesPerLane = lanes.map(d => fs.listStatus(d.getPath)
+      .count(_.getPath.getName.endsWith(".parquet")))
+    require(filesPerLane.forall(_ == 1),
+      s"expected one shard file per lane: ${filesPerLane.toSeq}")
+    val rows = spark.read.parquet(shardDir).count()
+    require(rows == m1, s"shards hold $rows rows, chain emitted $m1")
+    println(f"[e2e-probe] shards($big): ${lanes.length}%d lanes, " +
+      f"1 file each, $rows%d seqs, chain+write ${wdt}%.2f s")
     spark.stop()
   }
 }
