@@ -301,8 +301,14 @@ object Bench {
     val sp = results.map(r => spDigit(r._3)).mkString
     // suspects: entries whose FINAL spread still breaches the bound —
     // the self-defense headline (0 = every number is min-of-agreeing-
-    // runs; >0 = rerun those entries before comparing rounds)
-    val nSuspect = results.count(r => r._3 >= spreadBound)
+    // runs; >0 = rerun those entries before comparing rounds). Sub-
+    // half-second entries are excluded: at that size a single
+    // scheduler hiccup doubles the ratio while the absolute error is
+    // bounded by the entry itself (a quiet full-registry run read 15
+    // "suspects", most 0.3-0.9 s jitter flips — the field exists to
+    // flag d_line_boilerplate-at-7x contamination, not task-launch
+    // noise; the per-entry `sp` digits still carry every ratio).
+    val nSuspect = results.count(r => r._3 >= spreadBound && r._2 >= 0.5)
     val total = results.map(_._2).sum
     // spread summarized: the single worst ratio, display-capped at 9
     // (any spread beyond ~2 is equally "rerun this one"); the

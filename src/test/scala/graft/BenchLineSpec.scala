@@ -146,12 +146,14 @@ class BenchLineSpec extends AnyFunSuite {
   test("per-entry spread digits + suspect count self-defend a " +
       "contaminated run (r16/r17 phantom-regression lesson)") {
     val results = Seq(("a", 1.0, 1.1), ("b", 2.0, 3.7),
-      ("c", -1.0, -1.0), ("d", 1.0, 9.9), ("e", 1.0, 12.0))
+      ("c", -1.0, -1.0), ("d", 1.0, 9.9), ("e", 1.0, 12.0),
+      ("f", 0.3, 4.0)) // sub-half-second jitter: high spread, no flag
     val line = Bench.formatLine(results, "sf0.1")
     // digits zip positionally with the names: round(spread) capped at
     // 9, '-' for unmeasured; >= round(bound) flags that entry
-    assert(line.contains(""""sp":"14-99""""), line)
-    // suspects: final spread >= bound (default 2.0) — b, d, e
+    assert(line.contains(""""sp":"14-994""""), line)
+    // suspects: final spread >= bound (default 2.0) AND >= 0.5 s —
+    // b, d, e; the 0.3 s entry f stays a digit, never a suspect
     assert(line.contains(""""suspects":3"""), line)
     // a clean run self-certifies with zero suspects
     val clean = Bench.formatLine(
