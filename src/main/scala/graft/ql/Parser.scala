@@ -104,12 +104,26 @@ object Parser {
       if (peekOp(op)) { i += 1; true } else false
   }
 
+  /** Deployment-wide strict-parity default: `-Dgraft.ql.strictParity=
+    * true` makes EVERY parse (planner, HTTP service, CLI) mirror the
+    * reference's compile-time `neighbors` error without threading the
+    * flag through each call site — for consumers that need the
+    * engine's accepted-query surface to be exactly the reference's.
+    * Read per parse so tests can toggle it. */
+  private def strictParityDefault: Boolean =
+    java.lang.Boolean.getBoolean("graft.ql.strictParity")
+
   /** Parse one statement. `strictParity = true` restores the
     * reference's compile-time error for `neighbors` joins
     * (server/executor/executor.go:206-207); by default the engine
     * implements them ([[graft.ops.AsofJoin.neighbors]]) — a
-    * documented extension beyond the reference's surface. */
-  def parse(input: String, strictParity: Boolean = false): Statement = {
+    * documented extension beyond the reference's surface. The
+    * deployment-wide default comes from the `graft.ql.strictParity`
+    * system property (see [[strictParityDefault]]). */
+  def parse(input: String): Statement =
+    parse(input, strictParityDefault)
+
+  def parse(input: String, strictParity: Boolean): Statement = {
     val p = new P(tokenize(input))
     val stmt =
       if (p.eatWord("truncate")) parseTruncate(p)

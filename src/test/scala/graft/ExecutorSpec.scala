@@ -148,6 +148,20 @@ class ExecutorSpec extends AnyFunSuite {
       == Seq("t8" -> 0L, "t1" -> 0L, "t1" -> 8L, "t8" -> 9L))
   }
 
+  test("neighbors as a merge child interleaves at own log time, " +
+      "including rights that precede their matched left") {
+    // same matches as the standalone case (lefts t8@{0,9}, rights
+    // t1@{0,2,6,8}); sibling t0 at {0,1,2,3,4} interleaves by own
+    // time with child index breaking equal-time ties — t1@6 and t1@8
+    // sort BEFORE their matched left t8@9, which own-time emission
+    // handles and first-right-time emission would not
+    assert(run("from device t0, t8 neighbors t1 by less than " +
+      "4 nanoseconds;") == Seq(
+      "t0" -> 0L, "t8" -> 0L, "t1" -> 0L, "t0" -> 1L, "t0" -> 2L,
+      "t1" -> 2L, "t0" -> 3L, "t0" -> 4L, "t1" -> 6L, "t1" -> 8L,
+      "t8" -> 9L))
+  }
+
   test("neighbors threshold zero is unbounded") {
     // every t1 right matches its nearest t8 left: 0,2,4 -> left 0
     // (r=4: prev d4 beats next d5); 6,8 -> left 9

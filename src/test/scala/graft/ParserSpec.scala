@@ -129,5 +129,12 @@ class ParserSpec extends AnyFunSuite {
     }
     assertThrows[Parser.ParseError](
       Parser.parse("from d t0 neighbors t1;", strictParity = true))
+    // the deployment-wide system property flips every call site
+    // (planner, HTTP, CLI) without threading the flag
+    System.setProperty("graft.ql.strictParity", "true")
+    try assertThrows[Parser.ParseError](
+      Parser.parse("from d t0 neighbors t1;"))
+    finally System.clearProperty("graft.ql.strictParity")
+    Parser.parse("from d t0 neighbors t1;") // default again: parses
   }
 }
