@@ -1051,6 +1051,29 @@ object SparkEntry {
         .orderBy("pack_bucket", "seq_idx")
     }),
 
+    "t_epoch_shuffle" -> ((s, dir) => {
+      // two epochs of the seed-deterministic per-lane shuffle side by
+      // side: each is a permutation of the lane (the oracle hashes
+      // both position columns), and the orders differ because the
+      // epoch number salts the rank hash — the dataloader's
+      // between-epochs reordering as a pure function of
+      // (salt, epoch, lane, key), no RNG state
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"))
+        // the packSequences lane formula (md5 — engine-portable,
+        // unlike xxhash64): pmod(hex-bucket, 8)
+        .withColumn("lane",
+          pmod(conv(substring(md5(concat(lit("graft:"),
+            col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long"),
+            lit(8L)))
+      val e1 = Sampling.epochShuffle(docs, epoch = 1, "lane",
+        Seq("doc_id")).withColumnRenamed("epoch_pos", "pos_e1")
+      Sampling.epochShuffle(e1, epoch = 2, "lane", Seq("doc_id"))
+        .withColumnRenamed("epoch_pos", "pos_e2")
+        .select("doc_id", "source", "lane", "pos_e1", "pos_e2")
+        .orderBy("doc_id")
+    }),
+
     "t_e2e_dataloader" -> ((s, dir) => {
       // the WHOLE dataloader chain hashed end to end — every stage is
       // individually oracle-green, this entry pins the COMPOSITION
@@ -4262,6 +4285,24 @@ object SparkEntry {
     // entry's comment; every stage CTE chain is the individually-
     // green oracle parameterized by its predecessor's output
     "t_e2e_dataloader" -> e2eDataloaderOracleSql,
+
+    // two epochs of the md5-ranked per-lane permutation: positions
+    // are row_numbers over (md5('graft:<epoch>:'||id), id) within the
+    // packSequences lane formula's bucket
+    "t_epoch_shuffle" ->
+      """WITH laned AS (
+        |  SELECT doc_id, source,
+        |    CAST(('0x' || substr(md5('graft:' ||
+        |      CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS lane
+        |  FROM documents)
+        |SELECT doc_id, source, lane,
+        |  CAST(row_number() OVER (PARTITION BY lane
+        |    ORDER BY md5('graft:1:' || CAST(doc_id AS VARCHAR)),
+        |      doc_id) AS BIGINT) AS pos_e1,
+        |  CAST(row_number() OVER (PARTITION BY lane
+        |    ORDER BY md5('graft:2:' || CAST(doc_id AS VARCHAR)),
+        |      doc_id) AS BIGINT) AS pos_e2
+        |FROM laned ORDER BY doc_id""".stripMargin,
 
 
     // decode ∘ encode: per-doc ids map back through the vocab (id →

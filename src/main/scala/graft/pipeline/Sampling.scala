@@ -274,6 +274,38 @@ object Sampling {
     * shuffle end to end: the assembly's grouping keys are clustered
     * by the lane window's hashpartitioning(pack_bucket), so
     * EnsureRequirements reuses the lane exchange (spec-gated). */
+  /** Seed-deterministic PER-LANE epoch shuffle — the dataloader's
+    * between-epochs reordering: each epoch visits every row exactly
+    * once in a pseudo-random order that is a pure function of
+    * (salt, epoch, lane, keys) — md5-ranked, NO RNG state — so any
+    * worker reproduces any epoch's slice independently and a resumed
+    * job re-derives the exact order it crashed in (the property
+    * published dataloaders get from seeded permutations, here with
+    * the engine-portable hash the whole library uses). Appends
+    * `epoch_pos` (1-based within the lane).
+    *
+    * Scale shape: the position is a row_number over a LANE window —
+    * never a global single-partition sort; lanes shuffle
+    * independently (the dataloader's shard-local shuffle, with the
+    * shard visit order a driver-side permutation of the lane ids —
+    * control-plane, not this verb's job). Applied directly to
+    * [[packSequences]] output, the window's ClusteredDistribution is
+    * satisfied by the pack lane's hashpartitioning, so the whole
+    * pack+shuffle pipeline still plans ONE exchange (spec-gated).
+    * md5 ties (never observed; 128-bit) break on the keys, so the
+    * order is total and deterministic either way. */
+  def epochShuffle(df: DataFrame, epoch: Long, laneCol: String,
+      keyCols: Seq[String], salt: String = "graft"): DataFrame = {
+    require(keyCols.nonEmpty, "epochShuffle needs ordering key columns")
+    import org.apache.spark.sql.expressions.Window
+    val rank = md5(concat_ws(":",
+      (Seq(lit(salt), lit(epoch.toString)) ++
+        keyCols.map(c => col(c).cast("string"))): _*))
+    val w = Window.partitionBy(col(laneCol))
+      .orderBy(rank +: keyCols.map(col): _*)
+    df.withColumn("epoch_pos", row_number().over(w).cast("long"))
+  }
+
   def packSequences(df: DataFrame, seqLen: Int, nBuckets: Int,
       eosId: Long, idCol: String = "doc_id", idsCol: String = "bpe_ids",
       salt: String = "graft"): DataFrame = {

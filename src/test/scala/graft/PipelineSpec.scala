@@ -1692,6 +1692,45 @@ class PipelineSpec extends AnyFunSuite {
       eosId = eos).count() == 0)
   }
 
+  test("epochShuffle: each epoch is a deterministic per-lane " +
+      "permutation, epochs differ, and over packSequences output the " +
+      "pipeline still plans ONE exchange") {
+    val docs = (0L until 120L).map(i =>
+      (i, Array.tabulate((i % 5).toInt + 1)(j => (i + j).toInt)))
+      .toDF("doc_id", "bpe_ids")
+    val packed = Sampling.packSequences(docs, seqLen = 8, nBuckets = 4,
+      eosId = 0L)
+    val shuffled = Sampling.epochShuffle(packed, epoch = 7,
+      "pack_bucket", Seq("seq_idx"))
+    // the lane window's ClusteredDistribution is satisfied by
+    // packSequences' hashpartitioning — no second exchange
+    val plan = shuffled.queryExecution.executedPlan.toString
+    assert(plan.linesIterator
+      .count(_.contains("Exchange hashpartitioning")) == 1, plan)
+    val rows = shuffled.select("pack_bucket", "seq_idx", "epoch_pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // permutation: within each lane, positions are exactly 1..n
+    rows.groupBy(_._1).foreach { case (lane, g) =>
+      assert(g.map(_._3).sorted.toSeq == (1L to g.size).toSeq,
+        s"lane $lane positions not a permutation")
+    }
+    // deterministic: a rebuild reproduces the identical order
+    val again = Sampling.epochShuffle(
+        Sampling.packSequences(docs, seqLen = 8, nBuckets = 4,
+          eosId = 0L), epoch = 7, "pack_bucket", Seq("seq_idx"))
+      .select("pack_bucket", "seq_idx", "epoch_pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.sorted.toSeq == rows.sorted.toSeq)
+    // epochs genuinely reorder: epoch 8 disagrees with epoch 7
+    // somewhere (a fixed-point permutation across every lane would
+    // mean the epoch salt does nothing)
+    val e8 = Sampling.epochShuffle(packed, epoch = 8,
+        "pack_bucket", Seq("seq_idx"))
+      .select("pack_bucket", "seq_idx", "epoch_pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(e8.sorted.toSeq != rows.sorted.toSeq)
+  }
+
   test("canonical-per-fingerprint dedup orders on the id ALONE: rows " +
       "carrying unorderable (map) columns dedup fine, null text keeps " +
       "its group") {
