@@ -337,23 +337,35 @@ object Bench {
     f"""{"queries":$qs,"sp":"$sp","suspects":$nSuspect,"spread_max":$spMax%.0f,"hot":$p,"canary":$canarySec%.2f,"canary_io":$canaryIoSec%.2f,"sf":"$sf","metric":"total","unit":"sec","value":$total%.2f}"""
   }
 
-  /** Pack per-query seconds as TWO base-36 chars each (deciseconds,
-    * 0..1295 = 129.5 s display cap; "--" for the failure sentinel):
-    * fixed width, no separators, zipped positionally with the decoded
-    * names exactly like the old JSON array. 0.1 s resolution matches
-    * the old sub-10 s display and beats its whole-second resolution
-    * above; exact 3-decimal values live in the sidecar. Decode with
-    * [[decodeSecs]] or `tools/decode_bench.py`. */
+  /** Pack per-query seconds as TWO base-36 chars each (deciseconds;
+    * "--" for the failure sentinel): fixed width, no separators,
+    * zipped positionally with the decoded names exactly like the old
+    * JSON array. 0.1 s resolution matches the old sub-10 s display and
+    * beats its whole-second resolution above; exact 3-decimal values
+    * live in the sidecar.
+    *
+    * The top code point "zz" is an explicit SATURATION SENTINEL, not
+    * a value: it means ">= 129.5 s" (exact value in the sidecar), so
+    * the largest exactly-representable reading is "zy" = 129.4 s and a
+    * 40 s → 200 s regression reads as saturated rather than
+    * masquerading as a true 129.5 s measurement. Decode with
+    * [[decodeSecs]] or `tools/decode_bench.py` (which prints
+    * ">=129.5" for the sentinel). */
   def encodeSecs(vs: Seq[Double]): String =
     vs.map { v =>
       if (v < 0) "--"
       else {
-        val ds = math.min(math.round(v * 10), 1295L).toInt
-        "" + Character.forDigit(ds / 36, 36) + Character.forDigit(ds % 36, 36)
+        val ds = math.round(v * 10)
+        if (ds >= 1295L) "zz" // saturated: >= 129.5 s
+        else ("" + Character.forDigit((ds / 36L).toInt, 36)
+          + Character.forDigit((ds % 36L).toInt, 36))
       }
     }.mkString
 
-  /** Inverse of [[encodeSecs]] (to 0.1 s resolution; -1 for "--"). */
+  /** Inverse of [[encodeSecs]] (to 0.1 s resolution; -1 for "--").
+    * "zz" decodes to 129.5, which by the encoder's contract means
+    * ">= 129.5 s" — a FLOOR, not a measurement; read the sidecar for
+    * the exact value of a saturated entry. */
   def decodeSecs(coded: String): Seq[Double] = {
     require(coded.length % 2 == 0, s"odd packed-seconds length: $coded")
     coded.grouped(2).map {

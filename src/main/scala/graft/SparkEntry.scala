@@ -1303,6 +1303,27 @@ object SparkEntry {
         Seq((1L, "spark merge window"), (2L, "customer query fast")),
         k = 5)),
 
+    // the full persisted-BM25-index lifecycle under the oracle: build
+    // on the even half of the corpus, APPEND the odd half, compact
+    // (any-copy postings dedup + stats fold under the Maint flip),
+    // then serve two queries from the STORED layout — the corpus text
+    // is never re-tokenized at serve time (SearchSpec gates the plan),
+    // and the result must equal inline bm25TopKBatch over the whole
+    // corpus, which is what the oracle recomputes from scratch.
+    "t_bm25_index" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val idx = "/tmp/graft_bm25_idx_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(idx)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+      Search.writeBm25Index(docs.where(col("doc_id") % 2 === 0), idx)
+      Search.appendToBm25Index(docs.where(col("doc_id") % 2 === 1), idx)
+      Search.compactBm25Index(s, idx)
+      Search.bm25TopKBatchFromIndex(s, idx,
+        Seq((1L, "vector stream hash"), (2L, "slow scan dup")), k = 5)
+    }),
+
     // per-doc top-3 keywords by smoothed tf-idf, exact micro-units
     "t_tfidf" -> ((s, dir) =>
       Search.tfidfTopTerms(Tables.load(s, dir, "documents"), k = 3)),
@@ -1544,11 +1565,16 @@ object SparkEntry {
       thresholdUs: Long = 21600000000L): String = {
     val (lt, rt) = if (succeeds) ("error", "click") else ("click", "error")
     val inRange =
-      if (thresholdUs == 0L) "" else s" AND t < last_lt + $thresholdUs"
+      if (thresholdUs == 0L) "" else s" AND t < lrow.lt + $thresholdUs"
     val rightsFilter =
       if (immediate)
         "WHERE rn = 1"
       else ""
+    // the preceding left is carried as ONE struct (lrow), never
+    // stitched per field: separate last_value(t)/last_value(seq)/
+    // last_value(value) IGNORE NULLS would pick fields from DIFFERENT
+    // left rows if a left's value were NULL, silently diverging from
+    // the Spark side's whole-row struct
     s"""$MSGS,
        | u AS (
        |  SELECT producer, time_us AS t, 0 AS side, seq, topic, value
@@ -1559,12 +1585,9 @@ object SparkEntry {
        | ann AS (
        |  SELECT *,
        |    sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) OVER w AS left_seq,
-       |    last_value(CASE WHEN side = 0 THEN t END IGNORE NULLS)
-       |      OVER w AS last_lt,
-       |    last_value(CASE WHEN side = 0 THEN seq END IGNORE NULLS)
-       |      OVER w AS last_lseq,
-       |    last_value(CASE WHEN side = 0 THEN value END IGNORE NULLS)
-       |      OVER w AS last_lval
+       |    last_value(CASE WHEN side = 0
+       |        THEN {'lt': t, 'lseq': seq, 'lval': value} END
+       |      IGNORE NULLS) OVER w AS lrow
        |  FROM u
        |  WINDOW w AS (PARTITION BY producer ORDER BY t, side, seq
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
@@ -1577,10 +1600,10 @@ object SparkEntry {
        | lefts AS (
        |  -- emit_us = the left's OWN time (constant over the group):
        |  -- the reference merge orders tuples by their own log time
-       |  SELECT producer, min(last_lt) AS emit_us, 0 AS side,
+       |  SELECT producer, min(lrow.lt) AS emit_us, 0 AS side,
        |    '$lt' AS topic,
-       |    min(last_lt) AS time_us, min(last_lseq) AS seq,
-       |    min(last_lval) AS value
+       |    min(lrow.lt) AS time_us, min(lrow.lseq) AS seq,
+       |    min(lrow.lval) AS value
        |  FROM mr GROUP BY producer, left_seq),
        | rights AS (
        |  SELECT producer, t AS emit_us, 1 AS side, topic, t AS time_us,
@@ -1611,35 +1634,31 @@ object SparkEntry {
        | ann AS (
        |  SELECT *,
        |    sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) OVER wb AS left_seq,
-       |    last_value(CASE WHEN side = 0 THEN t END IGNORE NULLS)
-       |      OVER wb AS prev_t,
-       |    last_value(CASE WHEN side = 0 THEN seq END IGNORE NULLS)
-       |      OVER wb AS prev_seq,
-       |    last_value(CASE WHEN side = 0 THEN value END IGNORE NULLS)
-       |      OVER wb AS prev_val,
-       |    first_value(CASE WHEN side = 0 THEN t END IGNORE NULLS)
-       |      OVER wf AS next_t,
-       |    first_value(CASE WHEN side = 0 THEN seq END IGNORE NULLS)
-       |      OVER wf AS next_seq,
-       |    first_value(CASE WHEN side = 0 THEN value END IGNORE NULLS)
-       |      OVER wf AS next_val
+       |    last_value(CASE WHEN side = 0
+       |        THEN {'lt': t, 'lseq': seq, 'lval': value} END
+       |      IGNORE NULLS) OVER wb AS prev,
+       |    first_value(CASE WHEN side = 0
+       |        THEN {'lt': t, 'lseq': seq, 'lval': value} END
+       |      IGNORE NULLS) OVER wf AS nxt
        |  FROM u
        |  WINDOW wb AS (PARTITION BY producer ORDER BY t, side, seq
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
        |   wf AS (PARTITION BY producer ORDER BY t, side, seq
        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
        | ch AS (
-       |  SELECT *, (prev_t IS NOT NULL AND
-       |     (next_t IS NULL OR t - prev_t <= next_t - t)) AS choose_prev
+       |  SELECT *, (prev IS NOT NULL AND
+       |     (nxt IS NULL OR t - prev.lt <= nxt.lt - t)) AS choose_prev
        |  FROM ann WHERE side = 1
-       |    AND (prev_t IS NOT NULL OR next_t IS NOT NULL)),
+       |    AND (prev IS NOT NULL OR nxt IS NOT NULL)),
        | m AS (
        |  SELECT producer, t, seq, topic, value,
-       |    CASE WHEN choose_prev THEN t - prev_t ELSE next_t - t END
+       |    CASE WHEN choose_prev THEN t - prev.lt ELSE nxt.lt - t END
        |      AS dist,
-       |    CASE WHEN choose_prev THEN prev_t ELSE next_t END AS lt,
-       |    CASE WHEN choose_prev THEN prev_seq ELSE next_seq END AS lseq,
-       |    CASE WHEN choose_prev THEN prev_val ELSE next_val END AS lval,
+       |    CASE WHEN choose_prev THEN prev.lt ELSE nxt.lt END AS lt,
+       |    CASE WHEN choose_prev THEN prev.lseq ELSE nxt.lseq END
+       |      AS lseq,
+       |    CASE WHEN choose_prev THEN prev.lval ELSE nxt.lval END
+       |      AS lval,
        |    CASE WHEN choose_prev THEN left_seq ELSE left_seq + 1 END
        |      AS grp
        |  FROM ch),
@@ -4287,8 +4306,9 @@ object SparkEntry {
     "t_e2e_dataloader" -> e2eDataloaderOracleSql,
 
     // two epochs of the md5-ranked per-lane permutation: positions
-    // are row_numbers over (md5('graft:<epoch>:'||id), id) within the
-    // packSequences lane formula's bucket
+    // are row_numbers over (md5('graft:<epoch>:<lane>:'||id), id)
+    // within the packSequences lane formula's bucket — the LANE is in
+    // the hash (the order is a function of (salt, epoch, lane, key))
     "t_epoch_shuffle" ->
       """WITH laned AS (
         |  SELECT doc_id, source,
@@ -4297,10 +4317,12 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, source, lane,
         |  CAST(row_number() OVER (PARTITION BY lane
-        |    ORDER BY md5('graft:1:' || CAST(doc_id AS VARCHAR)),
+        |    ORDER BY md5('graft:1:' || CAST(lane AS VARCHAR) || ':' ||
+        |      CAST(doc_id AS VARCHAR)),
         |      doc_id) AS BIGINT) AS pos_e1,
         |  CAST(row_number() OVER (PARTITION BY lane
-        |    ORDER BY md5('graft:2:' || CAST(doc_id AS VARCHAR)),
+        |    ORDER BY md5('graft:2:' || CAST(lane AS VARCHAR) || ':' ||
+        |      CAST(doc_id AS VARCHAR)),
         |      doc_id) AS BIGINT) AS pos_e2
         |FROM laned ORDER BY doc_id""".stripMargin,
 
@@ -4462,6 +4484,46 @@ object SparkEntry {
         | qt AS (SELECT CAST(q AS BIGINT) AS query_id, term FROM (VALUES
         |    (1, 'spark'), (1, 'merge'), (1, 'window'),
         |    (2, 'customer'), (2, 'query'), (2, 'fast')) v(q, term)),
+        | tfs AS (
+        |  SELECT u.doc_id, u.term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(tk) AS term FROM toks) u
+        |  WHERE u.term IN (SELECT DISTINCT term FROM qt)
+        |  GROUP BY 1, 2),
+        | dfs AS (SELECT term, count(*) AS df FROM tfs GROUP BY 1),
+        | agg AS (
+        |  SELECT qt.query_id, t.doc_id,
+        |    CAST(sum(CAST(floor(
+        |      ln(1.0 + (st.n - f.df + 0.5) / (f.df + 0.5))
+        |      * (t.tf * (1.2 + 1.0))
+        |      / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * (d.dl * st.n / st.sumdl)))
+        |      * 1000000.0) AS BIGINT)) AS BIGINT) AS score_mu,
+        |    count(*) AS n_terms
+        |  FROM tfs t
+        |  JOIN dfs f ON f.term = t.term
+        |  JOIN dls d ON d.doc_id = t.doc_id
+        |  JOIN qt ON qt.term = t.term
+        |  CROSS JOIN st
+        |  GROUP BY 1, 2)
+        |SELECT query_id, doc_id, score_mu, n_terms FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score_mu DESC, doc_id) AS rn FROM agg)
+        |WHERE rn <= 5
+        |ORDER BY query_id, score_mu DESC, doc_id""".stripMargin,
+
+    // the stored-index serve must equal inline BM25 over the whole
+    // corpus — the oracle recomputes from raw text, blind to the
+    // build/append/compact lifecycle the Spark side exercised
+    "t_bm25_index" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+        |  FROM documents),
+        | dls AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM toks),
+        | st AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sumdl
+        |   FROM dls),
+        | qt AS (SELECT CAST(q AS BIGINT) AS query_id, term FROM (VALUES
+        |    (1, 'vector'), (1, 'stream'), (1, 'hash'),
+        |    (2, 'slow'), (2, 'scan'), (2, 'dup')) v(q, term)),
         | tfs AS (
         |  SELECT u.doc_id, u.term, count(*) AS tf
         |  FROM (SELECT doc_id, unnest(tk) AS term FROM toks) u

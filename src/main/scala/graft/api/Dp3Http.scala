@@ -88,7 +88,17 @@ final class Dp3Http(svc: Dp3Service, spark: SparkSession,
     importTarget: Option[Dp3Http.ImportTarget] = None,
     databases: Map[String, Dp3Http.Database] = Map.empty,
     sharedKey: Option[String] = None,
-    allowedOrigins: Seq[String] = Nil) {
+    allowedOrigins: Seq[String] = Nil,
+    strictParity: Boolean = true) {
+  // `strictParity` defaults TRUE on THIS face only: the HTTP route
+  // table is the wire-compatibility surface, and a client probing
+  // feature support against it should observe the reference's
+  // accepted-query set out of the box (`neighbors` parses but errors,
+  // server/executor/executor.go:206-207). The engine's `neighbors`
+  // extension stays on by default at the library/planner faces; a
+  // deployment that wants it over HTTP passes strictParity = false
+  // (the `graft.ql.strictParity` system property still forces strict
+  // deployment-wide, never the reverse).
 
   /** The reference's demo auth on MUTATING routes only — delete and
     * both imports (routes.go:63-69, mw.WithSharedKeyAuth): with a key
@@ -298,7 +308,8 @@ final class Dp3Http(svc: Dp3Service, spark: SparkSession,
           val skeleton = boolField(body, "skeleton").getOrElse(false)
           val explainReq = boolField(body, "explain").getOrElse(false)
           val mcapReq = boolField(body, "mcap").getOrElse(false)
-          graft.ql.Parser.parse(ql) match {
+          graft.ql.Parser.parse(ql,
+            strictParity || graft.ql.Parser.strictParityDefault) match {
             // the reference's query route executes truncate statements
             // too, answering an empty result (query.go:163-180)
             case _: graft.ql.TruncateStmt =>

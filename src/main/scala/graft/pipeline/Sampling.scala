@@ -44,6 +44,14 @@ object Sampling {
         pmod(conv(col("_pk"), 16, 10).cast("long"),
           lit(nBuckets.toLong)))
 
+  /** The pack-lane id of a document — THE lane formula ([[withLane]]
+    * derives from the same [[hashBucket]]), exposed so incremental
+    * faces ([[graft.streaming.SequenceShards]]) can route documents
+    * to the lanes a batch [[packSequences]] would use, bit for bit. */
+  def laneOf(id: Column, nBuckets: Int, salt: String = "graft"): Column =
+    pmod(conv(hashBucket(id, salt), 16, 10).cast("long"),
+      lit(nBuckets.toLong))
+
   /** Cutoff hex literal covering `fraction` of the 32-bit space.
     * Exposed so SQL oracles embed the IDENTICAL literal. */
   def hexCutoff(fraction: Double): String = {
@@ -293,14 +301,31 @@ object Sampling {
     * satisfied by the pack lane's hashpartitioning, so the whole
     * pack+shuffle pipeline still plans ONE exchange (spec-gated).
     * md5 ties (never observed; 128-bit) break on the keys, so the
-    * order is total and deterministic either way. */
+    * order is total and deterministic either way.
+    *
+    * Determinism contract, ENFORCED: the rank hash includes the LANE
+    * (the doc's claim that the order is a function of lane is real,
+    * not incidental), and a null lane or key fails loudly at run time
+    * — `concat_ws` silently SKIPS nulls, so a null would alias
+    * distinct hash inputs and make `epoch_pos` nondeterministic
+    * across rebuilds, breaking exactly the resume-reproducibility
+    * this verb exists for. Key-tuple UNIQUENESS within a lane is the
+    * remaining caller-owned precondition (keys are ids by contract):
+    * two rows with identical keys get identical ranks and their
+    * relative epoch_pos is engine-arbitrary — pass a distinguishing
+    * key column if the data can carry duplicates. */
   def epochShuffle(df: DataFrame, epoch: Long, laneCol: String,
       keyCols: Seq[String], salt: String = "graft"): DataFrame = {
     require(keyCols.nonEmpty, "epochShuffle needs ordering key columns")
     import org.apache.spark.sql.expressions.Window
+    def guarded(name: String): Column = coalesce(
+      col(name).cast("string"),
+      raise_error(lit(s"epochShuffle: null $name — the seed-" +
+        "deterministic permutation needs non-null lane and key values"))
+        .cast("string"))
     val rank = md5(concat_ws(":",
-      (Seq(lit(salt), lit(epoch.toString)) ++
-        keyCols.map(c => col(c).cast("string"))): _*))
+      (Seq(lit(salt), lit(epoch.toString), guarded(laneCol)) ++
+        keyCols.map(guarded)): _*))
     val w = Window.partitionBy(col(laneCol))
       .orderBy(rank +: keyCols.map(col): _*)
     df.withColumn("epoch_pos", row_number().over(w).cast("long"))

@@ -75,23 +75,37 @@ object Search {
   def bm25TopKBatch(docs: DataFrame, queries: Seq[(Long, String)],
       k: Int, k1: Double = 1.2, b: Double = 0.75,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    require(queries.nonEmpty, "empty query batch")
     require(k >= 1, s"k must be >= 1: $k")
+    val (qdf, allTerms) = queryTermsDf(docs.sparkSession, queries)
+    val tf = postings(docs, Some(allTerms), idCol, textCol)
+    bm25Rank(tf, corpusLengthStats(docs, idCol, textCol), qdf, k, k1, b)
+  }
+
+  /** The broadcast (query_id, term) map plus the distinct term union —
+    * ONE copy of the query tokenization, shared by the inline and
+    * stored-index serves so their term sets can never diverge. */
+  private def queryTermsDf(spark: org.apache.spark.sql.SparkSession,
+      queries: Seq[(Long, String)]): (DataFrame, Seq[String]) = {
+    require(queries.nonEmpty, "empty query batch")
     val qTerms: Seq[(Long, String)] = queries.flatMap { case (qid, q) =>
       q.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
         .map(t => (qid, t))
     }
     require(qTerms.nonEmpty, "queries tokenize to no terms")
-    val spark = docs.sparkSession
     import spark.implicits._
-    val qdf = qTerms.toDF("query_id", "term")
-    val allTerms = qTerms.map(_._2).distinct
+    (qTerms.toDF("query_id", "term"), qTerms.map(_._2).distinct)
+  }
 
-    val tf = postings(docs, Some(allTerms), idCol, textCol)
+  /** The BM25 scoring tail over already-built posting rows — ONE copy
+    * of the ranking arithmetic shared by [[bm25TopKBatch]] (inline
+    * postings) and [[bm25TopKBatchFromIndex]] (stored postings), so
+    * stored-serve ≡ inline holds by construction. `tf` carries
+    * (term, doc_id, dl, tf) for the query terms only; `stats` is the
+    * one-row (n, sumdl) corpus normalizer. */
+  private def bm25Rank(tf: DataFrame, stats: DataFrame, qdf: DataFrame,
+      k: Int, k1: Double, b: Double): DataFrame = {
     // document frequency per term — ≤ |terms| rows, broadcasts
     val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val stats = corpusLengthStats(docs, idCol, textCol)
-
     // ONE identical IEEE expression in both engines, floored to µ
     // BEFORE the per-doc sum (cross-row float addition is not
     // order-stable; a BIGINT sum is).
@@ -103,7 +117,6 @@ object Search {
           (lit(1.0) - lit(b) + lit(b) *
             (col("dl") * col("n") / col("sumdl")))) *
         lit(1000000.0)).cast("long")
-
     val scored = tf
       .join(broadcast(dfq), Seq("term"))
       .crossJoin(broadcast(stats))
@@ -210,4 +223,182 @@ object Search {
       .orderBy(col("rrf_mu").desc, col("doc_id").asc)
       .limit(k)
   }
+
+  // --- persisted BM25 index lifecycle ------------------------------------
+
+  /** Persist a BM25 inverted index so serving never re-tokenizes the
+    * corpus — the text-retrieval analogue of
+    * [[Similarity.writeIvfIndex]]'s durable-layout discipline. Layout:
+    *
+    *   - `dir/postings`: (term, doc_id, dl, tf) PARTITIONED BY
+    *     `bucket` = hash(term) mod nBuckets and sorted by term within
+    *     files — a query's term set maps to bucket DIRECTORIES
+    *     (Catalyst prunes the rest before IO, the IVF cell-prune
+    *     shape) and the pushed term-IN predicate prunes row groups
+    *     inside them. Serve cost ∝ postings of the query's terms,
+    *     never corpus size.
+    *   - `dir/stats`: mergeable (batch_fp, n, sumdl) partials, one row
+    *     per build/append; the serve reads `distinct()` + sum, so a
+    *     replayed identical append's duplicate row collapses
+    *     (batch_fp is a deterministic content fingerprint) and the
+    *     normalizer needs no corpus-sized aggregate at serve time.
+    *   - `dir/meta`: (nbuckets) — the partitioning contract appends
+    *     must reproduce, stored so it can never silently drift.
+    *
+    * 100 TB shape: the postings build is [[postings]]' one shuffle;
+    * the bucket write clusters each bucket in one task (row-group
+    * splitting restores intra-file scan parallelism at production
+    * file sizes, the parquet discipline everywhere in this repo). */
+  def writeBm25Index(docs: DataFrame, dir: String, nBuckets: Int = 64,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    require(nBuckets >= 1, s"nBuckets >= 1: $nBuckets")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Seq(nBuckets).toDF("nbuckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    statsPartial(docs, idCol, textCol)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+    postingsRows(docs, nBuckets, idCol, textCol)
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$dir/postings")
+  }
+
+  /** Incrementally index new documents: postings rows append into
+    * their term buckets under the STORED nBuckets (the quantizer-is-
+    * an-input rule — a drifted bucket count would silently split a
+    * term across directories and halve its df), and one stats partial
+    * row lands next to the existing ones. Idempotence contract (the
+    * [[Similarity.appendToIvfIndex]] discipline): a crash-retried
+    * append can leave duplicate posting rows, which — unlike raw
+    * vectors — CHANGE answers (rows count into df and duplicate
+    * per-(doc, term) contributions); the serve path heals them with a
+    * candidate-sized dropDuplicates and [[compactBm25Index]] heals the
+    * stored layout. Callers must not append the same batch twice with
+    * different content under the same doc ids. */
+  def appendToBm25Index(newDocs: DataFrame, dir: String,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val spark = newDocs.sparkSession
+    val nBuckets = spark.read.parquet(s"$dir/meta")
+      .head().getInt(0)
+    statsPartial(newDocs, idCol, textCol)
+      .coalesce(1).write.mode("append").parquet(s"$dir/stats")
+    postingsRows(newDocs, nBuckets, idCol, textCol)
+      .write.mode("append").partitionBy("bucket")
+      .parquet(s"$dir/postings")
+  }
+
+  /** Compact a [[writeBm25Index]] layout after replayed appends:
+    * any-copy dedup of full-row-identical duplicate postings (exact —
+    * tokenization is deterministic), stats partials collapsed to one
+    * summed row, both under [[graft.util.Maint]]'s whole-root flip
+    * (duplicates CHANGE answers here — df counts rows — so the
+    * postings tree must never expose a half-folded state).
+    * Single-writer: no concurrent appends (a pre-compact append's
+    * replay arriving after the fold would re-add its stats row with
+    * nothing left to collapse it against). */
+  def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    import graft.util.Maint
+    val live = new Path(s"$dir/postings")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(s"$dir/.postings-compact")
+    val trash = new Path(s"$dir/.postings-trash")
+    // two sub-verbs so the crash matrix injects into EACH flip's
+    // windows independently (shared-name steps would shadow the
+    // second flip's points behind the first's)
+    Maint.healAtEntry(fs, live, tmp, trash, "compactBm25Postings",
+      live = fs.exists(live),
+      missingMsg = Some(s"compactBm25Index: no postings tree at $live"))
+    Maint.cleanSiblings(fs, tmp, trash, "compactBm25Postings")
+    spark.read.parquet(live.toString)
+      .dropDuplicates("term", "doc_id")
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("term"))
+      .write.partitionBy("bucket").parquet(tmp.toString)
+    Maint.flipNow(fs, live, tmp, trash, "compactBm25Postings")
+    // stats: fold the partial rows to ONE exact row (same flip
+    // protocol, with its own heal-at-entry — a crash between the
+    // stats flip's renames must restore the stranded original, never
+    // clean it away; distinct first — replayed appends wrote
+    // identical rows, and folding them un-collapsed would
+    // double-count)
+    val sLive = new Path(s"$dir/stats")
+    val sTmp = new Path(s"$dir/.stats-compact")
+    val sTrash = new Path(s"$dir/.stats-trash")
+    Maint.healAtEntry(fs, sLive, sTmp, sTrash, "compactBm25Stats",
+      live = fs.exists(sLive),
+      missingMsg = Some(s"compactBm25Index: no stats tree at $sLive"))
+    Maint.cleanSiblings(fs, sTmp, sTrash, "compactBm25Stats")
+    spark.read.parquet(sLive.toString).distinct()
+      .agg(min(col("batch_fp")).as("batch_fp"), sum(col("n")).as("n"),
+        sum(col("sumdl")).as("sumdl"))
+      .select(col("batch_fp"), col("n"), col("sumdl"))
+      .coalesce(1).write.parquet(sTmp.toString)
+    Maint.flipNow(fs, sLive, sTmp, sTrash, "compactBm25Stats")
+    ()
+  }
+
+  /** Serve a query batch from a [[writeBm25Index]] layout — identical
+    * results to [[bm25TopKBatch]] over the indexed corpus at every k
+    * (spec-pinned; the scoring tail is literally shared). The plan
+    * reads ONLY the index: bucket partition pruning + pushed term-IN
+    * on the postings, a one-row broadcast from the stats partials —
+    * corpus text is never scanned or re-tokenized (spec-gated). */
+  def bm25TopKBatchFromIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, queries: Seq[(Long, String)], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val (qdf, allTerms) = queryTermsDf(spark, queries)
+    val nBuckets = spark.read.parquet(s"$dir/meta").head().getInt(0)
+    // the terms' bucket set, derived with the SAME engine hash that
+    // placed them (one control-plane job over |terms| local rows)
+    import spark.implicits._
+    val buckets = allTerms.toDF("term")
+      .select(pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
+      .distinct().collect().map(_.getLong(0))
+    val tf = spark.read.parquet(s"$dir/postings")
+      .where(col("bucket").isin(buckets: _*))
+      .where(col("term").isin(allTerms: _*))
+      // heal replayed-append duplicates (bit-identical rows) at
+      // candidate size — |docs with a query term|, never the corpus
+      .dropDuplicates("term", "doc_id")
+      .select(col("term"), col("doc_id"), col("dl"), col("tf"))
+    val stats = spark.read.parquet(s"$dir/stats").distinct()
+      .agg(sum(col("n")).as("n"), sum(col("sumdl")).as("sumdl"))
+    bm25Rank(tf, stats, qdf, k, k1, b)
+  }
+
+  /** Single-query face of [[bm25TopKBatchFromIndex]] —
+    * [[bm25TopK]]'s shape over the stored index. */
+  def bm25TopKFromIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, query: String, k: Int, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame =
+    bm25TopKBatchFromIndex(spark, dir, Seq((0L, query)), k, k1, b)
+      .drop("query_id")
+      .orderBy(col("score_mu").desc, col("doc_id").asc)
+
+  /** The on-disk posting rows: [[postings]] over the full vocabulary
+    * plus the term's bucket, clustered (bucket, term) for row-group
+    * pruning under the pushed term-IN predicate. */
+  private def postingsRows(docs: DataFrame, nBuckets: Int,
+      idCol: String, textCol: String): DataFrame =
+    postings(docs, None, idCol, textCol)
+      .withColumn("bucket",
+        pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("term"))
+
+  /** One mergeable stats partial: doc count, total token length, and
+    * a deterministic content fingerprint (order-free XOR fold of the
+    * per-doc id hashes — bit_xor can never overflow where an ANSI
+    * long sum of ~2^63 hashes aborts the job) — the identity that
+    * lets the serve-time `distinct()` collapse a replayed append's
+    * identical row. */
+  private def statsPartial(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol).cast("string").as("_id"),
+        size(TextOps.tokens(lower(col(textCol)))).cast("long").as("dl"))
+      .agg(expr("bit_xor(xxhash64(_id))").as("batch_fp"),
+        count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
 }

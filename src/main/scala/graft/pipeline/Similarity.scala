@@ -379,33 +379,25 @@ object Similarity {
   def compactIvfVectors(spark: org.apache.spark.sql.SparkSession,
       dir: String, idCol: String = "vec_id"): Unit = {
     import org.apache.hadoop.fs.Path
+    import graft.util.Maint
     val live = new Path(s"$dir/vectors")
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // fail LOUDLY on a missing vectors tree: the absent-live state is
-    // exactly what a crash between this function's own two renames
-    // leaves behind (original in .vectors-trash, compacted tree in
-    // .vectors-compact) — a silent no-op would report a 'successful'
-    // heal over a broken index (and mask a typo'd dir)
-    require(fs.exists(live),
-      s"compactIvfVectors: no vectors tree at $live — if a prior " +
-        "compaction crashed mid-swap, recover from the .vectors-trash" +
-        "/.vectors-compact siblings")
     val tmp = new Path(s"$dir/.vectors-compact")
     val trash = new Path(s"$dir/.vectors-trash")
-    fs.delete(tmp, true); fs.delete(trash, true)
+    // loud on a missing vectors tree with no siblings (a typo'd dir);
+    // live-absent WITH the trash sibling is this verb's own mid-swap
+    // crash state, which Maint heals before the fold re-runs
+    Maint.healAtEntry(fs, live, tmp, trash, "compactIvfVectors",
+      live = fs.exists(live),
+      missingMsg = Some(s"compactIvfVectors: no vectors tree at $live"))
+    Maint.cleanSiblings(fs, tmp, trash, "compactIvfVectors")
     // duplicate (id, cell) rows are full-row identical by construction
     // (a replayed append re-derives the same deterministic assignment),
     // so any-copy-wins dedup is exact
     spark.read.parquet(live.toString)
       .dropDuplicates(idCol, "cell")
       .write.partitionBy("cell").parquet(tmp.toString)
-    if (!fs.rename(live, trash))
-      throw new java.io.IOException(s"compactIvfVectors: rename $live")
-    if (!fs.rename(tmp, live)) {
-      fs.rename(trash, live) // restore — the old tree is intact
-      throw new java.io.IOException(s"compactIvfVectors: rename $tmp")
-    }
-    fs.delete(trash, true)
+    Maint.flipNow(fs, live, tmp, trash, "compactIvfVectors")
     ()
   }
 
@@ -435,11 +427,13 @@ object Similarity {
     // the root rename would carry it along
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(new Path(root, "vectors")),
-      s"retrainIvfIndex: no index at $root")
     val tmp = root.suffix(".retrain")
     val trash = root.suffix(".trash")
-    fs.delete(tmp, true); fs.delete(trash, true)
+    graft.util.Maint.healAtEntry(fs, root, tmp, trash,
+      "retrainIvfIndex",
+      live = fs.exists(new Path(root, "vectors")),
+      missingMsg = Some(s"retrainIvfIndex: no index at $root"))
+    graft.util.Maint.cleanSiblings(fs, tmp, trash, "retrainIvfIndex")
     // pin the healed frame: the k-means trainer takes one action for
     // the seed plus one per iteration and the rewrite is one more —
     // unpinned, EACH would re-run the scan + dedup shuffle (the
@@ -451,13 +445,7 @@ object Similarity {
       val cents = trainIvfCentroids(live, kCells, iters, idCol, vecCol)
       writeIvfIndexWith(live, cents, tmp.toString, vecCol)
     } finally liveHandle.release()
-    if (!fs.rename(root, trash))
-      throw new java.io.IOException(s"retrainIvfIndex: rename $root")
-    if (!fs.rename(tmp, root)) {
-      fs.rename(trash, root) // restore — the old index is intact
-      throw new java.io.IOException(s"retrainIvfIndex: rename $tmp")
-    }
-    fs.delete(trash, true)
+    graft.util.Maint.flipNow(fs, root, tmp, trash, "retrainIvfIndex")
     ()
   }
 
@@ -880,28 +868,22 @@ object Similarity {
   def compactPqCodes(spark: org.apache.spark.sql.SparkSession,
       dir: String): Unit = {
     import org.apache.hadoop.fs.Path
+    import graft.util.Maint
     val live = new Path(s"$dir/codes")
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // loud on missing codes — an absent live tree is the mid-swap
-    // crash state this heal would otherwise 'succeed' over silently
-    require(fs.exists(live),
-      s"compactPqCodes: no codes tree at $live — if a prior " +
-        "compaction crashed mid-swap, recover from the .codes-trash" +
-        "/.codes-compact siblings")
     val tmp = new Path(s"$dir/.codes-compact")
     val trash = new Path(s"$dir/.codes-trash")
-    fs.delete(tmp, true); fs.delete(trash, true)
+    // loud on missing codes with no siblings (a typo'd dir); the
+    // mid-swap crash state (live absent, trash surviving) heals here
+    Maint.healAtEntry(fs, live, tmp, trash, "compactPqCodes",
+      live = fs.exists(live),
+      missingMsg = Some(s"compactPqCodes: no codes tree at $live"))
+    Maint.cleanSiblings(fs, tmp, trash, "compactPqCodes")
     spark.read.parquet(live.toString)
       .dropDuplicates("_vid", "_sub")
       .repartition(col("_vid"))
       .write.parquet(tmp.toString)
-    if (!fs.rename(live, trash))
-      throw new java.io.IOException(s"compactPqCodes: rename $live")
-    if (!fs.rename(tmp, live)) {
-      fs.rename(trash, live) // restore — the old tree is intact
-      throw new java.io.IOException(s"compactPqCodes: rename $tmp")
-    }
-    fs.delete(trash, true)
+    Maint.flipNow(fs, live, tmp, trash, "compactPqCodes")
     ()
   }
 
@@ -926,8 +908,10 @@ object Similarity {
     // normalized-then-suffixed temp paths (the trailing-slash rule)
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(new Path(root, "codes")),
-      s"retrainPqIndex: no index at $root")
+    graft.util.Maint.healAtEntry(fs, root, root.suffix(".retrain"),
+      root.suffix(".trash"), "retrainPqIndex",
+      live = fs.exists(new Path(root, "codes")),
+      missingMsg = Some(s"retrainPqIndex: no index at $root"))
     // geometry only — _cell stays un-cast so generic label domains
     // (the join-face encode) retrain too
     val mm = spark.read.parquet(s"$dir/codebook")
@@ -938,15 +922,9 @@ object Similarity {
     val m = mm.getInt(1) + 1
     val tmp = root.suffix(".retrain")
     val trash = root.suffix(".trash")
-    fs.delete(tmp, true); fs.delete(trash, true)
+    graft.util.Maint.cleanSiblings(fs, tmp, trash, "retrainPqIndex")
     writePqIndex(emb, tmp.toString, dims, m, cellCol, idCol, vecCol)
-    if (!fs.rename(root, trash))
-      throw new java.io.IOException(s"retrainPqIndex: rename $root")
-    if (!fs.rename(tmp, root)) {
-      fs.rename(trash, root) // restore — the old index is intact
-      throw new java.io.IOException(s"retrainPqIndex: rename $tmp")
-    }
-    fs.delete(trash, true)
+    graft.util.Maint.flipNow(fs, root, tmp, trash, "retrainPqIndex")
     ()
   }
 
@@ -1372,18 +1350,17 @@ object Similarity {
   def compactIvfPqCodes(spark: org.apache.spark.sql.SparkSession,
       dir: String): Unit = {
     import org.apache.hadoop.fs.Path
+    import graft.util.Maint
     val live = new Path(s"$dir/codes")
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // loud on missing codes — the [[compactIvfVectors]] rationale: an
-    // absent live tree is the mid-swap crash state this heal would
-    // otherwise 'succeed' over silently
-    require(fs.exists(live),
-      s"compactIvfPqCodes: no codes tree at $live — if a prior " +
-        "compaction crashed mid-swap, recover from the .codes-trash" +
-        "/.codes-compact siblings")
     val tmp = new Path(s"$dir/.codes-compact")
     val trash = new Path(s"$dir/.codes-trash")
-    fs.delete(tmp, true); fs.delete(trash, true)
+    // loud on missing codes with no siblings (a typo'd dir); the
+    // mid-swap crash state (live absent, trash surviving) heals here
+    Maint.healAtEntry(fs, live, tmp, trash, "compactIvfPqCodes",
+      live = fs.exists(live),
+      missingMsg = Some(s"compactIvfPqCodes: no codes tree at $live"))
+    Maint.cleanSiblings(fs, tmp, trash, "compactIvfPqCodes")
     // repartition WITHOUT a count (the build path's file-count rule):
     // AQE merges small cells into shared tasks; partitionBy still lays
     // each cell in its own prunable directory
@@ -1391,13 +1368,7 @@ object Similarity {
       .dropDuplicates("cell", "_vid", "_sub")
       .repartition(col("cell"))
       .write.partitionBy("cell").parquet(tmp.toString)
-    if (!fs.rename(live, trash))
-      throw new java.io.IOException(s"compactIvfPqCodes: rename $live")
-    if (!fs.rename(tmp, live)) {
-      fs.rename(trash, live) // restore — the old tree is intact
-      throw new java.io.IOException(s"compactIvfPqCodes: rename $tmp")
-    }
-    fs.delete(trash, true)
+    Maint.flipNow(fs, live, tmp, trash, "compactIvfPqCodes")
     ()
   }
 
@@ -1429,8 +1400,10 @@ object Similarity {
     // inside the index when dir ends in '/')
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(new Path(root, "codes")),
-      s"retrainIvfPqIndex: no index at $root")
+    graft.util.Maint.healAtEntry(fs, root, root.suffix(".retrain"),
+      root.suffix(".trash"), "retrainIvfPqIndex",
+      live = fs.exists(new Path(root, "codes")),
+      missingMsg = Some(s"retrainIvfPqIndex: no index at $root"))
     val cb = readPqCodebookLocal(spark, dir)
     val residual = readIvfPqMeta(spark, dir)
     val dims = cb.map(_._1).max + 1
@@ -1443,16 +1416,10 @@ object Similarity {
     val kSub = if (residual) cb.map(_._2).max.toInt + 1 else 1
     val tmp = root.suffix(".retrain")
     val trash = root.suffix(".trash")
-    fs.delete(tmp, true); fs.delete(trash, true)
+    graft.util.Maint.cleanSiblings(fs, tmp, trash, "retrainIvfPqIndex")
     writeIvfPqIndex(emb, tmp.toString, kCells, dims, m, iters, idCol,
       vecCol, residual, kSub)
-    if (!fs.rename(root, trash))
-      throw new java.io.IOException(s"retrainIvfPqIndex: rename $root")
-    if (!fs.rename(tmp, root)) {
-      fs.rename(trash, root) // restore — the old index is intact
-      throw new java.io.IOException(s"retrainIvfPqIndex: rename $tmp")
-    }
-    fs.delete(trash, true)
+    graft.util.Maint.flipNow(fs, root, tmp, trash, "retrainIvfPqIndex")
     ()
   }
 

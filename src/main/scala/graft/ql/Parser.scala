@@ -109,8 +109,9 @@ object Parser {
     * reference's compile-time `neighbors` error without threading the
     * flag through each call site — for consumers that need the
     * engine's accepted-query surface to be exactly the reference's.
-    * Read per parse so tests can toggle it. */
-  private def strictParityDefault: Boolean =
+    * Read per parse so tests can toggle it. (package-visible: the
+    * HTTP face composes it with its own per-server default.) */
+  private[graft] def strictParityDefault: Boolean =
     java.lang.Boolean.getBoolean("graft.ql.strictParity")
 
   /** Parse one statement. `strictParity = true` restores the

@@ -537,11 +537,14 @@ object CorpusDedup {
     spark.createDataFrame(
         java.util.Arrays.asList(local: _*), merged.schema)
       .coalesce(1).write.mode("append").parquet(part.toString)
+    graft.util.Maint.step("compactTier", "appended")
     olds.init.foreach { v =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$tierDir/version=$v"),
         true)
     }
+    graft.util.Maint.step("compactTier", "olds-deleted")
     superseded.foreach(fs.delete(_, false))
+    graft.util.Maint.step("compactTier", "committed")
     ()
   }
 
@@ -559,44 +562,72 @@ object CorpusDedup {
     * is invisible to the `version < N` reads).
     *
     * Unlike the tier (kilobytes, driver-collected), fingerprints are
-    * corpus-sized, so the fold is distributed: write the merged rows
-    * to a temp dir (Spark refuses to write a path it reads), RENAME
-    * the part files into the keep partition (UUID part names cannot
-    * collide), then delete the superseded version dirs and the keep
-    * partition's pre-fold files. A crash between steps leaves
-    * redundant-but-correct rows — duplicate fingerprints are harmless
-    * to the membership semi-join and the next compaction folds them.
+    * corpus-sized, so the fold is distributed, via the
+    * duplicates-harmless protocol ([[graft.util.Maint]]): write the
+    * merged rows to a temp dir (Spark refuses to write a path it
+    * reads), RENAME the part files into the keep partition (UUID part
+    * names cannot collide), then delete the superseded version dirs
+    * and the keep partition's pre-fold files. A crash between steps
+    * leaves redundant-but-correct rows — duplicate fingerprints are
+    * harmless to the membership semi-join and the next compaction
+    * folds them. Output files are SIZED (`ceil(bytes / target)`, the
+    * Ingest.optimize rule) so the fold never collapses the sidecar's
+    * scan parallelism to one AQE-coalesced task's worth of files.
     * Single-writer with respect to appendBatch, like compactTier. */
-  def compactFp(spark: SparkSession, fpDir: String): Unit = {
-    if (!exists(spark, fpDir)) return
-    val fps = spark.read.parquet(fpDir)
-    val versions = fps.select(col("version").cast("long"))
+  def compactFp(spark: SparkSession, fpDir: String,
+      targetBytesPerFile: Long = 128L << 20): Unit =
+    foldHarmless(spark, fpDir, "compactFp", targetBytesPerFile) {
+      (merged, nFiles) =>
+        // membership probes are a semi-join on _fp (no pushed range
+        // predicate), so even spread is all the layout needs
+        merged.repartitionByRange(nFiles, col("_fp"))
+    }
+
+  /** The shared duplicates-harmless version fold ([[compactFp]],
+    * [[compactVectors]]): fold all rows of versions strictly older
+    * than the newest into the second-newest version's partition.
+    * `shape` re-clusters the merged frame into `nFiles` output files
+    * (sized from the folded sources' bytes — [[graft.util.Maint
+    * .sizedFileCount]]). Crash windows between the protocol steps
+    * leave redundant-but-correct rows by precondition (the caller's
+    * read path tolerates duplicates); [[graft.util.Maint]] injects
+    * test crashes at each step. */
+  private def foldHarmless(spark: SparkSession, dir: String,
+      verb: String, targetBytesPerFile: Long)(
+      shape: (DataFrame, Int) => DataFrame): Unit = {
+    import org.apache.hadoop.fs.Path
+    import graft.util.Maint
+    if (!exists(spark, dir)) return
+    val df = spark.read.parquet(dir)
+    val versions = df.select(col("version").cast("long"))
       .distinct().collect().map(_.getLong(0)).sorted
     if (versions.length <= 2) return // nothing strictly-older to fold
     val keepV = versions.init.last
-    val dataCols = fps.columns.filterNot(_ == "version").map(col)
-    val merged = fps.where(col("version") < versions.last)
-      .select(dataCols: _*)
-    val root = new org.apache.hadoop.fs.Path(fpDir)
+    val dataCols = df.columns.filterNot(_ == "version").map(col)
+    val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val part = new org.apache.hadoop.fs.Path(s"$fpDir/version=$keepV")
+    val nFiles = Maint.sizedFileCount(
+      Maint.parquetBytes(fs,
+        versions.init.map(v => new Path(s"$dir/version=$v")).toSeq),
+      targetBytesPerFile)
+    val merged = shape(
+      df.where(col("version") < versions.last).select(dataCols: _*),
+      nFiles)
+    val part = new Path(s"$dir/version=$keepV")
     val superseded = fs.listStatus(part).map(_.getPath)
       .filter(_.getName.endsWith(".parquet"))
-    val tmp = new org.apache.hadoop.fs.Path(
-      s"$fpDir/.compact-tmp-$keepV")
+    val tmp = new Path(s"$dir/.compact-tmp-$keepV")
     fs.delete(tmp, true)
+    Maint.step(verb, "cleaned")
     merged.write.mode("overwrite").parquet(tmp.toString)
-    fs.listStatus(tmp).map(_.getPath)
-      .filter(_.getName.endsWith(".parquet"))
-      .foreach { p =>
-        fs.rename(p, new org.apache.hadoop.fs.Path(part, p.getName))
-      }
-    fs.delete(tmp, true)
+    Maint.step(verb, "built")
+    Maint.renamePartsInto(fs, tmp, part, verb)
     versions.init.init.foreach { v =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$fpDir/version=$v"),
-        true)
+      fs.delete(new Path(s"$dir/version=$v"), true)
     }
+    Maint.step(verb, "olds-deleted")
     superseded.foreach(fs.delete(_, false))
+    Maint.step(verb, "committed")
     ()
   }
 
@@ -632,48 +663,46 @@ object CorpusDedup {
     * never make a batch mistake the mid-swap absence for an empty
     * corpus and accept everything. Single-writer with respect to
     * appendBatchNearDup, like every compaction here. */
-  def compactPostings(spark: SparkSession, postingsDir: String): Unit = {
+  def compactPostings(spark: SparkSession, postingsDir: String,
+      targetBytesPerFile: Long = 128L << 20): Unit = {
     import org.apache.hadoop.fs.Path
+    import graft.util.Maint
     val root = new Path(postingsDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = root.suffix(".compact")
     val trash = root.suffix(".compact-trash")
-    if (!exists(spark, postingsDir)) {
-      if (fs.exists(trash)) {
-        if (!fs.rename(trash, root))
-          throw new java.io.IOException(
-            s"compactPostings: heal $trash -> $root")
-        fs.delete(tmp, true)
-        // fall through: original restored, re-run the fold
-      } else if (fs.exists(tmp)) {
-        throw new java.io.IOException(
-          s"compactPostings: orphan $tmp with no live tree and no $trash")
-      } else return // never written — nothing to compact
-    }
-    fs.delete(tmp, true); fs.delete(trash, true)
+    if (!Maint.healAtEntry(fs, root, tmp, trash, "compactPostings",
+        live = exists(spark, postingsDir)))
+      return // never written — nothing to compact
+    Maint.cleanSiblings(fs, tmp, trash, "compactPostings")
     val posts = spark.read.parquet(postingsDir)
     val versions = posts.select(col("version").cast("long"))
       .distinct().collect().map(_.getLong(0)).sorted
     if (versions.length <= 2) return // nothing strictly-older to fold
     val maxV = versions.last
     val keepV = versions.init.last
+    // output files SIZED like Ingest.optimize (ceil(bytes / target)):
+    // an unsized repartition(cols) lets AQE coalesce the fold into 1-2
+    // files and the next batches' candidate joins scan the corpus side
+    // on 1-2 tasks — file-count-bounded parallelism (measured: the
+    // 80-batch probe's compacted semantic curve ran SLOWER than
+    // uncompacted from exactly this). Range partitioning on the
+    // cluster keys keeps each file a contiguous (version, bucket, sh)
+    // slab, so the pushed bucket-IN predicate prunes whole FILES on
+    // footer min/max, not just row groups.
+    val nFiles = Maint.sizedFileCount(
+      Maint.parquetBytes(fs,
+        versions.map(v => new Path(s"$postingsDir/version=$v")).toSeq),
+      targetBytesPerFile)
     posts
       .withColumn("version",
         when(col("version").cast("long") < maxV, lit(keepV))
           .otherwise(col("version").cast("long")))
-      // one exchange rebuilds the append path's exact layout: rows
-      // clustered by (bucket, sh) within each version's files so the
-      // next batch's pushed bucket-IN predicate keeps pruning
-      .repartition(col("version"), col("bucket"))
+      .repartitionByRange(nFiles, col("version"), col("bucket"),
+        col("sh"))
       .sortWithinPartitions(col("version"), col("bucket"), col("sh"))
       .write.partitionBy("version").parquet(tmp.toString)
-    if (!fs.rename(root, trash))
-      throw new java.io.IOException(s"compactPostings: rename $root")
-    if (!fs.rename(tmp, root)) {
-      fs.rename(trash, root) // restore — the old tree is intact
-      throw new java.io.IOException(s"compactPostings: rename $tmp")
-    }
-    fs.delete(trash, true)
+    Maint.flipNow(fs, root, tmp, trash, "compactPostings")
     ()
   }
 
@@ -693,43 +722,25 @@ object CorpusDedup {
     * costs duplicate candidate rows the distinct collapses, never a
     * changed answer. The root never vanishes, so no batch can
     * mistake a mid-compaction state for an empty corpus. Superseded
-    * files delete only after the merged rows land. Single-writer
-    * with respect to appendBatchSemantic. */
-  def compactVectors(spark: SparkSession, vecDir: String): Unit = {
-    import org.apache.hadoop.fs.Path
-    if (!exists(spark, vecDir)) return
-    val vecs = spark.read.parquet(vecDir)
-    val versions = vecs.select(col("version").cast("long"))
-      .distinct().collect().map(_.getLong(0)).sorted
-    if (versions.length <= 2) return // nothing strictly-older to fold
-    val keepV = versions.init.last
-    val dataCols = vecs.columns.filterNot(_ == "version").map(col)
-    val merged = vecs.where(col("version") < versions.last)
-      .select(dataCols: _*)
-      // rebuild the append path's cell clustering so the pushed
-      // cell-IN predicate keeps pruning row groups after the fold
-      .repartition(col("cell"))
-      .sortWithinPartitions(col("cell"))
-    val root = new Path(vecDir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val part = new Path(s"$vecDir/version=$keepV")
-    val superseded = fs.listStatus(part).map(_.getPath)
-      .filter(_.getName.endsWith(".parquet"))
-    val tmp = new Path(s"$vecDir/.compact-tmp-$keepV")
-    fs.delete(tmp, true)
-    merged.write.mode("overwrite").parquet(tmp.toString)
-    fs.listStatus(tmp).map(_.getPath)
-      .filter(_.getName.endsWith(".parquet"))
-      .foreach { p =>
-        fs.rename(p, new Path(part, p.getName))
-      }
-    fs.delete(tmp, true)
-    versions.init.init.foreach { v =>
-      fs.delete(new Path(s"$vecDir/version=$v"), true)
+    * files delete only after the merged rows land. The fold also
+    * `distinct()`s the merged rows: a tolerated crash window's
+    * duplicates are answer-invisible but would otherwise survive
+    * EVERY later fold and grow the sidecar monotonically across
+    * repeated crashes — full-row dedup at fold time collapses them
+    * (exact: a crash duplicates bit-identical rows, and two genuinely
+    * identical accepted vectors are interchangeable for membership).
+    * Output files are SIZED (`ceil(bytes / target)`) and
+    * range-clustered by (cell, norm) so the pushed cell-IN predicate
+    * prunes whole files while scan parallelism survives the fold.
+    * Single-writer with respect to appendBatchSemantic. */
+  def compactVectors(spark: SparkSession, vecDir: String,
+      targetBytesPerFile: Long = 128L << 20): Unit =
+    foldHarmless(spark, vecDir, "compactVectors", targetBytesPerFile) {
+      (merged, nFiles) =>
+        merged.distinct()
+          .repartitionByRange(nFiles, col("cell"), col("_rnrm"))
+          .sortWithinPartitions(col("cell"))
     }
-    superseded.foreach(fs.delete(_, false))
-    ()
-  }
 
   /** Re-quantize the accepted-vector sidecar under a NEW coarse
     * quantizer — the streaming face of
@@ -756,35 +767,23 @@ object CorpusDedup {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(s"$vecDir.requantize")
     val trash = new org.apache.hadoop.fs.Path(s"$vecDir.trash")
-    if (!exists(spark, vecDir)) {
-      // an absent live sidecar WITH a surviving trash sibling is this
-      // verb's own mid-swap crash state — a bare return would report
-      // a 'successful' requantize while every accepted vector sat
-      // stranded in the trash forever (membership candidate joins go
-      // silently empty). Restore the ORIGINAL and re-run under THIS
-      // call's quantizer — never complete the flip from a crashed
-      // attempt's tmp, which may have been built under a different
-      // one.
-      if (fs.exists(trash)) {
-        if (!fs.rename(trash, root))
-          throw new java.io.IOException(
-            s"requantizeVectors: heal $trash -> $root")
-        // fall through: original restored, re-quantize below
-      } else return // never written — nothing to requantize
-    }
-    fs.delete(tmp, true); fs.delete(trash, true)
+    // an absent live sidecar WITH a surviving trash sibling is this
+    // verb's own mid-swap crash state — a bare return would report a
+    // 'successful' requantize while every accepted vector sat stranded
+    // in the trash forever (membership candidate joins go silently
+    // empty). Maint restores the ORIGINAL and this call re-quantizes
+    // under ITS quantizer — never completing a crashed attempt's tmp,
+    // which may have been built under a different one.
+    if (!graft.util.Maint.healAtEntry(fs, root, tmp, trash,
+        "requantizeVectors", live = exists(spark, vecDir)))
+      return // never written — nothing to requantize
+    graft.util.Maint.cleanSiblings(fs, tmp, trash, "requantizeVectors")
     Similarity.assignCells(
         spark.read.parquet(vecDir).drop("cell"), cents, "_rv")
       .repartition(col("version"), col("cell"))
       .sortWithinPartitions(col("version"), col("cell"))
       .write.partitionBy("version").parquet(tmp.toString)
-    if (!fs.rename(root, trash))
-      throw new java.io.IOException(s"requantizeVectors: rename $root")
-    if (!fs.rename(tmp, root)) {
-      fs.rename(trash, root) // restore — the old sidecar is intact
-      throw new java.io.IOException(s"requantizeVectors: rename $tmp")
-    }
-    fs.delete(trash, true)
+    graft.util.Maint.flipNow(fs, root, tmp, trash, "requantizeVectors")
     ()
   }
 

@@ -288,14 +288,13 @@ object Ingest {
       val src = new Path(new Path(tmp, d.getParent.getName), d.getName)
       val keep = new Path(new Path(trashRoot, d.getParent.getName),
         d.getName)
-      fs.mkdirs(keep.getParent)
-      if (!fs.rename(d, keep))
-        throw new java.io.IOException(s"scrubVersion: rename $d -> $keep")
-      if (fs.exists(src) && !fs.rename(src, d))
-        throw new java.io.IOException(s"scrubVersion: rename $src -> $d")
+      graft.util.Maint.swapPartitionDir(fs, d, src, keep,
+        "scrubVersion")
     }
+    graft.util.Maint.step("scrubVersion", "partitions-swapped")
     fs.delete(trashRoot, true) // commit: originals now disposable
     fs.delete(tmp, true)
+    graft.util.Maint.step("scrubVersion", "committed")
     ()
   }
 
@@ -316,22 +315,9 @@ object Ingest {
     * park root after healing. */
   private def healParkedPartitions(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path,
-      trashRoot: org.apache.hadoop.fs.Path): Unit = {
-    import org.apache.hadoop.fs.Path
-    if (!fs.exists(trashRoot)) return
-    for (t <- fs.listStatus(trashRoot) if t.isDirectory;
-         o <- fs.listStatus(t.getPath) if o.isDirectory) {
-      val live = new Path(new Path(root, t.getPath.getName),
-        o.getPath.getName)
-      if (!fs.exists(live)) {
-        fs.mkdirs(live.getParent)
-        if (!fs.rename(o.getPath, live))
-          throw new java.io.IOException(
-            s"healParkedPartitions: ${o.getPath} -> $live")
-      }
-    }
-    fs.delete(trashRoot, true)
-  }
+      trashRoot: org.apache.hadoop.fs.Path): Unit =
+    graft.util.Maint.healParked(fs, root, trashRoot,
+      "healParkedPartitions")
 
   /** Remove `version` rows from one unpartitioned sidecar tree (stat
     * partials, field partials, control): filter-rewrite under a temp
@@ -356,37 +342,23 @@ object Ingest {
   private def scrubSidecarVersion(spark: SparkSession, dir: String,
       version: Long): Unit = {
     import org.apache.hadoop.fs.Path
+    import graft.util.Maint
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = root.suffix(".scrub")
     val trash = root.suffix(".scrub-trash")
-    if (!fs.exists(root)) {
-      if (fs.exists(trash)) {
-        if (!fs.rename(trash, root))
-          throw new java.io.IOException(
-            s"scrubVersion: heal $trash -> $root")
-        fs.delete(tmp, true) // a crashed attempt's tmp may carry a
-        // DIFFERENT version's rewrite — never complete it
-        // fall through: original restored, re-run the filter-rewrite
-      } else if (fs.exists(tmp)) {
-        // unreachable under this verb's own protocol (trash outlives
-        // tmp); a tmp with neither live nor trash means external
-        // interference — fail loudly, never guess whose version it is
-        throw new java.io.IOException(
-          s"scrubVersion: orphan $tmp with no live tree and no $trash")
-      } else return // never written — nothing to scrub
-    }
-    fs.delete(tmp, true); fs.delete(trash, true)
+    // Maint's heal rule IS this verb's: live absent + trash present ⇒
+    // restore and re-run THIS call's filter-rewrite (a crashed
+    // attempt's tmp may carry a DIFFERENT version's rewrite — never
+    // complete it); orphan tmp ⇒ loud; truly never written ⇒ no-op
+    if (!Maint.healAtEntry(fs, root, tmp, trash, "scrubVersion",
+        live = fs.exists(root)))
+      return // never written — nothing to scrub
+    Maint.cleanSiblings(fs, tmp, trash, "scrubVersion")
     spark.read.parquet(dir)
       .where(col("ingest_version") =!= version)
       .write.parquet(tmp.toString)
-    if (!fs.rename(root, trash))
-      throw new java.io.IOException(s"scrubVersion: rename $root")
-    if (!fs.rename(tmp, root)) {
-      fs.rename(trash, root) // restore — the old tree is intact
-      throw new java.io.IOException(s"scrubVersion: rename $tmp")
-    }
-    fs.delete(trash, true)
+    Maint.flipNow(fs, root, tmp, trash, "scrubVersion")
     ()
   }
 
@@ -588,16 +560,13 @@ object Ingest {
           dayDir.getPath.getName)
         val keep = new Path(new Path(trashRoot,
           topicDir.getPath.getName), dayDir.getPath.getName)
-        fs.mkdirs(keep.getParent)
-        if (fs.exists(dst) && !fs.rename(dst, keep))
-          throw new java.io.IOException(s"optimize: rename " +
-            s"$dst -> $keep failed")
-        if (!fs.rename(dayDir.getPath, dst))
-          throw new java.io.IOException(s"optimize: rename " +
-            s"${dayDir.getPath} -> $dst failed")
+        graft.util.Maint.swapPartitionDir(fs, dst, dayDir.getPath,
+          keep, "optimize")
       }
+      graft.util.Maint.step("optimize", "partitions-swapped")
       fs.delete(trashRoot, true) // commit: originals now disposable
       fs.delete(tmp, true)
+      graft.util.Maint.step("optimize", "committed")
     }
     targets
   }

@@ -99,6 +99,14 @@ class BenchLineSpec extends AnyFunSuite {
     val want = Seq(0.0, 0.0, 0.1, 0.8, 9.9, 42.4, 99.6, 129.5,
       129.5, 129.5, -1.0) // ties half-up; >=129.55 display-caps at zz
     assert(back == want, s"$back vs $want")
+    // "zz" is reserved as the saturation SENTINEL (">= 129.5 s"),
+    // never emitted for an exactly-representable value: the largest
+    // true reading is "zy" = 129.4, so a 40 s -> 200 s regression is
+    // distinguishable on the wire from a genuine ~129.5 s entry
+    assert(Bench.encodeSecs(Seq(129.4)) == "zy")
+    assert(Bench.encodeSecs(Seq(129.5)) == "zz")
+    assert(Bench.encodeSecs(Seq(200.0)) == "zz")
+    assert(Bench.encodeSecs(Seq(999.9)) == "zz")
   }
 
   test("front-coding round-trips the registry and adversarial names") {

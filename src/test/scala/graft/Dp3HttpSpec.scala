@@ -57,20 +57,37 @@ class Dp3HttpSpec extends AnyFunSuite {
     assert(skLines.forall(l => !l.contains("\"k\"") && l.contains("\"seq\"")))
   }
 
-  test("neighbors joins run end to end through the query route " +
-      "(extension: the reference parses the keyword but errors)") {
-    val r = post("/databases/default/query",
+  test("neighbors over HTTP: the DEFAULT server is the reference's " +
+      "parity surface (parses but errors, executor.go:206-207); the " +
+      "extension runs end to end only when opted in") {
+    // out of the box a client probing feature support observes the
+    // reference's accepted-query set: 400 with the reference's message
+    val parity = post("/databases/default/query",
       """{"query": "from p3 click neighbors error;"}""")
-    assert(r.statusCode() == 200, r.body())
-    val lines = r.body().linesIterator.toSeq
-    assert(lines.nonEmpty)
-    // both sides emit: every matched error carries its nearest click
-    assert(lines.exists(_.contains("\"click\"")) &&
-      lines.exists(_.contains("\"error\"")), lines.take(3).toString)
-    // explain executes (physical plan rows; the dp3 sexp below)
-    val ex = post("/databases/default/query",
-      """{"query": "explain from p3 click neighbors error;"}""")
-    assert(ex.statusCode() == 200, ex.body())
+    assert(parity.statusCode() == 400, parity.body())
+    assert(parity.body().contains("neighbors joins are not implemented"),
+      parity.body())
+    // opted in (strictParity = false), the extension executes
+    val h2 = new Dp3Http(svc, spark, strictParity = false).start()
+    try {
+      val b2 = s"http://127.0.0.1:${h2.boundPort}"
+      def post2(path: String, body: String): HttpResponse[String] =
+        client.send(HttpRequest.newBuilder(URI.create(s"$b2$path"))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+          HttpResponse.BodyHandlers.ofString())
+      val r = post2("/databases/default/query",
+        """{"query": "from p3 click neighbors error;"}""")
+      assert(r.statusCode() == 200, r.body())
+      val lines = r.body().linesIterator.toSeq
+      assert(lines.nonEmpty)
+      // both sides emit: every matched error carries its nearest click
+      assert(lines.exists(_.contains("\"click\"")) &&
+        lines.exists(_.contains("\"error\"")), lines.take(3).toString)
+      // explain executes (physical plan rows; the dp3 sexp below)
+      val ex = post2("/databases/default/query",
+        """{"query": "explain from p3 click neighbors error;"}""")
+      assert(ex.statusCode() == 200, ex.body())
+    } finally h2.stop()
     // the dp3-style plan sexp renders the dir like precedes/succeeds
     val q = graft.ql.Parser.parse("from p3 click neighbors error;")
       .asInstanceOf[graft.ql.Query]

@@ -1729,6 +1729,18 @@ class PipelineSpec extends AnyFunSuite {
       .select("pack_bucket", "seq_idx", "epoch_pos")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(e8.sorted.toSeq != rows.sorted.toSeq)
+    // the non-null contract is ENFORCED: concat_ws silently skips
+    // nulls, so an unguarded null key would alias distinct hash
+    // inputs and break resume-reproducibility — the guard fails the
+    // job loudly instead
+    val nullKey = Seq((0L, java.lang.Long.valueOf(1L)),
+      (0L, null.asInstanceOf[java.lang.Long]))
+      .toDF("lane", "k")
+    val ex = intercept[Exception] {
+      Sampling.epochShuffle(nullKey, epoch = 1, "lane", Seq("k"))
+        .collect()
+    }
+    assert(ex.getMessage != null)
   }
 
   test("canonical-per-fingerprint dedup orders on the id ALONE: rows " +

@@ -163,4 +163,86 @@ class SearchSpec extends AnyFunSuite {
     assert(r.find(_.getAs[Long]("doc_id") == 2L).get.isNullAt(
       r.head.fieldIndex("vec_rank")))
   }
+
+  // --- persisted index lifecycle -----------------------------------------
+
+  private def tmpIdx(): String =
+    java.nio.file.Files.createTempDirectory("bm25idx").toString + "/idx"
+
+  private def serve(dir: String, qs: Seq[(Long, String)], k: Int) =
+    Search.bm25TopKBatchFromIndex(spark, dir, qs, k)
+      .collect().map(_.toString).sorted.toSeq
+
+  private def inline(qs: Seq[(Long, String)], k: Int) =
+    Search.bm25TopKBatch(docs, qs, k)
+      .collect().map(_.toString).sorted.toSeq
+
+  private val queries = Seq((1L, "spark flink"), (2L, "ducks engine"))
+
+  test("stored-index serve equals inline BM25 at every k") {
+    val dir = tmpIdx()
+    Search.writeBm25Index(docs, dir, nBuckets = 4)
+    (1 to 6).foreach { k =>
+      assert(serve(dir, queries, k) == inline(queries, k), s"k=$k")
+    }
+    // single-query face too
+    val one = Search.bm25TopKFromIndex(spark, dir, "spark flink", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val oneInline = Search.bm25TopK(docs, "spark flink", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(one.toSeq == oneInline.toSeq)
+  }
+
+  test("append extends the index: build(evens) + append(odds) serves " +
+      "exactly like inline over the whole corpus, before and after " +
+      "compaction; a replayed duplicate append heals at serve AND at " +
+      "compact") {
+    val dir = tmpIdx()
+    val evens = docs.where(col("doc_id") % 2 === 0)
+    val odds = docs.where(col("doc_id") % 2 === 1)
+    Search.writeBm25Index(evens, dir, nBuckets = 4)
+    Search.appendToBm25Index(odds, dir)
+    val want = inline(queries, 5)
+    assert(serve(dir, queries, 5) == want, "append-extended serve")
+    // a replayed append: identical postings rows + an identical stats
+    // partial — the serve's dropDuplicates + stats distinct() heal it
+    Search.appendToBm25Index(odds, dir)
+    assert(serve(dir, queries, 5) == want, "replayed append at serve")
+    // compaction heals the stored layout too (any-copy dedup + stats
+    // fold to one row) and answers are unchanged
+    Search.compactBm25Index(spark, dir)
+    assert(serve(dir, queries, 5) == want, "post-compact serve")
+    assert(spark.read.parquet(s"$dir/stats").count() == 1L,
+      "stats partials fold to one exact row")
+    val posts = spark.read.parquet(s"$dir/postings")
+    assert(posts.count() ==
+      posts.dropDuplicates("term", "doc_id").count(),
+      "compaction removed the replayed duplicates")
+    // idempotent on a clean index; loud on a typo'd dir
+    Search.compactBm25Index(spark, dir)
+    assert(serve(dir, queries, 5) == want)
+    val e = intercept[IllegalArgumentException] {
+      Search.compactBm25Index(spark, s"$dir/definitely-missing")
+    }
+    assert(e.getMessage.contains("no postings tree"))
+  }
+
+  test("stored-index serve never reads corpus text: the only " +
+      "FileScans are the index's own trees, with the bucket partition " +
+      "pruned and the term predicate pushed") {
+    val dir = tmpIdx()
+    Search.writeBm25Index(docs, dir, nBuckets = 4)
+    val plan = Search.bm25TopKBatchFromIndex(spark, dir, queries, 3)
+      .queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.filter(_.contains("FileScan")).toSeq
+    assert(scans.nonEmpty, plan)
+    assert(scans.forall(l => l.contains("/postings")
+      || l.contains("/stats")), plan)
+    // the bucket prune reaches the partition filters and the term-IN
+    // predicate is pushed into the postings scan
+    val postScan = scans.filter(_.contains("/postings"))
+    assert(postScan.exists(_.contains("PartitionFilters: [bucket")
+      ), plan)
+    assert(postScan.exists(_.contains("term")), plan)
+  }
 }

@@ -35,13 +35,20 @@ def decode_names(coded: str):
 
 
 def decode_secs(coded: str):
-    """r18+ packed seconds: two base-36 chars per entry (deciseconds,
-    display-capped at zz = 129.5 s), '--' for the failure sentinel."""
+    """r18+ packed seconds: two base-36 chars per entry (deciseconds),
+    '--' for the failure sentinel. 'zz' is the r19 SATURATION sentinel
+    (">= 129.5 s" — a floor, not a measurement; exact value in the
+    sidecar) and decodes to the string ">=129.5" so it can never be
+    mistaken for a true reading."""
     out = []
     for i in range(0, len(coded), 2):
         pair = coded[i:i + 2]
-        out.append(-1.0 if pair == "--"
-                   else (int(pair[0], 36) * 36 + int(pair[1], 36)) / 10.0)
+        if pair == "--":
+            out.append(-1.0)
+        elif pair == "zz":
+            out.append(">=129.5")
+        else:
+            out.append((int(pair[0], 36) * 36 + int(pair[1], 36)) / 10.0)
     return out
 
 
