@@ -99,18 +99,10 @@ object Bench {
     // commit, and nothing in the line could prove the machine (not
     // the code) was the difference. min-of-2 absorbs a JIT/GC blip;
     // sustained contention shows in BOTH canary samples.
-    def canary(): Double = {
-      import org.apache.spark.sql.functions._
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        spark.range(0L, 256000000L, 1L, cpus.toInt)
-          .select(xxhash64(org.apache.spark.sql.functions.col("id"))
-            .as("h"))
-          .agg(max(org.apache.spark.sql.functions.col("h"))).collect()
-        (System.nanoTime() - t0) / 1e9
-      }
-      math.min(once(), once())
-    }
+    // (workload shared with the scale probes via ProbeGuard — one
+    // audited copy, so a probe's canary is comparable to the bench's)
+    def canary(): Double =
+      graft.util.ProbeGuard.canaryCpu(spark, cpus.toInt)
     // Second canary FACE: fixed parquet scan + one shuffle + agg.
     // The CPU canary cannot certify a run whose variance lives in the
     // filesystem, page cache, or task scheduling: round 14 ran
@@ -120,29 +112,14 @@ object Bench {
     // footer + column IO on a fixed file, a 32-partition shuffle
     // write/read, task scheduling for two stages — so cross-round
     // total comparisons divide by BOTH canaries to attribute drift.
-    def canaryIo(): Double = {
-      import org.apache.spark.sql.functions._
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        spark.read.parquet(s"$sfDir/orders.parquet")
-          .repartition(cpus.toInt,
-            org.apache.spark.sql.functions.col("o_custkey"))
-          .groupBy(org.apache.spark.sql.functions.col("o_custkey"))
-          .agg(count(org.apache.spark.sql.functions.lit(1)).as("c"))
-          .agg(max(org.apache.spark.sql.functions.col("c"))).collect()
-        (System.nanoTime() - t0) / 1e9
-      }
-      math.min(once(), once())
-    }
+    def canaryIo(): Double =
+      graft.util.ProbeGuard.canaryIo(spark, s"$sfDir/orders.parquet",
+        "o_custkey", cpus.toInt)
     // 1-minute load average — the machine-contention tell. The r6
     // driver bench ran concurrently with a builder session and recorded
     // 54.9 s where an idle replication measures 19 s; emitting load
     // with the numbers makes a poisoned run self-identifying.
-    def loadavg(): Double =
-      try {
-        val src = scala.io.Source.fromFile("/proc/loadavg")
-        try src.mkString.split(" ")(0).toDouble finally src.close()
-      } catch { case _: Throwable => -1.0 }
+    def loadavg(): Double = graft.util.ProbeGuard.loadavg()
     // Sustained contention defeats the min-of-N guard below (uniform
     // slowdown inflates every run equally), so don't start hot: wait
     // for the 1-min load to drop under cpus/4 before timing, up to a

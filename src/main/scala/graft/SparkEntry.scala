@@ -1105,8 +1105,17 @@ object SparkEntry {
         Sampling.temperatureSample(kept, "lang"))
       val merges = Bpe.train(mixed, nMerges = BpeMerges)
       val vocab = Bpe.vocab(mixed, merges)
-      Sampling.packSequences(Bpe.encodeIds(mixed, merges, vocab),
+      val packed = Sampling.packSequences(
+        Bpe.encodeIds(mixed, merges, vocab),
         seqLen = 128, nBuckets = 8, eosId = vocab.length.toLong)
+      // the dataloader's epoch-1 visit order: within-lane epoch_pos
+      // (row window riding the pack exchange) + the driver-side lane
+      // permutation stamped as a row-local CASE — zero added
+      // exchanges on the chain's one-exchange plan
+      Sampling.epochShuffle(packed, epoch = 1, "pack_bucket",
+          Seq("seq_idx"))
+        .withColumn("lane_ord", Sampling.epochLaneOrderCol(
+          col("pack_bucket"), nLanes = 8, epoch = 1))
         .orderBy("pack_bucket", "seq_idx")
     }),
 
@@ -1963,10 +1972,23 @@ object SparkEntry {
     * `t_chunk_ids`): unrolled training stages, the vocab (base code
     * points in binary order + merge outputs by rank, first production
     * winning), and per-doc (ids_csv, n_ids) in `agg`. */
+  /** The pack tail's final aggregate, bare (no ORDER BY) so the e2e
+    * oracle can wrap it in a CTE and stage further. Declared BEFORE
+    * [[packSeqsTailSql]] — object vals initialize in declaration
+    * order (the ShingleMaxDf lesson). */
+  private val packSeqsFinalSelect: String =
+    """SELECT bkt AS pack_bucket, CAST(s AS BIGINT) AS seq_idx,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  string_agg(CAST(lo - s * 128 AS VARCHAR), ','
+      |    ORDER BY lo) AS starts_csv,
+      |  string_agg(csv, ',' ORDER BY lo) AS ids_csv
+      |FROM fcsv GROUP BY 1, 2""".stripMargin
+
   /** The packSequences oracle TAIL (lane offsets, slices, EOS,
     * partial drop) over the `agg`/`vocab` CTEs a bpeIds chain
     * provides — shared verbatim by `t_pack_seqs` and the composed
-    * `t_e2e_dataloader`. */
+    * `t_e2e_dataloader` (which wraps [[packSeqsFinalSelect]] in a
+    * CTE to add its epoch-order stage). */
   private val packSeqsTailSql: String =
     """ids0 AS (
           |  SELECT doc_id, string_split(ids_csv, ',') AS ids,
@@ -2006,21 +2028,19 @@ object SparkEntry {
           |        || (SELECT e FROM eosv)
           |    ELSE (SELECT e FROM eosv) END AS csv
           |  FROM frag)
-          |SELECT bkt AS pack_bucket, CAST(s AS BIGINT) AS seq_idx,
-          |  CAST(count(*) AS BIGINT) AS n_docs,
-          |  string_agg(CAST(lo - s * 128 AS VARCHAR), ','
-          |    ORDER BY lo) AS starts_csv,
-          |  string_agg(csv, ',' ORDER BY lo) AS ids_csv
-          |FROM fcsv GROUP BY 1, 2
-          |ORDER BY 1, 2""".stripMargin
+          |""".stripMargin + packSeqsFinalSelect + "\nORDER BY 1, 2"
 
-  /** Oracle for `t_e2e_dataloader` — the five-stage dataloader chain
+  /** Oracle for `t_e2e_dataloader` — the six-stage dataloader chain
     * in ONE DuckDB query. Each stage is the individually-green oracle
     * re-sourced from its predecessor's CTE (the `...From(src)`
     * helpers): curate (t_curate) → near-dup canonical copies
     * (LEX_CLUSTERS over `curated`) → τ=2 temperature mixture
     * (t_temperature over `ndd`) → BPE ids trained on `mixed`
-    * (bpeIdsOracleCtesFrom) → the packSequences tail (t_pack_seqs).
+    * (bpeIdsOracleCtesFrom) → the packSequences tail (t_pack_seqs) →
+    * the epoch-1 visit order (t_epoch_shuffle's row hash over
+    * (lane, seq_idx) plus the full-domain lane permutation
+    * epochLaneOrder ranks driver-side — re-derived here over
+    * range(8) so absent lanes still occupy their positions).
     * Shared stage frames are MATERIALIZED (the multi-consumer DuckDB
     * CTE rule); parts concatenate with `+`, never re-interpolated
     * (the double-stripMargin trap — the pack tail carries `||`). */
@@ -2071,11 +2091,34 @@ object SparkEntry {
        |  WHERE CAST(('0x' || substr(md5('graft:' ||
        |      CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
        |    < cutoff)""".stripMargin
+    val epochStage = """packed AS (
+       |""".stripMargin + packSeqsFinalSelect + "),\n" +
+      """lord AS (
+       |  SELECT lane, CAST(row_number() OVER (
+       |    ORDER BY md5('graft:1:' || CAST(lane AS VARCHAR)), lane)
+       |    AS BIGINT) AS lane_ord
+       |  FROM (SELECT unnest(range(8)) AS lane))
+       |SELECT p.pack_bucket, p.seq_idx, p.n_docs, p.starts_csv,
+       |  p.ids_csv,
+       |  CAST(row_number() OVER (PARTITION BY p.pack_bucket
+       |    ORDER BY md5('graft:1:' || CAST(p.pack_bucket AS VARCHAR)
+       |      || ':' || CAST(p.seq_idx AS VARCHAR)), p.seq_idx)
+       |    AS BIGINT) AS epoch_pos,
+       |  l.lane_ord
+       |FROM packed p JOIN lord l ON l.lane = p.pack_bucket
+       |ORDER BY 1, 2""".stripMargin
     "WITH " + curateCtes + ",\n " +
       lexClustersFrom("curated").stripSuffix("\n") + ",\n " +
       mixCtes + ",\n" +
-      bpeIdsOracleCtesFrom("mixed") + ",\n" + packSeqsTailSql
+      bpeIdsOracleCtesFrom("mixed") + ",\n" +
+      packSeqsTailCtes.stripSuffix("\n") + ",\n" + epochStage
   }
+
+  /** [[packSeqsTailSql]]'s CTE chain alone (through `fcsv`, trailing
+    * newline), for composers that stage past the final aggregate. */
+  private val packSeqsTailCtes: String =
+    packSeqsTailSql
+      .stripSuffix("\nORDER BY 1, 2").stripSuffix(packSeqsFinalSelect)
 
   private def bpeIdsOracleCtes: String =
     "WITH " + bpeIdsOracleCtesFrom("documents")

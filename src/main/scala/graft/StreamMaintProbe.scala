@@ -88,6 +88,14 @@ object StreamMaintProbe {
       modes.foreach { every =>
         val mode = if (every > 0) s"compact$every" else "nocompact"
         val dir = s"$base/$name-$mode"
+        // contamination evidence per CURVE (the Bench canary
+        // discipline): the two modes run minutes apart, so a host
+        // window shift between them would otherwise read as a
+        // compaction effect — bracket each curve with both canaries
+        // and print them next to its decile means
+        val c0 = graft.util.ProbeGuard.canaryCpu(spark, cpus.toInt)
+        val io0 = graft.util.ProbeGuard.canaryIo(spark, docsPath,
+          "doc_id", cpus.toInt)
         val times = (0 until nBatches).map { i =>
           val b = if (name == "semantic") vecBatch(i) else batchDf(i)
           val t0 = System.nanoTime()
@@ -100,10 +108,16 @@ object StreamMaintProbe {
             f"versions=${versionCount(s"$dir-side")}%d")
           dt
         }
+        val c1 = graft.util.ProbeGuard.canaryCpu(spark, cpus.toInt)
+        val io1 = graft.util.ProbeGuard.canaryIo(spark, docsPath,
+          "doc_id", cpus.toInt)
         val dec = math.max(1, nBatches / 10)
         val means = times.grouped(dec).map(g => g.sum / g.size).toSeq
         println(s"[probe] $name $mode decile_means=" +
-          means.map(m => f"$m%.2f").mkString(","))
+          means.map(m => f"$m%.2f").mkString(",") +
+          f" canary=${math.min(c0, c1)}%.2f" +
+          f" canary_io=${math.min(io0, io1)}%.2f" +
+          f" load=${graft.util.ProbeGuard.loadavg()}%.2f")
       }
     }
 

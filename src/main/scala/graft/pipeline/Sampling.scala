@@ -331,6 +331,39 @@ object Sampling {
     df.withColumn("epoch_pos", row_number().over(w).cast("long"))
   }
 
+  /** Driver-side per-epoch LANE (shard) permutation — the companion
+    * of [[epochShuffle]], so a dataloader consumes BOTH orders from
+    * one discipline: visit the shards in `epochLaneOrder(n, epoch)`
+    * order, and within each shard read rows by `epoch_pos`. Ranks
+    * lane l by (md5("salt:epoch:l"), l) — the identical engine-
+    * portable hash family epochShuffle uses for rows (hex compares
+    * byte-wise on every engine), NO RNG state: any worker re-derives
+    * any epoch's visit order independently, and an SQL oracle
+    * re-derives it with the engine's own md5. Control-plane by
+    * design (nLanes ints); returns the lane ids in visit order. */
+  def epochLaneOrder(nLanes: Int, epoch: Long,
+      salt: String = "graft"): Seq[Long] = {
+    require(nLanes >= 1, s"nLanes >= 1: $nLanes")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(s: String): String =
+      md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map(b => f"$b%02x").mkString
+    (0L until nLanes.toLong)
+      .sortBy(l => (hex(s"$salt:$epoch:$l"), l))
+  }
+
+  /** [[epochLaneOrder]] as a row-local column over a lane id —
+    * the driver-derived permutation folded into a CASE chain (1-based
+    * visit position), so stamping the order onto packed output costs
+    * ZERO exchanges and the pack pipeline's one-exchange plan
+    * survives. Lanes outside [0, nLanes) map to null. */
+  def epochLaneOrderCol(lane: Column, nLanes: Int, epoch: Long,
+      salt: String = "graft"): Column =
+    epochLaneOrder(nLanes, epoch, salt).zipWithIndex
+      .foldLeft(lit(null).cast("long")) { case (e, (l, i)) =>
+        when(lane === l, lit(i.toLong + 1L)).otherwise(e)
+      }
+
   def packSequences(df: DataFrame, seqLen: Int, nBuckets: Int,
       eosId: Long, idCol: String = "doc_id", idsCol: String = "bpe_ids",
       salt: String = "graft"): DataFrame = {

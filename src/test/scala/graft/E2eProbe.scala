@@ -39,14 +39,35 @@ object E2eProbe {
       (dt, n)
     }
     once(ref) // warm: codegen, file listings
-    val (r1, n1) = once(ref)
-    val (r2, n2) = once(ref)
-    val (b1, m1) = once(big)
-    val (b2, m2) = once(big)
-    println(f"[e2e-probe] ref($ref): ${math.min(r1, r2)}%.2f s " +
-      f"($n1%d seqs)  big($big): ${math.min(b1, b2)}%.2f s ($m1%d seqs)" +
-      f"  ratio=${math.min(b1, b2) / math.min(r1, r2)}%.2f")
-    require(n1 == n2 && m1 == m2, "nondeterministic output size")
+    // the Bench self-defense, carried by the probe itself: canaries
+    // bracket the timed legs (divide cross-window comparisons by
+    // them — the sf1 chain read 28.85 s and 60.8 s in two host
+    // windows on IDENTICAL code), each leg is min-of-three on
+    // disagreement, and its spread is printed so a contaminated leg
+    // names itself
+    import graft.util.ProbeGuard
+    val cCpu0 = ProbeGuard.canaryCpu(spark, cpus.toInt)
+    val cIo0 = ProbeGuard.canaryIo(spark, s"$ref/orders.parquet",
+      "o_custkey", cpus.toInt)
+    def leg(dir: String): (Double, Double, Long) = {
+      val counts = scala.collection.mutable.ArrayBuffer[Long]()
+      val (sec, sp) = ProbeGuard.minOfThree(() => {
+        val (dt, n) = once(dir); counts += n; dt
+      })
+      require(counts.distinct.size == 1,
+        s"nondeterministic output size on $dir: $counts")
+      (sec, sp, counts.head)
+    }
+    val (rSec, rSp, n1) = leg(ref)
+    val (bSec, bSp, m1) = leg(big)
+    val cCpu1 = ProbeGuard.canaryCpu(spark, cpus.toInt)
+    val cIo1 = ProbeGuard.canaryIo(spark, s"$ref/orders.parquet",
+      "o_custkey", cpus.toInt)
+    println(f"[e2e-probe] ref($ref): $rSec%.2f s (sp=$rSp%.2f, " +
+      f"$n1%d seqs)  big($big): $bSec%.2f s (sp=$bSp%.2f, $m1%d seqs)" +
+      f"  ratio=${bSec / rSec}%.2f  canary=${math.min(cCpu0, cCpu1)}%.2f" +
+      f"  canary_io=${math.min(cIo0, cIo1)}%.2f" +
+      f"  load=${ProbeGuard.loadavg()}%.2f")
     // shard-writer leg: the big corpus's packed output lands as one
     // parquet shard per lane (the chain re-executes into the write —
     // total = chain + shard write, so the writer's own cost is the

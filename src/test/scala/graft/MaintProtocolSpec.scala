@@ -295,6 +295,31 @@ class MaintProtocolSpec extends AnyFunSuite {
       bm25Answer))
   }
 
+  // ---- incremental sequence shards (docs overwrite + lane swap) ---------
+
+  test("sequenceShards appendBatch: crash at every step heals on " +
+      "replaying the batch (the stream's own recovery path)") {
+    def mk(ids: Seq[Long]) = ids.map(i => (i,
+      Array.tabulate((i % 5).toInt + 1)(j => (i + j).toInt)))
+      .toDF("doc_id", "bpe_ids")
+    def setup(base: String): Unit =
+      Seq(0L until 12L, 12L until 24L).zipWithIndex.foreach {
+        case (ids, i) =>
+          graft.streaming.SequenceShards.appendBatch(spark, mk(ids),
+            i + 1L, s"$base/sq", seqLen = 6, nBuckets = 3, eosId = 0L)
+      }
+    def answer(base: String): Seq[String] =
+      sortedRows(graft.streaming.SequenceShards.read(spark, s"$base/sq")
+        .select(col("pack_bucket").cast("long"), col("seq_idx"),
+          col("n_docs"), col("starts").cast("array<int>"),
+          col("ids").cast("array<int>")))
+    crashMatrix(Scenario("sequenceShards", setup,
+      b => { graft.streaming.SequenceShards.appendBatch(spark,
+        mk(24L until 36L), 3L, s"$b/sq", seqLen = 6, nBuckets = 3,
+        eosId = 0L); () },
+      answer))
+  }
+
   // ---- ingest store maintenance (partition park/swap + sidecar flip) ----
 
   private def storeSetup(base: String): Unit =

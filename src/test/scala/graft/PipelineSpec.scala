@@ -1743,6 +1743,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(ex.getMessage != null)
   }
 
+  test("epochLaneOrder: a deterministic permutation per epoch, " +
+      "epochs differ, and the driver-side md5 rank equals the " +
+      "engine's own md5 ordering") {
+    val o7 = Sampling.epochLaneOrder(8, epoch = 7)
+    assert(o7 == Sampling.epochLaneOrder(8, epoch = 7),
+      "same epoch must reproduce the identical visit order")
+    assert(o7.sorted == (0L until 8L), "not a permutation")
+    assert(o7 != Sampling.epochLaneOrder(8, epoch = 8),
+      "the epoch salt must actually reorder (8! >> collision odds)")
+    // cross-face: the driver MessageDigest hex must rank exactly like
+    // the engine's md5 (the oracle re-derives the order with SQL md5)
+    val engine = (0L until 8L).toDF("lane")
+      .select(col("lane"), md5(concat_ws(":", lit("graft"), lit("7"),
+        col("lane").cast("string"))).as("h"))
+      .orderBy(col("h"), col("lane"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(engine == o7, "driver-side rank diverged from engine md5")
+    // the column face stamps 1-based visit positions row-locally
+    val stamped = (0L until 8L).toDF("lane")
+      .withColumn("ord", Sampling.epochLaneOrderCol(col("lane"), 8, 7))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    o7.zipWithIndex.foreach { case (lane, i) =>
+      assert(stamped(lane) == i + 1L)
+    }
+  }
+
   test("canonical-per-fingerprint dedup orders on the id ALONE: rows " +
       "carrying unorderable (map) columns dedup fine, null text keeps " +
       "its group") {

@@ -507,6 +507,46 @@ class StreamingCorpusDedupSpec extends AnyFunSuite {
     sweep()
   }
 
+  test("compactPostings emits ceil(bytes/target) range-clustered " +
+      "files — the sized fold, never one AQE-coalesced blob") {
+    import org.apache.hadoop.fs.Path
+    val (corpus, _, _, _) = dirs()
+    val postings = corpus + "-postings"
+    (0 until 4).foreach { v =>
+      val b = (0 until 40).map { j =>
+        val id = v * 1000L + j
+        (id, s"family $id ${(0 until 12).map(w => s"w${id}x$w")
+          .mkString(" ")}")
+      }.toDF("doc_id", "text")
+      CorpusDedup.appendBatchNearDup(spark, b, v + 1L, corpus,
+        postings, k = 3, threshold = 0.5)
+    }
+    val fs = new Path(postings).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val allBytes = graft.util.Maint.parquetBytes(fs,
+      (1 to 4).map(v => new Path(s"$postings/version=$v")))
+    val target = 4096L
+    val nExp = graft.util.Maint.sizedFileCount(allBytes, target)
+    assert(nExp > 2, s"fixture too small: $allBytes bytes")
+    def rows() = spark.read.parquet(postings)
+      .select("bucket", "sh", "ref_id", "nb")
+      .collect().map(_.toString).sorted.toSeq
+    val before = rows()
+    CorpusDedup.compactPostings(spark, postings,
+      targetBytesPerFile = target)
+    val files = fs.listStatus(new Path(postings))
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith("version="))
+      .flatMap(d => fs.listStatus(d.getPath))
+      .map(_.getPath.getName).filter(_.endsWith(".parquet"))
+    // range tasks straddling the version boundary may write one file
+    // in each version dir — allow that single split
+    assert(math.abs(files.length - nExp) <= 1,
+      s"fold emitted ${files.length} files, sizing says $nExp")
+    assert(rows() == before, "the sized fold changed posting rows")
+    sweep()
+  }
+
   test("compactPostings is a no-op below three versions, survives a " +
       "missing dir, and its mid-swap crash state is guarded at the " +
       "append entry and healed at its own") {

@@ -44,6 +44,46 @@ class StreamingSemanticDedupSpec extends AnyFunSuite {
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = true))
 
+  test("compactVectors emits ceil(bytes/target) range-clustered files " +
+      "— never one AQE-coalesced blob that collapses downstream scan " +
+      "parallelism — and membership rows survive the sized fold") {
+    import org.apache.hadoop.fs.Path
+    val (corpus, vecs) = dirs()
+    // ~400 mutually-far 8-dim vectors (pairwise cosine ≈ 0): every
+    // batch row is accepted, so the folded sidecar has real bytes
+    def vecOf(i: Long): Seq[Float] =
+      (0 until 8).map(d => math.sin(i * (0.7 + 0.13 * d) + d).toFloat)
+    val cents8 = Similarity.trainIvfCentroids(
+      (0L until 32L).map(i => (i, vecOf(i))).toDF("vec_id", "embedding"),
+      k = 4, iters = 2)
+    (0 until 4).foreach { v =>
+      val b = (0 until 100).map { j =>
+        val id = v * 1000L + j; (id, vecOf(id))
+      }.toDF("vec_id", "embedding")
+      CorpusDedup.appendBatchSemantic(spark, b, v + 1L, corpus, vecs,
+        cents8, threshold = 0.9999)
+    }
+    val fs = new Path(vecs).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val foldedBytes = graft.util.Maint.parquetBytes(fs,
+      (1 to 3).map(v => new Path(s"$vecs/version=$v")))
+    val target = 2048L
+    val nExp = graft.util.Maint.sizedFileCount(foldedBytes, target)
+    assert(nExp > 2, s"fixture too small to exercise sizing: " +
+      s"$foldedBytes bytes")
+    def rows() = spark.read.parquet(vecs)
+      .select("_rv", "_rnrm", "cell").distinct()
+      .collect().map(_.toString).sorted.toSeq
+    val before = rows()
+    CorpusDedup.compactVectors(spark, vecs, targetBytesPerFile = target)
+    val keepFiles = fs.listStatus(new Path(s"$vecs/version=3"))
+      .map(_.getPath.getName).filter(_.endsWith(".parquet"))
+    assert(keepFiles.length == nExp,
+      s"fold emitted ${keepFiles.length} files, sizing says $nExp")
+    assert(rows() == before, "the sized fold changed membership rows")
+    sweep()
+  }
+
   test("appendBatchSemantic accepts first occurrences across batches; " +
       "in-batch paraphrases both survive (the corpus-boundary contract)") {
     val (corpus, vecs) = dirs()

@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.export.Export
+import graft.pipeline.{Dedup, Sampling, TextOps}
+import graft.streaming.{CorpusDedup, SequenceShards}
+
+/** The incremental dataloader tail: streamed shard maintenance must be
+  * indistinguishable from batch packSequences + writeSequenceShards
+  * over the concatenated accepted history — the
+  * StreamingCorpusDedupSpec equivalence discipline applied to the
+  * pack/export stage. */
+class StreamingSequenceShardsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val SeqLen = 8
+  private val Lanes = 4
+
+  private def mkDocs(ids: Seq[Long]): DataFrame =
+    ids.map(i => (i,
+      Array.tabulate((i % 7).toInt + 1)(j => (i + j).toInt)))
+      .toDF("doc_id", "bpe_ids")
+
+  private def root(): String =
+    java.nio.file.Files.createTempDirectory("seqshards").toString + "/s"
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.select(col("pack_bucket").cast("long"), col("seq_idx"),
+        col("n_docs"), col("starts").cast("array<int>"),
+        col("ids").cast("array<int>"))
+      .collect().map(_.toString).sorted.toSeq
+
+  private def batchEquivalent(ids: Seq[Long]): Seq[String] = {
+    val dir = root()
+    Export.writeSequenceShards(
+      Sampling.packSequences(mkDocs(ids), SeqLen, Lanes, eosId = 0L),
+      dir)
+    rows(spark.read.parquet(dir))
+  }
+
+  test("streamed shard state after N batches equals the batch pack " +
+      "over the concatenated history; only affected lanes rewrite; " +
+      "a replayed batch is a no-op") {
+    val dir = root()
+    val all = 0L until 60L
+    val splits = Seq(all.slice(0, 25), all.slice(25, 45),
+      all.slice(45, 60))
+    splits.zipWithIndex.foreach { case (ids, i) =>
+      SequenceShards.appendBatch(spark, mkDocs(ids), i + 1L, dir,
+        SeqLen, Lanes, eosId = 0L)
+    }
+    val want = batchEquivalent(all)
+    assert(rows(SequenceShards.read(spark, dir)) == want,
+      "streamed ≠ batch over the same accepted set")
+
+    // untouched lanes keep their EXACT files: a single-doc batch
+    // touches one lane; every other lane dir's listing is unchanged
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def listing(): Map[String, Seq[(String, Long, Long)]] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/shards"))
+        .filter(_.isDirectory).map { d =>
+          d.getPath.getName -> fs.listStatus(d.getPath)
+            .filter(_.getPath.getName.endsWith(".parquet"))
+            .map(s => (s.getPath.getName, s.getLen,
+              s.getModificationTime)).toSeq.sortBy(_._1)
+        }.toMap
+    val before = listing()
+    val affected = SequenceShards.appendBatch(spark, mkDocs(Seq(1000L)),
+      4L, dir, SeqLen, Lanes, eosId = 0L)
+    assert(affected.size == 1, s"one doc must touch one lane: $affected")
+    val after = listing()
+    val touched = s"pack_bucket=${affected.head}"
+    assert((before.keySet - touched).forall(l =>
+      before(l) == after(l)),
+      "an untouched lane's files changed")
+    assert(rows(SequenceShards.read(spark, dir)) ==
+      batchEquivalent(all :+ 1000L))
+
+    // replay of the newest version: identical state after
+    val snap = rows(SequenceShards.read(spark, dir))
+    SequenceShards.appendBatch(spark, mkDocs(Seq(1000L)), 4L, dir,
+      SeqLen, Lanes, eosId = 0L)
+    assert(rows(SequenceShards.read(spark, dir)) == snap,
+      "replay must replace, never duplicate")
+    // docs sidecar: the replayed version's partition holds one copy
+    assert(spark.read.parquet(s"$dir/docs")
+      .where(col("version") === 4L).count() == 1L)
+  }
+
+  test("composes with streaming corpus dedup: survivors of each " +
+      "batch feed the shard store, and the result equals the batch " +
+      "pipeline (exact dedup -> pack) over the whole history") {
+    val dir = root()
+    val corpus = s"$dir-corpus"
+    // deterministic token-id encoding shared by both pipelines
+    def withIds(df: DataFrame): DataFrame =
+      df.withColumn("bpe_ids",
+        transform(TextOps.tokens(lower(col("text"))),
+          t => pmod(xxhash64(t), lit(997L)).cast("int")))
+    val texts = (0L until 40L).map { i =>
+      // every third doc duplicates an earlier one's content
+      val base = if (i % 3 == 2) i - 2 else i
+      (i, s"doc $base alpha beta gamma delta token${base % 5}")
+    }
+    val batches = Seq(texts.slice(0, 15), texts.slice(15, 30),
+      texts.slice(30, 40))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val v = i + 1L
+      CorpusDedup.appendBatch(spark, b.toDF("doc_id", "text"), v,
+        corpus, s"$dir-tier", s"$dir-fp", nBuckets = 16, nWords = 2)
+      // the batch's ACCEPTED documents extend the shard store
+      val survivors = spark.read.parquet(corpus)
+        .where(col("version") === v).select("doc_id", "text")
+      SequenceShards.appendBatch(spark, withIds(survivors), v, dir,
+        SeqLen, Lanes, eosId = 0L)
+    }
+    // batch pipeline over the full history: canonical-copy exact
+    // dedup (min id per content fingerprint — CorpusDedup.appendBatch's
+    // contract over the concatenated stream), then pack
+    val batchKept = Dedup.canonicalPerFingerprint(
+      texts.toDF("doc_id", "text"),
+      TextOps.fingerprint(col("text")), "doc_id")
+    val packDir = root()
+    Export.writeSequenceShards(
+      Sampling.packSequences(withIds(batchKept), SeqLen, Lanes,
+        eosId = 0L), packDir)
+    assert(rows(SequenceShards.read(spark, dir)) ==
+      rows(spark.read.parquet(packDir)),
+      "streamed dedup→shards ≠ batch dedup→pack")
+    // sweep any operator pins (caller-sweeps contract)
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+  }
+}
