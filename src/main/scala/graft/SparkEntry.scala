@@ -1119,6 +1119,44 @@ object SparkEntry {
         .orderBy("pack_bucket", "seq_idx")
     }),
 
+    // the INCREMENTAL shard store under the oracle: three hash-split
+    // batches of the corpus stream through SequenceShards.appendBatch
+    // (version-partitioned docs sidecar, only touched lanes rebuild,
+    // Maint park-protocol swaps) and the resulting store must equal
+    // the batch packSequences over the whole corpus — which is what
+    // the oracle recomputes from raw text, blind to the batching.
+    // Ids are a deterministic md5 token encoding (the cross-engine
+    // hash rule), eosId = the 997 modulus so the id domain and EOS
+    // never collide.
+    "t_shards_stream" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.tokens(lower(col("text"))).as("_toks"))
+        .select(col("doc_id"), transform(col("_toks"), t =>
+          pmod(conv(substring(md5(t), 1, 8), 16, 10).cast("long"),
+            lit(997L)).cast("int")).as("bpe_ids"))
+      val root = "/tmp/graft_shards_stream_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+      (0 until 3).foreach { b =>
+        graft.streaming.SequenceShards.appendBatch(s,
+          docs.where(pmod(conv(substring(md5(concat(lit("b:"),
+            col("doc_id").cast("string"))), 1, 8), 16, 10)
+            .cast("long"), lit(3L)) === b.toLong),
+          b + 1L, root, seqLen = 128, nBuckets = 8, eosId = 997L)
+      }
+      graft.streaming.SequenceShards.read(s, root)
+        .select(col("pack_bucket").cast("long").as("pack_bucket"),
+          col("seq_idx"), col("n_docs"),
+          array_join(transform(col("starts"),
+            x => x.cast("string")), ",").as("starts_csv"),
+          array_join(transform(col("ids"),
+            x => x.cast("string")), ",").as("ids_csv"))
+        .orderBy("pack_bucket", "seq_idx")
+    }),
+
     "t_bpe_roundtrip" -> ((s, dir) => {
       // decode ∘ encode pinned per document: the decoded id sequence
       // must equal the whitespace-stripped lowercased token concat
@@ -4374,6 +4412,32 @@ object SparkEntry {
     // token, out-of-range → U+FFFD) and concatenate in position
     // order; the result must equal the whitespace-stripped lowercased
     // token concat. Empty docs decode to '' and trivially round-trip.
+    // the incremental shard store ≡ one batch pack over the whole
+    // corpus: the oracle re-derives the md5 token encoding and the
+    // pack tail from raw text, blind to the three-batch streaming.
+    // vocab = range(997) so the tail's eos (count(vocab)) is the
+    // entry's eosId.
+    "t_shards_stream" ->
+      ("""WITH raw AS (
+         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w,
+         |    generate_subscripts(string_split(lower(text), ' '), 1)
+         |      AS pos0
+         |  FROM documents),
+         | tok AS (SELECT doc_id, w, pos0 FROM raw WHERE w <> ''),
+         | idsq AS (
+         |  SELECT doc_id,
+         |    CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % 997 AS id,
+         |    pos0
+         |  FROM tok),
+         | agg AS (
+         |  SELECT doc_id,
+         |    string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos0)
+         |      AS ids_csv,
+         |    CAST(count(*) AS BIGINT) AS n_ids
+         |  FROM idsq GROUP BY doc_id),
+         | vocab AS (SELECT unnest(range(997)) AS tok),
+         |""".stripMargin + packSeqsTailSql),
+
     "t_bpe_roundtrip" ->
       (bpeIdsOracleCtes + ",\n" +
         """u AS (

@@ -28,6 +28,14 @@ object StreamMaintProbe {
       if (args.length > 1) args(1) else "/tmp/sf1/documents.parquet"
     val nBatches = if (args.length > 2) args(2).toInt else 60
     val compactEvery = if (args.length > 3) args(3).toInt else 10
+    // fold target for the sized compactions, scaled DOWN with the
+    // probe corpus exactly like the data is (default 1 MB here vs
+    // 128 MB at production corpus scale): at the production default a
+    // toy-scale fold is ceil(tiny/128MB) = 1 file, which re-measures
+    // the small-file wall the r18 probe hit, not the production shape
+    // where row-group splitting keeps scans parallel.
+    val targetBytes =
+      (if (args.length > 4) args(4).toLong else 1L) << 20
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -128,20 +136,24 @@ object StreamMaintProbe {
           s"$dir-side", s"$dir-fp")
       } { dir =>
         CorpusDedup.compactTier(spark, s"$dir-side")
-        CorpusDedup.compactFp(spark, s"$dir-fp")
+        CorpusDedup.compactFp(spark, s"$dir-fp", targetBytes)
       }
     if (face == "neardup" || face == "all")
       runFace("neardup", modes) { (b, v, dir) =>
         CorpusDedup.appendBatchNearDup(spark, b, v, s"$dir-corpus",
           s"$dir-side", k = 3, threshold = 0.5, maxDf = 200)
-      } { dir => CorpusDedup.compactPostings(spark, s"$dir-side") }
+      } { dir =>
+        CorpusDedup.compactPostings(spark, s"$dir-side", targetBytes)
+      }
     if (face == "semantic" || face == "all") {
       val cents = graft.pipeline.Similarity.trainIvfCentroids(
         vecBatch(0).limit(2000), k = 8, iters = 5)
       runFace("semantic", modes) { (b, v, dir) =>
         CorpusDedup.appendBatchSemantic(spark, b, v, s"$dir-corpus",
           s"$dir-side", cents, threshold = 0.9999)
-      } { dir => CorpusDedup.compactVectors(spark, s"$dir-side") }
+      } { dir =>
+        CorpusDedup.compactVectors(spark, s"$dir-side", targetBytes)
+      }
     }
     spark.stop()
   }
