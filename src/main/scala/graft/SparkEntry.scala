@@ -1382,6 +1382,34 @@ object SparkEntry {
         Tables.load(s, dir, "embeddings"),
         query = "spark merge window batch", queryVecId = 0L, k = 10)),
 
+    // hybrid retrieval served ENTIRELY from persisted indexes — the
+    // 100 TB serving shape: BM25 arm from the bucket-pruned stored
+    // postings, vector arm from the stored IVF layout (built WITHOUT
+    // the query row; probed exhaustively so the result is exact and
+    // quantizer-independent — the quantizer trains on a 1/7 sample,
+    // the production discipline), fused by the shared RRF tail. The
+    // oracle recomputes both arms from raw tables, blind to the
+    // indexes.
+    "t_hybrid_index" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val emb = Tables.load(s, dir, "embeddings")
+      val base = "/tmp/graft_hybrid_idx_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+      Search.writeBm25Index(docs, s"$base/bm25")
+      Similarity.writeIvfIndexWith(emb.where(col("vec_id") =!= 5L),
+        Similarity.trainIvfCentroids(
+          emb.where(pmod(col("vec_id"), lit(7L)) === 1L), k = 4,
+          iters = 2),
+        s"$base/ivf")
+      val qv = emb.where(col("vec_id") === 5L)
+        .select(col("embedding")).head().getSeq[Float](0)
+      Search.hybridTopKFromIndex(s, s"$base/bm25", s"$base/ivf",
+        "customer vector join stream", qv, k = 10, nprobe = 4)
+    }),
+
     // add-one bigram LM self-trained on the corpus; per-doc total and
     // average log-prob in exact micro-units (the CCNet-style signal)
     "t_lm_score" -> ((s, dir) =>
@@ -1607,6 +1635,76 @@ object SparkEntry {
   // ======================================================================
   // DuckDB oracles
   // ======================================================================
+
+  /** The hybrid-RRF oracle, parameterized by the lexical query and
+    * the query vector id — shared by `t_hybrid` (inline arms) and
+    * `t_hybrid_index` (stored-index arms; same semantics, the
+    * index is built without the query row and probed
+    * exhaustively). */
+  private def hybridOracleSql(query: String, qid: Long): String =
+    s"""WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+        |  FROM documents),
+        | dls AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM toks),
+        | st AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sumdl
+        |   FROM dls),
+        | qt AS (SELECT DISTINCT t AS term FROM (
+        |    SELECT unnest(string_split('$query', ' '))
+        |      AS t) WHERE t <> ''),
+        | tfs AS (
+        |  SELECT u.doc_id, u.term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(tk) AS term FROM toks) u
+        |  WHERE u.term IN (SELECT term FROM qt)
+        |  GROUP BY 1, 2),
+        | dfs AS (SELECT term, count(*) AS df FROM tfs GROUP BY 1),
+        | sc AS (
+        |  SELECT t.doc_id,
+        |    CAST(floor(
+        |      ln(1.0 + (st.n - f.df + 0.5) / (f.df + 0.5))
+        |      * (t.tf * (1.2 + 1.0))
+        |      / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * (d.dl * st.n / st.sumdl)))
+        |      * 1000000.0) AS BIGINT) AS term_score_mu
+        |  FROM tfs t
+        |  JOIN dfs f ON f.term = t.term
+        |  JOIN dls d ON d.doc_id = t.doc_id
+        |  CROSS JOIN st),
+        | bm AS (SELECT doc_id, CAST(sum(term_score_mu) AS BIGINT)
+        |    AS score_mu
+        |  FROM sc GROUP BY doc_id
+        |  ORDER BY score_mu DESC, doc_id LIMIT 50),
+        | lex AS (SELECT doc_id, CAST(row_number() OVER (
+        |    ORDER BY score_mu DESC, doc_id) AS BIGINT) AS lex_rank
+        |  FROM bm),
+        | e AS (
+        |  SELECT vec_id,
+        |    generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        | norms AS (SELECT vec_id, sum(x * x) AS nn FROM e GROUP BY vec_id),
+        | dots AS (
+        |  SELECT a.vec_id, sum(a.x * q.x) AS dot
+        |  FROM e a JOIN e q ON a.i = q.i AND q.vec_id = $qid
+        |  WHERE a.vec_id <> $qid GROUP BY 1),
+        | vcand AS (
+        |  SELECT d.vec_id,
+        |    round(dot / (sqrt(na.nn) * sqrt(nq.nn)), 6) AS cos_sim
+        |  FROM dots d
+        |  JOIN norms na ON na.vec_id = d.vec_id
+        |  JOIN norms nq ON nq.vec_id = $qid
+        |  ORDER BY cos_sim DESC, d.vec_id LIMIT 50),
+        | vec AS (SELECT vec_id AS doc_id, CAST(row_number() OVER (
+        |    ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS vec_rank
+        |  FROM vcand),
+        | fused AS (
+        |  SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+        |    l.lex_rank, v.vec_rank,
+        |    coalesce(1000000 // (60 + l.lex_rank), 0)
+        |      + coalesce(1000000 // (60 + v.vec_rank), 0) AS rrf_mu
+        |  FROM lex l FULL OUTER JOIN vec v ON v.doc_id = l.doc_id)
+        |SELECT doc_id, lex_rank, vec_rank, CAST(rrf_mu AS BIGINT)
+        |  AS rrf_mu
+        |FROM fused ORDER BY rrf_mu DESC, doc_id LIMIT 10""".stripMargin
 
   private def asofOracle(immediate: Boolean, succeeds: Boolean,
       thresholdUs: Long = 21600000000L): String = {
@@ -4719,70 +4817,13 @@ object SparkEntry {
     // both arms reuse their verified formulations (t_bm25 CTEs, the
     // s_topk_brute cosine) limited to 50 candidates; ranks and RRF
     // terms are pure integer arithmetic
-    "t_hybrid" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
-        |  FROM documents),
-        | dls AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM toks),
-        | st AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sumdl
-        |   FROM dls),
-        | qt AS (SELECT DISTINCT t AS term FROM (
-        |    SELECT unnest(string_split('spark merge window batch', ' '))
-        |      AS t) WHERE t <> ''),
-        | tfs AS (
-        |  SELECT u.doc_id, u.term, count(*) AS tf
-        |  FROM (SELECT doc_id, unnest(tk) AS term FROM toks) u
-        |  WHERE u.term IN (SELECT term FROM qt)
-        |  GROUP BY 1, 2),
-        | dfs AS (SELECT term, count(*) AS df FROM tfs GROUP BY 1),
-        | sc AS (
-        |  SELECT t.doc_id,
-        |    CAST(floor(
-        |      ln(1.0 + (st.n - f.df + 0.5) / (f.df + 0.5))
-        |      * (t.tf * (1.2 + 1.0))
-        |      / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * (d.dl * st.n / st.sumdl)))
-        |      * 1000000.0) AS BIGINT) AS term_score_mu
-        |  FROM tfs t
-        |  JOIN dfs f ON f.term = t.term
-        |  JOIN dls d ON d.doc_id = t.doc_id
-        |  CROSS JOIN st),
-        | bm AS (SELECT doc_id, CAST(sum(term_score_mu) AS BIGINT)
-        |    AS score_mu
-        |  FROM sc GROUP BY doc_id
-        |  ORDER BY score_mu DESC, doc_id LIMIT 50),
-        | lex AS (SELECT doc_id, CAST(row_number() OVER (
-        |    ORDER BY score_mu DESC, doc_id) AS BIGINT) AS lex_rank
-        |  FROM bm),
-        | e AS (
-        |  SELECT vec_id,
-        |    generate_subscripts(embedding, 1) AS i,
-        |    CAST(unnest(embedding) AS DOUBLE) AS x
-        |  FROM embeddings),
-        | norms AS (SELECT vec_id, sum(x * x) AS nn FROM e GROUP BY vec_id),
-        | dots AS (
-        |  SELECT a.vec_id, sum(a.x * q.x) AS dot
-        |  FROM e a JOIN e q ON a.i = q.i AND q.vec_id = 0
-        |  WHERE a.vec_id <> 0 GROUP BY 1),
-        | vcand AS (
-        |  SELECT d.vec_id,
-        |    round(dot / (sqrt(na.nn) * sqrt(nq.nn)), 6) AS cos_sim
-        |  FROM dots d
-        |  JOIN norms na ON na.vec_id = d.vec_id
-        |  JOIN norms nq ON nq.vec_id = 0
-        |  ORDER BY cos_sim DESC, d.vec_id LIMIT 50),
-        | vec AS (SELECT vec_id AS doc_id, CAST(row_number() OVER (
-        |    ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS vec_rank
-        |  FROM vcand),
-        | fused AS (
-        |  SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
-        |    l.lex_rank, v.vec_rank,
-        |    coalesce(1000000 // (60 + l.lex_rank), 0)
-        |      + coalesce(1000000 // (60 + v.vec_rank), 0) AS rrf_mu
-        |  FROM lex l FULL OUTER JOIN vec v ON v.doc_id = l.doc_id)
-        |SELECT doc_id, lex_rank, vec_rank, CAST(rrf_mu AS BIGINT)
-        |  AS rrf_mu
-        |FROM fused ORDER BY rrf_mu DESC, doc_id LIMIT 10""".stripMargin,
+    "t_hybrid" -> hybridOracleSql("spark merge window batch", 0L),
+
+    // the stored-index hybrid must equal the same inline semantics —
+    // the oracle recomputes both arms from raw tables, blind to the
+    // index build/probe machinery
+    "t_hybrid_index" ->
+      hybridOracleSql("customer vector join stream", 5L),
 
     // identical ln over identical integer-derived quotients, floored
     // to µ per bucket BEFORE the per-doc sum (the lmScore discipline)

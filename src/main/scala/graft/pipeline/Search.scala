@@ -204,24 +204,64 @@ object Search {
     // the fused pool holds up to 2*kCand docs, so k may exceed kCand
     require(kCand >= 1, s"kCand must be >= 1: $kCand")
     require(kRrf >= 1, s"kRrf must be >= 1: $kRrf")
-    val lex = bm25TopK(docs, query, kCand, idCol = idCol,
-        textCol = textCol)
+    val vec = Similarity.bruteForceTopK(emb, queryVecId, kCand,
+      vecIdCol, vecCol)
+    rrfFuse(bm25TopK(docs, query, kCand, idCol = idCol,
+        textCol = textCol),
+      vec.select(col(vecIdCol).as("doc_id"), col("cos_sim")),
+      k, kRrf)
+  }
+
+  /** The reciprocal-rank fusion tail over the two candidate lists —
+    * ONE copy shared by [[hybridTopK]] (inline arms) and
+    * [[hybridTopKFromIndex]] (stored-index arms), so the fusion
+    * arithmetic can never fork. `lex` carries (doc_id, score_mu);
+    * `vecCand` carries (doc_id, cos_sim); both already exact-ordered
+    * candidate lists ≤ kCand rows. */
+  private def rrfFuse(lex: DataFrame, vecCand: DataFrame, k: Int,
+      kRrf: Int): DataFrame = {
+    val lexRanked = lex
       .withColumn("lex_rank", row_number().over(
         Window.orderBy(col("score_mu").desc, col("doc_id").asc))
         .cast("long"))
       .select(col("doc_id"), col("lex_rank"))
-    val vec = Similarity.bruteForceTopK(emb, queryVecId, kCand,
-        vecIdCol, vecCol)
+    val vecRanked = vecCand
       .withColumn("vec_rank", row_number().over(
-        Window.orderBy(col("cos_sim").desc, col(vecIdCol).asc))
+        Window.orderBy(col("cos_sim").desc, col("doc_id").asc))
         .cast("long"))
-      .select(col(vecIdCol).as("doc_id"), col("vec_rank"))
-    lex.join(vec, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("vec_rank"))
+    lexRanked.join(vecRanked, Seq("doc_id"), "full_outer")
       .withColumn("rrf_mu",
         coalesce(expr(s"1000000L div (${kRrf}L + lex_rank)"), lit(0L)) +
           coalesce(expr(s"1000000L div (${kRrf}L + vec_rank)"), lit(0L)))
       .orderBy(col("rrf_mu").desc, col("doc_id").asc)
       .limit(k)
+  }
+
+  /** Hybrid retrieval served ENTIRELY from persisted indexes — the
+    * 100 TB serving shape: the lexical arm reads only the
+    * [[writeBm25Index]] layout (bucket-pruned postings + the stats
+    * partials), the vector arm only the [[Similarity.writeIvfIndex]]
+    * layout (probe-pruned cell partitions), and the fusion runs over
+    * ≤ 2·kCand candidate rows — corpus text and raw embedding tables
+    * are never scanned (spec-gated). Takes the serving-shape inputs
+    * (a query string + an explicit query vector); `nprobe = kCells`
+    * makes the vector arm exhaustive over the index, which is the
+    * configuration spec-pinned ≡ [[hybridTopK]] for corpus queries
+    * (the inline face excludes the query's own corpus row — build the
+    * index without it for exact parity). */
+  def hybridTopKFromIndex(spark: org.apache.spark.sql.SparkSession,
+      bm25Dir: String, ivfDir: String, query: String,
+      queryVec: Seq[Float], k: Int, kCand: Int = 50, kRrf: Int = 60,
+      nprobe: Int = 1): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(kCand >= 1, s"kCand must be >= 1: $kCand")
+    require(kRrf >= 1, s"kRrf must be >= 1: $kRrf")
+    val lex = bm25TopKFromIndex(spark, bm25Dir, query, kCand)
+    val vec = Similarity.ivfTopKFromIndex(spark, ivfDir, queryVec,
+        kCand, nprobe)
+      .select(col("vec_id").as("doc_id"), col("cos_sim"))
+    rrfFuse(lex, vec, k, kRrf)
   }
 
   // --- persisted BM25 index lifecycle ------------------------------------

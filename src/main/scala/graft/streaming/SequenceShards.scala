@@ -72,6 +72,29 @@ object SequenceShards {
     val shardsRoot = new Path(root, "shards")
     val trashRoot = new Path(root, ".swap_old")
     val tmp = new Path(root, ".shards_tmp")
+    // the packing contract is STORE STATE, not a per-call argument
+    // (the writeBm25Index meta discipline / the frozen-quantizer
+    // rule): a drifted nBuckets would route ids to lanes that
+    // disagree with the stored `lane` values — the rebuild's filter
+    // and packSequences' re-derivation would silently diverge — and a
+    // drifted seqLen/eosId/salt would splice incompatible sequences
+    // into surviving lanes. First append freezes the contract; later
+    // appends fail loudly on any mismatch.
+    val meta = new Path(root, "meta")
+    if (!fs.exists(meta)) {
+      import spark.implicits._
+      Seq((seqLen, nBuckets, eosId, salt))
+        .toDF("seq_len", "n_buckets", "eos_id", "salt")
+        .coalesce(1).write.mode("overwrite").parquet(meta.toString)
+    } else {
+      val m = spark.read.parquet(meta.toString).head()
+      val stored = (m.getInt(0), m.getInt(1), m.getLong(2),
+        m.getString(3))
+      require(stored == ((seqLen, nBuckets, eosId, salt)),
+        s"sequenceShards: packing contract drift — store $rootDir " +
+          s"was built with (seqLen, nBuckets, eosId, salt) = $stored, " +
+          s"this append passed (${(seqLen, nBuckets, eosId, salt)})")
+    }
     // heal a prior crashed swap BEFORE anything reads the shard tree
     Maint.healParkedFlat(fs, shardsRoot, trashRoot, verb)
     fs.delete(tmp, true)
@@ -149,4 +172,28 @@ object SequenceShards {
     * output. */
   def read(spark: SparkSession, rootDir: String): DataFrame =
     spark.read.parquet(s"$rootDir/shards")
+
+  /** One epoch's COMPLETE visit order over the store — the dataloader
+    * consumes this directly: every sequence stamped with `lane_ord`
+    * (which shard to visit when, [[Sampling.epochLaneOrder]]'s
+    * driver-side permutation under the store's frozen nBuckets/salt)
+    * and `epoch_pos` (the within-shard order,
+    * [[Sampling.epochShuffle]]); iterating by (lane_ord, epoch_pos)
+    * reads each training sequence exactly once per epoch in a
+    * seed-deterministic pseudo-random order with NO RNG state — any
+    * worker re-derives any epoch's slice, and a resumed job re-derives
+    * the exact order it crashed in. Row-local + one lane window over
+    * the stored shards; the store's packing contract (`meta`)
+    * supplies nBuckets and salt so a caller can never shuffle under a
+    * drifted lane domain. */
+  def readEpoch(spark: SparkSession, rootDir: String, epoch: Long)
+      : DataFrame = {
+    val m = spark.read.parquet(s"$rootDir/meta").head()
+    val nLanes = m.getInt(1)
+    val salt = m.getString(3)
+    Sampling.epochShuffle(read(spark, rootDir), epoch, "pack_bucket",
+        Seq("seq_idx"), salt)
+      .withColumn("lane_ord", Sampling.epochLaneOrderCol(
+        col("pack_bucket"), nLanes, epoch, salt))
+  }
 }

@@ -227,6 +227,50 @@ class SearchSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no postings tree"))
   }
 
+  test("hybrid from indexes equals inline hybridTopK at every k and " +
+      "never scans corpus text or raw embeddings") {
+    // inline face: emb INCLUDES the query row (9) and excludes it
+    // from candidates; index face: the index is built WITHOUT row 9
+    // and queried with its vector at nprobe = kCells (exhaustive over
+    // the index) — the configurations are semantically identical
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (3L, Array(0.9f, 0.1f)),
+      (2L, Array(-1.0f, 0.0f)),
+      (9L, Array(1.0f, 0.05f))
+    ).toDF("vec_id", "embedding")
+    val bm25 = tmpIdx()
+    val ivf = tmpIdx()
+    graft.pipeline.Search.writeBm25Index(docs, bm25, nBuckets = 4)
+    graft.pipeline.Similarity.writeIvfIndex(
+      emb.where(col("vec_id") =!= 9L), ivf, kCells = 2, iters = 2)
+    (1 to 4).foreach { k =>
+      val fromIdx = Search.hybridTopKFromIndex(spark, bm25, ivf,
+          "spark", Seq(1.0f, 0.05f), k, kCand = 2, nprobe = 2)
+        .collect().map(_.toString).toSeq
+      val inline = Search.hybridTopK(docs, emb, "spark",
+          queryVecId = 9L, k, kCand = 2)
+        .select("doc_id", "rrf_mu")
+        .collect().map(_.toString).toSeq
+      // the from-index face carries (doc_id, rrf_mu) + rank columns;
+      // compare the fused ranking and scores
+      val fromIdx2 = Search.hybridTopKFromIndex(spark, bm25, ivf,
+          "spark", Seq(1.0f, 0.05f), k, kCand = 2, nprobe = 2)
+        .select("doc_id", "rrf_mu")
+        .collect().map(_.toString).toSeq
+      assert(fromIdx2 == inline, s"k=$k: $fromIdx2 vs $inline")
+      assert(fromIdx.nonEmpty)
+    }
+    // plan gate: only the two indexes' trees are scanned
+    val plan = Search.hybridTopKFromIndex(spark, bm25, ivf, "spark",
+        Seq(1.0f, 0.05f), 3, kCand = 2, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.filter(_.contains("FileScan")).toSeq
+    assert(scans.nonEmpty, plan)
+    assert(scans.forall(l => l.contains("/postings")
+      || l.contains("/stats") || l.contains("/vectors")), plan)
+  }
+
   test("stored-index serve never reads corpus text: the only " +
       "FileScans are the index's own trees, with the bucket partition " +
       "pruned and the term predicate pushed") {

@@ -90,6 +90,44 @@ class StreamingSequenceShardsSpec extends AnyFunSuite {
     // docs sidecar: the replayed version's partition holds one copy
     assert(spark.read.parquet(s"$dir/docs")
       .where(col("version") === 4L).count() == 1L)
+
+    // the packing contract is store state: an append under a drifted
+    // nBuckets (lane routing would silently diverge from the stored
+    // lane values) fails loudly
+    val drift = intercept[IllegalArgumentException] {
+      SequenceShards.appendBatch(spark, mkDocs(Seq(2000L)), 5L, dir,
+        SeqLen, Lanes + 1, eosId = 0L)
+    }
+    assert(drift.getMessage.contains("packing contract drift"))
+
+    // readEpoch: one stamped frame carries the complete epoch visit
+    // order — (lane_ord, epoch_pos) ranges over every sequence exactly
+    // once, lane_ord is constant per lane and covers the visited lanes
+    // injectively, and a rebuild reproduces the identical order
+    val e1 = SequenceShards.readEpoch(spark, dir, epoch = 1)
+      .select("pack_bucket", "seq_idx", "lane_ord", "epoch_pos")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val total = SequenceShards.read(spark, dir).count()
+    assert(e1.length == total)
+    assert(e1.map(r => (r._3, r._4)).distinct.length == e1.length,
+      "(lane_ord, epoch_pos) must identify each sequence uniquely")
+    e1.groupBy(_._1).foreach { case (_, g) =>
+      assert(g.map(_._3).distinct.length == 1, "lane_ord varies in lane")
+      assert(g.map(_._4).sorted.toSeq == (1L to g.size).toSeq,
+        "epoch_pos not a within-lane permutation")
+    }
+    val e1again = SequenceShards.readEpoch(spark, dir, epoch = 1)
+      .select("pack_bucket", "seq_idx", "lane_ord", "epoch_pos")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(e1again.sorted.toSeq == e1.sorted.toSeq)
+    val e2 = SequenceShards.readEpoch(spark, dir, epoch = 2)
+      .select("pack_bucket", "seq_idx", "lane_ord", "epoch_pos")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(e2.sorted.toSeq != e1.sorted.toSeq,
+      "epochs must genuinely reorder")
   }
 
   test("composes with streaming corpus dedup: survivors of each " +
