@@ -94,6 +94,49 @@ class MaintProtocolSpec extends AnyFunSuite {
     }
   }
 
+  /** The heal-path crash matrix: start every injection run from the
+    * MID-SWAP state (`park` renames the live tree into its trash
+    * sibling — exactly what a crash between a flip's two renames
+    * leaves), so the recorded points include the heal-* steps and a
+    * crash DURING the heal itself must also recover on re-run. The
+    * heal logic is the shared helper, so two representative flip
+    * verbs cover it for all. */
+  private def healCrashMatrix(sc: Scenario,
+      park: String => Unit): Unit = {
+    val pristine = Files.createTempDirectory(s"mainthealp-${sc.verb}")
+    sc.setup(pristine.toString)
+    val clean = freshCopy(pristine)
+    park(clean)
+    sc.run(clean) // heals, then completes
+    val expected = sc.answer(clean)
+    assert(expected.nonEmpty, s"${sc.verb}: empty heal-path answer")
+    val points = scala.collection.mutable.LinkedHashSet[String]()
+    Maint.crashHook = (v, p) => if (v == sc.verb) { points += p; () }
+    try { val d = freshCopy(pristine); park(d); sc.run(d) }
+    finally Maint.crashHook = (_, _) => ()
+    assert(points.exists(_.startsWith("heal")),
+      s"${sc.verb}: the parked state fired no heal steps — $points")
+    for (point <- points) {
+      val dir = freshCopy(pristine)
+      park(dir)
+      Maint.crashHook = (v, p) =>
+        if (v == sc.verb && p == point) throw CrashInjected(v, p)
+      try intercept[CrashInjected] { sc.run(dir) }
+      finally Maint.crashHook = (_, _) => ()
+      sc.run(dir)
+      assert(sc.answer(dir) == expected,
+        s"${sc.verb}: heal-path crash at '$point' did not recover")
+    }
+  }
+
+  private def parkDir(base: String, live: String, trash: String)
+      : Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(base).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new Path(s"$base/$live"), new Path(s"$base/$trash")))
+  }
+
   // ---- exact-dedup sidecars (appendBatch history) -----------------------
 
   private def exactSetup(base: String): Unit =
@@ -190,6 +233,34 @@ class MaintProtocolSpec extends AnyFunSuite {
     crashMatrix(Scenario("requantizeVectors", semanticSetup,
       b => CorpusDedup.requantizeVectors(spark, s"$b/vec", cents2),
       vecAnswer))
+  }
+
+  test("heal path itself: crashes DURING a heal-in-progress (the " +
+      "mid-swap starting state) recover on re-run, for both a " +
+      "version-fold flip and a whole-sidecar flip") {
+    healCrashMatrix(
+      Scenario("compactPostings",
+        base => {
+          (0 until 4).foreach { i =>
+            CorpusDedup.appendBatchNearDup(spark,
+              Seq((i * 10L,
+                s"family $i words one two three four five six"))
+                .toDF("doc_id", "text"),
+              i + 1L, s"$base/corpus", s"$base/postings",
+              k = 3, threshold = 0.5)
+          }
+        },
+        b => CorpusDedup.compactPostings(spark, s"$b/postings"),
+        b => sortedRows(spark.read.parquet(s"$b/postings"))),
+      parkDir(_, "postings", "postings.compact-trash"))
+    val cents2 = Similarity.trainIvfCentroids(
+      (0 until 8).map(i => (i.toLong, vecOf(i + 3))).toDF("vec_id",
+        "embedding"), k = 3, iters = 2)
+    healCrashMatrix(
+      Scenario("requantizeVectors", semanticSetup,
+        b => CorpusDedup.requantizeVectors(spark, s"$b/vec", cents2),
+        vecAnswer),
+      parkDir(_, "vec", "vec.trash"))
   }
 
   // ---- persisted vector indexes -----------------------------------------
