@@ -353,16 +353,29 @@ object Sampling {
   }
 
   /** [[epochLaneOrder]] as a row-local column over a lane id —
-    * the driver-derived permutation folded into a CASE chain (1-based
-    * visit position), so stamping the order onto packed output costs
-    * ZERO exchanges and the pack pipeline's one-exchange plan
-    * survives. Lanes outside [0, nLanes) map to null. */
+    * the driver-derived permutation INVERTED into a flat array
+    * literal indexed by lane (1-based visit position), so stamping
+    * the order onto packed output costs ZERO exchanges and the pack
+    * pipeline's one-exchange plan survives. WIDE, not deep, by
+    * design: the obvious nLanes-deep when/otherwise fold hits
+    * Catalyst's recursive-transform StackOverflowError near ~1000
+    * branches (the expression-DEPTH wall — see the BPE merge-table
+    * rule), and nLanes scales with the cluster, so a thousands-of-
+    * lanes store must plan through a depth-1 `element_at` lookup.
+    * Lanes outside [0, nLanes) map to null (guarded BEFORE the
+    * lookup — ANSI element_at aborts on out-of-bounds, and CaseWhen
+    * only evaluates the matched branch). */
   def epochLaneOrderCol(lane: Column, nLanes: Int, epoch: Long,
-      salt: String = "graft"): Column =
-    epochLaneOrder(nLanes, epoch, salt).zipWithIndex
-      .foldLeft(lit(null).cast("long")) { case (e, (l, i)) =>
-        when(lane === l, lit(i.toLong + 1L)).otherwise(e)
-      }
+      salt: String = "graft"): Column = {
+    val visitPos = new Array[Long](nLanes) // visitPos(lane) = 1-based
+    epochLaneOrder(nLanes, epoch, salt).zipWithIndex.foreach {
+      case (l, i) => visitPos(l.toInt) = i.toLong + 1L
+    }
+    val l = lane.cast("long")
+    when(l.between(lit(0L), lit(nLanes.toLong - 1L)),
+        element_at(lit(visitPos), (l + lit(1L)).cast("int")))
+      .otherwise(lit(null).cast("long"))
+  }
 
   def packSequences(df: DataFrame, seqLen: Int, nBuckets: Int,
       eosId: Long, idCol: String = "doc_id", idsCol: String = "bpe_ids",

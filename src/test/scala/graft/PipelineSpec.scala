@@ -1769,6 +1769,31 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("epochLaneOrderCol survives a production lane count: 4096 " +
+      "lanes plan (no expression-depth wall) and execute, match the " +
+      "driver permutation, out-of-domain lanes map to null, and the " +
+      "stamp adds ZERO exchanges") {
+    // the nLanes-deep when/otherwise fold this replaced dies with a
+    // plan-time StackOverflowError near ~1000 branches — exactly the
+    // lane counts a 100 TB shard store runs at; the array-literal
+    // lookup is depth-1 regardless of nLanes
+    val n = 4096
+    val order = Sampling.epochLaneOrder(n, epoch = 3)
+    val df = spark.range(-2L, n.toLong + 2L).toDF("lane")
+      .withColumn("ord", Sampling.epochLaneOrderCol(col("lane"), n, 3))
+    assert(!df.queryExecution.executedPlan.toString.contains("Exchange"),
+      "the lane-order stamp must stay row-local (zero exchanges)")
+    val got = df.collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    order.zipWithIndex.foreach { case (lane, i) =>
+      assert(got(lane) == Some(i + 1L))
+    }
+    assert(got(-1L).isEmpty && got(-2L).isEmpty &&
+      got(n.toLong).isEmpty && got(n.toLong + 1L).isEmpty,
+      "lanes outside [0, nLanes) must map to null, never abort")
+  }
+
   test("canonical-per-fingerprint dedup orders on the id ALONE: rows " +
       "carrying unorderable (map) columns dedup fine, null text keeps " +
       "its group") {
