@@ -97,8 +97,17 @@ final class Dp3Http(svc: Dp3Service, spark: SparkSession,
   // server/executor/executor.go:206-207). The engine's `neighbors`
   // extension stays on by default at the library/planner faces; a
   // deployment that wants it over HTTP passes strictParity = false
-  // (the `graft.ql.strictParity` system property still forces strict
-  // deployment-wide, never the reverse).
+  // OR sets `-Dgraft.http.strictParity=false` (a no-redeploy escape
+  // hatch for deployments that relied on the pre-r19 lenient default
+  // — the property, when SET, overrides this constructor argument).
+  // The deployment-wide `graft.ql.strictParity` system property still
+  // forces strict everywhere, never the reverse; precedence here is
+  // ql-force-strict > http property > constructor argument.
+  private def effectiveStrict: Boolean =
+    graft.ql.Parser.strictParityDefault ||
+      Option(System.getProperty("graft.http.strictParity"))
+        .map(_.trim.equalsIgnoreCase("true"))
+        .getOrElse(strictParity)
 
   /** The reference's demo auth on MUTATING routes only — delete and
     * both imports (routes.go:63-69, mw.WithSharedKeyAuth): with a key
@@ -308,8 +317,7 @@ final class Dp3Http(svc: Dp3Service, spark: SparkSession,
           val skeleton = boolField(body, "skeleton").getOrElse(false)
           val explainReq = boolField(body, "explain").getOrElse(false)
           val mcapReq = boolField(body, "mcap").getOrElse(false)
-          graft.ql.Parser.parse(ql,
-            strictParity || graft.ql.Parser.strictParityDefault) match {
+          graft.ql.Parser.parse(ql, effectiveStrict) match {
             // the reference's query route executes truncate statements
             // too, answering an empty result (query.go:163-180)
             case _: graft.ql.TruncateStmt =>

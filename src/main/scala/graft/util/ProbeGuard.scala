@@ -61,12 +61,19 @@ object ProbeGuard {
     * (rerun it before reading a cross-round diff as a regression). */
   def minOfThree(run: () => Double, bound: Double = 1.3)
       : (Double, Double) = {
+    // a non-positive sample is a degenerate/failed run, not a fast
+    // one: an unguarded max/min would print Infinity/NaN spread (and
+    // trigger a pointless third run) — floor the denominator so the
+    // spread stays finite and the cross-round reader sees a huge
+    // (contaminated) ratio instead of a poisoned field
+    def spread(vs: Seq[Double]): Double =
+      vs.max / math.max(vs.min, 1e-9)
     val a = run()
     val b = run()
     val two = Seq(a, b)
     val vs =
-      if (two.max / two.min > bound) two :+ run()
+      if (spread(two) > bound) two :+ run()
       else two
-    (vs.min, vs.max / vs.min)
+    (vs.min, spread(vs))
   }
 }

@@ -88,6 +88,28 @@ class Dp3HttpSpec extends AnyFunSuite {
         """{"query": "explain from p3 click neighbors error;"}""")
       assert(ex.statusCode() == 200, ex.body())
     } finally h2.stop()
+    // the no-redeploy escape hatch: -Dgraft.http.strictParity=false
+    // relaxes the DEFAULT server without code changes (the pre-r19
+    // lenient behavior for deployments that relied on it); the
+    // property is read per-request, so the running server honors it
+    System.setProperty("graft.http.strictParity", "false")
+    try {
+      val relaxed = post("/databases/default/query",
+        """{"query": "from p3 click neighbors error;"}""")
+      assert(relaxed.statusCode() == 200, relaxed.body())
+    } finally System.clearProperty("graft.http.strictParity")
+    // and the deployment-wide ql force-strict property wins over BOTH
+    // the http property and an opted-in constructor
+    System.setProperty("graft.ql.strictParity", "true")
+    System.setProperty("graft.http.strictParity", "false")
+    try {
+      val forced = post("/databases/default/query",
+        """{"query": "from p3 click neighbors error;"}""")
+      assert(forced.statusCode() == 400, forced.body())
+    } finally {
+      System.clearProperty("graft.ql.strictParity")
+      System.clearProperty("graft.http.strictParity")
+    }
     // the dp3-style plan sexp renders the dir like precedes/succeeds
     val q = graft.ql.Parser.parse("from p3 click neighbors error;")
       .asInstanceOf[graft.ql.Query]

@@ -38,31 +38,41 @@ def decode_secs(coded: str):
     """r18+ packed seconds: two base-36 chars per entry (deciseconds),
     '--' for the failure sentinel. 'zz' is the r19 SATURATION sentinel
     (">= 129.5 s" — a floor, not a measurement; exact value in the
-    sidecar) and decodes to the string ">=129.5" so it can never be
-    mistaken for a true reading."""
+    sidecar) and decodes to the FLOAT 129.5, matching the Scala twin
+    (Bench.decodeSecs) so numeric consumers (diff scripts, sorting)
+    keep working; callers that must distinguish a saturated floor
+    from a true 129.5 s reading use is_saturated() on the coded
+    pair (the printer below marks them '>=')."""
     out = []
     for i in range(0, len(coded), 2):
         pair = coded[i:i + 2]
         if pair == "--":
             out.append(-1.0)
-        elif pair == "zz":
-            out.append(">=129.5")
         else:
             out.append((int(pair[0], 36) * 36 + int(pair[1], 36)) / 10.0)
     return out
 
 
+def saturated_flags(coded: str):
+    """Positional companion of decode_secs: True where the pair is the
+    'zz' saturation sentinel (the decoded 129.5 is a floor there)."""
+    return [coded[i:i + 2] == "zz" for i in range(0, len(coded), 2)]
+
+
 def queries_map(line_obj):
+    """name -> seconds, plus the set of saturation-floored names."""
     q = line_obj["queries"]
     if isinstance(q, dict) and "n" in q and "s" in q:  # columnar (r12+)
         names = q["n"]
         if isinstance(names, str):
             names = decode_names(names)
         secs = q["s"]
+        sat = set()
         if isinstance(secs, str):  # packed (r18+)
+            sat = {n for n, f in zip(names, saturated_flags(secs)) if f}
             secs = decode_secs(secs)
-        return dict(zip(names, secs))
-    return dict(q)  # legacy flat map
+        return dict(zip(names, secs)), sat
+    return dict(q), set()  # legacy flat map
 
 
 def main():
@@ -71,7 +81,7 @@ def main():
     obj = json.loads(raw)
     if "parsed" in obj and obj.get("parsed"):  # driver BENCH_r*.json
         obj = obj["parsed"]
-    qm = queries_map(obj)
+    qm, sat = queries_map(obj)
     # r18+: per-entry spread digit string, positional like the seconds
     # ('-' unmeasured; a digit >= 2 marks a host-contaminated entry
     # whose min survived up to three disagreeing runs)
@@ -80,7 +90,8 @@ def main():
     for name in sorted(qm):
         mark = f"  spread~{spread[name]}" if spread.get(name, "1") not in (
             "1", "-") else ""
-        print(f"{qm[name]:>6}  {name}{mark}")
+        floor = ">=" if name in sat else ""  # saturation floor, not a value
+        print(f"{floor}{qm[name]:>6}  {name}{mark}")
     total = obj.get("value")
     if total is not None:
         print(f"{total:>6}  TOTAL ({obj.get('sf', '?')}, "
