@@ -286,11 +286,14 @@ object Search {
     *     must reproduce, stored so it can never silently drift.
     *
     * 100 TB shape: the postings build is [[postings]]' one shuffle;
-    * the bucket write clusters each bucket in one task (row-group
-    * splitting restores intra-file scan parallelism at production
-    * file sizes, the parquet discipline everywhere in this repo). */
+    * the bucket write emits ~ceil(bucketBytes/targetBytesPerFile)
+    * files per bucket directory ([[sizedByBucket]] — sized from the
+    * input corpus bytes here, from the exact on-disk bytes at
+    * [[compactBm25Index]] time), so write-task size stays bounded by
+    * the target instead of growing with corpus/nBuckets. */
   def writeBm25Index(docs: DataFrame, dir: String, nBuckets: Int = 64,
-      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+      idCol: String = "doc_id", textCol: String = "text",
+      targetBytesPerFile: Long = 128L << 20): Unit = {
     require(nBuckets >= 1, s"nBuckets >= 1: $nBuckets")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -298,7 +301,8 @@ object Search {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
     statsPartial(docs, idCol, textCol)
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
-    postingsRows(docs, nBuckets, idCol, textCol)
+    postingsRows(docs, nBuckets, idCol, textCol,
+        estimatedFilesPerBucket(docs, nBuckets, targetBytesPerFile))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$dir/postings")
   }
@@ -316,13 +320,15 @@ object Search {
     * stored layout. Callers must not append the same batch twice with
     * different content under the same doc ids. */
   def appendToBm25Index(newDocs: DataFrame, dir: String,
-      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+      idCol: String = "doc_id", textCol: String = "text",
+      targetBytesPerFile: Long = 128L << 20): Unit = {
     val spark = newDocs.sparkSession
     val nBuckets = spark.read.parquet(s"$dir/meta")
       .head().getInt(0)
     statsPartial(newDocs, idCol, textCol)
       .coalesce(1).write.mode("append").parquet(s"$dir/stats")
-    postingsRows(newDocs, nBuckets, idCol, textCol)
+    postingsRows(newDocs, nBuckets, idCol, textCol,
+        estimatedFilesPerBucket(newDocs, nBuckets, targetBytesPerFile))
       .write.mode("append").partitionBy("bucket")
       .parquet(s"$dir/postings")
   }
@@ -337,7 +343,7 @@ object Search {
     * replay arriving after the fold would re-add its stats row with
     * nothing left to collapse it against). */
   def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Unit = {
+      dir: String, targetBytesPerFile: Long = 128L << 20): Unit = {
     import org.apache.hadoop.fs.Path
     import graft.util.Maint
     val live = new Path(s"$dir/postings")
@@ -351,10 +357,25 @@ object Search {
       live = fs.exists(live),
       missingMsg = Some(s"compactBm25Index: no postings tree at $live"))
     Maint.cleanSiblings(fs, tmp, trash, "compactBm25Postings")
-    spark.read.parquet(live.toString)
-      .dropDuplicates("term", "doc_id")
-      .repartition(col("bucket"))
-      .sortWithinPartitions(col("bucket"), col("term"))
+    // per-bucket EXACT output sizing from the live bucket dirs' bytes
+    // (the r19 sized-fold rule — an unsized repartition(bucket) put a
+    // bucket's whole postings in ONE task, and write-task size grew
+    // unbounded with corpus/nBuckets); skewed buckets (a stop-word's
+    // postings) get proportionally more files
+    val nBuckets = spark.read.parquet(s"$dir/meta").head().getInt(0)
+    val fpb = Array.fill[Long](nBuckets)(1L)
+    for (d <- fs.listStatus(live) if d.isDirectory;
+         name = d.getPath.getName if name.startsWith("bucket=")) {
+      val b = name.stripPrefix("bucket=").toInt
+      if (b >= 0 && b < nBuckets)
+        fpb(b) = Maint.sizedFileCount(
+          Maint.parquetBytes(fs, Seq(d.getPath)), targetBytesPerFile)
+          .toLong
+    }
+    sizedByBucket(
+        spark.read.parquet(live.toString)
+          .dropDuplicates("term", "doc_id"),
+        fpb)
       .write.partitionBy("bucket").parquet(tmp.toString)
     Maint.flipNow(fs, live, tmp, trash, "compactBm25Postings")
     // stats: fold the partial rows to ONE exact row (same flip
@@ -419,15 +440,69 @@ object Search {
       .orderBy(col("score_mu").desc, col("doc_id").asc)
 
   /** The on-disk posting rows: [[postings]] over the full vocabulary
-    * plus the term's bucket, clustered (bucket, term) for row-group
-    * pruning under the pushed term-IN predicate. */
+    * plus the term's bucket, clustered (bucket, term) via
+    * [[sizedByBucket]] so no write task rewrites a whole bucket's
+    * postings. */
   private def postingsRows(docs: DataFrame, nBuckets: Int,
-      idCol: String, textCol: String): DataFrame =
-    postings(docs, None, idCol, textCol)
-      .withColumn("bucket",
-        pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
-      .repartition(col("bucket"))
-      .sortWithinPartitions(col("bucket"), col("term"))
+      idCol: String, textCol: String,
+      filesPerBucket: Array[Long]): DataFrame =
+    sizedByBucket(
+      postings(docs, None, idCol, textCol)
+        .withColumn("bucket",
+          pmod(xxhash64(col("term")), lit(nBuckets.toLong))),
+      filesPerBucket)
+
+  /** Cluster posting rows into per-bucket sized write slots: terms
+    * hash into `filesPerBucket(bucket)` salt slots within their
+    * bucket, so the partitionBy("bucket") write emits
+    * ~ceil(bucketBytes/target) files per bucket directory
+    * ([[graft.util.Maint.sizedFileCount]] WITHIN bucket — the r19
+    * sized-fold discipline) and write-task size stays bounded by the
+    * target instead of growing with corpus/nBuckets. The degenerate
+    * all-ones map keeps the unsized one-file-per-bucket shape (and
+    * lets AQE coalesce tiny toy buckets into shared tasks). Hash
+    * placement, not range: no sampling pass over the (expensive at
+    * build time) child, and the within-file (bucket, term) sort keeps
+    * the pushed term-IN row-group prune either way. */
+  private def sizedByBucket(rows: DataFrame,
+      filesPerBucket: Array[Long]): DataFrame = {
+    if (filesPerBucket.forall(_ == 1L))
+      rows.repartition(col("bucket"))
+        .sortWithinPartitions(col("bucket"), col("term"))
+    else {
+      val total = filesPerBucket.sum
+        .min(Int.MaxValue.toLong).max(1L).toInt
+      rows.withColumn("_slot",
+          pmod(xxhash64(col("term")),
+            element_at(lit(filesPerBucket),
+              col("bucket").cast("int") + lit(1))))
+        .repartition(total, col("bucket"), col("_slot"))
+        .sortWithinPartitions(col("bucket"), col("term"))
+        .drop("_slot")
+    }
+  }
+
+  /** Per-bucket output sizing for a FRESH postings write, where no
+    * on-disk postings bytes exist yet: estimate from the input
+    * corpus' file bytes (postings parquet is at most text-scale —
+    * terms dictionary-encode — so this over-estimates toward more,
+    * smaller files, the safe direction), hash-uniform across buckets.
+    * In-memory frames (no input files) size to one file per bucket —
+    * the toy shape. */
+  private def estimatedFilesPerBucket(docs: DataFrame, nBuckets: Int,
+      targetBytesPerFile: Long): Array[Long] = {
+    import org.apache.hadoop.fs.Path
+    val bytes =
+      try {
+        val conf = docs.sparkSession.sparkContext.hadoopConfiguration
+        docs.inputFiles.map { f =>
+          val p = new Path(f)
+          p.getFileSystem(conf).getFileStatus(p).getLen
+        }.sum
+      } catch { case scala.util.control.NonFatal(_) => 0L }
+    Array.fill(nBuckets)(graft.util.Maint.sizedFileCount(
+      bytes / math.max(nBuckets, 1), targetBytesPerFile).toLong)
+  }
 
   /** One mergeable stats partial: doc count, total token length, and
     * a deterministic content fingerprint (order-free XOR fold of the

@@ -227,6 +227,53 @@ class SearchSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no postings tree"))
   }
 
+  test("postings folds are file-size-aware: compact emits " +
+      "~ceil(bucketBytes/target) files per bucket (bounded write " +
+      "tasks, never one task per bucket), the fresh build sizes from " +
+      "corpus bytes, and answers are unchanged") {
+    import org.apache.hadoop.fs.Path
+    val base = tmpIdx()
+    val corpusDir = s"$base-corpus"
+    docs.write.parquet(corpusDir)
+    val stored = spark.read.parquet(corpusDir)
+    val dir = s"$base/bm25"
+    // fresh build: parquet-backed input + a toy target makes the
+    // estimated per-bucket split engage (corpus bytes >> target)
+    Search.writeBm25Index(stored, dir, nBuckets = 4,
+      targetBytesPerFile = 64L)
+    def bucketFiles(): Map[Int, Int] = {
+      val root = new java.io.File(s"$dir/postings")
+      root.listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+        .map(d => d.getName.stripPrefix("bucket=").toInt ->
+          d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    }
+    val fresh = bucketFiles()
+    assert(fresh.values.max >= 2,
+      s"fresh build never split a bucket: $fresh")
+    val want = serve(dir, queries, 5)
+    assert(want == inline(queries, 5))
+    // compact: EXACT per-bucket sizing from the live dirs' bytes —
+    // every bucket's file count stays within its sizedFileCount cap
+    // and at least one bucket genuinely splits at this target
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val preBytes = fs.listStatus(new Path(s"$dir/postings"))
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith("bucket="))
+      .map(s => s.getPath.getName.stripPrefix("bucket=").toInt ->
+        graft.util.Maint.parquetBytes(fs, Seq(s.getPath))).toMap
+    Search.compactBm25Index(spark, dir, targetBytesPerFile = 512L)
+    val post = bucketFiles()
+    post.foreach { case (b, n) =>
+      val cap = graft.util.Maint.sizedFileCount(preBytes(b), 512L)
+      assert(n >= 1 && n <= cap,
+        s"bucket $b: $n files vs sized cap $cap")
+    }
+    assert(post.values.max >= 2, s"compact never split a bucket: $post")
+    assert(serve(dir, queries, 5) == want, "post-compact answers")
+  }
+
   test("hybrid from indexes equals inline hybridTopK at every k and " +
       "never scans corpus text or raw embeddings") {
     // inline face: emb INCLUDES the query row (9) and excludes it
