@@ -93,6 +93,31 @@ object SparkEntry {
   // the graded query inventory
   // ======================================================================
 
+  /** Once-per-JVM setup for the SERVE-ONLY registry entries
+    * (`t_bm25_serve`, `t_hybrid_serve`, `t_shards_read`): the first
+    * call in a process deletes any stale tree and rebuilds — a fresh
+    * Verify/Bench JVM can never serve a previous run's index — and
+    * later calls in the same JVM serve the already-built layout.
+    * Bench runs every entry at least twice and reports the min, so
+    * the steady-state number is the serve path alone; the lifecycle
+    * cost stays measured by the `*_index`/`*_stream` twins. A failed
+    * build un-registers itself so a retry rebuilds instead of
+    * serving a half-written tree. */
+  private val builtOnce =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def buildOnce(s: SparkSession, root: String)(
+      build: => Unit): Unit =
+    if (builtOnce.add(root)) {
+      try {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+        build
+      } catch {
+        case e: Throwable => builtOnce.remove(root); throw e
+      }
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- dp3 core operators (SURVEY §2.1) -------------------------------
     "q_scan" -> ((s, dir) =>
@@ -1157,6 +1182,37 @@ object SparkEntry {
         .orderBy("pack_bucket", "seq_idx")
     }),
 
+    // SERVE-ONLY read face of the shard store: the store builds once
+    // per JVM (one appendBatch over the whole corpus — the streaming
+    // lifecycle stays measured by t_shards_stream), and the measured
+    // work is readEpoch — the dataloader's per-epoch consumption:
+    // stored shards + the seed-deterministic within-lane epoch_pos
+    // window + the row-local lane_ord stamp. The oracle re-derives
+    // the pack AND the epoch-1 visit order from raw text.
+    "t_shards_read" -> ((s, dir) => {
+      val root = "/tmp/graft_shards_read_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      buildOnce(s, root) {
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            TextOps.tokens(lower(col("text"))).as("_toks"))
+          .select(col("doc_id"), transform(col("_toks"), t =>
+            pmod(conv(substring(md5(t), 1, 8), 16, 10).cast("long"),
+              lit(997L)).cast("int")).as("bpe_ids"))
+        graft.streaming.SequenceShards.appendBatch(s, docs, 1L, root,
+          seqLen = 128, nBuckets = 8, eosId = 997L)
+      }
+      graft.streaming.SequenceShards.readEpoch(s, root, epoch = 1)
+        .select(col("pack_bucket").cast("long").as("pack_bucket"),
+          col("seq_idx"), col("n_docs"),
+          array_join(transform(col("starts"),
+            x => x.cast("string")), ",").as("starts_csv"),
+          array_join(transform(col("ids"),
+            x => x.cast("string")), ",").as("ids_csv"),
+          col("epoch_pos"), col("lane_ord"))
+        .orderBy("pack_bucket", "seq_idx")
+    }),
+
     "t_bpe_roundtrip" -> ((s, dir) => {
       // decode ∘ encode pinned per document: the decoded id sequence
       // must equal the whitespace-stripped lowercased token concat
@@ -1371,6 +1427,25 @@ object SparkEntry {
         Seq((1L, "vector stream hash"), (2L, "slow scan dup")), k = 5)
     }),
 
+    // SERVE-ONLY twin of t_bm25_index: the full-corpus index is built
+    // once per JVM ([[buildOnce]] — the first timed run pays it, the
+    // steady-state run Bench reports is the serve path alone), so the
+    // bench tracks the 100 TB-relevant serve latency — bucket-pruned
+    // postings + pushed term-IN + a one-row stats broadcast — while
+    // the lifecycle cost stays measured by t_bm25_index. Same
+    // queries/k as t_bm25_batch, whose inline semantics the stored
+    // serve must reproduce exactly (shared oracle).
+    "t_bm25_serve" -> ((s, dir) => {
+      val idx = "/tmp/graft_bm25_serve_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      buildOnce(s, idx) {
+        Search.writeBm25Index(Tables.load(s, dir, "documents"), idx)
+      }
+      Search.bm25TopKBatchFromIndex(s, idx,
+        Seq((1L, "spark merge window"), (2L, "customer query fast")),
+        k = 5)
+    }),
+
     // per-doc top-3 keywords by smoothed tf-idf, exact micro-units
     "t_tfidf" -> ((s, dir) =>
       Search.tfidfTopTerms(Tables.load(s, dir, "documents"), k = 3)),
@@ -1404,6 +1479,30 @@ object SparkEntry {
           emb.where(pmod(col("vec_id"), lit(7L)) === 1L), k = 4,
           iters = 2),
         s"$base/ivf")
+      val qv = emb.where(col("vec_id") === 5L)
+        .select(col("embedding")).head().getSeq[Float](0)
+      Search.hybridTopKFromIndex(s, s"$base/bm25", s"$base/ivf",
+        "customer vector join stream", qv, k = 10, nprobe = 4)
+    }),
+
+    // SERVE-ONLY twin of t_hybrid_index (same semantic config: IVF
+    // built without the query row, quantizer trained on the 1/7
+    // sample, exhaustive nprobe): both indexes build once per JVM,
+    // so the steady-state number is the fused two-arm serve alone —
+    // candidate-sized work against stored layouts, no corpus scan.
+    "t_hybrid_serve" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val base = "/tmp/graft_hybrid_serve_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")
+      buildOnce(s, base) {
+        Search.writeBm25Index(Tables.load(s, dir, "documents"),
+          s"$base/bm25")
+        Similarity.writeIvfIndexWith(emb.where(col("vec_id") =!= 5L),
+          Similarity.trainIvfCentroids(
+            emb.where(pmod(col("vec_id"), lit(7L)) === 1L), k = 4,
+            iters = 2),
+          s"$base/ivf")
+      }
       val qv = emb.where(col("vec_id") === 5L)
         .select(col("embedding")).head().getSeq[Float](0)
       Search.hybridTopKFromIndex(s, s"$base/bm25", s"$base/ivf",
@@ -2227,27 +2326,11 @@ object SparkEntry {
        |  WHERE CAST(('0x' || substr(md5('graft:' ||
        |      CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
        |    < cutoff)""".stripMargin
-    val epochStage = """packed AS (
-       |""".stripMargin + packSeqsFinalSelect + "),\n" +
-      """lord AS (
-       |  SELECT lane, CAST(row_number() OVER (
-       |    ORDER BY md5('graft:1:' || CAST(lane AS VARCHAR)), lane)
-       |    AS BIGINT) AS lane_ord
-       |  FROM (SELECT unnest(range(8)) AS lane))
-       |SELECT p.pack_bucket, p.seq_idx, p.n_docs, p.starts_csv,
-       |  p.ids_csv,
-       |  CAST(row_number() OVER (PARTITION BY p.pack_bucket
-       |    ORDER BY md5('graft:1:' || CAST(p.pack_bucket AS VARCHAR)
-       |      || ':' || CAST(p.seq_idx AS VARCHAR)), p.seq_idx)
-       |    AS BIGINT) AS epoch_pos,
-       |  l.lane_ord
-       |FROM packed p JOIN lord l ON l.lane = p.pack_bucket
-       |ORDER BY 1, 2""".stripMargin
     "WITH " + curateCtes + ",\n " +
       lexClustersFrom("curated").stripSuffix("\n") + ",\n " +
       mixCtes + ",\n" +
       bpeIdsOracleCtesFrom("mixed") + ",\n" +
-      packSeqsTailCtes.stripSuffix("\n") + ",\n" + epochStage
+      packSeqsTailCtes.stripSuffix("\n") + ",\n" + epochOrderTailSql
   }
 
   /** [[packSeqsTailSql]]'s CTE chain alone (through `fcsv`, trailing
@@ -2255,6 +2338,32 @@ object SparkEntry {
   private val packSeqsTailCtes: String =
     packSeqsTailSql
       .stripSuffix("\nORDER BY 1, 2").stripSuffix(packSeqsFinalSelect)
+
+  /** The epoch-1 visit order over a `fcsv`-stage pack: wraps
+    * [[packSeqsFinalSelect]] in a CTE and stamps t_epoch_shuffle's
+    * row hash over (lane, seq_idx) plus the FULL-DOMAIN (range(8))
+    * lane permutation [[Sampling.epochLaneOrder]] ranks driver-side —
+    * absent lanes still occupy their visit positions. Shared by
+    * `t_e2e_dataloader` and the serve-only `t_shards_read`. Parts
+    * concatenate with `+`, never re-interpolated (the
+    * double-stripMargin trap — the pack tail carries `||`). */
+  private val epochOrderTailSql: String =
+    """packed AS (
+      |""".stripMargin + packSeqsFinalSelect + "),\n" +
+      """lord AS (
+        |  SELECT lane, CAST(row_number() OVER (
+        |    ORDER BY md5('graft:1:' || CAST(lane AS VARCHAR)), lane)
+        |    AS BIGINT) AS lane_ord
+        |  FROM (SELECT unnest(range(8)) AS lane))
+        |SELECT p.pack_bucket, p.seq_idx, p.n_docs, p.starts_csv,
+        |  p.ids_csv,
+        |  CAST(row_number() OVER (PARTITION BY p.pack_bucket
+        |    ORDER BY md5('graft:1:' || CAST(p.pack_bucket AS VARCHAR)
+        |      || ':' || CAST(p.seq_idx AS VARCHAR)), p.seq_idx)
+        |    AS BIGINT) AS epoch_pos,
+        |  l.lane_ord
+        |FROM packed p JOIN lord l ON l.lane = p.pack_bucket
+        |ORDER BY 1, 2""".stripMargin
 
   private def bpeIdsOracleCtes: String =
     "WITH " + bpeIdsOracleCtesFrom("documents")
@@ -2462,6 +2571,74 @@ object SparkEntry {
        |        ELSE '${Sampling.hexCutoff(0.75)}' END
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** Inline BM25 over the whole corpus for the t_bm25_batch query
+    * pair (k = 5) — shared verbatim by `t_bm25_batch` and its
+    * stored-index serve twin `t_bm25_serve`: the serve face must
+    * reproduce the inline semantics exactly, so one oracle pins
+    * both. */
+  private val bm25BatchOracleSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+      |  FROM documents),
+      | dls AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM toks),
+      | st AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sumdl
+      |   FROM dls),
+      | qt AS (SELECT CAST(q AS BIGINT) AS query_id, term FROM (VALUES
+      |    (1, 'spark'), (1, 'merge'), (1, 'window'),
+      |    (2, 'customer'), (2, 'query'), (2, 'fast')) v(q, term)),
+      | tfs AS (
+      |  SELECT u.doc_id, u.term, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(tk) AS term FROM toks) u
+      |  WHERE u.term IN (SELECT DISTINCT term FROM qt)
+      |  GROUP BY 1, 2),
+      | dfs AS (SELECT term, count(*) AS df FROM tfs GROUP BY 1),
+      | agg AS (
+      |  SELECT qt.query_id, t.doc_id,
+      |    CAST(sum(CAST(floor(
+      |      ln(1.0 + (st.n - f.df + 0.5) / (f.df + 0.5))
+      |      * (t.tf * (1.2 + 1.0))
+      |      / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * (d.dl * st.n / st.sumdl)))
+      |      * 1000000.0) AS BIGINT)) AS BIGINT) AS score_mu,
+      |    count(*) AS n_terms
+      |  FROM tfs t
+      |  JOIN dfs f ON f.term = t.term
+      |  JOIN dls d ON d.doc_id = t.doc_id
+      |  JOIN qt ON qt.term = t.term
+      |  CROSS JOIN st
+      |  GROUP BY 1, 2)
+      |SELECT query_id, doc_id, score_mu, n_terms FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY score_mu DESC, doc_id) AS rn FROM agg)
+      |WHERE rn <= 5
+      |ORDER BY query_id, score_mu DESC, doc_id""".stripMargin
+
+  /** The md5-token-id encode + range(997) vocab CTE prefix the
+    * incremental-shard oracles share (`t_shards_stream`,
+    * `t_shards_read`): re-derives each document's id sequence from
+    * raw text with the engine-portable hash, feeding
+    * [[packSeqsTailSql]]'s `agg`/`vocab` contract. */
+  private val md5IdsPackPrefixSql: String =
+    """WITH raw AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w,
+      |    generate_subscripts(string_split(lower(text), ' '), 1)
+      |      AS pos0
+      |  FROM documents),
+      | tok AS (SELECT doc_id, w, pos0 FROM raw WHERE w <> ''),
+      | idsq AS (
+      |  SELECT doc_id,
+      |    CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % 997 AS id,
+      |    pos0
+      |  FROM tok),
+      | agg AS (
+      |  SELECT doc_id,
+      |    string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos0)
+      |      AS ids_csv,
+      |    CAST(count(*) AS BIGINT) AS n_ids
+      |  FROM idsq GROUP BY doc_id),
+      | vocab AS (SELECT unnest(range(997)) AS tok),
+      |""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_scan" ->
@@ -4516,25 +4693,15 @@ object SparkEntry {
     // vocab = range(997) so the tail's eos (count(vocab)) is the
     // entry's eosId.
     "t_shards_stream" ->
-      ("""WITH raw AS (
-         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w,
-         |    generate_subscripts(string_split(lower(text), ' '), 1)
-         |      AS pos0
-         |  FROM documents),
-         | tok AS (SELECT doc_id, w, pos0 FROM raw WHERE w <> ''),
-         | idsq AS (
-         |  SELECT doc_id,
-         |    CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % 997 AS id,
-         |    pos0
-         |  FROM tok),
-         | agg AS (
-         |  SELECT doc_id,
-         |    string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos0)
-         |      AS ids_csv,
-         |    CAST(count(*) AS BIGINT) AS n_ids
-         |  FROM idsq GROUP BY doc_id),
-         | vocab AS (SELECT unnest(range(997)) AS tok),
-         |""".stripMargin + packSeqsTailSql),
+      (md5IdsPackPrefixSql + packSeqsTailSql),
+
+    // the serve-only read face: same md5-encode + pack re-derivation,
+    // then the epoch-1 visit order (within-lane md5-ranked epoch_pos
+    // + the full-domain lane permutation) — the oracle is blind to
+    // the stored shards readEpoch actually consumed
+    "t_shards_read" ->
+      (md5IdsPackPrefixSql + packSeqsTailCtes.stripSuffix("\n") +
+        ",\n" + epochOrderTailSql),
 
     "t_bpe_roundtrip" ->
       (bpeIdsOracleCtes + ",\n" +
@@ -4678,42 +4845,11 @@ object SparkEntry {
         |FROM sc GROUP BY doc_id
         |ORDER BY score_mu DESC, doc_id LIMIT 10""".stripMargin,
 
-    "t_bm25_batch" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
-        |  FROM documents),
-        | dls AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM toks),
-        | st AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sumdl
-        |   FROM dls),
-        | qt AS (SELECT CAST(q AS BIGINT) AS query_id, term FROM (VALUES
-        |    (1, 'spark'), (1, 'merge'), (1, 'window'),
-        |    (2, 'customer'), (2, 'query'), (2, 'fast')) v(q, term)),
-        | tfs AS (
-        |  SELECT u.doc_id, u.term, count(*) AS tf
-        |  FROM (SELECT doc_id, unnest(tk) AS term FROM toks) u
-        |  WHERE u.term IN (SELECT DISTINCT term FROM qt)
-        |  GROUP BY 1, 2),
-        | dfs AS (SELECT term, count(*) AS df FROM tfs GROUP BY 1),
-        | agg AS (
-        |  SELECT qt.query_id, t.doc_id,
-        |    CAST(sum(CAST(floor(
-        |      ln(1.0 + (st.n - f.df + 0.5) / (f.df + 0.5))
-        |      * (t.tf * (1.2 + 1.0))
-        |      / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * (d.dl * st.n / st.sumdl)))
-        |      * 1000000.0) AS BIGINT)) AS BIGINT) AS score_mu,
-        |    count(*) AS n_terms
-        |  FROM tfs t
-        |  JOIN dfs f ON f.term = t.term
-        |  JOIN dls d ON d.doc_id = t.doc_id
-        |  JOIN qt ON qt.term = t.term
-        |  CROSS JOIN st
-        |  GROUP BY 1, 2)
-        |SELECT query_id, doc_id, score_mu, n_terms FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY query_id
-        |    ORDER BY score_mu DESC, doc_id) AS rn FROM agg)
-        |WHERE rn <= 5
-        |ORDER BY query_id, score_mu DESC, doc_id""".stripMargin,
+    "t_bm25_batch" -> bm25BatchOracleSql,
+
+    // the serve-only twin reads the stored index; semantics (queries,
+    // k, scoring) are t_bm25_batch's, so the oracle is shared
+    "t_bm25_serve" -> bm25BatchOracleSql,
 
     // the stored-index serve must equal inline BM25 over the whole
     // corpus — the oracle recomputes from raw text, blind to the
@@ -4823,6 +4959,10 @@ object SparkEntry {
     // the oracle recomputes both arms from raw tables, blind to the
     // index build/probe machinery
     "t_hybrid_index" ->
+      hybridOracleSql("customer vector join stream", 5L),
+
+    // serve-only twin: identical semantics against pre-built indexes
+    "t_hybrid_serve" ->
       hybridOracleSql("customer vector join stream", 5L),
 
     // identical ln over identical integer-derived quotients, floored
