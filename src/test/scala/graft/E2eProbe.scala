@@ -71,8 +71,10 @@ object E2eProbe {
     // shard-writer leg: the big corpus's packed output lands as one
     // parquet shard per lane (the chain re-executes into the write —
     // total = chain + shard write, so the writer's own cost is the
-    // delta vs the timed chain above)
-    val shardDir = s"/tmp/graft_e2e_shards_${System.nanoTime()}"
+    // delta vs the timed chain above). Written under a store ROOT so
+    // the epoch-read leg below consumes it without a chain re-run.
+    val bigStore = s"/tmp/graft_e2e_shards_${System.nanoTime()}"
+    val shardDir = s"$bigStore/shards"
     val t0 = System.nanoTime()
     graft.export.Export.writeSequenceShards(fn(spark, big), shardDir)
     val wdt = (System.nanoTime() - t0) / 1e9
@@ -89,6 +91,38 @@ object E2eProbe {
     require(rows == m1, s"shards hold $rows rows, chain emitted $m1")
     println(f"[e2e-probe] shards($big): ${lanes.length}%d lanes, " +
       f"1 file each, $rows%d seqs, chain+write ${wdt}%.2f s")
+    // epoch-read leg (r20): the dataloader's per-epoch consumption
+    // off a PRE-BUILT shard store at both scales — the timed work is
+    // readEpoch alone (stored shards + the within-lane epoch_pos
+    // window + the row-local lane_ord stamp), forced through
+    // Bench.forced so column pruning can never drop the window.
+    // Stores assemble untimed: meta carries the chain's packing
+    // contract (readEpoch consumes only n_buckets and salt).
+    import spark.implicits._
+    def writeMeta(root: String): Unit =
+      Seq((128, 8, 0L, "graft"))
+        .toDF("seq_len", "n_buckets", "eos_id", "salt")
+        .coalesce(1).write.parquet(s"$root/meta")
+    writeMeta(bigStore)
+    val refStore = s"/tmp/graft_e2e_shards_ref_${System.nanoTime()}"
+    graft.export.Export.writeSequenceShards(fn(spark, ref),
+      s"$refStore/shards")
+    writeMeta(refStore)
+    sweep()
+    def epochLeg(root: String): (Double, Double) =
+      ProbeGuard.minOfThree(() => {
+        val e0 = System.nanoTime()
+        graft.Bench.forced(graft.streaming.SequenceShards
+          .readEpoch(spark, root, epoch = 1)).collect()
+        val dt = (System.nanoTime() - e0) / 1e9
+        sweep(); dt
+      })
+    val (reSec, reSp) = epochLeg(refStore)
+    val (beSec, beSp) = epochLeg(bigStore)
+    val cCpu2 = ProbeGuard.canaryCpu(spark, cpus.toInt)
+    println(f"[e2e-probe] readEpoch ref: $reSec%.2f s (sp=$reSp%.2f)" +
+      f"  big: $beSec%.2f s (sp=$beSp%.2f)  ratio=${beSec / reSec}%.2f" +
+      f"  canary=$cCpu2%.2f  load=${ProbeGuard.loadavg()}%.2f")
     spark.stop()
   }
 }
