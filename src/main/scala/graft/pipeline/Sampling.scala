@@ -387,8 +387,6 @@ object Sampling {
     val ow = Window.partitionBy(col("pack_bucket"))
       .orderBy(col("_pk"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val L = lit(seqLen.toLong)
-    val eos = lit(eosId.toString)
     val offsets = withLane(
         df.select(col(idCol), col(idsCol).as("_ids"))
           .where(size(col("_ids")) >= 1),
@@ -402,13 +400,68 @@ object Sampling {
       .withColumn("_tot", max(col("_end")).over(
         Window.partitionBy(col("pack_bucket"))))
       .withColumn("_o", col("_end") - col("_n") - lit(1L))
+    packTail(offsets, seqLen, eosId, minSeq = None)
+  }
+
+  /** SUFFIX re-pack — the incremental face
+    * [[graft.streaming.SequenceShards]] rebuilds touched lanes with:
+    * packs ONLY `df`'s rows (each lane's docs from the first doc
+    * whose span reaches the first affected sequence), shifted by the
+    * lane's `_base` (tokens strictly before that doc in the full
+    * stream) and truncated to sequences `>= _min_seq` (everything
+    * earlier is bit-stable on disk). `laneCtl` is a tiny
+    * (pack_bucket, _base, _tot, _min_seq) control frame — ≤ nBuckets
+    * rows, broadcast onto the lane window's output so the pipeline
+    * stays the pack exchange + a map-side join. `_tot` is the FULL
+    * stream's total (the trailing-partial filter needs the global
+    * end, which the suffix alone cannot see). With _base = 0,
+    * _min_seq = 0, _tot = the lane total and the full doc set this
+    * is exactly [[packSequences]] (spec-pinned). */
+  def packSequencesSuffix(df: DataFrame, seqLen: Int, nBuckets: Int,
+      eosId: Long, laneCtl: DataFrame, idCol: String = "doc_id",
+      idsCol: String = "bpe_ids", salt: String = "graft"): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1: $seqLen")
+    require(nBuckets >= 1, s"nBuckets >= 1: $nBuckets")
+    require(eosId >= 0, s"eosId must be a vocab id (>= 0): $eosId")
+    import org.apache.spark.sql.expressions.Window
+    val ow = Window.partitionBy(col("pack_bucket"))
+      .orderBy(col("_pk"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = withLane(
+        df.select(col(idCol), col(idsCol).as("_ids"))
+          .where(size(col("_ids")) >= 1),
+        nBuckets, idCol, salt)
+      .withColumn("_n", size(col("_ids")).cast("long"))
+      .withColumn("_end_l", sum(col("_n") + lit(1L)).over(ow))
+      .join(broadcast(laneCtl.select(
+        col("pack_bucket").cast("long").as("pack_bucket"),
+        col("_base").cast("long").as("_base"),
+        col("_tot").cast("long").as("_tot"),
+        col("_min_seq").cast("long").as("_min_seq"))),
+        Seq("pack_bucket"))
+      .withColumn("_end", col("_base") + col("_end_l"))
+      .withColumn("_o", col("_end") - col("_n") - lit(1L))
+    packTail(offsets, seqLen, eosId, minSeq = Some(col("_min_seq")))
+  }
+
+  /** The shared pack tail: explode a doc's token span into the
+    * sequences it overlaps, slice fragments, reassemble per
+    * (lane, seq). Expects (pack_bucket, _ids, _n, _o, _tot);
+    * `minSeq` (the suffix face) drops sequences already bit-stable
+    * on disk. */
+  private def packTail(offsets: DataFrame, seqLen: Int, eosId: Long,
+      minSeq: Option[Column]): DataFrame = {
+    val L = lit(seqLen.toLong)
+    val eos = lit(eosId.toString)
     // positions [_o, _o + _n] are this doc's tokens (_o + _n = EOS);
     // it overlaps sequences _o div L .. (_o + _n) div L — at most
     // n/L + 2 slices per doc, total ∝ corpus tokens
-    val segs = offsets
+    val segsAll = offsets
       .withColumn("_s", explode(expr(
         s"sequence(_o div ${seqLen}L, (_o + _n) div ${seqLen}L)")))
       .where(col("_s") * L + L <= col("_tot"))
+    val segs = minSeq.map(m => segsAll.where(col("_s") >= m))
+      .getOrElse(segsAll)
       .withColumn("_lo", greatest(col("_o"), col("_s") * L))
       .withColumn("_hi", least(col("_o") + col("_n"),
         col("_s") * L + L - lit(1L)))

@@ -21,9 +21,13 @@ import graft.util.Maint
   *     dynamic-overwrites exactly its own partition) and clustered by
   *     `lane` within each version's files so a lane rebuild's pushed
   *     lane-IN predicate prunes row groups.
-  *   - `shards`: the writeSequenceShards layout — one
-  *     `pack_bucket=<lane>` directory per lane, rows (seq_idx, n_docs,
-  *     starts, ids) with every `ids` exactly seqLen long.
+  *   - `shards`: the writeSequenceShards rows bucketed one level
+  *     deeper — `pack_bucket=<lane>/seq_seg=<seq_idx div segSize>/`
+  *     directories, rows (seq_idx, n_docs, starts, ids) with every
+  *     `ids` exactly seqLen long. Bounded sequence ranges per file
+  *     are what make SUFFIX rebuilds possible (below); [[read]]
+  *     drops the bucketing column, so consumers see the
+  *     writeSequenceShards schema unchanged.
   *
   * Incrementality contract: lane membership is the salted hash of the
   * doc id ([[Sampling.laneOf]]) and within-lane order is (hash, id) —
@@ -32,26 +36,44 @@ import graft.util.Maint
   * `packSequences` + `writeSequenceShards` over the concatenated
   * accepted history (spec-pinned over random multi-batch splits).
   * A new document splices into the middle of its lane's stream by
-  * hash order, so ITS lane re-derives from the lane's doc history —
-  * but only lanes the batch actually touched rewrite: the affected
-  * lane set is collected per batch (≤ nBuckets ints) and every other
-  * lane's shard directory keeps its exact files. The lane-history
-  * read is row-group-pruned by the pushed lane-IN predicate and never
-  * touches corpus text (the `docs` sidecar carries encoded ids).
-  * Size nBuckets so one lane's history fits a rebuild comfortably —
+  * hash order — but everything strictly BEFORE the first spliced
+  * position is bit-stable, so a batch rewrites only each touched
+  * lane's TOUCHED SUFFIX, not its history: one metadata pass (the
+  * stored `pk`/`n` columns — the ids arrays are never read) derives
+  * per lane the first affected sequence, the first doc whose span
+  * reaches it and that doc's token offset; the heavy re-pack
+  * ([[Sampling.packSequencesSuffix]]) then reads ONLY the suffix
+  * docs (pushed pk lower bound on the (lane, pk)-clustered files),
+  * the boundary segment's bit-stable prefix rows carry over from
+  * disk (< segSize rows per lane), and segment dirs strictly before
+  * the boundary keep their exact files (spec-pinned). Untouched
+  * lanes keep everything. Per-batch cost is O(touched suffixes) on
+  * the data plane + O(touched-lane metadata) on the control plane.
+  * Size nBuckets so one lane's SUFFIX fits a rebuild comfortably —
   * lanes are hash-uniform, and nBuckets scales with the cluster (the
   * [[Sampling.packSequences]] lane discipline).
   *
   * Crash safety: the docs write is a version-partitioned dynamic
   * overwrite (replay replaces, never duplicates); the shard rewrite
-  * is derived state — rebuilt lane dirs land under a temp tree and
-  * swap in via [[Maint]]'s park protocol (originals under
-  * `.swap_old` until the commit delete; [[Maint.healParkedFlat]] at
+  * is derived state — rebuilt (lane, segment) dirs land under a temp
+  * tree and swap in via [[Maint]]'s park protocol (originals under
+  * `.swap_old` until the commit delete; [[Maint.healParked]] at
   * entry restores any original whose live dir vanished mid-swap).
   * Replay ∘ appendBatch = appendBatch: a replayed batch re-derives
   * the same lane set from the same rows and rewrites the same dirs
   * with identical content. Single-writer, like every maintenance
   * face here.
+  *
+  * READER exposure: the per-dir swap loop is atomic per rename, not
+  * per batch — a read that overlaps [[appendBatch]] can see a lane
+  * segment absent (parked, not yet replaced) or a mix of pre- and
+  * post-batch segments across lanes, silently returning fewer or
+  * inconsistent sequences. The contract is therefore single-writer
+  * AND reads-do-not-overlap-maintenance: a dataloader either reads
+  * between batches (the [[start]] foreachBatch cadence makes that
+  * natural — reads between micro-batch commits observe a complete
+  * store) or snapshots the tree first. [[read]]/[[readEpoch]] do not
+  * pin a consistent lane set themselves.
   */
 object SequenceShards {
 
@@ -64,8 +86,9 @@ object SequenceShards {
   def appendBatch(spark: SparkSession, batch: DataFrame, version: Long,
       rootDir: String, seqLen: Int, nBuckets: Int, eosId: Long,
       idCol: String = "doc_id", idsCol: String = "bpe_ids",
-      salt: String = "graft"): Seq[Long] = {
+      salt: String = "graft", segSize: Int = 8192): Seq[Long] = {
     import org.apache.hadoop.fs.Path
+    require(segSize >= 1, s"segSize must be >= 1: $segSize")
     val verb = "sequenceShards"
     val root = new Path(rootDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -76,42 +99,52 @@ object SequenceShards {
     // (the writeBm25Index meta discipline / the frozen-quantizer
     // rule): a drifted nBuckets would route ids to lanes that
     // disagree with the stored `lane` values — the rebuild's filter
-    // and packSequences' re-derivation would silently diverge — and a
+    // and packSequences' re-derivation would silently diverge — a
     // drifted seqLen/eosId/salt would splice incompatible sequences
-    // into surviving lanes. First append freezes the contract; later
-    // appends fail loudly on any mismatch.
+    // into surviving lanes, and a drifted segSize would misaddress
+    // the boundary segments the suffix carry-over reads. First
+    // append freezes the contract; later appends fail loudly on any
+    // mismatch.
     val meta = new Path(root, "meta")
     if (!fs.exists(meta)) {
       import spark.implicits._
-      Seq((seqLen, nBuckets, eosId, salt))
-        .toDF("seq_len", "n_buckets", "eos_id", "salt")
+      Seq((seqLen, nBuckets, eosId, salt, segSize))
+        .toDF("seq_len", "n_buckets", "eos_id", "salt", "seg_size")
         .coalesce(1).write.mode("overwrite").parquet(meta.toString)
     } else {
       val m = spark.read.parquet(meta.toString).head()
       val stored = (m.getInt(0), m.getInt(1), m.getLong(2),
-        m.getString(3))
-      require(stored == ((seqLen, nBuckets, eosId, salt)),
+        m.getString(3), m.getInt(4))
+      require(stored == ((seqLen, nBuckets, eosId, salt, segSize)),
         s"sequenceShards: packing contract drift — store $rootDir " +
-          s"was built with (seqLen, nBuckets, eosId, salt) = $stored, " +
-          s"this append passed (${(seqLen, nBuckets, eosId, salt)})")
+          "was built with (seqLen, nBuckets, eosId, salt, segSize) " +
+          s"= $stored, this append passed " +
+          s"(${(seqLen, nBuckets, eosId, salt, segSize)})")
     }
     // heal a prior crashed swap BEFORE anything reads the shard tree
-    Maint.healParkedFlat(fs, shardsRoot, trashRoot, verb)
+    // (two-level: lane/segment dirs)
+    Maint.healParked(fs, shardsRoot, trashRoot, verb)
     fs.delete(tmp, true)
     Maint.step(verb, "cleaned")
-    // 1. the batch's rows, laned; empty sequences dropped (nothing to
-    //    emit — packSequences drops them too, and a docs row that can
-    //    never contribute would still force its lane to rewrite)
+    // 1. the batch's rows, laned, plus the metadata columns the
+    //    suffix math reads WITHOUT touching the ids arrays: `pk`
+    //    (the in-lane order key) and `n` (token count). Empty
+    //    sequences dropped (nothing to emit — packSequences drops
+    //    them too, and a docs row that can never contribute would
+    //    still force its lane to rewrite).
     val laned = batch
       .select(col(idCol), col(idsCol))
       .where(size(col(idsCol)) >= 1)
+      .withColumn("pk", Sampling.hashBucket(col(idCol), salt))
       .withColumn("lane", Sampling.laneOf(col(idCol), nBuckets, salt))
+      .withColumn("n", size(col(idsCol)).cast("long"))
     // 2. version-partitioned dynamic overwrite (the writeVersioned
-    //    replay contract), rows clustered by lane for the rebuild's
-    //    pushed lane-IN row-group prune
+    //    replay contract), rows clustered by (lane, pk) so the
+    //    metadata pass pushes lane-IN and the suffix read pushes a
+    //    pk lower bound onto row-group pruning
     laned.withColumn("version", lit(version))
       .repartition(col("lane"))
-      .sortWithinPartitions(col("lane"))
+      .sortWithinPartitions(col("lane"), col("pk"))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("version")
@@ -121,26 +154,107 @@ object SequenceShards {
     val lanes = laned.select(col("lane")).distinct()
       .collect().map(_.getLong(0)).sorted
     if (lanes.isEmpty) return Nil
-    // 4. rebuild ONLY those lanes from the docs history (all versions
-    //    — a replay's own partition was just overwritten, so the read
-    //    sees exactly the accepted set). packSequences re-derives the
-    //    lane from the id, so filtered input ⇒ exactly those lanes'
-    //    rows, equal to the full batch pack's (lanes pack
-    //    independently).
-    val history = spark.read.parquet(s"$rootDir/docs")
-      .where(col("lane").isin(lanes.map(l => l: Any): _*))
+    val laneVals = lanes.map(l => l: Any)
+    // 4. suffix control plane — ONE metadata pass over the affected
+    //    lanes' history (lane, pk, id, n, version; never the ids
+    //    arrays) derives per lane: the splice offset (first NEW
+    //    doc's start in the merged stream — everything strictly
+    //    before it is bit-stable), the first affected sequence
+    //    _min_seq, the first doc whose span reaches that sequence
+    //    (rebuilds must start there: a long doc can cross the
+    //    boundary), its start offset _base, and the lane's new
+    //    total _tot (the trailing-partial filter needs the global
+    //    end). ≤ nBuckets rows collect to the driver.
+    import org.apache.spark.sql.expressions.Window
+    val mw = Window.partitionBy(col("lane"))
+      .orderBy(col("pk"), col("_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lw = Window.partitionBy(col("lane"))
+    val ctl = spark.read.parquet(s"$rootDir/docs")
+      .where(col("lane").isin(laneVals: _*))
+      .select(col("lane"), col("pk"), col(idCol).as("_id"), col("n"),
+        col("version"))
+      .withColumn("_endm", sum(col("n") + lit(1L)).over(mw))
+      .withColumn("_startm", col("_endm") - col("n") - lit(1L))
+      .withColumn("_splice", min(when(col("version") === lit(version),
+        col("_startm"))).over(lw))
+      .withColumn("_totm", max(col("_endm")).over(lw))
+      // _b0 = _min_seq * seqLen, the first affected sequence's start
+      .withColumn("_b0",
+        col("_splice") - pmod(col("_splice"), lit(seqLen.toLong)))
+      .withColumn("_min_seq", expr(s"_b0 div ${seqLen}"))
+      .where(col("_endm") > col("_b0"))
+      .groupBy(col("lane"))
+      .agg(min(struct(col("pk"), col("_id"), col("_startm")))
+          .as("_first"),
+        min(col("_min_seq")).as("_min_seq"),
+        min(col("_totm")).as("_tot"))
+      .select(col("lane"), col("_first.pk").as("_pk0"),
+        col("_first._id").as("_id0"),
+        col("_first._startm").as("_base"),
+        col("_min_seq"), col("_tot"))
+    val ctlRows = ctl.collect()
+    val ctlLocal = {
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(ctlRows.toSeq.asJava, ctl.schema)
+    }
+    // 5. the heavy (ids-array) read is bounded by the touched
+    //    suffixes: a coarse pushed pk lower bound prunes row groups,
+    //    the broadcast ctl join cuts each lane exactly at its first
+    //    rebuilt doc
+    val minPk = ctlRows.map(_.getString(1)).min
+    val suffixDocs = spark.read.parquet(s"$rootDir/docs")
+      .where(col("lane").isin(laneVals: _*))
+      .where(col("pk") >= lit(minPk))
+      .join(broadcast(ctlLocal.select(col("lane"), col("_pk0"),
+        col("_id0"))), Seq("lane"))
+      .where(col("pk") > col("_pk0") ||
+        (col("pk") === col("_pk0") && col(idCol) >= col("_id0")))
       .select(col(idCol), col(idsCol))
-    val packed = Sampling.packSequences(history, seqLen, nBuckets,
-      eosId, idCol, idsCol, salt)
-    graft.export.Export.sequenceShardFrame(packed)
-      .write.partitionBy("pack_bucket").parquet(tmp.toString)
+    val packed = Sampling.packSequencesSuffix(suffixDocs, seqLen,
+      nBuckets, eosId,
+      ctlLocal.select(col("lane").as("pack_bucket"), col("_base"),
+        col("_tot"), col("_min_seq")),
+      idCol, idsCol, salt)
+    val rebuilt = graft.export.Export.sequenceShardFrame(packed)
+    // 6. carry the boundary segment's bit-stable prefix rows over
+    //    from disk (K0*segSize <= seq_idx < _min_seq — fewer than
+    //    segSize rows per lane): they live in the one segment dir
+    //    the swap must replace
+    val fresh =
+      if (!fs.exists(shardsRoot)) rebuilt
+      else rebuilt.unionByName(
+        spark.read.parquet(shardsRoot.toString)
+          .withColumn("pack_bucket", col("pack_bucket").cast("long"))
+          .join(broadcast(ctlLocal.select(
+            col("lane").as("pack_bucket"),
+            expr(s"_min_seq div ${segSize}").as("_k0"),
+            col("_min_seq"))), Seq("pack_bucket"))
+          .where(col("seq_seg").cast("long") === col("_k0") &&
+            col("seq_idx") < col("_min_seq"))
+          .select(col("pack_bucket"), col("seq_idx"), col("n_docs"),
+            col("starts"), col("ids")))
+    fresh
+      .withColumn("seq_seg", expr(s"seq_idx div ${segSize}"))
+      .repartition(col("pack_bucket"), col("seq_seg"))
+      .sortWithinPartitions(col("pack_bucket"), col("seq_seg"),
+        col("seq_idx"))
+      .write.partitionBy("pack_bucket", "seq_seg")
+      .parquet(tmp.toString)
     Maint.step(verb, "built")
-    // 5. swap the rebuilt lane dirs in under the park protocol
+    // 7. swap the rebuilt (lane, segment) dirs in under the park
+    //    protocol — segment dirs strictly before each lane's
+    //    boundary are absent from tmp and keep their exact files
     fs.mkdirs(shardsRoot)
-    for (laneDir <- fs.listStatus(tmp) if laneDir.isDirectory) {
-      val live = new Path(shardsRoot, laneDir.getPath.getName)
-      val keep = new Path(trashRoot, laneDir.getPath.getName)
-      Maint.swapPartitionDir(fs, live, laneDir.getPath, keep, verb)
+    for (laneDir <- fs.listStatus(tmp) if laneDir.isDirectory;
+         segDir <- fs.listStatus(laneDir.getPath)
+           if segDir.isDirectory) {
+      val liveLane = new Path(shardsRoot, laneDir.getPath.getName)
+      fs.mkdirs(liveLane)
+      val live = new Path(liveLane, segDir.getPath.getName)
+      val keep = new Path(new Path(trashRoot, laneDir.getPath.getName),
+        segDir.getPath.getName)
+      Maint.swapPartitionDir(fs, live, segDir.getPath, keep, verb)
     }
     Maint.step(verb, "lanes-swapped")
     fs.delete(trashRoot, true) // commit: originals now disposable
@@ -169,9 +283,9 @@ object SequenceShards {
 
   /** The current shard store as a frame (the dataloader's read face):
     * identical schema to [[graft.export.Export.writeSequenceShards]]
-    * output. */
+    * output (the internal `seq_seg` bucketing column is dropped). */
   def read(spark: SparkSession, rootDir: String): DataFrame =
-    spark.read.parquet(s"$rootDir/shards")
+    spark.read.parquet(s"$rootDir/shards").drop("seq_seg")
 
   /** One epoch's COMPLETE visit order over the store — the dataloader
     * consumes this directly: every sequence stamped with `lane_ord`

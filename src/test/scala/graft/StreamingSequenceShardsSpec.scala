@@ -64,10 +64,14 @@ class StreamingSequenceShardsSpec extends AnyFunSuite {
     def listing(): Map[String, Seq[(String, Long, Long)]] =
       fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/shards"))
         .filter(_.isDirectory).map { d =>
+          // two levels: lane dir -> segment dirs -> parquet files
           d.getPath.getName -> fs.listStatus(d.getPath)
-            .filter(_.getPath.getName.endsWith(".parquet"))
-            .map(s => (s.getPath.getName, s.getLen,
-              s.getModificationTime)).toSeq.sortBy(_._1)
+            .filter(_.isDirectory).flatMap { sd =>
+              fs.listStatus(sd.getPath)
+                .filter(_.getPath.getName.endsWith(".parquet"))
+                .map(s => (sd.getPath.getName + "/" +
+                  s.getPath.getName, s.getLen, s.getModificationTime))
+            }.toSeq.sortBy(_._1)
         }.toMap
     val before = listing()
     val affected = SequenceShards.appendBatch(spark, mkDocs(Seq(1000L)),
@@ -128,6 +132,63 @@ class StreamingSequenceShardsSpec extends AnyFunSuite {
         r.getLong(3)))
     assert(e2.sorted.toSeq != e1.sorted.toSeq,
       "epochs must genuinely reorder")
+  }
+
+  test("suffix rebuilds: a spliced doc rewrites only a contiguous " +
+      "segment SUFFIX of its lane — segments strictly before the " +
+      "splice keep their exact files, the boundary segment's stable " +
+      "prefix rows carry over, and rows stay bit-identical to the " +
+      "batch pack") {
+    val dir = root()
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val all = 0L until 80L
+    // seqLen 4, 2 lanes, segSize 4: ~40 docs/lane at ~5 positions
+    // each -> ~50 sequences/lane over ~12 segment dirs
+    SequenceShards.appendBatch(spark, mkDocs(all), 1L, dir,
+      seqLen = 4, nBuckets = 2, eosId = 0L, segSize = 4)
+    def segListing(lane: Long): Map[Long, Seq[(String, Long, Long)]] = {
+      val p = new org.apache.hadoop.fs.Path(
+        s"$dir/shards/pack_bucket=$lane")
+      if (!fs.exists(p)) Map.empty
+      else fs.listStatus(p).filter(_.isDirectory).map { d =>
+        d.getPath.getName.stripPrefix("seq_seg=").toLong ->
+          fs.listStatus(d.getPath)
+            .filter(_.getPath.getName.endsWith(".parquet"))
+            .map(s => (s.getPath.getName, s.getLen,
+              s.getModificationTime)).toSeq.sortBy(_._1)
+      }.toMap
+    }
+    val before = (0L until 2L).map(l => l -> segListing(l)).toMap
+    Thread.sleep(5) // ensure a rebuilt file's mtime can never tie
+    val affected = SequenceShards.appendBatch(spark,
+      mkDocs(Seq(2045L)), 2L, dir, seqLen = 4, nBuckets = 2,
+      eosId = 0L, segSize = 4)
+    assert(affected.size == 1, s"one doc must touch one lane: $affected")
+    val lane = affected.head
+    (0L until 2L).filterNot(_ == lane).foreach(l =>
+      assert(segListing(l) == before(l), s"untouched lane $l changed"))
+    val b = before(lane)
+    val a = segListing(lane)
+    val changed = (b.keySet ++ a.keySet)
+      .filter(k => b.get(k) != a.get(k)).toSeq.sorted
+    assert(changed.nonEmpty, "the touched lane rewrote nothing")
+    assert(changed == (changed.min to a.keySet.max),
+      s"changed segments are not a contiguous suffix: $changed " +
+        s"of ${a.keySet.toSeq.sorted}")
+    assert(changed.min > 0,
+      "no stable prefix — the splice landed in segment 0; pick a " +
+        "doc id whose lane position is later")
+    // the bit-identical contract survives the partial rewrite
+    val want = {
+      val bdir = root()
+      Export.writeSequenceShards(
+        Sampling.packSequences(mkDocs(all :+ 2045L), 4, 2, eosId = 0L),
+        bdir)
+      rows(spark.read.parquet(bdir))
+    }
+    assert(rows(SequenceShards.read(spark, dir)) == want,
+      "suffix-rebuilt store diverged from the batch pack")
   }
 
   test("composes with streaming corpus dedup: survivors of each " +
