@@ -155,6 +155,65 @@ object StreamMaintProbe {
         CorpusDedup.compactVectors(spark, s"$dir-side", targetBytes)
       }
     }
+    // shard-store face: prove appendBatch cost tracks the TOUCHED
+    // SUFFIX, not lane history — build the store from the whole
+    // corpus once, then time single-doc appends whose driver-chosen
+    // pk splices EARLY in a lane (suffix ≈ the whole lane: rebuild +
+    // rewrite everything after it) vs LATE (suffix ≈ one boundary
+    // segment). If cost tracked lane history the two would read the
+    // same; suffix-bound maintenance makes late ≪ early. A trailing
+    // random-id curve shows steady-state per-append cost.
+    if (face == "shards" || face == "all") {
+      import graft.streaming.SequenceShards
+      import spark.implicits._
+      val store = s"$base/shards-store"
+      val enc = docs.select(col("doc_id"),
+        transform(graft.pipeline.TextOps.tokens(lower(col("text"))),
+          t => pmod(conv(substring(md5(t), 1, 8), 16, 10).cast("long"),
+            lit(997L)).cast("int")).as("bpe_ids"))
+      val c0 = graft.util.ProbeGuard.canaryCpu(spark, cpus.toInt)
+      val tb = System.nanoTime()
+      SequenceShards.appendBatch(spark, enc, 1L, store,
+        seqLen = 128, nBuckets = 8, eosId = 997L, segSize = 256)
+      val buildSec = (System.nanoTime() - tb) / 1e9
+      sweep()
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def pkOf(id: Long): String =
+        md.digest(s"graft:$id".getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString.take(8)
+      // fresh ids far above the scaled corpus' copy*1e6 offsets,
+      // ranked by their in-lane pack position
+      val cand = (900000000000L until 900000003000L)
+        .map(i => (i, pkOf(i))).sortBy(_._2)
+      var v = 1L
+      def appendOne(id: Long): Double = {
+        v += 1
+        val b = Seq((id, Array.tabulate(60)(j => j % 997)))
+          .toDF("doc_id", "bpe_ids")
+        val t0 = System.nanoTime()
+        SequenceShards.appendBatch(spark, b, v, store,
+          seqLen = 128, nBuckets = 8, eosId = 997L, segSize = 256)
+        val dt = (System.nanoTime() - t0) / 1e9
+        sweep(); dt
+      }
+      val early = cand.take(5).map { case (id, pk) =>
+        val s = appendOne(id)
+        println(f"[probe] shards early pk=$pk sec=$s%.2f"); s
+      }
+      val late = cand.takeRight(5).map { case (id, pk) =>
+        val s = appendOne(id)
+        println(f"[probe] shards late pk=$pk sec=$s%.2f"); s
+      }
+      // steady-state curve over arbitrary splice positions
+      val curve = cand.slice(1000, 1020).map(c => appendOne(c._1))
+      val c1 = graft.util.ProbeGuard.canaryCpu(spark, cpus.toInt)
+      println(f"[probe] shards build=$buildSec%.2f " +
+        f"early_mean=${early.sum / early.size}%.2f " +
+        f"late_mean=${late.sum / late.size}%.2f " +
+        "curve=" + curve.map(s => f"$s%.2f").mkString(",") +
+        f" canary=${math.min(c0, c1)}%.2f" +
+        f" load=${graft.util.ProbeGuard.loadavg()}%.2f")
+    }
     spark.stop()
   }
 }
