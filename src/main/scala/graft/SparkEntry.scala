@@ -1135,7 +1135,7 @@ object SparkEntry {
         seqLen = 128, nBuckets = 8, eosId = vocab.length.toLong)
       // the dataloader's epoch-1 visit order: within-lane epoch_pos
       // (row window riding the pack exchange) + the driver-side lane
-      // permutation stamped as a row-local CASE — zero added
+      // permutation stamped as a row-local array lookup — zero added
       // exchanges on the chain's one-exchange plan
       Sampling.epochShuffle(packed, epoch = 1, "pack_bucket",
           Seq("seq_idx"))
