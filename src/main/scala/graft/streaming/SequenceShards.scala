@@ -220,20 +220,19 @@ object SequenceShards {
     // 6. carry the boundary segment's bit-stable prefix rows over
     //    from disk (K0*segSize <= seq_idx < _min_seq — fewer than
     //    segSize rows per lane): they live in the one segment dir
-    //    the swap must replace
+    //    the swap must replace. The lane and boundary-segment ids
+    //    are DRIVER-known, so the read carries STATIC isin partition
+    //    filters (pack_bucket × the distinct K0 set — pruned before
+    //    any row is read; a per-lane exact (lane AND seg) disjunction
+    //    would be depth-nBuckets, the expression wall) and the
+    //    broadcast ctl join cuts the small remainder exactly. All
+    //    boundaries at sequence 0 (fresh lanes) carry nothing — skip
+    //    the read entirely.
+    val anyCarry = ctlRows.exists(_.getLong(4) > 0L)
     val fresh =
-      if (!fs.exists(shardsRoot)) rebuilt
-      else rebuilt.unionByName(
-        spark.read.parquet(shardsRoot.toString)
-          .withColumn("pack_bucket", col("pack_bucket").cast("long"))
-          .join(broadcast(ctlLocal.select(
-            col("lane").as("pack_bucket"),
-            expr(s"_min_seq div ${segSize}").as("_k0"),
-            col("_min_seq"))), Seq("pack_bucket"))
-          .where(col("seq_seg").cast("long") === col("_k0") &&
-            col("seq_idx") < col("_min_seq"))
-          .select(col("pack_bucket"), col("seq_idx"), col("n_docs"),
-            col("starts"), col("ids")))
+      if (!fs.exists(shardsRoot) || !anyCarry) rebuilt
+      else rebuilt.unionByName(carriedRows(spark,
+        shardsRoot.toString, ctlLocal, laneVals, ctlRows, segSize))
     fresh
       .withColumn("seq_seg", expr(s"seq_idx div ${segSize}"))
       .repartition(col("pack_bucket"), col("seq_seg"))
@@ -261,6 +260,34 @@ object SequenceShards {
     fs.delete(tmp, true)
     Maint.step(verb, "committed")
     lanes.toSeq
+  }
+
+  /** The boundary-segment carry-over read — step 6 of
+    * [[appendBatch]], its plan shape spec-gated: the lane and
+    * boundary-segment ids are DRIVER-known, so the scan carries
+    * STATIC isin PARTITION filters (pack_bucket × the distinct K0
+    * set — directories pruned before any row is read; a per-lane
+    * exact (lane AND seg) disjunction would be depth-nBuckets, the
+    * expression wall), and the broadcast ctl join cuts the small
+    * remainder exactly (≤ segSize rows per lane survive). */
+  private[graft] def carriedRows(spark: SparkSession,
+      shardsDir: String, ctlLocal: DataFrame, laneVals: Seq[Any],
+      ctlRows: Array[org.apache.spark.sql.Row], segSize: Int)
+      : DataFrame = {
+    val k0s = ctlRows.map(r => r.getLong(4) / segSize)
+      .distinct.sorted.map(k => k: Any)
+    spark.read.parquet(shardsDir)
+      .where(col("pack_bucket").isin(laneVals: _*) &&
+        col("seq_seg").isin(k0s: _*))
+      .withColumn("pack_bucket", col("pack_bucket").cast("long"))
+      .join(broadcast(ctlLocal.select(
+        col("lane").as("pack_bucket"),
+        expr(s"_min_seq div ${segSize}").as("_k0"),
+        col("_min_seq"))), Seq("pack_bucket"))
+      .where(col("seq_seg").cast("long") === col("_k0") &&
+        col("seq_idx") < col("_min_seq"))
+      .select(col("pack_bucket"), col("seq_idx"), col("n_docs"),
+        col("starts"), col("ids"))
   }
 
   /** Start the streaming shard maintenance ([[appendBatch]] per

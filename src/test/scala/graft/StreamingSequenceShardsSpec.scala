@@ -191,6 +191,40 @@ class StreamingSequenceShardsSpec extends AnyFunSuite {
       "suffix-rebuilt store diverged from the batch pack")
   }
 
+  test("carried-row read prunes partitions STATICALLY: the shards " +
+      "scan carries pack_bucket and seq_seg PartitionFilters — a " +
+      "batch never scans the whole store for its boundary rows") {
+    val dir = root()
+    SequenceShards.appendBatch(spark, mkDocs(0L until 80L), 1L, dir,
+      seqLen = 4, nBuckets = 2, eosId = 0L, segSize = 4)
+    // a synthetic ctl frame in appendBatch's shape (index 4 =
+    // _min_seq): lane 0 boundary at segment 2, lane 1 at segment 2
+    val ctl = Seq((0L, "00000000", 0L, 37L, 9L, 120L),
+        (1L, "00000000", 0L, 41L, 8L, 130L))
+      .toDF("lane", "_pk0", "_id0", "_base", "_min_seq", "_tot")
+    val df = SequenceShards.carriedRows(spark, s"$dir/shards", ctl,
+      Seq(0L, 1L), ctl.collect(), 4)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("""PartitionFilters: \[[^\]]*pack_bucket""".r
+      .findFirstIn(plan).isDefined,
+      s"pack_bucket not in PartitionFilters:\n$plan")
+    assert("""PartitionFilters: \[[^\]]*seq_seg""".r
+      .findFirstIn(plan).isDefined,
+      s"seq_seg not in PartitionFilters:\n$plan")
+    // and the filtered read stays consistent with the full-scan face
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = spark.read.parquet(s"$dir/shards")
+      .select(col("pack_bucket").cast("long"), col("seq_idx"),
+        col("seq_seg").cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter { case (l, s, seg) =>
+        seg == (if (l == 0L) 9L / 4 else 8L / 4) &&
+          s < (if (l == 0L) 9L else 8L) }
+      .map(t => (t._1, t._2)).toSet
+    assert(got == expect, s"carried rows diverged: $got vs $expect")
+  }
+
   test("composes with streaming corpus dedup: survivors of each " +
       "batch feed the shard store, and the result equals the batch " +
       "pipeline (exact dedup -> pack) over the whole history") {
