@@ -124,6 +124,14 @@ object SequenceShards {
     // heal a prior crashed swap BEFORE anything reads the shard tree
     // (two-level: lane/segment dirs)
     Maint.healParked(fs, shardsRoot, trashRoot, verb)
+    // and heal a crashed [[compactDocs]] BEFORE the version overwrite
+    // below: writing into an absent docs root would CREATE a fresh
+    // single-version tree and the metadata pass would silently pack a
+    // truncated history — the silent-wrong state the flip protocol
+    // exists to prevent (live absent + only an orphan tmp throws)
+    Maint.healAtEntry(fs, new Path(root, "docs"),
+      new Path(root, ".docs-compact"), new Path(root, ".docs-trash"),
+      "compactDocs", live = fs.exists(new Path(root, "docs")))
     fs.delete(tmp, true)
     Maint.step(verb, "cleaned")
     // 1. the batch's rows, laned, plus the metadata columns the
@@ -260,6 +268,64 @@ object SequenceShards {
     fs.delete(tmp, true)
     Maint.step(verb, "committed")
     lanes.toSeq
+  }
+
+  /** Compact the `docs` sidecar: [[appendBatch]] leaves one
+    * `version=N` partition per batch forever, so a long history pays
+    * file-listing and footer overhead proportional to batch count on
+    * EVERY metadata pass and suffix read (the [[CorpusDedup]] sidecar
+    * disease). Fold all docs of versions STRICTLY OLDER than the
+    * newest into the second-newest version's partition — the
+    * fold-only-committed rule: the newest batch's stream checkpoint
+    * may not have committed, and its replay dynamic-overwrites
+    * exactly `version=N`, which must still see every older doc. Rows
+    * are only MOVED (collapsing `version` to keepV is invisible —
+    * the metadata pass reads `version` only to mark the CURRENT
+    * batch's rows, and the current partition is untouched).
+    *
+    * Protocol: whole-root write-new-then-FLIP, not the cheap
+    * rename-parts fold — a crash-window DUPLICATE doc row would
+    * double its (n+1) contribution and shift every downstream offset
+    * in its lane, silently changing sequence content. [[appendBatch]]
+    * guards the mid-swap state at ITS entry (an absent docs tree with
+    * a surviving maintenance sibling heals or throws — it can never
+    * read as an empty history). Output files sized
+    * ceil(bytes/target) and range-clustered (version, lane, pk) so
+    * the metadata pass's lane-IN and the suffix read's pk bound keep
+    * their file/row-group prunes. Single-writer with respect to
+    * appendBatch, like every compaction here. */
+  def compactDocs(spark: SparkSession, rootDir: String,
+      targetBytesPerFile: Long = 128L << 20): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(rootDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new Path(root, "docs")
+    val tmp = new Path(root, ".docs-compact")
+    val trash = new Path(root, ".docs-trash")
+    if (!Maint.healAtEntry(fs, live, tmp, trash, "compactDocs",
+        live = fs.exists(live)))
+      return // store never written — nothing to fold
+    Maint.cleanSiblings(fs, tmp, trash, "compactDocs")
+    val docs = spark.read.parquet(live.toString)
+    val versions = docs.select(col("version").cast("long"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    if (versions.length <= 2) return // nothing strictly-older to fold
+    val maxV = versions.last
+    val keepV = versions.init.last
+    val nFiles = Maint.sizedFileCount(
+      Maint.parquetBytes(fs,
+        versions.map(v => new Path(live, s"version=$v")).toSeq),
+      targetBytesPerFile)
+    docs
+      .withColumn("version",
+        when(col("version").cast("long") < maxV, lit(keepV))
+          .otherwise(col("version").cast("long")))
+      .repartitionByRange(nFiles, col("version"), col("lane"),
+        col("pk"))
+      .sortWithinPartitions(col("version"), col("lane"), col("pk"))
+      .write.partitionBy("version").parquet(tmp.toString)
+    Maint.flipNow(fs, live, tmp, trash, "compactDocs")
+    ()
   }
 
   /** The boundary-segment carry-over read — step 6 of

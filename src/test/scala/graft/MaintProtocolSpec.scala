@@ -391,6 +391,34 @@ class MaintProtocolSpec extends AnyFunSuite {
       answer))
   }
 
+  test("sequenceShards compactDocs (docs sidecar flip): crash at " +
+      "every step heals on re-run") {
+    def mk(ids: Seq[Long]) = ids.map(i => (i,
+      Array.tabulate((i % 5).toInt + 1)(j => (i + j).toInt)))
+      .toDF("doc_id", "bpe_ids")
+    def setup(base: String): Unit =
+      Seq(0L until 12L, 12L until 24L, 24L until 36L).zipWithIndex
+        .foreach { case (ids, i) =>
+          graft.streaming.SequenceShards.appendBatch(spark, mk(ids),
+            i + 1L, s"$base/sq", seqLen = 6, nBuckets = 3, eosId = 0L)
+        }
+    // the answer carries BOTH faces a duplicate/lost doc row would
+    // corrupt: the docs sidecar's content (offset inputs) and the
+    // derived shard rows
+    def answer(base: String): Seq[String] =
+      sortedRows(spark.read.parquet(s"$base/sq/docs")
+        .select(col("doc_id"), col("lane").cast("long"),
+          col("pk"), col("n"))) ++
+      sortedRows(graft.streaming.SequenceShards.read(spark, s"$base/sq")
+        .select(col("pack_bucket").cast("long"), col("seq_idx"),
+          col("n_docs"), col("starts").cast("array<int>"),
+          col("ids").cast("array<int>")))
+    crashMatrix(Scenario("compactDocs", setup,
+      b => graft.streaming.SequenceShards.compactDocs(spark,
+        s"$b/sq"),
+      answer))
+  }
+
   // ---- ingest store maintenance (partition park/swap + sidecar flip) ----
 
   private def storeSetup(base: String): Unit =

@@ -225,6 +225,66 @@ class StreamingSequenceShardsSpec extends AnyFunSuite {
     assert(got == expect, s"carried rows diverged: $got vs $expect")
   }
 
+  test("compactDocs folds version partitions without changing the " +
+      "store: later appends pack bit-identically over the folded " +
+      "history, replay stays idempotent, and appendBatch heals a " +
+      "crashed compaction at its own entry (never a truncated " +
+      "history); an orphan tmp fails loudly") {
+    val dir = root()
+    val all = 0L until 60L
+    Seq(all.slice(0, 20), all.slice(20, 40), all.slice(40, 60))
+      .zipWithIndex.foreach { case (ids, i) =>
+        SequenceShards.appendBatch(spark, mkDocs(ids), i + 1L, dir,
+          SeqLen, Lanes, eosId = 0L)
+      }
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def versionDirs(): Set[String] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/docs"))
+        .filter(_.isDirectory).map(_.getPath.getName)
+        .filter(_.startsWith("version=")).toSet
+    assert(versionDirs() == Set("version=1", "version=2", "version=3"))
+    SequenceShards.compactDocs(spark, dir)
+    // fold-only-committed: versions < max fold into the second-newest
+    assert(versionDirs() == Set("version=2", "version=3"))
+    assert(rows(SequenceShards.read(spark, dir)) == batchEquivalent(all))
+    // later appends pack bit-identically over the folded history
+    SequenceShards.appendBatch(spark, mkDocs(Seq(1000L)), 4L, dir,
+      SeqLen, Lanes, eosId = 0L)
+    val want = batchEquivalent(all :+ 1000L)
+    assert(rows(SequenceShards.read(spark, dir)) == want)
+    // replay of the newest version after a fold stays idempotent
+    SequenceShards.appendBatch(spark, mkDocs(Seq(1000L)), 4L, dir,
+      SeqLen, Lanes, eosId = 0L)
+    assert(rows(SequenceShards.read(spark, dir)) == want)
+    // idempotent (<= 2 versions: nothing strictly-older); no-op on a
+    // never-written store
+    SequenceShards.compactDocs(spark, dir)
+    SequenceShards.compactDocs(spark, dir)
+    assert(rows(SequenceShards.read(spark, dir)) == want)
+    SequenceShards.compactDocs(spark, s"$dir-neverwritten")
+    // mid-swap crash state: docs parked in the trash sibling —
+    // appendBatch must RESTORE it before the version overwrite (an
+    // unguarded write would create a fresh single-version docs tree
+    // and silently pack a truncated history)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/docs"),
+      new org.apache.hadoop.fs.Path(s"$dir/.docs-trash")))
+    SequenceShards.appendBatch(spark, mkDocs(Seq(2000L)), 5L, dir,
+      SeqLen, Lanes, eosId = 0L)
+    assert(rows(SequenceShards.read(spark, dir)) ==
+      batchEquivalent((all :+ 1000L) :+ 2000L),
+      "entry heal must restore the full history before packing")
+    // orphan tmp (no live, no trash) is external interference: loud
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/docs"),
+      new org.apache.hadoop.fs.Path(s"$dir/.docs-compact")))
+    intercept[java.io.IOException] {
+      SequenceShards.appendBatch(spark, mkDocs(Seq(3000L)), 6L, dir,
+        SeqLen, Lanes, eosId = 0L)
+    }
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/.docs-compact"),
+      new org.apache.hadoop.fs.Path(s"$dir/docs")))
+  }
+
   test("composes with streaming corpus dedup: survivors of each " +
       "batch feed the shard store, and the result equals the batch " +
       "pipeline (exact dedup -> pack) over the whole history") {
