@@ -118,6 +118,38 @@ object SparkEntry {
       }
     }
 
+  /** The shard store behind `t_shards_read`/`t_shards_slice`: one
+    * appendBatch over the whole corpus (md5-derived token ids,
+    * seqLen 128, 8 lanes), built once per JVM. Returns the root. */
+  private def shardsReadStore(s: SparkSession, dir: String): String = {
+    val root = "/tmp/graft_shards_read_" +
+      dir.replaceAll("[^a-zA-Z0-9]", "_")
+    buildOnce(s, root) {
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.tokens(lower(col("text"))).as("_toks"))
+        .select(col("doc_id"), transform(col("_toks"), t =>
+          pmod(conv(substring(md5(t), 1, 8), 16, 10).cast("long"),
+            lit(997L)).cast("int")).as("bpe_ids"))
+      graft.streaming.SequenceShards.appendBatch(s, docs, 1L, root,
+        seqLen = 128, nBuckets = 8, eosId = 997L)
+    }
+    root
+  }
+
+  /** The oracle-facing projection shared by the epoch read entries:
+    * csv array faces + the (epoch_pos, lane_ord) stamps, ordered by
+    * the carried keys. */
+  private def epochFaceCsv(df: DataFrame): DataFrame =
+    df.select(col("pack_bucket").cast("long").as("pack_bucket"),
+        col("seq_idx"), col("n_docs"),
+        array_join(transform(col("starts"),
+          x => x.cast("string")), ",").as("starts_csv"),
+        array_join(transform(col("ids"),
+          x => x.cast("string")), ",").as("ids_csv"),
+        col("epoch_pos"), col("lane_ord"))
+      .orderBy("pack_bucket", "seq_idx")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- dp3 core operators (SURVEY §2.1) -------------------------------
     "q_scan" -> ((s, dir) =>
@@ -1189,29 +1221,23 @@ object SparkEntry {
     // stored shards + the seed-deterministic within-lane epoch_pos
     // window + the row-local lane_ord stamp. The oracle re-derives
     // the pack AND the epoch-1 visit order from raw text.
-    "t_shards_read" -> ((s, dir) => {
-      val root = "/tmp/graft_shards_read_" +
-        dir.replaceAll("[^a-zA-Z0-9]", "_")
-      buildOnce(s, root) {
-        val docs = Tables.load(s, dir, "documents")
-          .select(col("doc_id"),
-            TextOps.tokens(lower(col("text"))).as("_toks"))
-          .select(col("doc_id"), transform(col("_toks"), t =>
-            pmod(conv(substring(md5(t), 1, 8), 16, 10).cast("long"),
-              lit(997L)).cast("int")).as("bpe_ids"))
-        graft.streaming.SequenceShards.appendBatch(s, docs, 1L, root,
-          seqLen = 128, nBuckets = 8, eosId = 997L)
-      }
-      graft.streaming.SequenceShards.readEpoch(s, root, epoch = 1)
-        .select(col("pack_bucket").cast("long").as("pack_bucket"),
-          col("seq_idx"), col("n_docs"),
-          array_join(transform(col("starts"),
-            x => x.cast("string")), ",").as("starts_csv"),
-          array_join(transform(col("ids"),
-            x => x.cast("string")), ",").as("ids_csv"),
-          col("epoch_pos"), col("lane_ord"))
-        .orderBy("pack_bucket", "seq_idx")
-    }),
+    "t_shards_read" -> ((s, dir) =>
+      epochFaceCsv(graft.streaming.SequenceShards.readEpoch(s,
+        shardsReadStore(s, dir), epoch = 1))),
+
+    // SERVE-ONLY worker slice of the epoch read — the distributed-
+    // dataloader sharding face: worker 1 of 3 owns the lanes at
+    // visit positions ≡ 1 (mod 3) of the epoch permutation, and its
+    // scan carries a static pack_bucket PARTITION filter, so each
+    // worker lists/reads only its own ~1/W of the store's lane dirs
+    // (the 100 TB read path: W workers split the store with zero
+    // coordination). Stamps are identical to t_shards_read's — the
+    // oracle is the full epoch order filtered to the slice's visit
+    // positions. Shares t_shards_read's once-per-JVM store.
+    "t_shards_slice" -> ((s, dir) =>
+      epochFaceCsv(graft.streaming.SequenceShards.readEpochSlice(s,
+        shardsReadStore(s, dir), epoch = 1, worker = 1,
+        numWorkers = 3))),
 
     "t_bpe_roundtrip" -> ((s, dir) => {
       // decode ∘ encode pinned per document: the decoded id sequence
@@ -4702,6 +4728,14 @@ object SparkEntry {
     "t_shards_read" ->
       (md5IdsPackPrefixSql + packSeqsTailCtes.stripSuffix("\n") +
         ",\n" + epochOrderTailSql),
+
+    // the full epoch order restricted to worker 1-of-3's visit
+    // positions — whole-lane filtering commutes with the lane-
+    // partitioned epoch_pos window, so the stamps are unchanged
+    "t_shards_slice" ->
+      (md5IdsPackPrefixSql + packSeqsTailCtes.stripSuffix("\n") +
+        ",\n" + epochOrderTailSql.stripSuffix("ORDER BY 1, 2") +
+        "WHERE (l.lane_ord - 1) % 3 = 1\nORDER BY 1, 2"),
 
     "t_bpe_roundtrip" ->
       (bpeIdsOracleCtes + ",\n" +

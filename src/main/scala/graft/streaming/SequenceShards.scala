@@ -72,8 +72,8 @@ import graft.util.Maint
   * AND reads-do-not-overlap-maintenance: a dataloader either reads
   * between batches (the [[start]] foreachBatch cadence makes that
   * natural — reads between micro-batch commits observe a complete
-  * store) or snapshots the tree first. [[read]]/[[readEpoch]] do not
-  * pin a consistent lane set themselves.
+  * store) or snapshots the tree first. [[read]]/[[readEpoch]]/
+  * [[readEpochSlice]] do not pin a consistent lane set themselves.
   */
 object SequenceShards {
 
@@ -395,12 +395,55 @@ object SequenceShards {
     * drifted lane domain. */
   def readEpoch(spark: SparkSession, rootDir: String, epoch: Long)
       : DataFrame = {
-    val m = spark.read.parquet(s"$rootDir/meta").head()
-    val nLanes = m.getInt(1)
-    val salt = m.getString(3)
+    val (nLanes, salt) = packingMeta(spark, rootDir)
     Sampling.epochShuffle(read(spark, rootDir), epoch, "pack_bucket",
         Seq("seq_idx"), salt)
       .withColumn("lane_ord", Sampling.epochLaneOrderCol(
         col("pack_bucket"), nLanes, epoch, salt))
+  }
+
+  /** One WORKER's slice of [[readEpoch]] — the distributed-dataloader
+    * sharding face. Worker w of W owns the lanes at visit positions
+    * p ≡ w (mod W) of the epoch's driver-derived lane permutation
+    * (`(lane_ord - 1) % numWorkers == worker`), so the W slices
+    * PARTITION the epoch exactly: whole lanes move, within-lane
+    * ranks don't, and every row carries the SAME `lane_ord`/
+    * `epoch_pos` the full read stamps. Round-robin over the VISIT
+    * order (not raw lane ids) keeps each worker's lane count within
+    * one of the others under any permutation.
+    *
+    * Scale: the worker's lane set is DRIVER-known (the permutation is
+    * control-plane, nLanes ints), so the scan carries a static
+    * `pack_bucket` isin PARTITION filter — each worker lists and
+    * reads only its own ~1/W of the store's lane directories
+    * (spec-gated), instead of every worker scanning the full store
+    * and filtering client-side. No RNG state and no coordination:
+    * any worker re-derives any epoch's slice independently, and a
+    * resumed worker re-derives the exact order it crashed in.
+    * Workers past the lane count (numWorkers > nLanes) get empty
+    * slices — size numWorkers ≤ nLanes for useful balance. */
+  def readEpochSlice(spark: SparkSession, rootDir: String, epoch: Long,
+      worker: Int, numWorkers: Int): DataFrame = {
+    require(numWorkers >= 1, s"numWorkers must be >= 1: $numWorkers")
+    require(worker >= 0 && worker < numWorkers,
+      s"worker must be in [0, $numWorkers): $worker")
+    val (nLanes, salt) = packingMeta(spark, rootDir)
+    val mine = Sampling.epochLaneOrder(nLanes, epoch, salt).zipWithIndex
+      .collect { case (l, i) if i % numWorkers == worker => l: Any }
+    val slice = spark.read.parquet(s"$rootDir/shards")
+      .where(col("pack_bucket").isin(mine: _*))
+      .drop("seq_seg")
+    Sampling.epochShuffle(slice, epoch, "pack_bucket", Seq("seq_idx"),
+        salt)
+      .withColumn("lane_ord", Sampling.epochLaneOrderCol(
+        col("pack_bucket"), nLanes, epoch, salt))
+  }
+
+  /** The store's frozen packing contract off `meta`: (nBuckets,
+    * salt) — the lane domain every epoch order is derived under. */
+  private def packingMeta(spark: SparkSession, rootDir: String)
+      : (Int, String) = {
+    val m = spark.read.parquet(s"$rootDir/meta").head()
+    (m.getInt(1), m.getString(3))
   }
 }

@@ -285,6 +285,52 @@ class StreamingSequenceShardsSpec extends AnyFunSuite {
       new org.apache.hadoop.fs.Path(s"$dir/docs")))
   }
 
+  test("readEpochSlice shards the epoch read: the W slices partition " +
+      "readEpoch exactly with identical lane_ord/epoch_pos stamps, " +
+      "worker w owns exactly the visit positions ≡ w (mod W), the " +
+      "scan carries a static pack_bucket PartitionFilter (a worker " +
+      "reads only its own lane dirs), and bad worker indices fail " +
+      "loudly") {
+    val dir = root()
+    SequenceShards.appendBatch(spark, mkDocs(0L until 60L), 1L, dir,
+      SeqLen, Lanes, eosId = 0L)
+    def stamped(df: DataFrame): Set[(Int, Long, Long, Long)] =
+      df.select("pack_bucket", "seq_idx", "lane_ord", "epoch_pos")
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+    val full = stamped(SequenceShards.readEpoch(spark, dir, epoch = 3))
+    val W = 3
+    val slices = (0 until W).map(w => stamped(
+      SequenceShards.readEpochSlice(spark, dir, epoch = 3, w, W)))
+    assert(slices.map(_.size).sum == full.size,
+      "slices overlap or drop rows")
+    assert(slices.reduce(_ ++ _) == full,
+      "slice union must equal the full epoch read, stamps included")
+    slices.zipWithIndex.foreach { case (sl, w) =>
+      assert(sl.forall(r => (r._3 - 1) % W == w),
+        s"worker $w holds a foreign visit position")
+    }
+    // static partition pruning: the slice's scan filters pack_bucket
+    // at the directory level (the carriedRows gate's discipline)
+    val plan = SequenceShards.readEpochSlice(spark, dir, 3, 1, W)
+      .queryExecution.executedPlan.toString
+    assert("""PartitionFilters: \[[^\]]*pack_bucket""".r
+      .findFirstIn(plan).isDefined,
+      s"pack_bucket not in PartitionFilters:\n$plan")
+    // numWorkers > nLanes: trailing workers own nothing, harmlessly
+    assert(stamped(SequenceShards.readEpochSlice(spark, dir, 3,
+      Lanes + 1, Lanes + 2)).isEmpty)
+    intercept[IllegalArgumentException] {
+      SequenceShards.readEpochSlice(spark, dir, 3, -1, W)
+    }
+    intercept[IllegalArgumentException] {
+      SequenceShards.readEpochSlice(spark, dir, 3, W, W)
+    }
+    intercept[IllegalArgumentException] {
+      SequenceShards.readEpochSlice(spark, dir, 3, 0, 0)
+    }
+  }
+
   test("composes with streaming corpus dedup: survivors of each " +
       "batch feed the shard store, and the result equals the batch " +
       "pipeline (exact dedup -> pack) over the whole history") {
