@@ -213,6 +213,29 @@ object StreamMaintProbe {
         "curve=" + curve.map(s => f"$s%.2f").mkString(",") +
         f" canary=${math.min(c0, c1)}%.2f" +
         f" load=${graft.util.ProbeGuard.loadavg()}%.2f")
+      // compactDocs payoff: the appends above left one version
+      // partition each (~30 live) — time appends against the long
+      // history, fold it, time the same appends after. The data
+      // plane is identical in both windows (same suffix work), so
+      // the delta is the per-batch docs listing/footer overhead the
+      // fold deletes — the thing that otherwise grows per batch
+      // forever.
+      def docVersions(): Int = versionCount(s"$store/docs")
+      val vPre = docVersions()
+      val preFold = cand.slice(1020, 1030).map(c => appendOne(c._1))
+      val tf = System.nanoTime()
+      SequenceShards.compactDocs(spark, store, targetBytes)
+      val foldSec = (System.nanoTime() - tf) / 1e9
+      sweep()
+      val vPost = docVersions()
+      val postFold = cand.slice(1030, 1040).map(c => appendOne(c._1))
+      val c2 = graft.util.ProbeGuard.canaryCpu(spark, cpus.toInt)
+      println(f"[probe] shards fold=$foldSec%.2f " +
+        f"versions=$vPre%d->$vPost%d " +
+        f"prefold_mean=${preFold.sum / preFold.size}%.2f " +
+        f"postfold_mean=${postFold.sum / postFold.size}%.2f " +
+        f" canary=${math.min(c1, c2)}%.2f" +
+        f" load=${graft.util.ProbeGuard.loadavg()}%.2f")
     }
     spark.stop()
   }
