@@ -446,4 +446,51 @@ object SequenceShards {
     val m = spark.read.parquet(s"$rootDir/meta").head()
     (m.getInt(1), m.getString(3))
   }
+
+  /** Store summary — ONE row per live lane: `(lane, n_segments,
+    * n_files, bytes, n_sequences, seq_max)`. The nBuckets sizing
+    * feedback (the [[graft.tools.Inspect]] discipline applied to
+    * this tree): segment/file/byte counts come from a driver
+    * listing (metadata only, hidden maintenance siblings skipped —
+    * what reads see), and sequence counts ride a count-shaped scan
+    * over the partitioned tree (grouping keys are DIRECTORY columns
+    * and the only data column touched is the int64 `seq_idx` — the
+    * ids/starts pages are never read). Admin verb for the
+    * "size nBuckets so one lane's SUFFIX rebuilds comfortably"
+    * contract: lane-byte skew or runaway per-lane segment counts
+    * show up here before an append pays for them. Same reader
+    * exposure as [[read]] — don't overlap maintenance. */
+  def stats(spark: SparkSession, rootDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val shards = new Path(s"$rootDir/shards")
+    val fs = shards.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val perLane = fs.listStatus(shards).toSeq
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith("pack_bucket="))
+      .map { ld =>
+        val lane = ld.getPath.getName.stripPrefix("pack_bucket=")
+          .toLong
+        val segs = fs.listStatus(ld.getPath).toSeq
+          .filter(s => s.isDirectory &&
+            s.getPath.getName.startsWith("seq_seg="))
+        val files = segs.flatMap(sd => fs.listStatus(sd.getPath).toSeq
+          .filter(f => f.isFile &&
+            f.getPath.getName.endsWith(".parquet") &&
+            !f.getPath.getName.startsWith("_") &&
+            !f.getPath.getName.startsWith(".")))
+        (lane, segs.size.toLong, files.size.toLong,
+          files.map(_.getLen).sum)
+      }
+    val layout = perLane
+      .toDF("lane", "n_segments", "n_files", "bytes")
+    val seqs = spark.read.parquet(shards.toString)
+      .groupBy(col("pack_bucket").cast("long").as("lane"))
+      .agg(count(lit(1)).as("n_sequences"),
+        max("seq_idx").as("seq_max"))
+    layout.join(seqs, Seq("lane"), "left")
+      .na.fill(0L, Seq("n_sequences"))
+      .orderBy("lane")
+  }
 }

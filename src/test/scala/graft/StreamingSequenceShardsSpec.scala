@@ -331,6 +331,43 @@ class StreamingSequenceShardsSpec extends AnyFunSuite {
     }
   }
 
+  test("stats summarizes the live tree per lane — listing-derived " +
+      "segment/file/byte counts (hidden siblings excluded) agree " +
+      "with the filesystem, sequence counts and seq_max agree with " +
+      "the read face") {
+    val dir = root()
+    SequenceShards.appendBatch(spark, mkDocs(0L until 60L), 1L, dir,
+      SeqLen, Lanes, eosId = 0L)
+    // a parked maintenance sibling must not count: reads skip it
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/shards/.swap_old"))
+    val got = SequenceShards.stats(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val byLane = SequenceShards.read(spark, dir)
+      .groupBy(col("pack_bucket").cast("long"))
+      .agg(count(lit(1)), max("seq_idx"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1),
+        r.getLong(2)))).toMap
+    assert(got.keySet == byLane.keySet, "stats lane set != live lanes")
+    byLane.foreach { case (lane, (n, mx)) =>
+      val (nSegs, nFiles, bytes, nSeqs, seqMax) = got(lane)
+      assert(nSeqs == n && seqMax == mx,
+        s"lane $lane sequence stats diverge from the read face")
+      val lp = new org.apache.hadoop.fs.Path(
+        s"$dir/shards/pack_bucket=$lane")
+      val segDirs = fs.listStatus(lp).filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith("seq_seg="))
+      assert(nSegs == segDirs.length, s"lane $lane segment count")
+      val pq = segDirs.flatMap(sd => fs.listStatus(sd.getPath)
+        .filter(f => f.isFile &&
+          f.getPath.getName.endsWith(".parquet")))
+      assert(nFiles == pq.length && bytes == pq.map(_.getLen).sum,
+        s"lane $lane file/byte stats diverge from the listing")
+    }
+  }
+
   test("composes with streaming corpus dedup: survivors of each " +
       "batch feed the shard store, and the result equals the batch " +
       "pipeline (exact dedup -> pack) over the whole history") {
