@@ -317,6 +317,10 @@ class StreamingSequenceShardsSpec extends AnyFunSuite {
     assert("""PartitionFilters: \[[^\]]*pack_bucket""".r
       .findFirstIn(plan).isDefined,
       s"pack_bucket not in PartitionFilters:\n$plan")
+    // ONE exchange total (the epoch_pos window's hash by lane) — the
+    // lane_ord stamp is row-local and the slice filter is scan-side
+    assert(plan.linesIterator
+      .count(_.contains("Exchange hashpartitioning")) == 1, plan)
     // numWorkers > nLanes: trailing workers own nothing, harmlessly
     assert(stamped(SequenceShards.readEpochSlice(spark, dir, 3,
       Lanes + 1, Lanes + 2)).isEmpty)
