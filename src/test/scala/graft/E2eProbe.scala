@@ -123,6 +123,26 @@ object E2eProbe {
     println(f"[e2e-probe] readEpoch ref: $reSec%.2f s (sp=$reSp%.2f)" +
       f"  big: $beSec%.2f s (sp=$beSp%.2f)  ratio=${beSec / reSec}%.2f" +
       f"  canary=$cCpu2%.2f  load=${ProbeGuard.loadavg()}%.2f")
+    // worker-slice leg (r20 continuation): one worker's 1/W of the
+    // same epoch off the big store — the slice scan partition-prunes
+    // to the worker's own lane dirs, so its cost should track its
+    // ROW SHARE of the full read, not the store size
+    val nSlice = graft.streaming.SequenceShards
+      .readEpochSlice(spark, bigStore, epoch = 1, worker = 1,
+        numWorkers = 4).count()
+    sweep()
+    val (slSec, slSp) = ProbeGuard.minOfThree(() => {
+      val e0 = System.nanoTime()
+      graft.Bench.forced(graft.streaming.SequenceShards
+        .readEpochSlice(spark, bigStore, epoch = 1, worker = 1,
+          numWorkers = 4)).collect()
+      val dt = (System.nanoTime() - e0) / 1e9
+      sweep(); dt
+    })
+    println(f"[e2e-probe] readEpochSlice(1 of 4) big: $slSec%.2f s " +
+      f"(sp=$slSp%.2f)  rows=$nSlice%d/$m1%d " +
+      f"(share=${nSlice.toDouble / m1}%.2f)  vs full $beSec%.2f s " +
+      f"(ratio=${slSec / beSec}%.2f)  load=${ProbeGuard.loadavg()}%.2f")
     spark.stop()
   }
 }
