@@ -359,7 +359,12 @@ object SequenceShards {
   /** Start the streaming shard maintenance ([[appendBatch]] per
     * micro-batch; the [[CorpusDedup.start]] checkpoint/replay
     * contract — at-least-once foreachBatch + idempotent appends =
-    * effectively-exactly-once shard state). */
+    * effectively-exactly-once shard state). Like every maintenance
+    * face here, sidecar compaction stays CALLER-scheduled: run
+    * [[compactDocs]] between micro-batch commits (e.g. every N
+    * batches, the StreamMaintProbe cadence) to keep the docs
+    * version history — and with it each append's metadata-pass
+    * listing cost — bounded. */
   def start(spark: SparkSession, stream: DataFrame, rootDir: String,
       seqLen: Int, nBuckets: Int, eosId: Long, checkpointDir: String,
       idCol: String = "doc_id", idsCol: String = "bpe_ids",

@@ -130,8 +130,10 @@ class BenchLineSpec extends AnyFunSuite {
       assert(line.lastIndexOf(field) > qEnd,
         s"$field must follow the queries pair so a head-truncated " +
           "capture still carries the totals")
-    // `value` (the headline total) is the line's final field
-    assert(line.matches(""".*"value":\d+\.\d\d}$"""),
+    // `value` (the headline total) is the line's final field; one
+    // decimal since the r20 line compaction — the same 0.1 s
+    // resolution the packed per-entry seconds carry
+    assert(line.matches(""".*"value":\d+\.\d}$"""),
       s"total must close the line: ${line.takeRight(40)}")
   }
 
