@@ -1227,9 +1227,10 @@ object SparkEntry {
 
     // SERVE-ONLY worker slice of the epoch read — the distributed-
     // dataloader sharding face: worker 1 of 3 owns the lanes at
-    // visit positions ≡ 1 (mod 3) of the epoch permutation, and its
-    // scan carries a static pack_bucket PARTITION filter, so each
-    // worker lists/reads only its own ~1/W of the store's lane dirs
+    // 0-based visit positions ≡ 1 (mod 3) of the epoch permutation
+    // (1-based lane_ord 2, 5, 8), its lane dirs are enumerated
+    // driver-side and read explicitly under the store basePath, so
+    // each worker LISTS and reads only its own ~1/W of the store
     // (the 100 TB read path: W workers split the store with zero
     // coordination). Stamps are identical to t_shards_read's — the
     // oracle is the full epoch order filtered to the slice's visit

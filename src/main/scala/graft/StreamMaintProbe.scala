@@ -221,8 +221,10 @@ object StreamMaintProbe {
       // fold deletes — the thing that otherwise grows per batch
       // forever.
       def docVersions(): Int = versionCount(s"$store/docs")
-      val vPre = docVersions()
       val preFold = cand.slice(1020, 1030).map(c => appendOne(c._1))
+      // capture AFTER the pre-fold appends: this is the history the
+      // fold actually folds (each append above added a version)
+      val vPre = docVersions()
       val tf = System.nanoTime()
       SequenceShards.compactDocs(spark, store, targetBytes)
       val foldSec = (System.nanoTime() - tf) / 1e9

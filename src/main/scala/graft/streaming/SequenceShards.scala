@@ -401,48 +401,76 @@ object SequenceShards {
   def readEpoch(spark: SparkSession, rootDir: String, epoch: Long)
       : DataFrame = {
     val (nLanes, salt) = packingMeta(spark, rootDir)
-    Sampling.epochShuffle(read(spark, rootDir), epoch, "pack_bucket",
-        Seq("seq_idx"), salt)
-      .withColumn("lane_ord", Sampling.epochLaneOrderCol(
-        col("pack_bucket"), nLanes, epoch, salt))
+    stampEpoch(read(spark, rootDir), nLanes, salt, epoch)
   }
 
   /** One WORKER's slice of [[readEpoch]] — the distributed-dataloader
-    * sharding face. Worker w of W owns the lanes at visit positions
-    * p ≡ w (mod W) of the epoch's driver-derived lane permutation
-    * (`(lane_ord - 1) % numWorkers == worker`), so the W slices
-    * PARTITION the epoch exactly: whole lanes move, within-lane
-    * ranks don't, and every row carries the SAME `lane_ord`/
-    * `epoch_pos` the full read stamps. Round-robin over the VISIT
-    * order (not raw lane ids) keeps each worker's lane count within
-    * one of the others under any permutation.
+    * sharding face. Worker w of W owns the lanes at 0-BASED visit
+    * positions ≡ w (mod W) of the epoch's driver-derived lane
+    * permutation (equivalently `(lane_ord - 1) % numWorkers ==
+    * worker` over the 1-based `lane_ord` stamp — worker 1 of 3 owns
+    * lane_ord 2, 5, 8, …), so the W slices PARTITION the epoch
+    * exactly: whole lanes move, within-lane ranks don't, and every
+    * row carries the SAME `lane_ord`/`epoch_pos` the full read
+    * stamps. Round-robin over the VISIT order (not raw lane ids)
+    * keeps each worker's lane count within one of the others under
+    * any permutation.
     *
     * Scale: the worker's lane set is DRIVER-known (the permutation is
-    * control-plane, nLanes ints), so the scan carries a static
-    * `pack_bucket` isin PARTITION filter — each worker lists and
-    * reads only its own ~1/W of the store's lane directories
-    * (spec-gated), instead of every worker scanning the full store
-    * and filtering client-side. No RNG state and no coordination:
-    * any worker re-derives any epoch's slice independently, and a
-    * resumed worker re-derives the exact order it crashed in.
-    * Workers past the lane count (numWorkers > nLanes) get empty
-    * slices — size numWorkers ≤ nLanes for useful balance. */
+    * control-plane, nLanes ints), so the worker reads ONLY its own
+    * lane directories — the owned `pack_bucket=` paths are
+    * enumerated driver-side and handed to the reader explicitly
+    * (under the store `basePath`, so the partition columns survive),
+    * which keeps both the FILE LISTING and the read to ~1/W of the
+    * store: a bare root read would re-list every lane's tree per
+    * worker during partition discovery even though the isin filter
+    * prunes what's read afterward. The redundant isin filter stays
+    * on top as the semantic contract (and the plan gate). No RNG
+    * state and no coordination: any worker re-derives any epoch's
+    * slice independently, and a resumed worker re-derives the exact
+    * order it crashed in. Workers past the lane count
+    * (numWorkers > nLanes) get empty slices — size
+    * numWorkers ≤ nLanes for useful balance. */
   def readEpochSlice(spark: SparkSession, rootDir: String, epoch: Long,
       worker: Int, numWorkers: Int): DataFrame = {
+    import org.apache.hadoop.fs.Path
     require(numWorkers >= 1, s"numWorkers must be >= 1: $numWorkers")
     require(worker >= 0 && worker < numWorkers,
       s"worker must be in [0, $numWorkers): $worker")
     val (nLanes, salt) = packingMeta(spark, rootDir)
     val mine = Sampling.epochLaneOrder(nLanes, epoch, salt).zipWithIndex
-      .collect { case (l, i) if i % numWorkers == worker => l: Any }
-    val slice = spark.read.parquet(s"$rootDir/shards")
-      .where(col("pack_bucket").isin(mine: _*))
-      .drop("seq_seg")
-    Sampling.epochShuffle(slice, epoch, "pack_bucket", Seq("seq_idx"),
+      .collect { case (l, i) if i % numWorkers == worker => l }
+    val shards = new Path(s"$rootDir/shards")
+    val fs = shards.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // only lanes that exist on disk: an owned-but-never-written lane
+    // has no dir, and the reader errors on a missing input path
+    val owned = mine.map(l => new Path(shards, s"pack_bucket=$l"))
+      .filter(fs.exists).map(_.toString)
+    val slice =
+      if (owned.isEmpty)
+        // degenerate (empty store or numWorkers > live lanes): fall
+        // back to the full-listing read — there is nothing to prune
+        read(spark, rootDir)
+          .where(col("pack_bucket").isin(mine.map(l => l: Any): _*))
+      else
+        spark.read.option("basePath", shards.toString)
+          .parquet(owned: _*)
+          .where(col("pack_bucket").isin(mine.map(l => l: Any): _*))
+          .drop("seq_seg")
+    stampEpoch(slice, nLanes, salt, epoch)
+  }
+
+  /** The shared epoch stamp: within-lane `epoch_pos`
+    * ([[Sampling.epochShuffle]]) + the row-local `lane_ord` visit
+    * position — [[readEpoch]] applies it to the full read,
+    * [[readEpochSlice]] to the worker's pruned read. */
+  private def stampEpoch(df: DataFrame, nLanes: Int, salt: String,
+      epoch: Long): DataFrame =
+    Sampling.epochShuffle(df, epoch, "pack_bucket", Seq("seq_idx"),
         salt)
       .withColumn("lane_ord", Sampling.epochLaneOrderCol(
         col("pack_bucket"), nLanes, epoch, salt))
-  }
 
   /** The store's frozen packing contract off `meta`: (nBuckets,
     * salt) — the lane domain every epoch order is derived under. */
@@ -463,8 +491,10 @@ object SequenceShards {
     * ids/starts pages are never read). Admin verb for the
     * "size nBuckets so one lane's SUFFIX rebuilds comfortably"
     * contract: lane-byte skew or runaway per-lane segment counts
-    * show up here before an append pays for them. Same reader
-    * exposure as [[read]] — don't overlap maintenance. */
+    * show up here before an append pays for them. Every column is a
+    * non-null long (`seq_max` = -1 for a listed lane with no
+    * readable rows). Same reader exposure as [[read]] — don't
+    * overlap maintenance. */
   def stats(spark: SparkSession, rootDir: String): DataFrame = {
     import org.apache.hadoop.fs.Path
     import spark.implicits._
@@ -494,8 +524,12 @@ object SequenceShards {
       .groupBy(col("pack_bucket").cast("long").as("lane"))
       .agg(count(lit(1)).as("n_sequences"),
         max("seq_idx").as("seq_max"))
+    // a listed lane with no readable rows (e.g. its only segment
+    // parked mid-maintenance) reports 0 sequences and seq_max = -1 —
+    // both columns stay non-null so consumers read the documented
+    // all-long shape
     layout.join(seqs, Seq("lane"), "left")
-      .na.fill(0L, Seq("n_sequences"))
+      .na.fill(Map("n_sequences" -> 0L, "seq_max" -> -1L))
       .orderBy("lane")
   }
 }

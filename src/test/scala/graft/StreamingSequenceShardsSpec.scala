@@ -317,6 +317,18 @@ class StreamingSequenceShardsSpec extends AnyFunSuite {
     assert("""PartitionFilters: \[[^\]]*pack_bucket""".r
       .findFirstIn(plan).isDefined,
       s"pack_bucket not in PartitionFilters:\n$plan")
+    // and the LISTING itself is bounded to the worker's lanes: the
+    // relation is built from the owned lane dirs, so its file set
+    // never mentions a foreign lane (a bare root read would re-list
+    // the whole store per worker during partition discovery)
+    val ownedLanes = graft.pipeline.Sampling
+      .epochLaneOrder(Lanes, epoch = 3).zipWithIndex
+      .collect { case (l, i) if i % W == 1 => s"pack_bucket=$l/" }
+    val listed = SequenceShards.readEpochSlice(spark, dir, 3, 1, W)
+      .inputFiles
+    assert(listed.nonEmpty &&
+      listed.forall(f => ownedLanes.exists(f.contains)),
+      s"slice listed foreign lane files: ${listed.toSeq}")
     // ONE exchange total (the epoch_pos window's hash by lane) — the
     // lane_ord stamp is row-local and the slice filter is scan-side
     assert(plan.linesIterator
