@@ -127,10 +127,7 @@ object SparkEntry {
     buildOnce(s, root) {
       val docs = Tables.load(s, dir, "documents")
         .select(col("doc_id"),
-          TextOps.tokens(lower(col("text"))).as("_toks"))
-        .select(col("doc_id"), transform(col("_toks"), t =>
-          pmod(conv(substring(md5(t), 1, 8), 16, 10).cast("long"),
-            lit(997L)).cast("int")).as("bpe_ids"))
+          TextOps.md5TokenIds(col("text"), 997).as("bpe_ids"))
       graft.streaming.SequenceShards.appendBatch(s, docs, 1L, root,
         seqLen = 128, nBuckets = 8, eosId = 997L)
     }
@@ -1188,10 +1185,7 @@ object SparkEntry {
     "t_shards_stream" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
         .select(col("doc_id"),
-          TextOps.tokens(lower(col("text"))).as("_toks"))
-        .select(col("doc_id"), transform(col("_toks"), t =>
-          pmod(conv(substring(md5(t), 1, 8), 16, 10).cast("long"),
-            lit(997L)).cast("int")).as("bpe_ids"))
+          TextOps.md5TokenIds(col("text"), 997).as("bpe_ids"))
       val root = "/tmp/graft_shards_stream_" +
         dir.replaceAll("[^a-zA-Z0-9]", "_")
       val p = new org.apache.hadoop.fs.Path(root)

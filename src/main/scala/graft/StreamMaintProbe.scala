@@ -168,19 +168,16 @@ object StreamMaintProbe {
       import spark.implicits._
       val store = s"$base/shards-store"
       val enc = docs.select(col("doc_id"),
-        transform(graft.pipeline.TextOps.tokens(lower(col("text"))),
-          t => pmod(conv(substring(md5(t), 1, 8), 16, 10).cast("long"),
-            lit(997L)).cast("int")).as("bpe_ids"))
+        graft.pipeline.TextOps.md5TokenIds(col("text"), 997)
+          .as("bpe_ids"))
       val c0 = graft.util.ProbeGuard.canaryCpu(spark, cpus.toInt)
       val tb = System.nanoTime()
       SequenceShards.appendBatch(spark, enc, 1L, store,
         seqLen = 128, nBuckets = 8, eosId = 997L, segSize = 256)
       val buildSec = (System.nanoTime() - tb) / 1e9
       sweep()
-      val md = java.security.MessageDigest.getInstance("MD5")
       def pkOf(id: Long): String =
-        md.digest(s"graft:$id".getBytes("UTF-8"))
-          .map(b => f"$b%02x").mkString.take(8)
+        graft.pipeline.Sampling.hashBucketLocal(id.toString, "graft")
       // fresh ids far above the scaled corpus' copy*1e6 offsets,
       // ranked by their in-lane pack position
       val cand = (900000000000L until 900000003000L)

@@ -102,12 +102,21 @@ final class Dp3Http(svc: Dp3Service, spark: SparkSession,
   // — the property, when SET, overrides this constructor argument).
   // The deployment-wide `graft.ql.strictParity` system property still
   // forces strict everywhere, never the reverse; precedence here is
-  // ql-force-strict > http property > constructor argument.
+  // ql-force-strict > http property > constructor argument. Only the
+  // EXACT values "true"/"false" override the constructor — a
+  // malformed flag ("1", "yes", a typo) falls back to the ctor
+  // argument instead of silently flipping to the LENIENT surface
+  // (the unsafe direction for a deployment that meant to force
+  // strict).
   private def effectiveStrict: Boolean =
-    graft.ql.Parser.strictParityDefault ||
+    graft.ql.Parser.strictParityDefault || {
       Option(System.getProperty("graft.http.strictParity"))
-        .map(_.trim.equalsIgnoreCase("true"))
-        .getOrElse(strictParity)
+        .map(_.trim.toLowerCase) match {
+        case Some("true") => true
+        case Some("false") => false
+        case _ => strictParity
+      }
+    }
 
   /** The reference's demo auth on MUTATING routes only — delete and
     * both imports (routes.go:63-69, mw.WithSharedKeyAuth): with a key

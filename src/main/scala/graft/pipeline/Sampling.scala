@@ -30,6 +30,16 @@ object Sampling {
   def hashBucket(id: Column, salt: String): Column =
     substring(md5(concat(lit(salt + ":"), id.cast("string"))), 1, 8)
 
+  /** Driver-side twin of [[hashBucket]] — byte-identical framing and
+    * hex rendering, for control-plane callers (probes choosing a
+    * splice position) that need a row's `_pk` without a Spark job.
+    * One copy of the formula on each face, both defined HERE. */
+  def hashBucketLocal(id: String, salt: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$salt:$id".getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString.take(8)
+
   /** Stamp the packing-lane columns shared by [[packBudget]] and
     * [[packSequences]]: `_pk` (the 8-hex hash-order key) and
     * `pack_bucket` = pk mod nBuckets. ONE copy of the lane contract —

@@ -323,6 +323,33 @@ object Search {
       idCol: String = "doc_id", textCol: String = "text",
       targetBytesPerFile: Long = 128L << 20): Unit = {
     val spark = newDocs.sparkSession
+    // Mid-swap guard at the APPEND face's entry (the protocol rule
+    // every maintenance-touched tree carries): an ABSENT postings or
+    // stats tree with a surviving compact sibling is a crashed
+    // [[compactBm25Index]] flip, NOT a fresh index — an unguarded
+    // mode("append") would CREATE an empty tree holding only this
+    // batch (served df/idf silently wrong), and the next compact's
+    // cleanSiblings would then delete the parked history, the only
+    // surviving copy. Heal (restore the parked original) before
+    // writing; a truly absent tree with NO siblings next to a
+    // readable meta is external interference and fails loudly.
+    locally {
+      import org.apache.hadoop.fs.Path
+      import graft.util.Maint
+      val root = new Path(dir)
+      val fs = root.getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      def guard(name: String): Unit =
+        Maint.healAtEntry(fs, new Path(root, name),
+          new Path(root, s".$name-compact"),
+          new Path(root, s".$name-trash"),
+          "appendToBm25Index",
+          live = fs.exists(new Path(root, name)),
+          missingMsg = Some(s"appendToBm25Index: no $name tree " +
+            s"under $dir — not a writeBm25Index layout"))
+      guard("postings")
+      guard("stats")
+    }
     val nBuckets = spark.read.parquet(s"$dir/meta")
       .head().getInt(0)
     statsPartial(newDocs, idCol, textCol)

@@ -17,6 +17,19 @@ object TextOps {
   def tokens(text: Column): Column =
     filter(split(text, " "), t => t =!= "")
 
+  /** Deterministic md5 token-id encoding: whitespace tokens of the
+    * LOWERCASED text mapped into [0, vocab) via the first 32 md5
+    * bits. Not a real tokenizer (that's [[Bpe]]) — this exists for
+    * the demo/oracle entries and probes that need a cross-engine-
+    * exact id sequence with no training state, and the formula lives
+    * here ONCE (its DuckDB twin is the registry's
+    * md5IdsPackPrefixSql; drift between the copies silently breaks
+    * probe/serve agreement on lane and pack order). */
+  def md5TokenIds(text: Column, vocab: Int): Column =
+    transform(tokens(lower(text)), t =>
+      pmod(conv(substring(md5(t), 1, 8), 16, 10).cast("long"),
+        lit(vocab.toLong)).cast("int"))
+
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** BPE-ish regex tokenizer: maximal runs of word chars, or single

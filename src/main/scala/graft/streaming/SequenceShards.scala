@@ -113,6 +113,14 @@ object SequenceShards {
         .coalesce(1).write.mode("overwrite").parquet(meta.toString)
     } else {
       val m = spark.read.parquet(meta.toString).head()
+      // a pre-segmented store (4-column meta, flat lane dirs, docs
+      // without pk/n) must hit the designed loud message, not an
+      // opaque index-out-of-bounds from getInt(4)
+      require(m.length >= 5,
+        s"sequenceShards: store $rootDir carries a pre-seq_seg meta " +
+          s"layout (${m.length} fields) — rebuild the store with " +
+          "this version before appending (the segmented layout is " +
+          "not an in-place upgrade)")
       val stored = (m.getInt(0), m.getInt(1), m.getLong(2),
         m.getString(3), m.getInt(4))
       require(stored == ((seqLen, nBuckets, eosId, salt, segSize)),
@@ -340,9 +348,25 @@ object SequenceShards {
       shardsDir: String, ctlLocal: DataFrame, laneVals: Seq[Any],
       ctlRows: Array[org.apache.spark.sql.Row], segSize: Int)
       : DataFrame = {
+    import org.apache.hadoop.fs.Path
     val k0s = ctlRows.map(r => r.getLong(4) / segSize)
       .distinct.sorted.map(k => k: Any)
-    spark.read.parquet(shardsDir)
+    // each lane's EXACT boundary-segment dir is driver-known — read
+    // the dirs explicitly under the store basePath so the carry-over
+    // read LISTS only the boundary segments (partition discovery
+    // walks every dir handed to it; the isin partition filters prune
+    // what's READ, not what's listed — the readEpochSlice lesson).
+    // Lanes spliced at sequence 0 carry nothing and are skipped.
+    val root = new Path(shardsDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = ctlRows.filter(_.getLong(4) > 0L).map(r =>
+        new Path(root,
+          s"pack_bucket=${r.getLong(0)}/seq_seg=${r.getLong(4) / segSize}"))
+      .distinct.filter(fs.exists).map(_.toString)
+    val base =
+      if (dirs.isEmpty) spark.read.parquet(shardsDir)
+      else spark.read.option("basePath", shardsDir).parquet(dirs: _*)
+    base
       .where(col("pack_bucket").isin(laneVals: _*) &&
         col("seq_seg").isin(k0s: _*))
       .withColumn("pack_bucket", col("pack_bucket").cast("long"))
@@ -368,11 +392,11 @@ object SequenceShards {
   def start(spark: SparkSession, stream: DataFrame, rootDir: String,
       seqLen: Int, nBuckets: Int, eosId: Long, checkpointDir: String,
       idCol: String = "doc_id", idsCol: String = "bpe_ids",
-      salt: String = "graft"): StreamingQuery =
+      salt: String = "graft", segSize: Int = 8192): StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         appendBatch(spark, batch, batchId + 1, rootDir, seqLen,
-          nBuckets, eosId, idCol, idsCol, salt)
+          nBuckets, eosId, idCol, idsCol, salt, segSize)
         ()
       }
       .option("checkpointLocation", checkpointDir)

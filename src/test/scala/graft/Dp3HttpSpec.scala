@@ -110,6 +110,16 @@ class Dp3HttpSpec extends AnyFunSuite {
       System.clearProperty("graft.ql.strictParity")
       System.clearProperty("graft.http.strictParity")
     }
+    // a MALFORMED http property ("1", "yes", a typo) falls back to
+    // the constructor default instead of silently flipping the wire
+    // surface lenient — the unsafe direction for a deployment that
+    // meant to force strict
+    System.setProperty("graft.http.strictParity", "1")
+    try {
+      val malformed = post("/databases/default/query",
+        """{"query": "from p3 click neighbors error;"}""")
+      assert(malformed.statusCode() == 400, malformed.body())
+    } finally System.clearProperty("graft.http.strictParity")
     // the dp3-style plan sexp renders the dir like precedes/succeeds
     val q = graft.ql.Parser.parse("from p3 click neighbors error;")
       .asInstanceOf[graft.ql.Query]

@@ -227,6 +227,47 @@ class SearchSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no postings tree"))
   }
 
+  test("append face guards the mid-swap state: a crashed compact's " +
+      "parked postings/stats restore at the append's entry (never an " +
+      "empty recreated tree), an orphan tmp fails loudly, and a " +
+      "typo'd dir never creates trees") {
+    val dir = tmpIdx()
+    val evens = docs.where(col("doc_id") % 2 === 0)
+    val odds = docs.where(col("doc_id") % 2 === 1)
+    Search.writeBm25Index(evens, dir, nBuckets = 4)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s"$dir/$s")
+    // crashed compact mid-flip: postings parked in trash, live
+    // absent — an unguarded append would recreate an empty postings
+    // tree holding only this batch (df/idf silently wrong) and the
+    // next compact's cleanSiblings would delete the parked history
+    assert(fs.rename(p("postings"), p(".postings-trash")))
+    Search.appendToBm25Index(odds, dir)
+    assert(fs.exists(p("postings")) && !fs.exists(p(".postings-trash")),
+      "append entry must restore the parked postings")
+    assert(serve(dir, queries, 5) == inline(queries, 5),
+      "healed + appended index must serve the full corpus")
+    // the stats sidecar carries the same guard (the replayed odds
+    // append below is healed by serve-side dedup, per contract)
+    assert(fs.rename(p("stats"), p(".stats-trash")))
+    Search.appendToBm25Index(odds, dir)
+    assert(fs.exists(p("stats")) && !fs.exists(p(".stats-trash")),
+      "append entry must restore the parked stats")
+    assert(serve(dir, queries, 5) == inline(queries, 5))
+    // orphan tmp (no live, no trash) is external interference: loud
+    assert(fs.rename(p("postings"), p(".postings-compact")))
+    intercept[java.io.IOException] {
+      Search.appendToBm25Index(odds, dir)
+    }
+    assert(fs.rename(p(".postings-compact"), p("postings")))
+    // a truly absent layout fails loudly instead of creating trees
+    val e = intercept[IllegalArgumentException] {
+      Search.appendToBm25Index(odds, s"$dir-definitely-missing")
+    }
+    assert(e.getMessage.contains("no postings tree"))
+  }
+
   test("postings folds are file-size-aware: compact emits " +
       "~ceil(bucketBytes/target) files per bucket (bounded write " +
       "tasks, never one task per bucket), the fresh build sizes from " +

@@ -211,6 +211,16 @@ class StreamingSequenceShardsSpec extends AnyFunSuite {
     assert("""PartitionFilters: \[[^\]]*seq_seg""".r
       .findFirstIn(plan).isDefined,
       s"seq_seg not in PartitionFilters:\n$plan")
+    // the LISTING is bounded to the boundary-segment dirs too: the
+    // relation is built from the per-lane (lane, K0) paths, so its
+    // file set never mentions any other segment (discovery on a bare
+    // root would walk the whole store every batch)
+    val boundaryDirs = Seq("pack_bucket=0/seq_seg=2/",
+      "pack_bucket=1/seq_seg=2/")
+    assert(df.inputFiles.nonEmpty &&
+      df.inputFiles.forall(f => boundaryDirs.exists(f.contains)),
+      s"carried-row read listed beyond the boundary segments: " +
+        s"${df.inputFiles.toSeq}")
     // and the filtered read stays consistent with the full-scan face
     val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val expect = spark.read.parquet(s"$dir/shards")
@@ -382,6 +392,48 @@ class StreamingSequenceShardsSpec extends AnyFunSuite {
       assert(nFiles == pq.length && bytes == pq.map(_.getLen).sum,
         s"lane $lane file/byte stats diverge from the listing")
     }
+  }
+
+  test("start() drives a non-default segSize store (the streaming " +
+      "face forwards the full packing contract) and the streamed " +
+      "state equals the batch pack; a pre-seq_seg 4-column meta " +
+      "fails loudly, never with an index error; hashBucketLocal is " +
+      "the byte-identical driver twin of hashBucket") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = root()
+    implicit val sqlCtx = spark.sqlContext
+    val all = (0L until 30L)
+    val stream = MemoryStream[(Long, Array[Int])]
+    all.grouped(15).foreach(g =>
+      stream.addData(g.map(i => (i,
+        Array.tabulate((i % 7).toInt + 1)(j => (i + j).toInt)))))
+    // segSize 4 would throw on every micro-batch if the streaming
+    // face silently passed its own default through to appendBatch
+    SequenceShards.start(spark, stream.toDF().toDF("doc_id", "bpe_ids"),
+        dir, SeqLen, Lanes, eosId = 0L, s"$dir-ckpt", segSize = 4)
+      .awaitTermination()
+    assert(rows(SequenceShards.read(spark, dir)) == batchEquivalent(all),
+      "streamed (segSize=4) ≠ batch pack")
+    // a legacy store's 4-column meta (pre-segmented layout) must hit
+    // the designed message, not getInt(4)'s AIOOBE
+    val legacy = root()
+    Seq((SeqLen, Lanes, 0L, "graft"))
+      .toDF("seq_len", "n_buckets", "eos_id", "salt")
+      .coalesce(1).write.parquet(s"$legacy/meta")
+    val e = intercept[IllegalArgumentException] {
+      SequenceShards.appendBatch(spark, mkDocs(Seq(1L)), 1L, legacy,
+        SeqLen, Lanes, eosId = 0L)
+    }
+    assert(e.getMessage.contains("pre-seq_seg meta layout"),
+      e.getMessage)
+    // the probe's driver-side pk derivation must agree with the
+    // engine's lane/pk column bit-for-bit
+    val ids = Seq("0", "17", "900000000042", "doc-x")
+    val engine = ids.toDF("id")
+      .select(Sampling.hashBucket(col("id"), "graft"))
+      .collect().map(_.getString(0)).toSeq
+    assert(engine == ids.map(Sampling.hashBucketLocal(_, "graft")),
+      "hashBucketLocal diverged from hashBucket")
   }
 
   test("composes with streaming corpus dedup: survivors of each " +
