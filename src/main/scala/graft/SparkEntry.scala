@@ -1541,9 +1541,12 @@ object SparkEntry {
     // target slice (seed domains src1/src3/src5); hashed unigram+bigram
     // features, per-bucket log-likelihood ratios in exact µ-units
     "t_dsir" -> ((s, dir) => {
+      // target = an in-corpus source slice, so the single-pass pred
+      // face applies: the membership flag rides the one gram pass
+      // (row-identical to the two-corpus face — SelectSpec pins it)
       val docs = Tables.load(s, dir, "documents")
-      Select.dsirWeights(docs,
-        docs.where(col("source").isin("src1", "src3", "src5")),
+      Select.dsirWeightsPred(docs,
+        col("source").isin("src1", "src3", "src5"),
         buckets = 1024).orderBy("doc_id")
     }),
 
@@ -1555,8 +1558,8 @@ object SparkEntry {
     // optimized out of its own measurement — PlanQualitySpec gates it.)
     "t_dsir_stats" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      Select.dsirWeights(docs,
-        docs.where(col("source").isin("src1", "src3", "src5")),
+      Select.dsirWeightsPred(docs,
+        col("source").isin("src1", "src3", "src5"),
         buckets = 1024)
         .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
         .groupBy(col("source"))
@@ -1569,8 +1572,8 @@ object SparkEntry {
     // the resampling face: the 100 docs most like the target slice
     "t_dsir_select" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      Select.dsirSelect(docs,
-        docs.where(col("source").isin("src1", "src3", "src5")),
+      Select.dsirSelectPred(docs,
+        col("source").isin("src1", "src3", "src5"),
         buckets = 1024, k = 100)
         .select("doc_id", "source", "weight_mu")
         .orderBy("doc_id")

@@ -50,11 +50,20 @@ object Select {
     * ([[graft.util.Spread]]; measured ~4x on the documents table). */
   private def grams(df: DataFrame, idCol: String, textCol: String)
       : DataFrame =
-    graft.util.Spread.ensure(
-        df.select(col(idCol).as("_id"), col(textCol).as("_text")),
-        Seq(col("_id")))
-      .select(col("_id"),
-        TextOps.tokens(lower(col("_text"))).as("_toks"))
+    gramsWith(df, idCol, textCol, None)
+
+  /** [[grams]] optionally carrying a per-document boolean `_t` (the
+    * target-membership flag of [[dsirWeightsPredOwned]]) through the
+    * explode — the flag rides the ONE gram pass instead of funding a
+    * second tokenize+hash pass over the target subset. */
+  private def gramsWith(df: DataFrame, idCol: String, textCol: String,
+      flag: Option[Column]): DataFrame = {
+    val keep = Seq(col(idCol).as("_id"), col(textCol).as("_text")) ++
+      flag.map(_.as("_t"))
+    val tagged = flag.map(_ => Seq(col("_t"))).getOrElse(Nil)
+    graft.util.Spread.ensure(df.select(keep: _*), Seq(col("_id")))
+      .select(col("_id") +: tagged :+
+        TextOps.tokens(lower(col("_text"))).as("_toks"): _*)
       .where(size(col("_toks")) >= 1)
       .withColumn("_bi",
         when(size(col("_toks")) >= 2, expr(
@@ -62,8 +71,9 @@ object Select {
              i -> concat(element_at(_toks, i), ' ',
                          element_at(_toks, i + 1)))"""))
           .otherwise(array().cast("array<string>")))
-      .select(col("_id"), explode(concat(col("_toks"), col("_bi")))
-        .as("_gram"))
+      .select(col("_id") +: tagged :+
+        explode(concat(col("_toks"), col("_bi"))).as("_gram"): _*)
+  }
 
   /** Per-document DSIR importance weights of `raw` against `target`.
     * Output: (idCol, n_feats, weight_mu) — feature-occurrence count
@@ -142,6 +152,95 @@ object Select {
     (out, new Dedup.PinHandle(() => {
       rawPin.release(); ctPin.release(); ()
     }))
+  }
+
+  /** [[dsirWeights]] for the common case where the target corpus IS
+    * `raw.where(targetPred)` — the in-corpus seed-slice shape. Result
+    * is row-identical to
+    * `dsirWeights(raw, raw.where(targetPred), buckets)`; the shape is
+    * not: the membership flag rides the single raw gram pass, so the
+    * target's tokenize + md5 pass disappears entirely, and the
+    * per-bucket (cr, ct) table — at most `buckets` rows by
+    * construction — collects ONCE and the lambda table derives in
+    * plain driver Scala (`java.lang.Math.log`/`floor` are the
+    * identical functions codegen emits over the identical IEEE
+    * quotients — the control-plane rule). One gram pass, one
+    * control-plane collect, one scoring join: the two-corpus face
+    * pays two gram passes and re-aggregates its pins per broadcast
+    * consumer. */
+  def dsirWeightsPred(raw: DataFrame, targetPred: Column, buckets: Int,
+      idCol: String = "doc_id", textCol: String = "text",
+      salt: String = "dsir"): DataFrame =
+    dsirWeightsPredOwned(raw, targetPred, buckets, idCol, textCol,
+      salt)._1
+
+  /** [[dsirWeightsPred]] plus the pin handle owning the single gram
+    * aggregation — release after the last consumption. */
+  def dsirWeightsPredOwned(raw: DataFrame, targetPred: Column,
+      buckets: Int, idCol: String = "doc_id", textCol: String = "text",
+      salt: String = "dsir"): (DataFrame, Dedup.PinHandle) = {
+    require(buckets >= 2, s"buckets must be >= 2: $buckets")
+    val spark = raw.sparkSession
+    // ONE gram pass, flag riding along; a null predicate counts as
+    // false (matching `where(targetPred)` dropping null rows)
+    val (rawDoc, rawPin) = Dedup.pinNow(
+      gramsWith(raw, idCol, textCol, Some(targetPred))
+        .withColumn("_b", featureBucket(col("_gram"), buckets, salt))
+        .groupBy(col("_id"), col("_t"), col("_b"))
+        .agg(count(lit(1)).as("_cnt")))
+    // the whole lambda derivation is control-plane: ≤ buckets rows of
+    // exact integer counts, collected once
+    val bRows = rawDoc.groupBy(col("_b"))
+      .agg(sum(col("_cnt")).as("cr"),
+        sum(when(col("_t"), col("_cnt")).otherwise(lit(0L))).as("ct"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nr = bRows.map(_._2).sum
+    val nt = bRows.map(_._3).sum
+    val bl = buckets.toLong
+    // identical expression tree to the Spark face: one ln of a
+    // quotient of exact-integer-derived doubles, floored to micro-units
+    def lamMu(cr: Long, ct: Long): Long =
+      math.floor(math.log(((ct + 1.0) / (nt + bl)) /
+        ((cr + 1.0) / (nr + bl))) * 1000000.0).toLong
+    val lamRows = bRows.map { case (b, cr, ct) =>
+      org.apache.spark.sql.Row(b, lamMu(cr, ct))
+    }
+    val lamSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("_b",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("lam_mu",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val lam = spark.createDataFrame(
+      java.util.Arrays.asList(lamRows: _*), lamSchema)
+    val perDoc = rawDoc
+      .join(broadcast(lam), Seq("_b"))
+      .groupBy(col("_id"))
+      .agg(sum(col("_cnt")).as("_nf"),
+        sum(col("_cnt") * col("lam_mu")).as("_w"))
+    val out = raw.select(col(idCol))
+      .join(perDoc, raw(idCol) === perDoc("_id"), "left")
+      .select(col(idCol),
+        coalesce(col("_nf"), lit(0L)).as("n_feats"),
+        coalesce(col("_w"), lit(0L)).as("weight_mu"))
+    (out, rawPin)
+  }
+
+  /** [[dsirSelect]] on the [[dsirWeightsPred]] single-pass shape —
+    * row-identical to `dsirSelect(raw, raw.where(targetPred), …)`. */
+  def dsirSelectPred(raw: DataFrame, targetPred: Column, buckets: Int,
+      k: Int, idCol: String = "doc_id", textCol: String = "text",
+      salt: String = "dsir"): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val (w, pin) = dsirWeightsPredOwned(raw, targetPred, buckets,
+      idCol, textCol, salt)
+    val top = w.orderBy(col("weight_mu").desc, col(idCol).asc)
+      .limit(k)
+    val spark = raw.sparkSession
+    val rows = java.util.Arrays.asList(top.collect(): _*)
+    pin.release()
+    val local = spark.createDataFrame(rows, top.schema)
+    raw.join(broadcast(local), Seq(idCol))
   }
 
   /** Importance SELECTION: the `k` raw documents most like the target

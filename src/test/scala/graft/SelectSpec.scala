@@ -170,6 +170,47 @@ class SelectSpec extends AnyFunSuite {
     pin.release()
   }
 
+  test("dsirWeightsPred/dsirSelectPred are row-identical to the " +
+      "two-corpus face when target = raw.where(pred)") {
+    val pred = $"source" === "tgt"
+    val a = Select.dsirWeights(docs, target, buckets = 64)
+      .orderBy("doc_id").collect().toSeq
+    val b = Select.dsirWeightsPred(docs, pred, buckets = 64)
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b, s"pred face diverged:\n  two-corpus: $a\n  pred: $b")
+    // salt threads through identically
+    val a2 = Select.dsirWeights(docs, target, buckets = 64, salt = "x")
+      .orderBy("doc_id").collect().toSeq
+    val b2 = Select.dsirWeightsPred(docs, pred, buckets = 64,
+      salt = "x").orderBy("doc_id").collect().toSeq
+    assert(a2 == b2)
+    val selA = Select.dsirSelect(docs, target, buckets = 64, k = 2)
+      .orderBy("doc_id").collect().toSeq
+    val selB = Select.dsirSelectPred(docs, pred, buckets = 64, k = 2)
+      .orderBy("doc_id").collect().toSeq
+    assert(selA == selB)
+  }
+
+  test("scale shape: dsirWeightsPred holds ONE pinned gram agg and " +
+      "no Generate in the consuming plan") {
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    val (w, pin) = Select.dsirWeightsPredOwned(docs,
+      $"source" === "tgt", buckets = 64)
+    // the target corpus funds NO second gram pass: one pin total
+    // (vs the two-corpus face's two), and the lambda table is a
+    // driver-derived local relation broadcast against it
+    assert(spark.sparkContext.getPersistentRDDs.size == 1,
+      s"expected 1 pinned gram agg, got ${
+        spark.sparkContext.getPersistentRDDs.size}")
+    val plan = w.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "the <=buckets-row lambda table must broadcast against raw grams")
+    assert(!plan.contains("Generate"),
+      s"no gram explode may survive into the consuming plan:\n$plan")
+    pin.release()
+  }
+
   test("scale shape: chunk is a map-only stage (no exchange)") {
     val p = Sampling.chunk(docs, maxLen = 8, stride = 4)
       .queryExecution.executedPlan.toString
