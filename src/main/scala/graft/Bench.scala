@@ -205,8 +205,30 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] sidecar write failed: ${e.getMessage}")
     }
+    // plain {name: sec} twin of the stdout line's packed encoding —
+    // readable by ANY consumer without the repo's decoder (the stdout
+    // line stays packed for the driver's ~2 KB tail-capture budget;
+    // this sidecar is where a reader goes for per-entry seconds)
+    val decodedPath = sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_DECODED", "BENCH_DECODED.json")
+    try {
+      val w = new java.io.PrintWriter(decodedPath)
+      try w.println(decodedJson(results.map(r => (r._1, r._2))))
+      finally w.close()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] decoded write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
+
+  /** The `BENCH_DECODED.json` body: plain `{"name": sec}` at the
+    * stdout line's 0.1 s resolution — kept a pure function so
+    * BenchLineSpec can pin it equal to decode(encode(...)) of the
+    * packed stdout fields at any registry size. */
+  def decodedJson(results: Seq[(String, Double)]): String =
+    results.map { case (k, v) =>
+      "\"" + k + "\":" + (math.round(v * 10) / 10.0)
+    }.mkString("{", ",", "}")
 
   /** One driver-parseable stdout line. Kept as a pure function so
     * BenchLineSpec can bound its length against the FULL query registry

@@ -104,8 +104,19 @@ object Search {
     * one-row (n, sumdl) corpus normalizer. */
   private def bm25Rank(tf: DataFrame, stats: DataFrame, qdf: DataFrame,
       k: Int, k1: Double, b: Double): DataFrame = {
-    // document frequency per term — ≤ |terms| rows, broadcasts
-    val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // document frequency per term as a WINDOW over the posting rows,
+    // not a groupBy + broadcast self-join: the dfq subtree was a
+    // second full execution of tf's lineage (column pruning makes the
+    // two subtrees structurally different, so AQE exchange reuse
+    // never fires — the serve plan scanned the postings tree twice,
+    // the inline face re-tokenized the whole corpus). The window
+    // shuffles only the candidate rows once by term — and where tf
+    // already ends in a term-keyed exchange (the stored-index serve
+    // repartitions by term for its dedup), it rides that exchange for
+    // free. df values are identical by construction: count of tf rows
+    // per term.
+    val withDf = tf.withColumn("df",
+      count(lit(1)).over(Window.partitionBy(col("term"))))
     // ONE identical IEEE expression in both engines, floored to µ
     // BEFORE the per-doc sum (cross-row float addition is not
     // order-stable; a BIGINT sum is).
@@ -117,8 +128,7 @@ object Search {
           (lit(1.0) - lit(b) + lit(b) *
             (col("dl") * col("n") / col("sumdl")))) *
         lit(1000000.0)).cast("long")
-    val scored = tf
-      .join(broadcast(dfq), Seq("term"))
+    val scored = withDf
       .crossJoin(broadcast(stats))
       .join(broadcast(qdf), Seq("term"))
       .withColumn("term_score_mu", termScoreMu)
@@ -350,8 +360,7 @@ object Search {
       guard("postings")
       guard("stats")
     }
-    val nBuckets = spark.read.parquet(s"$dir/meta")
-      .head().getInt(0)
+    val nBuckets = storedNBuckets(spark, dir)
     statsPartial(newDocs, idCol, textCol)
       .coalesce(1).write.mode("append").parquet(s"$dir/stats")
     postingsRows(newDocs, nBuckets, idCol, textCol,
@@ -389,7 +398,7 @@ object Search {
     // bucket's whole postings in ONE task, and write-task size grew
     // unbounded with corpus/nBuckets); skewed buckets (a stop-word's
     // postings) get proportionally more files
-    val nBuckets = spark.read.parquet(s"$dir/meta").head().getInt(0)
+    val nBuckets = storedNBuckets(spark, dir)
     val fpb = Array.fill[Long](nBuckets)(1L)
     for (d <- fs.listStatus(live) if d.isDirectory;
          name = d.getPath.getName if name.startsWith("bucket=")) {
@@ -438,16 +447,23 @@ object Search {
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     val (qdf, allTerms) = queryTermsDf(spark, queries)
-    val nBuckets = spark.read.parquet(s"$dir/meta").head().getInt(0)
-    // the terms' bucket set, derived with the SAME engine hash that
-    // placed them (one control-plane job over |terms| local rows)
-    import spark.implicits._
-    val buckets = allTerms.toDF("term")
-      .select(pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
-      .distinct().collect().map(_.getLong(0))
+    val nBuckets = storedNBuckets(spark, dir)
+    // the terms' bucket set, derived with the SAME engine function
+    // that placed them — XxHash64Function IS what codegen emits for
+    // xxhash64(string) (seed 42), called driver-side over |terms|
+    // local strings instead of spending a Spark job on a one-row
+    // distinct+collect per serve (spec-pinned ≡ the engine column)
+    val buckets = allTerms
+      .map(t => bucketOfTerm(t, nBuckets)).distinct.sorted
+      .map(b => b: Any)
     val tf = spark.read.parquet(s"$dir/postings")
       .where(col("bucket").isin(buckets: _*))
       .where(col("term").isin(allTerms: _*))
+      // one term-keyed exchange feeds BOTH the dedup below and
+      // bm25Rank's df window (hashpartitioning(term) satisfies the
+      // dedup's (term, doc_id) clustering — the packSequences
+      // exchange-reuse discipline)
+      .repartition(col("term"))
       // heal replayed-append duplicates (bit-identical rows) at
       // candidate size — |docs with a query term|, never the corpus
       .dropDuplicates("term", "doc_id")
@@ -529,6 +545,33 @@ object Search {
       } catch { case scala.util.control.NonFatal(_) => 0L }
     Array.fill(nBuckets)(graft.util.Maint.sizedFileCount(
       bytes / math.max(nBuckets, 1), targetBytesPerFile).toLong)
+  }
+
+  /** A term's bucket id, computed DRIVER-SIDE with the identical
+    * function whole-stage codegen emits for
+    * `pmod(xxhash64(term), nBuckets)` — XxHash64Function over the
+    * term's UTF-8 bytes at seed 42, then floorMod (the
+    * mirror-SPARK's-semantics rule; spec-pinned against the engine
+    * column over a fuzz set). Control-plane: turns the per-serve
+    * bucket derivation from a Spark job into local arithmetic. */
+  private[graft] def bucketOfTerm(term: String, nBuckets: Int): Long = {
+    val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+      .hash(org.apache.spark.unsafe.types.UTF8String.fromString(term),
+        org.apache.spark.sql.types.StringType, 42L)
+    java.lang.Math.floorMod(h, nBuckets.toLong)
+  }
+
+  /** The stored bucket count off `dir/meta`, fingerprint-cached
+    * ([[graft.util.ControlCache]]): a frozen layout constant that
+    * otherwise costs a one-row Spark job per serve/append. */
+  private def storedNBuckets(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Int = {
+    import org.apache.hadoop.fs.Path
+    val meta = new Path(new Path(dir), "meta")
+    val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.util.ControlCache.cached(fs, meta) {
+      spark.read.parquet(meta.toString).head().getInt(0)
+    }
   }
 
   /** One mergeable stats partial: doc count, total token length, and

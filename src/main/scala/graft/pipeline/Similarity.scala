@@ -340,11 +340,21 @@ object Similarity {
     * (cell-ordered) — control-plane kilobytes, shared by the serving
     * path and incremental maintenance. */
   def readIvfCentroids(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Seq[Seq[Double]] =
-    spark.read.parquet(s"$dir/centroids")
-      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
-      .groupBy(_._1).toSeq.sortBy(_._1)
-      .map { case (_, rows) => rows.sortBy(_._2).map(_._3).toSeq }
+      dir: String): Seq[Seq[Double]] = {
+    import org.apache.hadoop.fs.Path
+    val cdir = new Path(new Path(dir), "centroids")
+    val fs = cdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // fingerprint-cached (graft.util.ControlCache): the quantizer is
+    // frozen between maintenance rewrites, so steady-state serves
+    // skip the per-call collect job; a retrain/rewrite lands fresh
+    // UUID part files, which misses the fingerprint and reloads
+    graft.util.ControlCache.cached(fs, cdir) {
+      spark.read.parquet(cdir.toString)
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (_, rows) => rows.sortBy(_._2).map(_._3).toSeq }
+    }
+  }
 
   /** Incrementally add vectors to a persisted IVF index: assign each
     * new vector with the STORED quantizer (deterministic — the same

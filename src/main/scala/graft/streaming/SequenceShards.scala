@@ -112,17 +112,13 @@ object SequenceShards {
         .toDF("seq_len", "n_buckets", "eos_id", "salt", "seg_size")
         .coalesce(1).write.mode("overwrite").parquet(meta.toString)
     } else {
-      val m = spark.read.parquet(meta.toString).head()
-      // a pre-segmented store (4-column meta, flat lane dirs, docs
-      // without pk/n) must hit the designed loud message, not an
-      // opaque index-out-of-bounds from getInt(4)
-      require(m.length >= 5,
-        s"sequenceShards: store $rootDir carries a pre-seq_seg meta " +
-          s"layout (${m.length} fields) — rebuild the store with " +
-          "this version before appending (the segmented layout is " +
-          "not an in-place upgrade)")
-      val stored = (m.getInt(0), m.getInt(1), m.getLong(2),
-        m.getString(3), m.getInt(4))
+      // fingerprint-cached control read (graft.util.ControlCache):
+      // the stored tuple is frozen store state, so steady-state
+      // appends validate against the cached copy instead of paying a
+      // one-row Spark job per micro-batch; any rewrite of the meta
+      // dir (fresh UUID part names) misses the fingerprint and
+      // reloads
+      val stored = storedMeta(spark, fs, meta, rootDir)
       require(stored == ((seqLen, nBuckets, eosId, salt, segSize)),
         s"sequenceShards: packing contract drift — store $rootDir " +
           "was built with (seqLen, nBuckets, eosId, salt, segSize) " +
@@ -157,8 +153,14 @@ object SequenceShards {
     // 2. version-partitioned dynamic overwrite (the writeVersioned
     //    replay contract), rows clustered by (lane, pk) so the
     //    metadata pass pushes lane-IN and the suffix read pushes a
-    //    pk lower bound onto row-group pruning
+    //    pk lower bound onto row-group pruning. The affected-lane set
+    //    (step 3) rides THIS job as an observed metric — collect_set
+    //    is ≤ nBuckets longs and retry-idempotent — instead of a
+    //    separate distinct().collect() job that re-computed the batch
+    //    source per micro-batch.
+    val laneObs = org.apache.spark.sql.Observation()
     laned.withColumn("version", lit(version))
+      .observe(laneObs, collect_set(col("lane")).as("_lanes"))
       .repartition(col("lane"))
       .sortWithinPartitions(col("lane"), col("pk"))
       .write.mode("overwrite")
@@ -166,9 +168,13 @@ object SequenceShards {
       .partitionBy("version")
       .parquet(s"$rootDir/docs")
     Maint.step(verb, "docs-written")
-    // 3. affected lanes: ≤ nBuckets ints off the batch
-    val lanes = laned.select(col("lane")).distinct()
-      .collect().map(_.getLong(0)).sorted
+    // 3. affected lanes: ≤ nBuckets ints observed off the write above
+    val lanes = laneObs.get.apply("_lanes") match {
+      case s: scala.collection.Seq[_] =>
+        s.map(_.asInstanceOf[Long]).toArray.sorted
+      case other => throw new IllegalStateException(
+        s"sequenceShards: unexpected observed lane metric: $other")
+    }
     if (lanes.isEmpty) return Nil
     val laneVals = lanes.map(l => l: Any)
     // 4. suffix control plane — ONE metadata pass over the affected
@@ -259,18 +265,12 @@ object SequenceShards {
     Maint.step(verb, "built")
     // 7. swap the rebuilt (lane, segment) dirs in under the park
     //    protocol — segment dirs strictly before each lane's
-    //    boundary are absent from tmp and keep their exact files
-    fs.mkdirs(shardsRoot)
-    for (laneDir <- fs.listStatus(tmp) if laneDir.isDirectory;
-         segDir <- fs.listStatus(laneDir.getPath)
-           if segDir.isDirectory) {
-      val liveLane = new Path(shardsRoot, laneDir.getPath.getName)
-      fs.mkdirs(liveLane)
-      val live = new Path(liveLane, segDir.getPath.getName)
-      val keep = new Path(new Path(trashRoot, laneDir.getPath.getName),
-        segDir.getPath.getName)
-      Maint.swapPartitionDir(fs, live, segDir.getPath, keep, verb)
-    }
+    //    boundary are absent from tmp and keep their exact files.
+    //    Batched ([[Maint.swapPartitionDirsUnder]]): ONE listing pass
+    //    of the live tree replaces the per-segment exists/mkdirs
+    //    round trips, same per-dir park-then-promote protocol and
+    //    crash windows.
+    Maint.swapPartitionDirsUnder(fs, shardsRoot, tmp, trashRoot, verb)
     Maint.step(verb, "lanes-swapped")
     fs.delete(trashRoot, true) // commit: originals now disposable
     fs.delete(tmp, true)
@@ -497,12 +497,40 @@ object SequenceShards {
         col("pack_bucket"), nLanes, epoch, salt))
 
   /** The store's frozen packing contract off `meta`: (nBuckets,
-    * salt) — the lane domain every epoch order is derived under. */
+    * salt) — the lane domain every epoch order is derived under.
+    * Fingerprint-cached ([[graft.util.ControlCache]]): the serve
+    * faces (`readEpoch`/`readEpochSlice`) otherwise pay a one-row
+    * Spark job per call for a value the store contract freezes. */
   private def packingMeta(spark: SparkSession, rootDir: String)
       : (Int, String) = {
-    val m = spark.read.parquet(s"$rootDir/meta").head()
-    (m.getInt(1), m.getString(3))
+    import org.apache.hadoop.fs.Path
+    val meta = new Path(new Path(rootDir), "meta")
+    val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = storedMeta(spark, fs, meta, rootDir)
+    (m._2, m._4)
   }
+
+  /** The full frozen packing tuple off `meta`, fingerprint-cached:
+    * (seqLen, nBuckets, eosId, salt, segSize). One loader for the
+    * append contract check and the serve faces, so the layout guard
+    * (pre-seq_seg stores fail loudly) lives in one place. */
+  private def storedMeta(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      meta: org.apache.hadoop.fs.Path, rootDir: String)
+      : (Int, Int, Long, String, Int) =
+    graft.util.ControlCache.cached(fs, meta) {
+      val m = spark.read.parquet(meta.toString).head()
+      // a pre-segmented store (4-column meta, flat lane dirs, docs
+      // without pk/n) must hit the designed loud message, not an
+      // opaque index-out-of-bounds from getInt(4)
+      require(m.length >= 5,
+        s"sequenceShards: store $rootDir carries a pre-seq_seg meta " +
+          s"layout (${m.length} fields) — rebuild the store with " +
+          "this version before appending (the segmented layout is " +
+          "not an in-place upgrade)")
+      (m.getInt(0), m.getInt(1), m.getLong(2), m.getString(3),
+        m.getInt(4))
+    }
 
   /** Store summary — ONE row per live lane: `(lane, n_segments,
     * n_files, bytes, n_sequences, seq_max)`. The nBuckets sizing

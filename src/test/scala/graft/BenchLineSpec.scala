@@ -192,4 +192,22 @@ class BenchLineSpec extends AnyFunSuite {
       assert(m.length == 2, s"value $v packed as '$m' (not 2 chars)")
     }
   }
+
+  test("BENCH_DECODED.json body is valid JSON whose values match the " +
+      "stdout line's packed seconds (below the 129.5 s saturation " +
+      "sentinel) — no consumer ever needs the decoder") {
+    val results = Seq(("q_scan", 0.31), ("t_bm25", 4.26),
+      ("t_fail", -1.0), ("q_zero", 0.0), ("t_big", 99.94))
+    val body = Bench.decodedJson(results)
+    // single-line JSON object shape
+    assert(!body.contains("\n"))
+    assert(body.startsWith("{\"q_scan\":") && body.endsWith("}"))
+    // values equal decode(encode(v)) — the packed stdout contract
+    val packed = Bench.decodeSecs(Bench.encodeSecs(results.map(_._2)))
+    results.map(_._1).zip(packed).foreach { case (name, v) =>
+      val field = ("\"" + name + "\":([-0-9.]+)").r
+        .findFirstMatchIn(body).get.group(1).toDouble
+      assert(math.abs(field - v) < 1e-9, s"$name: $field vs packed $v")
+    }
+  }
 }

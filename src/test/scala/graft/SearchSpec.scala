@@ -377,4 +377,43 @@ class SearchSpec extends AnyFunSuite {
       ), plan)
     assert(postScan.exists(_.contains("term")), plan)
   }
+
+  test("scale shape: the serve plan scans the postings tree ONCE and " +
+      "its dedup + df window share one term-keyed exchange (the df " +
+      "groupBy+broadcast self-join re-executed the whole tf lineage — " +
+      "column pruning defeats AQE exchange reuse)") {
+    val dir = tmpIdx()
+    Search.writeBm25Index(docs, dir, nBuckets = 4)
+    // pre-run executedPlan prints the single initial tree (no AQE
+    // twins yet) — the exchange-count gate rule
+    val plan = Search.bm25TopKBatchFromIndex(spark, dir, queries, 3)
+      .queryExecution.executedPlan.toString
+    val postScans = plan.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("/postings"))
+      .size
+    assert(postScans == 1, s"postings scanned $postScans times:\n$plan")
+    // exactly one term-keyed exchange feeds dedup + the df window
+    val termEx = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning(term")).size
+    assert(termEx == 1, s"term exchanges = $termEx:\n$plan")
+  }
+
+  test("driver-side bucketOfTerm equals the engine's " +
+      "pmod(xxhash64(term), n) for fuzzed terms and every stored " +
+      "bucket count") {
+    val terms = Seq("spark", "flink", "", "a", "Zz9", "tök",
+      "élève", "😀mix", "word word", "tab\tsep",
+      "0", "-1", "xxhash", "the") ++
+      (0 until 200).map(i => s"t$i${"x" * (i % 7)}")
+    for (n <- Seq(1, 4, 64, 997)) {
+      val engine = terms.toDF("term")
+        .select(col("term"),
+          pmod(xxhash64(col("term")), lit(n.toLong)).as("b"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      terms.foreach { t =>
+        assert(graft.pipeline.Search.bucketOfTerm(t, n) == engine(t),
+          s"term '$t' nBuckets $n")
+      }
+    }
+  }
 }
