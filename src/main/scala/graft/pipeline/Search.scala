@@ -359,6 +359,13 @@ object Search {
             s"under $dir — not a writeBm25Index layout"))
       guard("postings")
       guard("stats")
+      // and a crashed [[compactBm25Buckets]] swap: a parked-absent
+      // bucket dir would otherwise be RECREATED by this append's
+      // write (holding only the new batch), after which the heal
+      // protocol sees a live dir and never restores the parked
+      // history — restore first (one exists check steady-state)
+      Maint.healParkedFlat(fs, new Path(root, "postings"),
+        new Path(root, ".postings-bswap"), "appendToBm25Index")
     }
     val nBuckets = storedNBuckets(spark, dir)
     statsPartial(newDocs, idCol, textCol)
@@ -414,12 +421,21 @@ object Search {
         fpb)
       .write.partitionBy("bucket").parquet(tmp.toString)
     Maint.flipNow(fs, live, tmp, trash, "compactBm25Postings")
-    // stats: fold the partial rows to ONE exact row (same flip
-    // protocol, with its own heal-at-entry — a crash between the
-    // stats flip's renames must restore the stranded original, never
-    // clean it away; distinct first — replayed appends wrote
-    // identical rows, and folding them un-collapsed would
-    // double-count)
+    foldStats(spark, dir)
+  }
+
+  /** Fold the stats partial rows to ONE exact row under the whole-
+    * root flip (its own heal-at-entry — a crash between the stats
+    * flip's renames must restore the stranded original, never clean
+    * it away; distinct first — replayed appends wrote identical rows,
+    * and folding them un-collapsed would double-count). Shared tail
+    * of [[compactBm25Index]] and [[compactBm25Buckets]]. */
+  private def foldStats(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    import graft.util.Maint
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
     val sLive = new Path(s"$dir/stats")
     val sTmp = new Path(s"$dir/.stats-compact")
     val sTrash = new Path(s"$dir/.stats-trash")
@@ -436,6 +452,107 @@ object Search {
     ()
   }
 
+  /** INCREMENTAL postings fold — [[compactBm25Index]]'s cost is
+    * O(index) per fold (the whole live tree rewrites under one flip);
+    * this verb folds ONLY buckets whose part-file count exceeds
+    * `maxPartFiles` (every append adds >= 1 file per touched bucket,
+    * so the file count is exactly the accumulated-appends signal),
+    * making fold cost proportional to the TOUCHED buckets, never the
+    * index. Returns the folded bucket ids.
+    *
+    * Soundness of the finer protocol: a term maps to exactly one
+    * bucket, so (term, doc_id) duplicates can never straddle buckets
+    * — each bucket dir rewrites to its own deduped rows and swaps in
+    * ATOMICALLY under the park protocol ([[Maint.swapPartitionDir]]
+    * per dir, originals parked under `.postings-bswap` until the
+    * commit delete). Any crash prefix leaves every bucket either
+    * original (duplicates present — healed at serve by the
+    * candidate-sized dropDuplicates, exactly the append-replay
+    * state) or deduped; a bucket parked-but-not-promoted is restored
+    * by [[Maint.healParkedFlat]] at this verb's, the append face's
+    * AND the serve face's entry — a read can never silently miss a
+    * parked bucket's postings (the whole-root flip fails LOUD in its
+    * crash window via the absent root; per-bucket must match that
+    * bar). The whole-root fold remains [[compactBm25Index]] — use it
+    * when most buckets are touched. Single-writer, like every
+    * compaction here. Stats partials fold (to one row, whole-root
+    * flip) when their file count exceeds the same threshold. */
+  def compactBm25Buckets(spark: org.apache.spark.sql.SparkSession,
+      dir: String, targetBytesPerFile: Long = 128L << 20,
+      maxPartFiles: Int = 4): Seq[Int] = {
+    import org.apache.hadoop.fs.Path
+    import graft.util.Maint
+    require(maxPartFiles >= 1, s"maxPartFiles >= 1: $maxPartFiles")
+    val verb = "compactBm25Buckets"
+    val live = new Path(s"$dir/postings")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(s"$dir/.postings-bfold")
+    val trash = new Path(s"$dir/.postings-bswap")
+    // a crashed WHOLE-ROOT compact owns the tree first (absent live +
+    // its sibling); then heal any of this verb's own parked buckets;
+    // a leftover tmp with no trash is a pre-swap crash — disposable
+    Maint.healAtEntry(fs, live, new Path(s"$dir/.postings-compact"),
+      new Path(s"$dir/.postings-trash"), verb,
+      live = fs.exists(live),
+      missingMsg = Some(s"compactBm25Buckets: no postings tree at $live"))
+    Maint.healParkedFlat(fs, live, trash, verb)
+    fs.delete(tmp, true)
+    Maint.step(verb, "cleaned")
+    val nBuckets = storedNBuckets(spark, dir)
+    // touched buckets + their exact on-disk bytes, one listing pass
+    val fpb = Array.fill[Long](nBuckets)(1L)
+    val touched = scala.collection.mutable.ArrayBuffer[Int]()
+    val touchedDirs = scala.collection.mutable.ArrayBuffer[String]()
+    for (d <- fs.listStatus(live) if d.isDirectory;
+         name = d.getPath.getName if name.startsWith("bucket=")) {
+      val b = name.stripPrefix("bucket=").toInt
+      val files = fs.listStatus(d.getPath).filter { s =>
+        val n = s.getPath.getName
+        s.isFile && n.endsWith(".parquet") && !n.startsWith(".") &&
+          !n.startsWith("_")
+      }
+      if (b >= 0 && b < nBuckets && files.length > maxPartFiles) {
+        touched += b
+        touchedDirs += d.getPath.toString
+        fpb(b) = Maint.sizedFileCount(files.map(_.getLen).sum,
+          targetBytesPerFile).toLong
+      }
+    }
+    if (touched.nonEmpty) {
+      // ONE job over the touched dirs only — enumerated explicitly
+      // under basePath so listing AND read stay O(touched), with the
+      // bucket-isin kept on top as the semantic contract
+      sizedByBucket(
+          spark.read.option("basePath", live.toString)
+            .parquet(touchedDirs.toSeq: _*)
+            .where(col("bucket").isin(touched.map(b => b: Any).toSeq: _*))
+            .dropDuplicates("term", "doc_id"),
+          fpb)
+        .write.partitionBy("bucket").parquet(tmp.toString)
+      Maint.step(verb, "built")
+      for (b <- touched) {
+        val name = s"bucket=$b"
+        Maint.swapPartitionDir(fs, new Path(live, name),
+          new Path(tmp, name), new Path(trash, name), verb)
+      }
+      Maint.step(verb, "buckets-swapped")
+      fs.delete(trash, true)
+      fs.delete(tmp, true)
+      Maint.step(verb, "committed")
+    }
+    // stats partials: fold when the file count exceeds the threshold
+    val sLive = new Path(s"$dir/stats")
+    val statsFiles =
+      if (!fs.exists(sLive)) 0
+      else fs.listStatus(sLive).count { s =>
+        val n = s.getPath.getName
+        s.isFile && n.endsWith(".parquet") && !n.startsWith(".") &&
+          !n.startsWith("_")
+      }
+    if (statsFiles > maxPartFiles) foldStats(spark, dir)
+    touched.toSeq
+  }
+
   /** Serve a query batch from a [[writeBm25Index]] layout — identical
     * results to [[bm25TopKBatch]] over the indexed corpus at every k
     * (spec-pinned; the scoring tail is literally shared). The plan
@@ -447,6 +564,19 @@ object Search {
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     val (qdf, allTerms) = queryTermsDf(spark, queries)
+    locally {
+      // self-heal a crashed [[compactBm25Buckets]] swap before
+      // reading: a parked-absent bucket dir would silently serve
+      // FEWER postings (the whole-root flip's crash state fails loud
+      // via the absent root; the per-bucket protocol must match that
+      // bar). Steady-state cost: one exists() on the trash sibling.
+      import org.apache.hadoop.fs.Path
+      val root = new Path(dir)
+      val fs = root.getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      graft.util.Maint.healParkedFlat(fs, new Path(root, "postings"),
+        new Path(root, ".postings-bswap"), "bm25Serve")
+    }
     val nBuckets = storedNBuckets(spark, dir)
     // the terms' bucket set, derived with the SAME engine function
     // that placed them — XxHash64Function IS what codegen emits for

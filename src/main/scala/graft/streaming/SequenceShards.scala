@@ -118,7 +118,18 @@ object SequenceShards {
       // one-row Spark job per micro-batch; any rewrite of the meta
       // dir (fresh UUID part names) misses the fingerprint and
       // reloads
-      val stored = storedMeta(spark, fs, meta, rootDir)
+      val vals = storedMetaVals(spark, fs, meta)
+      // a pre-segmented store (4-column meta, flat lane dirs, docs
+      // without pk/n) must hit the designed loud message, not an
+      // opaque index-out-of-bounds
+      require(vals.length >= 5,
+        s"sequenceShards: store $rootDir carries a pre-seq_seg meta " +
+          s"layout (${vals.length} fields) — rebuild the store with " +
+          "this version before appending (the segmented layout is " +
+          "not an in-place upgrade)")
+      val stored = (vals(0).asInstanceOf[Int], vals(1).asInstanceOf[Int],
+        vals(2).asInstanceOf[Long], vals(3).asInstanceOf[String],
+        vals(4).asInstanceOf[Int])
       require(stored == ((seqLen, nBuckets, eosId, salt, segSize)),
         s"sequenceShards: packing contract drift — store $rootDir " +
           "was built with (seqLen, nBuckets, eosId, salt, segSize) " +
@@ -506,30 +517,20 @@ object SequenceShards {
     import org.apache.hadoop.fs.Path
     val meta = new Path(new Path(rootDir), "meta")
     val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val m = storedMeta(spark, fs, meta, rootDir)
-    (m._2, m._4)
+    val m = storedMetaVals(spark, fs, meta)
+    (m(1).asInstanceOf[Int], m(3).asInstanceOf[String])
   }
 
-  /** The full frozen packing tuple off `meta`, fingerprint-cached:
-    * (seqLen, nBuckets, eosId, salt, segSize). One loader for the
-    * append contract check and the serve faces, so the layout guard
-    * (pre-seq_seg stores fail loudly) lives in one place. */
-  private def storedMeta(spark: SparkSession,
+  /** The frozen packing contract's raw meta row, fingerprint-cached:
+    * one loader for the append contract check and the serve faces.
+    * Returned untyped because the READ faces accept the pre-seq_seg
+    * 4-field layout (they consume only n_buckets and salt) while the
+    * append face requires all 5 fields and fails loudly otherwise. */
+  private def storedMetaVals(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem,
-      meta: org.apache.hadoop.fs.Path, rootDir: String)
-      : (Int, Int, Long, String, Int) =
+      meta: org.apache.hadoop.fs.Path): Seq[Any] =
     graft.util.ControlCache.cached(fs, meta) {
-      val m = spark.read.parquet(meta.toString).head()
-      // a pre-segmented store (4-column meta, flat lane dirs, docs
-      // without pk/n) must hit the designed loud message, not an
-      // opaque index-out-of-bounds from getInt(4)
-      require(m.length >= 5,
-        s"sequenceShards: store $rootDir carries a pre-seq_seg meta " +
-          s"layout (${m.length} fields) — rebuild the store with " +
-          "this version before appending (the segmented layout is " +
-          "not an in-place upgrade)")
-      (m.getInt(0), m.getInt(1), m.getLong(2), m.getString(3),
-        m.getInt(4))
+      spark.read.parquet(meta.toString).head().toSeq
     }
 
   /** Store summary — ONE row per live lane: `(lane, n_segments,

@@ -366,6 +366,81 @@ class MaintProtocolSpec extends AnyFunSuite {
       bm25Answer))
   }
 
+  test("compactBm25Buckets (incremental per-bucket fold): crash at " +
+      "every step heals on re-run — including mid bucket-swap, where " +
+      "the append AND serve faces restore the parked bucket first") {
+    // maxPartFiles = 1 so the build+append state (2 files/bucket)
+    // folds; a crash between park and promote leaves a bucket absent,
+    // which every face must heal before touching the tree
+    crashMatrix(Scenario("compactBm25Buckets", bm25Setup,
+      b => graft.pipeline.Search.compactBm25Buckets(spark, s"$b/bm25",
+        maxPartFiles = 1),
+      bm25Answer))
+  }
+
+  test("compactBm25Buckets heal path: a parked bucket (mid-swap crash " +
+      "state) restores at the verb's entry, with crashes DURING the " +
+      "heal also recovering") {
+    healCrashMatrix(
+      Scenario("compactBm25Buckets", bm25Setup,
+        b => graft.pipeline.Search.compactBm25Buckets(spark, s"$b/bm25",
+          maxPartFiles = 1),
+        bm25Answer),
+      park = { b =>
+        // simulate the crash window inside one bucket's swap: the
+        // live dir renamed into the trash sibling, promote not done
+        import org.apache.hadoop.fs.Path
+        val fs = new Path(b).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val live = new Path(s"$b/bm25/postings")
+        val parked = fs.listStatus(live)
+          .filter(d => d.isDirectory &&
+            d.getPath.getName.startsWith("bucket=")).head.getPath
+        val trash = new Path(s"$b/bm25/.postings-bswap")
+        fs.mkdirs(trash)
+        assert(fs.rename(parked, new Path(trash, parked.getName)))
+      })
+  }
+
+  test("a crashed compactBm25Buckets swap can never serve fewer " +
+      "postings or lose the parked bucket to a later append: both " +
+      "faces heal it at entry") {
+    import org.apache.hadoop.fs.Path
+    val base = java.nio.file.Files
+      .createTempDirectory("bswap-faces").toString
+    bm25Setup(base)
+    val expected = bm25Answer(base)
+    def park(): Unit = {
+      val fs = new Path(base).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val live = new Path(s"$base/bm25/postings")
+      val parked = fs.listStatus(live)
+        .filter(d => d.isDirectory &&
+          d.getPath.getName.startsWith("bucket=")).head.getPath
+      val trash = new Path(s"$base/bm25/.postings-bswap")
+      fs.mkdirs(trash)
+      assert(fs.rename(parked, new Path(trash, parked.getName)))
+    }
+    // serve face: heals, answer identical to the pre-crash state
+    park()
+    assert(bm25Answer(base) == expected)
+    // append face: heals BEFORE writing, so the parked history
+    // survives — the final state must equal a clean (never-crashed)
+    // twin that took the same build + appends
+    park()
+    graft.pipeline.Search.appendToBm25Index(
+      Seq((9L, "spark spark spark")).toDF("doc_id", "text"),
+      s"$base/bm25")
+    val served = bm25Answer(base)
+    val twin = java.nio.file.Files
+      .createTempDirectory("bswap-twin").toString
+    bm25Setup(twin)
+    graft.pipeline.Search.appendToBm25Index(
+      Seq((9L, "spark spark spark")).toDF("doc_id", "text"),
+      s"$twin/bm25")
+    assert(served == bm25Answer(twin), served.mkString("\n"))
+  }
+
   // ---- incremental sequence shards (docs overwrite + lane swap) ---------
 
   test("sequenceShards appendBatch: crash at every step heals on " +

@@ -160,6 +160,12 @@ class PlanQualitySpec extends AnyFunSuite {
     // left (batch) side; the flagged set rides a broadcast of the
     // pinned pair pipeline, never a sort-merge of a second scan
     assert(scans("d_cross_dedup", "documents.parquet") <= 1)
+    // e2e dataloader (r21 audit): the chain's ONE corpus read happens
+    // into the mixture pin at fn-call time (JobAuditProbe measured
+    // documents.parquet bytes read exactly once per run), and the BPE
+    // model is collected control-plane — so the final pack plan reads
+    // NO parquet at all; every leaf is the pinned RDD
+    assert(scans("t_e2e_dataloader", ".parquet") == 0)
     val crossPlan = SparkEntry.queries("d_cross_dedup")(spark, sfDir)
       .queryExecution.executedPlan.toString
     assert(!crossPlan.contains("SortMergeJoin"), crossPlan)

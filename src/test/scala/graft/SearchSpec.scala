@@ -398,6 +398,58 @@ class SearchSpec extends AnyFunSuite {
     assert(termEx == 1, s"term exchanges = $termEx:\n$plan")
   }
 
+  test("compactBm25Buckets folds ONLY over-threshold buckets — " +
+      "untouched bucket dirs keep their exact files — and serving " +
+      "equals inline before and after, duplicates healed") {
+    import org.apache.hadoop.fs.Path
+    val dir = tmpIdx()
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    Search.writeBm25Index(docs.where(col("doc_id") < 2), dir,
+      nBuckets = 4)
+    val append = docs.where(col("doc_id") >= 2)
+    Search.appendToBm25Index(append, dir)
+    Search.appendToBm25Index(append, dir) // replayed duplicate
+    def files(): Map[String, Set[String]] =
+      fs.listStatus(new Path(s"$dir/postings")).toSeq
+        .filter(d => d.isDirectory &&
+          d.getPath.getName.startsWith("bucket="))
+        .map(d => d.getPath.getName -> fs.listStatus(d.getPath).toSeq
+          .map(_.getPath.getName)
+          .filter(n => n.endsWith(".parquet")).toSet).toMap
+    val before = files()
+    // threshold 2: only buckets the appends actually touched (3
+    // files: build + 2 appends) fold; build-only buckets (1 file)
+    // keep their exact files
+    val folded = Search.compactBm25Buckets(spark, dir,
+      maxPartFiles = 2)
+    val after = files()
+    val foldedNames = folded.map(b => s"bucket=$b").toSet
+    assert(folded.nonEmpty, "nothing folded — fixture too small")
+    before.keys.foreach { b =>
+      if (foldedNames(b)) {
+        assert(after(b) != before(b), s"$b not rewritten")
+        assert(after(b).size < before(b).size, s"$b not folded")
+      } else
+        assert(after(b) == before(b), s"untouched $b changed files")
+    }
+    // duplicates are GONE from the folded buckets' stored rows (an
+    // append-only bucket below threshold legitimately keeps its
+    // replay duplicates until IT crosses — serve heals them)
+    val foldedRows = spark.read.parquet(s"$dir/postings")
+      .where(col("bucket").isin(folded.map(b => b: Any): _*))
+    assert(foldedRows.count() ==
+      foldedRows.dropDuplicates("term", "doc_id").count())
+    // serve ≡ inline at every k (the replay healed at the fold)
+    (1 to 6).foreach { k =>
+      assert(serve(dir, queries, k) == inline(queries, k), s"k=$k")
+    }
+    // second fold is a no-op: nothing above threshold anymore
+    assert(Search.compactBm25Buckets(spark, dir,
+      maxPartFiles = 2).isEmpty)
+    assert(files() == after)
+  }
+
   test("driver-side bucketOfTerm equals the engine's " +
       "pmod(xxhash64(term), n) for fuzzed terms and every stored " +
       "bucket count") {
