@@ -216,8 +216,13 @@ object Search {
     require(kRrf >= 1, s"kRrf must be >= 1: $kRrf")
     val vec = Similarity.bruteForceTopK(emb, queryVecId, kCand,
       vecIdCol, vecCol)
-    rrfFuse(bm25TopK(docs, query, kCand, idCol = idCol,
-        textCol = textCol),
+    // the lex arm takes the BATCH face, not the sorted single-query
+    // face: rrfFuse ranks with its own window, so the public face's
+    // final orderBy would be a wasted range exchange + sort
+    val lex = bm25TopKBatch(docs, Seq((0L, query)), kCand,
+        idCol = idCol, textCol = textCol)
+      .drop("query_id")
+    rrfFuse(lex,
       vec.select(col(vecIdCol).as("doc_id"), col("cos_sim")),
       k, kRrf)
   }
@@ -230,12 +235,18 @@ object Search {
     * candidate lists ≤ kCand rows. */
   private def rrfFuse(lex: DataFrame, vecCand: DataFrame, k: Int,
       kRrf: Int): DataFrame = {
-    val lexRanked = lex
+    // both arms are ≤ kCand rows by contract — coalesce(1) gives the
+    // global rank windows and the fusion join SinglePartition
+    // children, so NEITHER plans an exchange (SinglePartition
+    // satisfies every required distribution): the whole fusion tail
+    // fuses into the arms' final stages instead of spending 3-4
+    // scheduler round trips on 100-row shuffles
+    val lexRanked = lex.coalesce(1)
       .withColumn("lex_rank", row_number().over(
         Window.orderBy(col("score_mu").desc, col("doc_id").asc))
         .cast("long"))
       .select(col("doc_id"), col("lex_rank"))
-    val vecRanked = vecCand
+    val vecRanked = vecCand.coalesce(1)
       .withColumn("vec_rank", row_number().over(
         Window.orderBy(col("cos_sim").desc, col("doc_id").asc))
         .cast("long"))
@@ -267,7 +278,11 @@ object Search {
     require(k >= 1, s"k must be >= 1: $k")
     require(kCand >= 1, s"kCand must be >= 1: $kCand")
     require(kRrf >= 1, s"kRrf must be >= 1: $kRrf")
-    val lex = bm25TopKFromIndex(spark, bm25Dir, query, kCand)
+    // batch face, unsorted — rrfFuse ranks with its own window (the
+    // single-query face's orderBy is a wasted range exchange here)
+    val lex = bm25TopKBatchFromIndex(spark, bm25Dir,
+        Seq((0L, query)), kCand)
+      .drop("query_id")
     val vec = Similarity.ivfTopKFromIndex(spark, ivfDir, queryVec,
         kCand, nprobe)
       .select(col("vec_id").as("doc_id"), col("cos_sim"))
@@ -598,8 +613,26 @@ object Search {
       // candidate size — |docs with a query term|, never the corpus
       .dropDuplicates("term", "doc_id")
       .select(col("term"), col("doc_id"), col("dl"), col("tf"))
-    val stats = spark.read.parquet(s"$dir/stats").distinct()
-      .agg(sum(col("n")).as("n"), sum(col("sumdl")).as("sumdl"))
+    // the corpus normalizer is a control-plane fold of the stats
+    // partials (one row per build/append — duplicates collapsed by
+    // the same distinct the in-plan version ran). Fingerprint-cached
+    // and re-planned as a one-row LocalRelation: the in-plan subtree
+    // cost a scan + distinct exchange + agg + broadcast build (~3
+    // scheduler round trips) per serve for ONE row; any append or
+    // compact rewrites the stats dir and misses the cache.
+    val statsDir = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(dir), "stats")
+    val sfs = statsDir.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val (nTot, sumdlTot) =
+      graft.util.ControlCache.cached(sfs, statsDir) {
+        val r = spark.read.parquet(statsDir.toString).distinct()
+          .agg(sum(col("n")).as("n"), sum(col("sumdl")).as("sumdl"))
+          .head()
+        (r.getLong(0), r.getLong(1))
+      }
+    import spark.implicits._
+    val stats = Seq((nTot, sumdlTot)).toDF("n", "sumdl")
     bm25Rank(tf, stats, qdf, k, k1, b)
   }
 
